@@ -1,0 +1,220 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.DataRef
+
+/** Interval overlap / gap machinery — the subtlest plans in the reference
+  * (datajudge `db_access.py:316-708`), re-expressed as Spark joins + windows.
+  *
+  * Scale notes:
+  *   - The overlap self-join is an equi-join on the key columns with the
+  *     range predicate as a residual filter — Spark executes a shuffled hash
+  *     join on keys, never a cartesian product (as long as keys are given).
+  *   - Gap detection windows are partitioned BY KEY (`partitionBy(keys)
+  *     .orderBy(start)`) — no global sort; each key group sorts locally.
+  *     The reference's global `row_number` ordering is an artifact of its
+  *     SQL backends; per-key ranking is the intended semantic and the
+  *     scalable plan.
+  */
+object Intervals {
+
+  /** Result bundle used by the interval constraints
+    * (reference `constraints/interval.py:49-69`).
+    */
+  final case class IntervalResult(
+      nViolationKeys: Long,
+      nDistinctKeys: Long,
+      violationSample: Option[Row])
+
+  /** N-dimensional interval-overlap violations
+    * (reference `get_interval_overlaps_nd`, `db_access.py:316-472`).
+    *
+    * A violation is: (scenario 1) two rows exactly equal in key+interval
+    * columns, or (scenario 2) two distinct intervals with a non-empty
+    * intersection in every dimension. t1 is constrained to be the leftmost
+    * interval (start1 <= start2), and overlap in one dimension is
+    * `start1 <= start2 && end1 >= start2` (`>` if `endIncluded=false`).
+    *
+    * Returns the violating pair rows: key columns, then per-dimension
+    * `<start>_1, <start>_2, <end>_1, <end>_2` (scenario-1 rows carry NULLs in
+    * the `_2` slots, mirroring the reference's NULL imputation).
+    */
+  def overlapViolations(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
+      endIncluded: Boolean): DataFrame = {
+    require(
+      startColumns.length == endColumns.length,
+      s"Expected same dimensionality for start/end columns, got " +
+        s"${startColumns.length} vs ${endColumns.length}")
+    val dims     = startColumns.indices
+    val sel      = ref.selection(spark)
+    val t1       = Ops.renameAll(sel, "_1")
+    val t2       = Ops.renameAll(sel, "_2")
+
+    val keyCond: Column =
+      if (keyColumns.isEmpty) lit(true)
+      else keyColumns.map(k => col(k + "_1") === col(k + "_2")).reduce(_ && _)
+
+    val endOp: (Column, Column) => Column =
+      if (endIncluded) (a, b) => a >= b else (a, b) => a > b
+
+    // scenario 2: distinct intervals that overlap in every dimension
+    val naive = dims
+      .map { d =>
+        col(startColumns(d) + "_1") <= col(startColumns(d) + "_2") &&
+        endOp(col(endColumns(d) + "_1"), col(startColumns(d) + "_2"))
+      }
+      .reduce(_ && _)
+    val inequality = dims
+      .map { d =>
+        col(startColumns(d) + "_1") =!= col(startColumns(d) + "_2") ||
+        col(endColumns(d) + "_1") =!= col(endColumns(d) + "_2")
+      }
+      .reduce(_ || _)
+
+    val outCols =
+      keyColumns.map(k => col(k + "_1").as(k)) ++
+        startColumns.map(c => col(c + "_1").as(c + "_1")) ++
+        startColumns.map(c => col(c + "_2").as(c + "_2")) ++
+        endColumns.map(c => col(c + "_1").as(c + "_1e")) ++
+        endColumns.map(c => col(c + "_2").as(c + "_2e"))
+
+    val distinctViolations = t1
+      .join(t2, keyCond && naive && inequality)
+      .select(outCols: _*)
+
+    // scenario 1: exact duplicates in key+interval space (whole row)
+    val dupBase = Ops.duplicates(sel)
+    val dupAsViolations = dupBase.select(
+      keyColumns.map(col) ++
+        startColumns.map(c => col(c).as(c + "_1")) ++
+        startColumns.map(c => lit(null).cast(sel.schema(c).dataType).as(c + "_2")) ++
+        endColumns.map(c => col(c).as(c + "_1e")) ++
+        endColumns.map(c => lit(null).cast(sel.schema(c).dataType).as(c + "_2e")): _*)
+
+    dupAsViolations.union(distinctViolations)
+  }
+
+  /** Count of distinct violating key groups over `overlapViolations`
+    * (reference's `n_violations_selection`).
+    */
+  def overlapResult(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
+      endIncluded: Boolean): IntervalResult = {
+    val violations = overlapViolations(
+      spark, ref, keyColumns, startColumns, endColumns, endIncluded)
+    val grouped =
+      if (keyColumns.nonEmpty) violations.select(keyColumns.map(col): _*).distinct()
+      else violations.distinct()
+    IntervalResult(
+      nViolationKeys = grouped.count(),
+      nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
+      violationSample = violations.head(1).headOption)
+  }
+
+  /** Distinct count of key tuples in the selection
+    * (reference `constraints/interval.py:52-56`).
+    */
+  def distinctKeyCount(spark: SparkSession, ref: DataRef, keyColumns: Seq[String]): Long = {
+    val sel = ref.selection(spark)
+    val keyed = if (keyColumns.nonEmpty) sel.select(keyColumns.map(col): _*) else sel
+    keyed.distinct().count()
+  }
+
+  /** Interval-gap violations (reference `_get_interval_gaps`,
+    * `db_access.py:499-596`, inspired by the classic ranges-gaps SQL).
+    *
+    * Per key group: interval start points not strictly inside any other
+    * interval are ranked by start; end points likewise by end; the k-th end
+    * is paired with the (k+1)-th start; the pair violates if
+    * `gapCondition(end, nextStart)` holds. Returns (violations DF with
+    * keys/start/end, per the reference's violation selection).
+    */
+  def gapViolations(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumnsIn: Seq[String],
+      startColumn: String,
+      endColumn: String,
+      gapCondition: (Column, Column) => Column): DataFrame = {
+    val sel = ref.selection(spark)
+    val keyColumns =
+      if (keyColumnsIn.nonEmpty) keyColumnsIn
+      else sel.columns.toSeq.filterNot(c => c == startColumn || c == endColumn)
+
+    val helper = Ops.renameAll(sel, "_h")
+
+    def notInOtherInterval(table: DataFrame, pointCol: String): DataFrame = {
+      // NOT EXISTS: the point is not strictly inside any interval of the
+      // same key group → left-anti join (reference `db_access.py:475-496`).
+      val cond = keyColumns.map(k => col(k) === col(k + "_h")).reduce(_ && _) &&
+        col(pointCol) > col(startColumn + "_h") &&
+        col(pointCol) < col(endColumn + "_h")
+      table.join(helper, cond, "left_anti")
+    }
+
+    val wStart = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(startColumn))
+    val wEnd   = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(endColumn))
+
+    val startTable = notInOtherInterval(sel, startColumn)
+      .select(
+        keyColumns.map(col) :+
+          col(startColumn) :+
+          row_number().over(wStart).as("dj_start_rank"): _*)
+    val endTable = notInOtherInterval(sel, endColumn)
+      .select(
+        keyColumns.map(c => col(c).as(c + "_e")) :+
+          col(endColumn) :+
+          row_number().over(wEnd).as("dj_end_rank"): _*)
+
+    val joinCond = keyColumns.map(k => col(k) === col(k + "_e")).reduce(_ && _) &&
+      col("dj_start_rank") === col("dj_end_rank") + 1 &&
+      gapCondition(col(endColumn), col(startColumn))
+
+    startTable
+      .join(endTable, joinCond)
+      .select(keyColumns.map(col) :+ col(startColumn) :+ col(endColumn): _*)
+  }
+
+  def gapResult(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumn: String,
+      endColumn: String,
+      gapCondition: (Column, Column) => Column): IntervalResult = {
+    val violations =
+      gapViolations(spark, ref, keyColumns, startColumn, endColumn, gapCondition)
+    val effectiveKeys =
+      if (keyColumns.nonEmpty) keyColumns
+      else ref.selection(spark).columns.toSeq.filterNot(c => c == startColumn || c == endColumn)
+    IntervalResult(
+      nViolationKeys = violations.select(effectiveKeys.map(col): _*).distinct().count(),
+      nDistinctKeys = distinctKeyCount(spark, ref, effectiveKeys),
+      violationSample = violations.head(1).headOption)
+  }
+
+  /** Date gap condition: day difference strictly greater than the legitimate
+    * gap size (reference `_date_gap_condition`, `db_access.py:599-656` — the
+    * five dialect variants collapse to one `datediff`).
+    */
+  def dateGapCondition(legitimateGapSize: Double): (Column, Column) => Column =
+    (endCol, nextStart) => datediff(nextStart, endCol) > legitimateGapSize
+
+  /** Numeric gap condition: next start - end > gap
+    * (reference `get_numeric_gaps`, `db_access.py:687-708`).
+    */
+  def numericGapCondition(legitimateGapSize: Double): (Column, Column) => Column =
+    (endCol, nextStart) => (nextStart - endCol) > legitimateGapSize
+}
