@@ -1,0 +1,43 @@
+package graft.constraints
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{DataRef, TestResult}
+import graft.ops.{Ops, Stats}
+
+/** Two-sample Kolmogorov–Smirnov test (reference `constraints/stats.py:13-142`).
+  *
+  * Retrieves the D statistic in-engine (cross-CDF plan, `ops.Stats`) plus the
+  * two sample sizes; acceptance per `D <= c(α)·√((n+m)/nm)` and the
+  * approximate p-value (Fachinetti 2009) computed client-side on scalars.
+  */
+final case class KolmogorovSmirnov2Sample(
+    ref: DataRef,
+    ref2Required: DataRef,
+    significanceLevel: Double = 0.05,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  override def test(spark: SparkSession): TestResult = {
+    val d = Stats.ks2Sample(spark, ref, ref2Required)
+    val n = Ops.rowCount(spark, ref.copy(condition =
+      graft.core.Condition.merge(ref.condition,
+        Some(graft.core.Condition.raw(s"${ref.column} IS NOT NULL")))))
+    val m = Ops.rowCount(spark, ref2Required.copy(condition =
+      graft.core.Condition.merge(ref2Required.condition,
+        Some(graft.core.Condition.raw(s"${ref2Required.column} IS NOT NULL")))))
+    if (math.min(n, m) < 35)
+      System.err.println(
+        "Warning: approximate p-value is not accurate enough below 35 samples.")
+    val accepted = Stats.ksCheckAcceptance(d, n, m, significanceLevel)
+    if (accepted) TestResult.success(description)
+    else {
+      val p = Stats.ksApproxPValue(d, n, m)
+      TestResult.failure(
+        description,
+        s"Null hypothesis (samples originate from the same distribution) between " +
+          s"${ref.describe} and ${ref2Required.describe} cannot be accepted. " +
+          s"Significance level: $significanceLevel, D statistic: $d" +
+          p.map(v => s", approximate p-value: $v").getOrElse("") + ".")
+    }
+  }
+}

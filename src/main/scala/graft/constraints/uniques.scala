@@ -1,0 +1,292 @@
+package graft.constraints
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{DataRef, TestResult}
+import graft.ops.Ops
+import types.ToleranceGetter
+
+/** Null-filtering policies over retrieved unique values
+  * (reference `utils.py:125-148`). A value is the bare column value for
+  * single-column refs and a `Seq[Any]` tuple for multi-column refs.
+  */
+object filters {
+  type FilterFunc = Seq[Any] => Seq[Any]
+
+  val filternullElement: FilterFunc = _.filter(_ != null)
+  val filternullNever: FilterFunc = identity
+  val filternullElementOrTupleAll: FilterFunc = _.filter {
+    case null        => false
+    case t: Seq[_]   => !t.forall(_ == null)
+    case _           => true
+  }
+  val filternullElementOrTupleAny: FilterFunc = _.filter {
+    case null        => false
+    case t: Seq[_]   => !t.exists(_ == null)
+    case _           => true
+  }
+}
+
+/** Unique-value constraints (reference `constraints/uniques.py:46-165`).
+  *
+  * Retrieval = `GROUP BY columns + count(*)` pulled client-side; values then
+  * flow through `filterFunc` (null policy) → `mapFunc` (per-value) →
+  * `reduceFunc` (global) exactly as the reference's post-processing hooks.
+  * Single-column refs yield bare values; multi-column refs yield `Seq[Any]`
+  * tuples.
+  */
+sealed abstract class Uniques extends Constraint {
+  def ref2: Option[DataRef]
+  def uniquesLiteral: Option[Seq[Any]]
+  def filterFunc: filters.FilterFunc
+  def mapFunc: Option[Any => Any]
+  def reduceFunc: Option[Seq[Any] => Seq[Any]]
+  def maxRelativeViolations: Double
+  def outputLimit: Int
+
+  require(
+    ref2.isDefined != uniquesLiteral.isDefined,
+    s"Exactly one of ref2 and uniques must be given for $name")
+
+  protected def retrieveUniques(spark: SparkSession, r: DataRef): (Seq[Any], Seq[Long]) = {
+    val raw = Ops.getUniques(spark, r)
+    val asValues: Seq[(Any, Long)] = raw.toSeq.map {
+      case (Seq(single), c) => (single, c)
+      case (tuple, c)       => (tuple, c)
+    }
+    var values = filterFunc(asValues.map(_._1))
+    val countsByValue = asValues.toMap
+    val counts = values.map(v => countsByValue.getOrElse(v, 0L))
+    mapFunc.foreach(f => values = values.map(f))
+    reduceFunc.foreach(f => values = f(values))
+    (values, counts)
+  }
+
+  protected final def factualUniques(spark: SparkSession): (Seq[Any], Seq[Long]) =
+    retrieveUniques(spark, ref)
+
+  protected final def targetUniques(spark: SparkSession): (Seq[Any], Seq[Long]) =
+    uniquesLiteral.map(u => (u, Seq.empty[Long])).getOrElse(retrieveUniques(spark, ref2.get))
+
+  protected final def fmt(values: Iterable[Any]): String =
+    formatting.limited(values, outputLimit)
+}
+
+/** Set equality with excess/lacking reporting (reference `uniques.py:168-211`). */
+final case class UniquesEquality(
+    ref: DataRef,
+    ref2: Option[DataRef] = None,
+    uniquesLiteral: Option[Seq[Any]] = None,
+    filterFunc: filters.FilterFunc = filters.filternullElement,
+    mapFunc: Option[Any => Any] = None,
+    reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+    outputLimit: Int = 100,
+    override val nameOverride: Option[String] = None)
+    extends Uniques {
+  override def maxRelativeViolations: Double = 0.0
+  override def test(spark: SparkSession): TestResult = {
+    val factual = factualUniques(spark)._1.toSet
+    val target  = targetUniques(spark)._1.toSet
+    val excess  = factual -- target
+    val lacking = target -- factual
+    if (excess.isEmpty && lacking.isEmpty) TestResult.success(description)
+    else if (excess.nonEmpty && lacking.nonEmpty)
+      TestResult.failure(
+        description,
+        s"${ref.describe} doesn't have the element(s) '${fmt(lacking)}' and has the " +
+          s"excess element(s) '${fmt(excess)}' when compared with the reference values. " +
+          conditionString)
+    else if (excess.nonEmpty)
+      TestResult.failure(
+        description,
+        s"${ref.describe} has the excess element(s) '${fmt(excess)}' when compared " +
+          s"with the reference values. $conditionString")
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} doesn't have the element(s) '${fmt(lacking)}' when compared " +
+          s"with the reference values. $conditionString")
+  }
+}
+
+/** factual ⊆ target; tolerance weighted by counts (rows) or by distinct
+  * values when `compareDistinct` (reference `uniques.py:214-257`).
+  */
+final case class UniquesSubset(
+    ref: DataRef,
+    ref2: Option[DataRef] = None,
+    uniquesLiteral: Option[Seq[Any]] = None,
+    maxRelativeViolations: Double = 0.0,
+    compareDistinct: Boolean = false,
+    filterFunc: filters.FilterFunc = filters.filternullElement,
+    mapFunc: Option[Any => Any] = None,
+    reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+    outputLimit: Int = 100,
+    override val nameOverride: Option[String] = None)
+    extends Uniques {
+  override def test(spark: SparkSession): TestResult = {
+    val (values, counts) = factualUniques(spark)
+    val target           = targetUniques(spark)._1.toSet
+    val remainder: Seq[(Any, Long)] = values
+      .zipAll(counts, null, -1L)
+      .filterNot { case (v, _) => target.contains(v) }
+    val (nViolations, nRows) =
+      if (compareDistinct) (remainder.size.toLong, values.size.toLong)
+      else (remainder.map(_._2).sum, counts.sum)
+    if (nRows == 0) return TestResult.success(description)
+    val relative = nViolations.toDouble / nRows
+    if (relative <= maxRelativeViolations) TestResult.success(description)
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} has a fraction of $relative > $maxRelativeViolations " +
+          s"${if (compareDistinct) "DISTINCT " else ""}values ($nViolations / $nRows) not " +
+          s"being an element of '${fmt(target)}'. It has excess elements " +
+          s"'${fmt(remainder.map(_._1))}' with counts ${fmt(remainder.map(_._2))}." +
+          conditionString)
+  }
+}
+
+/** factual ⊇ target; violations relative to |target| (reference `uniques.py:260-291`). */
+final case class UniquesSuperset(
+    ref: DataRef,
+    ref2: Option[DataRef] = None,
+    uniquesLiteral: Option[Seq[Any]] = None,
+    maxRelativeViolations: Double = 0.0,
+    filterFunc: filters.FilterFunc = filters.filternullElement,
+    mapFunc: Option[Any => Any] = None,
+    reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+    outputLimit: Int = 100,
+    override val nameOverride: Option[String] = None)
+    extends Uniques {
+  override def test(spark: SparkSession): TestResult = {
+    val factual = factualUniques(spark)._1
+    val target  = targetUniques(spark)._1
+    val remainder = target.toSet -- factual.toSet
+    if (factual.isEmpty || target.isEmpty || remainder.isEmpty)
+      return TestResult.success(description)
+    val relative = remainder.size.toDouble / target.size
+    if (relative <= maxRelativeViolations) TestResult.success(description)
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} has a fraction of $relative > $maxRelativeViolations " +
+          s"(${remainder.size} / ${target.size}) lacking unique values of " +
+          s"'${fmt(target.toSet)}'. It doesn't have the unique value(s) " +
+          s"'${fmt(remainder)}'.$conditionString")
+  }
+}
+
+/** Distinct-count constraints (reference `uniques.py:294-329`). */
+sealed abstract class NUniques extends ValueConstraint[Long] {
+  override protected def retrieve(spark: SparkSession, r: DataRef): Long =
+    Ops.getUniqueCount(spark, r)
+}
+
+final case class NUniquesEquality(
+    ref: DataRef,
+    ref2: Option[DataRef] = None,
+    refValue: Option[Long] = None,
+    override val nameOverride: Option[String] = None)
+    extends NUniques {
+  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
+    (factual == target,
+      Some(s"${ref.describe} has $factual unique(s) instead of $targetPrefix$target. " +
+        conditionString))
+}
+
+/** Relative distinct-count loss bound (reference `uniques.py:332-363`). */
+final case class NUniquesMaxLoss(
+    ref: DataRef,
+    ref2Required: DataRef,
+    maxRelativeLossGetter: ToleranceGetter,
+    override val nameOverride: Option[String] = None)
+    extends NUniques {
+  override def ref2: Option[DataRef] = Some(ref2Required)
+  override def refValue: Option[Long] = None
+  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
+    throw new UnsupportedOperationException
+  override def test(spark: SparkSession): TestResult = {
+    val maxLoss = maxRelativeLossGetter(spark)
+    val f       = factual(spark)
+    val t       = target(spark)
+    if (t == 0L || f > t) return TestResult.success(description)
+    val loss = (t - f).toDouble / t
+    if (loss <= maxLoss) TestResult.success(description)
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} has lost $loss of #uniques of ${ref2Required.describe}. " +
+          s"It was only allowed to decrease $maxLoss. $conditionString")
+  }
+}
+
+/** Relative distinct-count gain bound (reference `uniques.py:366-396`). */
+final case class NUniquesMaxGain(
+    ref: DataRef,
+    ref2Required: DataRef,
+    maxRelativeGainGetter: ToleranceGetter,
+    override val nameOverride: Option[String] = None)
+    extends NUniques {
+  override def ref2: Option[DataRef] = Some(ref2Required)
+  override def refValue: Option[Long] = None
+  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
+    throw new UnsupportedOperationException
+  override def test(spark: SparkSession): TestResult = {
+    val maxGain = maxRelativeGainGetter(spark)
+    val f       = factual(spark)
+    val t       = target(spark)
+    if (t == 0L) return TestResult.failure(description, "Target table empty.")
+    if (f < t) return TestResult.success(description)
+    val gain = (f - t).toDouble / t
+    if (gain <= maxGain) TestResult.success(description)
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} has $gain of #uniques of ${ref2Required.describe}. " +
+          s"It was only allowed to increase $maxGain. $conditionString")
+  }
+}
+
+/** Per-category share within [min,max] bounds; Counter arithmetic on
+  * violations (reference `uniques.py:399-495`).
+  */
+final case class CategoricalBound(
+    ref: DataRef,
+    distribution: Map[Any, (Double, Double)],
+    defaultBounds: (Double, Double) = (0.0, 0.0),
+    maxRelativeViolations: Double = 0.0,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  override def test(spark: SparkSession): TestResult = {
+    val counter: Map[Any, Long] = Ops.getUniques(spark, ref).map {
+      case (Seq(single), c) => (single: Any) -> c
+      case (tuple, c)       => (tuple: Any) -> c
+    }
+    val total = counter.values.sum
+    if (total == 0) return TestResult.success(description)
+    val allVariants = counter.keySet ++ distribution.keySet
+    // Counter semantics: violations = max(0, observed - maxAllowed) + max(0, minRequired - observed)
+    val perVariant = allVariants.toSeq.map { k =>
+      val observed = counter.getOrElse(k, 0L).toDouble
+      val (lo, hi) = distribution.getOrElse(k, defaultBounds)
+      val viol = math.max(0.0, observed - hi * total) + math.max(0.0, lo * total - observed)
+      k -> viol
+    }
+    val relative = perVariant.map(_._2).sum / total
+    if (relative <= maxRelativeViolations) TestResult.success(description)
+    else {
+      val detail = perVariant.filter(_._2 > 0).map { case (k, _) =>
+        val observed = counter.getOrElse(k, 0L)
+        val (lo, hi) = distribution.getOrElse(k, defaultBounds)
+        f"'$k' with a share of ${observed.toDouble / total * 100}%.2f%% ($observed out of " +
+          f"$total) while a share between ${lo * 100}%.2f%% and ${hi * 100}%.2f%% is required"
+      }
+      TestResult.failure(
+        description,
+        f"${ref.describe} has ${relative * 100}%.2f%% > " +
+          f"${maxRelativeViolations * 100}%.2f%% of element(s) violating the bound " +
+          s"constraints:\n${detail.mkString("\n")}\n$conditionString")
+    }
+  }
+}

@@ -1,0 +1,906 @@
+package graft.requirements
+
+import java.time.LocalDate
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.DataType
+
+import graft.constraints._
+import graft.core._
+import graft.ops.Ops
+
+/** A specification unit: an ordered collection of constraints over one data
+  * source ("within") or a pair ("between"), with `add*Constraint` builder
+  * methods mirroring the reference's full public surface
+  * (`requirements.py:63-2238`). `test(spark)` runs every constraint.
+  */
+sealed abstract class Requirement extends Iterable[Constraint] {
+  protected val constraintsBuffer: ArrayBuffer[Constraint] = ArrayBuffer.empty
+
+  override def iterator: Iterator[Constraint] = constraintsBuffer.iterator
+  def constraints: Seq[Constraint] = constraintsBuffer.toSeq
+
+  def test(spark: SparkSession): Seq[TestResult] = constraints.map(_.test(spark))
+}
+
+/** Constraints over a single data source
+  * (reference `WithinRequirement`, `requirements.py:87-1263`).
+  */
+final class WithinRequirement private (val dataSource: DataSource) extends Requirement {
+
+  private def ref(
+      columns: Option[Seq[String]] = None,
+      condition: Option[Condition] = None): DataRef =
+    DataRef(dataSource, columns, condition)
+
+  def addColumnExistenceConstraint(columns: Seq[String], name: Option[String] = None): this.type = {
+    constraintsBuffer += ColumnExistence(ref(), columns, nameOverride = name); this
+  }
+
+  def addPrimaryKeyDefinitionConstraint(
+      primaryKeys: Seq[String],
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += PrimaryKeyDefinition(ref(), primaryKeys, nameOverride = name); this
+  }
+
+  def addUniquenessConstraint(
+      columns: Option[Seq[String]] = None,
+      maxDuplicateFraction: Double = 0,
+      condition: Option[Condition] = None,
+      maxAbsoluteNDuplicates: Long = 0,
+      inferPkColumns: Boolean = false,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += Uniqueness(
+      ref(columns, condition), maxDuplicateFraction, maxAbsoluteNDuplicates,
+      inferPkColumns, nameOverride = name)
+    this
+  }
+
+  def addColumnTypeConstraint(
+      column: String,
+      columnType: String,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += ColumnType(
+      ref(Some(Seq(column))), expectedTypeString = Some(columnType), nameOverride = name)
+    this
+  }
+
+  def addColumnTypeConstraint(column: String, columnType: DataType): this.type = {
+    constraintsBuffer += ColumnType(ref(Some(Seq(column))), expectedType = Some(columnType))
+    this
+  }
+
+  def addNullAbsenceConstraint(
+      column: String,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxNullFraction(
+      ref(Some(Seq(column)), condition), refValue = Some(0.0), nameOverride = name)
+    this
+  }
+
+  def addMaxNullFractionConstraint(
+      column: String,
+      maxNullFraction: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxNullFraction(
+      ref(Some(Seq(column)), condition), refValue = Some(maxNullFraction), nameOverride = name)
+    this
+  }
+
+  def addNRowsEqualityConstraint(
+      nRows: Long,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsEquality(
+      ref(None, condition), refValue = Some(nRows), nameOverride = name)
+    this
+  }
+
+  def addNRowsMinConstraint(
+      nRowsMin: Long,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsMin(
+      ref(None, condition), refValue = Some(nRowsMin), nameOverride = name)
+    this
+  }
+
+  def addNRowsMaxConstraint(
+      nRowsMax: Long,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsMax(
+      ref(None, condition), refValue = Some(nRowsMax), nameOverride = name)
+    this
+  }
+
+  def addUniquesEqualityConstraint(
+      columns: Seq[String],
+      uniques: Seq[Any],
+      filterFunc: filters.FilterFunc = filters.filternullElement,
+      mapFunc: Option[Any => Any] = None,
+      reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += UniquesEquality(
+      ref(Some(columns), condition), uniquesLiteral = Some(uniques),
+      filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      nameOverride = name)
+    this
+  }
+
+  def addUniquesSupersetConstraint(
+      columns: Seq[String],
+      uniques: Seq[Any],
+      maxRelativeViolations: Double = 0,
+      filterFunc: filters.FilterFunc = filters.filternullElement,
+      mapFunc: Option[Any => Any] = None,
+      reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += UniquesSuperset(
+      ref(Some(columns), condition), uniquesLiteral = Some(uniques),
+      maxRelativeViolations = maxRelativeViolations, filterFunc = filterFunc,
+      mapFunc = mapFunc, reduceFunc = reduceFunc, nameOverride = name)
+    this
+  }
+
+  def addUniquesSubsetConstraint(
+      columns: Seq[String],
+      uniques: Seq[Any],
+      maxRelativeViolations: Double = 0,
+      compareDistinct: Boolean = false,
+      filterFunc: filters.FilterFunc = filters.filternullElement,
+      mapFunc: Option[Any => Any] = None,
+      reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += UniquesSubset(
+      ref(Some(columns), condition), uniquesLiteral = Some(uniques),
+      maxRelativeViolations = maxRelativeViolations, compareDistinct = compareDistinct,
+      filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      nameOverride = name)
+    this
+  }
+
+  def addNUniquesEqualityConstraint(
+      columns: Seq[String],
+      nUniques: Long,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NUniquesEquality(
+      ref(Some(columns), condition), refValue = Some(nUniques), nameOverride = name)
+    this
+  }
+
+  def addCategoricalBoundConstraint(
+      columns: Seq[String],
+      distribution: Map[Any, (Double, Double)],
+      defaultBounds: (Double, Double) = (0.0, 0.0),
+      maxRelativeViolations: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += CategoricalBound(
+      ref(Some(columns), condition), distribution, defaultBounds, maxRelativeViolations,
+      nameOverride = name)
+    this
+  }
+
+  def addNumericMinConstraint(
+      column: String,
+      minValue: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericMin(
+      ref(Some(Seq(column)), condition), refValue = Some(Some(minValue)), nameOverride = name)
+    this
+  }
+
+  def addNumericMaxConstraint(
+      column: String,
+      maxValue: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericMax(
+      ref(Some(Seq(column)), condition), refValue = Some(Some(maxValue)), nameOverride = name)
+    this
+  }
+
+  def addNumericBetweenConstraint(
+      column: String,
+      minFraction: Double,
+      lowerBound: Double,
+      upperBound: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericBetween(
+      ref(Some(Seq(column)), condition), minFraction, lowerBound, upperBound,
+      nameOverride = name)
+    this
+  }
+
+  def addNumericMeanConstraint(
+      column: String,
+      meanValue: Double,
+      maxAbsoluteDeviation: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericMean(
+      ref(Some(Seq(column)), condition), maxAbsoluteDeviation,
+      refValue = Some(Some(meanValue)), nameOverride = name)
+    this
+  }
+
+  def addNumericPercentileConstraint(
+      column: String,
+      percentage: Double,
+      expectedPercentile: Double,
+      maxAbsoluteDeviation: Option[Double] = None,
+      maxRelativeDeviation: Option[Double] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericPercentile(
+      ref(Some(Seq(column)), condition), percentage, maxAbsoluteDeviation,
+      maxRelativeDeviation, refValue = Some(expectedPercentile), nameOverride = name)
+    this
+  }
+
+  def addDateMinConstraint(
+      column: String,
+      minValue: String,
+      useLowerBoundReference: Boolean = true,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += DateMin(
+      ref(Some(Seq(column)), condition), useLowerBoundReference,
+      refValue = Some(Some(dates.parseInput(minValue))), nameOverride = name)
+    this
+  }
+
+  def addDateMaxConstraint(
+      column: String,
+      maxValue: String,
+      useUpperBoundReference: Boolean = true,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += DateMax(
+      ref(Some(Seq(column)), condition), useUpperBoundReference,
+      refValue = Some(Some(dates.parseInput(maxValue))), nameOverride = name)
+    this
+  }
+
+  def addDateBetweenConstraint(
+      column: String,
+      minFraction: Double,
+      lowerBound: String,
+      upperBound: String,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += DateBetween(
+      ref(Some(Seq(column)), condition), minFraction, lowerBound, upperBound,
+      nameOverride = name)
+    this
+  }
+
+  private def intervalRef(
+      startCols: Seq[String],
+      endCols: Seq[String],
+      keyColumns: Option[Seq[String]],
+      condition: Option[Condition]): DataRef = {
+    val relevant = startCols.zip(endCols).flatMap { case (s, e) => Seq(s, e) } ++
+      keyColumns.getOrElse(Seq.empty)
+    ref(Some(relevant), condition)
+  }
+
+  def addDateNoOverlapConstraint(
+      startColumn: String,
+      endColumn: String,
+      keyColumns: Seq[String] = Seq.empty,
+      endIncluded: Boolean = true,
+      maxRelativeNViolations: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NoOverlap(
+      intervalRef(Seq(startColumn), Seq(endColumn), Some(keyColumns), condition),
+      keyColumns, Seq(startColumn), Seq(endColumn), maxRelativeNViolations, endIncluded,
+      dimensions = 1, kind = "date ranges",
+      nameOverride = Some(name.getOrElse("DateNoOverlap")))
+    this
+  }
+
+  def addDateNoOverlap2dConstraint(
+      startColumn1: String,
+      endColumn1: String,
+      startColumn2: String,
+      endColumn2: String,
+      keyColumns: Seq[String] = Seq.empty,
+      endIncluded: Boolean = true,
+      maxRelativeNViolations: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NoOverlap(
+      intervalRef(
+        Seq(startColumn1, startColumn2), Seq(endColumn1, endColumn2),
+        Some(keyColumns), condition),
+      keyColumns, Seq(startColumn1, startColumn2), Seq(endColumn1, endColumn2),
+      maxRelativeNViolations, endIncluded, dimensions = 2, kind = "date ranges",
+      nameOverride = Some(name.getOrElse("DateNoOverlap2d")))
+    this
+  }
+
+  def addDateNoGapConstraint(
+      startColumn: String,
+      endColumn: String,
+      keyColumns: Seq[String] = Seq.empty,
+      endIncluded: Boolean = true,
+      maxRelativeNViolations: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    // legitimate gap: 1 day when the end date is included in the range
+    // (reference `requirements.py:954`)
+    constraintsBuffer += NoGap(
+      intervalRef(Seq(startColumn), Seq(endColumn), Some(keyColumns), condition),
+      keyColumns, startColumn, endColumn, maxRelativeNViolations,
+      legitimateGapSize = if (endIncluded) 1.0 else 0.0, isDate = true,
+      nameOverride = Some(name.getOrElse("DateNoGap")))
+    this
+  }
+
+  def addFunctionalDependencyConstraint(
+      keyColumns: Seq[String],
+      dependentColumns: Seq[String],
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += FunctionalDependency(
+      ref(Some(keyColumns ++ dependentColumns), condition), keyColumns, nameOverride = name)
+    this
+  }
+
+  def addNumericNoGapConstraint(
+      startColumn: String,
+      endColumn: String,
+      keyColumns: Seq[String] = Seq.empty,
+      legitimateGapSize: Double = 0,
+      maxRelativeNViolations: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NoGap(
+      intervalRef(Seq(startColumn), Seq(endColumn), Some(keyColumns), condition),
+      keyColumns, startColumn, endColumn, maxRelativeNViolations, legitimateGapSize,
+      isDate = false, nameOverride = Some(name.getOrElse("NumericNoGap")))
+    this
+  }
+
+  def addNumericNoOverlapConstraint(
+      startColumn: String,
+      endColumn: String,
+      keyColumns: Seq[String] = Seq.empty,
+      endIncluded: Boolean = true,
+      maxRelativeNViolations: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NoOverlap(
+      intervalRef(Seq(startColumn), Seq(endColumn), Some(keyColumns), condition),
+      keyColumns, Seq(startColumn), Seq(endColumn), maxRelativeNViolations, endIncluded,
+      dimensions = 1, kind = "ranges",
+      nameOverride = Some(name.getOrElse("NumericNoOverlap")))
+    this
+  }
+
+  def addVarcharRegexConstraint(
+      column: String,
+      regex: String,
+      allowNone: Boolean = false,
+      relativeTolerance: Double = 0.0,
+      aggregated: Boolean = true,
+      nCounterexamples: Int = 5,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += VarCharRegex(
+      ref(Some(Seq(column)), condition), regex, allowNone, relativeTolerance, aggregated,
+      nCounterexamples, nameOverride = name)
+    this
+  }
+
+  def addVarcharRegexConstraintDb(
+      column: String,
+      regex: String,
+      relativeTolerance: Double = 0.0,
+      aggregated: Boolean = true,
+      nCounterexamples: Int = 5,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += VarCharRegexDb(
+      ref(Some(Seq(column)), condition), regex, relativeTolerance, aggregated,
+      nCounterexamples, nameOverride = name)
+    this
+  }
+
+  def addVarcharMinLengthConstraint(
+      column: String,
+      minLength: Long,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += VarCharMinLength(
+      ref(Some(Seq(column)), condition), refValue = Some(Some(minLength)), nameOverride = name)
+    this
+  }
+
+  def addVarcharMaxLengthConstraint(
+      column: String,
+      maxLength: Long,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += VarCharMaxLength(
+      ref(Some(Seq(column)), condition), refValue = Some(Some(maxLength)), nameOverride = name)
+    this
+  }
+
+  def addGroupbyAggregationConstraint(
+      columns: Seq[String],
+      aggregationColumn: String,
+      startValue: Int = 0,
+      tolerance: Double = 0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += AggregateNumericRangeEquality(
+      ref(Some(columns), condition), aggregationColumn, startValue, tolerance,
+      nameOverride = name)
+    this
+  }
+}
+
+object WithinRequirement {
+  def fromTable(table: String): WithinRequirement =
+    new WithinRequirement(TableSource(table))
+  def fromParquet(path: String, label: Option[String] = None): WithinRequirement =
+    new WithinRequirement(ParquetSource(path, label))
+  def fromRawQuery(query: String, name: String): WithinRequirement =
+    new WithinRequirement(QuerySource(query, name))
+  def fromDataFrame(frame: DataFrame, name: String): WithinRequirement =
+    new WithinRequirement(FrameSource(frame, name))
+  def apply(source: DataSource): WithinRequirement = new WithinRequirement(source)
+}
+
+/** Constraints between two data sources
+  * (reference `BetweenRequirement`, `requirements.py:1266-2238`), including
+  * the tolerance machinery deriving allowed gain/loss from date-range growth
+  * (`requirements.py:1368-1394`).
+  */
+final class BetweenRequirement private (
+    val dataSource: DataSource,
+    val dataSource2: DataSource,
+    val dateColumn: Option[String] = None,
+    val dateColumn2: Option[String] = None)
+    extends Requirement {
+
+  private def ref(
+      columns: Option[Seq[String]] = None,
+      condition: Option[Condition] = None): DataRef =
+    DataRef(dataSource, columns, condition)
+
+  private def ref2(
+      columns: Option[Seq[String]] = None,
+      condition: Option[Condition] = None): DataRef =
+    DataRef(dataSource2, columns, condition)
+
+  /** Ratio of the two sources' date spans − 1
+    * (reference `requirements.py:1368-1374`).
+    */
+  def dateGrowthRate(spark: SparkSession): Double = (dateColumn, dateColumn2) match {
+    case (Some(c1), Some(c2)) =>
+      Ops.getDateGrowthRate(spark, ref(Some(Seq(c1))), ref2(Some(Seq(c2))))
+    case _ =>
+      throw new IllegalArgumentException(
+        "Date growth can't be computed without date column.")
+  }
+
+  /** fixValue and/or deviation-over-date-growth → tolerance getter
+    * (reference `_get_deviation_getter`, `requirements.py:1376-1394`).
+    */
+  private def deviationGetter(
+      fixValue: Option[Double],
+      deviation: Option[Double]): types.ToleranceGetter = (fixValue, deviation) match {
+    case (None, None) =>
+      throw new IllegalArgumentException("No valid gain/loss/deviation given.")
+    case (Some(f), None) => _ => f
+    case (None, Some(d)) => spark => dateGrowthRate(spark) + d
+    case (Some(f), Some(d)) => spark => math.max(f, dateGrowthRate(spark) + d)
+  }
+
+  def addNRowsEqualityConstraint(
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsEquality(
+      ref(None, condition1), ref2 = Some(ref2(None, condition2)), nameOverride = name)
+    this
+  }
+
+  def addNRowsMaxGainConstraint(
+      constantMaxRelativeGain: Option[Double] = None,
+      dateRangeGainDeviation: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsMaxGain(
+      ref(None, condition1), ref2(None, condition2),
+      deviationGetter(constantMaxRelativeGain, dateRangeGainDeviation), nameOverride = name)
+    this
+  }
+
+  def addNRowsMinGainConstraint(
+      constantMinRelativeGain: Option[Double] = None,
+      dateRangeGainDeviation: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsMinGain(
+      ref(None, condition1), ref2(None, condition2),
+      deviationGetter(constantMinRelativeGain, dateRangeGainDeviation), nameOverride = name)
+    this
+  }
+
+  def addNRowsMaxLossConstraint(
+      constantMaxRelativeLoss: Option[Double] = None,
+      dateRangeLossDeviation: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NRowsMaxLoss(
+      ref(None, condition1), ref2(None, condition2),
+      deviationGetter(constantMaxRelativeLoss, dateRangeLossDeviation), nameOverride = name)
+    this
+  }
+
+  def addNUniquesEqualityConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NUniquesEquality(
+      ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
+      nameOverride = name)
+    this
+  }
+
+  def addNUniquesMaxGainConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      constantMaxRelativeGain: Option[Double] = None,
+      dateRangeGainDeviation: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NUniquesMaxGain(
+      ref(Some(columns1), condition1), ref2(Some(columns2), condition2),
+      deviationGetter(constantMaxRelativeGain, dateRangeGainDeviation), nameOverride = name)
+    this
+  }
+
+  def addNUniquesMaxLossConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      constantMaxRelativeLoss: Option[Double] = None,
+      dateRangeLossDeviation: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NUniquesMaxLoss(
+      ref(Some(columns1), condition1), ref2(Some(columns2), condition2),
+      deviationGetter(constantMaxRelativeLoss, dateRangeLossDeviation), nameOverride = name)
+    this
+  }
+
+  def addMaxNullFractionConstraint(
+      column1: String,
+      column2: String,
+      maxRelativeDeviation: Double = 0,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxNullFraction(
+      ref(Some(Seq(column1)), condition1),
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)),
+      maxRelativeDeviation = maxRelativeDeviation, nameOverride = name)
+    this
+  }
+
+  def addNumericMinConstraint(
+      column1: String,
+      column2: String,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericMin(
+      ref(Some(Seq(column1)), condition1),
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addNumericMaxConstraint(
+      column1: String,
+      column2: String,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericMax(
+      ref(Some(Seq(column1)), condition1),
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addUniquesEqualityConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      filterFunc: filters.FilterFunc = filters.filternullElement,
+      mapFunc: Option[Any => Any] = None,
+      reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += UniquesEquality(
+      ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
+      filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      nameOverride = name)
+    this
+  }
+
+  def addUniquesSupersetConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      maxRelativeViolations: Double = 0,
+      filterFunc: filters.FilterFunc = filters.filternullElement,
+      mapFunc: Option[Any => Any] = None,
+      reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += UniquesSuperset(
+      ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
+      maxRelativeViolations = maxRelativeViolations, filterFunc = filterFunc,
+      mapFunc = mapFunc, reduceFunc = reduceFunc, nameOverride = name)
+    this
+  }
+
+  def addUniquesSubsetConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      maxRelativeViolations: Double = 0,
+      compareDistinct: Boolean = false,
+      filterFunc: filters.FilterFunc = filters.filternullElement,
+      mapFunc: Option[Any => Any] = None,
+      reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += UniquesSubset(
+      ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
+      maxRelativeViolations = maxRelativeViolations, compareDistinct = compareDistinct,
+      filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      nameOverride = name)
+    this
+  }
+
+  def addNumericMeanConstraint(
+      column1: String,
+      column2: String,
+      maxAbsoluteDeviation: Double,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericMean(
+      ref(Some(Seq(column1)), condition1), maxAbsoluteDeviation,
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addNumericPercentileConstraint(
+      column1: String,
+      column2: String,
+      percentage: Double,
+      maxAbsoluteDeviation: Option[Double] = None,
+      maxRelativeDeviation: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericPercentile(
+      ref(Some(Seq(column1)), condition1), percentage, maxAbsoluteDeviation,
+      maxRelativeDeviation, ref2 = Some(ref2(Some(Seq(column2)), condition2)),
+      nameOverride = name)
+    this
+  }
+
+  def addDateMinConstraint(
+      column1: String,
+      column2: String,
+      useLowerBoundReference: Boolean = true,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += DateMin(
+      ref(Some(Seq(column1)), condition1), useLowerBoundReference,
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addDateMaxConstraint(
+      column1: String,
+      column2: String,
+      useUpperBoundReference: Boolean = true,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += DateMax(
+      ref(Some(Seq(column1)), condition1), useUpperBoundReference,
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addVarcharMinLengthConstraint(
+      column1: String,
+      column2: String,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += VarCharMinLength(
+      ref(Some(Seq(column1)), condition1),
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addVarcharMaxLengthConstraint(
+      column1: String,
+      column2: String,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += VarCharMaxLength(
+      ref(Some(Seq(column1)), condition1),
+      ref2 = Some(ref2(Some(Seq(column2)), condition2)), nameOverride = name)
+    this
+  }
+
+  def addColumnSubsetConstraint(name: Option[String] = None): this.type = {
+    constraintsBuffer += ColumnSubset(ref(), ref2(), nameOverride = name); this
+  }
+
+  def addColumnSupersetConstraint(name: Option[String] = None): this.type = {
+    constraintsBuffer += ColumnSuperset(ref(), ref2(), nameOverride = name); this
+  }
+
+  def addColumnTypeConstraint(
+      column1: String,
+      column2: String,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += ColumnType(
+      ref(Some(Seq(column1))), ref2 = Some(ref2(Some(Seq(column2)))), nameOverride = name)
+    this
+  }
+
+  def addRowEqualityConstraint(
+      columns1: Option[Seq[String]],
+      columns2: Option[Seq[String]],
+      maxMissingFraction: Double,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += RowEquality(
+      ref(columns1, condition1), ref2(columns2, condition2), _ => maxMissingFraction,
+      nameOverride = name)
+    this
+  }
+
+  def addRowSubsetConstraint(
+      columns1: Option[Seq[String]],
+      columns2: Option[Seq[String]],
+      constantMaxMissingFraction: Option[Double],
+      dateRangeLossFraction: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += RowSubset(
+      ref(columns1, condition1), ref2(columns2, condition2),
+      deviationGetter(constantMaxMissingFraction, dateRangeLossFraction),
+      nameOverride = name)
+    this
+  }
+
+  def addRowSupersetConstraint(
+      columns1: Option[Seq[String]],
+      columns2: Option[Seq[String]],
+      constantMaxMissingFraction: Option[Double],
+      dateRangeLossFraction: Option[Double] = None,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += RowSuperset(
+      ref(columns1, condition1), ref2(columns2, condition2),
+      deviationGetter(constantMaxMissingFraction, dateRangeLossFraction),
+      nameOverride = name)
+    this
+  }
+
+  def addRowMatchingEqualityConstraint(
+      matchingColumns1: Seq[String],
+      matchingColumns2: Seq[String],
+      comparisonColumns1: Seq[String],
+      comparisonColumns2: Seq[String],
+      maxMissingFraction: Double,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += RowMatchingEquality(
+      ref(Some(matchingColumns1 ++ comparisonColumns1), condition1),
+      ref2(Some(matchingColumns2 ++ comparisonColumns2), condition2),
+      matchingColumns1, matchingColumns2, comparisonColumns1, comparisonColumns2,
+      _ => maxMissingFraction, nameOverride = name)
+    this
+  }
+
+  def addKs2SampleConstraint(
+      column1: String,
+      column2: String,
+      significanceLevel: Double = 0.05,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    require(column1.nonEmpty && column2.nonEmpty, "Column names have to be given.")
+    require(
+      significanceLevel > 0.0 && significanceLevel <= 1.0,
+      "The requested significance level has to be in (0.0, 1.0]. Default is 0.05.")
+    constraintsBuffer += KolmogorovSmirnov2Sample(
+      ref(Some(Seq(column1)), condition1), ref2(Some(Seq(column2)), condition2),
+      significanceLevel, nameOverride = name)
+    this
+  }
+}
+
+object BetweenRequirement {
+  def fromTables(
+      table1: String,
+      table2: String,
+      dateColumn: Option[String] = None,
+      dateColumn2: Option[String] = None): BetweenRequirement =
+    new BetweenRequirement(TableSource(table1), TableSource(table2), dateColumn, dateColumn2)
+
+  def fromParquet(
+      path1: String,
+      path2: String,
+      dateColumn: Option[String] = None,
+      dateColumn2: Option[String] = None): BetweenRequirement =
+    new BetweenRequirement(
+      ParquetSource(path1), ParquetSource(path2), dateColumn, dateColumn2)
+
+  def fromRawQueries(
+      query1: String,
+      query2: String,
+      name1: String,
+      name2: String,
+      dateColumn: Option[String] = None,
+      dateColumn2: Option[String] = None): BetweenRequirement =
+    new BetweenRequirement(
+      QuerySource(query1, name1), QuerySource(query2, name2), dateColumn, dateColumn2)
+
+  def fromDataFrames(
+      frame1: DataFrame,
+      frame2: DataFrame,
+      name1: String,
+      name2: String,
+      dateColumn: Option[String] = None,
+      dateColumn2: Option[String] = None): BetweenRequirement =
+    new BetweenRequirement(
+      FrameSource(frame1, name1), FrameSource(frame2, name2), dateColumn, dateColumn2)
+
+  def apply(
+      source1: DataSource,
+      source2: DataSource,
+      dateColumn: Option[String] = None,
+      dateColumn2: Option[String] = None): BetweenRequirement =
+    new BetweenRequirement(source1, source2, dateColumn, dateColumn2)
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{DataRef, FrameSource}
+import graft.constraints.{NoGap, NoOverlap}
+import graft.ops.Intervals
+
+/** Overlap/gap taxonomy tests mirroring the reference's fixtures
+  * (`tests/integration/conftest.py:226-716`): single entry, disjoint,
+  * non-singleton overlap, singleton (boundary) overlap, subset-contained,
+  * exact duplicates; gaps incl. threshold-exact cases.
+  */
+class IntervalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def dateOverlapDf = intervalDf(Seq(
+    // key 1: single entry — never a violation
+    (1, "2016-01-01", "2016-01-10"),
+    // key 2: disjoint — no violation
+    (2, "2016-01-01", "2016-01-05"),
+    (2, "2016-01-10", "2016-01-20"),
+    // key 3: non-singleton overlap
+    (3, "2016-01-01", "2016-01-10"),
+    (3, "2016-01-05", "2016-01-20"),
+    // key 4: singleton (boundary) overlap — violation only if end included
+    (4, "2016-01-01", "2016-01-10"),
+    (4, "2016-01-10", "2016-01-20"),
+    // key 5: subset containment
+    (5, "2016-01-01", "2016-01-31"),
+    (5, "2016-01-10", "2016-01-15"),
+    // key 6: exact duplicates (scenario 1)
+    (6, "2016-01-01", "2016-01-10"),
+    (6, "2016-01-01", "2016-01-10")))
+
+  private def oRef = DataRef(FrameSource(dateOverlapDf, "date_table_overlap"))
+
+  test("overlap violations with end included: keys 3,4,5,6 violate of 6") {
+    val c = NoOverlap(oRef, Seq("id1"), Seq("date_start"), Seq("date_end"),
+      maxRelativeNViolations = 4.0 / 6, endIncluded = true, dimensions = 1,
+      kind = "date ranges")
+    assert(c.test(spark).outcome)
+    val tight = c.copy(maxRelativeNViolations = 3.0 / 6)
+    assert(!tight.test(spark).outcome)
+  }
+
+  test("overlap violations with end excluded: boundary key 4 no longer violates") {
+    val c = NoOverlap(oRef, Seq("id1"), Seq("date_start"), Seq("date_end"),
+      maxRelativeNViolations = 3.0 / 6, endIncluded = false, dimensions = 1,
+      kind = "date ranges")
+    assert(c.test(spark).outcome)
+    assert(!c.copy(maxRelativeNViolations = 2.0 / 6).test(spark).outcome)
+  }
+
+  test("overlapResult counts distinct violating keys") {
+    val res = Intervals.overlapResult(
+      spark, oRef, Seq("id1"), Seq("date_start"), Seq("date_end"), endIncluded = true)
+    assert(res.nViolationKeys == 4)
+    assert(res.nDistinctKeys == 6)
+    assert(res.violationSample.isDefined)
+  }
+
+  private def gapDf = intervalDf(Seq(
+    // key 1: single entry — no gap
+    (1, "2016-01-01", "2016-01-10"),
+    // key 2: contiguous (end = next start) — no gap beyond legitimate size 1
+    (2, "2016-01-01", "2016-01-10"),
+    (2, "2016-01-10", "2016-01-20"),
+    // key 3: true gap (10 days)
+    (3, "2016-01-01", "2016-01-05"),
+    (3, "2016-01-15", "2016-01-20"),
+    // key 4: threshold-exact gap of exactly 1 day — legitimate when gap size 1
+    (4, "2016-01-01", "2016-01-10"),
+    (4, "2016-01-11", "2016-01-20")))
+
+  private def gRef = DataRef(FrameSource(gapDf, "date_table_gap"))
+
+  test("date gaps: only key 3 violates with legitimate gap 1") {
+    val c = NoGap(gRef, Seq("id1"), "date_start", "date_end",
+      maxRelativeNViolations = 1.0 / 4, legitimateGapSize = 1.0, isDate = true)
+    assert(c.test(spark).outcome)
+    assert(!c.copy(maxRelativeNViolations = 0.0).test(spark).outcome)
+  }
+
+  test("date gaps with zero legitimate gap: keys 3 and 4 violate") {
+    val res = Intervals.gapResult(
+      spark, gRef, Seq("id1"), "date_start", "date_end", Intervals.dateGapCondition(0.0))
+    assert(res.nViolationKeys == 2)
+    assert(res.nDistinctKeys == 4)
+  }
+
+  test("numeric gaps with tolerated 0.5 gap (reference conftest.py:701-713)") {
+    val df = numIntervalDf(Seq(
+      (1, 1.0, 2.0), (1, 2.5, 4.0),   // 0.5 gap — tolerated at legitimate 0.5
+      (2, 1.0, 2.0), (2, 4.0, 5.0)))  // 2.0 gap — violation
+    val r = DataRef(FrameSource(df, "float_table_gap"))
+    val res = Intervals.gapResult(
+      spark, r, Seq("id1"), "range_start", "range_end",
+      Intervals.numericGapCondition(0.5))
+    assert(res.nViolationKeys == 1)
+    assert(res.nDistinctKeys == 2)
+  }
+
+  test("2-D overlap requires intersection in BOTH dimensions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id1", IntegerType),
+      StructField("s1", DateType), StructField("e1", DateType),
+      StructField("s2", DateType), StructField("e2", DateType)))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      // key 1: overlap in dim1 only → no violation
+      Row(Integer.valueOf(1), d("2016-01-01"), d("2016-01-10"), d("2016-02-01"), d("2016-02-05")),
+      Row(Integer.valueOf(1), d("2016-01-05"), d("2016-01-20"), d("2016-02-10"), d("2016-02-20")),
+      // key 2: overlap in both dims → violation
+      Row(Integer.valueOf(2), d("2016-01-01"), d("2016-01-10"), d("2016-02-01"), d("2016-02-10")),
+      Row(Integer.valueOf(2), d("2016-01-05"), d("2016-01-20"), d("2016-02-05"), d("2016-02-20")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val r  = DataRef(FrameSource(df, "date_table_overlap_2d"))
+    val res = Intervals.overlapResult(
+      spark, r, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded = true)
+    assert(res.nViolationKeys == 1)
+    assert(res.nDistinctKeys == 2)
+  }
+}

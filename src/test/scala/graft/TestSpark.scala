@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One shared local session for the whole suite (the Spark analogue of the
+  * reference's module-scoped engine fixture, `tests/integration/conftest.py`).
+  */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def intDf(name: String, values: Seq[Integer]): DataFrame = {
+    val rows = values.map(v => Row(v))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("col_int", IntegerType))))
+  }
+
+  /** mix_table fixture shape (reference `conftest.py:141-180`):
+    * col_int, col_varchar, col_date.
+    */
+  def mixDf(rows: Seq[(Integer, String, String)]): DataFrame = {
+    val data = rows.map { case (i, s, d) =>
+      Row(i, s, if (d == null) null else java.sql.Date.valueOf(d))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2),
+      StructType(Seq(
+        StructField("col_int", IntegerType),
+        StructField("col_varchar", StringType),
+        StructField("col_date", DateType))))
+  }
+
+  /** Interval fixture: id1, start, end (dates). */
+  def intervalDf(rows: Seq[(Integer, String, String)]): DataFrame = {
+    val data = rows.map { case (k, s, e) =>
+      Row(k, java.sql.Date.valueOf(s), java.sql.Date.valueOf(e))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2),
+      StructType(Seq(
+        StructField("id1", IntegerType),
+        StructField("date_start", DateType),
+        StructField("date_end", DateType))))
+  }
+
+  def numIntervalDf(rows: Seq[(Integer, java.lang.Double, java.lang.Double)]): DataFrame = {
+    val data = rows.map { case (k, s, e) => Row(k, s, e) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2),
+      StructType(Seq(
+        StructField("id1", IntegerType),
+        StructField("range_start", DoubleType),
+        StructField("range_end", DoubleType))))
+  }
+}
