@@ -75,7 +75,10 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // One query per implemented operator from SURVEY.md §2.
   // ---------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ trainingQueries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // #1 get_selection: scan + filter + projection
     "q_selection" -> ((s, dir) =>
       ref(
@@ -378,6 +381,114 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------
+  // Training-data pipeline operators (beyond-reference pack): dedup,
+  // similarity search, text analysis, multimodal plumbing — each over the
+  // driver's documents/embeddings tables.
+  // ---------------------------------------------------------------------
+  private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // text analysis: token counts + character-ratio quality signals
+    "q_text_stats" -> { (s, dir) =>
+      val t = col("text")
+      s.read.parquet(pq(dir, "documents")).select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(t).cast("bigint").as("n_tokens"),
+        graft.ops.TextAnalysis.bpeishTokenCount(t).cast("bigint").as("n_bpeish"),
+        round(graft.ops.TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(graft.ops.TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"))
+    },
+
+    // composite quality score
+    "q_quality_score" -> { (s, dir) =>
+      s.read.parquet(pq(dir, "documents")).select(
+        col("doc_id"),
+        round(graft.ops.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+    },
+
+    // language-ID heuristic (stopword-count argmax)
+    "q_langid" -> { (s, dir) =>
+      s.read.parquet(pq(dir, "documents")).select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    // md5 content fingerprint of the normalized text
+    "q_fingerprint" -> { (s, dir) =>
+      s.read.parquet(pq(dir, "documents")).select(
+        col("doc_id"),
+        graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
+    },
+
+    // exact-duplicate groups on a normalized 20-char prefix key
+    "q_dedup_exact" -> { (s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .select(substring(col("text"), 1, 20).as("k"), col("doc_id"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .where(col("n_docs") > 1)
+    },
+
+    // n-gram Jaccard near-dup pairs (exact, inverted-index join)
+    "q_ngram_jaccard" -> { (s, dir) =>
+      graft.ops.Dedup
+        .ngramJaccardPairs(
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+          shingleK = 5, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // MinHash+LSH near-dups, verified by exact Jaccard — with 64 hashes /
+    // 16 bands recall at j>=0.9 is ~1, so the output equals brute force on
+    // this corpus and shares its oracle.
+    "q_minhash_dedup" -> { (s, dir) =>
+      graft.ops.Dedup
+        .minhashNearDups(
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+          shingleK = 5, numHashes = 64, bands = 16, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // SimHash near-dup pairs (sketch-only — no SQL oracle; rows-only check)
+    "q_simhash_pairs" -> { (s, dir) =>
+      graft.ops.Dedup.simhashNearDups(
+        s.read.parquet(pq(dir, "documents")), "text", "doc_id", maxHamming = 10)
+    },
+
+    // brute-force cosine top-3 neighbors for the first 5 vectors
+    "q_embedding_topk" -> { (s, dir) =>
+      val vectors = s.read.parquet(pq(dir, "embeddings"))
+      val queries = vectors.where(col("vec_id") < 5)
+      graft.ops.Similarity
+        .bruteForceTopK(vectors, queries, "vec_id", "embedding", k = 3)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+
+    // LSH-bucketed approximate top-k (scale path; rows-only check)
+    "q_embedding_lsh" -> { (s, dir) =>
+      val vectors = s.read.parquet(pq(dir, "embeddings"))
+      val queries = vectors.where(col("vec_id") < 5)
+      graft.ops.Similarity
+        .lshTopK(vectors, queries, "vec_id", "embedding", k = 3, bits = 8, dim = 64)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+
+    // multimodal plumbing: binary payloads (text bytes stand in for media)
+    // → deterministic stub features via per-partition batch transform
+    "q_multimodal_features" -> { (s, dir) =>
+      val media = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val feats = graft.ops.Multimodal.extractFeatures(media, "doc_id", "payload", dim = 8)
+      feats.select(
+        col("doc_id"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
+    }
+  )
+
+  // ---------------------------------------------------------------------
   // DuckDB oracles — same column names, same rounding, BIGINT for counts.
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
@@ -527,6 +638,94 @@ object SparkEntry {
            SELECT l_orderkey, list_sort(list(l_linenumber)) AS arr, count(*) AS n
            FROM lineitem GROUP BY l_orderkey)
          WHERE arr <> range(1, cast(n AS INTEGER) + 1)"""
+  ) ++ trainingOracles
+
+  private val normSql =
+    "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +', ' ', 'g'))"
+
+  private val jaccardSql =
+    s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+            sh AS (SELECT doc_id,
+                     list_distinct(list_filter(
+                       list_transform(range(0, greatest(length(t)-5, 0)+1),
+                                      i -> substring(t, i+1, 5)),
+                       s -> length(s) = 5)) AS shingles FROM d),
+            sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+            sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+            inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+            common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2)
+       SELECT id1, id2, round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
+       FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.6"""
+
+  private def trainingOracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+                 len(string_split($normSql, ' '))::BIGINT AS n_tokens,
+                 len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_bpeish,
+                 round((length(text) - length(regexp_replace(text,
+                     '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1), 6) AS punct_ratio,
+                 round(len(list_filter(string_split($normSql, ' '),
+                     t -> list_contains(['the','and','of','to','in','a','is'], t)))::DOUBLE
+                   / greatest(len(string_split($normSql, ' ')), 1), 6) AS stop_ratio
+          FROM documents""",
+    "q_quality_score" ->
+      s"""WITH m AS (SELECT doc_id,
+                 len(string_split($normSql, ' ')) AS n_tokens,
+                 (length(text) - length(regexp_replace(text,
+                     '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS punct_ratio,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS digit_ratio,
+                 len(list_filter(string_split($normSql, ' '),
+                     t -> list_contains(['the','and','of','to','in','a','is'], t)))::DOUBLE
+                   / greatest(len(string_split($normSql, ' ')), 1) AS stop_ratio
+               FROM documents)
+          SELECT doc_id, round(greatest(0.0,
+                 least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.2
+                 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+                 + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2), 6) AS quality
+          FROM m""",
+    "q_langid" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
+              sc AS (SELECT doc_id,
+                len(list_filter(t, x -> list_contains(['the','and','of','to','in','a','is'], x))) AS en,
+                len(list_filter(t, x -> list_contains(['der','die','und','das','ist','ein','nicht'], x))) AS de,
+                len(list_filter(t, x -> list_contains(['le','la','et','les','des','est','une'], x))) AS fr,
+                len(list_filter(t, x -> list_contains(['el','los','que','y','es','una','para'], x))) AS es,
+                len(list_filter(t, x -> list_contains(['de','shi','le','bu','wo','zai','you'], x))) AS zh
+               FROM toks)
+          SELECT doc_id, CASE
+              WHEN greatest(en, de, fr, es, zh) = 0 THEN 'und'
+              WHEN en = greatest(en, de, fr, es, zh) THEN 'en'
+              WHEN de = greatest(en, de, fr, es, zh) THEN 'de'
+              WHEN fr = greatest(en, de, fr, es, zh) THEN 'fr'
+              WHEN es = greatest(en, de, fr, es, zh) THEN 'es'
+              ELSE 'zh' END AS lang_pred
+          FROM sc""",
+    "q_fingerprint" ->
+      s"SELECT doc_id, md5($normSql) AS fingerprint FROM documents",
+    "q_dedup_exact" ->
+      """SELECT substring(text, 1, 20) AS k, count(*) AS n_docs, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    "q_ngram_jaccard" -> jaccardSql,
+    "q_minhash_dedup" -> jaccardSql,
+    "q_embedding_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              scored AS (SELECT qid AS query_id, v.vec_id AS neighbor_id,
+                           list_cosine_similarity(qe, e) AS c
+                         FROM v, q WHERE v.vec_id <> qid),
+              ranked AS (SELECT query_id, neighbor_id, c,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY c DESC, neighbor_id) AS r
+                         FROM scored)
+         SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
+         FROM ranked WHERE r <= 3"""
   )
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) {

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (sub-linear candidate generation).
+  *
+  * Dot products are computed with `zip_with` + `aggregate` higher-order
+  * functions — codegen'd, no UDFs, deterministic summation order (list
+  * order), so results are bit-reproducible across engines and runs.
+  *
+  * 100 TB posture: brute force is a broadcast-join of the (small) query set
+  * against the corpus — one scan, no shuffle of the corpus. The LSH variant
+  * buckets both sides on sign-bit keys; only same-bucket pairs are scored
+  * (candidate volume ∝ corpus/2^bits per query), then verified exactly.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * `queries` (small: id + vector) is broadcast against `vectors`; per-query
+    * ranking is a window over the query id — shuffle on query id only, the
+    * corpus is scanned once. Self-matches are excluded.
+    */
+  def bruteForceTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec")))
+    val scored = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("vec")))
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG, fixed seed): `bits` planes
+    * of dimension `dim` with components in {-1, +1}.
+    */
+  private[ops] def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Seq.fill(bits)(Seq.fill(dim)(if (next() > 0) 1.0 else -1.0))
+  }
+
+  /** Sign-bit LSH key: bit i = (v · plane_i > 0). Cosine-similar vectors
+    * agree on most sign bits, so sharing the full key is a strong candidate
+    * signal.
+    */
+  def lshKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: bucket corpus and queries on the
+    * sign-bit key (optionally probing neighbor buckets at Hamming distance 1
+    * for recall), score only same-bucket pairs, rank per query.
+    */
+  def lshTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64,
+      multiProbe: Boolean = true): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val corpus = vectors.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"),
+      lshKey(col(vecCol), planes).as("bucket"))
+    val qBase = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"),
+      lshKey(col(vecCol), planes).as("bucket"))
+    // multi-probe: also look in the `bits` buckets at Hamming distance 1
+    val q =
+      if (!multiProbe) qBase
+      else
+        qBase.select(
+          col("query_id"),
+          col("query_vec"),
+          explode(
+            array_union(
+              array(col("bucket")),
+              transform(
+                sequence(lit(0), lit(bits - 1)),
+                b => col("bucket").bitwiseXOR(call_function("shiftleft", lit(1L), b))))).as("bucket"))
+    val scored = corpus
+      .join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("vec")))
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
+    * via the LSH buckets — the embedding flavor of `Dedup.minhashNearDups`.
+    * Exact within a bucket; multi-probe trades recall for candidate volume.
+    */
+  def embeddingNearDups(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val keyed = vectors.select(
+      col(idCol),
+      col(vecCol).as("vec"),
+      lshKey(col(vecCol), planes).as("bucket"))
+    keyed.as("a")
+      .join(keyed.as("b"), col("a.bucket") === col("b.bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .where(col("cosine") >= threshold)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cosine"))
+  }
+}

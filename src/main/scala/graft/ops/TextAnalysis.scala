@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword-count heuristic), quality scoring, token counting,
+  * document fingerprinting. Everything is built from codegen'd column
+  * functions / higher-order functions — no UDFs — so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with the corpus.
+  */
+object TextAnalysis {
+
+  /** Lowercased, punctuation-stripped text (whitespace collapsed). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * pre-tokenizer regex (`\w+|[^\w\s]`). `regexp_extract_all` is available
+    * in both Spark and DuckDB, keeping the correctness oracle exact.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"\\(\\)\\[\\]\\{\\}-]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Fraction of characters that are digits. */
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      greatest(length(text), lit(1))
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "los", "que", "y", "es", "una", "para"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai", "you"))
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal for training-data filtering.
+    */
+  def stopwordRatio(text: Column, lang: String = "en"): Column =
+    stopwordHits(text, stopwords(lang)).cast("double") /
+      greatest(tokenCount(text), lit(1))
+
+  /** Composite quality score in [0,1]: favors texts of reasonable length,
+    * low punctuation/digit noise, and some stopword mass. Deterministic and
+    * SQL-expressible (same formula runs on the DuckDB oracle side).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    val digitPenalty = least(digitRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    greatest(
+      lit(0.0),
+      lenScore * 0.4 + stopScore * 0.2 + (lit(1.0) - punctPenalty) * 0.2 +
+        (lit(1.0) - digitPenalty) * 0.2)
+  }
+
+  /** n-gram/stopword language-ID heuristic: count per-language stopword hits
+    * and take the argmax with a fixed precedence order for ties
+    * (en > de > fr > es > zh, then "und" for unknown). Real multilingual
+    * corpora would swap in character-trigram frequency profiles; the
+    * decision plumbing (per-language score columns → argmax) is identical.
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, stopwords("en"))
+    val de = stopwordHits(text, stopwords("de"))
+    val fr = stopwordHits(text, stopwords("fr"))
+    val es = stopwordHits(text, stopwords("es"))
+    val zh = stopwordHits(text, stopwords("zh"))
+    val best = greatest(en, de, fr, es, zh)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(fr === best, lit("fr"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text. Portable (md5 exists
+    * in every engine), deterministic, and exactly what near-dup pipelines
+    * use as the exact-dedup key after normalization.
+    */
+  def fingerprintMd5(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Rolling-hash fingerprint (winnowing flavor): minimum 64-bit hash over
+    * the k-char shingles of the normalized text. Two documents sharing their
+    * minimum shingle hash are near-dup candidates; used as a cheap one-value
+    * sketch next to the full MinHash signature in `Dedup`.
+    */
+  def minShingleHash(text: Column, k: Int = 8): Column =
+    array_min(transform(Dedup.charShingles(normalize(text), k), s => xxhash64(s)))
+
+  /** Convenience: the standard per-document analysis frame. */
+  def analyze(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("digit_ratio", digitRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("fingerprint", fingerprintMd5(t))
+  }
+}

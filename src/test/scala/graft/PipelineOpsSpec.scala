@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Tests for the training-data pipeline pack: dedup, similarity search,
+  * text analysis, multimodal plumbing.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t) => Row(id, t) }, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))))
+
+  // --- text analysis -------------------------------------------------------
+  test("normalize / tokens / token counts") {
+    val df = docs((1L, "Hello,  World! 42"))
+    val r = df.select(
+      TextAnalysis.normalize(col("text")).as("n"),
+      TextAnalysis.tokenCount(col("text")).as("tc"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("bc")).head()
+    assert(r.getString(0) == "hello world 42")
+    assert(r.getInt(1) == 3)
+    // hello , world ! 42 → 5 BPE-ish tokens
+    assert(r.getInt(2) == 5)
+  }
+
+  test("punct/digit ratios and quality score bounds") {
+    val clean = docs((1L, "the cat and the dog sat in the house of cards to rest"))
+    val noisy = docs((2L, "!!!??? 12345 ,,,,"))
+    val qc = clean.select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+    val qn = noisy.select(TextAnalysis.qualityScore(col("text"))).head().getDouble(0)
+    assert(qc > qn)
+    assert(qc >= 0.0 && qc <= 1.0 && qn >= 0.0 && qn <= 1.0)
+  }
+
+  test("langId picks the stopword-dominant language, 'und' for no hits") {
+    val df = docs(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et les chiens est une merveille"),
+      (4L, "xyzzy plugh"))
+    val preds = df
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(2L) == "de")
+    assert(preds(3L) == "fr")
+    assert(preds(4L) == "und")
+  }
+
+  test("md5 fingerprint is normalization-invariant") {
+    val df = docs((1L, "Hello,   World!"), (2L, "hello world"))
+    val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  // --- dedup ---------------------------------------------------------------
+  test("charShingles produces distinct k-grams") {
+    val r = docs((1L, "abcabc"))
+      .select(Dedup.charShingles(col("text"), 3)).head().getSeq[String](0)
+    assert(r.toSet == Set("abc", "bca", "cab"))
+  }
+
+  test("exact dedup keeps one row per normalized text") {
+    val df = docs((1L, "Same text"), (2L, "same  text!"), (3L, "other"))
+    val kept = Dedup.dedupExact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    val groups = Dedup.exactDupGroups(df, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_docs") == 2)
+  }
+
+  test("minhash LSH finds the planted near-dup and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tonight")
+    val far  = "completely unrelated content about databases and distributed query engines"
+    val df   = docs((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup
+      .minhashNearDups(df, "text", "doc_id", shingleK = 5, numHashes = 64,
+        bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash near-dups equal brute-force ngram jaccard on the documents table") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minhashNearDups(df, "text", "doc_id", threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(df, "text", "doc_id", threshold = 0.6)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact)
+  }
+
+  test("simhash: near-identical texts collide within small hamming distance") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val near = base.replace("today", "tonight")
+    val far  = "completely unrelated content about databases and distributed query engines"
+    val df   = docs((1L, base), (2L, near), (3L, far))
+    val pairs = Dedup.simhashNearDups(df, "text", "doc_id", maxHamming = 16)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  // --- similarity ----------------------------------------------------------
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }, 2),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+
+  test("cosine HOF: orthogonal = 0, identical = 1, opposite = -1") {
+    val df = vecs(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(1f, 0f, 0f)), (4L, Seq(-1f, 0f, 0f)))
+    val sims = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine and excludes self") {
+    val df = vecs(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(0.5f, 0.5f)))
+    val top = Similarity
+      .bruteForceTopK(df, df.where(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 4L))
+    assert(top.forall(_.getAs[Long]("query_id") == 1L))
+  }
+
+  test("LSH top-k recall vs brute force on real embeddings") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(df, queries, "vec_id", "embedding", 3,
+        bits = 4, dim = 64, multiProbe = true)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // These embeddings are near-random (max pairwise cosine ~0.5), the hard
+    // case for sign-bit LSH; with 4 bits + multi-probe recall is still
+    // substantial and fully deterministic (fixed planes, fixed data).
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH top-3 recall at 4 bits + multiprobe: $recall")
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+
+  // --- multimodal ----------------------------------------------------------
+  test("multimodal: format sniffing + stub feature extraction plumbing") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2, 3)
+    val png  = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 9, 9)
+    val rows = Seq(Row(1L, jpeg), Row(2L, png))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val meta = Multimodal.withMediaMeta(df, "payload")
+      .select(col("doc_id"), col("media_meta.format"), col("media_meta.n_bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(meta(1L) == ("jpeg", 7L))
+    assert(meta(2L) == ("png", 6L))
+
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+    val collected = feats.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(collected(1L).length == 4)
+    assert(collected(1L).forall(f => f >= 0f && f < 1f))
+    // deterministic: same payload → same features
+    val again = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(collected == again)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.FrameSource
+import graft.requirements.WithinRequirement
+import graft.streaming.StreamingChecks
+
+/** Structured-Streaming checks: windowed quality profile + per-micro-batch
+  * constraint evaluation.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedProfile aggregates per event-time window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, java.lang.Double)]
+    val stream = input.toDF().toDF("event_time", "value")
+    val query = StreamingChecks
+      .windowedProfile(stream, "event_time", "10 seconds", "1 minute", Seq("value"))
+      .writeStream
+      .format("memory")
+      .queryName("profile_test")
+      .outputMode("append")
+      .start()
+    input.addData(
+      (ts("2026-01-01 00:00:10"), 1.0),
+      (ts("2026-01-01 00:00:20"), null),
+      (ts("2026-01-01 00:01:10"), 5.0),
+      (ts("2026-01-01 00:01:40"), 7.0))
+    query.processAllAvailable()
+    // advance the watermark past both target windows so append emits them
+    input.addData((ts("2026-01-01 00:10:00"), java.lang.Double.valueOf(0.0)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("profile_test")
+      .select(col("window.start").cast("string"), col("n_rows"),
+        col("value_null_frac"), col("value_min"), col("value_max"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.get(3), r.get(4)))
+      .toMap
+    assert(rows("2026-01-01 00:00:00") == ((2L, 0.5, 1.0, 1.0)))
+    assert(rows("2026-01-01 00:01:00") == ((2L, 0.0, 5.0, 7.0)))
+  }
+
+  test("foreachBatchRunner evaluates constraints per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Int]
+    input.addData(1 to 19: _*)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val writer = StreamingChecks.foreachBatchRunner(
+      input.toDF().toDF("col_int"),
+      batch => {
+        val req = WithinRequirement.fromDataFrame(batch, "stream_batch")
+        req.addNRowsEqualityConstraint(19)
+        req.addNumericMaxConstraint("col_int", 19.0)
+        req
+      },
+      (batchId, rs) => results.synchronized { rs.foreach(r => results += batchId -> r.outcome) })
+    val q = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(results.nonEmpty && results.forall(_._2))
+  }
+}
