@@ -130,14 +130,10 @@ object SparkEntry {
         .where(col("l_extendedprice").isNotNull)
         .groupBy(col("l_extendedprice").as("v"))
         .agg(count(lit(1)).as("cnt"))
-      val wCum =
-        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      counts
-        .select(
-          col("v"),
-          sum(col("cnt")).over(wCum).as("cum"),
-          sum(col("cnt")).over(wAll).as("total"))
+      val running = graft.ops.CumSum.withRunningSum(counts, "v", "cnt", "cum")
+      val total   = counts.agg(sum(col("cnt")).as("total"))
+      running
+        .crossJoin(broadcast(total))
         .agg(
           min(when(col("cum") * 100 >= col("total") * 25, col("v"))).as("p25"),
           min(when(col("cum") * 100 >= col("total") * 50, col("v"))).as("p50"),

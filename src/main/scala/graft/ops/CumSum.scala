@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sum over an ordered key — the scalable replacement for
+  * `Window.orderBy(key)` with no partitioning, which moves ALL rows to a
+  * single partition (Spark warns `WindowExec: No Partition Defined`).
+  *
+  * Classic two-phase plan:
+  *   1. estimate `numBuckets` range boundaries with one `approx_percentile`
+  *      pass (scan + tiny aggregate);
+  *   2. assign each row a bucket; per-bucket running sums use a window
+  *      PARTITIONED by bucket (parallel, no global sort);
+  *   3. per-bucket totals (numBuckets rows) come back to the driver, whose
+  *      exclusive prefix sums are broadcast back as bucket offsets;
+  *   4. running = offset(bucket) + local running.
+  *
+  * The result is EXACT (bucket boundaries only affect load balance, not
+  * values). Cost: two scans + one shuffle on bucket, vs. the single-partition
+  * sort that does not scale past one executor's memory.
+  */
+object CumSum {
+
+  /** Add `runningCol` = cumulative sum of `valueCol` over rows ordered by
+    * `orderCol` (ascending, ties summed together deterministically by
+    * including `orderCol` equality in one bucket — rows with equal keys get
+    * the same bucket, and within-bucket ordering uses the key itself).
+    */
+  def withRunningSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      runningCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    // 1. approximate, de-duplicated range boundaries
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val boundariesRow = df
+      .agg(percentile_approx(
+        col(orderCol).cast("double"),
+        array(probs.map(lit): _*),
+        lit(10000)))
+      .head()
+    if (boundariesRow.isNullAt(0)) {
+      // empty input: running sum column is just null-free zero rows
+      return df.withColumn(runningCol, lit(null).cast("double")).where(lit(false))
+    }
+    val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
+    // 2. bucket assignment: number of boundaries strictly below the key.
+    //    width_bucket over an explicit ascending array; identical keys land
+    //    in identical buckets by construction.
+    val bArr = array(boundaries.map(lit): _*)
+    val bucketed = df.withColumn(
+      "dj_bucket",
+      aggregate(bArr, lit(0), (acc, b) => acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)))
+    // 3. per-bucket local running sums (parallel windows)
+    val wLocal = Window
+      .partitionBy("dj_bucket")
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("dj_local", sum(col(valueCol)).over(wLocal))
+    // 4. exclusive bucket offsets via a tiny driver-side prefix sum
+    val totals = bucketed
+      .groupBy("dj_bucket")
+      .agg(sum(col(valueCol)).as("dj_total"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getAs[Number]("dj_total").longValue())
+      .toMap
+    val maxBucket = if (totals.isEmpty) 0 else totals.keys.max
+    val offsets = (0 to maxBucket).scanLeft(0L) { (acc, b) =>
+      acc + totals.getOrElse(b, 0L)
+    }.dropRight(1)
+    val offsetArr = array(offsets.map(lit): _*)
+    local
+      .withColumn(
+        runningCol,
+        element_at(offsetArr, col("dj_bucket") + 1) + col("dj_local"))
+      .drop("dj_bucket", "dj_local")
+  }
+
+  /** Forward-fill `fillCols` over rows ordered by `orderCol` — the
+    * distributed version of `last(c, ignoreNulls).over(Window.orderBy(o))`.
+    * Same bucket scheme as `withRunningSum`: local fill inside each bucket's
+    * window, then each bucket inherits the last non-null value of all
+    * earlier buckets (a per-bucket carry computed with one tiny collect).
+    */
+  def withForwardFill(
+      df: DataFrame,
+      orderCol: String,
+      fillCols: Seq[String],
+      numBuckets: Int = 256): DataFrame = {
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val boundariesRow = df
+      .agg(percentile_approx(
+        col(orderCol).cast("double"),
+        array(probs.map(lit): _*),
+        lit(10000)))
+      .head()
+    if (boundariesRow.isNullAt(0)) return df
+    val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
+    val bArr = array(boundaries.map(lit): _*)
+    val bucketed = df.withColumn(
+      "dj_bucket",
+      aggregate(bArr, lit(0), (acc, b) => acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)))
+    val wLocal = Window
+      .partitionBy("dj_bucket")
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // last non-null value per bucket per column: max over (order, value)
+    // structs restricted to non-null values
+    val lastAggs = fillCols.map(c =>
+      max(when(col(c).isNotNull, struct(col(orderCol).cast("double").as("o"), col(c).as("v"))))
+        .as(s"dj_last_$c"))
+    val perBucketLast = bucketed
+      .groupBy("dj_bucket")
+      .agg(lastAggs.head, lastAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> fillCols.map { c =>
+        val s = r.getAs[org.apache.spark.sql.Row](s"dj_last_$c")
+        if (s == null) None else Some(s.getAs[Any]("v"))
+      })
+      .toMap
+    val maxBucket = if (perBucketLast.isEmpty) 0 else perBucketLast.keys.max
+    // carry(b) = last non-null from any earlier bucket
+    val carries: Map[String, Seq[Option[Any]]] = fillCols.zipWithIndex.map { case (c, i) =>
+      val perBucket = (0 to maxBucket).map(b => perBucketLast.get(b).flatMap(_(i)))
+      c -> perBucket.scanLeft(Option.empty[Any])((acc, v) => v.orElse(acc)).dropRight(1)
+    }.toMap
+    fillCols.foldLeft(bucketed) { (acc, c) =>
+      val dt = df.schema(c).dataType
+      val carryArr = array(carries(c).map(v => lit(v.orNull).cast(dt)): _*)
+      acc.withColumn(
+        c,
+        coalesce(
+          last(col(c), ignoreNulls = true).over(wLocal),
+          element_at(carryArr, col("dj_bucket") + 1)))
+    }.drop("dj_bucket")
+  }
+}

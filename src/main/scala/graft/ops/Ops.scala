@@ -91,13 +91,12 @@ object Ops {
       .where(col(c).isNotNull)
       .groupBy(col(c).as("v"))
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    val row = counts
-      .select(
-        col("v"),
-        sum(col("cnt")).over(wCum).as("cum"),
-        sum(col("cnt")).over(wAll).as("total"))
+    // distributed prefix sum over distinct values (CumSum) instead of a
+    // single-partition ordered window; broadcast scalar total
+    val running = CumSum.withRunningSum(counts, "v", "cnt", "cum")
+    val total   = counts.agg(sum(col("cnt")).as("total"))
+    val row = running
+      .crossJoin(broadcast(total))
       .where(col("cum") * 100.0 >= col("total") * percentage)
       .agg(min(col("v")))
       .head()

@@ -32,15 +32,16 @@ object Stats {
       .select(col(ref.column).as(valueLabel))
       .groupBy(valueLabel)
       .agg(count(lit(1)).as("dj_cnt"))
-    val wCum = Window
-      .orderBy(col(valueLabel))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    counts
+      .cache() // feeds boundary estimation, bucketing, and the total
+    // distributed prefix sum over the distinct values (no single-partition
+    // window; see CumSum) + broadcast scalar total
+    val running = CumSum.withRunningSum(counts, valueLabel, "dj_cnt", "dj_running")
+    val total   = counts.agg(sum(col("dj_cnt")).as("dj_total"))
+    running
+      .crossJoin(broadcast(total))
       .select(
         col(valueLabel),
-        (sum(col("dj_cnt")).over(wCum).cast("double") /
-          sum(col("dj_cnt")).over(wAll)).as(cdfLabel))
+        (col("dj_running").cast("double") / col("dj_total")).as(cdfLabel))
   }
 
   /** Align two empirical CDFs on the value axis
@@ -65,20 +66,20 @@ object Stats {
       cdf2,
       col(valueLabel + "_1") === col(valueLabel + "_2"),
       "full_outer")
-    val wFill = Window
-      .orderBy(col(valueLabel))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    joined
+    val aligned = joined
       .select(
         coalesce(col(valueLabel + "_1"), col(valueLabel + "_2")).as(valueLabel),
         col(cdfLabel + "1"),
         col(cdfLabel + "2"))
+      .cache() // feeds boundary estimation, per-bucket carries, and the fill
+    // distributed forward fill along the value axis (see CumSum), leading
+    // NULLs (values seen only in the other sample first) → 0
+    CumSum
+      .withForwardFill(aligned, valueLabel, Seq(cdfLabel + "1", cdfLabel + "2"))
       .select(
         col(valueLabel),
-        coalesce(last(col(cdfLabel + "1"), ignoreNulls = true).over(wFill), lit(0.0))
-          .as(cdfLabel + "1"),
-        coalesce(last(col(cdfLabel + "2"), ignoreNulls = true).over(wFill), lit(0.0))
-          .as(cdfLabel + "2"))
+        coalesce(col(cdfLabel + "1"), lit(0.0)).as(cdfLabel + "1"),
+        coalesce(col(cdfLabel + "2"), lit(0.0)).as(cdfLabel + "2"))
   }
 
   /** Two-sample KS D statistic: max |cdf1 - cdf2|
