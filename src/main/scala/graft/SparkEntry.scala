@@ -471,6 +471,26 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
     },
 
+    // windowed event-stream quality profile (batch flavor of
+    // streaming.StreamingChecks.windowedProfile; same plan shape Structured
+    // Streaming runs incrementally with a watermark)
+    "q_events_profile" -> { (s, dir) =>
+      // the events table carries TIMESTAMP(NANOS) parquet timestamps, which
+      // Spark only reads via the legacy nanos-as-long switch; convert to a
+      // proper timestamp at microsecond precision
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(pq(dir, "events"))
+        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(avg(col("value")), 6).as("avg_value"),
+          count(when(col("value").isNull, 1)).as("n_null"))
+        .select(
+          col("w.start").cast("string").as("window_start"),
+          col("event_type"), col("n_events"), col("avg_value"), col("n_null"))
+    },
+
     // multimodal plumbing: binary payloads (text bytes stand in for media)
     // → deterministic stub features via per-partition batch transform
     "q_multimodal_features" -> { (s, dir) =>
@@ -709,6 +729,12 @@ object SparkEntry {
       """SELECT substring(text, 1, 20) AS k, count(*) AS n_docs, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
     "q_ngram_jaccard" -> jaccardSql,
+    "q_events_profile" ->
+      """SELECT cast(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
+                event_type, count(*) AS n_events,
+                round(avg(value), 6) AS avg_value,
+                count(*) FILTER (WHERE value IS NULL) AS n_null
+         FROM events GROUP BY 1, 2""",
     "q_minhash_dedup" -> jaccardSql,
     "q_embedding_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

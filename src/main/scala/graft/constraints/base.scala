@@ -88,6 +88,14 @@ object formatting {
     else head
   }
 
+  /** Sort values by descending count, ties by value string — the reference's
+    * `output_processor_sort` (`utils.py:output_processor_sort`).
+    */
+  def sortedByCount[A](values: Seq[A], counts: Seq[Long]): (Seq[A], Seq[Long]) = {
+    val sorted = values.zip(counts).sortBy { case (v, c) => (-c, String.valueOf(v)) }
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
   /** Render a sample row (reference `_format_sample`, `base.py`). */
   def formatSample(sample: Option[org.apache.spark.sql.Row]): String =
     sample.map(_.toString).getOrElse("<no sample>")

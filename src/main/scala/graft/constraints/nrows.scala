@@ -34,9 +34,11 @@ final case class NRowsMax(
     refValue: Option[Long] = None,
     override val nameOverride: Option[String] = None)
     extends NRows {
-  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
+  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) = {
+    val (ff, tf) = graft.core.Formatter.formatDifference(factual, target)
     (factual <= target,
-      Some(s"${ref.describe} has $factual > $targetPrefix$target rows. $conditionString"))
+      Some(s"${ref.describe} has $ff > $targetPrefix$tf rows. $conditionString"))
+  }
 }
 
 final case class NRowsEquality(
@@ -45,10 +47,12 @@ final case class NRowsEquality(
     refValue: Option[Long] = None,
     override val nameOverride: Option[String] = None)
     extends NRows {
-  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
+  override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) = {
+    val (ff, tf) = graft.core.Formatter.formatDifference(factual, target)
     (factual == target,
-      Some(s"${ref.describe} has $factual row(s) instead of $targetPrefix$target. " +
+      Some(s"${ref.describe} has $ff row(s) instead of $targetPrefix$tf. " +
         conditionString))
+  }
 }
 
 /** (n2-n1)/n2 <= maxLoss; row gain always passes (reference `nrows.py:91-120`). */

@@ -29,9 +29,12 @@ object Runner {
     requirements.flatMap(_.test(spark))
 
   /** Run everything, print per-constraint outcomes, return #failures. */
-  def runAndReport(spark: SparkSession, requirements: Seq[Requirement]): Int = {
+  def runAndReport(
+      spark: SparkSession,
+      requirements: Seq[Requirement],
+      formatter: graft.core.Formatter = graft.core.PlainFormatter): Int = {
     val results = runAll(spark, requirements)
-    results.foreach(r => println(r.message))
+    results.foreach(r => println(formatter.fmt(r.message)))
     val failures = results.count(!_.outcome)
     println(s"${results.size - failures}/${results.size} constraints passed.")
     failures

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Condition, DataRef, ParquetSource}
+import graft.ops.{Similarity, Stats}
+
+/** Physical-plan assertions for the scale-critical properties: predicate
+  * pushdown and column pruning reach the parquet scan, small sides broadcast,
+  * and no operator relies on a single-partition (global-sort) window.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("selection pushes filter and projection into the parquet scan") {
+    val sel = DataRef(
+      ParquetSource(s"$dir/lineitem.parquet"),
+      Some(Seq("l_orderkey", "l_quantity")),
+      Some(Condition.raw("l_quantity > 45"))).selection(spark)
+    val scan = sel.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_comment"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("brute-force top-k broadcasts the query side, not the corpus") {
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = vectors.where(col("vec_id") < 3)
+    val plan = Similarity
+      .bruteForceTopK(vectors, queries, "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"no broadcast in plan:\n$plan")
+  }
+
+  test("CDF / percentile plans contain no global (unpartitioned) window") {
+    val r1 = DataRef(ParquetSource(s"$dir/lineitem.parquet"), Some(Seq("l_extendedprice")))
+    val cdf = Stats.cdfSelection(spark, r1, "v", "cdf")
+    val globalWindows = cdf.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"found ${globalWindows.size} unpartitioned window(s) — single-partition sort at scale")
+  }
+
+  test("row-count aggregate is a partial-final pair (map-side combine)") {
+    val plan = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregation:\n$plan")
+  }
+}
