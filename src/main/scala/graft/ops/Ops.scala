@@ -146,6 +146,37 @@ object Ops {
   def getUniqueCount(spark: SparkSession, ref: DataRef): Long =
     ref.selection(spark).distinct().count()
 
+  /** Approximate distinct count (HyperLogLog++) — the `exact=false` fast
+    * mode for 100 TB scale: no shuffle of the distinct tuples, one pass,
+    * bounded relative error (default 5%). Beyond-reference (SURVEY §7).
+    */
+  def getUniqueCountApprox(spark: SparkSession, ref: DataRef, rsd: Double = 0.05): Long = {
+    val sel  = ref.selection(spark)
+    val tup  = struct(sel.columns.map(col).toSeq: _*)
+    sel.agg(approx_count_distinct(tup, rsd)).head().getLong(0)
+  }
+
+  /** Approximate percentile (t-digest-style sketch) — the `exact=false`
+    * fast mode: one pass, no per-value shuffle; `accuracy` trades memory for
+    * error (err <= 1/accuracy). NOT the reference's exact semantics — use
+    * `getPercentile` when parity matters. Beyond-reference (SURVEY §7).
+    */
+  def getPercentileApprox(
+      spark: SparkSession,
+      ref: DataRef,
+      percentage: Double,
+      accuracy: Int = 10000): Double = {
+    val row = ref
+      .selection(spark)
+      .where(col(ref.column).isNotNull)
+      .agg(percentile_approx(
+        col(ref.column).cast("double"), lit(percentage / 100.0), lit(accuracy)))
+      .head()
+    if (row.isNullAt(0))
+      throw new IllegalArgumentException("Percentile selection could not be fetched.")
+    row.getDouble(0)
+  }
+
   /** count(*) over DISTINCT(sel1 UNION sel2) (reference `db_access.py:952-964`).
     * Spark `union` is by position, matching SQL UNION; dedup after.
     */

@@ -1,0 +1,82 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{DataRef, FrameSource}
+import graft.constraints.NRowsEquality
+
+/** Retrieval-memoization parity: the reference pins (with a cursor listener,
+  * `test_integration.py:1082-1168`) that repeated `test()` calls hit the
+  * per-constraint cache instead of re-querying. Here: count Spark jobs.
+  */
+class CachingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("repeated test() does not launch new Spark jobs (memoized retrieval)") {
+    val df = intDf("cache_t", (1 to 19).map(Integer.valueOf))
+    val c  = NRowsEquality(DataRef(FrameSource(df, "cache_t")), refValue = Some(19L))
+
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      c.test(spark)
+      Thread.sleep(500)
+      val afterFirst = jobs.get()
+      assert(afterFirst >= 1, "first test() should run at least one job")
+      (1 to 5).foreach(_ => assert(c.test(spark).outcome))
+      Thread.sleep(500)
+      assert(jobs.get() == afterFirst,
+        s"repeated test() launched ${jobs.get() - afterFirst} extra job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("a fresh constraint instance re-queries (cache is per instance)") {
+    val df = intDf("cache_t2", (1 to 19).map(Integer.valueOf))
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      NRowsEquality(DataRef(FrameSource(df, "cache_t2")), refValue = Some(19L)).test(spark)
+      Thread.sleep(500)
+      val first = jobs.get()
+      NRowsEquality(DataRef(FrameSource(df, "cache_t2")), refValue = Some(19L)).test(spark)
+      Thread.sleep(500)
+      assert(jobs.get() > first)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
+
+/** Approx fast-mode sanity: HLL distinct counts and sketch percentiles stay
+  * within their error envelopes vs the exact operators.
+  */
+class ApproxSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import graft.core.{DataRef, FrameSource}
+  import graft.ops.Ops
+
+  test("approx distinct count within 10% of exact on 1..2000") {
+    val df = intDf("approx_t", (1 to 2000).map(Integer.valueOf))
+    val r  = DataRef(FrameSource(df, "approx_t"), Some(Seq("col_int")))
+    val exact  = Ops.getUniqueCount(spark, r)
+    val approx = Ops.getUniqueCountApprox(spark, r)
+    assert(math.abs(approx - exact).toDouble / exact < 0.10, s"approx=$approx exact=$exact")
+  }
+
+  test("approx percentile close to exact on 1..2000") {
+    val df = intDf("approx_p", (1 to 2000).map(Integer.valueOf))
+    val r  = DataRef(FrameSource(df, "approx_p"), Some(Seq("col_int")))
+    val exact  = Ops.getPercentile(spark, r, 50.0)
+    val approx = Ops.getPercentileApprox(spark, r, 50.0)
+    assert(math.abs(approx - exact) <= 10.0, s"approx=$approx exact=$exact")
+  }
+}

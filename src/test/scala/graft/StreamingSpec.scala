@@ -51,6 +51,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2026-01-01 00:01:00") == ((2L, 0.0, 5.0, 7.0)))
   }
 
+  test("file-source stream over the events table produces a full profile") {
+    import org.apache.spark.sql.types._
+    // stage a directory containing only the events file (file streams ingest
+    // whole directories)
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val stream = spark.readStream
+      .schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val q = StreamingChecks
+      .windowedProfile(stream, "ts", "1 minute", "1 hour", Seq("value"))
+      .writeStream
+      .format("memory")
+      .queryName("events_profile_test")
+      .outputMode("complete") // emit every window, open or closed
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val total = spark.table("events_profile_test")
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(total == 1000L) // all sf0.001 events accounted for across windows
+  }
+
   test("foreachBatchRunner evaluates constraints per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
