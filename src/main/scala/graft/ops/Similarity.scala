@@ -127,6 +127,72 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the coarse-quantizer scale
+    * path: assign every corpus vector to its nearest of `nCentroids`
+    * deterministic centroids (sampled from the corpus by id), then search
+    * only the `nProbe` clusters nearest to each query.
+    *
+    * Plan shape: centroid assignment is a broadcast nested-loop over the
+    * (tiny) centroid set — one corpus scan; the probe join is an equi-join
+    * on cluster id. Candidate volume ≈ corpus · nProbe / nCentroids.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    // deterministic coarse centroids: every (n/nCentroids)-th vector by id
+    // order (k-means would refine these; sampling is the seed step and keeps
+    // the whole pipeline deterministic)
+    val n = vectors.count()
+    val step = math.max(1L, n / nCentroids)
+    val centroids = vectors
+      .withColumn(
+        "dj_rank",
+        row_number().over(Window.orderBy(col(idCol))))
+      .where((col("dj_rank") - 1) % step === 0)
+      .limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+      .collect()
+    val centroidArr = array(centroids.map { r =>
+      struct(
+        lit(r.getLong(0)).as("cid"),
+        array(r.getSeq[Float](1).map(v => lit(v)): _*).as("cvec"))
+    }: _*)
+
+    def nearestClusters(vec: Column, howMany: Int): Column =
+      slice(
+        transform(
+          array_sort(
+            transform(centroidArr, c => struct(
+              (-dot(vec, c.getField("cvec"))).as("negSim"),
+              c.getField("cid").as("cid")))),
+          s => s.getField("cid")),
+        1, howMany)
+
+    val corpus = vectors.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"),
+      element_at(nearestClusters(col(vecCol), 1), 1).as("cluster"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("query_vec"),
+      explode(nearestClusters(col(vecCol), nProbe)).as("cluster"))
+    corpus
+      .join(broadcast(q), Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
     * via the LSH buckets — the embedding flavor of `Dedup.minhashNearDups`.
     * Exact within a bucket; multi-probe trades recall for candidate volume.

