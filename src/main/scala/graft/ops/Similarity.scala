@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
+  /** Σ aᵢ·bᵢ in double precision — generic HOF form (any numeric arrays,
+    * e.g. a float vector against double hyperplane literals).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -30,6 +32,16 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd cosine for two `array<float>` columns — bit-identical
+    * to the HOF form (same left-to-right double accumulation) but compiled
+    * to a primitive loop (`graft.functions.DotProductFloat`); used on every
+    * float-vector scoring path.
+    */
+  def cosineF(a: Column, b: Column): Column = {
+    import graft.functions.DotProductFloat.dotF
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+  }
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -48,7 +60,7 @@ object Similarity {
     val scored = vectors
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("query_vec"), col("vec")))
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
     scored
       .withColumn(
         "rank",
@@ -117,7 +129,7 @@ object Similarity {
     val scored = corpus
       .join(broadcast(q), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("query_vec"), col("vec")))
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
     scored
       .withColumn(
         "rank",
@@ -184,7 +196,7 @@ object Similarity {
     corpus
       .join(broadcast(q), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("query_vec"), col("vec")))
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
       .withColumn(
         "rank",
         row_number().over(
@@ -212,7 +224,7 @@ object Similarity {
     keyed.as("a")
       .join(keyed.as("b"), col("a.bucket") === col("b.bucket") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", cosineF(col("a.vec"), col("b.vec")))
       .where(col("cosine") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cosine"))
   }
