@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{DataRef, FrameSource}
+import graft.constraints.{filters, UniquesEquality, UniquesSubset, VarCharRegex}
+
+/** Client-side post-processing hooks and null policies on Uniques
+  * (reference `uniques.py:112-165`, `utils.py:125-148`, nested_table
+  * scenario `conftest.py:820-833`) and row-weighted regex tolerance
+  * (`varchar.py:89-156`).
+  */
+class UniquesHooksSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("mapFunc/reduceFunc decompose nested varchar values (nested_table)") {
+    // "ABC#1,DEF#2," style values → reduce to the set of '#'-separated parts
+    val df = mixDf(Seq(
+      (Integer.valueOf(1), "ABC#1,", null),
+      (Integer.valueOf(2), "ABC#1,DEF#2,", null),
+      (Integer.valueOf(3), "GHI#3,JKL#4,", null)))
+    val ref = DataRef(FrameSource(df, "nested_table"), Some(Seq("col_varchar")))
+    val decompose: Seq[Any] => Seq[Any] =
+      values => values.flatMap(v => String.valueOf(v).split(",").filter(_.nonEmpty)).distinct
+    val c = UniquesEquality(
+      ref,
+      uniquesLiteral = Some(Seq("ABC#1", "DEF#2", "GHI#3", "JKL#4")),
+      reduceFunc = Some(decompose))
+    assert(c.test(spark).outcome)
+    val miss = UniquesEquality(
+      ref,
+      uniquesLiteral = Some(Seq("ABC#1", "DEF#2")),
+      reduceFunc = Some(decompose))
+    assert(!miss.test(spark).outcome)
+  }
+
+  test("mapFunc applies per value before comparison") {
+    val df  = mixDf(Seq((Integer.valueOf(1), "Hi", null), (Integer.valueOf(2), "HO", null)))
+    val ref = DataRef(FrameSource(df, "t"), Some(Seq("col_varchar")))
+    val c = UniquesEquality(
+      ref,
+      uniquesLiteral = Some(Seq("hi", "ho")),
+      mapFunc = Some(v => String.valueOf(v).toLowerCase))
+    assert(c.test(spark).outcome)
+  }
+
+  test("tuple null policies: all-null vs any-null filtering") {
+    val df = mixDf(Seq(
+      (Integer.valueOf(1), "a", null),
+      (null, null, null),          // all-null tuple
+      (Integer.valueOf(2), null, null))) // partially-null tuple
+    val ref = DataRef(FrameSource(df, "t"), Some(Seq("col_int", "col_varchar")))
+    // tupleAll drops only the fully-null tuple → 2 values remain
+    val all = UniquesSubset(
+      ref,
+      uniquesLiteral = Some(Seq(Seq(1, "a"), Seq(2, null))),
+      filterFunc = filters.filternullElementOrTupleAll)
+    assert(all.test(spark).outcome)
+    // tupleAny also drops the partially-null tuple → only (1, a) remains
+    val any = UniquesSubset(
+      ref,
+      uniquesLiteral = Some(Seq(Seq(1, "a"))),
+      filterFunc = filters.filternullElementOrTupleAny)
+    assert(any.test(spark).outcome)
+    val anyStrict = UniquesSubset(
+      ref,
+      uniquesLiteral = Some(Seq(Seq(1, "a"))),
+      filterFunc = filters.filternullElementOrTupleAll)
+    assert(!anyStrict.test(spark).outcome) // (2, null) not in the allowed set
+  }
+
+  test("VarCharRegex row-weighted (aggregated=false) tolerance") {
+    // "ok" x3 rows, "bad!" x1 row → row-weighted violations 1/4; distinct 1/2
+    val df = mixDf(Seq(
+      (Integer.valueOf(1), "ok", null), (Integer.valueOf(2), "ok", null),
+      (Integer.valueOf(3), "ok", null), (Integer.valueOf(4), "bad!", null)))
+    val ref = DataRef(FrameSource(df, "t"), Some(Seq("col_varchar")))
+    assert(VarCharRegex(ref, "^[a-z]+$", aggregated = false,
+      relativeTolerance = 0.25).test(spark).outcome)
+    assert(!VarCharRegex(ref, "^[a-z]+$", aggregated = false,
+      relativeTolerance = 0.24).test(spark).outcome)
+    assert(VarCharRegex(ref, "^[a-z]+$", aggregated = true,
+      relativeTolerance = 0.5).test(spark).outcome)
+    assert(!VarCharRegex(ref, "^[a-z]+$", aggregated = true,
+      relativeTolerance = 0.49).test(spark).outcome)
+  }
+}
