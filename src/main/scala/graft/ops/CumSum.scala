@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
 
 /** Distributed prefix sum over an ordered key — the scalable replacement for
   * `Window.orderBy(key)` with no partitioning, which moves ALL rows to a
@@ -23,6 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object CumSum {
 
+  /** A double-valued, order-preserving proxy of `orderCol` for boundary
+    * estimation and bucket assignment. Numerics cast directly; DATE maps to
+    * days-since-epoch (ANSI mode forbids a direct date→double cast);
+    * TIMESTAMP casts to epoch seconds.
+    */
+  private def orderProxy(df: DataFrame, orderCol: String): Column =
+    df.schema(orderCol).dataType match {
+      case DateType      => datediff(col(orderCol), to_date(lit("1970-01-01"))).cast("double")
+      case TimestampType => col(orderCol).cast("double")
+      case _: NumericType => col(orderCol).cast("double")
+      case _              => col(orderCol).cast("double")
+    }
+
+  /** Add `rankCol` = global 1-based rank of rows ordered by `orderCol`
+    * (ties receive distinct consecutive ranks in arbitrary order — the same
+    * contract as `row_number` over an unpartitioned window, without the
+    * single-partition sort: per-bucket `row_number` + driver-side bucket
+    * offsets, exactly the `withRunningSum` scheme with a constant weight).
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      orderCol: String,
+      rankCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    val tmp = "dj_one"
+    withRunningSum(df.withColumn(tmp, lit(1L)), orderCol, tmp, rankCol, numBuckets)
+      .drop(tmp)
+  }
+
   /** Add `runningCol` = cumulative sum of `valueCol` over rows ordered by
     * `orderCol` (ascending, ties summed together deterministically by
     * including `orderCol` equality in one bucket — rows with equal keys get
@@ -35,13 +65,11 @@ object CumSum {
       runningCol: String,
       numBuckets: Int = 256): DataFrame = {
     val spark = df.sparkSession
+    val key   = orderProxy(df, orderCol)
     // 1. approximate, de-duplicated range boundaries
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val boundariesRow = df
-      .agg(percentile_approx(
-        col(orderCol).cast("double"),
-        array(probs.map(lit): _*),
-        lit(10000)))
+      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(10000)))
       .head()
     if (boundariesRow.isNullAt(0)) {
       // empty input: running sum column is just null-free zero rows
@@ -49,12 +77,10 @@ object CumSum {
     }
     val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
     // 2. bucket assignment: number of boundaries strictly below the key.
-    //    width_bucket over an explicit ascending array; identical keys land
-    //    in identical buckets by construction.
-    val bArr = array(boundaries.map(lit): _*)
+    //    Codegen'd binary search over the boundary literals; identical keys
+    //    land in identical buckets by construction.
     val bucketed = df.withColumn(
-      "dj_bucket",
-      aggregate(bArr, lit(0), (acc, b) => acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)))
+      "dj_bucket", graft.functions.BucketIndex.bucketIndex(key, boundaries))
     // 3. per-bucket local running sums (parallel windows)
     val wLocal = Window
       .partitionBy("dj_bucket")
@@ -91,19 +117,15 @@ object CumSum {
       orderCol: String,
       fillCols: Seq[String],
       numBuckets: Int = 256): DataFrame = {
+    val key   = orderProxy(df, orderCol)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val boundariesRow = df
-      .agg(percentile_approx(
-        col(orderCol).cast("double"),
-        array(probs.map(lit): _*),
-        lit(10000)))
+      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(10000)))
       .head()
     if (boundariesRow.isNullAt(0)) return df
     val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
-    val bArr = array(boundaries.map(lit): _*)
     val bucketed = df.withColumn(
-      "dj_bucket",
-      aggregate(bArr, lit(0), (acc, b) => acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)))
+      "dj_bucket", graft.functions.BucketIndex.bucketIndex(key, boundaries))
     val wLocal = Window
       .partitionBy("dj_bucket")
       .orderBy(col(orderCol))
@@ -111,7 +133,7 @@ object CumSum {
     // last non-null value per bucket per column: max over (order, value)
     // structs restricted to non-null values
     val lastAggs = fillCols.map(c =>
-      max(when(col(c).isNotNull, struct(col(orderCol).cast("double").as("o"), col(c).as("v"))))
+      max(when(col(c).isNotNull, struct(key.as("o"), col(c).as("v"))))
         .as(s"dj_last_$c"))
     val perBucketLast = bucketed
       .groupBy("dj_bucket")

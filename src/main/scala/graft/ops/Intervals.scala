@@ -158,33 +158,57 @@ object Intervals {
     def notInOtherInterval(table: DataFrame, pointCol: String): DataFrame = {
       // NOT EXISTS: the point is not strictly inside any interval of the
       // same key group → left-anti join (reference `db_access.py:475-496`).
-      val cond = keyColumns.map(k => col(k) === col(k + "_h")).reduce(_ && _) &&
+      // With no keys (global timeline) the key conjunct degrades to TRUE,
+      // matching the reference's `sa.and_()` of nothing.
+      val keyEq =
+        if (keyColumns.isEmpty) lit(true)
+        else keyColumns.map(k => col(k) === col(k + "_h")).reduce(_ && _)
+      val cond = keyEq &&
         col(pointCol) > col(startColumn + "_h") &&
         col(pointCol) < col(endColumn + "_h")
       table.join(helper, cond, "left_anti")
     }
 
-    val wStart = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(startColumn))
-    val wEnd   = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(endColumn))
+    if (keyColumns.nonEmpty) {
+      val wStart = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(startColumn))
+      val wEnd   = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(endColumn))
 
-    val startTable = notInOtherInterval(sel, startColumn)
-      .select(
-        keyColumns.map(col) :+
-          col(startColumn) :+
-          row_number().over(wStart).as("dj_start_rank"): _*)
-    val endTable = notInOtherInterval(sel, endColumn)
-      .select(
-        keyColumns.map(c => col(c).as(c + "_e")) :+
-          col(endColumn) :+
-          row_number().over(wEnd).as("dj_end_rank"): _*)
+      val startTable = notInOtherInterval(sel, startColumn)
+        .select(
+          keyColumns.map(col) :+
+            col(startColumn) :+
+            row_number().over(wStart).as("dj_start_rank"): _*)
+      val endTable = notInOtherInterval(sel, endColumn)
+        .select(
+          keyColumns.map(c => col(c).as(c + "_e")) :+
+            col(endColumn) :+
+            row_number().over(wEnd).as("dj_end_rank"): _*)
 
-    val joinCond = keyColumns.map(k => col(k) === col(k + "_e")).reduce(_ && _) &&
-      col("dj_start_rank") === col("dj_end_rank") + 1 &&
-      gapCondition(col(endColumn), col(startColumn))
+      val joinCond = keyColumns.map(k => col(k) === col(k + "_e")).reduce(_ && _) &&
+        col("dj_start_rank") === col("dj_end_rank") + 1 &&
+        gapCondition(col(endColumn), col(startColumn))
 
-    startTable
-      .join(endTable, joinCond)
-      .select(keyColumns.map(col) :+ col(startColumn) :+ col(endColumn): _*)
+      startTable
+        .join(endTable, joinCond)
+        .select(keyColumns.map(col) :+ col(startColumn) :+ col(endColumn): _*)
+    } else {
+      // Keyless: one global timeline (reference `db_access.py:523-529` with
+      // an all-columns-consumed selection). Ranks come from the distributed
+      // bucket scheme (CumSum), not an unpartitioned window — no
+      // single-partition sort even when the boundary-point set is large.
+      val startTable = CumSum.withGlobalRank(
+        notInOtherInterval(sel, startColumn).select(col(startColumn)),
+        startColumn, "dj_start_rank")
+      val endTable = CumSum.withGlobalRank(
+        notInOtherInterval(sel, endColumn).select(col(endColumn)),
+        endColumn, "dj_end_rank")
+      startTable
+        .join(
+          endTable,
+          col("dj_start_rank") === col("dj_end_rank") + 1 &&
+            gapCondition(col(endColumn), col(startColumn)))
+        .select(col(startColumn), col(endColumn))
+    }
   }
 
   def gapResult(
@@ -199,10 +223,18 @@ object Intervals {
     val effectiveKeys =
       if (keyColumns.nonEmpty) keyColumns
       else ref.selection(spark).columns.toSeq.filterNot(c => c == startColumn || c == endColumn)
-    IntervalResult(
-      nViolationKeys = violations.select(effectiveKeys.map(col): _*).distinct().count(),
-      nDistinctKeys = distinctKeyCount(spark, ref, effectiveKeys),
-      violationSample = violations.head(1).headOption)
+    if (effectiveKeys.nonEmpty)
+      IntervalResult(
+        nViolationKeys = violations.select(effectiveKeys.map(col): _*).distinct().count(),
+        nDistinctKeys = distinctKeyCount(spark, ref, effectiveKeys),
+        violationSample = violations.head(1).headOption)
+    else
+      // Keyless: every gap pair is one violation on the single global
+      // timeline; the denominator is the distinct (start, end) row count.
+      IntervalResult(
+        nViolationKeys = violations.count(),
+        nDistinctKeys = distinctKeyCount(spark, ref, Seq.empty),
+        violationSample = violations.head(1).headOption)
   }
 
   /** Date gap condition: day difference strictly greater than the legitimate

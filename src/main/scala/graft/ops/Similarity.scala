@@ -148,6 +148,28 @@ object Similarity {
     * (tiny) centroid set — one corpus scan; the probe join is an equi-join
     * on cluster id. Candidate volume ≈ corpus · nProbe / nCentroids.
     */
+  /** Deterministic coarse-centroid candidates: a hash sample of ~2×
+    * `nCentroids` vectors, capped to `nCentroids` by ascending id.
+    *
+    * Scale shape: the sample predicate is a plain filter (scan-parallel, no
+    * shuffle) and the id cap is a TakeOrderedAndProject (distributed top-k) —
+    * never a `row_number` over an unpartitioned window, which would sort the
+    * whole corpus into one partition (`PlanSpec` pins this).
+    */
+  def ivfCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      corpusSize: Long): DataFrame = {
+    val step = math.max(1L, corpusSize / (2L * nCentroids))
+    vectors
+      .where(pmod(xxhash64(col(idCol)), lit(step)) === 0)
+      .sort(col(idCol))
+      .limit(nCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+  }
+
   def ivfTopK(
       vectors: DataFrame,
       queries: DataFrame,
@@ -156,19 +178,19 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
-    // deterministic coarse centroids: every (n/nCentroids)-th vector by id
-    // order (k-means would refine these; sampling is the seed step and keeps
-    // the whole pipeline deterministic)
+    // deterministic coarse centroids via hash sampling (k-means would refine
+    // these; sampling is the seed step and keeps the pipeline deterministic)
     val n = vectors.count()
-    val step = math.max(1L, n / nCentroids)
-    val centroids = vectors
-      .withColumn(
-        "dj_rank",
-        row_number().over(Window.orderBy(col(idCol))))
-      .where((col("dj_rank") - 1) % step === 0)
-      .limit(nCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-      .collect()
+    val sampled =
+      ivfCentroids(vectors, idCol, vecCol, nCentroids, n).collect()
+    val centroids =
+      if (sampled.nonEmpty) sampled
+      else // degenerate corpus (hash sample empty): first nCentroids by id
+        vectors
+          .sort(col(idCol))
+          .limit(nCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+          .collect()
     val centroidArr = array(centroids.map { r =>
       struct(
         lit(r.getLong(0)).as("cid"),

@@ -101,6 +101,58 @@ class IntervalSpec extends AnyFunSuite {
     assert(res.nDistinctKeys == 2)
   }
 
+  test("keyless no-gap: empty key list degrades to one global timeline") {
+    // selection projected to exactly start/end — the derived key list is
+    // empty, the user-facing default of addDateNoGapConstraint (reference
+    // db_access.py:523-529: `sa.and_()` of nothing is TRUE)
+    val r = DataRef(
+      FrameSource(gapDf, "date_table_gap_keyless"),
+      Some(Seq("date_start", "date_end")))
+    // merged timeline of gapDf has no uncovered gap: 01-01..01-10, 01-10..
+    // 01-20 etc. overlap into one covered span
+    val res = Intervals.gapResult(
+      spark, r, Seq.empty, "date_start", "date_end", Intervals.dateGapCondition(1.0))
+    assert(res.nViolationKeys == 0)
+    assert(res.nDistinctKeys == 5) // distinct (start, end) pairs
+
+    val c = NoGap(r, Seq.empty, "date_start", "date_end",
+      maxRelativeNViolations = 0.0, legitimateGapSize = 1.0, isDate = true)
+    assert(c.test(spark).outcome)
+  }
+
+  test("keyless no-gap detects a genuine global gap") {
+    val df = intervalDf(Seq(
+      (1, "2016-01-01", "2016-01-05"),
+      (2, "2016-01-10", "2016-01-20"))) // global gap of 5 days
+    val r = DataRef(
+      FrameSource(df, "date_table_global_gap"),
+      Some(Seq("date_start", "date_end")))
+    val res = Intervals.gapResult(
+      spark, r, Seq.empty, "date_start", "date_end", Intervals.dateGapCondition(1.0))
+    assert(res.nViolationKeys == 1)
+    assert(res.nDistinctKeys == 2)
+    assert(res.violationSample.isDefined)
+    // tolerated when the legitimate gap covers it
+    val ok = Intervals.gapResult(
+      spark, r, Seq.empty, "date_start", "date_end", Intervals.dateGapCondition(5.0))
+    assert(ok.nViolationKeys == 0)
+  }
+
+  test("keyless numeric no-gap via the builder default (was: empty.reduce crash)") {
+    val df = numIntervalDf(Seq(
+      (1, 1.0, 2.0), (2, 5.0, 6.0))) // global numeric gap of 3.0
+    val r = DataRef(
+      FrameSource(df, "float_table_gap_keyless"),
+      Some(Seq("range_start", "range_end")))
+    val res = Intervals.gapResult(
+      spark, r, Seq.empty, "range_start", "range_end",
+      Intervals.numericGapCondition(0.5))
+    assert(res.nViolationKeys == 1)
+    val c = NoGap(r, Seq.empty, "range_start", "range_end",
+      maxRelativeNViolations = 0.0, legitimateGapSize = 0.5, isDate = false)
+    assert(!c.test(spark).outcome)
+  }
+
   test("2-D overlap requires intersection in BOTH dimensions") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

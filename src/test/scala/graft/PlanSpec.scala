@@ -47,6 +47,18 @@ class PlanSpec extends AnyFunSuite {
       s"found ${globalWindows.size} unpartitioned window(s) — single-partition sort at scale")
   }
 
+  test("IVF centroid seeding is a hash sample + distributed top-k, no window") {
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = Similarity
+      .ivfCentroids(vectors, "vec_id", "embedding", 16, corpusSize = 1000000L)
+      .queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.isEmpty,
+      s"centroid seeding must not sort the corpus through a window:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"expected a distributed top-k for the id cap:\n$plan")
+  }
+
   test("row-count aggregate is a partial-final pair (map-side combine)") {
     val plan = spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag")).agg(count(lit(1)))
