@@ -3,7 +3,7 @@ package graft.constraints
 import org.apache.spark.sql.SparkSession
 
 import graft.core.{DataRef, TestResult}
-import graft.ops.{Ops, Stats}
+import graft.ops.Stats
 
 /** Two-sample Kolmogorov–Smirnov test (reference `constraints/stats.py:13-142`).
   *
@@ -18,13 +18,9 @@ final case class KolmogorovSmirnov2Sample(
     override val nameOverride: Option[String] = None)
     extends Constraint {
   override def test(spark: SparkSession): TestResult = {
-    val d = Stats.ks2Sample(spark, ref, ref2Required)
-    val n = Ops.rowCount(spark, ref.copy(condition =
-      graft.core.Condition.merge(ref.condition,
-        Some(graft.core.Condition.raw(s"${ref.column} IS NOT NULL")))))
-    val m = Ops.rowCount(spark, ref2Required.copy(condition =
-      graft.core.Condition.merge(ref2Required.condition,
-        Some(graft.core.Condition.raw(s"${ref2Required.column} IS NOT NULL")))))
+    // D and both non-null sample sizes come from the one fused cross-CDF
+    // pass (the separate row-count jobs of round 1 are folded in)
+    val (d, n, m) = Stats.ks2SampleWithCounts(spark, ref, ref2Required)
     if (math.min(n, m) < 35)
       System.err.println(
         "Warning: approximate p-value is not accurate enough below 35 samples.")

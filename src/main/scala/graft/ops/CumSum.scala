@@ -63,47 +63,75 @@ object CumSum {
       orderCol: String,
       valueCol: String,
       runningCol: String,
-      numBuckets: Int = 256): DataFrame = {
-    val spark = df.sparkSession
-    val key   = orderProxy(df, orderCol)
-    // 1. approximate, de-duplicated range boundaries
+      numBuckets: Int = 256): DataFrame =
+    withRunningSums(df, orderCol, Seq(valueCol), Seq(runningCol), numBuckets)._1
+
+  /** Running sums of SEVERAL value columns in one bucket pass, plus each
+    * column's grand total (free: the boundary-estimation aggregate computes
+    * them in the same job). The per-bucket local windows share one window
+    * spec, so Spark executes a single `WindowExec`; the per-bucket totals of
+    * all columns come back in one tiny collect.
+    *
+    * This is the fused kernel behind the cross-CDF/KS plan: two samples'
+    * counts cumulate in one pass instead of two `withRunningSum` invocations
+    * plus separate total jobs.
+    */
+  def withRunningSums(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[String],
+      runningCols: Seq[String],
+      numBuckets: Int = 256): (DataFrame, Seq[Long]) = {
+    require(valueCols.length == runningCols.length && valueCols.nonEmpty)
+    val key = orderProxy(df, orderCol)
+    // 1. one job: approximate range boundaries + every grand total
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
-    val boundariesRow = df
-      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(10000)))
-      .head()
-    if (boundariesRow.isNullAt(0)) {
-      // empty input: running sum column is just null-free zero rows
-      return df.withColumn(runningCol, lit(null).cast("double")).where(lit(false))
+    val aggs = percentile_approx(key, array(probs.map(lit): _*), lit(10000)) +:
+      valueCols.map(c => sum(col(c)))
+    val head = df.agg(aggs.head, aggs.tail: _*).head()
+    if (head.isNullAt(0)) {
+      // empty input: running sum columns are just null-free zero rows
+      val empty = runningCols
+        .foldLeft(df)((acc, c) => acc.withColumn(c, lit(null).cast("double")))
+        .where(lit(false))
+      return (empty, valueCols.map(_ => 0L))
     }
-    val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
+    val grandTotals =
+      valueCols.indices.map(i => head.getAs[Number](i + 1).longValue())
+    val boundaries = head.getSeq[Double](0).distinct.sorted
     // 2. bucket assignment: number of boundaries strictly below the key.
     //    Codegen'd binary search over the boundary literals; identical keys
     //    land in identical buckets by construction.
     val bucketed = df.withColumn(
       "dj_bucket", graft.functions.BucketIndex.bucketIndex(key, boundaries))
-    // 3. per-bucket local running sums (parallel windows)
+    // 3. per-bucket local running sums (parallel windows, one WindowExec)
     val wLocal = Window
       .partitionBy("dj_bucket")
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = bucketed.withColumn("dj_local", sum(col(valueCol)).over(wLocal))
-    // 4. exclusive bucket offsets via a tiny driver-side prefix sum
-    val totals = bucketed
+    val local = valueCols.zip(runningCols).foldLeft(bucketed) {
+      case (acc, (v, r)) => acc.withColumn(r, sum(col(v)).over(wLocal))
+    }
+    // 4. exclusive bucket offsets for all columns via one tiny collect
+    val totalAggs = valueCols.map(c => sum(col(c)).as(s"dj_total_$c"))
+    val totalsMap: Map[Int, Seq[Long]] = bucketed
       .groupBy("dj_bucket")
-      .agg(sum(col(valueCol)).as("dj_total"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
       .collect()
-      .map(r => r.getInt(0) -> r.getAs[Number]("dj_total").longValue())
+      .map(r =>
+        r.getInt(0) ->
+          valueCols.indices.map(i => r.getAs[Number](i + 1).longValue()))
       .toMap
-    val maxBucket = if (totals.isEmpty) 0 else totals.keys.max
-    val offsets = (0 to maxBucket).scanLeft(0L) { (acc, b) =>
-      acc + totals.getOrElse(b, 0L)
-    }.dropRight(1)
-    val offsetArr = array(offsets.map(lit): _*)
-    local
-      .withColumn(
-        runningCol,
-        element_at(offsetArr, col("dj_bucket") + 1) + col("dj_local"))
-      .drop("dj_bucket", "dj_local")
+    val maxBucket = if (totalsMap.isEmpty) 0 else totalsMap.keys.max
+    val out = valueCols.indices.foldLeft(local) { (acc, vi) =>
+      val r = runningCols(vi)
+      val offsets = (0 to maxBucket).scanLeft(0L) { (s, b) =>
+        s + totalsMap.get(b).map(_(vi)).getOrElse(0L)
+      }.dropRight(1)
+      val offsetArr = array(offsets.map(lit): _*)
+      acc.withColumn(r, element_at(offsetArr, col("dj_bucket") + 1) + col(r))
+    }
+    (out.drop("dj_bucket"), grandTotals)
   }
 
   /** Forward-fill `fillCols` over rows ordered by `orderCol` — the

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread a narrow projection across the cluster ONLY when the source
+    * arrives under-partitioned (a single small parquet file reads as one
+    * partition, serializing the per-row sketch work that follows). A
+    * well-partitioned 100 TB scan must NOT be round-robin-reshuffled — the
+    * full-corpus exchange would dwarf the sketch cost — hence the threshold
+    * rather than an unconditional `repartition`.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Character k-shingles of `text` as a distinct array. The text expression
     * is lambda-bound (Hof.bound) so expensive inputs (e.g. regex-normalized
     * text) evaluate once per row, not once per shingle position.
@@ -76,17 +88,30 @@ object Dedup {
   /** MinHash signature over a precomputed array of base shingle hashes:
     * h_i(x) = xxhash64(i, baseHash(x)) — one string hash per shingle total,
     * then `numHashes` cheap fixed-width long hashes (ANSI-safe: no wrapping
-    * arithmetic).
+    * arithmetic). Interpreted HOF form — the hot path uses the bit-identical
+    * codegen'd `graft.functions.MinHashSignature` (see `DedupSpec`'s
+    * equivalence pin); this declarative spelling remains as its oracle.
     */
-  def minhashSignature(baseHashesCol: Column, numHashes: Int): Column =
+  def minhashSignatureHof(baseHashesCol: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(baseHashesCol, h => xxhash64(lit(i), h)))
     }: _*)
 
-  /** Per-document shingles + MinHash signature. The base-hash array is
-    * cached so the string hashing runs exactly once per document even though
-    * the signature references it `numHashes` times (projection collapse
-    * would otherwise re-hash per reference).
+  /** Per-document sorted shingle-hash set + MinHash signature.
+    *
+    * The document is reduced to `shingle_hashes` = SORTED distinct
+    * `xxhash64` values of its shingles — the representation every downstream
+    * step wants: the signature is one codegen'd `MinHashSignature` pass (min
+    * is order-invariant), and exact Jaccard between two docs is a codegen'd
+    * two-pointer merge (`JaccardSortedLong`) instead of hash-set
+    * intersect/union over boxed strings. Identical results to the
+    * string-shingle spelling (the signature chain already keyed off
+    * `xxhash64(shingle)`; Jaccard over 64-bit hashes equals Jaccard over
+    * shingles up to vanishing collision probability).
+    *
+    * Shingling (regex normalize + substring explode) is the expensive step
+    * and runs once; the cached footprint is 8 bytes per shingle, not the
+    * shingle strings (10–50× the text at k=5 — the round-1 cache concern).
     */
   def minhashed(
       df: DataFrame,
@@ -94,18 +119,18 @@ object Dedup {
       idCol: String,
       shingleK: Int = 5,
       numHashes: Int = 64): DataFrame = {
-    val hashed = df
-      .select(col(idCol), col(textCol))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val shingled = spread(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol),
         charShingles(TextAnalysis.normalize(col(textCol)), shingleK).as("shingles"))
       .where(size(col("shingles")) > 0)
-      .withColumn("dj_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .select(
+        col(idCol),
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("shingle_hashes"))
       .cache()
-    hashed
-      .withColumn("signature", minhashSignature(col("dj_hashes"), numHashes))
-      .drop("dj_hashes")
+    shingled.withColumn(
+      "signature",
+      graft.functions.MinHashSignature.minhashSignature(col("shingle_hashes"), numHashes))
   }
 
   /** LSH banding: explode the signature into `bands` band keys
@@ -158,30 +183,30 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    val signed     = minhashed(df, textCol, idCol, shingleK, numHashes).cache()
+    // minhashed caches the sorted shingle-hash arrays; the signature
+    // recomputes from the cached arrays in one codegen'd pass per use —
+    // cheaper than doubling the cached footprint with a second
+    // materialization
+    val signed     = minhashed(df, textCol, idCol, shingleK, numHashes)
     val candidates = lshCandidatePairs(lshBuckets(signed, idCol, bands), idCol)
-    val sides      = signed.select(col(idCol), col("shingles"), col("signature"))
+    val sides      = signed.select(col(idCol), col("shingle_hashes"), col("signature"))
     // Signature-agreement prefilter: E[matching fraction] = Jaccard with
     // σ = sqrt(j(1-j)/numHashes) ≈ 0.06 at 64 hashes, so a 0.25 margin below
     // the threshold keeps true pairs with ~4σ headroom while discarding the
-    // low-similarity bulk BEFORE the expensive exact set intersection.
+    // low-similarity bulk BEFORE the exact set intersection.
     val estCutoff = math.max(0.0, threshold - 0.25)
+    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
     candidates
       .join(
-        sides.select(col(idCol).as("id1"), col("shingles").as("sh1"), col("signature").as("sig1")),
+        sides.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"),
+          col("signature").as("sig1")),
         "id1")
       .join(
-        sides.select(col(idCol).as("id2"), col("shingles").as("sh2"), col("signature").as("sig2")),
+        sides.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"),
+          col("signature").as("sig2")),
         "id2")
-      .withColumn(
-        "dj_est",
-        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
-          .cast("double") / numHashes)
-      .where(col("dj_est") >= estCutoff)
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+      .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
+      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -209,12 +234,17 @@ object Dedup {
       coarseK: Int = 24,
       coarseStride: Int = 4,
       maxShingleDf: Int = 20): DataFrame = {
-    val sh = df
-      .select(col(idCol), col(textCol))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sh = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.normalize(col(textCol)).as("dj_norm"))
       .withColumn("shingles", charShingles(col("dj_norm"), shingleK))
       .where(size(col("shingles")) > 0)
+      // exact-Jaccard verification runs on sorted 64-bit shingle hashes
+      // (codegen'd two-pointer merge, see minhashed) — the strings are only
+      // needed for the coarse candidate keys
+      .withColumn(
+        "shingle_hashes",
+        sort_array(transform(col("shingles"), s => xxhash64(s))))
+      .drop("shingles")
       .cache()
     val coarse = sh.select(
       col(idCol),
@@ -233,15 +263,14 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    val s1 = sh.select(col(idCol).as("id1"), col("shingles").as("sh1"))
-    val s2 = sh.select(col(idCol).as("id2"), col("shingles").as("sh2"))
+    val s1 = sh.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"))
+    val s2 = sh.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"))
     candidates
       .join(s1, "id1")
       .join(s2, "id2")
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
-          size(array_union(col("sh1"), col("sh2"))))
+        graft.functions.LongArraySim.jaccardSorted(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -279,9 +308,7 @@ object Dedup {
     // explode tokens and build the 64 per-bit vote sums as one codegen'd
     // HashAggregate (shuffle on id) — far faster than per-row interpreted
     // HOF aggregation, and the same plan scales to any corpus size
-    val tokenHashes = df
-      .select(col(idCol), col(textCol))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val tokenHashes = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("dj_tok"))
       .select(col(idCol), xxhash64(col("dj_tok")).as("dj_h"))
     val bitVotes = (0 until 64).map { b =>

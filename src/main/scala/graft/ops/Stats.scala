@@ -32,16 +32,14 @@ object Stats {
       .select(col(ref.column).as(valueLabel))
       .groupBy(valueLabel)
       .agg(count(lit(1)).as("dj_cnt"))
-      .cache() // feeds boundary estimation, bucketing, and the total
+      .cache() // feeds boundary estimation and bucketing
     // distributed prefix sum over the distinct values (no single-partition
-    // window; see CumSum) + broadcast scalar total
-    val running = CumSum.withRunningSum(counts, valueLabel, "dj_cnt", "dj_running")
-    val total   = counts.agg(sum(col("dj_cnt")).as("dj_total"))
-    running
-      .crossJoin(broadcast(total))
-      .select(
-        col(valueLabel),
-        (col("dj_running").cast("double") / col("dj_total")).as(cdfLabel))
+    // window; see CumSum); the sample total rides along in the boundary job
+    val (running, totals) =
+      CumSum.withRunningSums(counts, valueLabel, Seq("dj_cnt"), Seq("dj_running"))
+    running.select(
+      col(valueLabel),
+      (col("dj_running").cast("double") / totals.head.toDouble).as(cdfLabel))
   }
 
   /** Align two empirical CDFs on the value axis
@@ -52,46 +50,76 @@ object Stats {
     * Leading NULLs (values seen only in the other sample before this sample's
     * first value) coalesce to 0.
     */
+  /** Fused cross-CDF: both samples' CDFs aligned on the union value axis,
+    * plus both sample sizes — ONE pass.
+    *
+    * The round-1 plan ran two `cdfSelection`s, a full-outer join, a
+    * three-job distributed forward fill, and two extra row counts. All of
+    * that collapses: tag each sample with a 0/1 weight pair, union, and
+    * `groupBy(value)` — one shuffle yields (value, cnt1, cnt2) already
+    * "joined"; the running sums of cnt1/cnt2 over the union axis ARE the
+    * forward-filled CDFs (a value missing from one sample contributes 0, so
+    * its running sum simply carries the previous value — no fill step), and
+    * the sample totals ride along in the boundary-estimation job
+    * (`CumSum.withRunningSums`). Rows with NULL values are excluded, as in
+    * the reference's sample counts.
+    */
+  def crossCdfWithCounts(
+      spark: SparkSession,
+      ref1: DataRef,
+      ref2: DataRef,
+      valueLabel: String,
+      cdfLabel: String): (DataFrame, Long, Long) = {
+    def side(r: DataRef, first: Boolean) = r
+      .selection(spark)
+      .select(
+        col(r.column).as(valueLabel),
+        lit(if (first) 1L else 0L).as("dj_w1"),
+        lit(if (first) 0L else 1L).as("dj_w2"))
+      .where(col(valueLabel).isNotNull)
+    val counts = side(ref1, first = true)
+      .unionAll(side(ref2, first = false))
+      .groupBy(valueLabel)
+      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+      .cache() // feeds boundary estimation and bucketing
+    val (running, totals) = CumSum.withRunningSums(
+      counts, valueLabel, Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
+    val (n, m) = (totals(0), totals(1))
+    val cross = running.select(
+      col(valueLabel),
+      (col("dj_run1").cast("double") / n.toDouble).as(cdfLabel + "1"),
+      (col("dj_run2").cast("double") / m.toDouble).as(cdfLabel + "2"))
+    (cross, n, m)
+  }
+
+  /** Align two empirical CDFs on the value axis
+    * (reference `_cross_cdf_selection`, `db_access.py:1194-1280`).
+    */
   def crossCdf(
       spark: SparkSession,
       ref1: DataRef,
       ref2: DataRef,
       valueLabel: String,
-      cdfLabel: String): DataFrame = {
-    val cdf1 = cdfSelection(spark, ref1, valueLabel, cdfLabel + "1")
-      .withColumnRenamed(valueLabel, valueLabel + "_1")
-    val cdf2 = cdfSelection(spark, ref2, valueLabel, cdfLabel + "2")
-      .withColumnRenamed(valueLabel, valueLabel + "_2")
-    val joined = cdf1.join(
-      cdf2,
-      col(valueLabel + "_1") === col(valueLabel + "_2"),
-      "full_outer")
-    val aligned = joined
-      .select(
-        coalesce(col(valueLabel + "_1"), col(valueLabel + "_2")).as(valueLabel),
-        col(cdfLabel + "1"),
-        col(cdfLabel + "2"))
-      .cache() // feeds boundary estimation, per-bucket carries, and the fill
-    // distributed forward fill along the value axis (see CumSum), leading
-    // NULLs (values seen only in the other sample first) → 0
-    CumSum
-      .withForwardFill(aligned, valueLabel, Seq(cdfLabel + "1", cdfLabel + "2"))
-      .select(
-        col(valueLabel),
-        coalesce(col(cdfLabel + "1"), lit(0.0)).as(cdfLabel + "1"),
-        coalesce(col(cdfLabel + "2"), lit(0.0)).as(cdfLabel + "2"))
-  }
+      cdfLabel: String): DataFrame =
+    crossCdfWithCounts(spark, ref1, ref2, valueLabel, cdfLabel)._1
 
-  /** Two-sample KS D statistic: max |cdf1 - cdf2|
-    * (reference `get_ks_2sample`, `db_access.py:1283-1315`).
+  /** Two-sample KS D statistic with both sample sizes
+    * (reference `get_ks_2sample`, `db_access.py:1283-1315`): max |cdf1-cdf2|
+    * over the fused cross-CDF; n and m are free from the same computation.
     */
-  def ks2Sample(spark: SparkSession, ref1: DataRef, ref2: DataRef): Double = {
-    val cross = crossCdf(spark, ref1, ref2, "val", "cdf")
-    val row   = cross.agg(max(abs(col("cdf1") - col("cdf2")))).head()
+  def ks2SampleWithCounts(
+      spark: SparkSession,
+      ref1: DataRef,
+      ref2: DataRef): (Double, Long, Long) = {
+    val (cross, n, m) = crossCdfWithCounts(spark, ref1, ref2, "val", "cdf")
+    val row = cross.agg(max(abs(col("cdf1") - col("cdf2")))).head()
     if (row.isNullAt(0))
       throw new IllegalArgumentException("Could not compute d statistic.")
-    row.getDouble(0)
+    (row.getDouble(0), n, m)
   }
+
+  def ks2Sample(spark: SparkSession, ref1: DataRef, ref2: DataRef): Double =
+    ks2SampleWithCounts(spark, ref1, ref2)._1
 
   /** Acceptance check at significance level alpha
     * (reference `constraints/stats.py:56-75`):

@@ -25,6 +25,22 @@ object Probe {
     val cands = graft.ops.Dedup.lshCandidatePairs(buckets, "doc_id")
     val nc = time("candidates count")(cands.count())
     println(s"[probe] n candidates = $nc")
+    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
+    val sides = signed.select(col("doc_id"), col("shingle_hashes"), col("signature"))
+    val joined = cands
+      .join(sides.select(col("doc_id").as("id1"), col("shingle_hashes").as("sh1"),
+        col("signature").as("sig1")), "id1")
+      .join(sides.select(col("doc_id").as("id2"), col("shingle_hashes").as("sh2"),
+        col("signature").as("sig2")), "id2")
+    time("verification join only")(joined.count())
+    val withEst = joined
+      .where(matchingFraction(col("sig1"), col("sig2")) >= 0.35)
+    val ne = time("est prefilter")(withEst.count())
+    println(s"[probe] n est survivors = $ne")
+    val jac = withEst
+      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= 0.6)
+    time("exact jaccard on survivors")(jac.count())
     val full = graft.ops.Dedup.minhashNearDups(df, "text", "doc_id")
     time("full minhashNearDups")(full.count())
     val nj = graft.ops.Dedup.ngramJaccardPairs(df, "text", "doc_id")

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.MinHashSignature.minhashSignature
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Native codegen'd MinHash signature: bit-identical to the declarative
+  * HOF spelling (`xxhash64(s)` per shingle, `xxhash64(i, h)` per function),
+  * and present inside a codegen'd projection.
+  */
+class MinHashSignatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def shingled = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .limit(100)
+    .select(
+      col("doc_id"),
+      Dedup.charShingles(TextAnalysis.normalize(col("text")), 5).as("shingles"))
+    .where(size(col("shingles")) > 0)
+
+  test("native signature equals the HOF spelling bit-for-bit") {
+    val rows = shingled
+      .withColumn("hashes", transform(col("shingles"), s => xxhash64(s)))
+      .select(
+        minhashSignature(col("shingles"), 64).as("native"),
+        Dedup.minhashSignatureHof(col("hashes"), 64).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("sorted-hash-array input equals string input (order-invariant min)") {
+    val rows = shingled
+      .select(
+        minhashSignature(col("shingles"), 64).as("fromStrings"),
+        minhashSignature(
+          sort_array(transform(col("shingles"), s => xxhash64(s))), 64)
+          .as("fromHashes"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("type check rejects non-string, non-long arrays") {
+    val df = spark.range(1).select(array(lit(1.5), lit(2.5)).as("a"))
+    val e = intercept[Exception](df.select(minhashSignature(col("a"), 8)).head())
+    assert(e.getMessage.toLowerCase.contains("minhash_signature") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
+  test("jaccardSorted equals array_intersect/array_union jaccard") {
+    import graft.functions.LongArraySim.jaccardSorted
+    val hashed = shingled
+      .select(col("doc_id"),
+        sort_array(transform(col("shingles"), s => xxhash64(s))).as("h"))
+    val pairs = hashed.as("a").join(hashed.as("b"),
+        col("a.doc_id") < col("b.doc_id")).limit(300)
+      .select(
+        jaccardSorted(col("a.h"), col("b.h")).as("native"),
+        (size(array_intersect(col("a.h"), col("b.h"))).cast("double") /
+          size(array_union(col("a.h"), col("b.h")))).as("declarative"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("matchingFraction equals the zip_with agreement fraction") {
+    import graft.functions.LongArraySim.matchingFraction
+    val sigs = shingled.select(minhashSignature(col("shingles"), 64).as("sig"))
+    val pairs = sigs.as("a").crossJoin(sigs.as("b")).limit(300)
+      .select(
+        matchingFraction(col("a.sig"), col("b.sig")).as("native"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          v => v)).cast("double") / 64).as("declarative"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("expression participates in whole-stage codegen") {
+    val plan = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        Dedup.charShingles(TextAnalysis.normalize(col("text")), 5).as("shingles"))
+      .select(minhashSignature(col("shingles"), 64).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_signature"), plan)
+    assert(plan.contains("*"), s"no WholeStageCodegen span:\n$plan")
+  }
+}
