@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.SparkSession
 
-import graft.core.{DataRef, TestResult}
+import graft.core.{DataRef, PlanCapture, TestResult}
 
 /** A tolerance that may be derived at test time (e.g. from date-range growth
   * between two sources) — reference `_ToleranceGetter`
@@ -26,7 +26,27 @@ abstract class Constraint {
   def ref: DataRef
   def nameOverride: Option[String] = None
 
+  /** Retrieval-cache control (reference `base.py`'s `cache_size`,
+    * `lru_cache(self._cache_size)`): `None` caches indefinitely; `Some(0)`
+    * disables caching so every `test` re-retrieves — the memory valve for
+    * many memory-intensive constraints tested in sequence
+    * (`test_integration.py:1082-1168`).
+    */
+  def cacheSize: Option[Int] = None
+
+  protected final def cachingDisabled: Boolean = cacheSize.contains(0)
+
   def name: String = nameOverride.getOrElse(getClass.getSimpleName.stripSuffix("$"))
+
+  /** Run a custom `test` body under plan capture and attach the retrieval
+    * plans to a failing result (reference `base.py:256-293` attaches the
+    * compiled selections). Constraints overriding `test` wrap their body.
+    */
+  protected final def withPlans(body: => TestResult): TestResult = {
+    val (res, plans) = PlanCapture.capturing(body)
+    if (res.outcome || plans.isEmpty || res.factualQueries.nonEmpty) res
+    else res.copy(factualQueries = plans)
+  }
 
   /** Test id, mirroring the reference's `ClassName::datasource` convention
     * (`base.py:204-217`).
@@ -51,16 +71,31 @@ abstract class ValueConstraint[A] extends Constraint {
     ref2.isDefined != refValue.isDefined,
     s"Exactly one of ref2 and refValue must be given for $name (ref2=$ref2, refValue=$refValue)")
 
-  private val memo = TrieMap.empty[(Int, Boolean), A]
+  // memoizes the retrieved value together with the plans of the selections
+  // the retrieval touched, so a later failing test() can still render them
+  private val memo = TrieMap.empty[(Int, Boolean), (A, Seq[String])]
 
   protected def retrieve(spark: SparkSession, r: DataRef): A
 
+  private def retrieveMemo(spark: SparkSession, isFactual: Boolean): (A, Seq[String]) = {
+    val r = if (isFactual) ref else ref2.get
+    def run = PlanCapture.capturing(retrieve(spark, r))
+    if (cachingDisabled) run
+    else memo.getOrElseUpdate((System.identityHashCode(spark), isFactual), run)
+  }
+
   protected final def factual(spark: SparkSession): A =
-    memo.getOrElseUpdate((System.identityHashCode(spark), true), retrieve(spark, ref))
+    retrieveMemo(spark, isFactual = true)._1
 
   protected final def target(spark: SparkSession): A =
-    refValue.getOrElse(
-      memo.getOrElseUpdate((System.identityHashCode(spark), false), retrieve(spark, ref2.get)))
+    refValue.getOrElse(retrieveMemo(spark, isFactual = false)._1)
+
+  /** Plans of the factual retrieval (populated once `factual` has run). */
+  protected final def factualPlans(spark: SparkSession): Seq[String] =
+    memo.get((System.identityHashCode(spark), true)).map(_._2).getOrElse(Seq.empty)
+
+  protected final def targetPlans(spark: SparkSession): Seq[String] =
+    memo.get((System.identityHashCode(spark), false)).map(_._2).getOrElse(Seq.empty)
 
   protected final def targetPrefix: String =
     ref2.map(r => s"${r.describe}'s ").getOrElse("")
@@ -69,13 +104,71 @@ abstract class ValueConstraint[A] extends Constraint {
   protected def compare(factual: A, target: A): (Boolean, Option[String])
 
   override def test(spark: SparkSession): TestResult = {
-    val (ok, msg) = compare(factual(spark), target(spark))
+    val (f, fPlans) = retrieveMemo(spark, isFactual = true)
+    val (t, tPlans) = refValue
+      .map(v => (v, Seq.empty[String]))
+      .getOrElse(retrieveMemo(spark, isFactual = false))
+    val (ok, msg) = compare(f, t)
     if (ok) TestResult.success(description)
-    else TestResult.failure(description, msg.getOrElse("(no details)"))
+    else
+      TestResult.failure(description, msg.getOrElse("(no details)"), fPlans, tPlans)
   }
 }
 
 object formatting {
+
+  /** User-pluggable post-processing of a displayed collection (+ optional
+    * counts) before it is rendered into a failure message — the reference's
+    * `OutputProcessor` protocol (`utils.py:54-122`; accepted by constraint
+    * constructors via `output_processors`, `base.py:121-158`). Processors
+    * chain left to right; display elements become strings at this point so a
+    * truncation sentinel can ride along as the last element.
+    */
+  type OutputProcessor = (Seq[Any], Option[Seq[Any]]) => (Seq[Any], Option[Seq[Any]])
+
+  /** Reference `output_processor_limit` (`utils.py:98-122`): keep the first
+    * `limit` elements and append a sentinel describing the truncation (to
+    * both the values and the counts).
+    */
+  def processorLimit(limit: Int = 100): OutputProcessor = (values, counts) => {
+    if (values.sizeIs <= limit) (values, counts)
+    else {
+      val sentinel =
+        (what: String) =>
+          s"<SHORTENED OUTPUT, displaying the first $limit / ${values.size} $what above>"
+      (values.take(limit) :+ sentinel("elements"),
+        counts.map(_.take(limit) :+ sentinel("counts")))
+    }
+  }
+
+  /** Reference `output_processor_sort` (`utils.py:63-95`): descending count,
+    * ties by ascending value string; without counts, plain ascending sort.
+    */
+  val processorSort: OutputProcessor = (values, counts) => {
+    def num(n: Any): Double = n match {
+      case x: Number => x.doubleValue()
+      case other =>
+        try String.valueOf(other).toDouble
+        catch { case _: NumberFormatException => Double.NegativeInfinity }
+    }
+    counts match {
+      case Some(c) =>
+        val sorted = values.zip(c).sortBy { case (v, n) => (-num(n), String.valueOf(v)) }
+        (sorted.map(_._1), Some(sorted.map(_._2)))
+      case None => (values.sortBy(String.valueOf(_)), None)
+    }
+  }
+
+  val defaultProcessors: Seq[OutputProcessor] = Seq(processorLimit())
+
+  /** Chain processors over (values, counts) and render the values
+    * (reference `_apply_output_formatting`, `base.py:295-299`).
+    */
+  def applyProcessors(
+      processors: Seq[OutputProcessor],
+      values: Seq[Any],
+      counts: Option[Seq[Any]] = None): (Seq[Any], Option[Seq[Any]]) =
+    processors.foldLeft((values, counts)) { case ((v, c), p) => p(v, c) }
 
   /** Bound a displayed collection (reference `output_processor_limit`,
     * `utils.py:98-122`, default 100).

@@ -82,7 +82,7 @@ final case class ColumnType(
     Seq(ref2.isDefined, expectedTypeString.isDefined, expectedType.isDefined).count(identity) == 1,
     "Exactly one of ref2, expectedTypeString, expectedType must be given.")
 
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val factual = Ops.getColumnType(spark, ref)
     val (ok, targetDescription) = (ref2, expectedTypeString, expectedType) match {
       case (Some(r2), _, _) =>

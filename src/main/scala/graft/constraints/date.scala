@@ -95,7 +95,7 @@ final case class DateBetween(
     upperBound: String,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val lo = s"DATE'${dates.parseInput(lowerBound)}'"
     val hi = s"DATE'${dates.parseInput(upperBound)}'"
     Ops.getFractionBetween(spark, ref, lo, hi) match {

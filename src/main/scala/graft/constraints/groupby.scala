@@ -22,7 +22,7 @@ final case class AggregateNumericRangeEquality(
     outputLimit: Int = 100,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val agg       = Ops.columnArrayAgg(spark, ref, aggregationColumn)
     val groupCols = ref.columnsOrEmpty
     // missing-from-range per reference: set(range(start, max(values)+start)) - set(values).

@@ -31,7 +31,7 @@ sealed abstract class IntervalConstraint extends Constraint {
     */
   protected def violationPhrase: String
 
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val res = retrieveResult(spark)
     if (res.nDistinctKeys == 0) return TestResult.success(description)
     val fraction = res.nViolationKeys.toDouble / res.nDistinctKeys

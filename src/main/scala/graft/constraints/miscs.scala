@@ -17,7 +17,7 @@ final case class PrimaryKeyDefinition(
     primaryKeys: Seq[String],
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val factual = graft.core.PrimaryKeys.of(spark, ref.source) match {
       case Some(pks) => pks.toSet
       case None =>
@@ -52,7 +52,7 @@ final case class Uniqueness(
     maxDuplicateFraction == 0 || maxAbsoluteNDuplicates == 0,
     "Only use one of a relative and an absolute uniqueness tolerance at a time.")
 
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val effectiveRef =
       if (inferPkColumns)
         graft.core.PrimaryKeys.of(spark, ref.source) match {
@@ -87,7 +87,7 @@ final case class FunctionalDependency(
     outputLimit: Int = 100,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     // Bounded collect: only the first `outputLimit`+1 violating tuples leave
     // the executors — the constraint outcome needs existence, the message
     // needs at most `outputLimit` examples (SURVEY §4: limit-before-collect).

@@ -66,7 +66,7 @@ final case class NRowsMaxLoss(
   override def refValue: Option[Long] = None
   override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
     throw new UnsupportedOperationException("uses testWithTolerance")
-  override def test(spark: SparkSession): graft.core.TestResult = {
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
     val maxLoss = maxRelativeLossGetter(spark)
     val f       = factual(spark)
     val t       = target(spark)
@@ -94,7 +94,7 @@ final case class NRowsMaxGain(
   override def refValue: Option[Long] = None
   override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
     throw new UnsupportedOperationException("uses testWithTolerance")
-  override def test(spark: SparkSession): graft.core.TestResult = {
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
     val maxGain = maxRelativeGainGetter(spark)
     val f       = factual(spark)
     val t       = target(spark)
@@ -122,7 +122,7 @@ final case class NRowsMinGain(
   override def refValue: Option[Long] = None
   override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
     throw new UnsupportedOperationException("uses testWithTolerance")
-  override def test(spark: SparkSession): graft.core.TestResult = {
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
     val minGain = minRelativeGainGetter(spark)
     val f       = factual(spark)
     val t       = target(spark)

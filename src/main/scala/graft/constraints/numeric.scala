@@ -62,7 +62,7 @@ final case class NumericBetween(
     upperBound: Double,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult =
+  override def test(spark: SparkSession): TestResult = withPlans {
     Ops.getFractionBetween(spark, ref, lowerBound.toString, upperBound.toString) match {
       case None => TestResult.success(description) // empty selection
       case Some(f) if f >= minFraction => TestResult.success(description)
@@ -72,6 +72,7 @@ final case class NumericBetween(
           s"${ref.describe} has $f < $minFraction of rows between $lowerBound and " +
             s"$upperBound. $conditionString")
     }
+  }
 }
 
 /** |mean - target| <= maxAbsoluteDeviation (reference `numeric.py:132-180`). */

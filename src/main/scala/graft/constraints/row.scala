@@ -22,7 +22,7 @@ final case class RowEquality(
     maxMissingFractionGetter: ToleranceGetter,
     override val nameOverride: Option[String] = None)
     extends RowConstraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val maxMissing   = maxMissingFractionGetter(spark)
     val missingLeft  = Ops.getRowDifferenceCount(spark, ref, ref2Required)
     val missingRight = Ops.getRowDifferenceCount(spark, ref2Required, ref)
@@ -49,7 +49,7 @@ final case class RowSubset(
     maxMissingFractionGetter: ToleranceGetter,
     override val nameOverride: Option[String] = None)
     extends RowConstraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val maxMissing = maxMissingFractionGetter(spark)
     val missing    = Ops.getRowDifferenceCount(spark, ref, ref2Required)
     val total      = Ops.getUniqueCount(spark, ref)
@@ -74,7 +74,7 @@ final case class RowSuperset(
     maxMissingFractionGetter: ToleranceGetter,
     override val nameOverride: Option[String] = None)
     extends RowConstraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val maxMissing = maxMissingFractionGetter(spark)
     val missing    = Ops.getRowDifferenceCount(spark, ref2Required, ref)
     val total      = Ops.getUniqueCount(spark, ref2Required)
@@ -105,7 +105,7 @@ final case class RowMatchingEquality(
     maxMissingFractionGetter: ToleranceGetter,
     override val nameOverride: Option[String] = None)
     extends RowConstraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val mc = Ops.MatchAndCompare(
       matchingColumns1, matchingColumns2, comparisonColumns1, comparisonColumns2)
     val (missingFraction, nRowsMatch) = Ops.getRowMismatch(spark, ref, ref2Required, mc)

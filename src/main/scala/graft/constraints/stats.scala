@@ -17,7 +17,7 @@ final case class KolmogorovSmirnov2Sample(
     significanceLevel: Double = 0.05,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     // D and both non-null sample sizes come from the one fused cross-CDF
     // pass (the separate row-count jobs of round 1 are folded in)
     val (d, n, m) = Stats.ks2SampleWithCounts(spark, ref, ref2Required)

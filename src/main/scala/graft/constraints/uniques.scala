@@ -44,6 +44,15 @@ sealed abstract class Uniques extends Constraint {
   def maxRelativeViolations: Double
   def outputLimit: Int
 
+  /** Pluggable display post-processing (reference `output_processors`,
+    * `base.py:121-158`); defaults to the reference's limit processor bound
+    * at `outputLimit`.
+    */
+  def outputProcessors: Option[Seq[formatting.OutputProcessor]] = None
+
+  private def effectiveProcessors: Seq[formatting.OutputProcessor] =
+    outputProcessors.getOrElse(Seq(formatting.processorLimit(outputLimit)))
+
   require(
     ref2.isDefined != uniquesLiteral.isDefined,
     s"Exactly one of ref2 and uniques must be given for $name")
@@ -62,14 +71,38 @@ sealed abstract class Uniques extends Constraint {
     (values, counts)
   }
 
+  // memoized per session, unless the user disabled the cache (cacheSize=0 —
+  // reference lru_cache(0) semantics, pinned by test_integration.py:1082)
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Boolean), (Seq[Any], Seq[Long])]
+
   protected final def factualUniques(spark: SparkSession): (Seq[Any], Seq[Long]) =
-    retrieveUniques(spark, ref)
+    if (cachingDisabled) retrieveUniques(spark, ref)
+    else memo.getOrElseUpdate(
+      (System.identityHashCode(spark), true), retrieveUniques(spark, ref))
 
   protected final def targetUniques(spark: SparkSession): (Seq[Any], Seq[Long]) =
-    uniquesLiteral.map(u => (u, Seq.empty[Long])).getOrElse(retrieveUniques(spark, ref2.get))
+    uniquesLiteral.map(u => (u, Seq.empty[Long])).getOrElse {
+      if (cachingDisabled) retrieveUniques(spark, ref2.get)
+      else memo.getOrElseUpdate(
+        (System.identityHashCode(spark), false), retrieveUniques(spark, ref2.get))
+    }
 
   protected final def fmt(values: Iterable[Any]): String =
-    formatting.limited(values, outputLimit)
+    formatting
+      .applyProcessors(effectiveProcessors, values.toSeq)._1
+      .mkString(", ")
+
+  /** Joint display of values and their counts through the processor chain
+    * (sort/limit act on both in lockstep, reference `utils.py:63-122`).
+    */
+  protected final def fmtWithCounts(
+      values: Seq[Any],
+      counts: Seq[Any]): (String, String) = {
+    val (v, c) =
+      formatting.applyProcessors(effectiveProcessors, values, Some(counts))
+    (v.mkString(", "), c.getOrElse(Seq.empty).mkString(", "))
+  }
 }
 
 /** Set equality with excess/lacking reporting (reference `uniques.py:168-211`). */
@@ -81,10 +114,12 @@ final case class UniquesEquality(
     mapFunc: Option[Any => Any] = None,
     reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
     outputLimit: Int = 100,
+    override val outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+    override val cacheSize: Option[Int] = None,
     override val nameOverride: Option[String] = None)
     extends Uniques {
   override def maxRelativeViolations: Double = 0.0
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val factual = factualUniques(spark)._1.toSet
     val target  = targetUniques(spark)._1.toSet
     val excess  = factual -- target
@@ -122,9 +157,11 @@ final case class UniquesSubset(
     mapFunc: Option[Any => Any] = None,
     reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
     outputLimit: Int = 100,
+    override val outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+    override val cacheSize: Option[Int] = None,
     override val nameOverride: Option[String] = None)
     extends Uniques {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val (values, counts) = factualUniques(spark)
     val target           = targetUniques(spark)._1.toSet
     val remainder: Seq[(Any, Long)] = values
@@ -139,11 +176,15 @@ final case class UniquesSubset(
     else
       TestResult.failure(
         description,
-        s"${ref.describe} has a fraction of $relative > $maxRelativeViolations " +
-          s"${if (compareDistinct) "DISTINCT " else ""}values ($nViolations / $nRows) not " +
-          s"being an element of '${fmt(target)}'. It has excess elements " +
-          s"'${fmt(remainder.map(_._1))}' with counts ${fmt(remainder.map(_._2))}." +
-          conditionString)
+        {
+          val (excessStr, countsStr) =
+            fmtWithCounts(remainder.map(_._1), remainder.map(_._2))
+          s"${ref.describe} has a fraction of $relative > $maxRelativeViolations " +
+            s"${if (compareDistinct) "DISTINCT " else ""}values ($nViolations / $nRows) not " +
+            s"being an element of '${fmt(target)}'. It has excess elements " +
+            s"'$excessStr' with counts $countsStr." +
+            conditionString
+        })
   }
 }
 
@@ -157,9 +198,11 @@ final case class UniquesSuperset(
     mapFunc: Option[Any => Any] = None,
     reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
     outputLimit: Int = 100,
+    override val outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+    override val cacheSize: Option[Int] = None,
     override val nameOverride: Option[String] = None)
     extends Uniques {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val factual = factualUniques(spark)._1
     val target  = targetUniques(spark)._1
     val remainder = target.toSet -- factual.toSet
@@ -206,7 +249,7 @@ final case class NUniquesMaxLoss(
   override def refValue: Option[Long] = None
   override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
     throw new UnsupportedOperationException
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val maxLoss = maxRelativeLossGetter(spark)
     val f       = factual(spark)
     val t       = target(spark)
@@ -232,7 +275,7 @@ final case class NUniquesMaxGain(
   override def refValue: Option[Long] = None
   override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
     throw new UnsupportedOperationException
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val maxGain = maxRelativeGainGetter(spark)
     val f       = factual(spark)
     val t       = target(spark)
@@ -258,7 +301,7 @@ final case class CategoricalBound(
     maxRelativeViolations: Double = 0.0,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val counter: Map[Any, Long] = Ops.getUniques(spark, ref).map {
       case (Seq(single), c) => (single: Any) -> c
       case (tuple, c)       => (tuple: Any) -> c

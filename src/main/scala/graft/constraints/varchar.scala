@@ -18,7 +18,7 @@ final case class VarCharRegexDb(
     nCounterexamples: Int = 5,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val (nViolations, counterexamples) =
       Ops.getRegexViolations(spark, ref, aggregated, regex, nCounterexamples)
     val nRows =
@@ -53,7 +53,7 @@ final case class VarCharRegex(
     nCounterexamples: Int = 5,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = {
+  override def test(spark: SparkSession): TestResult = withPlans {
     val uniques: Map[Seq[Any], Long] = Ops.getUniques(spark, ref)
     val hasNull = uniques.keys.exists(_.headOption.orNull == null)
     if (!allowNone && hasNull)

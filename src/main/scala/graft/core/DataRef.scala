@@ -21,7 +21,9 @@ final case class DataRef(
   def selection(spark: SparkSession): DataFrame = {
     val base     = source.df(spark)
     val filtered = condition.fold(base)(c => base.where(expr(c.render)))
-    columns.fold(filtered)(cs => filtered.select(cs.map(col): _*))
+    val sel      = columns.fold(filtered)(cs => filtered.select(cs.map(col): _*))
+    PlanCapture.record(sel)
+    sel
   }
 
   /** The single relevant column; operators over one column call this. */

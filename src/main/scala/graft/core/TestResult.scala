@@ -19,7 +19,10 @@ final case class TestResult(
       val fq =
         if (factualQueries.isEmpty) ""
         else factualQueries.mkString("\nFactual plan(s):\n", "\n---\n", "")
-      s"FAIL: $constraintDescription\n${failureMessage.getOrElse("")}$fq"
+      val tq =
+        if (targetQueries.isEmpty) ""
+        else targetQueries.mkString("\nTarget plan(s):\n", "\n---\n", "")
+      s"FAIL: $constraintDescription\n${failureMessage.getOrElse("")}$fq$tq"
     }
 }
 

@@ -125,10 +125,13 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
       mapFunc: Option[Any => Any] = None,
       reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
       condition: Option[Condition] = None,
+      outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += UniquesEquality(
       ref(Some(columns), condition), uniquesLiteral = Some(uniques),
       filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      outputProcessors = outputProcessors, cacheSize = cacheSize,
       nameOverride = name)
     this
   }
@@ -141,11 +144,15 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
       mapFunc: Option[Any => Any] = None,
       reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
       condition: Option[Condition] = None,
+      outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += UniquesSuperset(
       ref(Some(columns), condition), uniquesLiteral = Some(uniques),
       maxRelativeViolations = maxRelativeViolations, filterFunc = filterFunc,
-      mapFunc = mapFunc, reduceFunc = reduceFunc, nameOverride = name)
+      mapFunc = mapFunc, reduceFunc = reduceFunc,
+      outputProcessors = outputProcessors, cacheSize = cacheSize,
+      nameOverride = name)
     this
   }
 
@@ -158,11 +165,14 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
       mapFunc: Option[Any => Any] = None,
       reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
       condition: Option[Condition] = None,
+      outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += UniquesSubset(
       ref(Some(columns), condition), uniquesLiteral = Some(uniques),
       maxRelativeViolations = maxRelativeViolations, compareDistinct = compareDistinct,
       filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      outputProcessors = outputProcessors, cacheSize = cacheSize,
       nameOverride = name)
     this
   }
@@ -643,10 +653,13 @@ final class BetweenRequirement private (
       reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
       condition1: Option[Condition] = None,
       condition2: Option[Condition] = None,
+      outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += UniquesEquality(
       ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
       filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      outputProcessors = outputProcessors, cacheSize = cacheSize,
       nameOverride = name)
     this
   }
@@ -660,11 +673,15 @@ final class BetweenRequirement private (
       reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
       condition1: Option[Condition] = None,
       condition2: Option[Condition] = None,
+      outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += UniquesSuperset(
       ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
       maxRelativeViolations = maxRelativeViolations, filterFunc = filterFunc,
-      mapFunc = mapFunc, reduceFunc = reduceFunc, nameOverride = name)
+      mapFunc = mapFunc, reduceFunc = reduceFunc,
+      outputProcessors = outputProcessors, cacheSize = cacheSize,
+      nameOverride = name)
     this
   }
 
@@ -678,11 +695,14 @@ final class BetweenRequirement private (
       reduceFunc: Option[Seq[Any] => Seq[Any]] = None,
       condition1: Option[Condition] = None,
       condition2: Option[Condition] = None,
+      outputProcessors: Option[Seq[formatting.OutputProcessor]] = None,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += UniquesSubset(
       ref(Some(columns1), condition1), ref2 = Some(ref2(Some(columns2), condition2)),
       maxRelativeViolations = maxRelativeViolations, compareDistinct = compareDistinct,
       filterFunc = filterFunc, mapFunc = mapFunc, reduceFunc = reduceFunc,
+      outputProcessors = outputProcessors, cacheSize = cacheSize,
       nameOverride = name)
     this
   }

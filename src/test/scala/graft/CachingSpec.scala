@@ -37,6 +37,33 @@ class CachingSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("cacheSize=0 disables memoization: every test() re-queries") {
+    // reference semantics pinned by test_integration.py:1082-1168 — with
+    // cache_size=0, 20 sequential tests must issue > 20 queries
+    val df = mixDf((1 to 25).map(i => (Integer.valueOf(i), s"v$i", null)))
+    val req = graft.requirements.WithinRequirement.fromDataFrame(df, "nocache_t")
+    req.addUniquesSubsetConstraint(
+      Seq("col_varchar"), uniques = (1 to 25).map(i => s"v$i"), cacheSize = Some(0))
+    val constraint = req.constraints.head
+
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      constraint.test(spark)
+      Thread.sleep(500)
+      val afterFirst = jobs.get()
+      assert(afterFirst >= 1)
+      (1 to 5).foreach(_ => assert(constraint.test(spark).outcome))
+      Thread.sleep(500)
+      assert(jobs.get() >= afterFirst + 5,
+        s"cache-off should re-run jobs: first=$afterFirst total=${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("a fresh constraint instance re-queries (cache is per instance)") {
     val df = intDf("cache_t2", (1 to 19).map(Integer.valueOf))
     val jobs = new AtomicInteger(0)

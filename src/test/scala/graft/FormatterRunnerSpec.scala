@@ -60,6 +60,46 @@ class FormatterRunnerSpec extends AnyFunSuite {
     assert(!req2.test(spark).head.outcome)
   }
 
+  test("failing constraint carries its compiled retrieval plans (reference base.py:256-293)") {
+    // a within constraint: the factual plan must appear in the message
+    val d1 = mixDf((1 to 7).map(i => (Integer.valueOf(i), s"v$i", null)))
+    val within = graft.constraints.NRowsEquality(
+      graft.core.DataRef(graft.core.FrameSource(d1, "plan_t"),
+        condition = Some(graft.core.Condition.raw("col_int > 2"))),
+      refValue = Some(99L))
+    val res = within.test(spark)
+    assert(!res.outcome)
+    assert(res.factualQueries.nonEmpty, "factual plan missing")
+    assert(res.factualQueries.head.contains("col_int"), res.factualQueries.head)
+    assert(res.message.contains("Factual plan(s):"), res.message)
+
+    // a between constraint: both sides' plans attach
+    val d2 = mixDf((1 to 3).map(i => (Integer.valueOf(i), s"v$i", null)))
+    val between = graft.constraints.NRowsEquality(
+      graft.core.DataRef(graft.core.FrameSource(d1, "plan_t1")),
+      ref2 = Some(graft.core.DataRef(graft.core.FrameSource(d2, "plan_t2"))))
+    val res2 = between.test(spark)
+    assert(!res2.outcome)
+    assert(res2.factualQueries.nonEmpty && res2.targetQueries.nonEmpty)
+    assert(res2.message.contains("Target plan(s):"), res2.message)
+
+    // a custom-test constraint (interval family) captures via withPlans
+    val iv = intervalDf(Seq(
+      (Integer.valueOf(1), "2016-01-01", "2016-01-05"),
+      (Integer.valueOf(1), "2016-01-10", "2016-01-20")))
+    val gap = graft.constraints.NoGap(
+      graft.core.DataRef(graft.core.FrameSource(iv, "plan_gap")),
+      Seq("id1"), "date_start", "date_end",
+      maxRelativeNViolations = 0.0, legitimateGapSize = 1.0, isDate = true)
+    val res3 = gap.test(spark)
+    assert(!res3.outcome)
+    assert(res3.factualQueries.nonEmpty, "interval constraint should attach plans")
+
+    // memoized second call still renders the plans
+    val res4 = within.test(spark)
+    assert(res4.factualQueries.nonEmpty)
+  }
+
   test("collectDataTests flattens requirements to (id, thunk) pairs") {
     val d1 = intDf("t", (1 to 5).map(Integer.valueOf))
     val req = graft.requirements.WithinRequirement.fromDataFrame(d1, "t")

@@ -69,6 +69,39 @@ class UniquesHooksSpec extends AnyFunSuite {
     assert(!anyStrict.test(spark).outcome) // (2, null) not in the allowed set
   }
 
+  test("pluggable output processors: limit appends the reference's sentinel") {
+    import graft.constraints.formatting
+    val df = mixDf((1 to 30).map(i => (Integer.valueOf(i), s"v$i", null)))
+    val ref = DataRef(FrameSource(df, "proc_table"), Some(Seq("col_varchar")))
+    val c = UniquesSubset(
+      ref,
+      uniquesLiteral = Some(Seq("v1")), // 29 excess values
+      outputProcessors = Some(Seq(formatting.processorLimit(5))))
+    val res = c.test(spark)
+    assert(!res.outcome)
+    val msg = res.failureMessage.get
+    assert(msg.contains("<SHORTENED OUTPUT, displaying the first 5 / 29 elements above>"), msg)
+    assert(msg.contains("<SHORTENED OUTPUT, displaying the first 5 / 29 counts above>"), msg)
+  }
+
+  test("pluggable output processors: sort orders excess by count desc, ties by value") {
+    import graft.constraints.formatting
+    val df = mixDf(Seq(
+      (Integer.valueOf(1), "rare", null),
+      (Integer.valueOf(2), "mid", null), (Integer.valueOf(3), "mid", null),
+      (Integer.valueOf(4), "hot", null), (Integer.valueOf(5), "hot", null),
+      (Integer.valueOf(6), "hot", null)))
+    val ref = DataRef(FrameSource(df, "proc_sort_table"), Some(Seq("col_varchar")))
+    val c = UniquesSubset(
+      ref,
+      uniquesLiteral = Some(Seq("nope")),
+      outputProcessors = Some(Seq(formatting.processorSort)))
+    val res = c.test(spark)
+    assert(!res.outcome)
+    val msg = res.failureMessage.get
+    assert(msg.contains("'hot, mid, rare' with counts 3, 2, 1"), msg)
+  }
+
   test("VarCharRegex row-weighted (aggregated=false) tolerance") {
     // "ok" x3 rows, "bad!" x1 row → row-weighted violations 1/4; distinct 1/2
     val df = mixDf(Seq(
