@@ -171,6 +171,14 @@ object SparkEntry {
       one(s, Seq("n_unique"), Seq(Long.box(n)))
     },
 
+    // engine-side distinct-set difference (between-source Uniques path):
+    // customer nations EXCEPT supplier nations, all in-engine
+    "q_uniques_diff" -> ((s, dir) =>
+      Ops.uniquesDiff(
+        s,
+        ref(dir, "customer", Some(Seq("c_nationkey"))),
+        ref(dir, "supplier", Some(Seq("s_nationkey"))))),
+
     // #22 get_unique_count_union
     "q_unique_count_union" -> { (s, dir) =>
       val n = Ops.getUniqueCountUnion(
@@ -542,6 +550,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2""",
     "q_unique_count" ->
       """SELECT count(*) AS n_unique FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)""",
+    "q_uniques_diff" ->
+      """SELECT c_nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier""",
     "q_unique_count_union" ->
       """SELECT count(*) AS n_unique FROM
          (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)""",

@@ -25,6 +25,28 @@ object filters {
     case t: Seq[_]   => !t.exists(_ == null)
     case _           => true
   }
+
+  /** Engine translation of the four standard null policies (matched by
+    * function identity): the same WHERE clause the client-side policy would
+    * apply to collected values. User-supplied lambdas return None — opaque
+    * Scala can't run in-engine, so those constraints keep the client path.
+    */
+  def toEngineFilter(
+      f: FilterFunc,
+      cols: Seq[String]): Option[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    if (cols.isEmpty) return None
+    val single = cols.length == 1
+    if (f eq filternullNever) Some(identity)
+    else if (f eq filternullElement)
+      // bare values drop nulls; multi-column tuples are never null client-side
+      Some(df => if (single) df.where(col(cols.head).isNotNull) else df)
+    else if (f eq filternullElementOrTupleAll)
+      Some(df => df.where(cols.map(c => col(c).isNotNull).reduce(_ || _)))
+    else if (f eq filternullElementOrTupleAny)
+      Some(df => df.where(cols.map(c => col(c).isNotNull).reduce(_ && _)))
+    else None
+  }
 }
 
 /** Unique-value constraints (reference `constraints/uniques.py:46-165`).
@@ -103,6 +125,47 @@ sealed abstract class Uniques extends Constraint {
       formatting.applyProcessors(effectiveProcessors, values, Some(counts))
     (v.mkString(", "), c.getOrElse(Seq.empty).mkString(", "))
   }
+
+  /** Between-source constraints with translatable hooks run the whole set
+    * comparison in-engine (anti-joins over DISTINCT selections): only counts
+    * and bounded display samples reach the driver. Literal target lists and
+    * user map/reduce/filter lambdas — client-side semantic hooks — keep the
+    * reference's client path. 100 TB posture: the client path on a
+    * high-cardinality column collects every distinct value; this path never
+    * collects more than `outputLimit` rows.
+    */
+  protected final def engineEligible: Boolean =
+    ref2.isDefined && mapFunc.isEmpty && reduceFunc.isEmpty &&
+      outputProcessors.isEmpty &&
+      filters.toEngineFilter(filterFunc, ref.columnsOrEmpty).isDefined &&
+      filters.toEngineFilter(filterFunc, ref2.get.columnsOrEmpty).isDefined
+
+  protected final def filteredSelection(
+      spark: SparkSession,
+      r: DataRef): org.apache.spark.sql.DataFrame =
+    filters.toEngineFilter(filterFunc, r.columnsOrEmpty).get(r.selection(spark))
+
+  /** Bounded, deterministic display sample: the first `outputLimit` tuples
+    * in value order plus the reference's truncation sentinel. Single-column
+    * rows render as bare values, multi-column rows as tuples — matching the
+    * client path's collected shapes.
+    */
+  protected final def renderSample(
+      df: org.apache.spark.sql.DataFrame,
+      total: Long): String = {
+    import org.apache.spark.sql.functions.col
+    val rows = df
+      .orderBy(df.columns.map(col).toSeq: _*)
+      .limit(outputLimit)
+      .collect()
+    val values: Seq[Any] =
+      rows.toSeq.map(r => if (r.length == 1) r.get(0) else r.toSeq)
+    val shown = values.mkString(", ")
+    if (total > outputLimit)
+      shown +
+        s", <SHORTENED OUTPUT, displaying the first $outputLimit / $total elements above>"
+    else shown
+  }
 }
 
 /** Set equality with excess/lacking reporting (reference `uniques.py:168-211`). */
@@ -120,6 +183,38 @@ final case class UniquesEquality(
     extends Uniques {
   override def maxRelativeViolations: Double = 0.0
   override def test(spark: SparkSession): TestResult = withPlans {
+    if (engineEligible) testInEngine(spark) else testClientSide(spark)
+  }
+
+  /** Engine path: two anti-joins; the driver sees two counts and (on
+    * failure) two bounded samples. */
+  private def testInEngine(spark: SparkSession): TestResult = {
+    val d1        = filteredSelection(spark, ref)
+    val d2        = filteredSelection(spark, ref2.get)
+    val excessDf  = Ops.exceptDistinct(d1, d2)
+    val lackingDf = Ops.exceptDistinct(d2, d1)
+    val nExcess   = excessDf.count()
+    val nLacking  = lackingDf.count()
+    if (nExcess == 0 && nLacking == 0) TestResult.success(description)
+    else if (nExcess > 0 && nLacking > 0)
+      TestResult.failure(
+        description,
+        s"${ref.describe} doesn't have the element(s) '${renderSample(lackingDf, nLacking)}' " +
+          s"and has the excess element(s) '${renderSample(excessDf, nExcess)}' when compared " +
+          s"with the reference values. $conditionString")
+    else if (nExcess > 0)
+      TestResult.failure(
+        description,
+        s"${ref.describe} has the excess element(s) '${renderSample(excessDf, nExcess)}' " +
+          s"when compared with the reference values. $conditionString")
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} doesn't have the element(s) '${renderSample(lackingDf, nLacking)}' " +
+          s"when compared with the reference values. $conditionString")
+  }
+
+  private def testClientSide(spark: SparkSession): TestResult = {
     val factual = factualUniques(spark)._1.toSet
     val target  = targetUniques(spark)._1.toSet
     val excess  = factual -- target
@@ -162,6 +257,59 @@ final case class UniquesSubset(
     override val nameOverride: Option[String] = None)
     extends Uniques {
   override def test(spark: SparkSession): TestResult = withPlans {
+    if (engineEligible) testInEngine(spark) else testClientSide(spark)
+  }
+
+  /** Engine path: factual value counts anti-joined against the target's
+    * distinct set; the violation fraction aggregates in-engine, the driver
+    * sees two aggregate rows and (on failure) bounded samples.
+    */
+  private def testInEngine(spark: SparkSession): TestResult = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val cols = ref.columnsOrEmpty
+    val counts1 = filteredSelection(spark, ref)
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("dj_cnt"))
+    val d2        = filteredSelection(spark, ref2.get).distinct()
+    val remainder = Ops.antiJoinPositional(counts1, d2, cols)
+
+    val totalRow = counts1
+      .agg(coalesce(sum(col("dj_cnt")), lit(0L)).as("rows"), count(lit(1)).as("distincts"))
+      .head()
+    val remRow = remainder
+      .agg(coalesce(sum(col("dj_cnt")), lit(0L)).as("rows"), count(lit(1)).as("distincts"))
+      .head()
+    val (nViolations, nRows) =
+      if (compareDistinct) (remRow.getLong(1), totalRow.getLong(1))
+      else (remRow.getLong(0), totalRow.getLong(0))
+    if (nRows == 0) return TestResult.success(description)
+    val relative = nViolations.toDouble / nRows
+    if (relative <= maxRelativeViolations) TestResult.success(description)
+    else {
+      val nTarget = d2.count()
+      val sample = remainder
+        .orderBy(cols.map(col): _*)
+        .limit(outputLimit)
+        .collect()
+      val values: Seq[Any] =
+        sample.toSeq.map(r => if (cols.length == 1) r.get(0) else r.toSeq.dropRight(1))
+      val sampleCounts = sample.toSeq.map(_.getAs[Long]("dj_cnt"))
+      def sentinel(what: String) =
+        s", <SHORTENED OUTPUT, displaying the first $outputLimit / ${remRow.getLong(1)} $what above>"
+      val more      = remRow.getLong(1) > outputLimit
+      val excessStr = values.mkString(", ") + (if (more) sentinel("elements") else "")
+      val countsStr = sampleCounts.mkString(", ") + (if (more) sentinel("counts") else "")
+      TestResult.failure(
+        description,
+        s"${ref.describe} has a fraction of $relative > $maxRelativeViolations " +
+          s"${if (compareDistinct) "DISTINCT " else ""}values ($nViolations / $nRows) not " +
+          s"being an element of '${renderSample(d2, nTarget)}'. It has excess elements " +
+          s"'$excessStr' with counts $countsStr." +
+          conditionString)
+    }
+  }
+
+  private def testClientSide(spark: SparkSession): TestResult = {
     val (values, counts) = factualUniques(spark)
     val target           = targetUniques(spark)._1.toSet
     val remainder: Seq[(Any, Long)] = values
@@ -203,6 +351,32 @@ final case class UniquesSuperset(
     override val nameOverride: Option[String] = None)
     extends Uniques {
   override def test(spark: SparkSession): TestResult = withPlans {
+    if (engineEligible) testInEngine(spark) else testClientSide(spark)
+  }
+
+  /** Engine path: target-minus-factual anti-join; counts aggregate
+    * in-engine, samples are bounded. */
+  private def testInEngine(spark: SparkSession): TestResult = {
+    val d1       = filteredSelection(spark, ref).distinct()
+    val d2       = filteredSelection(spark, ref2.get).distinct()
+    val lacking  = Ops.antiJoinPositional(d2, d1, ref2.get.columnsOrEmpty)
+    val nLacking = lacking.count()
+    if (nLacking == 0) return TestResult.success(description)
+    val nTarget  = d2.count()
+    val nFactual = d1.count()
+    if (nFactual == 0 || nTarget == 0) return TestResult.success(description)
+    val relative = nLacking.toDouble / nTarget
+    if (relative <= maxRelativeViolations) TestResult.success(description)
+    else
+      TestResult.failure(
+        description,
+        s"${ref.describe} has a fraction of $relative > $maxRelativeViolations " +
+          s"($nLacking / $nTarget) lacking unique values of " +
+          s"'${renderSample(d2, nTarget)}'. It doesn't have the unique value(s) " +
+          s"'${renderSample(lacking, nLacking)}'.$conditionString")
+  }
+
+  private def testClientSide(spark: SparkSession): TestResult = {
     val factual = factualUniques(spark)._1
     val target  = targetUniques(spark)._1
     val remainder = target.toSet -- factual.toSet

@@ -142,6 +142,34 @@ object Ops {
       .toMap
   }
 
+  /** Distinct tuples of `df1` absent from `df2` — the engine-side EXCEPT
+    * behind the between-source Uniques constraints. `df2`'s columns are
+    * renamed positionally onto `df1`'s (the reference compares selections
+    * positionally); the anti-join keys are null-safe (`<=>`) so NULL tuples
+    * compare equal under the `filternullNever` policy.
+    *
+    * 100 TB shape: both sides reduce to DISTINCT before the join (map-side
+    * combine shrinks the shuffle to |distinct|); the anti-join shuffles
+    * only distinct tuples; nothing reaches the driver — callers aggregate
+    * counts in-engine and `limit` display samples.
+    */
+  def exceptDistinct(df1: DataFrame, df2: DataFrame): DataFrame =
+    antiJoinPositional(df1.distinct(), df2.distinct(), df1.columns.toSeq)
+
+  /** Left-anti join of `df1` (on `keys1`, which must lead its schema)
+    * against `df2`, whose columns align positionally with `keys1`. */
+  def antiJoinPositional(df1: DataFrame, df2: DataFrame, keys1: Seq[String]): DataFrame = {
+    val d2 = df2.select(
+      df2.columns.toSeq.zip(keys1).map { case (c2, c1) => col(c2).as(c1 + "_dj2") }: _*)
+    val cond = keys1.map(c => col(c) <=> col(c + "_dj2")).reduce(_ && _)
+    df1.join(d2, cond, "left_anti")
+  }
+
+  /** Engine-side distinct-set difference of two references
+    * (`r1`'s distinct selection EXCEPT `r2`'s). */
+  def uniquesDiff(spark: SparkSession, r1: DataRef, r2: DataRef): DataFrame =
+    exceptDistinct(r1.selection(spark), r2.selection(spark))
+
   /** count(*) over SELECT DISTINCT selection (reference `db_access.py:938-949`). */
   def getUniqueCount(spark: SparkSession, ref: DataRef): Long =
     ref.selection(spark).distinct().count()

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{DataRef, FrameSource}
-import graft.constraints.{filters, UniquesEquality, UniquesSubset, VarCharRegex}
+import graft.constraints.{filters, UniquesEquality, UniquesSubset, UniquesSuperset, VarCharRegex}
 
 /** Client-side post-processing hooks and null policies on Uniques
   * (reference `uniques.py:112-165`, `utils.py:125-148`, nested_table
@@ -100,6 +100,51 @@ class UniquesHooksSpec extends AnyFunSuite {
     assert(!res.outcome)
     val msg = res.failureMessage.get
     assert(msg.contains("'hot, mid, rare' with counts 3, 2, 1"), msg)
+  }
+
+  test("between-source uniques run in-engine and agree with the client path") {
+    // factual has v1..v6 (v6 twice), target has v1..v5 → one excess value,
+    // 2/8 violating rows, 1/6 violating distincts
+    val f = mixDf(Seq(
+      (Integer.valueOf(1), "v1", null), (Integer.valueOf(2), "v2", null),
+      (Integer.valueOf(3), "v3", null), (Integer.valueOf(4), "v4", null),
+      (Integer.valueOf(5), "v5", null), (Integer.valueOf(6), "v6", null),
+      (Integer.valueOf(7), "v6", null), (Integer.valueOf(8), "v5", null)))
+    val t = mixDf((1 to 5).map(i => (Integer.valueOf(i), s"v$i", null)))
+    val rf = DataRef(FrameSource(f, "eng_f"), Some(Seq("col_varchar")))
+    val rt = DataRef(FrameSource(t, "eng_t"), Some(Seq("col_varchar")))
+
+    // engine-eligible (default hooks): row-weighted 2/8
+    val engine = UniquesSubset(rf, ref2 = Some(rt), maxRelativeViolations = 0.2)
+    val engRes = engine.test(spark)
+    assert(!engRes.outcome)
+    assert(engRes.failureMessage.get.contains("0.25 > 0.2"), engRes.failureMessage.get)
+    assert(engRes.failureMessage.get.contains("(2 / 8)"), engRes.failureMessage.get)
+    assert(engRes.failureMessage.get.contains("'v6' with counts 2"), engRes.failureMessage.get)
+    assert(UniquesSubset(rf, ref2 = Some(rt), maxRelativeViolations = 0.25)
+      .test(spark).outcome)
+
+    // distinct-weighted 1/6
+    val engD = UniquesSubset(rf, ref2 = Some(rt), compareDistinct = true,
+      maxRelativeViolations = 0.1)
+    assert(!engD.test(spark).outcome)
+    assert(engD.test(spark).failureMessage.get.contains("(1 / 6)"))
+
+    // a client-forcing hook (mapFunc) must agree on the outcome
+    val client = UniquesSubset(rf, ref2 = Some(rt), maxRelativeViolations = 0.2,
+      mapFunc = Some(identity[Any]))
+    assert(!client.test(spark).outcome)
+
+    // equality + superset engine paths
+    val eq = UniquesEquality(rf, ref2 = Some(rt))
+    val eqRes = eq.test(spark)
+    assert(!eqRes.outcome)
+    assert(eqRes.failureMessage.get.contains("excess element(s) 'v6'"), eqRes.failureMessage.get)
+    val sup = UniquesSuperset(rt, ref2 = Some(rf), maxRelativeViolations = 0.0)
+    val supRes = sup.test(spark)
+    assert(!supRes.outcome)
+    assert(supRes.failureMessage.get.contains("(1 / 6)"), supRes.failureMessage.get)
+    assert(UniquesSuperset(rf, ref2 = Some(rt)).test(spark).outcome)
   }
 
   test("VarCharRegex row-weighted (aggregated=false) tolerance") {
