@@ -27,7 +27,9 @@ final case class KolmogorovSmirnov2Sample(
     val accepted = Stats.ksCheckAcceptance(d, n, m, significanceLevel)
     if (accepted) TestResult.success(description)
     else {
-      val p = Stats.ksApproxPValue(d, n, m)
+      // exact finite-sample p-value (the reference's scipy path); the
+      // Fachinetti approximation remains as Stats.ksApproxPValue
+      val p = Stats.ksExactPValue(d, n, m)
       TestResult.failure(
         description,
         s"Null hypothesis (samples originate from the same distribution) between " +

@@ -136,8 +136,24 @@ object Stats {
     dStatistic <= threshold
   }
 
+  /** Quasi-exact p-value — the reference's scipy upgrade path
+    * (`constraints/stats.py:38-54`): `kstwo.sf(d, round(nm/(n+m)))`, the
+    * exact finite-sample Kolmogorov distribution at the effective sample
+    * size (Marsaglia–Tsang–Wang, see `Kolmogorov`). None below 35 samples,
+    * matching the reference's early return.
+    */
+  def ksExactPValue(d: Double, nSamples: Long, mSamples: Long): Option[Double] = {
+    val samples = math.min(nSamples, mSamples)
+    if (samples < 35) None
+    else {
+      val en = math.round(
+        nSamples.toDouble * mSamples.toDouble / (nSamples + mSamples).toDouble)
+      Some(Kolmogorov.sf(en, d))
+    }
+  }
+
   /** Approximate p-value (Fachinetti 2009; reference
-    * `constraints/stats.py:25-54` sans the scipy upgrade): 2·exp(−(D·√min(n,m))²),
+    * `constraints/stats.py:25-54`'s no-scipy fallback): 2·exp(−(D·√min(n,m))²),
     * clamped to [0,1]; None below 35 samples (approximation inaccurate).
     */
   def ksApproxPValue(d: Double, nSamples: Long, mSamples: Long): Option[Double] = {

@@ -55,6 +55,19 @@ class ConstraintSpec extends AnyFunSuite {
     assert(!NRowsMaxLoss(r2NoCols, r1NoCols, _ => 0.05).test(spark).outcome)
   }
 
+  test("NRowsMinGain edge semantics match the reference (nrows.py:155-184)") {
+    val empty = DataRef(FrameSource(intDf("int_empty", Seq.empty), "int_empty"))
+    // empty target table → success ("Empty target table.")
+    assert(NRowsMinGain(r1NoCols, empty, _ => 0.5).test(spark).outcome)
+    // row loss (factual < target) → failure regardless of tolerance
+    val loss = NRowsMinGain(r2NoCols, r1NoCols, _ => -10.0).test(spark)
+    assert(!loss.outcome)
+    assert(loss.failureMessage.get.contains("Row loss"), loss.failureMessage.get)
+    // MaxGain / MaxLoss with empty target also succeed, as in the reference
+    assert(NRowsMaxGain(r1NoCols, empty, _ => 0.0).test(spark).outcome)
+    assert(NRowsMaxLoss(r1NoCols, empty, _ => 0.0).test(spark).outcome)
+  }
+
   // --- numeric -------------------------------------------------------------
   test("NumericMin / NumericMax against literals and between sources") {
     assert(NumericMin(ref1, refValue = Some(Some(1.0))).test(spark).outcome)

@@ -66,6 +66,51 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.ksApproxPValue(1.0, 10000, 10000).get >= 0.0)
   }
 
+  test("exact Kolmogorov sf: closed form at n=1 and classical critical values") {
+    import graft.ops.Kolmogorov
+    // n = 1: P(D_1 < d) = 2d - 1 on [1/2, 1] exactly
+    assert(math.abs(Kolmogorov.cdf(1, 0.6) - 0.2) < 1e-15)
+    assert(math.abs(Kolmogorov.cdf(1, 0.75) - 0.5) < 1e-15)
+    // classical two-sided critical values (Miller 1956 tables) sit at
+    // alpha = 0.05 by construction — an implementation-independent pin
+    assert(math.abs(Kolmogorov.sf(5, 0.56328) - 0.05) < 1e-3)
+    assert(math.abs(Kolmogorov.sf(10, 0.40925) - 0.05) < 1e-3)
+    assert(math.abs(Kolmogorov.sf(20, 0.29408) - 0.05) < 1e-3)
+  }
+
+  test("exact Kolmogorov sf: pinned Durbin-matrix values (MTW 2003)") {
+    import graft.ops.Kolmogorov
+    // independently computed with a separate implementation of the same
+    // published algorithm (agreement ~1e-12; scipy's kstwo matches MTW to
+    // ~1e-13 inside this range)
+    val pins = Seq(
+      (1000L, 0.05, 0.013012071309977613),
+      (500L, 0.1, 8.342293067842288e-05),
+      (35L, 0.2, 0.10552685381764704),
+      (100L, 0.1, 0.2526927570063894),
+      (10L, 0.5, 0.007777409999999763),
+      (2000L, 0.02, 0.3953133720031049),
+      (40L, 0.3, 0.0010904155041437935))
+    pins.foreach { case (n, d, expected) =>
+      val got = Kolmogorov.sf(n, d)
+      assert(math.abs(got - expected) < 1e-5, s"sf($n, $d) = $got, expected $expected")
+    }
+  }
+
+  test("exact p-value wiring: effective sample size, <35 cutoff, large-n fallback") {
+    import graft.ops.Kolmogorov
+    // round(n*m/(n+m)) effective size, as the reference's scipy path
+    val p = Stats.ksExactPValue(0.05, 2000L, 2000L) // en = 1000
+    assert(math.abs(p.get - 0.013012071309977613) < 1e-5)
+    assert(Stats.ksExactPValue(0.5, 30L, 10000L).isEmpty) // min side < 35
+    // huge n*d falls back to the corrected asymptotic — sane and monotone
+    val big1 = Kolmogorov.sf(2000000L, 0.001)
+    val big2 = Kolmogorov.sf(2000000L, 0.002)
+    assert(big1 > big2 && big1 <= 1.0 && big2 >= 0.0)
+    // deep right tail underflows to 0, not garbage
+    assert(Kolmogorov.sf(100000L, 0.5) == 0.0)
+  }
+
   test("distinguishable distributions are rejected") {
     val a = intDf("a", (1 to 200).map(Integer.valueOf))
     val b = intDf("b", (101 to 300).map(Integer.valueOf))
