@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native codegen'd 64-bit SimHash of a token array: per bit, sum +1/−1
+  * votes over `xxhash64(token)` values (seed 42, matching Spark's builtin),
+  * take the sign.
+  *
+  * Bit-identical to both declarative spellings in `Dedup` — the interpreted
+  * HOF fold and the explode → 64-column HashAggregate plan — but with NO
+  * shuffle at all: the sketch is one projection over the corpus scan. The
+  * round-1 plan exploded every token and shuffled them back on doc id just
+  * to sum votes the row already had locally.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr   = input.asInstanceOf[ArrayData]
+    val n     = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sketch = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sketch |= (1L << b)
+      b += 1
+    }
+    sketch
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = classOf[XXH64].getName
+    nullSafeCodeGen(ctx, ev, a => {
+      val n      = ctx.freshName("n")
+      val votes  = ctx.freshName("votes")
+      val j      = ctx.freshName("j")
+      val b      = ctx.freshName("b")
+      val h      = ctx.freshName("h")
+      val sketch = ctx.freshName("sketch")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$a.isNullAt($j)) {
+         |    long $h = $xxh.hashUTF8String($a.getUTF8String($j), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) { $votes[$b]++; } else { $votes[$b]--; }
+         |    }
+         |  }
+         |}
+         |long $sketch = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $sketch |= (1L << $b);
+         |}
+         |${ev.value} = $sketch;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+
+  /** Column API: 64-bit SimHash of an `array<string>` token column. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.toColumn(SimHash64(GraftBridge.toExpression(tokens)))
+}

@@ -305,24 +305,19 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    // explode tokens and build the 64 per-bit vote sums as one codegen'd
-    // HashAggregate (shuffle on id) — far faster than per-row interpreted
-    // HOF aggregation, and the same plan scales to any corpus size
-    val tokenHashes = spread(df.select(col(idCol), col(textCol)))
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("dj_tok"))
-      .select(col(idCol), xxhash64(col("dj_tok")).as("dj_h"))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(call_function("shiftright", col("dj_h"), lit(b)).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"dj_b$b")
-    }
-    val sketched = tokenHashes
-      .groupBy(col(idCol))
-      .agg(bitVotes.head, bitVotes.tail: _*)
+    // the sketch is one codegen'd projection over the corpus scan — zero
+    // shuffle (`functions.SimHash64`; the round-1 plan exploded every token
+    // and shuffled them back on doc id just to sum votes). NULL texts are
+    // dropped, matching the explode plan (split never yields an empty array
+    // for non-null text, so the null check is the exact — and cheap — filter).
+    val sketched = spread(df.select(col(idCol), col(textCol)))
+      .where(col(textCol).isNotNull)
       .select(
         col(idCol),
-        (0 until 64).map { b =>
-          when(col(s"dj_b$b") > 0, call_function("shiftleft", lit(1L), lit(b))).otherwise(0L)
-        }.reduce(_ + _).as("simhash"))
+        graft.functions.SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      // barrier: the chunk explode below references `simhash` inside its
+      // generator — without materialization, projection collapse would
+      // re-tokenize and re-sketch per reference. 16 bytes/doc, spill-safe.
       .cache()
     val chunked = sketched.select(
       col(idCol),

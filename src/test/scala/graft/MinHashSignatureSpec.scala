@@ -69,6 +69,20 @@ class MinHashSignatureSpec extends AnyFunSuite {
     pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("native simhash64 equals the HOF fold bit-for-bit") {
+    import graft.functions.SimHash64.simhash64
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .where(size(TextAnalysis.tokens(col("text"))) > 0)
+      .select(
+        simhash64(TextAnalysis.tokens(col("text"))).as("native"),
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("matchingFraction equals the zip_with agreement fraction") {
     import graft.functions.LongArraySim.matchingFraction
     val sigs = shingled.select(minhashSignature(col("shingles"), 64).as("sig"))
