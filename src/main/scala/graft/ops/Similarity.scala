@@ -177,35 +177,64 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    // deterministic coarse centroids via hash sampling (k-means would refine
-    // these; sampling is the seed step and keeps the pipeline deterministic)
+      nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    // deterministic hash-sampled seeds, refined with `kmeansIters` Lloyd
+    // iterations — each iteration is ONE distributed HashAggregate (count +
+    // per-dimension sums with map-side partials; no explode, no shuffle of
+    // raw vectors) returning ≤ nCentroids rows to the driver
     val n = vectors.count()
     val sampled =
       ivfCentroids(vectors, idCol, vecCol, nCentroids, n).collect()
-    val centroids =
-      if (sampled.nonEmpty) sampled
+    val seedRows =
+      if (sampled.nonEmpty) sampled.toSeq
       else // degenerate corpus (hash sample empty): first nCentroids by id
         vectors
           .sort(col(idCol))
           .limit(nCentroids)
           .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
           .collect()
-    val centroidArr = array(centroids.map { r =>
-      struct(
-        lit(r.getLong(0)).as("cid"),
-        array(r.getSeq[Float](1).map(v => lit(v)): _*).as("cvec"))
-    }: _*)
+          .toSeq
+    var centroids: Seq[(Long, Seq[Double])] =
+      seedRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq.map(_.toDouble))
+    val dim = centroids.head._2.length
 
-    def nearestClusters(vec: Column, howMany: Int): Column =
+    def centroidArrOf(cs: Seq[(Long, Seq[Double])]): Column =
+      array(cs.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
+      }: _*)
+
+    def nearestClustersIn(arr: Column)(vec: Column, howMany: Int): Column =
       slice(
         transform(
           array_sort(
-            transform(centroidArr, c => struct(
+            transform(arr, c => struct(
               (-dot(vec, c.getField("cvec"))).as("negSim"),
               c.getField("cid").as("cid")))),
           s => s.getField("cid")),
         1, howMany)
+
+    for (_ <- 0 until kmeansIters) {
+      val arr = centroidArrOf(centroids)
+      val assigned = vectors.select(
+        col(vecCol).as("dj_vec"),
+        element_at(nearestClustersIn(arr)(col(vecCol), 1), 1).as("dj_cluster"))
+      val aggs = count(lit(1)).as("dj_n") +:
+        (0 until dim).map(d =>
+          sum(element_at(col("dj_vec"), d + 1).cast("double")).as(s"dj_s$d"))
+      val rows = assigned.groupBy("dj_cluster").agg(aggs.head, aggs.tail: _*).collect()
+      val updated: Map[Long, Seq[Double]] = rows.map { r =>
+        val cnt = r.getLong(1).toDouble
+        r.getLong(0) -> (0 until dim).map(d => r.getDouble(d + 2) / cnt)
+      }.toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.map { case (cid, v) => cid -> updated.getOrElse(cid, v) }
+    }
+
+    val centroidArr = centroidArrOf(centroids)
+
+    def nearestClusters(vec: Column, howMany: Int): Column =
+      nearestClustersIn(centroidArr)(vec, howMany)
 
     val corpus = vectors.select(
       col(idCol).as("neighbor_id"),

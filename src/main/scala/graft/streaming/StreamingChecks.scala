@@ -48,6 +48,26 @@ object StreamingChecks {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact deduplication on a fingerprint key with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps one row per key while the
+    * watermark bounds how long a key's state lives — the streaming flavor of
+    * the batch exact-dedup pass (`ops.Dedup.dedupExact`). `keyExprs`
+    * typically includes a content fingerprint (e.g.
+    * `TextAnalysis.fingerprintMd5`), so near-real-time ingestion dedups
+    * continuously instead of re-scanning the corpus per batch.
+    *
+    * State scale: one small entry per distinct key inside the watermark
+    * horizon, partitioned by key across executors — no global structure.
+    */
+  def streamingDedup(
+      stream: DataFrame,
+      timeColumn: String,
+      watermark: String,
+      keyColumns: Seq[String]): DataFrame =
+    stream
+      .withWatermark(timeColumn, watermark)
+      .dropDuplicatesWithinWatermark(keyColumns)
+
   /** Evaluate a requirement over every micro-batch; `onResults` receives
     * (batchId, results). State: none beyond the source's own offsets —
     * constraints see one micro-batch at a time (the streaming analogue of

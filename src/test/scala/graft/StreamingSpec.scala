@@ -51,6 +51,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2026-01-01 00:01:00") == ((2L, 0.0, 5.0, 7.0)))
   }
 
+  test("streamingDedup keeps one row per key with watermark-bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input  = MemoryStream[(Timestamp, String, String)]
+    val stream = input.toDF().toDF("event_time", "doc_id", "text")
+    val deduped = StreamingChecks.streamingDedup(
+      stream.withColumn("fp", graft.ops.TextAnalysis.fingerprintMd5(col("text"))),
+      "event_time", "10 seconds", Seq("fp"))
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode("append")
+      .start()
+    input.addData(
+      (ts("2026-01-01 00:00:01"), "a", "same text"),
+      (ts("2026-01-01 00:00:02"), "b", "same text"),  // dup inside watermark
+      (ts("2026-01-01 00:00:03"), "c", "other text"))
+    query.processAllAvailable()
+    input.addData((ts("2026-01-01 00:00:04"), "d", "Same  Text!")) // dup after normalization
+    query.processAllAvailable()
+    query.stop()
+    val kept = spark.table("dedup_test").select("doc_id").as[String].collect().toSet
+    assert(kept == Set("a", "c"), s"kept=$kept")
+  }
+
   test("file-source stream over the events table produces a full profile") {
     import org.apache.spark.sql.types._
     // stage a directory containing only the events file (file streams ingest
