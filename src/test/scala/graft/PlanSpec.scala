@@ -59,6 +59,54 @@ class PlanSpec extends AnyFunSuite {
       s"expected a distributed top-k for the id cap:\n$plan")
   }
 
+  test("minhash verification plan uses the native kernels, not boxed set ops") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.ops.Dedup
+      .minhashNearDups(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("jaccard_sorted_long"), s"jaccard kernel missing:\n$plan")
+    assert(plan.contains("matching_fraction_long"), s"est kernel missing:\n$plan")
+    assert(!plan.contains("array_intersect"), "boxed set intersection crept back in")
+    spark.catalog.clearCache()
+  }
+
+  test("simhash sketch plan has no explode-shuffle (zero-shuffle projection)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sketch = docs
+      .where(col("text").isNotNull)
+      .select(graft.functions.SimHash64.simhash64(
+        graft.ops.TextAnalysis.tokens(col("text"))).as("simhash"))
+    val physical = sketch.queryExecution.executedPlan.toString
+    assert(physical.contains("simhash64"), physical)
+    assert(!physical.contains("Exchange"), s"sketch must not shuffle:\n$physical")
+    assert(!physical.contains("Generate"), s"sketch must not explode:\n$physical")
+  }
+
+  test("fused cross-CDF plan shuffles once for both samples' counts") {
+    val r1 = DataRef(ParquetSource(s"$dir/lineitem.parquet"), Some(Seq("l_extendedprice")),
+      Some(Condition.raw("l_returnflag = 'R'")))
+    val r2 = DataRef(ParquetSource(s"$dir/lineitem.parquet"), Some(Seq("l_extendedprice")),
+      Some(Condition.raw("l_returnflag = 'A'")))
+    val cross = Stats.crossCdf(spark, r1, r2, "val", "cdf")
+    val plan = cross.queryExecution.executedPlan
+    // no unpartitioned window anywhere in the fused plan
+    val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(globalWindows.isEmpty, s"global window in fused cross-CDF:\n$plan")
+    // no full-outer join — the union-tag groupBy replaces it
+    assert(!plan.toString.contains("FullOuter"), s"full-outer join crept back:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("CumSum bucket assignment is the codegen'd binary search, not a HOF lambda") {
+    val counts = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+    val running = graft.ops.CumSum.withRunningSum(counts, "v", "cnt", "run")
+    val plan = running.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bucket_index"), s"bucket_index missing:\n$plan")
+    assert(!plan.contains("aggregate(") || !plan.contains("lambdafunction(.*dj_bucket"),
+      s"interpreted bucket lambda still present:\n$plan")
+  }
+
   test("row-count aggregate is a partial-final pair (map-side combine)") {
     val plan = spark.read.parquet(s"$dir/lineitem.parquet")
       .groupBy(col("l_returnflag")).agg(count(lit(1)))
