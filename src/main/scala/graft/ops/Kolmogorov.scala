@@ -29,7 +29,10 @@ object Kolmogorov {
     val nd = n * d
     if (nd * d > 18.37) return 1.0 // right tail: 1 - cdf < 1e-16 (MTW §3)
     val k = math.ceil(nd).toInt
-    if (k > maxMatrixHalfWidth) return asymptoticCdf(n, d)
+    // beyond 1e6 samples the corrected asymptotic agrees with the exact
+    // distribution to ~1e-7 and the Durbin path would overflow Int / burn
+    // O(n) in the factorial fold
+    if (k > maxMatrixHalfWidth || n > 1000000L) return asymptoticCdf(n, d)
     durbinCdf(n.toInt, d, k)
   }
 

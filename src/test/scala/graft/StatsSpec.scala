@@ -109,6 +109,10 @@ class StatsSpec extends AnyFunSuite {
     assert(big1 > big2 && big1 <= 1.0 && big2 >= 0.0)
     // deep right tail underflows to 0, not garbage
     assert(Kolmogorov.sf(100000L, 0.5) == 0.0)
+    // huge n with tiny d (k small) must not overflow the Durbin Int path
+    val hugeN = Kolmogorov.sf(2000000000L, 4e-7)
+    assert(hugeN >= 0.0 && hugeN <= 1.0)
+    assert(hugeN > 0.99, s"d≈0 at huge n should be far left tail: $hugeN")
   }
 
   test("distinguishable distributions are rejected") {
