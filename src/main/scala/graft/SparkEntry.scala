@@ -422,6 +422,16 @@ object SparkEntry {
         graft.ops.TextAnalysis.fingerprintMd5(col("text")).as("fingerprint"))
     },
 
+    // end-to-end corpus curation: language gate → quality gate → exact
+    // dedup, one declarative plan (ops.Pipeline)
+    "q_curate_corpus" -> { (s, dir) =>
+      graft.ops.Pipeline
+        .curateCorpus(
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+          minQuality = 0.55, langs = Seq("en"))
+        .select(col("doc_id"))
+    },
+
     // exact-duplicate groups on a normalized 20-char prefix key
     "q_dedup_exact" -> { (s, dir) =>
       s.read.parquet(pq(dir, "documents"))
@@ -735,6 +745,39 @@ object SparkEntry {
           FROM sc""",
     "q_fingerprint" ->
       s"SELECT doc_id, md5($normSql) AS fingerprint FROM documents",
+    "q_curate_corpus" ->
+      s"""WITH m AS (SELECT doc_id, $normSql AS norm,
+                 len(string_split($normSql, ' ')) AS n_tokens,
+                 (length(text) - length(regexp_replace(text,
+                     '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS punct_ratio,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS digit_ratio,
+                 len(list_filter(string_split($normSql, ' '),
+                     t -> list_contains(['the','and','of','to','in','a','is'], t)))::DOUBLE
+                   / greatest(len(string_split($normSql, ' ')), 1) AS stop_ratio,
+                 string_split($normSql, ' ') AS toks
+               FROM documents WHERE text IS NOT NULL),
+            scored AS (SELECT doc_id, norm,
+                 round(greatest(0.0,
+                   least(n_tokens / 100.0, 1.0) * 0.4
+                   + least(stop_ratio * 5.0, 1.0) * 0.2
+                   + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+                   + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2), 6) AS quality,
+                 len(list_filter(toks, x -> list_contains(['the','and','of','to','in','a','is'], x))) AS en,
+                 len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','ein','nicht'], x))) AS de,
+                 len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','une'], x))) AS fr,
+                 len(list_filter(toks, x -> list_contains(['el','los','que','y','es','una','para'], x))) AS es,
+                 len(list_filter(toks, x -> list_contains(['de','shi','le','bu','wo','zai','you'], x))) AS zh
+               FROM m),
+            gated AS (SELECT doc_id, norm FROM scored
+               WHERE quality >= 0.55
+                 AND greatest(en, de, fr, es, zh) > 0
+                 AND en = greatest(en, de, fr, es, zh)),
+            keep AS (SELECT md5(norm) AS fp, min(doc_id) AS keep_id
+               FROM gated GROUP BY 1)
+        SELECT g.doc_id FROM gated g
+        JOIN keep ON md5(g.norm) = keep.fp AND g.doc_id = keep.keep_id""",
     "q_dedup_exact" ->
       """SELECT substring(text, 1, 20) AS k, count(*) AS n_docs, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",

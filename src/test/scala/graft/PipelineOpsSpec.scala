@@ -79,6 +79,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getAs[Long]("n_docs") == 2)
   }
 
+  test("curateCorpus composes gates + dedup; survivors meet every gate") {
+    import graft.ops.{Pipeline, TextAnalysis}
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val curated = Pipeline.curateCorpus(df, "text", "doc_id", minQuality = 0.55)
+    val n = curated.count()
+    assert(n > 0, "curation should keep some documents")
+    assert(n < df.count(), "curation should drop some documents")
+    // survivors all pass the gates and are fingerprint-unique
+    val bad = curated
+      .where(TextAnalysis.langId(col("text")) =!= "en" ||
+        round(TextAnalysis.qualityScore(col("text")), 6) < 0.55)
+      .count()
+    assert(bad == 0)
+    val fps = curated
+      .select(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .groupBy("fp").count().where(col("count") > 1).count()
+    assert(fps == 0, "curated corpus must be exact-dedup'd")
+  }
+
   test("minhash LSH finds the planted near-dup and skips unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tonight")
