@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Lowercased, punctuation-stripped text (whitespace collapsed). */
+  /** Lowercased, punctuation-stripped text (whitespace collapsed) — native
+    * single-pass byte scan (`functions.NormalizeText`), pinned bit-identical
+    * to the declarative regex chain (`normalizeDeclarative`,
+    * `NormalizeTextSpec`). Fronts every text operator, so the two regex
+    * evaluations per row it replaces were the corpus scan's dominant cost.
+    */
   def normalize(text: Column): Column =
+    graft.functions.NormalizeText.normalizeText(text)
+
+  /** The declarative spelling of `normalize` — retained as the equivalence
+    * oracle (and the exact chain the DuckDB correctness oracle mirrors).
+    */
+  def normalizeDeclarative(text: Column): Column =
     trim(regexp_replace(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), " +", " "))
 
   /** Whitespace tokens of the normalized text. */
