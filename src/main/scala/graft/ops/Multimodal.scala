@@ -92,17 +92,19 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
   }
 
-  /** Frame-sampling plumbing: pick every `stride`-th chunk of `chunkBytes`
-    * from the payload (stands in for video frame extraction). Pure column
-    * functions — stays in codegen.
+  /** Frame-sampling plumbing: every `stride`-th chunk of `chunkBytes` from
+    * the payload, as REAL binary slices (stands in for video frame
+    * extraction — a real pipeline replaces the fixed-size chunking with
+    * container-aware frame offsets; the select-every-Nth shape and the
+    * array<binary> output contract are identical). Pure column functions —
+    * stays in codegen; output size is payload/stride, never a copy blowup.
     */
   def sampleChunks(binCol: Column, chunkBytes: Int, stride: Int): Column = {
-    val nChunks = (length(binCol) / chunkBytes).cast(IntegerType)
-    filter(
-      transform(
-        sequence(lit(0), greatest(nChunks - 1, lit(0))),
-        i => substring(base64(binCol), lit(1), lit(8))), // representative slice id per chunk
-      (_, i) => i % stride === 0)
+    val nChunks =
+      greatest(ceil(length(binCol).cast(DoubleType) / chunkBytes), lit(1)).cast(IntegerType)
+    transform(
+      filter(sequence(lit(0), nChunks - 1), i => i % stride === 0),
+      i => binCol.substr(i * chunkBytes + 1, lit(chunkBytes)))
   }
 
   /** Right-size partitions for heavy binary payloads: aim for

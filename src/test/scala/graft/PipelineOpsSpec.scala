@@ -205,6 +205,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(collected == again)
   }
+
+  test("multimodal: sampleChunks yields every stride-th real binary slice") {
+    val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, payload)), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val chunks = df
+      .select(Multimodal.sampleChunks(col("payload"), chunkBytes = 2, stride = 2).as("c"))
+      .head().getSeq[Array[Byte]](0)
+    // chunks 0, 2, 4 of [0..9] → [0,1], [4,5], [8,9]
+    assert(chunks.length == 3)
+    assert(chunks(0).toSeq == Seq[Byte](0, 1))
+    assert(chunks(1).toSeq == Seq[Byte](4, 5))
+    assert(chunks(2).toSeq == Seq[Byte](8, 9))
+    // ragged tail: 5 bytes, chunk 2 → 3 chunks, last is short
+    val ragged = df.select(
+      Multimodal.sampleChunks(substring(col("payload"), 1, 5), 2, 1).as("c"))
+      .head().getSeq[Array[Byte]](0)
+    assert(ragged.length == 3)
+    assert(ragged(2).toSeq == Seq[Byte](4))
+  }
 }
 
 /** IVF coarse-quantizer ANN tests. */
