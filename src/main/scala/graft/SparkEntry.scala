@@ -461,10 +461,28 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
-    // SimHash near-dup pairs (sketch-only — no SQL oracle; rows-only check)
+    // SimHash near-dup pairs (production xxhash64 sketch — no SQL oracle;
+    // rows-only check; the pipeline LOGIC is oracle-verified by
+    // q_simhash_md5 below)
     "q_simhash_pairs" -> { (s, dir) =>
       graft.ops.Dedup.simhashNearDups(
         s.read.parquet(pq(dir, "documents")), "text", "doc_id", maxHamming = 10)
+    },
+
+    // SimHash banding/bucketing/Hamming pipeline with an md5-derived token
+    // hash BOTH engines can compute — full DuckDB oracle for the pipeline
+    // logic (the production path differs only in the token hash function)
+    "q_simhash_md5" -> { (s, dir) =>
+      val hashes = transform(
+        graft.ops.TextAnalysis.tokens(col("text")),
+        tok => conv(substring(md5(tok.cast("binary")), 1, 15), 16, 10).cast("long"))
+      val sketched = s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.SimHash64.simhash64(hashes).as("simhash"))
+      graft.ops.Dedup
+        .simhashPairsFromSketch(sketched, "doc_id", maxHamming = 10)
+        .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
     },
 
     // brute-force cosine top-3 neighbors for the first 5 vectors
@@ -478,7 +496,9 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
     },
 
-    // LSH-bucketed approximate top-k (scale path; rows-only check)
+    // LSH-bucketed approximate top-k (scale path; full DuckDB oracle — the
+    // sign-bit buckets are bit-deterministic because ±1-plane dot products
+    // are the same exact double-addition sequence in both engines)
     "q_embedding_lsh" -> { (s, dir) =>
       val vectors = s.read.parquet(pq(dir, "embeddings"))
       val queries = vectors.where(col("vec_id") < 5)
@@ -696,7 +716,69 @@ object SparkEntry {
        FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
        WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.6"""
 
+  /** DuckDB oracle for the multi-probe LSH top-k: the hyperplane literals
+    * are generated from the SAME deterministic LCG the Spark operator uses,
+    * so both engines compute identical sign-bit buckets (±1 components make
+    * each dot product an exact, order-identical double addition chain).
+    */
+  private def lshOracleSql: String = {
+    val planes = graft.ops.Similarity.hyperplanes(bits = 8, dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
+      s"CASE WHEN list_dot_product(e, [$arr]) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END"
+    }.mkString("\n                 + ")
+    val probeList = (0 until 8).map(i => s"xor(bucket, (1::BIGINT << $i))").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+            b AS (SELECT vec_id, e,
+                 ($bucketExpr) AS bucket FROM v),
+            q AS (SELECT vec_id AS qid, e AS qe,
+                    unnest(list_distinct([bucket, $probeList])) AS pbucket
+                  FROM b WHERE vec_id < 5),
+            scored AS (SELECT q.qid AS query_id, b.vec_id AS neighbor_id,
+                         list_cosine_similarity(q.qe, b.e) AS c
+                       FROM b JOIN q ON b.bucket = q.pbucket AND b.vec_id <> q.qid),
+            ranked AS (SELECT query_id, neighbor_id, c,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY c DESC, neighbor_id) AS r
+                       FROM scored)
+       SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
+       FROM ranked WHERE r <= 3"""
+  }
+
+  /** DuckDB oracle for the md5-flavored SimHash pipeline: 64 per-bit vote
+    * aggregates generated programmatically; bit 63's mask is spelled as a
+    * subtraction because DuckDB rejects `1 << 63` as an overflow.
+    */
+  private def simhashMd5OracleSql: String = {
+    def bitMask(b: Int): String =
+      if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+    val votes = (0 until 64).map { b =>
+      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN ${bitMask(b)} ELSE 0::BIGINT END"
+    }.mkString("\n                 + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+                      FROM documents WHERE text IS NOT NULL),
+            hashed AS (SELECT doc_id,
+                         ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+            sk AS (SELECT doc_id, ($votes) AS simhash
+                   FROM hashed GROUP BY doc_id),
+            chunked AS (SELECT doc_id, simhash, c.chunk,
+                          (simhash >> (c.chunk * 16)) & 65535 AS value
+                        FROM sk, (SELECT unnest([0,1,2,3]) AS chunk) c),
+            sizes AS (SELECT chunk, value, count(*) AS n FROM chunked GROUP BY 1, 2),
+            pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+                        bit_count(xor(a.simhash, b.simhash)) AS hamming
+                      FROM chunked a
+                      JOIN chunked b ON a.chunk = b.chunk AND a.value = b.value
+                        AND a.doc_id < b.doc_id
+                      JOIN sizes s ON s.chunk = a.chunk AND s.value = a.value
+                        AND s.n BETWEEN 2 AND 1000)
+       SELECT id1, id2, hamming::BIGINT AS hamming FROM pairs WHERE hamming <= 10"""
+  }
+
   private def trainingOracles: Map[String, String] = Map(
+    "q_embedding_lsh" -> lshOracleSql,
+    "q_simhash_md5" -> simhashMd5OracleSql,
     "q_text_stats" ->
       s"""SELECT doc_id,
                  len(string_split($normSql, ' '))::BIGINT AS n_tokens,

@@ -20,23 +20,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"simhash64 expects array<string>, got ${other.simpleString}")
+        s"simhash64 expects array<string> (tokens) or array<bigint> " +
+          s"(precomputed token hashes), got ${other.simpleString}")
   }
+
+  /** String input hashes each token with `xxhash64`; long input votes over
+    * the given hashes directly (backing hash-agnostic variants, e.g. the
+    * md5-derived cross-engine oracle). */
+  private def fromStrings: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any = {
-    val arr   = input.asInstanceOf[ArrayData]
-    val n     = arr.numElements()
-    val votes = new Array[Int](64)
+    val arr     = input.asInstanceOf[ArrayData]
+    val n       = arr.numElements()
+    val strings = fromStrings
+    val votes   = new Array[Int](64)
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        val h =
+          if (strings) XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+          else arr.getLong(j)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -63,12 +74,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val b      = ctx.freshName("b")
       val h      = ctx.freshName("h")
       val sketch = ctx.freshName("sketch")
+      val hExpr =
+        if (fromStrings) s"$xxh.hashUTF8String($a.getUTF8String($j), 42L)"
+        else s"$a.getLong($j)"
       s"""
          |int $n = $a.numElements();
          |int[] $votes = new int[64];
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$a.isNullAt($j)) {
-         |    long $h = $xxh.hashUTF8String($a.getUTF8String($j), 42L);
+         |    long $h = $hExpr;
          |    for (int $b = 0; $b < 64; $b++) {
          |      if ((($h >>> $b) & 1L) == 1L) { $votes[$b]++; } else { $votes[$b]--; }
          |    }

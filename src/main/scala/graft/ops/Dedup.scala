@@ -279,7 +279,15 @@ object Dedup {
     * hashes, take the sign. Near-identical texts differ in few bits.
     */
   def simhash64(tokensCol: Column): Column =
-    Hof.bound(transform(tokensCol, t => xxhash64(t))) { hashes =>
+    simhash64FromHashes(transform(tokensCol, t => xxhash64(t)))
+
+  /** SimHash sketch over an arbitrary precomputed token-hash array —
+    * declarative HOF fold; the hot path uses the codegen'd
+    * `functions.SimHash64` (xxhash64 flavor), this generic form backs the
+    * cross-engine oracle variant (md5-derived hashes both engines share).
+    */
+  def simhash64FromHashes(hashesCol: Column): Column =
+    Hof.bound(hashesCol) { hashes =>
       aggregate(
         sequence(lit(0), lit(63)),
         lit(0L),
@@ -315,10 +323,22 @@ object Dedup {
       .select(
         col(idCol),
         graft.functions.SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
-      // barrier: the chunk explode below references `simhash` inside its
-      // generator — without materialization, projection collapse would
-      // re-tokenize and re-sketch per reference. 16 bytes/doc, spill-safe.
-      .cache()
+    simhashPairsFromSketch(sketched, idCol, maxHamming, maxBucketSize)
+  }
+
+  /** Chunk banding + bucket join + Hamming verification over a prepared
+    * (id, simhash) frame — shared by the production xxhash64 path and the
+    * oracle's md5-hash variant.
+    */
+  def simhashPairsFromSketch(
+      sketchedIn: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // barrier: the chunk explode below references `simhash` inside its
+    // generator — without materialization, projection collapse would
+    // re-compute the sketch per reference. 16 bytes/doc, spill-safe.
+    val sketched = sketchedIn.cache()
     val chunked = sketched.select(
       col(idCol),
       col("simhash"),

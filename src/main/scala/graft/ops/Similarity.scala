@@ -73,7 +73,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (LCG, fixed seed): `bits` planes
     * of dimension `dim` with components in {-1, +1}.
     */
-  private[ops] def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     var state = seed
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     Seq.fill(bits)(Seq.fill(dim)(if (next() > 0) 1.0 else -1.0))
