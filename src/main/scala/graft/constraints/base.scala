@@ -41,11 +41,13 @@ abstract class Constraint {
   /** Run a custom `test` body under plan capture and attach the retrieval
     * plans to a failing result (reference `base.py:256-293` attaches the
     * compiled selections). Constraints overriding `test` wrap their body.
+    * Plans are rendered only on failure — passing tests never optimize or
+    * stringify anything extra.
     */
   protected final def withPlans(body: => TestResult): TestResult = {
     val (res, plans) = PlanCapture.capturing(body)
     if (res.outcome || plans.isEmpty || res.factualQueries.nonEmpty) res
-    else res.copy(factualQueries = plans)
+    else res.copy(factualQueries = PlanCapture.render(plans))
   }
 
   /** Test id, mirroring the reference's `ClassName::datasource` convention
@@ -71,13 +73,16 @@ abstract class ValueConstraint[A] extends Constraint {
     ref2.isDefined != refValue.isDefined,
     s"Exactly one of ref2 and refValue must be given for $name (ref2=$ref2, refValue=$refValue)")
 
-  // memoizes the retrieved value together with the plans of the selections
-  // the retrieval touched, so a later failing test() can still render them
-  private val memo = TrieMap.empty[(Int, Boolean), (A, Seq[String])]
+  private type Captured = Seq[org.apache.spark.sql.execution.QueryExecution]
+
+  // memoizes the retrieved value together with the (lazy) query executions
+  // of the selections the retrieval touched, so a later failing test() can
+  // still render the plans; rendering happens only on failure
+  private val memo = TrieMap.empty[(Int, Boolean), (A, Captured)]
 
   protected def retrieve(spark: SparkSession, r: DataRef): A
 
-  private def retrieveMemo(spark: SparkSession, isFactual: Boolean): (A, Seq[String]) = {
+  private def retrieveMemo(spark: SparkSession, isFactual: Boolean): (A, Captured) = {
     val r = if (isFactual) ref else ref2.get
     def run = PlanCapture.capturing(retrieve(spark, r))
     if (cachingDisabled) run
@@ -92,10 +97,12 @@ abstract class ValueConstraint[A] extends Constraint {
 
   /** Plans of the factual retrieval (populated once `factual` has run). */
   protected final def factualPlans(spark: SparkSession): Seq[String] =
-    memo.get((System.identityHashCode(spark), true)).map(_._2).getOrElse(Seq.empty)
+    memo.get((System.identityHashCode(spark), true))
+      .map(p => PlanCapture.render(p._2)).getOrElse(Seq.empty)
 
   protected final def targetPlans(spark: SparkSession): Seq[String] =
-    memo.get((System.identityHashCode(spark), false)).map(_._2).getOrElse(Seq.empty)
+    memo.get((System.identityHashCode(spark), false))
+      .map(p => PlanCapture.render(p._2)).getOrElse(Seq.empty)
 
   protected final def targetPrefix: String =
     ref2.map(r => s"${r.describe}'s ").getOrElse("")
@@ -106,12 +113,16 @@ abstract class ValueConstraint[A] extends Constraint {
   override def test(spark: SparkSession): TestResult = {
     val (f, fPlans) = retrieveMemo(spark, isFactual = true)
     val (t, tPlans) = refValue
-      .map(v => (v, Seq.empty[String]))
+      .map(v => (v, Seq.empty: Captured))
       .getOrElse(retrieveMemo(spark, isFactual = false))
     val (ok, msg) = compare(f, t)
     if (ok) TestResult.success(description)
     else
-      TestResult.failure(description, msg.getOrElse("(no details)"), fPlans, tPlans)
+      TestResult.failure(
+        description,
+        msg.getOrElse("(no details)"),
+        PlanCapture.render(fPlans),
+        PlanCapture.render(tPlans))
   }
 }
 

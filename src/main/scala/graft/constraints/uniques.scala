@@ -98,6 +98,16 @@ sealed abstract class Uniques extends Constraint {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(Int, Boolean), (Seq[Any], Seq[Long])]
 
+  // the engine path computes a whole TestResult per session; memoize it the
+  // same way so repeated test() calls don't re-run the anti-join jobs
+  private val engineMemo =
+    scala.collection.concurrent.TrieMap.empty[Int, TestResult]
+
+  protected final def memoizedEngineTest(
+      spark: SparkSession)(body: => TestResult): TestResult =
+    if (cachingDisabled) withPlans(body)
+    else engineMemo.getOrElseUpdate(System.identityHashCode(spark), withPlans(body))
+
   protected final def factualUniques(spark: SparkSession): (Seq[Any], Seq[Long]) =
     if (cachingDisabled) retrieveUniques(spark, ref)
     else memo.getOrElseUpdate(
@@ -182,9 +192,9 @@ final case class UniquesEquality(
     override val nameOverride: Option[String] = None)
     extends Uniques {
   override def maxRelativeViolations: Double = 0.0
-  override def test(spark: SparkSession): TestResult = withPlans {
-    if (engineEligible) testInEngine(spark) else testClientSide(spark)
-  }
+  override def test(spark: SparkSession): TestResult =
+    if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
+    else withPlans(testClientSide(spark))
 
   /** Engine path: two anti-joins; the driver sees two counts and (on
     * failure) two bounded samples. */
@@ -256,9 +266,9 @@ final case class UniquesSubset(
     override val cacheSize: Option[Int] = None,
     override val nameOverride: Option[String] = None)
     extends Uniques {
-  override def test(spark: SparkSession): TestResult = withPlans {
-    if (engineEligible) testInEngine(spark) else testClientSide(spark)
-  }
+  override def test(spark: SparkSession): TestResult =
+    if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
+    else withPlans(testClientSide(spark))
 
   /** Engine path: factual value counts anti-joined against the target's
     * distinct set; the violation fraction aggregates in-engine, the driver
@@ -350,9 +360,9 @@ final case class UniquesSuperset(
     override val cacheSize: Option[Int] = None,
     override val nameOverride: Option[String] = None)
     extends Uniques {
-  override def test(spark: SparkSession): TestResult = withPlans {
-    if (engineEligible) testInEngine(spark) else testClientSide(spark)
-  }
+  override def test(spark: SparkSession): TestResult =
+    if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
+    else withPlans(testClientSide(spark))
 
   /** Engine path: target-minus-factual anti-join; counts aggregate
     * in-engine, samples are bounded. */

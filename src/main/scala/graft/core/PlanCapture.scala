@@ -18,32 +18,39 @@ import org.apache.spark.sql.DataFrame
 object PlanCapture {
 
   private val active =
-    new ThreadLocal[List[mutable.Buffer[String]]] {
-      override def initialValue(): List[mutable.Buffer[String]] = Nil
+    new ThreadLocal[List[mutable.Buffer[org.apache.spark.sql.execution.QueryExecution]]] {
+      override def initialValue(): List[mutable.Buffer[org.apache.spark.sql.execution.QueryExecution]] =
+        Nil
     }
 
   /** Called by `DataRef.selection` for every retrieval plan it builds.
     * Records into EVERY active capture (captures nest: a memoizing retrieval
     * captures for its cache entry while the surrounding `test` captures for
-    * the failure message).
+    * the failure message). Only the lazy `QueryExecution` handle is stored —
+    * optimization and stringification happen on the failure path alone
+    * (`render`), so passing tests pay nothing.
     */
   def record(df: DataFrame): Unit = {
     val buffers = active.get()
     if (buffers.nonEmpty) {
-      val plan = df.queryExecution.optimizedPlan.toString.trim
-      buffers.foreach(_ += plan)
+      val qe = df.queryExecution
+      buffers.foreach(_ += qe)
     }
   }
 
-  /** Run `body`, returning its result plus the plans of every selection it
-    * retrieved (including selections inside nested captures).
+  /** Run `body`, returning its result plus the query executions of every
+    * selection it retrieved (including selections inside nested captures).
     */
-  def capturing[T](body: => T): (T, Seq[String]) = {
-    val buf = mutable.Buffer.empty[String]
+  def capturing[T](body: => T): (T, Seq[org.apache.spark.sql.execution.QueryExecution]) = {
+    val buf = mutable.Buffer.empty[org.apache.spark.sql.execution.QueryExecution]
     active.set(buf :: active.get())
     try {
       val result = body
-      (result, buf.toSeq.distinct)
+      (result, buf.toSeq)
     } finally active.set(active.get().filterNot(_ eq buf))
   }
+
+  /** Optimized-plan strings for a failure message (deduplicated). */
+  def render(qes: Seq[org.apache.spark.sql.execution.QueryExecution]): Seq[String] =
+    qes.map(_.optimizedPlan.toString.trim).distinct
 }

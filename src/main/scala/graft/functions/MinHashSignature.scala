@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * WholeStageCodegen — the same treatment `DotProductFloat` gives the
   * embedding dot product.
   *
-  * Empty input arrays yield `Long.MaxValue` sentinels (callers filter empty
-  * shingle sets upstream).
+  * Empty input arrays yield `Long.MaxValue` sentinels, and NULL elements
+  * are skipped (the declarative spelling instead folds a NULL through the
+  * hash chain, yielding the seed) — neither shape is producible by the
+  * shingle/token builders, which emit null-free arrays; the bit-identical
+  * claim is for those arrays.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * HOF fold and the explode → 64-column HashAggregate plan — but with NO
   * shuffle at all: the sketch is one projection over the corpus scan. The
   * round-1 plan exploded every token and shuffled them back on doc id just
-  * to sum votes the row already had locally.
+  * to sum votes the row already had locally. NULL elements are skipped
+  * (unreachable from the token builders, which emit null-free arrays; the
+  * declarative spellings disagree with each other on that shape).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 

@@ -102,8 +102,12 @@ object CumSum {
     // 2. bucket assignment: number of boundaries strictly below the key.
     //    Codegen'd binary search over the boundary literals; identical keys
     //    land in identical buckets by construction.
+    // NULL order keys land in bucket 0 (they sort first inside the bucket's
+    // window), exactly as the pre-BucketIndex HOF assignment behaved
     val bucketed = df.withColumn(
-      "dj_bucket", graft.functions.BucketIndex.bucketIndex(key, boundaries))
+      "dj_bucket",
+      graft.functions.BucketIndex.bucketIndex(
+        coalesce(key, lit(Double.NegativeInfinity)), boundaries))
     // 3. per-bucket local running sums (parallel windows, one WindowExec)
     val wLocal = Window
       .partitionBy("dj_bucket")
@@ -153,7 +157,9 @@ object CumSum {
     if (boundariesRow.isNullAt(0)) return df
     val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
     val bucketed = df.withColumn(
-      "dj_bucket", graft.functions.BucketIndex.bucketIndex(key, boundaries))
+      "dj_bucket",
+      graft.functions.BucketIndex.bucketIndex(
+        coalesce(key, lit(Double.NegativeInfinity)), boundaries))
     val wLocal = Window
       .partitionBy("dj_bucket")
       .orderBy(col(orderCol))

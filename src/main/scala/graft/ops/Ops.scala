@@ -159,6 +159,11 @@ object Ops {
   /** Left-anti join of `df1` (on `keys1`, which must lead its schema)
     * against `df2`, whose columns align positionally with `keys1`. */
   def antiJoinPositional(df1: DataFrame, df2: DataFrame, keys1: Seq[String]): DataFrame = {
+    require(
+      df2.columns.length == keys1.length,
+      s"Positional comparison requires matching arity: ${keys1.length} key column(s) " +
+        s"vs ${df2.columns.length} on the other side " +
+        s"(${df2.columns.mkString(", ")})")
     val d2 = df2.select(
       df2.columns.toSeq.zip(keys1).map { case (c2, c1) => col(c2).as(c1 + "_dj2") }: _*)
     val cond = keys1.map(c => col(c) <=> col(c + "_dj2")).reduce(_ && _)

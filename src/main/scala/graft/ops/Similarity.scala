@@ -196,7 +196,18 @@ object Similarity {
           .collect()
           .toSeq
     var centroids: Seq[(Long, Seq[Double])] =
-      seedRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq.map(_.toDouble))
+      seedRows
+        .filterNot(_.isNullAt(1))
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq.map(_.toDouble))
+    if (centroids.isEmpty)
+      // empty corpus: no candidates, typed empty result
+      return queries
+        .select(
+          col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"),
+          lit(0.0).as("cosine"),
+          lit(0).as("rank"))
+        .where(lit(false))
     val dim = centroids.head._2.length
 
     def centroidArrOf(cs: Seq[(Long, Seq[Double])]): Column =

@@ -85,10 +85,15 @@ object Stats {
     val (running, totals) = CumSum.withRunningSums(
       counts, valueLabel, Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
     val (n, m) = (totals(0), totals(1))
+    // an empty sample's CDF is 0 everywhere (the pre-fused plan's
+    // forward-fill + coalesce semantics; D then reads 1.0) — never divide
+    // by a zero total
+    def cdfOf(runCol: String, total: Long) =
+      if (total == 0L) lit(0.0) else col(runCol).cast("double") / total.toDouble
     val cross = running.select(
       col(valueLabel),
-      (col("dj_run1").cast("double") / n.toDouble).as(cdfLabel + "1"),
-      (col("dj_run2").cast("double") / m.toDouble).as(cdfLabel + "2"))
+      cdfOf("dj_run1", n).as(cdfLabel + "1"),
+      cdfOf("dj_run2", m).as(cdfLabel + "2"))
     (cross, n, m)
   }
 
