@@ -236,6 +236,14 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
   import graft.ops.Similarity
 
+  test("IVF on an empty corpus returns a typed empty frame, no crash") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val empty = df.where(org.apache.spark.sql.functions.lit(false))
+    val res = Similarity.ivfTopK(empty, df.limit(2), "vec_id", "embedding", 3)
+    assert(res.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(res.count() == 0)
+  }
+
   test("IVF top-k recall vs brute force on real embeddings") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = df.where(col("vec_id") < 10)

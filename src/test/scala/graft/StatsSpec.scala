@@ -66,6 +66,42 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.ksApproxPValue(1.0, 10000, 10000).get >= 0.0)
   }
 
+  test("empty sample: D = 1 against a non-empty sample, no division blowup") {
+    val df = intDf("ks_empty_t", (1 to 50).map(Integer.valueOf))
+    val full  = DataRef(FrameSource(df, "ks_empty_t"), Some(Seq("col_int")))
+    val empty = full.copy(condition = Some(graft.core.Condition.raw("col_int > 999")))
+    val (d, n, m) = Stats.ks2SampleWithCounts(spark, full, empty)
+    assert(d == 1.0, s"expected D=1 vs empty sample, got $d")
+    assert(n == 50L && m == 0L)
+  }
+
+  test("null-valued rows are excluded from both CDFs and sample counts") {
+    val df = mixDf(Seq(
+      (Integer.valueOf(1), "x", null), (Integer.valueOf(2), "x", null),
+      (null, "x", null), (Integer.valueOf(3), "x", null)))
+    val r = DataRef(FrameSource(df, "ks_null_t"), Some(Seq("col_int")))
+    val (d, n, m) = Stats.ks2SampleWithCounts(spark, r, r)
+    assert(d == 0.0)
+    assert(n == 3L && m == 3L) // the NULL row does not count
+  }
+
+  test("CumSum: NULL order keys land in bucket 0 and keep their weight") {
+    import org.apache.spark.sql.functions._
+    val counts = mixDf(Seq(
+      (Integer.valueOf(5), "x", null),
+      (null, "x", null),
+      (Integer.valueOf(7), "x", null)))
+      .select(col("col_int").as("v"), lit(1L).as("cnt"))
+    val rows = graft.ops.CumSum
+      .withRunningSum(counts, "v", "cnt", "run")
+      .orderBy(col("run"))
+      .collect()
+    assert(rows.length == 3)
+    // the NULL key sorts first (bucket 0) and still contributes to the sums
+    assert(rows.head.isNullAt(0) && rows.head.getLong(2) == 1L)
+    assert(rows.last.getLong(2) == 3L, "grand running sum must include the NULL row")
+  }
+
   test("exact Kolmogorov sf: closed form at n=1 and classical critical values") {
     import graft.ops.Kolmogorov
     // n = 1: P(D_1 < d) = 2d - 1 on [1/2, 1] exactly

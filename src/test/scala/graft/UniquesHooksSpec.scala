@@ -147,6 +147,16 @@ class UniquesHooksSpec extends AnyFunSuite {
     assert(UniquesSuperset(rf, ref2 = Some(rt)).test(spark).outcome)
   }
 
+  test("between-source uniques with mismatched column arity fail loudly") {
+    val f = mixDf(Seq((Integer.valueOf(1), "v1", null)))
+    val rf = DataRef(FrameSource(f, "arity_f"), Some(Seq("col_varchar")))
+    val rt = DataRef(FrameSource(f, "arity_t"), Some(Seq("col_int", "col_varchar")))
+    val e = intercept[IllegalArgumentException] {
+      UniquesEquality(rf, ref2 = Some(rt)).test(spark)
+    }
+    assert(e.getMessage.contains("arity"), e.getMessage)
+  }
+
   test("VarCharRegex row-weighted (aggregated=false) tolerance") {
     // "ok" x3 rows, "bad!" x1 row → row-weighted violations 1/4; distinct 1/2
     val df = mixDf(Seq(
