@@ -122,15 +122,17 @@ object Dedup {
     val shingled = spread(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol),
-        charShingles(TextAnalysis.normalize(col(textCol)), shingleK).as("shingles"))
-      .where(size(col("shingles")) > 0)
-      .select(
-        col(idCol),
-        sort_array(transform(col("shingles"), s => xxhash64(s))).as("shingle_hashes"))
+        // one fused kernel: normalize byte-scan → per-window hash → sorted
+        // distinct array; no per-shingle string allocation anywhere
+        graft.functions.ShingleHashes
+          .shingleHashes(TextAnalysis.normalize(col(textCol)), shingleK)
+          .as("shingle_hashes"))
       .cache()
-    shingled.withColumn(
-      "signature",
-      graft.functions.MinHashSignature.minhashSignature(col("shingle_hashes"), numHashes))
+    shingled
+      .where(size(col("shingle_hashes")) > 0) // post-cache: no recompute
+      .withColumn(
+        "signature",
+        graft.functions.MinHashSignature.minhashSignature(col("shingle_hashes"), numHashes))
   }
 
   /** LSH banding: explode the signature into `bands` band keys
@@ -236,16 +238,14 @@ object Dedup {
       maxShingleDf: Int = 20): DataFrame = {
     val sh = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.normalize(col(textCol)).as("dj_norm"))
-      .withColumn("shingles", charShingles(col("dj_norm"), shingleK))
-      .where(size(col("shingles")) > 0)
       // exact-Jaccard verification runs on sorted 64-bit shingle hashes
-      // (codegen'd two-pointer merge, see minhashed) — the strings are only
-      // needed for the coarse candidate keys
+      // (fused kernel + codegen'd two-pointer merge, see minhashed) — the
+      // normalized string stays only for the coarse candidate keys
       .withColumn(
         "shingle_hashes",
-        sort_array(transform(col("shingles"), s => xxhash64(s))))
-      .drop("shingles")
+        graft.functions.ShingleHashes.shingleHashes(col("dj_norm"), shingleK))
       .cache()
+      .where(size(col("shingle_hashes")) > 0) // post-cache: no recompute
     val coarse = sh.select(
       col(idCol),
       explode(array_distinct(filter(

@@ -69,6 +69,31 @@ class MinHashSignatureSpec extends AnyFunSuite {
     pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
+  test("fused shingle-hash kernel equals the declarative chain") {
+    import graft.functions.ShingleHashes.shingleHashes
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .select(
+        shingleHashes(TextAnalysis.normalize(col("text")), 5).as("native"),
+        sort_array(transform(
+          Dedup.charShingles(TextAnalysis.normalize(col("text")), 5),
+          s => xxhash64(s))).as("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // short-input edge: fewer than k chars → empty set on both spellings
+    import spark.implicits._
+    val short = Seq("ab", "", "a b!").toDF("text")
+      .select(
+        shingleHashes(TextAnalysis.normalize(col("text")), 5).as("native"),
+        sort_array(transform(
+          Dedup.charShingles(TextAnalysis.normalize(col("text")), 5),
+          s => xxhash64(s))).as("declarative"))
+      .collect()
+    short.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash64 equals the HOF fold bit-for-bit") {
     import graft.functions.SimHash64.simhash64
     val rows = spark.read
