@@ -322,7 +322,11 @@ object Dedup {
       .where(col(textCol).isNotNull)
       .select(
         col(idCol),
-        graft.functions.SimHash64.simhash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
+        // fully fused: normalize byte-scan → in-scan tokenize → vote —
+        // two native kernels, no token array materialization
+        graft.functions.SimHash64
+          .simhash64(TextAnalysis.normalize(col(textCol)))
+          .as("simhash"))
     simhashPairsFromSketch(sketched, idCol, maxHamming, maxBucketSize)
   }
 

@@ -94,7 +94,7 @@ class MinHashSignatureSpec extends AnyFunSuite {
     short.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
-  test("native simhash64 equals the HOF fold bit-for-bit") {
+  test("native simhash64 equals the HOF fold bit-for-bit (all three flavors)") {
     import graft.functions.SimHash64.simhash64
     val rows = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
@@ -102,10 +102,22 @@ class MinHashSignatureSpec extends AnyFunSuite {
       .where(size(TextAnalysis.tokens(col("text"))) > 0)
       .select(
         simhash64(TextAnalysis.tokens(col("text"))).as("native"),
-        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("hof"))
+        Dedup.simhash64(TextAnalysis.tokens(col("text"))).as("hof"),
+        simhash64(TextAnalysis.normalize(col("text"))).as("fusedText"))
       .collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(1), "fused text flavor diverged")
+    }
+    // split-parity edges: empty string and interior empty segments
+    import spark.implicits._
+    val edges = Seq("", "a", "a b", "ab").toDF("t")
+      .select(
+        simhash64(col("t")).as("fused"),
+        Dedup.simhash64(split(col("t"), " ")).as("hof"))
+      .collect()
+    edges.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
   test("matchingFraction equals the zip_with agreement fraction") {
