@@ -85,8 +85,10 @@ object CumSum {
     require(valueCols.length == runningCols.length && valueCols.nonEmpty)
     val key = orderProxy(df, orderCol)
     // 1. one job: approximate range boundaries + every grand total
+    //    (accuracy only shapes load balance — results stay exact — so a
+    //    cheap sketch beats the default-accuracy one)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
-    val aggs = percentile_approx(key, array(probs.map(lit): _*), lit(10000)) +:
+    val aggs = percentile_approx(key, array(probs.map(lit): _*), lit(1000)) +:
       valueCols.map(c => sum(col(c)))
     val head = df.agg(aggs.head, aggs.tail: _*).head()
     if (head.isNullAt(0)) {
@@ -152,7 +154,7 @@ object CumSum {
     val key   = orderProxy(df, orderCol)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val boundariesRow = df
-      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(10000)))
+      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(1000)))
       .head()
     if (boundariesRow.isNullAt(0)) return df
     val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
