@@ -55,8 +55,30 @@ abstract class Constraint {
     */
   def description: String = s"$name::${ref.name}"
 
-  protected def conditionString: String =
-    ref.condition.map(c => s"Condition: ${c.render}. ").getOrElse("")
+  /** The second reference, when this is a between constraint — drives the
+    * condition rendering below. */
+  protected def ref2Option: Option[DataRef] = None
+
+  /** Condition clause(s) for failure messages, with the reference's
+    * branch structure (`base.py:225-246`): within constraints name one
+    * condition; between constraints distinguish both/first/second-table
+    * conditions.
+    */
+  protected def conditionString: String = {
+    val c1 = ref.condition
+    val c2 = ref2Option.flatMap(_.condition)
+    if (c1.isEmpty && c2.isEmpty) ""
+    else if (ref2Option.isEmpty)
+      c1.map(c => s"Condition: ${c.render}. ").getOrElse("")
+    else (c1, c2) match {
+      case (Some(a), Some(b)) if a == b => s"Condition on both tables: ${a.render}; "
+      case (None, Some(b))              => s"Condition on second table: ${b.render}; "
+      case (Some(a), None)              => s"Condition on first table: ${a.render}; "
+      case (Some(a), Some(b)) =>
+        s"Condition on first table: ${a.render}. Condition on second table: ${b.render}. "
+      case _ => ""
+    }
+  }
 
   def test(spark: SparkSession): TestResult
 }
@@ -68,6 +90,8 @@ abstract class Constraint {
 abstract class ValueConstraint[A] extends Constraint {
   def ref2: Option[DataRef]
   def refValue: Option[A]
+
+  override protected def ref2Option: Option[DataRef] = ref2
 
   require(
     ref2.isDefined != refValue.isDefined,

@@ -13,6 +13,7 @@ import types.ToleranceGetter
 sealed abstract class RowConstraint extends Constraint {
   def ref2Required: DataRef
   def maxMissingFractionGetter: ToleranceGetter
+  override protected def ref2Option: Option[graft.core.DataRef] = Some(ref2Required)
 }
 
 /** (|T1∖T2| + |T2∖T1|) / |T1∪T2| <= tolerance (reference `row.py:38-86`). */

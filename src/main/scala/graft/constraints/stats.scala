@@ -17,6 +17,7 @@ final case class KolmogorovSmirnov2Sample(
     significanceLevel: Double = 0.05,
     override val nameOverride: Option[String] = None)
     extends Constraint {
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
   override def test(spark: SparkSession): TestResult = withPlans {
     // D and both non-null sample sizes come from the one fused cross-CDF
     // pass (the separate row-count jobs of round 1 are folded in)

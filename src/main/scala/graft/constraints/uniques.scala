@@ -60,6 +60,8 @@ object filters {
 sealed abstract class Uniques extends Constraint {
   def ref2: Option[DataRef]
   def uniquesLiteral: Option[Seq[Any]]
+
+  override protected def ref2Option: Option[DataRef] = ref2
   def filterFunc: filters.FilterFunc
   def mapFunc: Option[Any => Any]
   def reduceFunc: Option[Seq[Any] => Seq[Any]]

@@ -55,6 +55,30 @@ class ConstraintSpec extends AnyFunSuite {
     assert(!NRowsMaxLoss(r2NoCols, r1NoCols, _ => 0.05).test(spark).outcome)
   }
 
+  test("between-condition rendering has the reference's branch structure (base.py:225-246)") {
+    // chosen so every filtered pairing still has unequal row counts (the
+    // message only renders on failure): 19|18 → >0 keeps 19|18, >2 keeps 17|17
+    val cond1 = Condition.raw("col_int > 0")
+    val cond2 = Condition.raw("col_int > 2")
+    def msgOf(r1: DataRef, r2: DataRef): String =
+      NRowsEquality(r1, ref2 = Some(r2)).test(spark).failureMessage.getOrElse("")
+    val base1 = r1NoCols // 19 rows
+    val base2 = r2NoCols // 18 rows — always unequal, so messages render
+    assert(msgOf(base1.copy(condition = Some(cond1)), base2.copy(condition = Some(cond1)))
+      .contains("Condition on both tables: col_int > 0;"))
+    assert(msgOf(base1, base2.copy(condition = Some(cond2)))
+      .contains("Condition on second table: col_int > 2;"))
+    assert(msgOf(base1.copy(condition = Some(cond1)), base2)
+      .contains("Condition on first table: col_int > 0;"))
+    val both = msgOf(base1.copy(condition = Some(cond1)), base2.copy(condition = Some(cond2)))
+    assert(both.contains("Condition on first table: col_int > 0.") &&
+      both.contains("Condition on second table: col_int > 2."), both)
+    // within constraints keep the single-condition form
+    val within = NRowsEquality(base1.copy(condition = Some(cond1)), refValue = Some(99L))
+      .test(spark).failureMessage.getOrElse("")
+    assert(within.contains("Condition: col_int > 0."), within)
+  }
+
   test("NRowsMinGain edge semantics match the reference (nrows.py:155-184)") {
     val empty = DataRef(FrameSource(intDf("int_empty", Seq.empty), "int_empty"))
     // empty target table → success ("Empty target table.")
