@@ -30,7 +30,11 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition count from the physical plan's leaves — `df.rdd` would
+    // materialize the whole RDD lineage just to read the same number
+    val scanParts = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.outputPartitioning.numPartitions).sum
+    if (scanParts < target) df.repartition(target) else df
   }
 
   /** Character k-shingles of `text` as a distinct array. The text expression
@@ -72,18 +76,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .where(col("n_docs") > 1)
 
-  /** Exact dedup: keep the minimum-id row per normalized-text fingerprint. */
-  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val keep = df
-      .select(TextAnalysis.fingerprintMd5(col(textCol)).as("dj_fp"), col(idCol).as("dj_keep"))
-      .groupBy("dj_fp")
-      .agg(min(col("dj_keep")).as("dj_keep"))
-    df.join(
-        keep,
-        TextAnalysis.fingerprintMd5(col(textCol)) === col("dj_fp") &&
-          col(idCol) === col("dj_keep"))
+  /** Exact dedup: keep the minimum-id row per normalized-text fingerprint.
+    *
+    * Shaped as a fingerprint-partitioned window min rather than a
+    * groupBy+self-join: ONE md5 evaluation per row (the join spelling paid a
+    * second full hash pass on the probe side), ONE shuffle of the corpus on
+    * the fingerprint, and no join — at 100 TB the keep-set is nearly
+    * corpus-sized, so the join could never broadcast anyway.
+    */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("dj_fp", TextAnalysis.fingerprintMd5(col(textCol)))
+      .withColumn(
+        "dj_keep",
+        min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("dj_fp")))
+      .where(col(idCol) === col("dj_keep"))
       .drop("dj_fp", "dj_keep")
-  }
 
   /** MinHash signature over a precomputed array of base shingle hashes:
     * h_i(x) = xxhash64(i, baseHash(x)) — one string hash per shingle total,

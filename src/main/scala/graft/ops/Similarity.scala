@@ -82,8 +82,19 @@ object Similarity {
   /** Sign-bit LSH key: bit i = (v · plane_i > 0). Cosine-similar vectors
     * agree on most sign bits, so sharing the full key is a strong candidate
     * signal.
+    *
+    * Computed by the native `plane_sign_bits` kernel — one codegen'd
+    * primitive loop per row instead of `bits` interpreted HOF dot products
+    * (the round-2 `q_embedding_lsh` hotspot). `lshKeyHof` keeps the
+    * declarative spelling; `SimilaritySpec` pins the two bit-identical.
     */
-  def lshKey(vec: Column, planes: Seq[Seq[Double]]): Column = {
+  def lshKey(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.PlaneSignBits.planeSignBits(vec, planes)
+
+  /** Declarative HOF spelling of `lshKey` — reference semantics for the
+    * native kernel's equivalence spec; not used on any hot path.
+    */
+  private[graft] def lshKeyHof(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(vec, planeCol) > 0, shiftleft(lit(1L), i)).otherwise(0L)
@@ -178,12 +189,24 @@ object Similarity {
       k: Int,
       nCentroids: Int = 16,
       nProbe: Int = 4,
-      kmeansIters: Int = 2): DataFrame = {
+      kmeansIters: Int = 2,
+      corpusSize: Option[Long] = None): DataFrame = {
     // deterministic hash-sampled seeds, refined with `kmeansIters` Lloyd
     // iterations — each iteration is ONE distributed HashAggregate (count +
     // per-dimension sums with map-side partials; no explode, no shuffle of
-    // raw vectors) returning ≤ nCentroids rows to the driver
-    val n = vectors.count()
+    // raw vectors) returning ≤ nCentroids rows to the driver.
+    //
+    // The corpus size only calibrates the seed-sample stride, so a caller
+    // hint or a plan-stats estimate replaces the former full count() job.
+    // The estimate is deliberately biased LOW (4 KiB/row over scan bytes):
+    // underestimating shrinks the stride and samples MORE rows — the id cap
+    // still bounds the seed set at nCentroids, so recall never degrades;
+    // overestimating could under-fill the seed set.
+    val n = corpusSize.getOrElse {
+      val stats = vectors.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.toLong).getOrElse(
+        math.max(1L, (stats.sizeInBytes / 4096).toLong))
+    }
     val sampled =
       ivfCentroids(vectors, idCol, vecCol, nCentroids, n).collect()
     val seedRows =

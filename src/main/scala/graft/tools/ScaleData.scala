@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× scale-up of a driver testdata directory, for the sf1
+  * leg of the bench (see `Bench.scala`): correctness still runs exclusively
+  * on the driver's own parquet; this exists only to surface constants and
+  * superlinear behavior that hide at 600k rows.
+  *
+  * Replication recipe (seeded, reproducible — no RNG):
+  *  - every surrogate/foreign key is shifted by `replica * 1e9`, so
+  *    customer↔orders↔lineitem joins stay consistent within a replica and
+  *    replicas never collide;
+  *  - `documents.text` mutates ~⅓ of tokens per replica (`xxhash64(word,
+  *    pos, replica) % 3 == 0` → word + replica tag), so cross-replica
+  *    Jaccard/SimHash similarity drops below dedup thresholds — replicating
+  *    text verbatim would manufacture a quadratic near-dup blowup that says
+  *    nothing about the engine (SimHash is token-order-invariant, so a mere
+  *    word shuffle would not be enough);
+  *  - `embeddings.embedding` gets ±0.01 deterministic per-component noise —
+  *    replicas stay in nearby LSH buckets (realistic occupancy growth)
+  *    without being bit-equal;
+  *  - tiny dims (`region`, `nation`) are copied, keeping FK values valid.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleData [src] [dst] [replicas]"`.
+  */
+object ScaleData {
+
+  private val Stride = 1000000000L // > every key at sf0.1
+
+  def main(args: Array[String]): Unit = {
+    val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst  = args.lift(1).getOrElse("/root/repo/benchdata/sf1")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scaledata")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // the events table carries TIMESTAMP(NANOS), readable only via the
+    // legacy switch (ts surfaces as int64 nanos — the shape every events
+    // query already normalizes from)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
+
+    def replicate(name: String)(perReplica: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out  = (0 until reps).map(r => perReplica(base, r)).reduce(_ unionAll _)
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"scaled $name -> $dst/$name.parquet")
+    }
+
+    // tiny dims: copy once, FK values stay valid across replicas
+    Seq("region", "nation").foreach { name =>
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"copied $name")
+    }
+
+    replicate("customer")((df, r) => shift(df, r, "c_custkey"))
+    replicate("supplier")((df, r) => shift(df, r, "s_suppkey"))
+    replicate("part")((df, r) => shift(df, r, "p_partkey"))
+    replicate("orders")((df, r) => shift(df, r, "o_orderkey", "o_custkey"))
+    replicate("lineitem")((df, r) =>
+      shift(df, r, "l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events")((df, r) => shift(df, r, "event_id", "user_id"))
+
+    replicate("documents") { (df, r) =>
+      val shifted = shift(df, r, "doc_id")
+      if (r == 0) shifted
+      else {
+        val mutated = when(col("text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(
+              split(col("text"), " "),
+              (w, p) =>
+                when(pmod(xxhash64(w, p, lit(r)), lit(3)) === 0,
+                  concat(w, lit(r.toString))).otherwise(w)),
+            " "))
+        shifted
+          .withColumn("text", mutated)
+          .withColumn("n_chars", coalesce(length(col("text")).cast("long"), lit(0L)))
+      }
+    }
+
+    replicate("embeddings") { (df, r) =>
+      val shifted = shift(df, r, "vec_id")
+      if (r == 0) shifted
+      else
+        shifted.withColumn(
+          "embedding",
+          transform(
+            col("embedding"),
+            (x, j) =>
+              (x.cast("double") +
+                (pmod(xxhash64(col("vec_id"), j, lit(r)), lit(1000)).cast("double") - 500.0)
+                  / 50000.0).cast("float")))
+    }
+
+    spark.stop()
+  }
+}

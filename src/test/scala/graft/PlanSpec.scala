@@ -59,6 +59,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected a distributed top-k for the id cap:\n$plan")
   }
 
+  test("LSH bucketing key is the native plane_sign_bits kernel on both sides") {
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = vectors.where(col("vec_id") < 3)
+    val plan = Similarity
+      .lshTopK(vectors, queries, "vec_id", "embedding", 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("plane_sign_bits"), s"native LSH key kernel missing:\n$plan")
+    assert(!plan.toString.contains("zip_with"),
+      s"interpreted HOF dot crept back into the bucketing key:\n$plan")
+  }
+
   test("minhash verification plan uses the native kernels, not boxed set ops") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup
@@ -68,6 +79,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("matching_fraction_long"), s"est kernel missing:\n$plan")
     assert(!plan.contains("array_intersect"), "boxed set intersection crept back in")
     spark.catalog.clearCache()
+  }
+
+  test("exact dedup evaluates the fingerprint once per row, no join, no global window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.ops.Dedup.dedupExact(docs, "text", "doc_id").queryExecution
+    val optimized = qe.optimizedPlan.toString
+    val md5Count = "md5\\(".r.findAllIn(optimized).size
+    assert(md5Count == 1, s"expected one md5 evaluation, found $md5Count:\n$optimized")
+    assert(!optimized.contains("Join"), s"self-join crept back into exact dedup:\n$optimized")
+    val globalWindows = qe.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "dedup window must be fingerprint-partitioned")
   }
 
   test("simhash sketch plan has no explode-shuffle (zero-shuffle projection)") {
