@@ -259,6 +259,16 @@ object SparkEntry {
     "q_duplicates" -> ((s, dir) =>
       Ops.duplicates(ref(dir, "lineitem", Some(Seq("l_orderkey"))).selection(s))),
 
+    // #31 get_duplicate_sample — the reference returns an arbitrary first
+    // duplicate row (db_access.py:1118-1125); for a cross-engine oracle we
+    // canonicalize to the lexicographically smallest duplicate via a
+    // distributed top-1 (TakeOrderedAndProject, no global sort)
+    "q_duplicate_sample" -> { (s, dir) =>
+      val dup = Ops.duplicates(
+        ref(dir, "lineitem", Some(Seq("l_orderkey", "l_returnflag"))).selection(s))
+      dup.orderBy(col("l_orderkey"), col("l_returnflag")).limit(1)
+    },
+
     // #12 get_functional_dependency_violations
     "q_functional_dependency" -> ((s, dir) =>
       Ops.functionalDependencyViolations(
@@ -281,6 +291,20 @@ object SparkEntry {
       val span =
         Ops.getDateSpan(s, DataRef(FrameSource(frame, "orders_dates"), Some(Seq("d"))))
       one(s, Seq("span_days"), Seq(Long.box(span.toLong)))
+    },
+
+    // #6 _get_date_growth_rate — ratio of two filtered date spans - 1
+    // (db_access.py:302-313); spans over open-status vs all orders
+    "q_date_growth" -> { (s, dir) =>
+      val dates =
+        s.read.parquet(pq(dir, "orders"))
+          .select(to_date(col("o_orderdate")).as("d"), col("o_orderstatus"))
+      val src = FrameSource(dates, "orders_dates")
+      val g = Ops.getDateGrowthRate(
+        s,
+        DataRef(src, Some(Seq("d")), Some(Condition.raw("o_orderstatus = 'O'"))),
+        DataRef(src, Some(Seq("d"))))
+      one(s, Seq("growth"), Seq(Double.box(round6(g))))
     },
 
     // #7 get_interval_overlaps_nd (1-D dates, keyed)
@@ -610,6 +634,10 @@ object SparkEntry {
            ON a.o_orderkey = b.o_orderkey""",
     "q_duplicates" ->
       """SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1""",
+    "q_duplicate_sample" ->
+      """SELECT l_orderkey, l_returnflag FROM lineitem
+         GROUP BY l_orderkey, l_returnflag HAVING count(*) > 1
+         ORDER BY l_orderkey, l_returnflag LIMIT 1""",
     "q_functional_dependency" ->
       """WITH u AS (SELECT DISTINCT o_custkey, o_orderstatus FROM orders),
               bad AS (SELECT o_custkey FROM u GROUP BY 1 HAVING count(*) > 1)
@@ -620,6 +648,15 @@ object SparkEntry {
     "q_date_span" ->
       """SELECT cast(date_diff('day', min(cast(o_orderdate AS DATE)),
                                max(cast(o_orderdate AS DATE))) AS BIGINT) AS span_days
+         FROM orders""",
+    "q_date_growth" ->
+      """SELECT round(
+           cast(date_diff('day',
+                  min(CASE WHEN o_orderstatus = 'O' THEN cast(o_orderdate AS DATE) END),
+                  max(CASE WHEN o_orderstatus = 'O' THEN cast(o_orderdate AS DATE) END))
+                AS DOUBLE)
+           / date_diff('day', min(cast(o_orderdate AS DATE)),
+                              max(cast(o_orderdate AS DATE))) - 1.0, 6) AS growth
          FROM orders""",
     "q_interval_overlap" ->
       """WITH iv AS (SELECT o_custkey, cast(o_orderdate AS DATE) AS s_date,

@@ -374,9 +374,11 @@ final case class UniquesSuperset(
     val lacking  = Ops.antiJoinPositional(d2, d1, ref2.get.columnsOrEmpty)
     val nLacking = lacking.count()
     if (nLacking == 0) return TestResult.success(description)
-    val nTarget  = d2.count()
+    // empty-factual short-circuit (reference `len(factual_values) > 0`)
+    // BEFORE the target count — that job is unused on this path
     val nFactual = d1.count()
-    if (nFactual == 0 || nTarget == 0) return TestResult.success(description)
+    if (nFactual == 0) return TestResult.success(description)
+    val nTarget = d2.count() // > 0: `lacking` ⊆ target is non-empty here
     val relative = nLacking.toDouble / nTarget
     if (relative <= maxRelativeViolations) TestResult.success(description)
     else

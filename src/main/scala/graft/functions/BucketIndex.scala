@@ -17,8 +17,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * built-in `width_bucket` only supports uniform buckets, not explicit
   * boundaries, hence the custom expression (same tier as DotProductFloat).
   */
-case class BucketIndex(child: Expression, boundaries: Array[Double])
+case class BucketIndex(child: Expression, boundaries: IndexedSeq[Double])
     extends UnaryExpression {
+
+  // boundaries is an IndexedSeq (not Array) so the case-class equals/hashCode
+  // — and with them Catalyst canonicalization, common-subexpression
+  // elimination, and exchange reuse — compare contents, and no caller-shared
+  // mutable array leaks into the plan; eval/codegen use this private copy
+  private lazy val arr: Array[Double] = boundaries.toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
@@ -30,10 +36,10 @@ case class BucketIndex(child: Expression, boundaries: Array[Double])
   override def prettyName: String = "bucket_index"
 
   override def nullSafeEval(v: Any): Any =
-    BucketIndex.countBelow(boundaries, v.asInstanceOf[Double])
+    BucketIndex.countBelow(arr, v.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val arr = ctx.addReferenceObj("boundaries", boundaries, "double[]")
+    val arr = ctx.addReferenceObj("boundaries", this.arr, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       val lo = ctx.freshName("lo")
       val hi = ctx.freshName("hi")
@@ -70,5 +76,5 @@ object BucketIndex {
   /** Column API: bucket index of `value` among ascending `boundaries`. */
   def bucketIndex(value: Column, boundaries: Seq[Double]): Column =
     GraftBridge.toColumn(
-      BucketIndex(GraftBridge.toExpression(value), boundaries.toArray))
+      BucketIndex(GraftBridge.toExpression(value), boundaries.toIndexedSeq))
 }

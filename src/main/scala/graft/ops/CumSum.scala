@@ -88,10 +88,15 @@ object CumSum {
     //    (accuracy only shapes load balance — results stay exact — so a
     //    cheap sketch beats the default-accuracy one)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    // count(*) distinguishes "input empty" from "every order key NULL"
+    // (percentile_approx returns NULL for both); coalesce guards the grand
+    // totals against all-NULL value columns (sum() → NULL, not 0). Value
+    // columns must be integral — totals are read back as Long.
     val aggs = percentile_approx(key, array(probs.map(lit): _*), lit(1000)) +:
-      valueCols.map(c => sum(col(c)))
+      count(lit(1)) +:
+      valueCols.map(c => coalesce(sum(col(c)), lit(0L)))
     val head = df.agg(aggs.head, aggs.tail: _*).head()
-    if (head.isNullAt(0)) {
+    if (head.getLong(1) == 0L) {
       // empty input: running sum columns are just null-free zero rows
       val empty = runningCols
         .foldLeft(df)((acc, c) => acc.withColumn(c, lit(null).cast("double")))
@@ -99,8 +104,13 @@ object CumSum {
       return (empty, valueCols.map(_ => 0L))
     }
     val grandTotals =
-      valueCols.indices.map(i => head.getAs[Number](i + 1).longValue())
-    val boundaries = head.getSeq[Double](0).distinct.sorted
+      valueCols.indices.map(i => head.getAs[Number](i + 2).longValue())
+    // all order keys NULL → no boundaries; everything lands in bucket 0 and
+    // the single-bucket window still produces correct running sums (rows are
+    // KEPT, consistent with the mixed case where NULL keys fill bucket 0)
+    val boundaries =
+      if (head.isNullAt(0)) Seq.empty[Double]
+      else head.getSeq[Double](0).distinct.sorted
     // 2. bucket assignment: number of boundaries strictly below the key.
     //    Codegen'd binary search over the boundary literals; identical keys
     //    land in identical buckets by construction.
@@ -119,7 +129,8 @@ object CumSum {
       case (acc, (v, r)) => acc.withColumn(r, sum(col(v)).over(wLocal))
     }
     // 4. exclusive bucket offsets for all columns via one tiny collect
-    val totalAggs = valueCols.map(c => sum(col(c)).as(s"dj_total_$c"))
+    val totalAggs =
+      valueCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"dj_total_$c"))
     val totalsMap: Map[Int, Seq[Long]] = bucketed
       .groupBy("dj_bucket")
       .agg(totalAggs.head, totalAggs.tail: _*)
@@ -154,10 +165,13 @@ object CumSum {
     val key   = orderProxy(df, orderCol)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val boundariesRow = df
-      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(1000)))
+      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(1000)), count(lit(1)))
       .head()
-    if (boundariesRow.isNullAt(0)) return df
-    val boundaries = boundariesRow.getSeq[Double](0).distinct.sorted
+    if (boundariesRow.getLong(1) == 0L) return df
+    // all-NULL order keys → single bucket 0 (same contract as withRunningSums)
+    val boundaries =
+      if (boundariesRow.isNullAt(0)) Seq.empty[Double]
+      else boundariesRow.getSeq[Double](0).distinct.sorted
     val bucketed = df.withColumn(
       "dj_bucket",
       graft.functions.BucketIndex.bucketIndex(

@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite {
       s"found ${globalWindows.size} unpartitioned window(s) — single-partition sort at scale")
   }
 
+  test("bucket_index canonicalizes by boundary CONTENT (CSE / exchange reuse)") {
+    import graft.functions.BucketIndex
+    import org.apache.spark.sql.GraftBridge
+    val child = GraftBridge.toExpression(col("v").cast("double"))
+    // separately-built but equal boundary seqs: an Array-typed field would
+    // compare by reference and defeat common-subexpression elimination
+    val a = BucketIndex(child, Seq(1.0, 2.0, 3.0).toIndexedSeq)
+    val b = BucketIndex(child, Seq(1.0, 2.0, 3.0).map(identity).toIndexedSeq)
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a.canonicalized == b.canonicalized)
+    assert(a != BucketIndex(child, IndexedSeq(1.0, 2.5, 3.0)))
+  }
+
   test("IVF centroid seeding is a hash sample + distributed top-k, no window") {
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
     val plan = Similarity

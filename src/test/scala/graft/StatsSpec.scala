@@ -102,6 +102,30 @@ class StatsSpec extends AnyFunSuite {
     assert(rows.last.getLong(2) == 3L, "grand running sum must include the NULL row")
   }
 
+  test("CumSum: ALL-NULL order keys keep every row in a single bucket 0") {
+    import org.apache.spark.sql.functions._
+    val counts = mixDf(Seq(
+      (null, "x", null), (null, "y", null), (null, "z", null)))
+      .select(col("col_int").as("v"), lit(1L).as("cnt"))
+    val (out, totals) = graft.ops.CumSum
+      .withRunningSums(counts, "v", Seq("cnt"), Seq("run"))
+    val rows = out.orderBy(col("run")).collect()
+    assert(rows.length == 3, "all-NULL order keys must not drop rows")
+    assert(rows.map(_.getLong(2)).toSeq == Seq(1L, 2L, 3L))
+    assert(totals == Seq(3L))
+  }
+
+  test("CumSum: all-NULL value column yields zero totals, no NPE") {
+    import org.apache.spark.sql.functions._
+    val counts = mixDf(Seq(
+      (Integer.valueOf(1), "x", null), (Integer.valueOf(2), "y", null)))
+      .select(col("col_int").as("v"), lit(null).cast("long").as("cnt"))
+    val (out, totals) = graft.ops.CumSum
+      .withRunningSums(counts, "v", Seq("cnt"), Seq("run"))
+    assert(totals == Seq(0L), "sum of all-NULL column must coalesce to 0")
+    assert(out.count() == 2L)
+  }
+
   test("exact Kolmogorov sf: closed form at n=1 and classical critical values") {
     import graft.ops.Kolmogorov
     // n = 1: P(D_1 < d) = 2d - 1 on [1/2, 1] exactly
