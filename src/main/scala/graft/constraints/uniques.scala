@@ -82,7 +82,9 @@ sealed abstract class Uniques extends Constraint {
     s"Exactly one of ref2 and uniques must be given for $name")
 
   protected def retrieveUniques(spark: SparkSession, r: DataRef): (Seq[Any], Seq[Long]) = {
-    val raw = Ops.getUniques(spark, r)
+    val cap = Uniques.collectCap(spark)
+    val raw = Ops.getUniques(spark, r, Some(cap + 1))
+    if (raw.size > cap) throw new Uniques.CollectOverflow(r.describe, cap)
     val asValues: Seq[(Any, Long)] = raw.toSeq.map {
       case (Seq(single), c) => (single, c)
       case (tuple, c)       => (tuple, c)
@@ -138,24 +140,76 @@ sealed abstract class Uniques extends Constraint {
     (v.mkString(", "), c.getOrElse(Seq.empty).mkString(", "))
   }
 
-  /** Between-source constraints with translatable hooks run the whole set
-    * comparison in-engine (anti-joins over DISTINCT selections): only counts
-    * and bounded display samples reach the driver. Literal target lists and
-    * user map/reduce/filter lambdas — client-side semantic hooks — keep the
-    * reference's client path. 100 TB posture: the client path on a
-    * high-cardinality column collects every distinct value; this path never
-    * collects more than `outputLimit` rows.
+  /** Constraints with translatable hooks run the whole set comparison
+    * in-engine (anti-joins over DISTINCT selections): only counts and bounded
+    * display samples reach the driver. Literal target lists become a tiny
+    * in-memory frame (`literalFrame`); user map/reduce/filter lambdas —
+    * client-side semantic hooks — keep the reference's client path, which is
+    * in turn capped at `Uniques.collectCap` distinct values and aborts loudly
+    * rather than OOM the driver. 100 TB posture: this path never collects
+    * more than `outputLimit` rows.
     */
   protected final def engineEligible: Boolean =
-    ref2.isDefined && mapFunc.isEmpty && reduceFunc.isEmpty &&
+    mapFunc.isEmpty && reduceFunc.isEmpty &&
       outputProcessors.isEmpty &&
       filters.toEngineFilter(filterFunc, ref.columnsOrEmpty).isDefined &&
-      filters.toEngineFilter(filterFunc, ref2.get.columnsOrEmpty).isDefined
+      ref2.forall(r2 => filters.toEngineFilter(filterFunc, r2.columnsOrEmpty).isDefined)
 
   protected final def filteredSelection(
       spark: SparkSession,
       r: DataRef): org.apache.spark.sql.DataFrame =
     filters.toEngineFilter(filterFunc, r.columnsOrEmpty).get(r.selection(spark))
+
+  /** The target side as a DataFrame: `ref2`'s filtered selection, or the
+    * literal list lifted to a (tiny, broadcastable) in-memory frame whose
+    * columns align positionally with `ref`'s — same null policy applied.
+    */
+  protected final def targetFrame(spark: SparkSession): org.apache.spark.sql.DataFrame =
+    uniquesLiteral match {
+      case Some(lits) =>
+        filters
+          .toEngineFilter(filterFunc, ref.columnsOrEmpty)
+          .get(literalFrame(spark, lits))
+      case None => filteredSelection(spark, ref2.get)
+    }
+
+  /** Column names of the target side (the literal frame mirrors `ref`'s). */
+  protected final def targetCols: Seq[String] =
+    ref2.map(_.columnsOrEmpty).getOrElse(ref.columnsOrEmpty)
+
+  private def literalFrame(
+      spark: SparkSession,
+      lits: Seq[Any]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, _}
+    val cols   = ref.columnsOrEmpty
+    val schema = StructType(cols.map(c => ref.selection(spark).schema(c).copy(name = c)))
+    // widen common numeric literal types onto the factual column type so a
+    // Scala Int literal matches a LONG column (SQL equality semantics — the
+    // reference's Python comparison is similarly width-insensitive);
+    // everything else must already carry the column's external type
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _)                  => null
+      case (n: java.lang.Number, LongType)    => java.lang.Long.valueOf(n.longValue())
+      case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue())
+      case (n: java.lang.Number, ShortType)   => java.lang.Short.valueOf(n.shortValue())
+      case (n: java.lang.Number, DoubleType)  => java.lang.Double.valueOf(n.doubleValue())
+      case (n: java.lang.Number, FloatType)   => java.lang.Float.valueOf(n.floatValue())
+      case _                          => v
+    }
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    lits.foreach { v =>
+      val tuple: Seq[Any] = v match {
+        case t: Seq[_] if cols.length > 1 => t
+        case single                       => Seq(single)
+      }
+      require(
+        tuple.length == cols.length,
+        s"Literal uniques tuple arity ${tuple.length} != ${cols.length} column(s)")
+      rows.add(Row(tuple.zip(schema.fields).map { case (x, f) => coerce(x, f.dataType) }: _*))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** Bounded, deterministic display sample: the first `outputLimit` tuples
     * in value order plus the reference's truncation sentinel. Single-column
@@ -178,6 +232,38 @@ sealed abstract class Uniques extends Constraint {
         s", <SHORTENED OUTPUT, displaying the first $outputLimit / $total elements above>"
     else shown
   }
+
+  /** Client-path guard: a collect that would exceed `Uniques.collectCap`
+    * aborts into a loud failure (with the truncation sentinel) instead of
+    * OOMing the driver — a 10M-distinct column against a literal list is a
+    * mistake the engine must survive.
+    */
+  protected final def clientGuarded(body: => TestResult): TestResult =
+    try body
+    catch {
+      case e: Uniques.CollectOverflow =>
+        TestResult.failure(
+          description,
+          s"${e.what} has more than ${e.cap} distinct values; the client-side uniques " +
+            s"retrieval was aborted to bound driver memory. " +
+            s"<SHORTENED OUTPUT, displaying the first 0 / >${e.cap} elements above> " +
+            s"Raise spark.conf '${Uniques.CollectCapKey}' or drop client-side " +
+            s"map/reduce/filter hooks so the comparison runs in-engine.$conditionString")
+    }
+}
+
+object Uniques {
+
+  /** Spark-conf key bounding how many distinct groups the client-side uniques
+    * path may collect to the driver. */
+  val CollectCapKey = "graft.uniques.maxCollectedUniques"
+
+  private[constraints] def collectCap(spark: SparkSession): Int =
+    spark.conf.getOption(CollectCapKey).map(_.toInt).getOrElse(1000000)
+
+  private[constraints] final class CollectOverflow(val what: String, val cap: Int)
+      extends RuntimeException(
+        s"$what exceeds $cap distinct values in a client-side uniques retrieval")
 }
 
 /** Set equality with excess/lacking reporting (reference `uniques.py:168-211`). */
@@ -196,13 +282,13 @@ final case class UniquesEquality(
   override def maxRelativeViolations: Double = 0.0
   override def test(spark: SparkSession): TestResult =
     if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
-    else withPlans(testClientSide(spark))
+    else withPlans(clientGuarded(testClientSide(spark)))
 
   /** Engine path: two anti-joins; the driver sees two counts and (on
     * failure) two bounded samples. */
   private def testInEngine(spark: SparkSession): TestResult = {
     val d1        = filteredSelection(spark, ref)
-    val d2        = filteredSelection(spark, ref2.get)
+    val d2        = targetFrame(spark)
     val excessDf  = Ops.exceptDistinct(d1, d2)
     val lackingDf = Ops.exceptDistinct(d2, d1)
     val nExcess   = excessDf.count()
@@ -270,7 +356,7 @@ final case class UniquesSubset(
     extends Uniques {
   override def test(spark: SparkSession): TestResult =
     if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
-    else withPlans(testClientSide(spark))
+    else withPlans(clientGuarded(testClientSide(spark)))
 
   /** Engine path: factual value counts anti-joined against the target's
     * distinct set; the violation fraction aggregates in-engine, the driver
@@ -282,7 +368,7 @@ final case class UniquesSubset(
     val counts1 = filteredSelection(spark, ref)
       .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("dj_cnt"))
-    val d2        = filteredSelection(spark, ref2.get).distinct()
+    val d2        = targetFrame(spark).distinct()
     val remainder = Ops.antiJoinPositional(counts1, d2, cols)
 
     val totalRow = counts1
@@ -364,14 +450,14 @@ final case class UniquesSuperset(
     extends Uniques {
   override def test(spark: SparkSession): TestResult =
     if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
-    else withPlans(testClientSide(spark))
+    else withPlans(clientGuarded(testClientSide(spark)))
 
   /** Engine path: target-minus-factual anti-join; counts aggregate
     * in-engine, samples are bounded. */
   private def testInEngine(spark: SparkSession): TestResult = {
     val d1       = filteredSelection(spark, ref).distinct()
-    val d2       = filteredSelection(spark, ref2.get).distinct()
-    val lacking  = Ops.antiJoinPositional(d2, d1, ref2.get.columnsOrEmpty)
+    val d2       = targetFrame(spark).distinct()
+    val lacking  = Ops.antiJoinPositional(d2, d1, targetCols)
     val nLacking = lacking.count()
     if (nLacking == 0) return TestResult.success(description)
     // empty-factual short-circuit (reference `len(factual_values) > 0`)

@@ -54,7 +54,18 @@ final case class VarCharRegex(
     override val nameOverride: Option[String] = None)
     extends Constraint {
   override def test(spark: SparkSession): TestResult = withPlans {
-    val uniques: Map[Seq[Any], Long] = Ops.getUniques(spark, ref)
+    // same driver-memory cap as the Uniques client path: a high-cardinality
+    // column aborts loudly instead of OOMing the collect
+    val cap = Uniques.collectCap(spark)
+    val uniques: Map[Seq[Any], Long] = Ops.getUniques(spark, ref, Some(cap + 1))
+    if (uniques.size > cap)
+      return TestResult.failure(
+        description,
+        s"${ref.describe} has more than $cap distinct values; the client-side regex " +
+          s"retrieval was aborted to bound driver memory. " +
+          s"<SHORTENED OUTPUT, displaying the first 0 / >$cap elements above> " +
+          s"Raise spark.conf '${Uniques.CollectCapKey}' or use the engine-side " +
+          s"regex violation ops.$conditionString")
     val hasNull = uniques.keys.exists(_.headOption.orNull == null)
     if (!allowNone && hasNull)
       return TestResult.failure(

@@ -130,13 +130,19 @@ object Ops {
     * (reference `db_access.py:906-935`). Single-column refs key by the bare
     * value; multi-column refs key by the value tuple.
     */
-  def getUniques(spark: SparkSession, ref: DataRef): Map[Seq[Any], Long] = {
+  def getUniques(
+      spark: SparkSession,
+      ref: DataRef,
+      groupLimit: Option[Int] = None): Map[Seq[Any], Long] = {
     val cols = ref.columnsOrEmpty
     if (cols.isEmpty) return Map.empty
-    ref
+    val grouped = ref
       .selection(spark)
       .groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("dj_count"))
+    // groupLimit bounds the driver collect (callers pass cap+1 and treat a
+    // full result as overflow); the aggregation itself stays distributed
+    groupLimit.fold(grouped)(grouped.limit)
       .collect()
       .map(r => cols.indices.map(r.get) -> r.getLong(cols.length))
       .toMap

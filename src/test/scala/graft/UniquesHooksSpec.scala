@@ -69,6 +69,33 @@ class UniquesHooksSpec extends AnyFunSuite {
     assert(!anyStrict.test(spark).outcome) // (2, null) not in the allowed set
   }
 
+  test("high-cardinality column: literal comparison runs in-engine, client path aborts bounded") {
+    import graft.constraints.Uniques
+    // 100k distinct values, driver collect capped at 500
+    val wide = spark.range(100000).toDF("col_long")
+    val ref  = DataRef(FrameSource(wide, "wide_t"), Some(Seq("col_long")))
+    spark.conf.set(Uniques.CollectCapKey, "500")
+    try {
+      // literal target + standard hooks → engine path: correct outcome, the
+      // driver never sees more than outputLimit rows
+      assert(
+        UniquesSuperset(ref, uniquesLiteral = Some(Seq(1L, 2L, 3L))).test(spark).outcome)
+      assert(
+        !UniquesEquality(ref, uniquesLiteral = Some(Seq(1L, 2L, 3L))).test(spark).outcome)
+      // a user mapFunc forces the client path → capped collect aborts into a
+      // loud failure with the truncation sentinel instead of a driver OOM
+      val res = UniquesSuperset(
+        ref,
+        uniquesLiteral = Some(Seq(1L, 2L, 3L)),
+        mapFunc = Some(identity[Any])).test(spark)
+      assert(!res.outcome)
+      val msg = res.failureMessage.get
+      assert(msg.contains("more than 500 distinct values"), msg)
+      assert(msg.contains("<SHORTENED OUTPUT"), msg)
+      assert(msg.contains(Uniques.CollectCapKey), msg)
+    } finally spark.conf.unset(Uniques.CollectCapKey)
+  }
+
   test("pluggable output processors: limit appends the reference's sentinel") {
     import graft.constraints.formatting
     val df = mixDf((1 to 30).map(i => (Integer.valueOf(i), s"v$i", null)))
