@@ -563,6 +563,47 @@ object SparkEntry {
         col("doc_id"),
         round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
         round(element_at(col("features"), 8).cast("double"), 6).as("f7"))
+    },
+
+    // image decode round-trip (REAL javax.imageio encode -> decode): per
+    // doc_id, synthesize a uniform-gray PNG whose dimensions and gray level
+    // are pure functions of the id, decode it back with ImageIO, and emit
+    // header-parsed width (column functions on the IHDR bytes) next to the
+    // decoded dimensions and integral mean luminance. DuckDB computes the
+    // same values arithmetically -- the oracle verifies the codec path
+    // end-to-end, not a stub.
+    "q_image_decode" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 17 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val pngs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeGrayPng(
+              width = 1 + (id % 7).toInt,
+              height = 1 + (id % 5).toInt,
+              gray = (id % 256).toInt))
+        },
+        schema)
+      val withMeta = Multimodal.withMediaMeta(pngs, "payload")
+      Multimodal
+        .decodeImages(withMeta, "doc_id", "payload")
+        .join(
+          withMeta.select(col("doc_id"), col("media_meta")), Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("media_meta.width").as("hdr_width"),
+          col("width"),
+          col("height"),
+          round(col("mean_luma"), 6).cast("long").as("mean_gray"))
     }
   )
 
@@ -919,7 +960,17 @@ object SparkEntry {
                                               ORDER BY c DESC, neighbor_id) AS r
                          FROM scored)
          SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
-         FROM ranked WHERE r <= 3"""
+         FROM ranked WHERE r <= 3""",
+    // decode round-trip: Spark really encodes + decodes PNG payloads whose
+    // dimensions/gray level are functions of doc_id; the oracle recomputes
+    // those functions arithmetically, verifying the codec path end-to-end
+    "q_image_decode" ->
+      """SELECT doc_id,
+                CAST(1 + doc_id % 7 AS INT) AS hdr_width,
+                CAST(1 + doc_id % 7 AS INT) AS width,
+                CAST(1 + doc_id % 5 AS INT) AS height,
+                CAST(doc_id % 256 AS BIGINT) AS mean_gray
+         FROM documents WHERE doc_id % 17 = 0"""
   )
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) {

@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   * metadata struct; decode / feature-extraction steps run as per-partition
   * batch transforms over the binary payloads.
   *
-  * The actual codec calls are STUBBED (this environment has no image/audio
-  * libraries): `decodeStub` derives a deterministic fake feature vector from
-  * the bytes. Swapping in a real decoder changes ONLY the function body
-  * passed to `mapBinaryBatches` — the Spark-side contract (schema, batch
-  * iteration, partitioning, spill behavior) is real and tested.
+  * Image decode is REAL (`decodeImage` via the JDK's built-in
+  * `javax.imageio`: PNG/JPEG/GIF/BMP), verified end-to-end by the
+  * `q_image_decode` encode→decode round-trip oracle. Audio/video codecs are
+  * environment-blocked, so non-image payloads fall back to `decodeStub`'s
+  * deterministic fake features; swapping in a real codec changes ONLY that
+  * function body — the Spark-side contract (schema, batch iteration,
+  * partitioning, spill behavior) is identical and tested.
   *
   * 100 TB posture: media bytes never leave the executor (no collect); the
   * per-partition iterator processes one row at a time (constant memory);
@@ -30,32 +32,116 @@ object Multimodal {
     StructField("n_bytes", LongType)))
 
   /** Attach a metadata struct derived from the payload (format sniffing from
-    * magic bytes; width/height unknown until decode → null).
+    * magic bytes). PNG width/height parse straight out of the IHDR chunk
+    * (bytes 17-24, big-endian) with pure column functions — codegen'd header
+    * metadata at scan speed, no decode; other formats leave them null until
+    * decode.
     */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
     val magic = substring(hex(b), 1, 8)
+    val isPng = magic.startsWith("89504E47")
     val format = when(magic.startsWith("FFD8"), "jpeg")
-      .when(magic.startsWith("89504E47"), "png")
+      .when(isPng, "png")
       .when(magic.startsWith("52494646"), "riff-wav")
       .otherwise("unknown")
+    def pngBe32(pos: Int) =
+      conv(hex(substring(b, pos, 4)), 16, 10).cast(IntegerType)
     df.withColumn(
       "media_meta",
       struct(
         format.as("format"),
-        lit(null).cast(IntegerType).as("width"),
-        lit(null).cast(IntegerType).as("height"),
+        when(isPng, pngBe32(17)).cast(IntegerType).as("width"),
+        when(isPng, pngBe32(21)).cast(IntegerType).as("height"),
         length(b).cast(LongType).as("n_bytes")))
   }
 
-  /** STUB decode: deterministic pseudo-features from the payload bytes.
-    * Stands in for `imageDecode → resize → embed`; replace the body with a
-    * real codec (e.g. via a JNI/Java image library) without touching any
-    * caller. Features are hashes of byte slices, normalized to [0,1).
+  /** A really-decoded image: dimensions, mean pixel luminance (0-255), and a
+    * `dim`-cell grid-pooled luminance feature vector in [0,1).
+    */
+  final case class Decoded(
+      width: Int,
+      height: Int,
+      meanLuma: Double,
+      features: Array[Float])
+
+  /** Cheap magic-byte sniff gating the ImageIO attempt — text/audio payloads
+    * skip reader discovery entirely. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length > 24 && (
+      (p(0) == 0x89.toByte && p(1) == 0x50.toByte) ||             // PNG
+        (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||           // JPEG
+        (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte) ||
+        (p(0) == 'B'.toByte && p(1) == 'M'.toByte))               // BMP
+
+  /** REAL decode via the JDK's built-in `javax.imageio` (PNG/JPEG/GIF/BMP —
+    * no external codec needed). One streaming pass over the pixels computes
+    * the mean luminance and the grid-pooled features; the pixel raster is
+    * released with the method frame (constant executor memory per row).
+    * Returns None when no ImageIO reader claims the payload — callers fall
+    * back to `decodeStub`.
+    */
+  def decodeImage(payload: Array[Byte], dim: Int = 16): Option[Decoded] = {
+    if (!looksLikeImage(payload)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val nPix = w.toLong * h
+    val sums = new Array[Double](dim)
+    val counts = new Array[Long](dim)
+    var total = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma =
+          (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+        val cell = math.min(dim - 1, ((y.toLong * w + x) * dim / nPix).toInt)
+        sums(cell) += luma
+        counts(cell) += 1
+        total += luma
+        x += 1
+      }
+      y += 1
+    }
+    val feats = Array.tabulate(dim) { i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat
+    }
+    Some(Decoded(w, h, total / nPix, feats))
+  }
+
+  /** Encode a uniform-gray PNG via `javax.imageio` — the deterministic
+    * synthetic payload behind the decode round-trip oracle (`q_image_decode`)
+    * and media-pipeline tests.
+    */
+  def encodeGrayPng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** STUB decode for payloads ImageIO can't read (non-image formats — real
+    * audio/video codecs are environment-blocked): deterministic
+    * pseudo-features from the payload bytes. Features are hashes of byte
+    * slices, normalized to [0,1).
     */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real decoder goes here; deterministic fake below keeps the
-    // plumbing testable end-to-end.
+    // ??? <- real audio/video decoder goes here; image payloads take the
+    // real `decodeImage` path, and this deterministic fake keeps the
+    // plumbing testable end-to-end for the rest.
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
@@ -86,7 +172,35 @@ object Multimodal {
       rows.map { r =>
         val id      = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        Row(id, decodeStub(payload, dim).toSeq)
+        val feats = decodeImage(payload, dim)
+          .map(_.features)
+          .getOrElse(decodeStub(payload, dim))
+        Row(id, feats.toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
+  }
+
+  /** Full decode round-trip over (id, binary) rows: really decode each image
+    * payload (ImageIO) and emit its dimensions and integral mean luminance;
+    * undecodable payloads yield nulls. Same per-partition streaming contract
+    * as `extractFeatures`.
+    */
+  def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    val projected = df.select(col(idCol).cast(LongType), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        decodeImage(r.getAs[Array[Byte]](1), dim = 1) match {
+          case Some(d) => Row(id, d.width, d.height, d.meanLuma)
+          case None    => Row(id, null, null, null)
+        }
       }
     }
     spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)

@@ -206,6 +206,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(collected == again)
   }
 
+  test("multimodal: REAL PNG encode -> decode round-trip via javax.imageio") {
+    val png = Multimodal.encodeGrayPng(width = 6, height = 4, gray = 77)
+    // header-level metadata parses width/height straight from the IHDR bytes
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, png)), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val meta = Multimodal.withMediaMeta(df, "payload")
+      .select(col("media_meta.format"), col("media_meta.width"), col("media_meta.height"))
+      .head()
+    assert(meta.getString(0) == "png")
+    assert(meta.getInt(1) == 6 && meta.getInt(2) == 4)
+
+    // full decode recovers exact dimensions and the uniform gray level
+    val d = Multimodal.decodeImage(png, dim = 4).get
+    assert(d.width == 6 && d.height == 4)
+    assert(d.meanLuma == 77.0, s"lossless PNG must decode the exact gray: ${d.meanLuma}")
+    assert(d.features.forall(f => math.abs(f - 77f / 255f) < 1e-6f))
+
+    // extractFeatures routes image payloads through the real decoder
+    val feats = Multimodal.extractFeatures(df, "doc_id", "payload", dim = 4)
+      .head().getSeq[Float](1)
+    assert(feats.forall(f => math.abs(f - 77f / 255f) < 1e-6f))
+
+    // non-image payloads still take the deterministic stub path
+    assert(Multimodal.decodeImage("plain text".getBytes, dim = 4).isEmpty)
+    // truncated PNG magic with garbage body: ImageIO rejects, no crash
+    val broken = png.take(30)
+    assert(Multimodal.decodeImage(broken, dim = 4).isEmpty)
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(
