@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   *  - every surrogate/foreign key is shifted by `replica * 1e9`, so
   *    customer↔orders↔lineitem joins stay consistent within a replica and
   *    replicas never collide;
-  *  - `documents.text` mutates ~⅓ of tokens per replica (`xxhash64(word,
-  *    pos, replica) % 3 == 0` → word + replica tag), so cross-replica
-  *    Jaccard/SimHash similarity drops below dedup thresholds — replicating
-  *    text verbatim would manufacture a quadratic near-dup blowup that says
-  *    nothing about the engine (SimHash is token-order-invariant, so a mere
-  *    word shuffle would not be enough);
+  *  - `documents.text` REPLACES ~⅔ of tokens per replica with unrelated
+  *    hash-derived words (`xxhash64(word, pos, replica) % 3 != 0` →
+  *    `w<hash>`), dropping cross-replica CHARACTER-shingle Jaccard to ~0.2
+  *    — far enough below the 0.6 dedup threshold that LSH band collisions
+  *    (P ≈ 16·j⁴ at 16 bands / 64 hashes) stay rare and candidate pairs
+  *    grow LINEARLY with the corpus, the realistic shape (near-dup density
+  *    per doc is constant as a corpus scales). Two rejected designs, both
+  *    measured as data artifacts rather than engine behavior: a ⅓ tag
+  *    mutation left char-level j ≈ 0.5 (band collisions ~60%, every replica
+  *    family an all-pairs candidate clique), and APPENDING a tag instead of
+  *    replacing the token barely moves char shingles at all. SimHash is
+  *    token-order-invariant, so a mere word shuffle would not work either;
   *  - `embeddings.embedding` gets ±0.01 deterministic per-component noise —
   *    replicas stay in nearby LSH buckets (realistic occupancy growth)
   *    without being bit-equal;
@@ -79,8 +85,10 @@ object ScaleData {
             transform(
               split(col("text"), " "),
               (w, p) =>
-                when(pmod(xxhash64(w, p, lit(r)), lit(3)) === 0,
-                  concat(w, lit(r.toString))).otherwise(w)),
+                when(pmod(xxhash64(w, p, lit(r)), lit(3)) =!= 0,
+                  concat(lit("w"),
+                    pmod(xxhash64(w, p, lit(r)), lit(999983)).cast("string")))
+                  .otherwise(w)),
             " "))
         shifted
           .withColumn("text", mutated)
