@@ -15,9 +15,11 @@ import graft.core.{Condition, DataRef}
   *   - Every scalar retrieval is a single `agg(...)` — map-side partial
   *     aggregation, one shuffled row per partition, O(1) driver data.
   *   - Nothing here collects an unbounded set except `columnValues` and
-  *     `uniques`, which mirror reference operators that are documented to
+  *     `getUniques`, which mirror reference operators that are documented to
   *     pull group results client-side (`db_access.py:906-935, 759-786`);
-  *     callers can bound them with `limit`.
+  *     both take a `limit`/`groupLimit` bound, and the constraint layer caps
+  *     them by default (`Uniques.collectCap`) — an over-cardinality collect
+  *     aborts loudly instead of OOMing the driver.
   *   - Sorting windows are only ever applied to *aggregated distinct values*
   *     (percentile, CDF), never to raw rows — see `Stats`.
   */
