@@ -593,7 +593,10 @@ object SparkEntry {
               gray = (id % 256).toInt))
         },
         schema)
-      val withMeta = Multimodal.withMediaMeta(pngs, "payload")
+      // cached: both the decode branch and the header-metadata branch read
+      // the synthesized payloads — uncached, each oracle row would pay the
+      // PNG encode (and the source scan) twice
+      val withMeta = Multimodal.withMediaMeta(pngs, "payload").cache()
       Multimodal
         .decodeImages(withMeta, "doc_id", "payload")
         .join(

@@ -149,11 +149,17 @@ sealed abstract class Uniques extends Constraint {
     * rather than OOM the driver. 100 TB posture: this path never collects
     * more than `outputLimit` rows.
     */
-  protected final def engineEligible: Boolean =
+  protected final def engineEligible(spark: SparkSession): Boolean =
     mapFunc.isEmpty && reduceFunc.isEmpty &&
       outputProcessors.isEmpty &&
       filters.toEngineFilter(filterFunc, ref.columnsOrEmpty).isDefined &&
-      ref2.forall(r2 => filters.toEngineFilter(filterFunc, r2.columnsOrEmpty).isDefined)
+      ref2.forall(r2 => filters.toEngineFilter(filterFunc, r2.columnsOrEmpty).isDefined) &&
+      uniquesLiteral.forall(lits =>
+        try {
+          val fields = literalSchema(spark).fields
+          literalTuples(lits).forall(t =>
+            t.zip(fields).forall { case (v, f) => coerceExact(v, f.dataType).isDefined })
+        } catch { case _: IllegalArgumentException => false })
 
   protected final def filteredSelection(
       spark: SparkSession,
@@ -162,51 +168,107 @@ sealed abstract class Uniques extends Constraint {
 
   /** The target side as a DataFrame: `ref2`'s filtered selection, or the
     * literal list lifted to a (tiny, broadcastable) in-memory frame whose
-    * columns align positionally with `ref`'s — same null policy applied.
+    * columns align positionally with `ref`'s. The null policy applies ONLY
+    * to the retrieved side — the reference filters retrieved values, never
+    * the user-provided uniques list (`uniques.py` filters `get_uniques`
+    * results; literal targets pass through untouched), and the anti-joins
+    * compare null-safely, so literal NULLs behave exactly as on the client
+    * path.
     */
   protected final def targetFrame(spark: SparkSession): org.apache.spark.sql.DataFrame =
     uniquesLiteral match {
-      case Some(lits) =>
-        filters
-          .toEngineFilter(filterFunc, ref.columnsOrEmpty)
-          .get(literalFrame(spark, lits))
-      case None => filteredSelection(spark, ref2.get)
+      case Some(lits) => literalFrame(spark, lits)
+      case None       => filteredSelection(spark, ref2.get)
     }
 
   /** Column names of the target side (the literal frame mirrors `ref`'s). */
   protected final def targetCols: Seq[String] =
     ref2.map(_.columnsOrEmpty).getOrElse(ref.columnsOrEmpty)
 
+  // literal columns are always nullable: the user list may carry NULLs even
+  // when the factual source column is non-nullable
+  private def literalSchema(spark: SparkSession): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      ref.columnsOrEmpty.map(c =>
+        ref.selection(spark).schema(c).copy(name = c, nullable = true)))
+
+  private def literalTuples(lits: Seq[Any]): Seq[Seq[Any]] = {
+    val arity = ref.columnsOrEmpty.length
+    lits.map { v =>
+      val tuple: Seq[Any] = v match {
+        case t: Seq[_] if arity > 1 => t
+        case single                 => Seq(single)
+      }
+      require(
+        tuple.length == arity,
+        s"Literal uniques tuple arity ${tuple.length} != $arity column(s)")
+      tuple
+    }
+  }
+
+  /** Lossless coercion of a literal onto the factual column's external type;
+    * None = not exactly representable (fractional value on an integral
+    * column, out-of-range narrowing, non-float-exact double, type mismatch)
+    * → the whole constraint keeps the strict client path, where such
+    * literals compare unequal to everything, matching the reference's
+    * Python-side comparison.
+    */
+  private def coerceExact(
+      v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => Some(null)
+      case (n: java.lang.Number, LongType) =>
+        val d = n.doubleValue()
+        if (d == math.floor(d) && !d.isInfinite &&
+          BigDecimal(n.toString).isValidLong)
+          Some(java.lang.Long.valueOf(n.longValue()))
+        else None
+      case (n: java.lang.Number, IntegerType) =>
+        val l = n.longValue()
+        val d = n.doubleValue()
+        if (d == l.toDouble && l.isValidInt) Some(java.lang.Integer.valueOf(l.toInt))
+        else None
+      case (n: java.lang.Number, ShortType) =>
+        val l = n.longValue()
+        if (n.doubleValue() == l.toDouble && l.isValidShort)
+          Some(java.lang.Short.valueOf(l.toShort))
+        else None
+      case (n: java.lang.Number, DoubleType) =>
+        val d = n.doubleValue()
+        n match {
+          case _: java.lang.Double | _: java.lang.Float => Some(java.lang.Double.valueOf(d))
+          case _ =>
+            if (d.toLong == n.longValue()) Some(java.lang.Double.valueOf(d)) else None
+        }
+      case (n: java.lang.Number, FloatType) =>
+        val f = n.floatValue()
+        if (f.toDouble == n.doubleValue()) Some(java.lang.Float.valueOf(f)) else None
+      case (s: String, StringType)                     => Some(s)
+      case (b: java.lang.Boolean, BooleanType)         => Some(b)
+      case (d: java.sql.Date, DateType)                => Some(d)
+      case (d: java.time.LocalDate, DateType)          => Some(d)
+      case (t: java.sql.Timestamp, TimestampType)      => Some(t)
+      case (t: java.time.Instant, TimestampType)       => Some(t)
+      case (t: java.time.LocalDateTime, TimestampNTZType) => Some(t)
+      case (b: Array[Byte], BinaryType)                => Some(b)
+      case (bd: scala.math.BigDecimal, _: DecimalType) => Some(bd)
+      case (bd: java.math.BigDecimal, _: DecimalType)  => Some(bd)
+      case _                                           => None
+    }
+  }
+
   private def literalFrame(
       spark: SparkSession,
       lits: Seq[Any]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{StructField, StructType, _}
-    val cols   = ref.columnsOrEmpty
-    val schema = StructType(cols.map(c => ref.selection(spark).schema(c).copy(name = c)))
-    // widen common numeric literal types onto the factual column type so a
-    // Scala Int literal matches a LONG column (SQL equality semantics — the
-    // reference's Python comparison is similarly width-insensitive);
-    // everything else must already carry the column's external type
-    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
-      case (null, _)                  => null
-      case (n: java.lang.Number, LongType)    => java.lang.Long.valueOf(n.longValue())
-      case (n: java.lang.Number, IntegerType) => java.lang.Integer.valueOf(n.intValue())
-      case (n: java.lang.Number, ShortType)   => java.lang.Short.valueOf(n.shortValue())
-      case (n: java.lang.Number, DoubleType)  => java.lang.Double.valueOf(n.doubleValue())
-      case (n: java.lang.Number, FloatType)   => java.lang.Float.valueOf(n.floatValue())
-      case _                          => v
-    }
+    val schema = literalSchema(spark)
     val rows: java.util.List[Row] = new java.util.ArrayList[Row]()
-    lits.foreach { v =>
-      val tuple: Seq[Any] = v match {
-        case t: Seq[_] if cols.length > 1 => t
-        case single                       => Seq(single)
-      }
-      require(
-        tuple.length == cols.length,
-        s"Literal uniques tuple arity ${tuple.length} != ${cols.length} column(s)")
-      rows.add(Row(tuple.zip(schema.fields).map { case (x, f) => coerce(x, f.dataType) }: _*))
+    literalTuples(lits).foreach { tuple =>
+      rows.add(Row(tuple.zip(schema.fields).map {
+        case (x, f) => coerceExact(x, f.dataType).get
+      }: _*))
     }
     spark.createDataFrame(rows, schema)
   }
@@ -281,7 +343,7 @@ final case class UniquesEquality(
     extends Uniques {
   override def maxRelativeViolations: Double = 0.0
   override def test(spark: SparkSession): TestResult =
-    if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
+    if (engineEligible(spark)) memoizedEngineTest(spark)(testInEngine(spark))
     else withPlans(clientGuarded(testClientSide(spark)))
 
   /** Engine path: two anti-joins; the driver sees two counts and (on
@@ -355,7 +417,7 @@ final case class UniquesSubset(
     override val nameOverride: Option[String] = None)
     extends Uniques {
   override def test(spark: SparkSession): TestResult =
-    if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
+    if (engineEligible(spark)) memoizedEngineTest(spark)(testInEngine(spark))
     else withPlans(clientGuarded(testClientSide(spark)))
 
   /** Engine path: factual value counts anti-joined against the target's
@@ -449,7 +511,7 @@ final case class UniquesSuperset(
     override val nameOverride: Option[String] = None)
     extends Uniques {
   override def test(spark: SparkSession): TestResult =
-    if (engineEligible) memoizedEngineTest(spark)(testInEngine(spark))
+    if (engineEligible(spark)) memoizedEngineTest(spark)(testInEngine(spark))
     else withPlans(clientGuarded(testClientSide(spark)))
 
   /** Engine path: target-minus-factual anti-join; counts aggregate
@@ -576,7 +638,20 @@ final case class CategoricalBound(
     override val nameOverride: Option[String] = None)
     extends Constraint {
   override def test(spark: SparkSession): TestResult = withPlans {
-    val counter: Map[Any, Long] = Ops.getUniques(spark, ref).map {
+    // same driver-memory cap as the Uniques client path: a categorical
+    // distribution over a high-cardinality column is a mistake to abort on,
+    // not an OOM
+    val cap = Uniques.collectCap(spark)
+    val raw = Ops.getUniques(spark, ref, Some(cap + 1))
+    if (raw.size > cap)
+      return TestResult.failure(
+        description,
+        s"${ref.describe} has more than $cap distinct values; the categorical-bound " +
+          s"retrieval was aborted to bound driver memory. " +
+          s"<SHORTENED OUTPUT, displaying the first 0 / >$cap elements above> " +
+          s"Raise spark.conf '${Uniques.CollectCapKey}' if the cardinality is " +
+          s"intended.$conditionString")
+    val counter: Map[Any, Long] = raw.map {
       case (Seq(single), c) => (single: Any) -> c
       case (tuple, c)       => (tuple: Any) -> c
     }

@@ -29,12 +29,21 @@ object Dedup {
     * rather than an unconditional `repartition`.
     */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val spark  = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
     // partition count from the physical plan's leaves — `df.rdd` would
-    // materialize the whole RDD lineage just to read the same number
-    val scanParts = df.queryExecution.executedPlan.collectLeaves()
-      .map(_.outputPartitioning.numPartitions).sum
-    if (scanParts < target) df.repartition(target) else df
+    // materialize the whole RDD lineage just to read the same number. A
+    // non-bucketed file scan reports UnknownPartitioning(0), so estimate its
+    // split count from file bytes / maxPartitionBytes (how Spark sizes scan
+    // partitions); only an all-leaves-unknown plan falls back to the RDD.
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val leafParts = df.queryExecution.executedPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        math.max(1L, f.relation.location.sizeInBytes / math.max(1L, maxSplit))
+      case l => l.outputPartitioning.numPartitions.toLong
+    }.sum
+    val parts = if (leafParts > 0) leafParts else df.rdd.getNumPartitions.toLong
+    if (parts < target) df.repartition(target) else df
   }
 
   /** Character k-shingles of `text` as a distinct array. The text expression
@@ -90,7 +99,10 @@ object Dedup {
         "dj_keep",
         min(col(idCol)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("dj_fp")))
-      .where(col(idCol) === col("dj_keep"))
+      // a NULL text has no fingerprint and is a duplicate of nothing: keep
+      // every such row (the previous join spelling silently dropped them —
+      // null-unsafe equality — which was data loss, not deduplication)
+      .where(col("dj_fp").isNull || col(idCol) === col("dj_keep"))
       .drop("dj_fp", "dj_keep")
 
   /** MinHash signature over a precomputed array of base shingle hashes:

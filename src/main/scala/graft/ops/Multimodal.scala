@@ -68,7 +68,7 @@ object Multimodal {
   /** Cheap magic-byte sniff gating the ImageIO attempt — text/audio payloads
     * skip reader discovery entirely. */
   private def looksLikeImage(p: Array[Byte]): Boolean =
-    p.length > 24 && (
+    p != null && p.length > 24 && (
       (p(0) == 0x89.toByte && p(1) == 0x50.toByte) ||             // PNG
         (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||           // JPEG
         (p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte) ||
@@ -83,9 +83,12 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte], dim: Int = 16): Option[Decoded] = {
     if (!looksLikeImage(payload)) return None
+    // corrupt bodies behind a valid magic can throw more than IOException
+    // from ImageIO plugins (IndexOutOfBounds, CMMException, ...) — a dirty
+    // corpus must degrade to the fallback, never kill the task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -138,10 +141,12 @@ object Multimodal {
     * pseudo-features from the payload bytes. Features are hashes of byte
     * slices, normalized to [0,1).
     */
-  def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
+  def decodeStub(payload0: Array[Byte], dim: Int): Array[Float] = {
     // ??? <- real audio/video decoder goes here; image payloads take the
     // real `decodeImage` path, and this deterministic fake keeps the
-    // plumbing testable end-to-end for the rest.
+    // plumbing testable end-to-end for the rest. NULL payloads decode as
+    // empty (a missing asset must not kill the task).
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {

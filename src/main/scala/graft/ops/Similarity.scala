@@ -198,14 +198,16 @@ object Similarity {
     //
     // The corpus size only calibrates the seed-sample stride, so a caller
     // hint or a plan-stats estimate replaces the former full count() job.
-    // The estimate is deliberately biased LOW (4 KiB/row over scan bytes):
-    // underestimating shrinks the stride and samples MORE rows — the id cap
-    // still bounds the seed set at nCentroids, so recall never degrades;
-    // overestimating could under-fill the seed set.
+    // The estimate must be biased LOW: underestimating shrinks the stride
+    // and samples MORE rows — the distributed top-k still caps the seed set
+    // at nCentroids, so recall never degrades — while overestimating could
+    // under-fill it. Hence the deliberately large 64 KiB/row divisor: even a
+    // 4096-dim float embedding row (~16 KiB) stays an underestimate, at the
+    // cost of a slightly larger (still nCentroids-capped) top-k input.
     val n = corpusSize.getOrElse {
       val stats = vectors.queryExecution.optimizedPlan.stats
       stats.rowCount.map(_.toLong).getOrElse(
-        math.max(1L, (stats.sizeInBytes / 4096).toLong))
+        math.max(1L, (stats.sizeInBytes / 65536).toLong))
     }
     val sampled =
       ivfCentroids(vectors, idCol, vecCol, nCentroids, n).collect()

@@ -79,6 +79,13 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getAs[Long]("n_docs") == 2)
   }
 
+  test("exact dedup keeps every NULL-text row (no fingerprint, no data loss)") {
+    val df = docs((1L, "same"), (2L, "same"), (3L, null), (4L, null))
+    val kept = Dedup.dedupExact(df, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), s"null-text rows must all survive: $kept")
+  }
+
   test("curateCorpus composes gates + dedup; survivors meet every gate") {
     import graft.ops.{Pipeline, TextAnalysis}
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -96,6 +96,21 @@ class UniquesHooksSpec extends AnyFunSuite {
     } finally spark.conf.unset(Uniques.CollectCapKey)
   }
 
+  test("literal edge cases: fractional literals stay strict, null literals don't crash") {
+    val wide = spark.range(10).toDF("col_long")
+    val ref  = DataRef(FrameSource(wide, "strict_t"), Some(Seq("col_long")))
+    // 1.5 can't exist in a LONG column — not engine-representable, so the
+    // constraint keeps the strict client path and reports it lacking (the
+    // reference's Python comparison: 1.5 != 1)
+    assert(!UniquesSuperset(ref, uniquesLiteral = Some(Seq(1.5))).test(spark).outcome)
+    // exact-valued numeric literals widen losslessly onto the column type
+    assert(UniquesSuperset(ref, uniquesLiteral = Some(Seq(1, 2))).test(spark).outcome)
+    // a null literal against a non-nullable source column must produce a
+    // test result (null is lacking), not a createDataFrame crash; and the
+    // null policy must NOT filter the user's literal list
+    assert(!UniquesSuperset(ref, uniquesLiteral = Some(Seq(5L, null))).test(spark).outcome)
+  }
+
   test("pluggable output processors: limit appends the reference's sentinel") {
     import graft.constraints.formatting
     val df = mixDf((1 to 30).map(i => (Integer.valueOf(i), s"v$i", null)))
