@@ -607,6 +607,41 @@ object SparkEntry {
           col("width"),
           col("height"),
           round(col("mean_luma"), 6).cast("long").as("mean_gray"))
+    },
+
+    // image resize round-trip (REAL bilinear Graphics2D scale + PNG
+    // re-encode): synth gray PNGs -> resize to a fixed 3x2 -> decode. A
+    // bilinear scale of a uniform image preserves the gray level exactly, so
+    // DuckDB again recomputes the expectation arithmetically
+    "q_image_resize" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 23 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val pngs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeGrayPng(
+              width = 1 + (id % 7).toInt,
+              height = 1 + (id % 5).toInt,
+              gray = (id % 256).toInt))
+        },
+        schema)
+      val resized = Multimodal.resizeImages(pngs, "doc_id", "payload", 3, 2)
+      Multimodal
+        .decodeImages(resized, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("width"),
+          col("height"),
+          round(col("mean_luma"), 6).cast("long").as("mean_gray"))
     }
   )
 
@@ -973,7 +1008,13 @@ object SparkEntry {
                 CAST(1 + doc_id % 7 AS INT) AS width,
                 CAST(1 + doc_id % 5 AS INT) AS height,
                 CAST(doc_id % 256 AS BIGINT) AS mean_gray
-         FROM documents WHERE doc_id % 17 = 0"""
+         FROM documents WHERE doc_id % 17 = 0""",
+    "q_image_resize" ->
+      """SELECT doc_id,
+                CAST(3 AS INT) AS width,
+                CAST(2 AS INT) AS height,
+                CAST(doc_id % 256 AS BIGINT) AS mean_gray
+         FROM documents WHERE doc_id % 23 = 0"""
   )
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) {

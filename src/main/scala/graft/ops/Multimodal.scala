@@ -117,6 +117,60 @@ object Multimodal {
     Some(Decoded(w, h, total / nPix, feats))
   }
 
+  /** REAL image resize (decode → scale → re-encode PNG): bilinear
+    * `Graphics2D` scaling via the JDK, no external codec. Returns None when
+    * the payload isn't a decodable image — callers keep the original
+    * payload or drop the row. Runs executor-side inside `resizeImages`.
+    */
+  def resizeImage(
+      payload: Array[Byte],
+      targetWidth: Int,
+      targetHeight: Int): Option[Array[Byte]] = {
+    require(targetWidth > 0 && targetHeight > 0, "target dimensions must be positive")
+    if (!looksLikeImage(payload)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val out = new java.awt.image.BufferedImage(
+      targetWidth, targetHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetWidth, targetHeight, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    Some(bos.toByteArray)
+  }
+
+  /** Per-partition batch resize over (id, binary) rows → (id, resized PNG
+    * payload); undecodable payloads yield null. Same streaming
+    * constant-memory contract as `extractFeatures`.
+    */
+  def resizeImages(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      targetWidth: Int,
+      targetHeight: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val projected = df.select(col(idCol).cast(LongType), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        Row(
+          r.getLong(0),
+          resizeImage(r.getAs[Array[Byte]](1), targetWidth, targetHeight).orNull)
+      }
+    }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
+  }
+
   /** Encode a uniform-gray PNG via `javax.imageio` — the deterministic
     * synthetic payload behind the decode round-trip oracle (`q_image_decode`)
     * and media-pipeline tests.

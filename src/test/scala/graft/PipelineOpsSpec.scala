@@ -245,6 +245,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(broken, dim = 4).isEmpty)
   }
 
+  test("multimodal: REAL resize preserves uniform gray and hits target dims") {
+    val png = Multimodal.encodeGrayPng(width = 7, height = 5, gray = 130)
+    val resized = Multimodal.resizeImage(png, 3, 2).get
+    val d = Multimodal.decodeImage(resized, dim = 1).get
+    assert(d.width == 3 && d.height == 2)
+    assert(d.meanLuma == 130.0, s"bilinear scale of a uniform image must keep gray: ${d.meanLuma}")
+    // undecodable payloads resize to None / null rows
+    assert(Multimodal.resizeImage("not an image".getBytes, 3, 2).isEmpty)
+    assert(Multimodal.resizeImage(null, 3, 2).isEmpty)
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(
