@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{
+  DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.core.TestResult
 import graft.requirements.Requirement
@@ -12,13 +13,16 @@ import graft.runner.Runner
   * stream. The reference is batch-only; streams are a first-class extension
   * here because training-data pipelines ingest continuously.
   *
-  * Two modes:
+  * Three modes:
   *   1. `windowedProfile` — a declarative watermarked windowed aggregation
   *      producing per-window data-quality metrics (row counts, null
   *      fractions, numeric mins/maxes) as a streaming DataFrame the caller
   *      sinks anywhere. Pure `groupBy(window(...))` — incremental, state
   *      bounded by the watermark.
-  *   2. `foreachBatchRunner` — evaluate an arbitrary `Requirement` on every
+  *   2. `runningKeyProfile` — CUSTOM state via `flatMapGroupsWithState`:
+  *      per-key running metrics that never reset at window boundaries, with
+  *      event-time-timeout state eviction.
+  *   3. `foreachBatchRunner` — evaluate an arbitrary `Requirement` on every
   *      micro-batch (each micro-batch is a normal DataFrame, so every
   *      constraint in the library applies unchanged).
   */
@@ -67,6 +71,88 @@ object StreamingChecks {
     stream
       .withWatermark(timeColumn, watermark)
       .dropDuplicatesWithinWatermark(keyColumns)
+
+  /** Running state carried per key by `runningKeyProfile`. NaN min/max mean
+    * "no non-null value seen yet". */
+  final case class KeyRunningState(n: Long, nNull: Long, vMin: Double, vMax: Double)
+
+  /** One emitted profile row per key per micro-batch. */
+  final case class KeyProfile(
+      key: String,
+      n_rows: Long,
+      null_frac: Double,
+      v_min: Double,
+      v_max: Double)
+
+  /** Per-key RUNNING value profile with custom state
+    * (`flatMapGroupsWithState`) — counts, null fraction, min and max
+    * accumulate across micro-batches, something no windowed aggregation can
+    * express because the state never resets at window boundaries. Emits the
+    * updated profile for every key that saw data in the micro-batch.
+    *
+    * State scale: ONE small fixed-size entry per distinct key, partitioned
+    * by key across executors; idle keys are evicted by an event-time timeout
+    * `stateTtlMs` past the watermark, so the state store is bounded by the
+    * number of keys active inside the horizon — the same posture as
+    * `streamingDedup`.
+    */
+  def runningKeyProfile(
+      stream: DataFrame,
+      timeColumn: String,
+      watermark: String,
+      keyColumn: String,
+      valueColumn: String,
+      stateTtlMs: Long = 3600000L): Dataset[KeyProfile] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // the watermarked event-time column must survive the projection for the
+    // event-time timeout to be accepted (and it is what advances eviction) —
+    // selected UNCAST: an alias keeps the watermark attribute metadata, a
+    // cast would strip it. `timeColumn` must already be a TIMESTAMP.
+    val rows = stream
+      .withWatermark(timeColumn, watermark)
+      .select(
+        col(keyColumn).cast("string").as("_1"),
+        col(valueColumn).cast("double").as("_2"),
+        col(timeColumn).as("_3"))
+      .as[(String, Option[Double], java.sql.Timestamp)]
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KeyRunningState, KeyProfile](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[KeyRunningState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(
+              KeyRunningState(0L, 0L, Double.NaN, Double.NaN))
+            var maxEventMs = Long.MinValue
+            it.foreach { case (_, v, t) =>
+              if (t != null) maxEventMs = math.max(maxEventMs, t.getTime)
+              s = v match {
+                case Some(x) =>
+                  KeyRunningState(
+                    s.n + 1,
+                    s.nNull,
+                    if (s.vMin.isNaN || x < s.vMin) x else s.vMin,
+                    if (s.vMax.isNaN || x > s.vMax) x else s.vMax)
+                case None => KeyRunningState(s.n + 1, s.nNull + 1, s.vMin, s.vMax)
+              }
+            }
+            state.update(s)
+            // anchored to the key's OWN max event time (the watermark is 0
+            // on the first batch — anchoring there would evict immediately);
+            // floor at watermark+1s because a timeout in the past is invalid
+            state.setTimeoutTimestamp(
+              math.max(
+                maxEventMs + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1000L))
+            Iterator(
+              KeyProfile(key, s.n, if (s.n == 0) 0.0 else s.nNull.toDouble / s.n, s.vMin, s.vMax))
+          }
+      }
+  }
 
   /** Evaluate a requirement over every micro-batch; `onResults` receives
     * (batchId, results). State: none beyond the source's own offsets —

@@ -76,6 +76,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set("a", "c"), s"kept=$kept")
   }
 
+  test("runningKeyProfile accumulates per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input  = MemoryStream[(Timestamp, String, java.lang.Double)]
+    val stream = input.toDF().toDF("event_time", "key", "value")
+    val query = StreamingChecks
+      .runningKeyProfile(stream, "event_time", "10 seconds", "key", "value")
+      .writeStream
+      .format("memory")
+      .queryName("running_profile_test")
+      .outputMode("update")
+      .start()
+    // batch 1: key a sees 2 values (one null), key b sees 1
+    input.addData(
+      (ts("2026-01-01 00:00:01"), "a", 4.0),
+      (ts("2026-01-01 00:00:02"), "a", null),
+      (ts("2026-01-01 00:00:03"), "b", 9.0))
+    query.processAllAvailable()
+    // batch 2: key a again — state must CARRY OVER (n=3, min stays 4.0)
+    input.addData((ts("2026-01-01 00:00:30"), "a", java.lang.Double.valueOf(2.0)))
+    query.processAllAvailable()
+    query.stop()
+    val byKeyLatest = spark.table("running_profile_test")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1)
+      .map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) } // latest = max n
+    assert(byKeyLatest("a") == ((3L, 1.0 / 3, 2.0, 4.0)), s"a=${byKeyLatest("a")}")
+    assert(byKeyLatest("b") == ((1L, 0.0, 9.0, 9.0)), s"b=${byKeyLatest("b")}")
+  }
+
   test("file-source stream over the events table produces a full profile") {
     import org.apache.spark.sql.types._
     // stage a directory containing only the events file (file streams ingest
