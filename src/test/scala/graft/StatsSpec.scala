@@ -126,6 +126,17 @@ class StatsSpec extends AnyFunSuite {
     assert(out.count() == 2L)
   }
 
+  test("CumSum: forward fill keeps all rows when every order key is NULL") {
+    import org.apache.spark.sql.functions._
+    val df = mixDf(Seq(
+      (null, "x", null), (null, null, null), (null, "z", null)))
+      .select(col("col_int").as("v"), col("col_varchar").as("s"))
+    val out = graft.ops.CumSum.withForwardFill(df, "v", Seq("s"))
+    assert(out.count() == 3, "all-NULL order keys must not drop rows")
+    // single bucket: the null s is filled from some earlier non-null value
+    assert(out.where(col("s").isNull).count() <= 1)
+  }
+
   test("exact Kolmogorov sf: closed form at n=1 and classical critical values") {
     import graft.ops.Kolmogorov
     // n = 1: P(D_1 < d) = 2d - 1 on [1/2, 1] exactly
