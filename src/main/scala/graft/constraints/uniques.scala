@@ -240,11 +240,23 @@ sealed abstract class Uniques extends Constraint {
         n match {
           case _: java.lang.Double | _: java.lang.Float => Some(java.lang.Double.valueOf(d))
           case _ =>
-            if (d.toLong == n.longValue()) Some(java.lang.Double.valueOf(d)) else None
+            // exact-decimal comparison: a plain d.toLong round-trip admits
+            // lossy coercions at |v| >= 2^53 (toLong saturates back)
+            if (!d.isInfinite &&
+              scala.math.BigDecimal(d) == scala.math.BigDecimal(n.longValue()))
+              Some(java.lang.Double.valueOf(d))
+            else None
         }
       case (n: java.lang.Number, FloatType) =>
         val f = n.floatValue()
-        if (f.toDouble == n.doubleValue()) Some(java.lang.Float.valueOf(f)) else None
+        val exact = n match {
+          case _: java.lang.Float | _: java.lang.Double =>
+            f.toDouble == n.doubleValue()
+          case _ => // integral: double comparison already rounds at 2^53
+            !f.isInfinite &&
+              scala.math.BigDecimal(f.toDouble) == scala.math.BigDecimal(n.longValue())
+        }
+        if (exact) Some(java.lang.Float.valueOf(f)) else None
       case (s: String, StringType)                     => Some(s)
       case (b: java.lang.Boolean, BooleanType)         => Some(b)
       case (d: java.sql.Date, DateType)                => Some(d)
@@ -253,8 +265,15 @@ sealed abstract class Uniques extends Constraint {
       case (t: java.time.Instant, TimestampType)       => Some(t)
       case (t: java.time.LocalDateTime, TimestampNTZType) => Some(t)
       case (b: Array[Byte], BinaryType)                => Some(b)
-      case (bd: scala.math.BigDecimal, _: DecimalType) => Some(bd)
-      case (bd: java.math.BigDecimal, _: DecimalType)  => Some(bd)
+      // a decimal literal is only engine-representable when it fits the
+      // column's precision/scale losslessly — DecimalConverter would
+      // otherwise silently round (HALF_UP) or overflow at runtime
+      case (bd: scala.math.BigDecimal, t: DecimalType)
+          if bd.scale <= t.scale && bd.precision - bd.scale <= t.precision - t.scale =>
+        Some(bd)
+      case (bd: java.math.BigDecimal, t: DecimalType)
+          if bd.scale <= t.scale && bd.precision - bd.scale <= t.precision - t.scale =>
+        Some(bd)
       case _                                           => None
     }
   }
@@ -640,17 +659,22 @@ final case class CategoricalBound(
   override def test(spark: SparkSession): TestResult = withPlans {
     // same driver-memory cap as the Uniques client path: a categorical
     // distribution over a high-cardinality column is a mistake to abort on,
-    // not an OOM
+    // not an OOM. The failure is returned as a VALUE (no non-local return):
+    // a `return` would unwind through withPlans and skip plan attachment.
     val cap = Uniques.collectCap(spark)
     val raw = Ops.getUniques(spark, ref, Some(cap + 1))
     if (raw.size > cap)
-      return TestResult.failure(
+      TestResult.failure(
         description,
         s"${ref.describe} has more than $cap distinct values; the categorical-bound " +
           s"retrieval was aborted to bound driver memory. " +
           s"<SHORTENED OUTPUT, displaying the first 0 / >$cap elements above> " +
           s"Raise spark.conf '${Uniques.CollectCapKey}' if the cardinality is " +
           s"intended.$conditionString")
+    else testWithCounter(raw)
+  }
+
+  private def testWithCounter(raw: Map[Seq[Any], Long]): TestResult = {
     val counter: Map[Any, Long] = raw.map {
       case (Seq(single), c) => (single: Any) -> c
       case (tuple, c)       => (tuple: Any) -> c

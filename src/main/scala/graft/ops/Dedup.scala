@@ -33,13 +33,14 @@ object Dedup {
     val target = spark.sparkContext.defaultParallelism
     // partition count from the physical plan's leaves — `df.rdd` would
     // materialize the whole RDD lineage just to read the same number. A
-    // non-bucketed file scan reports UnknownPartitioning(0), so estimate its
-    // split count from file bytes / maxPartitionBytes (how Spark sizes scan
-    // partitions); only an all-leaves-unknown plan falls back to the RDD.
-    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    // non-bucketed file scan reports UnknownPartitioning(0), so read the
+    // scan's OWN input RDD partition count (post-pruning splits — Spark
+    // computes these at execution anyway; `relation.location.sizeInBytes`
+    // would be the PRE-pruning table size and over-counts a pruned scan);
+    // only an all-leaves-unknown plan falls back to the full RDD.
     val leafParts = df.queryExecution.executedPlan.collectLeaves().map {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        math.max(1L, f.relation.location.sizeInBytes / math.max(1L, maxSplit))
+        f.inputRDDs().map(_.getNumPartitions.toLong).sum
       case l => l.outputPartitioning.numPartitions.toLong
     }.sum
     val parts = if (leafParts > 0) leafParts else df.rdd.getNumPartitions.toLong

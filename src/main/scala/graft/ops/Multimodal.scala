@@ -164,11 +164,13 @@ object Multimodal {
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
         Row(
-          r.getLong(0),
+          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
           resizeImage(r.getAs[Array[Byte]](1), targetWidth, targetHeight).orNull)
       }
     }
-    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
+    spark.createDataFrame(rdd, schema)
+      .withColumnRenamed("id", idCol)
+      .withColumnRenamed("payload", binCol)
   }
 
   /** Encode a uniform-gray PNG via `javax.imageio` — the deterministic
@@ -229,7 +231,7 @@ object Multimodal {
     val projected = df.select(col(idCol).cast(LongType), col(binCol))
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id      = r.getLong(0)
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
         val payload = r.getAs[Array[Byte]](1)
         val feats = decodeImage(payload, dim)
           .map(_.features)
@@ -255,7 +257,7 @@ object Multimodal {
     val projected = df.select(col(idCol).cast(LongType), col(binCol))
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(0)
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
         decodeImage(r.getAs[Array[Byte]](1), dim = 1) match {
           case Some(d) => Row(id, d.width, d.height, d.meanLuma)
           case None    => Row(id, null, null, null)

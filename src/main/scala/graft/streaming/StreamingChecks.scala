@@ -143,11 +143,14 @@ object StreamingChecks {
             state.update(s)
             // anchored to the key's OWN max event time (the watermark is 0
             // on the first batch — anchoring there would evict immediately);
+            // a batch of only null event times anchors at the watermark so a
+            // just-active key still gets the full TTL, not instant eviction;
             // floor at watermark+1s because a timeout in the past is invalid
+            val anchor =
+              if (maxEventMs == Long.MinValue) state.getCurrentWatermarkMs()
+              else maxEventMs
             state.setTimeoutTimestamp(
-              math.max(
-                maxEventMs + stateTtlMs,
-                state.getCurrentWatermarkMs() + 1000L))
+              math.max(anchor + stateTtlMs, state.getCurrentWatermarkMs() + 1000L))
             Iterator(
               KeyProfile(key, s.n, if (s.n == 0) 0.0 else s.nNull.toDouble / s.n, s.vMin, s.vMax))
           }

@@ -109,6 +109,15 @@ class UniquesHooksSpec extends AnyFunSuite {
     // test result (null is lacking), not a createDataFrame crash; and the
     // null policy must NOT filter the user's literal list
     assert(!UniquesSuperset(ref, uniquesLiteral = Some(Seq(5L, null))).test(spark).outcome)
+    // Long.MaxValue is NOT exactly representable as a double: the coercion
+    // gate rejects it and the constraint takes the client path — where
+    // Scala's cooperative numeric equality promotes Long to Double, so the
+    // (rounded) column value compares equal and the superset holds. The
+    // invariant pinned here is path CONSISTENCY: the gate must not let the
+    // engine path decide differently from the client path
+    val dbl  = spark.range(1).selectExpr("cast(9223372036854775807 as double) as col_d")
+    val refD = DataRef(FrameSource(dbl, "dbl_t"), Some(Seq("col_d")))
+    assert(UniquesSuperset(refD, uniquesLiteral = Some(Seq(Long.MaxValue))).test(spark).outcome)
   }
 
   test("pluggable output processors: limit appends the reference's sentinel") {
