@@ -425,6 +425,27 @@ object SparkEntry {
         round(graft.ops.TextAnalysis.stopwordRatio(t), 6).as("stop_ratio"))
     },
 
+    // PII scan + redaction (emails/URLs/phones): the corpus text is
+    // deterministically enriched with known PII on id-derived rows so the
+    // counts and the redacted-text hash are non-trivial on both engines
+    "q_pii_scan" -> { (s, dir) =>
+      import graft.ops.TextAnalysis._
+      val t = concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact bob@example.com or +1 (555) 123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" see https://example.com/data?x=1&y=2")).otherwise(lit("")))
+      s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          emailCount(t).cast("bigint").as("n_emails"),
+          urlCount(t).cast("bigint").as("n_urls"),
+          phoneCount(t).cast("bigint").as("n_phones"),
+          md5(redactPii(t).cast("binary")).as("redacted_md5"))
+    },
+
     // composite quality score
     "q_quality_score" -> { (s, dir) =>
       s.read.parquet(pq(dir, "documents")).select(
@@ -906,6 +927,24 @@ object SparkEntry {
                      t -> list_contains(['the','and','of','to','in','a','is'], t)))::DOUBLE
                    / greatest(len(string_split($normSql, ' ')), 1), 6) AS stop_ratio
           FROM documents""",
+    "q_pii_scan" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  text
+                    || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact bob@example.com or +1 (555) 123-4567' ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                         THEN ' see https://example.com/data?x=1&y=2' ELSE '' END AS t
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./?=&_%#:-]+')) AS BIGINT) AS n_urls,
+                CAST(len(regexp_extract_all(t, '[+][0-9][0-9() -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g'),
+                      'https?://[A-Za-z0-9./?=&_%#:-]+', '[URL]', 'g'),
+                      '[+][0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
+         FROM t""",
     "q_quality_score" ->
       s"""WITH m AS (SELECT doc_id,
                  len(string_split($normSql, ' ')) AS n_tokens,

@@ -118,6 +118,31 @@ object TextAnalysis {
   def minShingleHash(text: Column, k: Int = 8): Column =
     array_min(transform(Dedup.charShingles(normalize(text), k), s => xxhash64(s)))
 
+  /** PII patterns for corpus scrubbing, written in the regex subset Java
+    * and RE2 evaluate identically (no lookaround, no escape-sequence
+    * classes like `\s` whose spellings differ across SQL string literals):
+    * training corpora are routinely scanned for emails/URLs/phone numbers
+    * and redacted before use. All-codegen'd `regexp_*` column functions —
+    * a full-corpus scrub is one projection, no UDFs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val UrlPattern   = "https?://[A-Za-z0-9./?=&_%#:-]+"
+  val PhonePattern = "[+][0-9][0-9() -]{7,}[0-9]"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def urlCount(text: Column): Column   = regexp_count(text, lit(UrlPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Redact all three PII classes with typed placeholders (emails first so
+    * an address inside a URL query string is caught before URL masking).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        UrlPattern, "[URL]"),
+      PhonePattern, "[PHONE]")
+
   /** Convenience: the standard per-document analysis frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

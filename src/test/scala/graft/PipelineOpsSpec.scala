@@ -63,6 +63,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("PII scan: counts and redaction with typed placeholders") {
+    val df = docs(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),
+      (2L, "clean text"))
+    val out = df.select(
+      col("doc_id"),
+      TextAnalysis.emailCount(col("text")).cast("long").as("e"),
+      TextAnalysis.urlCount(col("text")).cast("long").as("u"),
+      TextAnalysis.phoneCount(col("text")).cast("long").as("p"),
+      TextAnalysis.redactPii(col("text")).as("r"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L)._1 == 2L && out(1L)._2 == 1L && out(1L)._3 == 1L)
+    assert(out(1L)._4 ==
+      "mail [EMAIL] and [EMAIL], call [PHONE], see [URL] end")
+    assert(out(2L) == ((0L, 0L, 0L, "clean text")))
+  }
+
   // --- dedup ---------------------------------------------------------------
   test("charShingles produces distinct k-grams") {
     val r = docs((1L, "abcabc"))
