@@ -237,21 +237,28 @@ sealed abstract class Uniques extends Constraint {
         else None
       case (n: java.lang.Number, DoubleType) =>
         val d = n.doubleValue()
-        n match {
-          case _: java.lang.Double | _: java.lang.Float => Some(java.lang.Double.valueOf(d))
+        // exact-decimal comparison: a plain d.toLong round-trip admits lossy
+        // coercions at |v| >= 2^53 (toLong saturates back), while longValue()
+        // on a fractional BigDecimal would truncate BEFORE the compare
+        val exact = n match {
+          case _: java.lang.Double | _: java.lang.Float => true
+          case bd: java.math.BigDecimal =>
+            !d.isInfinite && scala.math.BigDecimal(d) == scala.math.BigDecimal(bd)
+          case bd: scala.math.BigDecimal =>
+            !d.isInfinite && scala.math.BigDecimal(d) == bd
           case _ =>
-            // exact-decimal comparison: a plain d.toLong round-trip admits
-            // lossy coercions at |v| >= 2^53 (toLong saturates back)
-            if (!d.isInfinite &&
-              scala.math.BigDecimal(d) == scala.math.BigDecimal(n.longValue()))
-              Some(java.lang.Double.valueOf(d))
-            else None
+            !d.isInfinite && scala.math.BigDecimal(d) == scala.math.BigDecimal(n.longValue())
         }
+        if (exact) Some(java.lang.Double.valueOf(d)) else None
       case (n: java.lang.Number, FloatType) =>
         val f = n.floatValue()
         val exact = n match {
           case _: java.lang.Float | _: java.lang.Double =>
             f.toDouble == n.doubleValue()
+          case bd: java.math.BigDecimal =>
+            !f.isInfinite && scala.math.BigDecimal(f.toDouble) == scala.math.BigDecimal(bd)
+          case bd: scala.math.BigDecimal =>
+            !f.isInfinite && scala.math.BigDecimal(f.toDouble) == bd
           case _ => // integral: double comparison already rounds at 2^53
             !f.isInfinite &&
               scala.math.BigDecimal(f.toDouble) == scala.math.BigDecimal(n.longValue())
@@ -630,19 +637,23 @@ final case class NUniquesMaxGain(
   override def refValue: Option[Long] = None
   override protected def compare(factual: Long, target: Long): (Boolean, Option[String]) =
     throw new UnsupportedOperationException
+  // failures are returned as VALUES, never via `return` — a non-local
+  // return unwinds through withPlans and skips plan attachment
   override def test(spark: SparkSession): TestResult = withPlans {
     val maxGain = maxRelativeGainGetter(spark)
     val f       = factual(spark)
     val t       = target(spark)
-    if (t == 0L) return TestResult.failure(description, "Target table empty.")
-    if (f < t) return TestResult.success(description)
-    val gain = (f - t).toDouble / t
-    if (gain <= maxGain) TestResult.success(description)
-    else
-      TestResult.failure(
-        description,
-        s"${ref.describe} has $gain of #uniques of ${ref2Required.describe}. " +
-          s"It was only allowed to increase $maxGain. $conditionString")
+    if (t == 0L) TestResult.failure(description, "Target table empty.")
+    else if (f < t) TestResult.success(description)
+    else {
+      val gain = (f - t).toDouble / t
+      if (gain <= maxGain) TestResult.success(description)
+      else
+        TestResult.failure(
+          description,
+          s"${ref.describe} has $gain of #uniques of ${ref2Required.describe}. " +
+            s"It was only allowed to increase $maxGain. $conditionString")
+    }
   }
 }
 

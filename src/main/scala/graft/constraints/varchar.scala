@@ -53,7 +53,12 @@ final case class VarCharRegex(
     nCounterexamples: Int = 5,
     override val nameOverride: Option[String] = None)
     extends Constraint {
-  override def test(spark: SparkSession): TestResult = withPlans {
+  // body lives in a plain method so its `return`s are local returns whose
+  // values flow back INTO withPlans — a non-local return out of the closure
+  // would skip plan attachment on failures
+  override def test(spark: SparkSession): TestResult = withPlans(runTest(spark))
+
+  private def runTest(spark: SparkSession): TestResult = {
     // same driver-memory cap as the Uniques client path: a high-cardinality
     // column aborts loudly instead of OOMing the collect
     val cap = Uniques.collectCap(spark)

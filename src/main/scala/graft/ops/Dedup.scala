@@ -38,9 +38,12 @@ object Dedup {
     // computes these at execution anyway; `relation.location.sizeInBytes`
     // would be the PRE-pruning table size and over-counts a pruned scan);
     // only an all-leaves-unknown plan falls back to the full RDD.
+    // floored at 1 per scan: an empty or fully-pruned scan yields 0 input
+    // partitions, which must not be confused with "no known leaf" (the only
+    // case worth the df.rdd fallback)
     val leafParts = df.queryExecution.executedPlan.collectLeaves().map {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.inputRDDs().map(_.getNumPartitions.toLong).sum
+        math.max(1L, f.inputRDDs().map(_.getNumPartitions.toLong).sum)
       case l => l.outputPartitioning.numPartitions.toLong
     }.sum
     val parts = if (leafParts > 0) leafParts else df.rdd.getNumPartitions.toLong

@@ -125,6 +125,7 @@ object StreamingChecks {
             state.remove()
             Iterator.empty
           } else {
+            val hadState = state.getOption.isDefined
             var s = state.getOption.getOrElse(
               KeyRunningState(0L, 0L, Double.NaN, Double.NaN))
             var maxEventMs = Long.MinValue
@@ -142,15 +143,17 @@ object StreamingChecks {
             }
             state.update(s)
             // anchored to the key's OWN max event time (the watermark is 0
-            // on the first batch — anchoring there would evict immediately);
-            // a batch of only null event times anchors at the watermark so a
-            // just-active key still gets the full TTL, not instant eviction;
-            // floor at watermark+1s because a timeout in the past is invalid
-            val anchor =
-              if (maxEventMs == Long.MinValue) state.getCurrentWatermarkMs()
-              else maxEventMs
-            state.setTimeoutTimestamp(
-              math.max(anchor + stateTtlMs, state.getCurrentWatermarkMs() + 1000L))
+            // on the first batch — anchoring there would evict immediately),
+            // floored at watermark+1s because a timeout in the past is
+            // invalid. A batch of ONLY null event times must never move an
+            // existing timeout EARLIER (that would prematurely evict an
+            // active key): the stored timeout persists untouched; only a
+            // brand-new key gets a fresh watermark-anchored TTL.
+            if (maxEventMs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxEventMs + stateTtlMs, state.getCurrentWatermarkMs() + 1000L))
+            else if (!hadState)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
             Iterator(
               KeyProfile(key, s.n, if (s.n == 0) 0.0 else s.nNull.toDouble / s.n, s.vMin, s.vMax))
           }
