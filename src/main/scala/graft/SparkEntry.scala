@@ -495,6 +495,18 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // near-dup clusters: connected components over the exact-Jaccard pair
+    // set (min id per component); oracled by a DuckDB recursive-CTE closure
+    // over the same pairs
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+        s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+        shingleK = 5, threshold = 0.6)
+      graft.ops.Dedup
+        .connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id").cast("bigint").as("cluster_id"))
+    },
+
     // MinHash+LSH near-dups, verified by exact Jaccard — with 64 hashes /
     // 16 bands recall at j>=0.9 is ~1, so the output equals brute force on
     // this corpus and shares its oracle.
@@ -1019,6 +1031,16 @@ object SparkEntry {
       """SELECT substring(text, 1, 20) AS k, count(*) AS n_docs, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
     "q_ngram_jaccard" -> jaccardSql,
+    // transitive closure over the SAME pair set, min reachable id per vertex
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ($jaccardSql)),
+              edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                        UNION SELECT id2, id1 FROM pairs),
+              reach AS (SELECT a AS id, b AS r FROM edges
+                        UNION
+                        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+         FROM reach GROUP BY id""",
     "q_events_profile" ->
       """SELECT cast(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
                 event_type, count(*) AS n_events,

@@ -394,4 +394,64 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Connected components over near-dup pair edges → one row per vertex:
+    * (`id`, `cluster_id` = minimum id in its component) — the step every
+    * dedup pipeline runs after pair generation, so "keep one doc per
+    * cluster" is a groupBy away instead of a greedy per-pair guess.
+    *
+    * Min-label propagation: labels start as own id; each round takes the
+    * min over neighbors (one key-partitioned join + one aggregate, both
+    * map-side-combining). A label travels one hop per round, so rounds =
+    * O(component diameter) — near-dup components are shallow stars/chains
+    * around a common source, a handful of rounds at any corpus scale. The
+    * driver sees one converged-yet count per round, never the labels. For
+    * adversarially deep general graphs, swap in large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") on
+    * the same DataFrame-only machinery.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      id1: String = "id1",
+      id2: String = "id2",
+      maxIters: Int = 25): DataFrame = {
+    val sym = pairs
+      .select(col(id1).as("dj_src"), col(id2).as("dj_dst"))
+      .unionAll(pairs.select(col(id2).as("dj_src"), col(id1).as("dj_dst")))
+      .distinct()
+      .cache()
+    var labels = sym
+      .select(col("dj_src").as("dj_id"))
+      .distinct()
+      .withColumn("dj_label", col("dj_id"))
+      .cache()
+    var iters = 0
+    var done  = false
+    while (!done && iters < maxIters) {
+      val nbrMin = sym
+        .join(
+          labels.select(col("dj_id").as("dj_dst"), col("dj_label").as("dj_nl")),
+          "dj_dst")
+        .groupBy("dj_src")
+        .agg(min(col("dj_nl")).as("dj_nmin"))
+        .select(col("dj_src").as("dj_id"), col("dj_nmin"))
+      val next = labels
+        .join(nbrMin, Seq("dj_id"), "left")
+        .select(
+          col("dj_id"),
+          least(col("dj_label"), coalesce(col("dj_nmin"), col("dj_label")))
+            .as("dj_label"))
+        .cache()
+      val changed = next
+        .join(labels.select(col("dj_id"), col("dj_label").as("dj_old")), "dj_id")
+        .where(col("dj_label") =!= col("dj_old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      done = changed == 0
+      iters += 1
+    }
+    sym.unpersist()
+    labels.select(col("dj_id").as("id"), col("dj_label").as("cluster_id"))
+  }
 }

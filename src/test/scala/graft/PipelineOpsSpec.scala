@@ -63,6 +63,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
   }
 
+  test("connectedComponents: min-label clusters over pair edges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(2L, 1L), Row(2L, 3L), Row(3L, 4L), // chain 1-2-3-4 -> cluster 1
+        Row(6L, 5L))),                         // pair 5-6 -> cluster 5
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("PII scan: counts and redaction with typed placeholders") {
     val df = docs(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),
