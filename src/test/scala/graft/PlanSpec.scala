@@ -114,6 +114,22 @@ class PlanSpec extends AnyFunSuite {
       s"rank self-join crept back into the gap plan: ${joins.map(_.joinType)}")
   }
 
+  test("dedup spread repartitions an under-split corpus up to defaultParallelism") {
+    spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet") // single split
+    val plan = graft.ops.Dedup
+      .minhashNearDups(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan
+    // the spread exchange sits inside the shingle cache boundary
+    val cached = plan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(
+      cached.exists(_.cachedPlan.toString.contains("RoundRobinPartitioning")),
+      "a single-split scan must spread to defaultParallelism before the shingle kernel")
+    spark.catalog.clearCache()
+  }
+
   test("minhash verification plan uses the native kernels, not boxed set ops") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val plan = graft.ops.Dedup

@@ -107,6 +107,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKeyLatest("b") == ((1L, 0.0, 9.0, 9.0)), s"b=${byKeyLatest("b")}")
   }
 
+  test("runningKeyProfile: idle keys are evicted after the event-time TTL") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input  = MemoryStream[(Timestamp, String, java.lang.Double)]
+    val stream = input.toDF().toDF("event_time", "key", "value")
+    val query = StreamingChecks
+      .runningKeyProfile(stream, "event_time", "10 seconds", "key", "value",
+        stateTtlMs = 60000L) // 1 minute TTL
+      .writeStream
+      .format("memory")
+      .queryName("evict_test")
+      .outputMode("update")
+      .start()
+    input.addData((ts("2026-01-01 00:00:01"), "a", java.lang.Double.valueOf(4.0)))
+    query.processAllAvailable()
+    // advance the watermark far past a's TTL via another key
+    input.addData((ts("2026-01-01 02:00:00"), "b", java.lang.Double.valueOf(1.0)))
+    query.processAllAvailable()
+    // a's state must be gone: its running count restarts at 1
+    input.addData((ts("2026-01-01 02:00:05"), "a", java.lang.Double.valueOf(9.0)))
+    query.processAllAvailable()
+    query.stop()
+    val aRows = spark.table("evict_test")
+      .where(col("key") === "a")
+      .select("n_rows", "v_min")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(aRows.contains((1L, 4.0)), s"first profile: $aRows")
+    assert(aRows.contains((1L, 9.0)), s"post-eviction profile must restart at n=1: $aRows")
+    assert(!aRows.exists(_._1 == 2L), s"state survived past its TTL: $aRows")
+  }
+
   test("file-source stream over the events table produces a full profile") {
     import org.apache.spark.sql.types._
     // stage a directory containing only the events file (file streams ingest
