@@ -451,7 +451,22 @@ object Dedup {
       done = changed == 0
       iters += 1
     }
+    // a silently-wrong clustering is worse than an error: non-convergence
+    // means components deeper than maxIters exist and labels are still
+    // intermediate ("no silent caps")
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          s"component diameter exceeds the bound; raise maxIters or use a " +
+          s"star-contraction algorithm for deep graphs")
+    // eager local checkpoint materializes the result so both loop caches can
+    // be released here instead of leaking one entry per call (blocks are
+    // reclaimed by the context cleaner once the result is unreferenced)
+    val result = labels
+      .select(col("dj_id").as("id"), col("dj_label").as("cluster_id"))
+      .localCheckpoint()
+    labels.unpersist()
     sym.unpersist()
-    labels.select(col("dj_id").as("id"), col("dj_label").as("cluster_id"))
+    result
   }
 }

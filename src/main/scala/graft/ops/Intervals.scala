@@ -169,50 +169,34 @@ object Intervals {
       table.join(helper, cond, "left_anti")
     }
 
+    // Classic per-column ranges-gaps plan, kept deliberately after a fused
+    // union-tag variant was measured and rejected both ways: adjacency
+    // pairing (one lead() window, no rank join) is NOT the reference's
+    // semantics once duplicate boundary points shift the rank alignment
+    // (see IntervalSpec's duplicate-boundary truth tables), and the
+    // faithful rank-pairing fusion duplicates the whole anti-join subtree
+    // per join branch (column pruning specializes each branch's window
+    // expression list, so the subtrees stop being identical and exchange
+    // reuse cannot fire) -- costing more than these two per-column chains.
     if (keyColumns.nonEmpty) {
-      // Fused plan (union-tag, like the cross-CDF kernel): tag start points
-      // kind=0 and end points kind=1, run ONE anti-join against the helper
-      // (the strict-inside condition is identical for both point kinds),
-      // then pair by ADJACENCY with a single lead() window per key instead
-      // of the classic two-anti-join + two-rank-window + self-join spelling.
-      //
-      // Why adjacency equals the reference's rank pairing (k-th end with
-      // (k+1)-th start): after the not-inside filter, the surviving
-      // boundary points of a key are the island boundaries — sorted by
-      // (point, end-before-start on ties) they weakly alternate
-      // s1 e1 s2 e2 …, so the (k+1)-th start is exactly the next start
-      // after the k-th end, and any duplicate-point runs that break strict
-      // alternation (e.g. duplicated intervals) produce no end→start
-      // adjacency AND no violating rank pair. Verified by the oracle gap
-      // queries and IntervalSpec truth tables.
-      //
-      // The gap filter references the lead() outputs, so Catalyst cannot
-      // push it below the window and split the union back into per-kind
-      // branches (which is exactly what it did to a row_number + per-kind
-      // filter formulation of this plan).
-      val keyCols = keyColumns.map(col)
-      val points = sel
-        .select(keyCols :+ col(startColumn).as("dj_pt") :+ lit(0).as("dj_kind"): _*)
-        .unionAll(
-          sel.select(keyCols :+ col(endColumn).as("dj_pt") :+ lit(1).as("dj_kind"): _*))
-      val keyEq = keyColumns.map(k => col(k) === col(k + "_h")).reduce(_ && _)
-      val free = points.join(
-        helper,
-        keyEq &&
-          col("dj_pt") > col(startColumn + "_h") &&
-          col("dj_pt") < col(endColumn + "_h"),
-        "left_anti")
-      val w = Window
-        .partitionBy(keyCols: _*)
-        .orderBy(col("dj_pt").asc, col("dj_kind").desc)
-      free
-        .withColumn("dj_next_pt", lead(col("dj_pt"), 1).over(w))
-        .withColumn("dj_next_kind", lead(col("dj_kind"), 1).over(w))
-        .where(
-          col("dj_kind") === 1 && col("dj_next_kind") === 0 &&
-            gapCondition(col("dj_pt"), col("dj_next_pt")))
+      val wStart = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(startColumn))
+      val wEnd   = Window.partitionBy(keyColumns.map(col): _*).orderBy(col(endColumn))
+      val startTable = notInOtherInterval(sel, startColumn)
         .select(
-          keyCols :+ col("dj_next_pt").as(startColumn) :+ col("dj_pt").as(endColumn): _*)
+          keyColumns.map(col) :+
+            col(startColumn) :+
+            row_number().over(wStart).as("dj_start_rank"): _*)
+      val endTable = notInOtherInterval(sel, endColumn)
+        .select(
+          keyColumns.map(c => col(c).as(c + "_e")) :+
+            col(endColumn) :+
+            row_number().over(wEnd).as("dj_end_rank"): _*)
+      val joinCond = keyColumns.map(k => col(k) === col(k + "_e")).reduce(_ && _) &&
+        col("dj_start_rank") === col("dj_end_rank") + 1 &&
+        gapCondition(col(endColumn), col(startColumn))
+      startTable
+        .join(endTable, joinCond)
+        .select(keyColumns.map(col) :+ col(startColumn) :+ col(endColumn): _*)
     } else {
       // Keyless: one global timeline (reference `db_access.py:523-529` with
       // an all-columns-consumed selection). Ranks come from the distributed

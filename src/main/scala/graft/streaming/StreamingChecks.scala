@@ -73,8 +73,16 @@ object StreamingChecks {
       .dropDuplicatesWithinWatermark(keyColumns)
 
   /** Running state carried per key by `runningKeyProfile`. NaN min/max mean
-    * "no non-null value seen yet". */
-  final case class KeyRunningState(n: Long, nNull: Long, vMin: Double, vMax: Double)
+    * "no non-null value seen yet"; `maxEventMs` is the largest event time
+    * EVER seen for the key (Long.MinValue before the first one) — kept in
+    * state so late or null-event-time batches can never move the eviction
+    * timeout earlier. */
+  final case class KeyRunningState(
+      n: Long,
+      nNull: Long,
+      vMin: Double,
+      vMax: Double,
+      maxEventMs: Long)
 
   /** One emitted profile row per key per micro-batch. */
   final case class KeyProfile(
@@ -125,10 +133,9 @@ object StreamingChecks {
             state.remove()
             Iterator.empty
           } else {
-            val hadState = state.getOption.isDefined
             var s = state.getOption.getOrElse(
-              KeyRunningState(0L, 0L, Double.NaN, Double.NaN))
-            var maxEventMs = Long.MinValue
+              KeyRunningState(0L, 0L, Double.NaN, Double.NaN, Long.MinValue))
+            var maxEventMs = s.maxEventMs
             it.foreach { case (_, v, t) =>
               if (t != null) maxEventMs = math.max(maxEventMs, t.getTime)
               s = v match {
@@ -137,23 +144,25 @@ object StreamingChecks {
                     s.n + 1,
                     s.nNull,
                     if (s.vMin.isNaN || x < s.vMin) x else s.vMin,
-                    if (s.vMax.isNaN || x > s.vMax) x else s.vMax)
-                case None => KeyRunningState(s.n + 1, s.nNull + 1, s.vMin, s.vMax)
+                    if (s.vMax.isNaN || x > s.vMax) x else s.vMax,
+                    s.maxEventMs)
+                case None =>
+                  KeyRunningState(s.n + 1, s.nNull + 1, s.vMin, s.vMax, s.maxEventMs)
               }
             }
+            s = s.copy(maxEventMs = maxEventMs)
             state.update(s)
-            // anchored to the key's OWN max event time (the watermark is 0
-            // on the first batch — anchoring there would evict immediately),
-            // floored at watermark+1s because a timeout in the past is
-            // invalid. A batch of ONLY null event times must never move an
-            // existing timeout EARLIER (that would prematurely evict an
-            // active key): the stored timeout persists untouched; only a
-            // brand-new key gets a fresh watermark-anchored TTL.
-            if (maxEventMs != Long.MinValue)
-              state.setTimeoutTimestamp(
-                math.max(maxEventMs + stateTtlMs, state.getCurrentWatermarkMs() + 1000L))
-            else if (!hadState)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            // MONOTONE eviction timeout: both anchors only ever grow -- the
+            // historical max event time lives in the state, so a late batch
+            // (or one of only null event times) can never pull the timeout
+            // earlier, while the watermark+TTL floor keeps an
+            // actively-updating key alive even when its rows carry null
+            // event times. On the first batch the watermark is 0, so the
+            // event anchor dominates there.
+            state.setTimeoutTimestamp(
+              math.max(
+                maxEventMs + stateTtlMs,
+                state.getCurrentWatermarkMs() + stateTtlMs))
             Iterator(
               KeyProfile(key, s.n, if (s.n == 0) 0.0 else s.nNull.toDouble / s.n, s.vMin, s.vMax))
           }

@@ -101,6 +101,31 @@ class IntervalSpec extends AnyFunSuite {
     assert(res.nDistinctKeys == 2)
   }
 
+  test("duplicate boundary points follow the reference's RANK pairing, not adjacency") {
+    // [1,5],[1,3],[8,9]: free starts {1,1,8}, free ends {5,9} (3 is strictly
+    // inside [1,5]). Rank pairing: (e1=5, s2=1) and (e2=9, s3=8) — both
+    // backwards in time → NO violations. An adjacency pairing would wrongly
+    // pair end 5 with start 8 and flag the key.
+    val df = numIntervalDf(Seq(
+      (1, 1.0, 5.0), (1, 1.0, 3.0), (1, 8.0, 9.0)))
+    val res = Intervals.gapResult(
+      spark, DataRef(FrameSource(df, "dup_start_gap")), Seq("id1"),
+      "range_start", "range_end", Intervals.numericGapCondition(0.0))
+    assert(res.nViolationKeys == 0,
+      "rank pairing must report no violation for duplicate-start intervals")
+
+    // [1,5],[2,5],[5,9],[9,12]: contiguous coverage, but duplicate END 5
+    // shifts the rank alignment — the reference pairs (e2=5, s3=9) and
+    // reports a violation. We reproduce the reference exactly.
+    val df2 = numIntervalDf(Seq(
+      (1, 1.0, 5.0), (1, 2.0, 5.0), (1, 5.0, 9.0), (1, 9.0, 12.0)))
+    val res2 = Intervals.gapResult(
+      spark, DataRef(FrameSource(df2, "dup_end_gap")), Seq("id1"),
+      "range_start", "range_end", Intervals.numericGapCondition(0.0))
+    assert(res2.nViolationKeys == 1,
+      "duplicate-end rank shift must reproduce the reference's violation")
+  }
+
   test("keyless no-gap: empty key list degrades to one global timeline") {
     // selection projected to exactly start/end — the derived key list is
     // empty, the user-facing default of addDateNoGapConstraint (reference

@@ -83,37 +83,6 @@ class PlanSpec extends AnyFunSuite {
       s"interpreted HOF dot crept back into the bucketing key:\n$plan")
   }
 
-  test("keyed gap plan is fused: one window, one anti-join over tagged points") {
-    import graft.ops.Intervals
-    val iv = spark.read
-      .parquet(s"$dir/orders.parquet")
-      .select(
-        col("o_custkey"),
-        to_date(col("o_orderdate")).as("s_date"),
-        date_add(to_date(col("o_orderdate")), 5).as("e_date"))
-    val plan = Intervals
-      .gapViolations(
-        spark,
-        graft.core.DataRef(graft.core.FrameSource(iv, "gap_iv")),
-        Seq("o_custkey"), "s_date", "e_date",
-        Intervals.dateGapCondition(0))
-      .queryExecution.optimizedPlan
-    val windows = plan.collect {
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-    }
-    assert(windows.size == 1, s"expected ONE fused window, got ${windows.size}:\n$plan")
-    assert(windows.head.partitionSpec.nonEmpty, "gap window must be partitioned")
-    val joins = plan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-    }
-    // Catalyst may distribute the anti-join across the two union branches
-    // (cost-neutral); what must NOT reappear is the rank-pairing self-join
-    assert(
-      joins.nonEmpty && joins.forall(
-        _.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti),
-      s"rank self-join crept back into the gap plan: ${joins.map(_.joinType)}")
-  }
-
   test("dedup spread repartitions an under-split corpus up to defaultParallelism") {
     spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$dir/documents.parquet") // single split
