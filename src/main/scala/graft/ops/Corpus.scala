@@ -1,0 +1,208 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for training-data pipelines, beyond the
+  * near-dup family in [[Dedup]]: repetition quality signals (the
+  * top-n-gram / duplicate-n-gram character fractions used by public
+  * corpus-filtering recipes), eval-set decontamination via word-n-gram
+  * overlap, corpus-level vocabulary top-k, and deterministic hash-based
+  * train/val/test splits.
+  *
+  * 100 TB posture: everything here is either a per-document column
+  * computation, a (doc, gram)-keyed aggregation with map-side partials, a
+  * distributed top-k (`TakeOrderedAndProject`), or a broadcast join against
+  * a small (eval-set-sized) gram set. No global windows, no driver-side
+  * loops, no cartesian products.
+  */
+object Corpus {
+
+  /** Word n-grams of the token array WITH multiplicity (unlike
+    * `Dedup.wordNgrams`, which de-duplicates) — repetition signals need the
+    * occurrence counts. Token expression lambda-bound so it evaluates once
+    * per row.
+    */
+  private[graft] def ngramsWithMultiplicity(tokensCol: Column, n: Int): Column =
+    Hof.bound(tokensCol) { toks =>
+      filter(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        g => size(split(g, " ")) === n)
+    }
+
+  /** Repetition quality signals per document (Gopher-style filters,
+    * word-n-gram flavor — the driver corpus has no line structure):
+    *
+    *   - `top2_frac`: characters covered by the most frequent word 2-gram
+    *     (occurrences × gram length) over normalized-text length. Ties break
+    *     to the lexicographically smallest gram so the result is
+    *     deterministic across engines.
+    *   - `dup5_frac`: characters covered by all word 5-grams occurring more
+    *     than once (Σ occurrences × gram length) over normalized-text
+    *     length. Overlapping occurrences are counted per occurrence (the
+    *     cheap upper-bound flavor), so the value may exceed 1 on
+    *     pathologically repetitive text — callers threshold it, they don't
+    *     sum it.
+    *
+    * Documents with fewer tokens than the gram width get 0.0 (nothing
+    * repeats). NULL texts are excluded, matching `TextAnalysis.analyze`.
+    *
+    * Plan shape: two explode → (doc, gram) hash aggregations (map-side
+    * partials shrink each to one row per distinct gram per doc), a
+    * doc-partitioned window for the arg-max, joins back on the doc id.
+    * Shuffle volume ∝ token count — the same order as the minhash pass any
+    * curation pipeline already runs.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        TextAnalysis.normalize(col(textCol)).as("dj_norm"))
+      .select(
+        col(idCol),
+        length(col("dj_norm")).as("dj_len"),
+        split(col("dj_norm"), " ").as("dj_toks"))
+
+    def gramCounts(n: Int): DataFrame =
+      base
+        .select(
+          col(idCol),
+          col("dj_len"),
+          explode(ngramsWithMultiplicity(col("dj_toks"), n)).as("dj_gram"))
+        .groupBy(col(idCol), col("dj_gram"))
+        .agg(count(lit(1)).as("dj_cnt"), max(col("dj_len")).as("dj_len"))
+
+    val top2 = gramCounts(2)
+      .withColumn(
+        "dj_rank",
+        row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("dj_cnt").desc, col("dj_gram").asc)))
+      .where(col("dj_rank") === 1)
+      .select(
+        col(idCol),
+        round(
+          col("dj_cnt") * length(col("dj_gram")) / greatest(col("dj_len"), lit(1)),
+          6).as("top2_frac"))
+
+    val dup5 = gramCounts(5)
+      .groupBy(col(idCol))
+      .agg(
+        round(
+          sum(when(col("dj_cnt") > 1, col("dj_cnt") * length(col("dj_gram"))).otherwise(0L))
+            / greatest(max(col("dj_len")), lit(1)),
+          6).as("dup5_frac"))
+
+    base
+      .select(col(idCol))
+      .join(top2, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(col("dup5_frac"), lit(0.0)).as("dup5_frac"))
+  }
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * normalized word `n`-gram with any eval-set document, with the count of
+    * distinct shared grams (the usual flag-and-drop signal before
+    * training).
+    *
+    * The eval-set gram set is distinct-reduced and broadcast — eval sets
+    * are small by construction (thousands of documents), so the corpus is
+    * scanned exactly once with no shuffle of its gram stream. With
+    * `hashKeys` the join key is `xxhash64(gram)` (8 bytes instead of an
+    * ~n-word string — the 100 TB default; collisions at 2⁻⁶⁴ per pair can
+    * only over-flag); the gate query passes `hashKeys = false` so a SQL
+    * oracle can replicate the join on the raw gram strings.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      hashKeys: Boolean = true): DataFrame = {
+    def grams(d: DataFrame): DataFrame = {
+      val g = d
+        .where(col(textCol).isNotNull)
+        .select(
+          col(idCol),
+          explode(Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n)).as("dj_gram"))
+      if (hashKeys) g.select(col(idCol), xxhash64(col("dj_gram")).as("dj_gram")) else g
+    }
+    val evalGrams = broadcast(grams(evalSet).select(col("dj_gram")).distinct())
+    grams(corpus)
+      .join(evalGrams, "dj_gram")
+      .groupBy(col(idCol))
+      // wordNgrams is distinct within a document and evalGrams is distinct,
+      // so the plain count IS the distinct shared-gram count
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus-level vocabulary: the `k` most frequent normalized whitespace
+    * tokens, ties broken by token ascending (deterministic LIMIT boundary).
+    *
+    * Plan shape: explode → hash aggregate with map-side partials (one row
+    * per distinct token reaches the shuffle) → `TakeOrderedAndProject`
+    * (distributed top-k, never a global sort of the vocabulary).
+    */
+  def vocabularyTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .sort(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Deterministic train/val/test assignment: a document's split is a pure
+    * function of `md5(id ":" seed)`, so membership is stable across runs,
+    * engines, and re-partitioning — no sampling state, no RNG, no shuffle
+    * (a per-row projection the scan absorbs).
+    *
+    * The md5 hex digest is uniform over [0, 16³²); cumulative weight
+    * boundaries are materialized as 32-digit hex-string literals and
+    * compared lexicographically (hex strings of equal length order like the
+    * integers they encode), which any SQL engine reproduces bit-for-bit —
+    * no float arithmetic at the boundary. Weights must be positive and sum
+    * to 1 within 1e-9.
+    */
+  def splitColumn(idCol: Column, weights: Seq[(String, Double)], seed: String): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), s"weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
+    val u = md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary"))
+    weights.init.zip(splitBoundsHex(weights)) match {
+      case Seq() => lit(weights.head._1)
+      case ((name0, _), bound0) +: rest =>
+        rest
+          .foldLeft(when(u < lit(bound0), name0)) { case (c, ((name, _), bound)) =>
+            c.when(u < lit(bound), name)
+          }
+          .otherwise(weights.last._1)
+    }
+  }
+
+  /** Cumulative split boundaries as 32-digit lowercase hex strings (one per
+    * weight except the last, which is the `otherwise` branch).
+    */
+  private[graft] def splitBoundsHex(weights: Seq[(String, Double)]): Seq[String] = {
+    val space = BigDecimal(BigInt(2).pow(128))
+    weights.init
+      .scanLeft(BigDecimal(0)) { case (acc, (_, w)) => acc + BigDecimal(w) }
+      .tail
+      .map(c => "%032x".format((c * space).toBigInt))
+  }
+
+  /** `df` with a `split` column assigned by [[splitColumn]]. */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      seed: String = "graft"): DataFrame =
+    df.withColumn("split", splitColumn(col(idCol), weights, seed))
+}
