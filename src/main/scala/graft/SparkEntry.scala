@@ -675,6 +675,60 @@ object SparkEntry {
           col("width"),
           col("height"),
           round(col("mean_luma"), 6).cast("long").as("mean_gray"))
+    },
+
+    // audio decode round-trip (REAL RIFF/WAV 16-bit PCM parse, pure byte
+    // work): per doc_id, synthesize a two-level square wave (+A / -B
+    // alternating) whose amplitudes, length, and sample rate are functions
+    // of the id, encode as canonical WAV, decode back, and emit the
+    // header-parsed rate (little-endian column functions) next to the
+    // decoded stats. Sums accumulate losslessly in Longs and every division
+    // has an exactly-representable result, so DuckDB recomputes rms /
+    // mean_abs / duration bit-identically from the closed forms.
+    "q_audio_decode" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 19 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val wavs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val sr = 8000 + (id % 5).toInt * 1000
+          val ampA = ((id % 997) + 1).toInt
+          val ampB = (((id * 7) % 997) + 1).toInt
+          val nPairs = 32 + (id % 16).toInt
+          val samples = new Array[Short](2 * nPairs)
+          var i = 0
+          while (i < nPairs) {
+            samples(2 * i) = ampA.toShort
+            samples(2 * i + 1) = (-ampB).toShort
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, Multimodal.encodePcmWav(sr, 1, samples))
+        },
+        schema)
+      // cached for the same reason as q_image_decode: the decode branch and
+      // the header-metadata branch both read the synthesized payloads
+      val withMeta = Multimodal.withMediaMeta(wavs, "payload").cache()
+      Multimodal
+        .decodeAudios(withMeta, "doc_id", "payload")
+        .join(
+          withMeta.select(col("doc_id"), col("media_meta")), Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("media_meta.sample_rate").as("hdr_rate"),
+          col("sample_rate"),
+          col("channels"),
+          col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"),
+          round(col("mean_abs"), 6).as("mean_abs"),
+          col("peak"))
     }
   )
 
@@ -1075,7 +1129,26 @@ object SparkEntry {
                 CAST(3 AS INT) AS width,
                 CAST(2 AS INT) AS height,
                 CAST(doc_id % 256 AS BIGINT) AS mean_gray
-         FROM documents WHERE doc_id % 23 = 0"""
+         FROM documents WHERE doc_id % 23 = 0""",
+    // audio round-trip: Spark really encodes + decodes WAV payloads whose
+    // amplitudes/length/rate are functions of doc_id; the oracle recomputes
+    // the closed forms (half the samples at +A, half at -B, so
+    // rms = sqrt((A^2+B^2)/2), mean_abs = (A+B)/2 — every intermediate is
+    // exactly representable, so the doubles agree bit-for-bit)
+    "q_audio_decode" ->
+      """SELECT doc_id,
+                CAST(8000 + (doc_id % 5) * 1000 AS INT) AS hdr_rate,
+                CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(2 * (32 + doc_id % 16) AS INT) AS n_frames,
+                round(2 * (32 + doc_id % 16) * 1000.0
+                      / (8000 + (doc_id % 5) * 1000), 6) AS duration_ms,
+                round(sqrt(((doc_id % 997 + 1) * (doc_id % 997 + 1)
+                            + ((doc_id * 7) % 997 + 1) * ((doc_id * 7) % 997 + 1))
+                           / 2.0), 6) AS rms,
+                round(((doc_id % 997 + 1) + ((doc_id * 7) % 997 + 1)) / 2.0, 6) AS mean_abs,
+                CAST(greatest(doc_id % 997 + 1, (doc_id * 7) % 997 + 1) AS INT) AS peak
+         FROM documents WHERE doc_id % 19 = 0"""
   )
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) {

@@ -34,6 +34,29 @@ final case class ParquetSource(path: String, label: Option[String] = None)
   override def df(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** Any Spark file-based source format (csv / json / orc / text / avro ...)
+  * treated as a table — the reference reaches non-DB data by loading it into
+  * a database first; on a lakehouse the reader IS the loader. `options` pass
+  * straight to the DataFrameReader (header, inferSchema, delimiter, ...).
+  * Schema inference over csv/json scans the files once at planning time; at
+  * 100 TB callers should pass an explicit `schemaDdl` so planning stays
+  * metadata-only.
+  */
+final case class FileSource(
+    path: String,
+    format: String,
+    options: Map[String, String] = Map.empty,
+    schemaDdl: Option[String] = None,
+    label: Option[String] = None)
+    extends DataSource {
+  override def name: String =
+    label.getOrElse(path.split('/').last)
+  override def df(spark: SparkSession): DataFrame = {
+    val reader = spark.read.format(format).options(options)
+    schemaDdl.fold(reader)(reader.schema).load(path)
+  }
+}
+
 /** A raw SQL query (`RawQueryDataSource`, reference `data_source.py:79-105`).
   * Registered tables/views must already be visible to `spark.sql`.
   */

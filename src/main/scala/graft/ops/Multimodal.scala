@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   *
   * Image decode is REAL (`decodeImage` via the JDK's built-in
   * `javax.imageio`: PNG/JPEG/GIF/BMP), verified end-to-end by the
-  * `q_image_decode` encode→decode round-trip oracle. Audio/video codecs are
-  * environment-blocked, so non-image payloads fall back to `decodeStub`'s
-  * deterministic fake features; swapping in a real codec changes ONLY that
-  * function body — the Spark-side contract (schema, batch iteration,
-  * partitioning, spill behavior) is identical and tested.
+  * `q_image_decode` encode→decode round-trip oracle. Audio decode is REAL
+  * for RIFF/WAV 16-bit PCM (`decodeWav` — pure byte parsing, no codec
+  * library), verified by the `q_audio_decode` round-trip oracle. Compressed
+  * audio/video codecs are environment-blocked, so those payloads fall back
+  * to `decodeStub`'s deterministic fake features; swapping in a real codec
+  * changes ONLY that function body — the Spark-side contract (schema, batch
+  * iteration, partitioning, spill behavior) is identical and tested.
   *
   * 100 TB posture: media bytes never leave the executor (no collect); the
   * per-partition iterator processes one row at a time (constant memory);
@@ -29,30 +31,46 @@ object Multimodal {
     StructField("format", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("n_bytes", LongType)))
 
   /** Attach a metadata struct derived from the payload (format sniffing from
     * magic bytes). PNG width/height parse straight out of the IHDR chunk
-    * (bytes 17-24, big-endian) with pure column functions — codegen'd header
-    * metadata at scan speed, no decode; other formats leave them null until
-    * decode.
+    * (bytes 17-24, big-endian) and canonical-WAV sample rate / channel count
+    * out of the fmt chunk (little-endian) with pure column functions —
+    * codegen'd header metadata at scan speed, no decode; other formats leave
+    * them null until decode. The WAV fast path assumes the canonical layout
+    * (fmt chunk at byte 13); non-canonical RIFF files keep nulls here and are
+    * still fully parsed by `decodeWav`'s chunk walk.
     */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
     val magic = substring(hex(b), 1, 8)
     val isPng = magic.startsWith("89504E47")
+    val isWav = magic.startsWith("52494646") &&
+      substring(hex(b), 17, 8) === "57415645" // "WAVE" at bytes 9-12
     val format = when(magic.startsWith("FFD8"), "jpeg")
       .when(isPng, "png")
-      .when(magic.startsWith("52494646"), "riff-wav")
+      .when(isWav, "riff-wav")
       .otherwise("unknown")
     def pngBe32(pos: Int) =
       conv(hex(substring(b, pos, 4)), 16, 10).cast(IntegerType)
+    // little-endian: reverse the bytes before the base-16 parse
+    def wavLe(pos: Int, len: Int) =
+      conv(
+        (1 to len).reverse
+          .map(i => hex(substring(b, pos + i - 1, 1)))
+          .reduce(concat(_, _)),
+        16, 10).cast(IntegerType)
     df.withColumn(
       "media_meta",
       struct(
         format.as("format"),
         when(isPng, pngBe32(17)).cast(IntegerType).as("width"),
         when(isPng, pngBe32(21)).cast(IntegerType).as("height"),
+        when(isWav, wavLe(25, 4)).cast(IntegerType).as("sample_rate"),
+        when(isWav, wavLe(23, 2)).cast(IntegerType).as("channels"),
         length(b).cast(LongType).as("n_bytes")))
   }
 
@@ -192,15 +210,170 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** STUB decode for payloads ImageIO can't read (non-image formats — real
-    * audio/video codecs are environment-blocked): deterministic
-    * pseudo-features from the payload bytes. Features are hashes of byte
-    * slices, normalized to [0,1).
+  /** A really-decoded PCM audio clip: format fields from the fmt chunk,
+    * frame count (samples per channel), one-pass amplitude stats over the
+    * 16-bit samples, and a `dim`-cell windowed-RMS feature vector in [0,1).
+    */
+  final case class DecodedAudio(
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Int,
+      durationMs: Double,
+      rms: Double,
+      meanAbs: Double,
+      peak: Int,
+      features: Array[Float])
+
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length > 44 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def le(p: Array[Byte], pos: Int, len: Int): Long = {
+    var v = 0L
+    var i = len - 1
+    while (i >= 0) { v = (v << 8) | (p(pos + i) & 0xFFL); i -= 1 }
+    v
+  }
+
+  /** REAL audio decode: RIFF/WAV chunk walk + 16-bit PCM sample scan — pure
+    * JVM byte work, no codec library at all. One streaming pass over the
+    * sample bytes computes mean |amplitude|, RMS, peak, and the windowed-RMS
+    * feature grid (sums accumulate in Longs: 16-bit squares can't overflow
+    * below ~4e9 samples). Unknown chunks (LIST, fact, ...) are skipped per
+    * the RIFF spec including the odd-size pad byte; truncated data chunks
+    * clamp to the bytes actually present (a dirty corpus must degrade, not
+    * kill the task). Returns None unless uncompressed PCM 16-bit — real
+    * compressed-audio codecs (mp3 et al.) are environment-blocked and keep
+    * the `decodeStub` fallback.
+    */
+  def decodeWav(payload: Array[Byte], dim: Int = 16): Option[DecodedAudio] = {
+    if (!looksLikeWav(payload)) return None
+    var fmtOk = false
+    var audioFormat = 0; var channels = 0; var sampleRate = 0; var bits = 0
+    var dataPos = -1; var dataLen = 0
+    var pos = 12
+    while (pos + 8 <= payload.length && (dataPos < 0 || !fmtOk)) {
+      val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le(payload, pos + 4, 4)
+      if (size < 0 || size > Int.MaxValue - 8) return None
+      val body = pos + 8
+      id match {
+        case "fmt " if size >= 16 && body + 16 <= payload.length =>
+          audioFormat = le(payload, body, 2).toInt
+          channels = le(payload, body + 2, 2).toInt
+          sampleRate = le(payload, body + 4, 4).toInt
+          bits = le(payload, body + 14, 2).toInt
+          fmtOk = true
+        case "data" =>
+          dataPos = body
+          dataLen = math.min(size, (payload.length - body).toLong).toInt
+        case _ => ()
+      }
+      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even length
+    }
+    if (!fmtOk || dataPos < 0 || audioFormat != 1 || bits != 16 ||
+      channels <= 0 || sampleRate <= 0) return None
+    val nSamples = dataLen / 2
+    if (nSamples == 0) return None
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0
+    var i = 0
+    while (i < nSamples) {
+      val s = ((payload(dataPos + 2 * i) & 0xFF) |
+        (payload(dataPos + 2 * i + 1) << 8)).toShort.toInt
+      val a = math.abs(s)
+      sumAbs += a
+      sumSq += s.toLong * s
+      if (a > peak) peak = a
+      val cell = math.min(dim - 1, (i.toLong * dim / nSamples).toInt)
+      sums(cell) += s.toLong * s
+      counts(cell) += 1
+      i += 1
+    }
+    val feats = Array.tabulate(dim) { c =>
+      if (counts(c) == 0) 0f
+      else (math.sqrt(sums(c).toDouble / counts(c)) / 32768.0).toFloat
+    }
+    val nFrames = nSamples / channels
+    Some(DecodedAudio(
+      sampleRate = sampleRate,
+      channels = channels,
+      nFrames = nFrames,
+      durationMs = nFrames * 1000.0 / sampleRate,
+      rms = math.sqrt(sumSq.toDouble / nSamples),
+      meanAbs = sumAbs.toDouble / nSamples,
+      peak = peak,
+      features = feats))
+  }
+
+  /** Encode 16-bit PCM samples as a canonical 44-byte-header WAV — the
+    * deterministic synthetic payload behind the audio round-trip oracle
+    * (`q_audio_decode`) and media-pipeline tests.
+    */
+  def encodePcmWav(
+      sampleRate: Int,
+      channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0, "sample rate / channels must be positive")
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)         // byte rate
+      .putShort((channels * 2).toShort)          // block align
+      .putShort(16.toShort)                      // bits per sample
+    out.put("data".getBytes).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  /** Per-partition batch audio decode over (id, binary) rows → per-clip
+    * format fields and amplitude stats; non-WAV payloads yield nulls. Same
+    * streaming constant-memory contract as `extractFeatures`.
+    */
+  def decodeAudios(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", DoubleType),
+      StructField("rms", DoubleType),
+      StructField("mean_abs", DoubleType),
+      StructField("peak", IntegerType)))
+    val projected = df.select(col(idCol).cast(LongType), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        decodeWav(r.getAs[Array[Byte]](1), dim = 1) match {
+          case Some(d) =>
+            Row(id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
+              d.rms, d.meanAbs, d.peak)
+          case None => Row(id, null, null, null, null, null, null, null)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
+  }
+
+  /** STUB decode for payloads neither ImageIO nor the WAV parser can read
+    * (compressed audio / video — those codecs are environment-blocked):
+    * deterministic pseudo-features from the payload bytes. Features are
+    * hashes of byte slices, normalized to [0,1).
     */
   def decodeStub(payload0: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real audio/video decoder goes here; image payloads take the
-    // real `decodeImage` path, and this deterministic fake keeps the
-    // plumbing testable end-to-end for the rest. NULL payloads decode as
+    // ??? <- real video / compressed-audio decoder goes here; image payloads
+    // take the real `decodeImage` path, WAV payloads the real `decodeWav`
+    // path, and this deterministic fake keeps the plumbing testable
+    // end-to-end for the rest. NULL payloads decode as
     // empty (a missing asset must not kill the task).
     val payload = if (payload0 == null) Array.emptyByteArray else payload0
     val out = new Array[Float](dim)
@@ -235,6 +408,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](1)
         val feats = decodeImage(payload, dim)
           .map(_.features)
+          .orElse(decodeWav(payload, dim).map(_.features))
           .getOrElse(decodeStub(payload, dim))
         Row(id, feats.toSeq)
       }

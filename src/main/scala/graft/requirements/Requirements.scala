@@ -473,6 +473,26 @@ object WithinRequirement {
     new WithinRequirement(QuerySource(query, name))
   def fromDataFrame(frame: DataFrame, name: String): WithinRequirement =
     new WithinRequirement(FrameSource(frame, name))
+  /** Any Spark file format (csv / json / orc / text ...); `options` pass to
+    * the reader, `schemaDdl` keeps planning metadata-only at scale. */
+  def fromFile(
+      path: String,
+      format: String,
+      options: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None,
+      label: Option[String] = None): WithinRequirement =
+    new WithinRequirement(FileSource(path, format, options, schemaDdl, label))
+  def fromCsv(
+      path: String,
+      options: Map[String, String] = Map("header" -> "true", "inferSchema" -> "true"),
+      schemaDdl: Option[String] = None): WithinRequirement =
+    fromFile(path, "csv", options, schemaDdl)
+  def fromJson(
+      path: String,
+      options: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None): WithinRequirement =
+    fromFile(path, "json", options, schemaDdl)
+  def fromOrc(path: String): WithinRequirement = fromFile(path, "orc")
   def apply(source: DataSource): WithinRequirement = new WithinRequirement(source)
 }
 
@@ -916,6 +936,24 @@ object BetweenRequirement {
       dateColumn2: Option[String] = None): BetweenRequirement =
     new BetweenRequirement(
       FrameSource(frame1, name1), FrameSource(frame2, name2), dateColumn, dateColumn2)
+
+  /** Cross-format comparison (e.g. staged csv vs published parquet) — each
+    * side is any Spark file format with its own reader options/schema. */
+  def fromFiles(
+      path1: String,
+      format1: String,
+      path2: String,
+      format2: String,
+      options1: Map[String, String] = Map.empty,
+      options2: Map[String, String] = Map.empty,
+      schemaDdl1: Option[String] = None,
+      schemaDdl2: Option[String] = None,
+      dateColumn: Option[String] = None,
+      dateColumn2: Option[String] = None): BetweenRequirement =
+    new BetweenRequirement(
+      FileSource(path1, format1, options1, schemaDdl1),
+      FileSource(path2, format2, options2, schemaDdl2),
+      dateColumn, dateColumn2)
 
   def apply(
       source1: DataSource,

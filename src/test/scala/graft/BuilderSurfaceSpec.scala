@@ -110,6 +110,39 @@ class BuilderSurfaceSpec extends AnyFunSuite {
     assert(results.length == 27)
   }
 
+  test("file sources: csv/json readers feed the same constraint machinery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-filesrc").toFile
+    dir.deleteOnExit()
+    val csv = new java.io.File(dir, "t.csv")
+    val json = new java.io.File(dir, "t.json")
+    val w1 = new java.io.PrintWriter(csv)
+    w1.println("id,label"); (1 to 9).foreach(i => w1.println(s"$i,row$i")); w1.close()
+    val w2 = new java.io.PrintWriter(json)
+    (1 to 9).foreach(i => w2.println(s"""{"id":$i,"label":"row$i"}"""))
+    w2.close()
+
+    // explicit schema keeps csv/json planning metadata-only (the 100 TB path)
+    val within = WithinRequirement.fromCsv(
+      csv.getAbsolutePath,
+      options = Map("header" -> "true"),
+      schemaDdl = Some("id INT, label STRING"))
+    within.addNRowsEqualityConstraint(9)
+    within.addUniquenessConstraint(Some(Seq("id")))
+    assert(within.test(spark).forall(_.outcome))
+
+    // cross-format: staged csv vs published json, same rows
+    val between = BetweenRequirement.fromFiles(
+      csv.getAbsolutePath, "csv",
+      json.getAbsolutePath, "json",
+      options1 = Map("header" -> "true"),
+      schemaDdl1 = Some("id INT, label STRING"),
+      schemaDdl2 = Some("id INT, label STRING"))
+    between.addNRowsEqualityConstraint()
+    between.addRowEqualityConstraint(
+      Some(Seq("id", "label")), Some(Seq("id", "label")), 0.0)
+    assert(between.test(spark).forall(_.outcome))
+  }
+
   test("conditions thread through both requirement flavors") {
     val w = WithinRequirement.fromDataFrame(mix1, "mix1")
     w.addNRowsEqualityConstraint(9, condition = Some(Condition.raw("col_int > 10")))
