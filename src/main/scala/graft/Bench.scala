@@ -58,7 +58,10 @@ object Bench {
     "q_ngram_jaccard", "q_dedup_exact", "q_embedding_lsh", "q_embedding_topk",
     "q_groupby_range", "q_duplicates", "q_unique_count_union",
     "q_numeric_gaps", "q_simhash_md5", "q_text_stats", "q_date_gaps",
-    "q_functional_dependency")
+    "q_functional_dependency",
+    // corpus-prep family: n-gram explode shuffles and the salted
+    // stratified top-k are exactly the plans whose constants hide at sf0.1
+    "q_repetition", "q_decontaminate", "q_stratified_sample")
 
   private def queriesJson(results: Iterable[(String, Double, Option[String])]): (String, String) = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

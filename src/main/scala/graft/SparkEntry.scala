@@ -729,6 +729,62 @@ object SparkEntry {
           round(col("rms"), 6).as("rms"),
           round(col("mean_abs"), 6).as("mean_abs"),
           col("peak"))
+    },
+
+    // Gopher-style repetition quality signals: most-frequent word 2-gram
+    // character coverage + duplicated word 5-gram coverage (ops.Corpus)
+    "q_repetition" -> { (s, dir) =>
+      graft.ops.Corpus.repetitionSignals(
+        s.read.parquet(pq(dir, "documents")), "text", "doc_id")
+    },
+
+    // eval-set decontamination: corpus docs sharing >= 1 normalized word
+    // 5-gram with the (broadcast) eval set; raw-gram join so the SQL oracle
+    // replicates the keys (production default hashes them to 8 bytes)
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Corpus.decontaminate(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 5, hashKeys = false)
+    },
+
+    // corpus vocabulary: 50 most frequent normalized tokens, distributed
+    // top-k (TakeOrderedAndProject), ties broken token-ascending
+    "q_vocab_topk" -> { (s, dir) =>
+      graft.ops.Corpus.vocabularyTopK(
+        s.read.parquet(pq(dir, "documents")), "text", k = 50)
+    },
+
+    // deterministic train/val/test assignment: split is a pure function of
+    // md5(id ":" seed) against integer-lattice hex boundaries — DuckDB
+    // recomputes membership bit-for-bit from the same digest
+    "q_split_assign" -> { (s, dir) =>
+      graft.ops.Corpus.assignSplits(
+        s.read.parquet(pq(dir, "documents")).select(col("doc_id")),
+        "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    },
+
+    // deterministic stratified sample: k smallest md5(id:seed) per stratum
+    // via the salted two-phase top-k (no per-stratum reducer funnel)
+    "q_stratified_sample" -> { (s, dir) =>
+      graft.ops.Corpus.stratifiedSample(
+        s.read.parquet(pq(dir, "documents"))
+          .select(col("doc_id"), (col("doc_id") % 7).as("stratum")),
+        "stratum", "doc_id", k = 3)
+        .select(col("doc_id"), col("stratum"), col("sample_rank"))
+    },
+
+    // deterministic weighted training mix: per-source hash-rate membership,
+    // rate boundaries as hex literals (no float compare)
+    "q_weighted_mix" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Corpus.weightedMix(
+        Seq(
+          ("head", docs.where(col("doc_id") % 2 === 0), 0.5),
+          ("tail", docs.where(col("doc_id") % 2 === 1), 0.25)),
+        "doc_id")
     }
   )
 
@@ -1148,7 +1204,89 @@ object SparkEntry {
                            / 2.0), 6) AS rms,
                 round(((doc_id % 997 + 1) + ((doc_id * 7) % 997 + 1)) / 2.0, 6) AS mean_abs,
                 CAST(greatest(doc_id % 997 + 1, (doc_id * 7) % 997 + 1) AS INT) AS peak
-         FROM documents WHERE doc_id % 19 = 0"""
+         FROM documents WHERE doc_id % 19 = 0""",
+    // repetition signals: word-n-gram multiplicity counts rebuilt with list
+    // comprehensions; same deterministic arg-max tie-break (cnt desc, gram asc)
+    "q_repetition" ->
+      s"""WITH base AS (SELECT doc_id, $normSql AS norm FROM documents
+                        WHERE text IS NOT NULL),
+             toks AS (SELECT doc_id, length(norm) AS len,
+                             string_split(norm, ' ') AS t FROM base),
+             g2 AS (SELECT doc_id, len,
+                      unnest(list_filter(
+                        list_transform(range(0, greatest(len(t)-2, 0)+1),
+                                       i -> array_to_string(t[i+1:i+2], ' ')),
+                        g -> len(string_split(g, ' ')) = 2)) AS gram
+                    FROM toks),
+             c2 AS (SELECT doc_id, gram, count(*) AS cnt, max(len) AS len
+                    FROM g2 GROUP BY 1, 2),
+             top2 AS (SELECT doc_id,
+                        round((cnt * length(gram))::DOUBLE / greatest(len, 1), 6) AS top2_frac
+                      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                              ORDER BY cnt DESC, gram ASC) AS rn FROM c2)
+                      WHERE rn = 1),
+             g5 AS (SELECT doc_id, len,
+                      unnest(list_filter(
+                        list_transform(range(0, greatest(len(t)-5, 0)+1),
+                                       i -> array_to_string(t[i+1:i+5], ' ')),
+                        g -> len(string_split(g, ' ')) = 5)) AS gram
+                    FROM toks),
+             c5 AS (SELECT doc_id, gram, count(*) AS cnt, max(len) AS len
+                    FROM g5 GROUP BY 1, 2),
+             dup5 AS (SELECT doc_id,
+                        round(sum(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                                       ELSE 0 END)::DOUBLE / greatest(max(len), 1), 6) AS dup5_frac
+                      FROM c5 GROUP BY doc_id)
+         SELECT b.doc_id,
+                coalesce(t2.top2_frac, 0.0) AS top2_frac,
+                coalesce(d5.dup5_frac, 0.0) AS dup5_frac
+         FROM base b LEFT JOIN top2 t2 USING (doc_id)
+                     LEFT JOIN dup5 d5 USING (doc_id)""",
+    // decontamination: distinct word 5-grams, eval set = doc_id % 37 = 0
+    "q_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS t
+                     FROM documents WHERE text IS NOT NULL),
+             g AS (SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       list_transform(range(0, greatest(len(t)-5, 0)+1),
+                                      i -> array_to_string(t[i+1:i+5], ' ')),
+                       g -> len(string_split(g, ' ')) = 5))) AS gram
+                   FROM d),
+             ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0)
+         SELECT g.doc_id, count(*) AS n_shared
+         FROM g JOIN ev USING (gram)
+         WHERE g.doc_id % 37 <> 0
+         GROUP BY g.doc_id""",
+    "q_vocab_topk" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS token
+                        FROM documents WHERE text IS NOT NULL)
+         SELECT token, count(*) AS n FROM toks WHERE token <> ''
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""",
+    "q_split_assign" -> {
+      val bounds = graft.ops.Corpus.splitBoundsHex(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      s"""SELECT doc_id,
+                 CASE WHEN md5(doc_id || ':graft') < '${bounds(0)}' THEN 'train'
+                      WHEN md5(doc_id || ':graft') < '${bounds(1)}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents"""
+    },
+    "q_stratified_sample" ->
+      """WITH s AS (SELECT doc_id, doc_id % 7 AS stratum,
+                           md5(doc_id || ':graft') AS u FROM documents),
+             r AS (SELECT doc_id, stratum,
+                     CAST(row_number() OVER (PARTITION BY stratum
+                            ORDER BY u, doc_id) AS INT) AS sample_rank FROM s)
+         SELECT doc_id, stratum, sample_rank FROM r WHERE sample_rank <= 3""",
+    "q_weighted_mix" -> {
+      val h = graft.ops.Corpus.rateBoundHex(0.5)
+      val t = graft.ops.Corpus.rateBoundHex(0.25)
+      s"""SELECT 'head' AS source, doc_id FROM documents
+          WHERE doc_id % 2 = 0 AND md5(doc_id || ':graft:head') < '$h'
+          UNION ALL
+          SELECT 'tail' AS source, doc_id FROM documents
+          WHERE doc_id % 2 = 1 AND md5(doc_id || ':graft:tail') < '$t'"""
+    }
   )
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) {

@@ -188,14 +188,19 @@ object Corpus {
   }
 
   /** Cumulative split boundaries as 32-digit lowercase hex strings (one per
-    * weight except the last, which is the `otherwise` branch).
+    * weight except the last, which is the `otherwise` branch). Exact
+    * `java.math.BigDecimal` arithmetic — Scala's `BigDecimal` default
+    * DECIMAL128 context would round 2¹²⁸ to 34 significant digits and shift
+    * every boundary by thousands of lattice points.
     */
   private[graft] def splitBoundsHex(weights: Seq[(String, Double)]): Seq[String] = {
-    val space = BigDecimal(BigInt(2).pow(128))
+    val space = new java.math.BigDecimal(BigInt(2).pow(128).bigInteger)
     weights.init
-      .scanLeft(BigDecimal(0)) { case (acc, (_, w)) => acc + BigDecimal(w) }
+      .scanLeft(java.math.BigDecimal.ZERO) { case (acc, (_, w)) =>
+        acc.add(new java.math.BigDecimal(w))
+      }
       .tail
-      .map(c => "%032x".format((c * space).toBigInt))
+      .map(c => "%032x".format(BigInt(c.multiply(space).toBigInteger)))
   }
 
   /** `df` with a `split` column assigned by [[splitColumn]]. */
@@ -205,4 +210,82 @@ object Corpus {
       weights: Seq[(String, Double)],
       seed: String = "graft"): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), weights, seed))
+
+  private def hashU(idCol: Column, seed: String): Column =
+    md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary"))
+
+  /** Upper boundary of a [0,1) rate as a 32-digit hex literal (the same
+    * integer-lattice comparison as [[splitColumn]] — no float arithmetic at
+    * the membership boundary).
+    */
+  private[graft] def rateBoundHex(rate: Double): String =
+    "%032x".format(BigInt(
+      new java.math.BigDecimal(rate)
+        .multiply(new java.math.BigDecimal(BigInt(2).pow(128).bigInteger))
+        .toBigInteger))
+
+  /** Deterministic stratified sample: the `k` smallest `md5(id ":" seed)`
+    * values per stratum (plus a `sample_rank` column, 1-based within the
+    * stratum). Membership is a pure function of (id, seed), stable across
+    * runs, engines, and partitionings.
+    *
+    * 100 TB posture: exact but skew-proof — a naive
+    * `row_number over (partition by stratum)` funnels the whole corpus
+    * through one reducer per stratum (deadly with e.g. 5 language strata).
+    * Instead phase 1 takes a salted local top-k per (stratum, input
+    * partition) — the shuffle is balanced across `nPartitions × strata`
+    * keys — and phase 2 ranks only the ≤ k·nPartitions survivors per
+    * stratum. Phase 1 can never evict a global winner (a stratum's global
+    * top-k rows are each in their own partition's local top-k), so the
+    * result is exactly the single-window answer.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      k: Int,
+      seed: String = "graft"): DataFrame = {
+    require(k > 0, s"sample size must be positive: $k")
+    val local = df
+      .withColumn("dj_u", hashU(col(idCol), seed))
+      .withColumn("dj_salt", spark_partition_id())
+      .withColumn(
+        "dj_rn",
+        row_number().over(
+          Window.partitionBy(col(stratumCol), col("dj_salt"))
+            .orderBy(col("dj_u"), col(idCol))))
+      .where(col("dj_rn") <= k)
+      .drop("dj_salt", "dj_rn")
+    local
+      .withColumn(
+        "sample_rank",
+        row_number().over(
+          Window.partitionBy(col(stratumCol)).orderBy(col("dj_u"), col(idCol))))
+      .where(col("sample_rank") <= k)
+      .drop("dj_u")
+  }
+
+  /** Deterministic weighted corpus mixture (training-mix construction):
+    * keep each source's rows whose `md5(id ":" seed ":" sourceName)` falls
+    * under the source's rate boundary, tag them with the source name, and
+    * union. Rates ≥ 1 keep the whole source. Membership is a pure row
+    * function — no sampling state, no RNG, no shuffle (the filter is
+    * absorbed by each source's scan), and re-running with a higher rate
+    * yields a superset (the hash is fixed per (id, seed, source)).
+    */
+  def weightedMix(
+      sources: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      seed: String = "graft"): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    require(sources.forall(_._3 > 0), s"rates must be positive")
+    sources
+      .map { case (name, df, rate) =>
+        val kept =
+          if (rate >= 1.0) df
+          else df.where(hashU(col(idCol), seed + ":" + name) < lit(rateBoundHex(rate)))
+        kept.select(lit(name).as("source"), col(idCol))
+      }
+      .reduce(_ unionByName _)
+  }
 }

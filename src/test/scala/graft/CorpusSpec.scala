@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Corpus
+
+/** Corpus-preparation operator truth tables: repetition signals,
+  * decontamination, vocabulary top-k, deterministic splits, stratified
+  * sampling (exactness of the salted two-phase plan vs the naive single
+  * window), and weighted mixing (determinism + rate monotonicity).
+  */
+class CorpusSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, t) => Row(i, t) }, 3),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType))))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("repetitionSignals: top-2-gram and dup-5-gram character fractions") {
+    val df = docs(
+      1L -> "a b a b a b",   // 2-grams: "a b"x3, "b a"x2 → top2 = 3*3/11
+      2L -> "x",             // shorter than every gram width → 0, 0
+      3L -> "p q r s t p q r s t p q r s t", // the 5-gram "p q r s t" repeats
+      4L -> null)            // NULL text excluded entirely
+    val got = Corpus.repetitionSignals(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == math.rint(3.0 * 3 / 11 * 1e6) / 1e6)
+    assert(got(1L)._2 == 0.0) // both 5-grams of doc 1 occur once
+    assert(got(2L) == ((0.0, 0.0)))
+    // doc 3: 15 tokens, 11 5-grams, len 29; "p q r s t" occurs 3 times (9
+    // chars); dup-covered grams: those with cnt > 1
+    assert(got(3L)._2 > 0.0)
+  }
+
+  test("decontaminate: flags corpus docs sharing a word n-gram with the eval set") {
+    val corpus = docs(
+      10L -> "the quick brown fox jumps over the lazy dog",
+      11L -> "completely unrelated text with no overlap at all")
+    val eval = docs(
+      90L -> "quick brown fox jumps zebra")
+    // n=4: corpus doc 10 shares "quick brown fox jumps"
+    val got = Corpus.decontaminate(corpus, eval, "text", "doc_id", n = 4, hashKeys = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L))
+    // hashed keys flag the identical docs
+    val hashed = Corpus.decontaminate(corpus, eval, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == got)
+  }
+
+  test("vocabularyTopK: frequency order with deterministic tie-break") {
+    val df = docs(1L -> "b a b c a b", 2L -> "c a")
+    val got = Corpus.vocabularyTopK(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // counts: a=3, b=3, c=2 → ties break token-ascending
+    assert(got.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
+  test("splitColumn: hex boundaries, determinism, full coverage") {
+    assert(Corpus.splitBoundsHex(Seq(("a", 0.5), ("b", 0.5))) ==
+      Seq("8" + "0" * 31))
+    val ids = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val w = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val split1 = Corpus.assignSplits(ids, "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val split2 = Corpus.assignSplits(ids, "doc_id", w)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split1 == split2) // pure function of (id, seed)
+    val counts = split1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts.values.sum == 1000)
+    // uniform hash: 80/10/10 within generous tolerance
+    assert(counts("train") > 700 && counts("train") < 900, counts)
+    assert(counts("val") > 40 && counts("val") < 180, counts)
+    assert(counts("test") > 40 && counts("test") < 180, counts)
+    // membership matches a reference MD5 computation
+    val u0 = md5Hex("0:graft")
+    val expected0 =
+      if (u0 < Corpus.splitBoundsHex(w)(0)) "train"
+      else if (u0 < Corpus.splitBoundsHex(w)(1)) "val" else "test"
+    assert(split1(0L) == expected0)
+    intercept[IllegalArgumentException] {
+      Corpus.splitColumn(col("doc_id"), Seq(("a", 0.5), ("b", 0.4)), "s")
+    }
+  }
+
+  test("stratifiedSample: salted two-phase equals the naive single window") {
+    val df = spark.range(0, 500, 1, 8)
+      .select(col("id").as("doc_id"), (col("id") % 5).as("stratum"))
+    val k = 4
+    val got = Corpus.stratifiedSample(df, "stratum", "doc_id", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // naive spelling: one global window per stratum
+    val u = md5(concat(col("doc_id").cast("string"), lit(":graft")).cast("binary"))
+    val naive = df
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy(col("stratum")).orderBy(u, col("doc_id"))))
+      .where(col("sample_rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == naive)
+    assert(got.size == 5 * k)
+    assert(got.groupBy(_._2).forall { case (_, rows) =>
+      rows.map(_._3).toSeq.sorted == (1 to k) })
+  }
+
+  test("weightedMix: deterministic hash-rate membership, monotone in the rate") {
+    val a = spark.range(0, 400).select(col("id").as("doc_id"))
+    val b = spark.range(400, 800).select(col("id").as("doc_id"))
+    def mix(ra: Double, rb: Double): Map[String, Set[Long]] =
+      Corpus.weightedMix(Seq(("a", a, ra), ("b", b, rb)), "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val m1 = mix(0.5, 0.25)
+    assert(mix(0.5, 0.25) == m1) // pure row function
+    // roughly proportional at n=400
+    assert(m1("a").size > 140 && m1("a").size < 260, m1("a").size)
+    assert(m1("b").size > 50 && m1("b").size < 150, m1("b").size)
+    // higher rate ⇒ superset (same hash, larger boundary)
+    val m2 = mix(0.9, 1.0)
+    assert(m1("a").subsetOf(m2("a")))
+    assert(m2("b") == (400L until 800L).toSet) // rate 1 keeps the whole source
+    // membership matches a reference MD5 computation
+    assert(m1("a").contains(7L) ==
+      (md5Hex("7:graft:a") < Corpus.rateBoundHex(0.5)))
+  }
+}
