@@ -47,6 +47,43 @@ class PlanSpec extends AnyFunSuite {
       s"found ${globalWindows.size} unpartitioned window(s) — single-partition sort at scale")
   }
 
+  test("corpus-prep plans: broadcast decontamination, shuffle-free mix, salted sample") {
+    import graft.ops.Corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // eval-set gram join must broadcast the (small) eval side — the corpus
+    // gram stream is never shuffled
+    val deconPlan = Corpus
+      .decontaminate(
+        docs.where(col("doc_id") % 37 =!= 0),
+        docs.where(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(deconPlan.contains("BroadcastHashJoin"),
+      s"eval grams not broadcast:\n$deconPlan")
+
+    // weightedMix is a pure per-row membership filter + union: no exchange
+    val mixPlan = Corpus
+      .weightedMix(
+        Seq(
+          ("a", docs.where(col("doc_id") % 2 === 0), 0.5),
+          ("b", docs.where(col("doc_id") % 2 === 1), 0.25)),
+        "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Exchange"),
+      s"weightedMix should be shuffle-free:\n$mixPlan")
+
+    // stratifiedSample: both ranking windows carry a partitionSpec (the
+    // salt keys phase 1; phase 2 ranks only survivors)
+    val sampled = Corpus.stratifiedSample(
+      docs.select(col("doc_id"), (col("doc_id") % 7).as("stratum")),
+      "stratum", "doc_id", k = 3)
+    val globalWindows = sampled.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "stratifiedSample must not use a global window")
+  }
+
   test("bucket_index canonicalizes by boundary CONTENT (CSE / exchange reuse)") {
     import graft.functions.BucketIndex
     import org.apache.spark.sql.GraftBridge
