@@ -785,6 +785,21 @@ object SparkEntry {
           ("head", docs.where(col("doc_id") % 2 === 0), 0.5),
           ("tail", docs.where(col("doc_id") % 2 === 1), 0.25)),
         "doc_id")
+    },
+
+    // GPT-style sequence packing: concat docs in deterministic md5 order
+    // within hash buckets, cut every 2048 tokens; each doc gets the pack
+    // window its first token falls in
+    "q_pack_sequences" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Corpus
+        .packSequences(docs, "doc_id", "n_tokens", capacity = 2048, nBuckets = 16)
+        .select(
+          col("doc_id"), col("pack_bucket"), col("pack_id"), col("pack_offset"))
     }
   )
 
@@ -1286,7 +1301,26 @@ object SparkEntry {
           UNION ALL
           SELECT 'tail' AS source, doc_id FROM documents
           WHERE doc_id % 2 = 1 AND md5(doc_id || ':graft:tail') < '$t'"""
-    }
+    },
+    // sequence packing: same md5 order / bucket lattice / running token sum
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+                            len(string_split($normSql, ' '))::BIGINT AS n_tokens,
+                            md5(doc_id || ':graft') AS u
+                     FROM documents WHERE text IS NOT NULL),
+             b AS (SELECT doc_id, n_tokens, u,
+                          ('0x' || substring(u, 1, 8))::BIGINT % 16 AS pack_bucket
+                   FROM d),
+             o AS (SELECT doc_id, pack_bucket,
+                          coalesce(sum(n_tokens) OVER (PARTITION BY pack_bucket
+                              ORDER BY u, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - n_tokens, 0) AS pack_offset
+                   FROM b)
+         SELECT doc_id, pack_bucket,
+                CAST(floor(pack_offset / 2048.0) AS BIGINT) AS pack_id,
+                CAST(pack_offset AS BIGINT) AS pack_offset
+         FROM o"""
   )
 
   private implicit class SeqAsJava[A](private val s: Seq[A]) {

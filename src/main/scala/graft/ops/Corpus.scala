@@ -265,6 +265,46 @@ object Corpus {
       .drop("dj_u")
   }
 
+  /** GPT-style sequence packing (training-batch construction): documents
+    * are concatenated in a deterministic order and the stream is cut every
+    * `capacity` tokens; each document is assigned the pack window its first
+    * token falls in (documents may straddle window boundaries, exactly like
+    * concat-and-chunk pretraining tokenization). Returns (input row,
+    * `pack_bucket`, `pack_id`, `pack_offset`).
+    *
+    * Order is `md5(id ":" seed)` within `nBuckets` hash buckets — pure
+    * functions of the id, so the packing is stable across runs, engines,
+    * and partitionings. 100 TB posture: the only shuffle is the per-bucket
+    * running-sum window, and buckets (thousands) are numerous and
+    * hash-balanced — no global sort, no single-reducer funnel; each bucket
+    * is an independent token stream (the standard sharded-packing shape).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: String,
+      capacity: Int,
+      nBuckets: Int = 1024,
+      seed: String = "graft"): DataFrame = {
+    require(capacity > 0, s"capacity must be positive: $capacity")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val u = hashU(col(idCol), seed)
+    // first 8 hex digits of the digest, uniform over [0, 16^8) — the same
+    // integer-lattice trick as the split/rate boundaries, reproducible in
+    // any engine with md5 + base-16 parse
+    val bucket = pmod(conv(substring(u, 1, 8), 16, 10).cast("long"), lit(nBuckets))
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col("dj_u"), col(idCol))
+    df.withColumn("dj_u", u)
+      .withColumn("pack_bucket", bucket)
+      .withColumn(
+        "pack_offset",
+        coalesce(
+          sum(col(tokenCountCol)).over(w) - col(tokenCountCol),
+          lit(0L)).cast("long"))
+      .withColumn("pack_id", floor(col("pack_offset") / capacity).cast("long"))
+      .drop("dj_u")
+  }
+
   /** Deterministic weighted corpus mixture (training-mix construction):
     * keep each source's rows whose `md5(id ":" seed ":" sourceName)` falls
     * under the source's rate boundary, tag them with the source name, and

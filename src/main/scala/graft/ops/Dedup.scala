@@ -435,18 +435,21 @@ object Dedup {
         .groupBy("dj_src")
         .agg(min(col("dj_nl")).as("dj_nmin"))
         .select(col("dj_src").as("dj_id"), col("dj_nmin"))
+      // the change flag rides along with the label update — counting changed
+      // rows is then a scan of the cached frame, not another join against
+      // the previous labels (one fewer shuffle per round)
       val next = labels
         .join(nbrMin, Seq("dj_id"), "left")
         .select(
           col("dj_id"),
           least(col("dj_label"), coalesce(col("dj_nmin"), col("dj_label")))
-            .as("dj_label"))
+            .as("dj_label"),
+          (col("dj_nmin") < col("dj_label")).as("dj_changed"))
         .cache()
-      val changed = next
-        .join(labels.select(col("dj_id"), col("dj_label").as("dj_old")), "dj_id")
-        .where(col("dj_label") =!= col("dj_old"))
-        .count()
+      val changed = next.where(col("dj_changed")).count()
       labels.unpersist()
+      // keep the CACHED frame itself (unpersist on a derived frame is a
+      // no-op); downstream selects name their columns, so the flag is pruned
       labels = next
       done = changed == 0
       iters += 1

@@ -115,6 +115,43 @@ class CorpusSpec extends AnyFunSuite {
       rows.map(_._3).toSeq.sorted == (1 to k) })
   }
 
+  test("packSequences: concat-and-chunk pack assignment per hash bucket") {
+    val df = spark.range(0, 200, 1, 4)
+      .select(col("id").as("doc_id"), (col("id") % 17 + 1).as("n_tokens"))
+    val capacity = 40
+    val got = Corpus.packSequences(df, "doc_id", "n_tokens", capacity, nBuckets = 4)
+      .collect()
+      .map(r => (
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("pack_bucket"), r.getAs[Long]("pack_id"),
+        r.getAs[Long]("pack_offset")))
+    assert(got.length == 200)
+    // reference computation: same md5 order, same running sums
+    val expected = got.toSeq
+      .groupBy(_._3)
+      .toSeq
+      .flatMap { case (bucket, rows) =>
+        val ordered = rows.sortBy(r => (md5Hex(s"${r._1}:graft"), r._1))
+        ordered.scanLeft(0L)((off, r) => off + r._2).zip(ordered).map {
+          case (off, r) => (r._1, bucket, off / capacity, off)
+        }
+      }
+      .toSet
+    assert(got.map(r => (r._1, r._3, r._4, r._5)).toSet == expected)
+    // every doc's window index is its start offset over capacity; offsets
+    // within a bucket are strictly increasing in hash order (n_tokens >= 1)
+    assert(got.forall(r => r._4 == r._5 / capacity))
+    // bucket is the md5-prefix lattice value mod nBuckets
+    got.take(5).foreach { r =>
+      assert(r._3 ==
+        (BigInt(md5Hex(s"${r._1}:graft").substring(0, 8), 16) % 4).toLong)
+    }
+    // deterministic across recomputation
+    val again = Corpus.packSequences(df, "doc_id", "n_tokens", capacity, nBuckets = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"))).toMap
+    assert(got.map(r => (r._1, r._4)).toMap == again)
+  }
+
   test("weightedMix: deterministic hash-rate membership, monotone in the rate") {
     val a = spark.range(0, 400).select(col("id").as("doc_id"))
     val b = spark.range(400, 800).select(col("id").as("doc_id"))
