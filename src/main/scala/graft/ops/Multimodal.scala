@@ -69,8 +69,8 @@ object Multimodal {
         format.as("format"),
         when(isPng, pngBe32(17)).cast(IntegerType).as("width"),
         when(isPng, pngBe32(21)).cast(IntegerType).as("height"),
-        when(isWav, wavLe(25, 4)).cast(IntegerType).as("sample_rate"),
-        when(isWav, wavLe(23, 2)).cast(IntegerType).as("channels"),
+        when(isWav && length(b) >= 28, wavLe(25, 4)).cast(IntegerType).as("sample_rate"),
+        when(isWav && length(b) >= 28, wavLe(23, 2)).cast(IntegerType).as("channels"),
         length(b).cast(LongType).as("n_bytes")))
   }
 
@@ -253,10 +253,10 @@ object Multimodal {
     var audioFormat = 0; var channels = 0; var sampleRate = 0; var bits = 0
     var dataPos = -1; var dataLen = 0
     var pos = 12
-    while (pos + 8 <= payload.length && (dataPos < 0 || !fmtOk)) {
+    var walking = true
+    while (walking && pos + 8 <= payload.length && (dataPos < 0 || !fmtOk)) {
       val id = new String(payload, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = le(payload, pos + 4, 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
+      val size = le(payload, pos + 4, 4) // unsigned 32-bit, always >= 0
       val body = pos + 8
       id match {
         case "fmt " if size >= 16 && body + 16 <= payload.length =>
@@ -270,7 +270,12 @@ object Multimodal {
           dataLen = math.min(size, (payload.length - body).toLong).toInt
         case _ => ()
       }
-      pos = body + size.toInt + (size.toInt & 1) // chunks pad to even length
+      // Long advance: a corrupt/adversarial declared size near 2^32 must not
+      // overflow the Int cursor into a negative index — past-the-end means
+      // no further chunks exist, stop the walk (the data clamp above already
+      // salvaged a truncated final chunk)
+      val next = body.toLong + size + (size & 1L) // chunks pad to even length
+      if (next > payload.length) walking = false else pos = next.toInt
     }
     if (!fmtOk || dataPos < 0 || audioFormat != 1 || bits != 16 ||
       channels <= 0 || sampleRate <= 0) return None

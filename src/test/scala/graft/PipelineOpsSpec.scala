@@ -343,6 +343,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav("RIFFnope".getBytes, dim = 1).isEmpty)
     assert(Multimodal.decodeWav("plain text".getBytes, dim = 1).isEmpty)
     assert(Multimodal.decodeWav(null, dim = 1).isEmpty)
+
+    // adversarial chunk size near 2^32 must not overflow the walk cursor
+    // into a negative array index: a LIST chunk declaring 0xFFFFFFF0 bytes
+    // simply ends the walk (no fmt/data found -> None, no throw)
+    val evil = wav.take(12) ++ "LIST".getBytes ++
+      Array[Byte](0xF0.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte) ++
+      wav.drop(12)
+    assert(Multimodal.decodeWav(evil, dim = 1).isEmpty)
   }
 
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
