@@ -59,9 +59,11 @@ object Bench {
     "q_groupby_range", "q_duplicates", "q_unique_count_union",
     "q_numeric_gaps", "q_simhash_md5", "q_text_stats", "q_date_gaps",
     "q_functional_dependency",
-    // corpus-prep family: n-gram explode shuffles and the salted
-    // stratified top-k are exactly the plans whose constants hide at sf0.1
-    "q_repetition", "q_decontaminate", "q_stratified_sample")
+    // corpus-prep family: n-gram explode shuffles, the salted stratified
+    // top-k, and the bucketed packing window are exactly the plans whose
+    // constants hide at sf0.1
+    "q_repetition", "q_decontaminate", "q_stratified_sample",
+    "q_pack_sequences")
 
   private def queriesJson(results: Iterable[(String, Double, Option[String])]): (String, String) = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -782,9 +782,11 @@ object SparkEntry {
       val docs = s.read.parquet(pq(dir, "documents"))
       graft.ops.Corpus.weightedMix(
         Seq(
+          // documents already has a 'source' column; tag as mix_source
           ("head", docs.where(col("doc_id") % 2 === 0), 0.5),
           ("tail", docs.where(col("doc_id") % 2 === 1), 0.25)),
-        "doc_id")
+        "doc_id", tagCol = "mix_source")
+        .select(col("mix_source"), col("doc_id"))
     },
 
     // GPT-style sequence packing: concat docs in deterministic md5 order
@@ -1296,10 +1298,10 @@ object SparkEntry {
     "q_weighted_mix" -> {
       val h = graft.ops.Corpus.rateBoundHex(0.5)
       val t = graft.ops.Corpus.rateBoundHex(0.25)
-      s"""SELECT 'head' AS source, doc_id FROM documents
+      s"""SELECT 'head' AS mix_source, doc_id FROM documents
           WHERE doc_id % 2 = 0 AND md5(doc_id || ':graft:head') < '$h'
           UNION ALL
-          SELECT 'tail' AS source, doc_id FROM documents
+          SELECT 'tail' AS mix_source, doc_id FROM documents
           WHERE doc_id % 2 = 1 AND md5(doc_id || ':graft:tail') < '$t'"""
     },
     // sequence packing: same md5 order / bucket lattice / running token sum

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * near-dup family in [[Dedup]]: repetition quality signals (the
   * top-n-gram / duplicate-n-gram character fractions used by public
   * corpus-filtering recipes), eval-set decontamination via word-n-gram
-  * overlap, corpus-level vocabulary top-k, and deterministic hash-based
-  * train/val/test splits.
+  * overlap, corpus-level vocabulary top-k, deterministic hash-based
+  * train/val/test splits, stratified sampling, weighted training mixes,
+  * and GPT-style sequence packing.
   *
   * 100 TB posture: everything here is either a per-document column
   * computation, a (doc, gram)-keyed aggregation with map-side partials, a
@@ -175,7 +176,7 @@ object Corpus {
     require(weights.nonEmpty && weights.forall(_._2 > 0), s"weights must be positive: $weights")
     val total = weights.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"weights must sum to 1, got $total")
-    val u = md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary"))
+    val u = hashU(idCol, seed)
     weights.init.zip(splitBoundsHex(weights)) match {
       case Seq() => lit(weights.head._1)
       case ((name0, _), bound0) +: rest =>
@@ -193,15 +194,19 @@ object Corpus {
     * DECIMAL128 context would round 2¹²⁸ to 34 significant digits and shift
     * every boundary by thousands of lattice points.
     */
-  private[graft] def splitBoundsHex(weights: Seq[(String, Double)]): Seq[String] = {
-    val space = new java.math.BigDecimal(BigInt(2).pow(128).bigInteger)
+  private[graft] def splitBoundsHex(weights: Seq[(String, Double)]): Seq[String] =
     weights.init
       .scanLeft(java.math.BigDecimal.ZERO) { case (acc, (_, w)) =>
         acc.add(new java.math.BigDecimal(w))
       }
       .tail
-      .map(c => "%032x".format(BigInt(c.multiply(space).toBigInteger)))
-  }
+      .map(c => "%032x".format(BigInt(c.multiply(LatticeSpace).toBigInteger)))
+
+  /** 2¹²⁸ as an exact decimal — the membership-hash lattice every split /
+    * rate boundary is quantized to.
+    */
+  private val LatticeSpace =
+    new java.math.BigDecimal(BigInt(2).pow(128).bigInteger)
 
   /** `df` with a `split` column assigned by [[splitColumn]]. */
   def assignSplits(
@@ -220,9 +225,7 @@ object Corpus {
     */
   private[graft] def rateBoundHex(rate: Double): String =
     "%032x".format(BigInt(
-      new java.math.BigDecimal(rate)
-        .multiply(new java.math.BigDecimal(BigInt(2).pow(128).bigInteger))
-        .toBigInteger))
+      new java.math.BigDecimal(rate).multiply(LatticeSpace).toBigInteger))
 
   /** Deterministic stratified sample: the `k` smallest `md5(id ":" seed)`
     * values per stratum (plus a `sample_rank` column, 1-based within the
@@ -293,7 +296,11 @@ object Corpus {
     // integer-lattice trick as the split/rate boundaries, reproducible in
     // any engine with md5 + base-16 parse
     val bucket = pmod(conv(substring(u, 1, 8), 16, 10).cast("long"), lit(nBuckets))
+    // explicit ROWS frame: the default RANGE frame would hand tied rows
+    // (duplicate ids) their whole peer-group's sum, diverging from
+    // concat-and-chunk semantics and from the oracle's ROWS spelling
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col("dj_u"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("dj_u", u)
       .withColumn("pack_bucket", bucket)
       .withColumn(
@@ -312,19 +319,28 @@ object Corpus {
     * function — no sampling state, no RNG, no shuffle (the filter is
     * absorbed by each source's scan), and re-running with a higher rate
     * yields a superset (the hash is fixed per (id, seed, source)).
+    *
+    * Every data column passes through, prefixed by the `tagCol` source tag;
+    * the sources must therefore share a schema (the usual shape after
+    * per-source normalization — project them to a common set of columns
+    * first if not), and none may already carry a `tagCol` column.
     */
   def weightedMix(
       sources: Seq[(String, DataFrame, Double)],
       idCol: String,
-      seed: String = "graft"): DataFrame = {
+      seed: String = "graft",
+      tagCol: String = "source"): DataFrame = {
     require(sources.nonEmpty, "weightedMix needs at least one source")
     require(sources.forall(_._3 > 0), s"rates must be positive")
+    require(
+      !sources.exists(_._2.columns.contains(tagCol)),
+      s"a source already has a '$tagCol' column — pass a different tagCol")
     sources
       .map { case (name, df, rate) =>
         val kept =
           if (rate >= 1.0) df
           else df.where(hashU(col(idCol), seed + ":" + name) < lit(rateBoundHex(rate)))
-        kept.select(lit(name).as("source"), col(idCol))
+        kept.select(lit(name).as(tagCol), col("*"))
       }
       .reduce(_ unionByName _)
   }

@@ -46,10 +46,16 @@ object Multimodal {
     */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
     val b = col(binCol)
-    val magic = substring(hex(b), 1, 8)
+    // slice first, THEN hex: hex(b) would materialize a 2x-payload-size
+    // string per row just to read a 4-byte tag (payloads run to ~100 MB)
+    val magic = hex(substring(b, 1, 4))
     val isPng = magic.startsWith("89504E47")
     val isWav = magic.startsWith("52494646") &&
-      substring(hex(b), 17, 8) === "57415645" // "WAVE" at bytes 9-12
+      hex(substring(b, 9, 4)) === "57415645" // "WAVE" at bytes 9-12
+    // rate/channels offsets below assume the canonical layout, so the fast
+    // path additionally requires "fmt " at byte 13 — recorders that emit a
+    // JUNK/LIST chunk first keep nulls here (decodeWav still parses them)
+    val isCanonicalWav = isWav && hex(substring(b, 13, 4)) === "666D7420"
     val format = when(magic.startsWith("FFD8"), "jpeg")
       .when(isPng, "png")
       .when(isWav, "riff-wav")
@@ -69,8 +75,10 @@ object Multimodal {
         format.as("format"),
         when(isPng, pngBe32(17)).cast(IntegerType).as("width"),
         when(isPng, pngBe32(21)).cast(IntegerType).as("height"),
-        when(isWav && length(b) >= 28, wavLe(25, 4)).cast(IntegerType).as("sample_rate"),
-        when(isWav && length(b) >= 28, wavLe(23, 2)).cast(IntegerType).as("channels"),
+        when(isCanonicalWav && length(b) >= 28, wavLe(25, 4))
+          .cast(IntegerType).as("sample_rate"),
+        when(isCanonicalWav && length(b) >= 28, wavLe(23, 2))
+          .cast(IntegerType).as("channels"),
         length(b).cast(LongType).as("n_bytes")))
   }
 

@@ -335,6 +335,18 @@ class PipelineOpsSpec extends AnyFunSuite {
       Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
     val spliced = wav.take(12) ++ list ++ wav.drop(12)
     assert(Multimodal.decodeWav(spliced, dim = 1).get.rms == d.rms)
+    // ...but the canonical-layout header fast path keeps nulls for it
+    // (fmt is not at byte 13), instead of parsing LIST bytes as a rate
+    val splicedMeta = Multimodal.withMediaMeta(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(6L, spliced)), 1),
+        StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("payload", BinaryType)))),
+      "payload")
+      .select(col("media_meta.format"), col("media_meta.sample_rate"))
+      .head()
+    assert(splicedMeta.getString(0) == "riff-wav" && splicedMeta.isNullAt(1))
 
     // degradation: truncation clamps the data chunk instead of throwing
     val truncated = Multimodal.decodeWav(wav.take(50), dim = 1).get

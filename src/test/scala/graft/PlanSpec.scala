@@ -68,7 +68,7 @@ class PlanSpec extends AnyFunSuite {
         Seq(
           ("a", docs.where(col("doc_id") % 2 === 0), 0.5),
           ("b", docs.where(col("doc_id") % 2 === 1), 0.25)),
-        "doc_id")
+        "doc_id", tagCol = "mix_source")
       .queryExecution.executedPlan.toString
     assert(!mixPlan.contains("Exchange"),
       s"weightedMix should be shuffle-free:\n$mixPlan")
