@@ -63,7 +63,9 @@ object Bench {
     // top-k, and the bucketed packing window are exactly the plans whose
     // constants hide at sf0.1
     "q_repetition", "q_decontaminate", "q_stratified_sample",
-    "q_pack_sequences")
+    "q_pack_sequences",
+    // rounds scale with component diameter, not corpus size — prove it
+    "q_dedup_clusters")
 
   private def queriesJson(results: Iterable[(String, Double, Option[String])]): (String, String) = {
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -1,0 +1,79 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Corpus, Dedup, Pipeline, TextAnalysis}
+
+/** End-to-end training-data curation example over the driver's `documents`
+  * table — the full pipeline a pretraining-data team runs, composed from
+  * this engine's operators, each stage a declarative plan:
+  *
+  *   1. gate on language + quality + repetition signals
+  *   2. exact dedup, then near-dup clustering (MinHash LSH pairs →
+  *      connected components, keep the min-id doc per cluster)
+  *   3. decontaminate against an eval set (word-n-gram overlap)
+  *   4. PII redaction
+  *   5. deterministic train/val/test split, weighted mixing, and GPT-style
+  *      sequence packing for the train split
+  *
+  * Run: `sbt "runMain graft.examples.CorpusPipeline [sfDir]"`
+  */
+object CorpusPipeline {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val n0 = docs.count()
+
+    // 1. quality gates: language, composite quality score, repetition
+    val gated = Pipeline
+      .curateCorpus(docs, "text", "doc_id", minQuality = 0.5)
+      .join(
+        Corpus.repetitionSignals(docs, "text", "doc_id")
+          .where(col("top2_frac") < 0.2 && col("dup5_frac") < 0.2)
+          .select("doc_id"),
+        "doc_id")
+    val n1 = gated.count()
+
+    // 2. near-dup clustering: LSH pairs -> connected components -> keep the
+    // cluster representative (min doc_id)
+    val pairs = Dedup.minhashNearDups(gated, "text", "doc_id", threshold = 0.8)
+    val clusters = Dedup.connectedComponents(pairs)
+    val deduped = gated.join(
+      clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val n2 = deduped.count()
+
+    // 3. eval-set decontamination (here: a held-out slice stands in for the
+    // benchmark suite)
+    val evalSet = docs.where(col("doc_id") % 97 === 0)
+    val contaminated = Corpus
+      .decontaminate(deduped, evalSet, "text", "doc_id", n = 8)
+      .select(col("doc_id"))
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val n3 = clean.count()
+
+    // 4. PII redaction + 5. split / mix / pack
+    val redacted = clean.withColumn("text", TextAnalysis.redactPii(col("text")))
+    val split = Corpus.assignSplits(
+      redacted, "doc_id", Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)))
+    val packed = Corpus.packSequences(
+      split.where(col("split") === "train")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
+      "doc_id", "n_tokens", capacity = 2048)
+    val nPacks = packed.agg(countDistinct(col("pack_bucket"), col("pack_id"))).head().getLong(0)
+
+    println(s"[corpus] raw=$n0 gated=$n1 deduped=$n2 decontaminated=$n3 " +
+      s"train packs=$nPacks")
+    require(n3 > 0, "pipeline must keep documents")
+    spark.stop()
+  }
+}
