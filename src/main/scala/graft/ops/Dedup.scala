@@ -270,13 +270,18 @@ object Dedup {
         graft.functions.ShingleHashes.shingleHashes(col("dj_norm"), shingleK))
       .cache()
       .where(size(col("shingle_hashes")) > 0) // post-cache: no recompute
+    // the candidate key shuffles twice (df window + self-join): hash the
+    // coarseK-char string to 8 bytes first — a collision can only ADD a
+    // candidate pair, and every pair is exact-verified below
     val coarse = sh.select(
       col(idCol),
-      explode(array_distinct(filter(
-        transform(
-          sequence(lit(0), greatest(length(col("dj_norm")) - coarseK, lit(0)), lit(coarseStride)),
-          i => col("dj_norm").substr(i + 1, lit(coarseK))),
-        s => length(s) === coarseK))).as("ckey"))
+      explode(array_distinct(transform(
+        filter(
+          transform(
+            sequence(lit(0), greatest(length(col("dj_norm")) - coarseK, lit(0)), lit(coarseStride)),
+            i => col("dj_norm").substr(i + 1, lit(coarseK))),
+          s => length(s) === coarseK),
+        s => xxhash64(s)))).as("ckey"))
     val rare = coarse
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("ckey")))
