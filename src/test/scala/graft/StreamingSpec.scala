@@ -193,4 +193,30 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(results.nonEmpty && results.forall(_._2))
   }
+
+  test("corpus split/rate membership are stateless and run on streams") {
+    // splitColumn / the weightedMix rate filter are pure row functions, so
+    // they compose with any streaming source with no state and no
+    // watermark — the ingest-time shape of split assignment and mix
+    // sampling at 100 TB (tag on arrival, never re-shuffle)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    val tagged = graft.ops.Corpus.assignSplits(
+      input.toDF().toDF("doc_id"), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val query = tagged.writeStream
+      .format("memory").queryName("split_stream").outputMode("append").start()
+    input.addData(0L until 100L: _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("split_stream")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical to the batch assignment (pure function of id)
+    val batch = graft.ops.Corpus.assignSplits(
+      spark.range(0, 100).select(col("id").as("doc_id")), "doc_id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+  }
 }
