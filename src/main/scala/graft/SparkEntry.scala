@@ -1290,7 +1290,7 @@ object SparkEntry {
     },
     "q_stratified_sample" ->
       """WITH s AS (SELECT doc_id, doc_id % 7 AS stratum,
-                           md5(doc_id || ':graft') AS u FROM documents),
+                           md5(doc_id || ':graft:sample') AS u FROM documents),
              r AS (SELECT doc_id, stratum,
                      CAST(row_number() OVER (PARTITION BY stratum
                             ORDER BY u, doc_id) AS INT) AS sample_rank FROM s)
@@ -1308,19 +1308,19 @@ object SparkEntry {
     "q_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id,
                             len(string_split($normSql, ' '))::BIGINT AS n_tokens,
-                            md5(doc_id || ':graft') AS u
+                            md5(doc_id || ':graft:pack') AS u
                      FROM documents WHERE text IS NOT NULL),
              b AS (SELECT doc_id, n_tokens, u,
                           ('0x' || substring(u, 1, 8))::BIGINT % 16 AS pack_bucket
                    FROM d),
              o AS (SELECT doc_id, pack_bucket,
-                          coalesce(sum(n_tokens) OVER (PARTITION BY pack_bucket
+                          sum(n_tokens) OVER (PARTITION BY pack_bucket
                               ORDER BY u, doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                            - n_tokens, 0) AS pack_offset
+                            - n_tokens AS pack_offset
                    FROM b)
          SELECT doc_id, pack_bucket,
-                CAST(floor(pack_offset / 2048.0) AS BIGINT) AS pack_id,
+                CAST(pack_offset // 2048 AS BIGINT) AS pack_id,
                 CAST(pack_offset AS BIGINT) AS pack_offset
          FROM o"""
   )

@@ -227,10 +227,15 @@ object Corpus {
     "%032x".format(BigInt(
       new java.math.BigDecimal(rate).multiply(LatticeSpace).toBigInteger))
 
-  /** Deterministic stratified sample: the `k` smallest `md5(id ":" seed)`
-    * values per stratum (plus a `sample_rank` column, 1-based within the
-    * stratum). Membership is a pure function of (id, seed), stable across
-    * runs, engines, and partitionings.
+  /** Deterministic stratified sample: the `k` smallest
+    * `md5(id ":" seed ":sample")` values per stratum (plus a `sample_rank`
+    * column, 1-based within the stratum). Membership is a pure function of
+    * (id, seed), stable across runs, engines, and partitionings. The seed
+    * is salted per operator role, so a default-seed sample is independent
+    * of the default-seed split/packing order instead of being drawn from
+    * the head of the `train` assignment. Rows with a NULL id are excluded —
+    * they have no stable identity to anchor the determinism contract (the
+    * same policy as [[weightedMix]]).
     *
     * 100 TB posture: exact but skew-proof — a naive
     * `row_number over (partition by stratum)` funnels the whole corpus
@@ -250,7 +255,8 @@ object Corpus {
       seed: String = "graft"): DataFrame = {
     require(k > 0, s"sample size must be positive: $k")
     val local = df
-      .withColumn("dj_u", hashU(col(idCol), seed))
+      .where(col(idCol).isNotNull)
+      .withColumn("dj_u", hashU(col(idCol), seed + ":sample"))
       .withColumn("dj_salt", spark_partition_id())
       .withColumn(
         "dj_rn",
@@ -275,12 +281,16 @@ object Corpus {
     * concat-and-chunk pretraining tokenization). Returns (input row,
     * `pack_bucket`, `pack_id`, `pack_offset`).
     *
-    * Order is `md5(id ":" seed)` within `nBuckets` hash buckets — pure
-    * functions of the id, so the packing is stable across runs, engines,
-    * and partitionings. 100 TB posture: the only shuffle is the per-bucket
-    * running-sum window, and buckets (thousands) are numerous and
-    * hash-balanced — no global sort, no single-reducer funnel; each bucket
-    * is an independent token stream (the standard sharded-packing shape).
+    * Order is `md5(id ":" seed ":pack")` within `nBuckets` hash buckets —
+    * pure functions of the id (salted per operator role, like
+    * [[stratifiedSample]]), so the packing is stable across runs, engines,
+    * and partitionings; NULL-id rows are excluded for the same reason, and
+    * a NULL token count packs as width 0 at its position (the offset stream
+    * stays non-decreasing). 100 TB posture: the only shuffle is the
+    * per-bucket running-sum window, and buckets (thousands) are numerous
+    * and hash-balanced — no global sort, no single-reducer funnel; each
+    * bucket is an independent token stream (the standard sharded-packing
+    * shape).
     */
   def packSequences(
       df: DataFrame,
@@ -291,24 +301,26 @@ object Corpus {
       seed: String = "graft"): DataFrame = {
     require(capacity > 0, s"capacity must be positive: $capacity")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val u = hashU(col(idCol), seed)
+    val u = hashU(col(idCol), seed + ":pack")
     // first 8 hex digits of the digest, uniform over [0, 16^8) — the same
     // integer-lattice trick as the split/rate boundaries, reproducible in
     // any engine with md5 + base-16 parse
     val bucket = pmod(conv(substring(u, 1, 8), 16, 10).cast("long"), lit(nBuckets))
+    // coalesce the COUNT, not the final offset: a NULL count must occupy
+    // zero width at its position, not teleport the document to offset 0
+    val cnt = coalesce(col(tokenCountCol).cast("long"), lit(0L))
     // explicit ROWS frame: the default RANGE frame would hand tied rows
     // (duplicate ids) their whole peer-group's sum, diverging from
     // concat-and-chunk semantics and from the oracle's ROWS spelling
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col("dj_u"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("dj_u", u)
+    df.where(col(idCol).isNotNull)
+      .withColumn("dj_u", u)
       .withColumn("pack_bucket", bucket)
-      .withColumn(
-        "pack_offset",
-        coalesce(
-          sum(col(tokenCountCol)).over(w) - col(tokenCountCol),
-          lit(0L)).cast("long"))
-      .withColumn("pack_id", floor(col("pack_offset") / capacity).cast("long"))
+      .withColumn("pack_offset", (sum(cnt).over(w) - cnt).cast("long"))
+      // integral division — no float at the window boundary, honoring the
+      // module's exact-lattice rule even past 2^53 tokens per bucket
+      .withColumn("pack_id", expr(s"pack_offset div ${capacity}L"))
       .drop("dj_u")
   }
 
@@ -323,7 +335,10 @@ object Corpus {
     * Every data column passes through, prefixed by the `tagCol` source tag;
     * the sources must therefore share a schema (the usual shape after
     * per-source normalization — project them to a common set of columns
-    * first if not), and none may already carry a `tagCol` column.
+    * first if not), and none may already carry a `tagCol` column. NULL-id
+    * rows are excluded from EVERY source (also the rate-1 ones) — they have
+    * no hash identity, and membership must not flip across the rate
+    * boundary.
     */
   def weightedMix(
       sources: Seq[(String, DataFrame, Double)],
@@ -337,9 +352,11 @@ object Corpus {
       s"a source already has a '$tagCol' column — pass a different tagCol")
     sources
       .map { case (name, df, rate) =>
+        val withId = df.where(col(idCol).isNotNull)
         val kept =
-          if (rate >= 1.0) df
-          else df.where(hashU(col(idCol), seed + ":" + name) < lit(rateBoundHex(rate)))
+          if (rate >= 1.0) withId
+          else withId.where(
+            hashU(col(idCol), seed + ":" + name) < lit(rateBoundHex(rate)))
         kept.select(lit(name).as(tagCol), col("*"))
       }
       .reduce(_ unionByName _)

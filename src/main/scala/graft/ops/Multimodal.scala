@@ -73,8 +73,8 @@ object Multimodal {
       "media_meta",
       struct(
         format.as("format"),
-        when(isPng, pngBe32(17)).cast(IntegerType).as("width"),
-        when(isPng, pngBe32(21)).cast(IntegerType).as("height"),
+        when(isPng && length(b) >= 24, pngBe32(17)).cast(IntegerType).as("width"),
+        when(isPng && length(b) >= 24, pngBe32(21)).cast(IntegerType).as("height"),
         when(isCanonicalWav && length(b) >= 28, wavLe(25, 4))
           .cast(IntegerType).as("sample_rate"),
         when(isCanonicalWav && length(b) >= 28, wavLe(23, 2))
@@ -172,6 +172,30 @@ object Multimodal {
     Some(bos.toByteArray)
   }
 
+  /** The shared per-partition batch-transform scaffold behind every decode
+    * op (the Scala analogue of a Pandas `mapInPandas` UDF): project
+    * (id, payload), map one row at a time with constant memory
+    * executor-side, rebuild under `schema` (whose first field must be the
+    * LongType id), and restore the caller's id column name. Single-sources
+    * the null-id boxing and the streaming contract for all four decode ops.
+    */
+  private def perPayload(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      schema: StructType)(f: (java.lang.Long, Array[Byte]) => Row): DataFrame = {
+    val spark = df.sparkSession
+    val projected = df.select(col(idCol).cast(LongType), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        f(id, r.getAs[Array[Byte]](1))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumnRenamed(schema.head.name, idCol)
+  }
+
   /** Per-partition batch resize over (id, binary) rows → (id, resized PNG
     * payload); undecodable payloads yield null. Same streaming
     * constant-memory contract as `extractFeatures`.
@@ -182,21 +206,12 @@ object Multimodal {
       binCol: String,
       targetWidth: Int,
       targetHeight: Int): DataFrame = {
-    val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("payload", BinaryType)))
-    val projected = df.select(col(idCol).cast(LongType), col(binCol))
-    val rdd = projected.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        Row(
-          if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0)),
-          resizeImage(r.getAs[Array[Byte]](1), targetWidth, targetHeight).orNull)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
-      .withColumnRenamed("id", idCol)
-      .withColumnRenamed("payload", binCol)
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      Row(id, resizeImage(payload, targetWidth, targetHeight).orNull)
+    }.withColumnRenamed("payload", binCol)
   }
 
   /** Encode a uniform-gray PNG via `javax.imageio` — the deterministic
@@ -352,7 +367,6 @@ object Multimodal {
     * streaming constant-memory contract as `extractFeatures`.
     */
   def decodeAudios(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("sample_rate", IntegerType),
@@ -362,19 +376,14 @@ object Multimodal {
       StructField("rms", DoubleType),
       StructField("mean_abs", DoubleType),
       StructField("peak", IntegerType)))
-    val projected = df.select(col(idCol).cast(LongType), col(binCol))
-    val rdd = projected.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-        decodeWav(r.getAs[Array[Byte]](1), dim = 1) match {
-          case Some(d) =>
-            Row(id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
-              d.rms, d.meanAbs, d.peak)
-          case None => Row(id, null, null, null, null, null, null, null)
-        }
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      decodeWav(payload, dim = 1) match {
+        case Some(d) =>
+          Row(id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
+            d.rms, d.meanAbs, d.peak)
+        case None => Row(id, null, null, null, null, null, null, null)
       }
     }
-    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
   }
 
   /** STUB decode for payloads neither ImageIO nor the WAV parser can read
@@ -410,23 +419,16 @@ object Multimodal {
       idCol: String,
       binCol: String,
       dim: Int = 16): DataFrame = {
-    val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("features", ArrayType(FloatType))))
-    val projected = df.select(col(idCol).cast(LongType), col(binCol))
-    val rdd = projected.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-        val payload = r.getAs[Array[Byte]](1)
-        val feats = decodeImage(payload, dim)
-          .map(_.features)
-          .orElse(decodeWav(payload, dim).map(_.features))
-          .getOrElse(decodeStub(payload, dim))
-        Row(id, feats.toSeq)
-      }
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      val feats = decodeImage(payload, dim)
+        .map(_.features)
+        .orElse(decodeWav(payload, dim).map(_.features))
+        .getOrElse(decodeStub(payload, dim))
+      Row(id, feats.toSeq)
     }
-    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
   }
 
   /** Full decode round-trip over (id, binary) rows: really decode each image
@@ -435,23 +437,17 @@ object Multimodal {
     * as `extractFeatures`.
     */
   def decodeImages(df: DataFrame, idCol: String, binCol: String): DataFrame = {
-    val spark = df.sparkSession
     val schema = StructType(Seq(
       StructField("id", LongType),
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("mean_luma", DoubleType)))
-    val projected = df.select(col(idCol).cast(LongType), col(binCol))
-    val rdd = projected.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-        decodeImage(r.getAs[Array[Byte]](1), dim = 1) match {
-          case Some(d) => Row(id, d.width, d.height, d.meanLuma)
-          case None    => Row(id, null, null, null)
-        }
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      decodeImage(payload, dim = 1) match {
+        case Some(d) => Row(id, d.width, d.height, d.meanLuma)
+        case None    => Row(id, null, null, null)
       }
     }
-    spark.createDataFrame(rdd, schema).withColumnRenamed("id", idCol)
   }
 
   /** Frame-sampling plumbing: every `stride`-th chunk of `chunkBytes` from

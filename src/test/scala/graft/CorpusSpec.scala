@@ -103,7 +103,7 @@ class CorpusSpec extends AnyFunSuite {
     val got = Corpus.stratifiedSample(df, "stratum", "doc_id", k)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // naive spelling: one global window per stratum
-    val u = md5(concat(col("doc_id").cast("string"), lit(":graft")).cast("binary"))
+    val u = md5(concat(col("doc_id").cast("string"), lit(":graft:sample")).cast("binary"))
     val naive = df
       .withColumn("sample_rank",
         row_number().over(Window.partitionBy(col("stratum")).orderBy(u, col("doc_id"))))
@@ -113,6 +113,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.size == 5 * k)
     assert(got.groupBy(_._2).forall { case (_, rows) =>
       rows.map(_._3).toSeq.sorted == (1 to k) })
+
+    // null ids have no hash identity: excluded, never hogging the sample
+    // (null dj_u would otherwise sort NULLS FIRST into every slot)
+    val withNulls = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 50L).map(i => Row(java.lang.Long.valueOf(i), 1L)) ++
+          Seq.fill(10)(Row(null, 1L)), 4),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("stratum", LongType))))
+    val sampled = Corpus.stratifiedSample(withNulls, "stratum", "doc_id", 3)
+      .collect().map(_.getLong(0))
+    assert(sampled.length == 3 && sampled.forall(_ >= 0))
   }
 
   test("packSequences: concat-and-chunk pack assignment per hash bucket") {
@@ -131,7 +144,7 @@ class CorpusSpec extends AnyFunSuite {
       .groupBy(_._3)
       .toSeq
       .flatMap { case (bucket, rows) =>
-        val ordered = rows.sortBy(r => (md5Hex(s"${r._1}:graft"), r._1))
+        val ordered = rows.sortBy(r => (md5Hex(s"${r._1}:graft:pack"), r._1))
         ordered.scanLeft(0L)((off, r) => off + r._2).zip(ordered).map {
           case (off, r) => (r._1, bucket, off / capacity, off)
         }
@@ -144,12 +157,31 @@ class CorpusSpec extends AnyFunSuite {
     // bucket is the md5-prefix lattice value mod nBuckets
     got.take(5).foreach { r =>
       assert(r._3 ==
-        (BigInt(md5Hex(s"${r._1}:graft").substring(0, 8), 16) % 4).toLong)
+        (BigInt(md5Hex(s"${r._1}:graft:pack").substring(0, 8), 16) % 4).toLong)
     }
     // deterministic across recomputation
     val again = Corpus.packSequences(df, "doc_id", "n_tokens", capacity, nBuckets = 4)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_id"))).toMap
     assert(got.map(r => (r._1, r._4)).toMap == again)
+
+    // a NULL token count packs as width 0 at its position — it must not
+    // teleport the doc to offset 0; offsets stay non-decreasing per bucket
+    val nullCnt = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0L until 30L).map(i =>
+          Row(java.lang.Long.valueOf(i),
+            if (i % 7 == 3) null else java.lang.Long.valueOf(10L))), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_tokens", LongType))))
+    val packedN = Corpus.packSequences(nullCnt, "doc_id", "n_tokens", 25, nBuckets = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("pack_bucket"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("pack_offset")))
+    packedN.groupBy(_._1).foreach { case (_, rows) =>
+      val offsets = rows.sortBy(r => (md5Hex(s"${r._2}:graft:pack"), r._2)).map(_._3)
+      assert(offsets.toSeq == offsets.toSeq.sorted, offsets.toSeq)
+    }
   }
 
   test("weightedMix: deterministic hash-rate membership, monotone in the rate") {
