@@ -40,8 +40,13 @@ object Bench {
       dir: String): (Double, Option[String]) = {
     val (tWarm, errWarm) = runOnce(spark, fn, dir)
     if (errWarm.isDefined) (tWarm, errWarm)
-    else if (tWarm >= SlowCutoffSec) runOnce(spark, fn, dir)
-    else {
+    else if (tWarm >= SlowCutoffSec) {
+      // min of the two full runs: slow queries get no median, and a single
+      // GC pause late in the JVM otherwise masquerades as a 6x regression
+      // (observed: q_numeric_gaps 1.6 s in three runs, 12.9 s in one)
+      val (t2, err2) = runOnce(spark, fn, dir)
+      (math.min(tWarm, t2), err2)
+    } else {
       val runs = Seq.fill(3)(runOnce(spark, fn, dir))
       (runs.map(_._1).sorted.apply(1), runs.flatMap(_._2).headOption)
     }
