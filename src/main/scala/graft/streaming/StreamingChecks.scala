@@ -72,14 +72,17 @@ object StreamingChecks {
       .withWatermark(timeColumn, watermark)
       .dropDuplicatesWithinWatermark(keyColumns)
 
-  /** Running state carried per key by `runningKeyProfile`. NaN min/max mean
-    * "no non-null value seen yet"; `maxEventMs` is the largest event time
-    * EVER seen for the key (Long.MinValue before the first one) — kept in
-    * state so late or null-event-time batches can never move the eviction
-    * timeout earlier. */
+  /** Running state carried per key by `runningKeyProfile`. `nVal` counts
+    * non-null values — the explicit "seen one yet" flag, so a genuine NaN
+    * observation is not mistaken for the initial sentinel (it poisons
+    * min/max to NaN, the IEEE answer, instead of vanishing); `maxEventMs`
+    * is the largest event time EVER seen for the key (Long.MinValue before
+    * the first one) — kept in state so late or null-event-time batches can
+    * never move the eviction timeout earlier. */
   final case class KeyRunningState(
       n: Long,
       nNull: Long,
+      nVal: Long,
       vMin: Double,
       vMax: Double,
       maxEventMs: Long)
@@ -111,6 +114,8 @@ object StreamingChecks {
       keyColumn: String,
       valueColumn: String,
       stateTtlMs: Long = 3600000L): Dataset[KeyProfile] = {
+    require(stateTtlMs > 0,
+      s"stateTtlMs must be positive (a timeout at or before the watermark fails the query): $stateTtlMs")
     val spark = stream.sparkSession
     import spark.implicits._
     // the watermarked event-time column must survive the projection for the
@@ -134,7 +139,7 @@ object StreamingChecks {
             Iterator.empty
           } else {
             var s = state.getOption.getOrElse(
-              KeyRunningState(0L, 0L, Double.NaN, Double.NaN, Long.MinValue))
+              KeyRunningState(0L, 0L, 0L, Double.NaN, Double.NaN, Long.MinValue))
             var maxEventMs = s.maxEventMs
             it.foreach { case (_, v, t) =>
               if (t != null) maxEventMs = math.max(maxEventMs, t.getTime)
@@ -143,11 +148,13 @@ object StreamingChecks {
                   KeyRunningState(
                     s.n + 1,
                     s.nNull,
-                    if (s.vMin.isNaN || x < s.vMin) x else s.vMin,
-                    if (s.vMax.isNaN || x > s.vMax) x else s.vMax,
+                    s.nVal + 1,
+                    if (s.nVal == 0) x else math.min(s.vMin, x),
+                    if (s.nVal == 0) x else math.max(s.vMax, x),
                     s.maxEventMs)
                 case None =>
-                  KeyRunningState(s.n + 1, s.nNull + 1, s.vMin, s.vMax, s.maxEventMs)
+                  KeyRunningState(
+                    s.n + 1, s.nNull + 1, s.nVal, s.vMin, s.vMax, s.maxEventMs)
               }
             }
             s = s.copy(maxEventMs = maxEventMs)
@@ -177,9 +184,10 @@ object StreamingChecks {
   def foreachBatchRunner(
       stream: DataFrame,
       mkRequirement: DataFrame => Requirement,
-      onResults: (Long, Seq[TestResult]) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      onResults: (Long, Seq[TestResult]) => Unit,
+      outputMode: OutputMode = OutputMode.Append): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .outputMode(OutputMode.Append)
+      .outputMode(outputMode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val req = mkRequirement(batch)
         onResults(batchId, req.test(batch.sparkSession))
@@ -197,11 +205,14 @@ object StreamingChecks {
       windowDuration: String,
       numericColumns: Seq[String],
       queryName: String = "graft_profile"): DataFrame = {
+    // Complete, not Append: in a bounded one-shot run the final watermark
+    // sits maxEventTime - delay, so Append would withhold every window not
+    // yet closed (typically ALL of them) and return an empty table
     val q = windowedProfile(stream, timeColumn, watermark, windowDuration, numericColumns)
       .writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(OutputMode.Append)
+      .outputMode(OutputMode.Complete)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -24,11 +24,42 @@ class SkewSpec extends AnyFunSuite {
     assert(salted.nonEmpty)
   }
 
+  test("salted join spreads byte-identical duplicate rows of a hot key") {
+    import spark.implicits._
+    // the pre-dedup corpus state: the hot key's rows are IDENTICAL — a
+    // full-row-hash salt would put them all in one bucket
+    val skewed = (1 to 200).map(_ => (1, "same")).toDF("k", "payload")
+    val small = Seq((1, "one")).toDF("k", "name")
+    val spread = skewed
+      .withColumn("dj_salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select(countDistinct(col("dj_salt")))
+      .head().getLong(0)
+    assert(spread > 1, s"identical rows must land in multiple salt buckets, got $spread")
+    // and the join result is still exactly the plain inner join
+    val plain = skewed.join(small, "k").count()
+    assert(Skew.saltedJoin(skewed, small, Seq("k"), 8).count() == plain)
+  }
+
   test("heavyHitters flags the hot key only") {
     import spark.implicits._
     val df = ((1 to 90).map(_ => 1) ++ (2 to 11)).toDF("k")
     val hot = Skew.heavyHitters(df, Seq("k"), threshold = 0.5)
       .collect().map(_.getInt(0)).toSeq
     assert(hot == Seq(1))
+  }
+
+  test("heavyHitters threshold is exact: a small frame is not all-hot") {
+    import spark.implicits._
+    // 50 distinct keys (2% share each) at a 5% threshold: none are hot —
+    // the old max(1, floor(total*threshold)) clamp turned the cutoff into
+    // 1 row and reported every key as a heavy hitter
+    val df = (1 to 50).toDF("k")
+    assert(Skew.heavyHitters(df, Seq("k"), threshold = 0.05).count() == 0)
+    // strictly-more-than: a key at exactly the threshold share is not hot
+    val df2 = ((1 to 5).map(_ => 1) ++ (2 to 6)).toDF("k") // key 1 at 50%
+    assert(Skew.heavyHitters(df2, Seq("k"), threshold = 0.5).count() == 0)
+    assert(Skew.heavyHitters(df2, Seq("k"), threshold = 0.49)
+      .collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 }

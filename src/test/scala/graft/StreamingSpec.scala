@@ -194,6 +194,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.nonEmpty && results.forall(_._2))
   }
 
+  test("profileOnce returns open windows in a bounded one-shot run") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, java.lang.Double)]
+    // all events inside ONE still-open window: Append mode would withhold
+    // it forever (final watermark = max event - delay < window end)
+    input.addData(
+      (ts("2026-01-01 00:00:05"), 1.0),
+      (ts("2026-01-01 00:00:25"), 3.0))
+    val profile = graft.streaming.StreamingChecks.profileOnce(
+      spark, input.toDF().toDF("event_time", "value"),
+      "event_time", "10 seconds", "1 minute", Seq("value"),
+      queryName = "profile_once_test")
+    assert(profile.count() == 1, "the open window must be emitted")
+    assert(profile.select(col("n_rows")).head().getLong(0) == 2L)
+  }
+
+  test("runningKeyProfile: a genuine NaN observation poisons min/max, not vanishes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, java.lang.Double)]
+    val query = graft.streaming.StreamingChecks.runningKeyProfile(
+      input.toDF().toDF("event_time", "key", "value"),
+      "event_time", "10 seconds", "key", "value")
+      .writeStream.format("memory").queryName("nan_profile").outputMode("update").start()
+    input.addData(
+      (ts("2026-01-01 00:00:01"), "a", java.lang.Double.valueOf(Double.NaN)),
+      (ts("2026-01-01 00:00:02"), "a", java.lang.Double.valueOf(5.0)))
+    query.processAllAvailable()
+    query.stop()
+    val r = spark.table("nan_profile")
+      .orderBy(col("n_rows").desc).head()
+    // NaN was the first value: IEEE poisoning keeps it visible in min/max
+    // (the sentinel-NaN bug dropped the observation and reported 5.0/5.0)
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(r.getAs[Double]("v_min").isNaN && r.getAs[Double]("v_max").isNaN)
+  }
+
   test("corpus split/rate membership are stateless and run on streams") {
     // splitColumn / the weightedMix rate filter are pure row functions, so
     // they compose with any streaming source with no state and no
