@@ -25,6 +25,10 @@ import graft.runner.Runner
   *   3. `foreachBatchRunner` — evaluate an arbitrary `Requirement` on every
   *      micro-batch (each micro-batch is a normal DataFrame, so every
   *      constraint in the library applies unchanged).
+  *   4. `streamingNearDups` — near-duplicate detection AT INGEST: the batch
+  *      MinHash+LSH machinery (same codegen'd kernels) keyed into
+  *      `flatMapGroupsWithState` per (band, bucket), state bounded by the
+  *      watermark TTL and a hot-bucket cap.
   */
 object StreamingChecks {
 
@@ -217,5 +221,132 @@ object StreamingChecks {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** One signature held in a bucket's state. */
+  final case class BucketEntry(id: Long, sig: Seq[Long], eventMs: Long)
+
+  /** State per (band, bucket): the signatures seen inside the TTL horizon
+    * plus the monotone max event time (same eviction anchor discipline as
+    * `runningKeyProfile`). */
+  final case class BucketState(entries: Seq[BucketEntry], maxEventMs: Long)
+
+  /** One emitted candidate pair (`id1 < id2`); `agreement` is the MinHash
+    * signature agreement — an unbiased Jaccard estimate. The same true pair
+    * can surface from several bands: downstream dedups with
+    * `dropDuplicates("id1","id2")` (or a within-watermark variant). */
+  final case class StreamDupPair(id1: Long, id2: Long, band: Int, agreement: Double)
+
+  /** Near-duplicate detection AT INGEST — the streaming face of
+    * `Dedup.minhashNearDups`, sharing its codegen'd kernels
+    * (`ShingleHashes`, `MinHashSignature`) in the stateless projection:
+    * each document's signature is banded exactly like the batch LSH, and
+    * each (band, bucket) group holds the recent signatures in
+    * `flatMapGroupsWithState` state. A new arrival compares against its
+    * bucket's residents (≤ `maxBucketSize` of them — the hot-bucket cap
+    * that keeps boilerplate buckets from going quadratic, same policy as
+    * the batch `lshCandidatePairs`) and emits a pair per resident whose
+    * signature agreement reaches `threshold`.
+    *
+    * State scale: one entry per document per band within the TTL horizon,
+    * partitioned across executors by (band, bucket) — bounded by ingest
+    * rate × TTL, NOT corpus size; idle buckets are evicted wholesale by the
+    * event-time timeout. Exactly the bounded-state posture `streamingDedup`
+    * has for exact duplicates, extended to near-duplicates.
+    */
+  def streamingNearDups(
+      stream: DataFrame,
+      timeColumn: String,
+      watermark: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000,
+      stateTtlMs: Long = 3600000L): Dataset[StreamDupPair] = {
+    require(stateTtlMs > 0, s"stateTtlMs must be positive: $stateTtlMs")
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    // stateless projection — the batch kernels are deterministic
+    // expressions, so they run unchanged inside a streaming plan; the
+    // event-time column is selected UNCAST to keep its watermark metadata
+    val signed = stream
+      .withWatermark(timeColumn, watermark)
+      .select(
+        col(idCol).cast("long").as("_id"),
+        graft.functions.ShingleHashes
+          .shingleHashes(graft.ops.TextAnalysis.normalize(col(textCol)), shingleK)
+          .as("_sh"),
+        col(timeColumn).as("_t"))
+      .where(size(col("_sh")) > 0)
+      .select(
+        col("_id"),
+        graft.functions.MinHashSignature
+          .minhashSignature(col("_sh"), numHashes).as("_sig"),
+        col("_t"))
+    val banded = signed
+      .select(
+        col("_id"),
+        col("_sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("_band"),
+        col("_t"))
+      .select(
+        col("_id"),
+        col("_band"),
+        xxhash64(
+          slice(col("_sig"), col("_band") * rowsPerBand + 1, lit(rowsPerBand)),
+          col("_band")).as("_bucket"),
+        col("_sig"),
+        col("_t"))
+      .as[(Long, Int, Long, Seq[Long], java.sql.Timestamp)]
+    banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[BucketState, StreamDupPair](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(BucketState(Nil, Long.MinValue))
+            // horizon eviction: entries older than watermark - TTL can no
+            // longer legitimately pair with in-watermark arrivals
+            var entries = st.entries.filter(_.eventMs >= wmMs - stateTtlMs).toList
+            var maxEventMs = st.maxEventMs
+            val out = Seq.newBuilder[StreamDupPair]
+            it.foreach { case (id, band, _, sig, t) =>
+              val eventMs = if (t == null) wmMs else t.getTime
+              maxEventMs = math.max(maxEventMs, eventMs)
+              val sigArr = sig.toArray
+              entries.foreach { e =>
+                if (e.id != id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < numHashes) {
+                    if (e.sig(i) == sigArr(i)) agree += 1
+                    i += 1
+                  }
+                  val frac = agree.toDouble / numHashes
+                  if (frac >= threshold)
+                    out += StreamDupPair(
+                      math.min(id, e.id), math.max(id, e.id), band, frac)
+                }
+              }
+              if (entries.size < maxBucketSize)
+                entries = BucketEntry(id, sigArr.toSeq, eventMs) :: entries
+            }
+            state.update(BucketState(entries, maxEventMs))
+            // monotone timeout anchor, as in runningKeyProfile
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs, wmMs) + stateTtlMs)
+            out.result().iterator
+          }
+      }
   }
 }

@@ -232,6 +232,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Double]("v_min").isNaN && r.getAs[Double]("v_max").isNaN)
   }
 
+  test("streamingNearDups: LSH bucket state flags near-dups at ingest, TTL-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill every single morning without fail"
+    val near = base.replace("morning", "evening")
+    val far = "completely different content about distributed query engines " +
+      "and shuffle partitioning strategies at petabyte scale"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val pairs = graft.streaming.StreamingChecks.streamingNearDups(
+      input.toDF().toDF("event_time", "doc_id", "text"),
+      "event_time", "10 seconds", "doc_id", "text",
+      threshold = 0.7, stateTtlMs = 60000L)
+    val q = pairs.writeStream
+      .format("memory").queryName("near_dups_stream").outputMode("update").start()
+    input.addData(
+      (ts("2026-01-01 00:00:01"), 1L, base),
+      (ts("2026-01-01 00:00:02"), 2L, near),
+      (ts("2026-01-01 00:00:03"), 3L, far))
+    q.processAllAvailable()
+    // cross-micro-batch: a near-dup of doc 1 arriving later still pairs
+    input.addData((ts("2026-01-01 00:00:05"), 4L, base.replace("cat", "bird")))
+    q.processAllAvailable()
+    def found() = spark.table("near_dups_stream").select("id1", "id2")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f1 = found()
+    assert(f1.contains((1L, 2L)), s"near pair missed: $f1")
+    assert(f1.exists(p => p._2 == 4L), s"cross-batch pair missed: $f1")
+    assert(!f1.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $f1")
+
+    // advance the watermark far past the TTL (sentinel in a distinct
+    // bucket family), then replay the base text: the old signatures are
+    // evicted, so no pair forms with the fresh doc
+    input.addData((ts("2026-01-01 02:00:00"), 99L,
+      "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll kkk"))
+    q.processAllAvailable()
+    input.addData((ts("2026-01-01 02:00:01"), 5L, base))
+    q.processAllAvailable()
+    q.stop()
+    val f2 = found()
+    assert(!f2.exists(p => p._1 == 5L || p._2 == 5L),
+      s"TTL-evicted state must not pair with a fresh arrival: $f2")
+  }
+
   test("corpus split/rate membership are stateless and run on streams") {
     // splitColumn / the weightedMix rate filter are pure row functions, so
     // they compose with any streaming source with no state and no
