@@ -223,9 +223,14 @@ object Corpus {
     * integer-lattice comparison as [[splitColumn]] — no float arithmetic at
     * the membership boundary).
     */
-  private[graft] def rateBoundHex(rate: Double): String =
-    "%032x".format(BigInt(
-      new java.math.BigDecimal(rate).multiply(LatticeSpace).toBigInteger))
+  private[graft] def rateBoundHex(rate: Double): String = {
+    // clamp to the 32-digit lattice: rate >= 1 would format 33 hex digits,
+    // which breaks equal-length lexicographic ordering (callers shortcut
+    // rate >= 1 anyway, but the helper stays total and monotone)
+    val raw = new java.math.BigDecimal(rate).multiply(LatticeSpace).toBigInteger
+    val max = BigInt(2).pow(128) - 1
+    "%032x".format(BigInt(raw).min(max))
+  }
 
   /** Deterministic stratified sample: the `k` smallest
     * `md5(id ":" seed ":sample")` values per stratum (plus a `sample_rank`

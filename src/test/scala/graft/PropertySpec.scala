@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+
+import graft.ops.{Corpus, Multimodal}
+
+/** ScalaCheck properties for the pure (driver-side) kernels: the WAV
+  * round-trip and the split/rate boundary lattice. Spark-plan behavior is
+  * pinned by the ScalaTest suites; these cover the input space of the pure
+  * functions more densely than example-based cases can.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val sampleGen: Gen[Array[Short]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(Short.MinValue, Short.MaxValue))
+      .map(_.map(_.toShort).toArray)
+
+  property("wav round-trip recovers format and exact amplitude stats") =
+    Prop.forAll(
+      sampleGen,
+      Gen.chooseNum(1, 192000),
+      Gen.chooseNum(1, 8)) { (samples, rate, channels) =>
+      val wav = Multimodal.encodePcmWav(rate, channels, samples)
+      val d = Multimodal.decodeWav(wav, dim = 4).get
+      val n = samples.length
+      // Long-exact reference stats
+      val sumAbs = samples.map(s => math.abs(s.toLong)).sum
+      val sumSq = samples.map(s => s.toLong * s).sum
+      (d.sampleRate == rate) &&
+      (d.channels == channels) &&
+      (d.nFrames == n / channels) &&
+      (d.meanAbs == sumAbs.toDouble / n) &&
+      (d.rms == math.sqrt(sumSq.toDouble / n)) &&
+      (d.peak == samples.map(s => math.abs(s.toInt)).max) &&
+      d.features.forall(f => f >= 0f && f <= 1f)
+    }
+
+  property("wav decode never throws on arbitrary byte payloads") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      Multimodal.decodeWav(bytes.map(_.toByte).toArray, dim = 2)
+      true // reaching here (Some or None, no exception) is the property
+    }
+
+  property("wav decode never throws on corrupted valid headers") =
+    Prop.forAll(sampleGen, Gen.chooseNum(0, 60), Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) {
+      (samples, pos, b) =>
+        val wav = Multimodal.encodePcmWav(8000, 1, samples)
+        if (pos < wav.length) wav(pos) = b.toByte
+        Multimodal.decodeWav(wav, dim = 2)
+        true
+    }
+
+  private val weightsGen: Gen[List[Double]] =
+    Gen.chooseNum(2, 6).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 1000)).map { raw =>
+        val total = raw.sum.toDouble
+        raw.map(_ / total)
+      }
+    }
+
+  property("split boundaries are strictly increasing 32-hex-digit lattice points") =
+    Prop.forAll(weightsGen) { ws0 =>
+      // renormalize exactly like callers must (sum within 1e-9 of 1)
+      val named = ws0.zipWithIndex.map { case (w, i) => (s"s$i", w) }
+      val bounds = Corpus.splitBoundsHex(named)
+      bounds.forall(b => b.length == 32 && b.matches("[0-9a-f]{32}")) &&
+      bounds.zip(bounds.tail).forall { case (a, b) => a < b }
+    }
+
+  property("rate boundary is monotone in the rate") =
+    Prop.forAll(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0.0, 1.0)) { (r1, r2) =>
+      val (lo, hi) = if (r1 <= r2) (r1, r2) else (r2, r1)
+      Corpus.rateBoundHex(lo) <= Corpus.rateBoundHex(hi)
+    }
+}
