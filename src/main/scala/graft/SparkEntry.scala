@@ -789,6 +789,19 @@ object SparkEntry {
         .select(col("mix_source"), col("doc_id"))
     },
 
+    // embedding near-dup pairs: deterministic sign-bit buckets, exact
+    // cosine verification; the membership boundary is the ROUNDED cosine
+    // (both engines round to 6 before comparing, so a last-ulp float/double
+    // divergence can't flip a pair in or out)
+    "q_embedding_neardup" -> { (s, dir) =>
+      graft.ops.Similarity
+        .embeddingNearDups(
+          s.read.parquet(pq(dir, "embeddings")),
+          "vec_id", "embedding", threshold = 0.3495)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .where(col("cosine") >= 0.35)
+    },
+
     // GPT-style sequence packing: concat docs in deterministic md5 order
     // within hash buckets, cut every 2048 tokens; each doc gets the pack
     // window its first token falls in
@@ -997,12 +1010,20 @@ object SparkEntry {
     * so both engines compute identical sign-bit buckets (±1 components make
     * each dot product an exact, order-identical double addition chain).
     */
-  private def lshOracleSql: String = {
+  /** The sign-bit bucket expression over `e DOUBLE[]` — shared by the LSH
+    * top-k and near-dup oracles; the hyperplane literals come from the SAME
+    * deterministic LCG the Spark operators use.
+    */
+  private def lshBucketExprSql: String = {
     val planes = graft.ops.Similarity.hyperplanes(bits = 8, dim = 64)
-    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+    planes.zipWithIndex.map { case (p, i) =>
       val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
       s"CASE WHEN list_dot_product(e, [$arr]) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END"
     }.mkString("\n                 + ")
+  }
+
+  private def lshOracleSql: String = {
+    val bucketExpr = lshBucketExprSql
     val probeList = (0 until 8).map(i => s"xor(bucket, (1::BIGINT << $i))").mkString(", ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             b AS (SELECT vec_id, e,
@@ -1054,6 +1075,16 @@ object SparkEntry {
 
   private def trainingOracles: Map[String, String] = Map(
     "q_embedding_lsh" -> lshOracleSql,
+    // embedding near-dup pairs: same deterministic sign-bit buckets, pairs
+    // within a bucket at cosine >= 0.35 (round-to-6 on both engines)
+    "q_embedding_neardup" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             b AS (SELECT vec_id, e,
+                  ($lshBucketExprSql) AS bucket FROM v)
+         SELECT a.vec_id AS id1, b2.vec_id AS id2,
+                round(list_cosine_similarity(a.e, b2.e), 6) AS cosine
+         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         WHERE round(list_cosine_similarity(a.e, b2.e), 6) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
     "q_text_stats" ->
       s"""SELECT doc_id,
