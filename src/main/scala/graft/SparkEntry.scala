@@ -789,6 +789,24 @@ object SparkEntry {
         .select(col("mix_source"), col("doc_id"))
     },
 
+    // per-source curation profile: the report every corpus pipeline runs
+    // before setting mix quotas — doc counts, mean quality, mean tokens per
+    // (source, lang); per-doc quality is rounded to 6 first so both engines
+    // aggregate the identical multiset
+    "q_source_profile" -> { (s, dir) =>
+      import graft.ops.TextAnalysis
+      s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(round(TextAnalysis.qualityScore(col("text")), 6)), 6)
+            .as("avg_quality"),
+          round(
+            sum(TextAnalysis.tokenCount(col("text")).cast("long")).cast("double")
+              / count(lit(1)), 6).as("avg_tokens"))
+    },
+
     // embedding near-dup pairs: deterministic sign-bit buckets, exact
     // cosine verification; the membership boundary is the ROUNDED cosine
     // (both engines round to 6 before comparing, so a last-ulp float/double
@@ -1133,6 +1151,28 @@ object SparkEntry {
                  + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
                  + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2), 6) AS quality
           FROM m""",
+    "q_source_profile" ->
+      s"""WITH m AS (SELECT source, lang,
+                 len(string_split($normSql, ' ')) AS n_tokens,
+                 (length(text) - length(regexp_replace(text,
+                     '[\\.,;:!\\?''"\\(\\)\\[\\]\\{\\}-]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS punct_ratio,
+                 (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS digit_ratio,
+                 len(list_filter(string_split($normSql, ' '),
+                     t -> list_contains(['the','and','of','to','in','a','is'], t)))::DOUBLE
+                   / greatest(len(string_split($normSql, ' ')), 1) AS stop_ratio
+               FROM documents WHERE text IS NOT NULL),
+             q AS (SELECT source, lang, n_tokens, round(greatest(0.0,
+                 least(n_tokens / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 5.0, 1.0) * 0.2
+                 + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+                 + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2), 6) AS quality
+               FROM m)
+          SELECT source, lang, count(*) AS n_docs,
+                 round(avg(quality), 6) AS avg_quality,
+                 round(sum(n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
+          FROM q GROUP BY source, lang""",
     "q_langid" ->
       s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS t FROM documents),
               sc AS (SELECT doc_id,
