@@ -800,7 +800,13 @@ object SparkEntry {
         .groupBy(col("source"), col("lang"))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(avg(round(TextAnalysis.qualityScore(col("text")), 6)), 6)
+          // micro-unit integer sum: round-to-6 pins the per-doc doubles,
+          // *1e6 makes them exact Longs, and ONE division yields the mean —
+          // no order-dependent double summation anywhere
+          round(
+            sum(round(round(TextAnalysis.qualityScore(col("text")), 6) * 1e6, 0)
+              .cast("long")).cast("double")
+              / (count(lit(1)) * lit(1000000L)).cast("double"), 6)
             .as("avg_quality"),
           round(
             sum(TextAnalysis.tokenCount(col("text")).cast("long")).cast("double")
@@ -816,8 +822,12 @@ object SparkEntry {
         .embeddingNearDups(
           s.read.parquet(pq(dir, "embeddings")),
           "vec_id", "embedding", threshold = 0.3495)
-        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
-        .where(col("cosine") >= 0.35)
+        .select(
+          col("id1"), col("id2"),
+          round(col("cosine"), 6).as("cosine"),
+          round(col("cosine"), 3).as("dj_member"))
+        .where(col("dj_member") >= 0.35)
+        .drop("dj_member")
     },
 
     // GPT-style sequence packing: concat docs in deterministic md5 order
@@ -1094,7 +1104,9 @@ object SparkEntry {
   private def trainingOracles: Map[String, String] = Map(
     "q_embedding_lsh" -> lshOracleSql,
     // embedding near-dup pairs: same deterministic sign-bit buckets, pairs
-    // within a bucket at cosine >= 0.35 (round-to-6 on both engines)
+    // within a bucket at rounded cosine >= 0.35 (membership on the
+    // COARSE round-3 value: the flip window at a rounding midpoint shrinks
+    // with the grid, so a last-ulp engine divergence is ~1e-13 per pair)
     "q_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              b AS (SELECT vec_id, e,
@@ -1102,7 +1114,7 @@ object SparkEntry {
          SELECT a.vec_id AS id1, b2.vec_id AS id2,
                 round(list_cosine_similarity(a.e, b2.e), 6) AS cosine
          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         WHERE round(list_cosine_similarity(a.e, b2.e), 6) >= 0.35""",
+         WHERE round(list_cosine_similarity(a.e, b2.e), 3) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -1170,7 +1182,8 @@ object SparkEntry {
                  + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.2), 6) AS quality
                FROM m)
           SELECT source, lang, count(*) AS n_docs,
-                 round(avg(quality), 6) AS avg_quality,
+                 round(sum(CAST(round(quality * 1000000, 0) AS BIGINT))::DOUBLE
+                       / (count(*) * 1000000), 6) AS avg_quality,
                  round(sum(n_tokens)::DOUBLE / count(*), 6) AS avg_tokens
           FROM q GROUP BY source, lang""",
     "q_langid" ->

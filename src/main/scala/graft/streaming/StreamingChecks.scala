@@ -243,10 +243,13 @@ object StreamingChecks {
     * each document's signature is banded exactly like the batch LSH, and
     * each (band, bucket) group holds the recent signatures in
     * `flatMapGroupsWithState` state. A new arrival compares against its
-    * bucket's residents (≤ `maxBucketSize` of them — the hot-bucket cap
-    * that keeps boilerplate buckets from going quadratic, same policy as
-    * the batch `lshCandidatePairs`) and emits a pair per resident whose
-    * signature agreement reaches `threshold`.
+    * bucket's residents and emits a pair per resident whose signature
+    * agreement reaches `threshold`; a bucket at `maxBucketSize` stops both
+    * storing and pairing (boilerplate guard — the batch
+    * `lshCandidatePairs` drops oversized buckets entirely; a stream can't
+    * retract pairs already emitted below the cap, so it stops emitting
+    * from the cap onward). Ids must cast to long; null/uncastable ids are
+    * dropped, not fatal.
     *
     * State scale: one entry per document per band within the TTL horizon,
     * partitioned across executors by (band, bucket) — bounded by ingest
@@ -283,7 +286,10 @@ object StreamingChecks {
           .shingleHashes(graft.ops.TextAnalysis.normalize(col(textCol)), shingleK)
           .as("_sh"),
         col(timeColumn).as("_t"))
-      .where(size(col("_sh")) > 0)
+      // null ids (or ids that don't cast to long) are dropped, NOT fed to
+      // the non-nullable tuple encoder — one dirty row must not kill a
+      // continuous ingest query; same null-id policy as the Corpus ops
+      .where(col("_id").isNotNull && size(col("_sh")) > 0)
       .select(
         col("_id"),
         graft.functions.MinHashSignature
@@ -324,22 +330,28 @@ object StreamingChecks {
               val eventMs = if (t == null) wmMs else t.getTime
               maxEventMs = math.max(maxEventMs, eventMs)
               val sigArr = sig.toArray
-              entries.foreach { e =>
-                if (e.id != id) {
-                  var agree = 0
-                  var i = 0
-                  while (i < numHashes) {
-                    if (e.sig(i) == sigArr(i)) agree += 1
-                    i += 1
+              // hot-bucket suppression: once a bucket hits the cap it stops
+              // BOTH storing and pairing — a boilerplate bucket must not
+              // keep emitting cap-sized pair bursts per arrival forever
+              // (batch lshCandidatePairs drops such buckets entirely; a
+              // stream can't retract pairs already emitted below the cap)
+              if (entries.size < maxBucketSize) {
+                entries.foreach { e =>
+                  if (e.id != id) {
+                    var agree = 0
+                    var i = 0
+                    while (i < numHashes) {
+                      if (e.sig(i) == sigArr(i)) agree += 1
+                      i += 1
+                    }
+                    val frac = agree.toDouble / numHashes
+                    if (frac >= threshold)
+                      out += StreamDupPair(
+                        math.min(id, e.id), math.max(id, e.id), band, frac)
                   }
-                  val frac = agree.toDouble / numHashes
-                  if (frac >= threshold)
-                    out += StreamDupPair(
-                      math.min(id, e.id), math.max(id, e.id), band, frac)
                 }
-              }
-              if (entries.size < maxBucketSize)
                 entries = BucketEntry(id, sigArr.toSeq, eventMs) :: entries
+              }
             }
             state.update(BucketState(entries, maxEventMs))
             // monotone timeout anchor, as in runningKeyProfile
