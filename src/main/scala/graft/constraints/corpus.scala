@@ -1,0 +1,61 @@
+package graft.constraints
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.DataRef
+import graft.ops.Dedup
+
+/** Beyond-reference constraint family: corpus-level quality bounds built on
+  * the training-data operators, declared through the same requirement DSL
+  * as every reference constraint (so a near-duplication budget sits next to
+  * row counts and null fractions in one specification).
+  */
+
+/** Bound the fraction of documents that participate in at least one
+  * near-duplicate pair (MinHash + LSH at `jaccardThreshold`, the exact
+  * `Dedup.minhashNearDups` pipeline — codegen'd kernels, banded candidate
+  * generation, exact Jaccard verification). Documents get ephemeral ids for
+  * the pair step; only the participation COUNT leaves the executors.
+  */
+final case class MaxNearDupFraction(
+    ref: DataRef,
+    textColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    jaccardThreshold: Double = 0.9,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_near_dup_fraction was expected to lie within [0, 1] but is $refValue.")
+  require(
+    jaccardThreshold > 0 && jaccardThreshold <= 1,
+    s"jaccardThreshold must lie in (0, 1]: $jaccardThreshold")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val base = r.selection(spark)
+      .select(col(textColumn))
+      .where(col(textColumn).isNotNull)
+      .withColumn("dj_nid", monotonically_increasing_id())
+      // the id must be stable across the pair job's scans — materialize it
+      .localCheckpoint()
+    val total = base.count()
+    if (total == 0L) 0.0
+    else {
+      val pairs = Dedup.minhashNearDups(
+        base, textColumn, "dj_nid", threshold = jaccardThreshold)
+      val involved = pairs
+        .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
+        .distinct()
+        .count()
+      involved.toDouble / total
+    }
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} documents participate in " +
+        s"near-duplicate pairs (jaccard >= $jaccardThreshold) while only " +
+        s"$targetPrefix$target were allowed to."))
+}

@@ -91,6 +91,23 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: bound the fraction of documents participating in a
+    * near-duplicate pair (MinHash+LSH at `jaccardThreshold`) — a
+    * near-duplication budget declared like any other quality constraint.
+    */
+  def addMaxNearDupFractionConstraint(
+      textColumn: String,
+      maxFraction: Double,
+      jaccardThreshold: Double = 0.9,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxNearDupFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn,
+      refValue = Some(maxFraction), jaccardThreshold = jaccardThreshold,
+      nameOverride = name)
+    this
+  }
+
   def addNRowsEqualityConstraint(
       nRows: Long,
       condition: Option[Condition] = None,

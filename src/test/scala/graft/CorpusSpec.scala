@@ -184,6 +184,28 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxNearDupFraction: a near-duplication budget as a declarable constraint") {
+    import graft.requirements.WithinRequirement
+    val longA = "the quick brown fox jumps over the lazy dog near the warm " +
+      "windowsill every single morning without fail"
+    val df = docs(
+      1L -> longA,
+      2L -> longA.replace("morning", "evening"),
+      3L -> "completely different text about spark catalyst optimizer rules and codegen",
+      4L -> "yet another unrelated document mentioning parquet footers and column pruning")
+    val req = WithinRequirement.fromDataFrame(df, "corpus")
+    req.addMaxNearDupFractionConstraint("text", maxFraction = 0.6, jaccardThreshold = 0.6)
+    req.addMaxNearDupFractionConstraint("text", maxFraction = 0.4, jaccardThreshold = 0.6)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message) // 2 of 4 docs = 0.5 <= 0.6
+    assert(!results(1).outcome)                        // 0.5 > 0.4
+    assert(results(1).failureMessage.exists(_.contains("near-duplicate")))
+    // an empty corpus has zero near-dup fraction, not a crash
+    val empty = WithinRequirement.fromDataFrame(docs(), "empty")
+    empty.addMaxNearDupFractionConstraint("text", maxFraction = 0.0)
+    assert(empty.test(spark).head.outcome)
+  }
+
   test("weightedMix: deterministic hash-rate membership, monotone in the rate") {
     val a = spark.range(0, 400).select(col("id").as("doc_id"))
     val b = spark.range(400, 800).select(col("id").as("doc_id"))
