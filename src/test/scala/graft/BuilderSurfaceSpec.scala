@@ -65,8 +65,9 @@ class BuilderSurfaceSpec extends AnyFunSuite {
     r.addVarcharMinLengthConstraint("col_varchar", 1)
     r.addVarcharMaxLengthConstraint("col_varchar", 10)
     r.addGroupbyAggregationConstraint(Seq("col_varchar"), "col_int", tolerance = 1.0)
+    r.addMaxNearDupFractionConstraint("col_varchar", maxFraction = 1.0)
     val results = r.test(spark)
-    assert(results.length == 33)
+    assert(results.length == 34)
     assert(results.forall(_.constraintDescription.nonEmpty))
   }
 
