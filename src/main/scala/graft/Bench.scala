@@ -21,8 +21,9 @@ object Bench {
     val err =
       try { fn(spark, dir).count(); None }
       catch { case e: Throwable => Some(jsonEscape(String.valueOf(e))) }
+    val t = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
-    ((System.nanoTime() - t0) / 1e9, err)
+    (t, err)
   }
 
   private val SlowCutoffSec = 5.0
