@@ -35,8 +35,15 @@ case class BucketIndex(child: Expression, boundaries: IndexedSeq[Double])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bucket_index"
 
-  override def nullSafeEval(v: Any): Any =
-    BucketIndex.countBelow(arr, v.asInstanceOf[Double])
+  override def nullSafeEval(v: Any): Any = {
+    val d = v.asInstanceOf[Double]
+    // NaN sorts AFTER +Infinity in Spark's ordering, but every `b < NaN`
+    // comparison is false — without this branch NaN would land in bucket 0
+    // while the per-bucket window expects it in the LAST bucket, corrupting
+    // running sums for every later bucket
+    if (java.lang.Double.isNaN(d)) arr.length
+    else BucketIndex.countBelow(arr, d)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val arr = ctx.addReferenceObj("boundaries", this.arr, "double[]")
@@ -47,9 +54,13 @@ case class BucketIndex(child: Expression, boundaries: IndexedSeq[Double])
       s"""
          |int $lo = 0;
          |int $hi = $arr.length;
-         |while ($lo < $hi) {
-         |  int $mid = ($lo + $hi) >>> 1;
-         |  if ($arr[$mid] < $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |if (Double.isNaN($v)) {
+         |  $lo = $arr.length; // NaN sorts last -> last bucket
+         |} else {
+         |  while ($lo < $hi) {
+         |    int $mid = ($lo + $hi) >>> 1;
+         |    if ($arr[$mid] < $v) { $lo = $mid + 1; } else { $hi = $mid; }
+         |  }
          |}
          |${ev.value} = $lo;
        """.stripMargin

@@ -34,7 +34,15 @@ object CumSum {
       case DateType      => datediff(col(orderCol), to_date(lit("1970-01-01"))).cast("double")
       case TimestampType => col(orderCol).cast("double")
       case _: NumericType => col(orderCol).cast("double")
-      case _              => col(orderCol).cast("double")
+      case other =>
+        // a silent cast would EITHER throw mid-job (ANSI: "abc") OR, worse,
+        // bucket numerically while the window orders lexically ("10" < "2"),
+        // silently corrupting every running sum — reject up front instead
+        throw new IllegalArgumentException(
+          s"CumSum order column '$orderCol' has unsupported type " +
+            s"${other.simpleString}: only numeric, date, and timestamp " +
+            "columns order consistently between bucket assignment and the " +
+            "per-bucket windows")
     }
 
   /** Add `rankCol` = global 1-based rank of rows ordered by `orderCol`
@@ -54,9 +62,11 @@ object CumSum {
   }
 
   /** Add `runningCol` = cumulative sum of `valueCol` over rows ordered by
-    * `orderCol` (ascending, ties summed together deterministically by
-    * including `orderCol` equality in one bucket — rows with equal keys get
-    * the same bucket, and within-bucket ordering uses the key itself).
+    * `orderCol` ascending. The within-bucket frame is ROWS-based, so rows
+    * with EQUAL order keys receive distinct partial sums in arbitrary order
+    * — callers wanting one row per key (every caller in this repo) must
+    * pre-aggregate by the order column first; with distinct keys the result
+    * is fully deterministic.
     */
   def withRunningSum(
       df: DataFrame,
@@ -97,9 +107,14 @@ object CumSum {
       valueCols.map(c => coalesce(sum(col(c)), lit(0L)))
     val head = df.agg(aggs.head, aggs.tail: _*).head()
     if (head.getLong(1) == 0L) {
-      // empty input: running sum columns are just null-free zero rows
-      val empty = runningCols
-        .foldLeft(df)((acc, c) => acc.withColumn(c, lit(null).cast("double")))
+      // empty input: zero rows, but with the SAME running-column types the
+      // non-empty path produces (sum's result type per value column) — an
+      // empty partition must not flip the output schema to double
+      val sumTypes = df.select(valueCols.map(c => sum(col(c))): _*).schema
+      val empty = runningCols.zip(sumTypes)
+        .foldLeft(df) { case (acc, (c, f)) =>
+          acc.withColumn(c, lit(null).cast(f.dataType))
+        }
         .where(lit(false))
       return (empty, valueCols.map(_ => 0L))
     }

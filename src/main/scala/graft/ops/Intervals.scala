@@ -72,6 +72,12 @@ object Intervals {
         endOp(col(endColumns(d) + "_1"), col(startColumns(d) + "_2"))
       }
       .reduce(_ && _)
+    // DELIBERATE divergence from the reference: its
+    // `interval_inequality_condition` compares table2's end column TO
+    // ITSELF (`t2.end != t2.end`, always false — db_access.py), so a pair
+    // equal in every start but differing in an end is NOT flagged there.
+    // That is a plain typo (the symmetric start comparison uses _1 vs _2);
+    // this engine compares end_1 vs end_2 as the author evidently intended.
     val inequality = dims
       .map { d =>
         col(startColumns(d) + "_1") =!= col(startColumns(d) + "_2") ||
@@ -112,15 +118,19 @@ object Intervals {
       startColumns: Seq[String],
       endColumns: Seq[String],
       endIncluded: Boolean): IntervalResult = {
+    // the self-join plan is the most expensive in the module and feeds BOTH
+    // the distinct-key count and the sample — persist across the two actions
     val violations = overlapViolations(
-      spark, ref, keyColumns, startColumns, endColumns, endIncluded)
-    val grouped =
-      if (keyColumns.nonEmpty) violations.select(keyColumns.map(col): _*).distinct()
-      else violations.distinct()
-    IntervalResult(
-      nViolationKeys = grouped.count(),
-      nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
-      violationSample = violations.head(1).headOption)
+      spark, ref, keyColumns, startColumns, endColumns, endIncluded).cache()
+    try {
+      val grouped =
+        if (keyColumns.nonEmpty) violations.select(keyColumns.map(col): _*).distinct()
+        else violations.distinct()
+      IntervalResult(
+        nViolationKeys = grouped.count(),
+        nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
+        violationSample = violations.head(1).headOption)
+    } finally violations.unpersist()
   }
 
   /** Distinct count of key tuples in the selection
@@ -202,11 +212,16 @@ object Intervals {
       // an all-columns-consumed selection). Ranks come from the distributed
       // bucket scheme (CumSum), not an unpartitioned window — no
       // single-partition sort even when the boundary-point set is large.
+      // the anti-join point tables feed CumSum's multi-job scheme (boundary
+      // estimation, bucket totals, final plan) plus the downstream count +
+      // sample — localCheckpoint materializes each ONCE instead of
+      // re-running the join per action (blocks are freed by the context
+      // cleaner once the result is unreferenced)
       val startTable = CumSum.withGlobalRank(
-        notInOtherInterval(sel, startColumn).select(col(startColumn)),
+        notInOtherInterval(sel, startColumn).select(col(startColumn)).localCheckpoint(),
         startColumn, "dj_start_rank")
       val endTable = CumSum.withGlobalRank(
-        notInOtherInterval(sel, endColumn).select(col(endColumn)),
+        notInOtherInterval(sel, endColumn).select(col(endColumn)).localCheckpoint(),
         endColumn, "dj_end_rank")
       startTable
         .join(
@@ -224,23 +239,28 @@ object Intervals {
       startColumn: String,
       endColumn: String,
       gapCondition: (Column, Column) => Column): IntervalResult = {
+    // persist across the count + sample actions (the keyless flavor runs
+    // the anti-join + rank machinery — recomputing it per action doubles
+    // the most expensive plan in the gap path)
     val violations =
-      gapViolations(spark, ref, keyColumns, startColumn, endColumn, gapCondition)
-    val effectiveKeys =
-      if (keyColumns.nonEmpty) keyColumns
-      else ref.selection(spark).columns.toSeq.filterNot(c => c == startColumn || c == endColumn)
-    if (effectiveKeys.nonEmpty)
-      IntervalResult(
-        nViolationKeys = violations.select(effectiveKeys.map(col): _*).distinct().count(),
-        nDistinctKeys = distinctKeyCount(spark, ref, effectiveKeys),
-        violationSample = violations.head(1).headOption)
-    else
-      // Keyless: every gap pair is one violation on the single global
-      // timeline; the denominator is the distinct (start, end) row count.
-      IntervalResult(
-        nViolationKeys = violations.count(),
-        nDistinctKeys = distinctKeyCount(spark, ref, Seq.empty),
-        violationSample = violations.head(1).headOption)
+      gapViolations(spark, ref, keyColumns, startColumn, endColumn, gapCondition).cache()
+    try {
+      val effectiveKeys =
+        if (keyColumns.nonEmpty) keyColumns
+        else ref.selection(spark).columns.toSeq.filterNot(c => c == startColumn || c == endColumn)
+      if (effectiveKeys.nonEmpty)
+        IntervalResult(
+          nViolationKeys = violations.select(effectiveKeys.map(col): _*).distinct().count(),
+          nDistinctKeys = distinctKeyCount(spark, ref, effectiveKeys),
+          violationSample = violations.head(1).headOption)
+      else
+        // Keyless: every gap pair is one violation on the single global
+        // timeline; the denominator is the distinct (start, end) row count.
+        IntervalResult(
+          nViolationKeys = violations.count(),
+          nDistinctKeys = distinctKeyCount(spark, ref, Seq.empty),
+          violationSample = violations.head(1).headOption)
+    } finally violations.unpersist()
   }
 
   /** Date gap condition: day difference strictly greater than the legitimate

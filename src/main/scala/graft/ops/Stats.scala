@@ -61,8 +61,13 @@ object Stats {
     * forward-filled CDFs (a value missing from one sample contributes 0, so
     * its running sum simply carries the previous value — no fill step), and
     * the sample totals ride along in the boundary-estimation job
-    * (`CumSum.withRunningSums`). Rows with NULL values are excluded, as in
-    * the reference's sample counts.
+    * (`CumSum.withRunningSums`). NULL values stay IN: the sample sizes are
+    * then plain row counts (reference `stats.py:90-91` uses
+    * `get_row_count` = COUNT(*), nulls included), and the NULL group rides
+    * bucket 0 of the prefix sum — i.e. NULLS-FIRST `cume_dist` semantics.
+    * (The reference's own NULL placement is dialect-dependent — its
+    * `cume_dist` ordering puts NULLs wherever the backend does; this engine
+    * picks the NULLS-FIRST convention deterministically.)
     */
   def crossCdfWithCounts(
       spark: SparkSession,
@@ -76,7 +81,6 @@ object Stats {
         col(r.column).as(valueLabel),
         lit(if (first) 1L else 0L).as("dj_w1"),
         lit(if (first) 0L else 1L).as("dj_w2"))
-      .where(col(valueLabel).isNotNull)
     val counts = side(ref1, first = true)
       .unionAll(side(ref2, first = false))
       .groupBy(valueLabel)

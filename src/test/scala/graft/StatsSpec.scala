@@ -75,14 +75,23 @@ class StatsSpec extends AnyFunSuite {
     assert(n == 50L && m == 0L)
   }
 
-  test("null-valued rows are excluded from both CDFs and sample counts") {
+  test("null-valued rows count toward sample sizes and ride bucket 0 (NULLS FIRST)") {
+    // reference stats.py:90-91 sizes the samples with get_row_count =
+    // COUNT(*), nulls INCLUDED; its cume_dist NULL placement is
+    // dialect-dependent — this engine deterministically sorts them first
     val df = mixDf(Seq(
       (Integer.valueOf(1), "x", null), (Integer.valueOf(2), "x", null),
       (null, "x", null), (Integer.valueOf(3), "x", null)))
     val r = DataRef(FrameSource(df, "ks_null_t"), Some(Seq("col_int")))
     val (d, n, m) = Stats.ks2SampleWithCounts(spark, r, r)
     assert(d == 0.0)
-    assert(n == 3L && m == 3L) // the NULL row does not count
+    assert(n == 4L && m == 4L) // COUNT(*) parity: the NULL row counts
+    // the NULL value is a point on the CDF axis with weight 1/4
+    val cross = Stats.crossCdf(spark, r, r, "v", "cdf")
+      .orderBy(org.apache.spark.sql.functions.col("cdf1"))
+      .collect()
+    assert(cross.length == 4)
+    assert(cross.head.isNullAt(0) && cross.head.getDouble(1) == 0.25)
   }
 
   test("CumSum: NULL order keys land in bucket 0 and keep their weight") {
