@@ -35,21 +35,27 @@ object Bench {
     * they sit far above the noise floor and repetition would triple the
     * driver's bench budget for no signal.
     */
+  /** (gate time, all raw run times incl. warm-up, first error). The gate
+    * time stays min/median (suppresses GC-noise false regressions) but the
+    * raw times are reported alongside so a PERSISTENT second-run slowdown —
+    * e.g. genuine memory pressure — remains visible in the artifact rather
+    * than being optimized away.
+    */
   private def timeQuery(
       spark: SparkSession,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-      dir: String): (Double, Option[String]) = {
+      dir: String): (Double, Seq[Double], Option[String]) = {
     val (tWarm, errWarm) = runOnce(spark, fn, dir)
-    if (errWarm.isDefined) (tWarm, errWarm)
+    if (errWarm.isDefined) (tWarm, Seq(tWarm), errWarm)
     else if (tWarm >= SlowCutoffSec) {
       // min of the two full runs: slow queries get no median, and a single
       // GC pause late in the JVM otherwise masquerades as a 6x regression
       // (observed: q_numeric_gaps 1.6 s in three runs, 12.9 s in one)
       val (t2, err2) = runOnce(spark, fn, dir)
-      (math.min(tWarm, t2), err2)
+      (math.min(tWarm, t2), Seq(tWarm, t2), err2)
     } else {
       val runs = Seq.fill(3)(runOnce(spark, fn, dir))
-      (runs.map(_._1).sorted.apply(1), runs.flatMap(_._2).headOption)
+      (runs.map(_._1).sorted.apply(1), tWarm +: runs.map(_._1), runs.flatMap(_._2).headOption)
     }
   }
 
@@ -71,14 +77,22 @@ object Bench {
     "q_repetition", "q_decontaminate", "q_stratified_sample",
     "q_pack_sequences",
     // rounds scale with component diameter, not corpus size — prove it
-    "q_dedup_clusters")
+    "q_dedup_clusters",
+    // banded capped buckets replaced the full-key self-join — prove the
+    // candidate volume no longer tracks n²
+    "q_embedding_neardup")
 
-  private def queriesJson(results: Iterable[(String, Double, Option[String])]): (String, String) = {
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+  private def queriesJson(
+      results: Iterable[(String, Double, Seq[Double], Option[String])])
+      : (String, String, String) = {
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val raw = results.map { case (k, _, rs, _) =>
+      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
-    (qs, errs)
+    (qs, raw, errs)
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,10 +106,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val (t, err) = timeQuery(spark, fn, sfDir)
-      (name, t, err)
+      val (t, raw, err) = timeQuery(spark, fn, sfDir)
+      (name, t, raw, err)
     }
-    val (qs, errs) = queriesJson(results)
+    val (qs, raw, errs) = queriesJson(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // secondary 10× leg (repo-local ScaleData output, or an explicit dir):
@@ -108,15 +122,26 @@ object Bench {
         val sub = SparkEntry.queries
           .filter { case (name, _) => Sf1Subset.contains(name) }
           .map { case (name, fn) =>
-            val (t, err) = timeQuery(spark, fn, sf1Dir)
-            (name, t, err)
+            val (t, raw1, err) = timeQuery(spark, fn, sf1Dir)
+            (name, t, raw1, err)
           }
-        val (q1, e1) = queriesJson(sub)
-        s""","sf1_dir":"${jsonEscape(sf1Dir)}","sf1_queries":$q1,"sf1_errors":$e1"""
+        val (q1, r1, e1) = queriesJson(sub)
+        s""","sf1_dir":"${jsonEscape(sf1Dir)}","sf1_queries":$q1,"sf1_raw":$r1,"sf1_errors":$e1"""
       }
 
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$sf1,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs$sf1,"sf":"$sfDir"}"""
+    println(json)
+    // stdout competes with sbt/log4j noise and has truncated a round artifact
+    // before — always persist the line to a file as well
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception => System.err.println(s"bench: could not write $outPath: $e")
+    }
     spark.stop()
   }
 }

@@ -1042,8 +1042,8 @@ object SparkEntry {
     * top-k and near-dup oracles; the hyperplane literals come from the SAME
     * deterministic LCG the Spark operators use.
     */
-  private def lshBucketExprSql: String = {
-    val planes = graft.ops.Similarity.hyperplanes(bits = 8, dim = 64)
+  private def lshBucketExprSql(bits: Int = 8): String = {
+    val planes = graft.ops.Similarity.hyperplanes(bits, dim = 64)
     planes.zipWithIndex.map { case (p, i) =>
       val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")
       s"CASE WHEN list_dot_product(e, [$arr]) > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END"
@@ -1051,7 +1051,7 @@ object SparkEntry {
   }
 
   private def lshOracleSql: String = {
-    val bucketExpr = lshBucketExprSql
+    val bucketExpr = lshBucketExprSql()
     val probeList = (0 until 8).map(i => s"xor(bucket, (1::BIGINT << $i))").mkString(", ")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
             b AS (SELECT vec_id, e,
@@ -1103,18 +1103,32 @@ object SparkEntry {
 
   private def trainingOracles: Map[String, String] = Map(
     "q_embedding_lsh" -> lshOracleSql,
-    // embedding near-dup pairs: same deterministic sign-bit buckets, pairs
-    // within a bucket at rounded cosine >= 0.35 (membership on the
-    // COARSE round-3 value: the flip window at a rounding midpoint shrinks
-    // with the grid, so a last-ulp engine divergence is ~1e-13 per pair)
+    // embedding near-dup pairs: the same deterministic 32 sign bits BANDED
+    // into 4×8-bit sub-keys with the 1000-member bucket cap (mirrors the
+    // SimHash oracle's chunked/sizes/pairs shape); candidates are DISTINCT
+    // pairs agreeing on any band, then exact-cosine verified. Membership is
+    // on the COARSE rounded value: the flip window at a rounding midpoint
+    // shrinks with the grid, so a last-ulp engine divergence is ~1e-13/pair.
     "q_embedding_neardup" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             b AS (SELECT vec_id, e,
-                  ($lshBucketExprSql) AS bucket FROM v)
-         SELECT a.vec_id AS id1, b2.vec_id AS id2,
-                round(list_cosine_similarity(a.e, b2.e), 6) AS cosine
-         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-         WHERE round(list_cosine_similarity(a.e, b2.e), 3) >= 0.35""",
+             k AS (SELECT vec_id, e,
+                  (${lshBucketExprSql(bits = 32)}) AS key FROM v),
+             banded AS (SELECT vec_id, bd.band AS band,
+                          (key >> (bd.band * 8)) & 255 AS bucket
+                        FROM k, (SELECT unnest([0,1,2,3]) AS band) bd),
+             sizes AS (SELECT band, bucket, count(*) AS n
+                       FROM banded GROUP BY 1, 2),
+             pairs AS (SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+                       FROM banded a
+                       JOIN banded b2 ON a.band = b2.band
+                         AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+                       JOIN sizes s ON s.band = a.band AND s.bucket = a.bucket
+                         AND s.n BETWEEN 2 AND 1000)
+         SELECT p.id1, p.id2,
+                round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+         FROM pairs p JOIN v va ON p.id1 = va.vec_id
+                      JOIN v vb ON p.id2 = vb.vec_id
+         WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
     "q_text_stats" ->
       s"""SELECT doc_id,

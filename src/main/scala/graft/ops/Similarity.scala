@@ -292,27 +292,83 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Sign-bit width for `embeddingNearDups` scaled to the corpus: per-band
+    * bucket count tracks corpusSize/256 so the EXPECTED bucket size stays
+    * roughly constant as the corpus grows (the `maxBucketSize` cap handles
+    * the tail). Clamped to [8, 15] bits per band — 15·bands must stay < 64
+    * for the single-long key.
+    */
+  def nearDupBits(corpusSize: Long, bands: Int = 4): Int = {
+    val target  = math.max(1L, corpusSize / 256L)
+    val perBand = 64 - java.lang.Long.numberOfLeadingZeros(target)
+    math.min(15, math.max(8, perBand)) * bands
+  }
+
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
-    * via the LSH buckets — the embedding flavor of `Dedup.minhashNearDups`.
-    * Exact within a bucket; multi-probe trades recall for candidate volume.
+    * via BANDED sign-bit LSH — the embedding flavor of
+    * `Dedup.minhashNearDups`, with the same two scale guards:
+    *
+    *   - the `bits` sign bits are split into `bands` independent sub-keys;
+    *     a pair is a candidate if it agrees on ALL bits of ANY band (union
+    *     of `bands` narrow bucket joins, not one join on the full key).
+    *     Recall for near-identical vectors is `1-(1-p^w)^bands` (p = per-bit
+    *     agreement, w = bits/bands) — strictly above a single full-width
+    *     key's `p^w`, while candidate volume per band is ~n²/2^w before
+    *     the cap;
+    *   - a (band, bucket) cell with more than `maxBucketSize` members is
+    *     dropped (`collect_list`-with-cap, exactly
+    *     `Dedup.lshCandidatePairs`' guard) — hot cells are where a bucket
+    *     join degenerates quadratic at corpus scale; a 100 TB corpus sets
+    *     `bits = nearDupBits(n)` so the average cell stays small and the
+    *     cap only trims pathological mass (near-constant vectors), which
+    *     exact dedup upstream should have removed anyway.
+    *
+    * Candidates are then verified with the exact cosine, so banding only
+    * affects recall, never precision.
     */
   def embeddingNearDups(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      bits: Int = 32,
+      dim: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > 0 && bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    val width = bits / bands
+    require(width * bands < 64, "banded key must fit a single long")
     val planes = hyperplanes(bits, dim)
     val keyed = vectors.select(
       col(idCol),
       col(vecCol).as("vec"),
-      lshKey(col(vecCol), planes).as("bucket"))
-    keyed.as("a")
-      .join(keyed.as("b"), col("a.bucket") === col("b.bucket") &&
-        col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("cosine", cosineF(col("a.vec"), col("b.vec")))
+      lshKey(col(vecCol), planes).as("key"))
+    val mask = (1L << width) - 1L
+    val banded = keyed.select(
+      col(idCol),
+      explode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            call_function("shiftrightunsigned", col("key"), b * lit(width))
+              .bitwiseAND(lit(mask)).as("bucket"))))
+        .as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val candidates = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id1"), col("ids"))
+      .select(col("id1"), explode(col("ids")).as("id2"))
+      .where(col("id1") < col("id2"))
+      .distinct()
+    val sides = keyed.select(col(idCol), col("vec"))
+    candidates
+      .join(sides.select(col(idCol).as("id1"), col("vec").as("v1")), "id1")
+      .join(sides.select(col(idCol).as("id2"), col("vec").as("v2")), "id2")
+      .withColumn("cosine", cosineF(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("cosine"))
+      .select(col("id1"), col("id2"), col("cosine"))
   }
 }

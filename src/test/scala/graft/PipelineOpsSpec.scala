@@ -219,6 +219,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
 
+  test("embeddingNearDups: banded LSH finds planted near-dups with exact precision") {
+    val base = (0 until 64).map(i => math.sin(i + 1).toFloat)
+    def perturbed(eps: Float, at: Int): Seq[Float] = base.updated(at, base(at) + eps)
+    val df = vecs(
+      1L  -> base,
+      2L  -> perturbed(0.01f, 3),
+      3L  -> perturbed(-0.02f, 7),
+      10L -> (0 until 64).map(i => math.cos(3 * i + 0.5).toFloat),
+      11L -> (0 until 64).map(i => (((i * 37 + 11) % 13) - 6).toFloat))
+    val rows = Similarity
+      .embeddingNearDups(df, "vec_id", "embedding", threshold = 0.99)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // candidates are exact-verified: no reported cosine can sit below threshold
+    assert(rows.forall(_.getDouble(2) >= 0.99))
+  }
+
+  test("embeddingNearDups: a bucket above maxBucketSize is dropped, not exploded") {
+    // identical vectors: every band's bucket holds the whole corpus
+    val base = (0 until 64).map(i => math.sin(i + 1).toFloat)
+    val df = vecs((1L to 50L).map(id => id -> base): _*)
+    val capped = Similarity
+      .embeddingNearDups(df, "vec_id", "embedding", threshold = 0.5, maxBucketSize = 10)
+      .count()
+    assert(capped == 0, "a hot bucket above the cap must be dropped")
+    val uncapped = Similarity
+      .embeddingNearDups(df, "vec_id", "embedding", threshold = 0.5, maxBucketSize = 1000)
+      .count()
+    assert(uncapped == 50L * 49 / 2)
+  }
+
+  test("nearDupBits widens with corpus size and stays in the single-long key") {
+    assert(Similarity.nearDupBits(1000L) == 32)            // floor: 8 bits/band
+    assert(Similarity.nearDupBits(1L << 40) == 60)          // ceiling: 15 bits/band
+    assert(Similarity.nearDupBits(10_000_000L) > Similarity.nearDupBits(10_000L))
+    assert(Similarity.nearDupBits(Long.MaxValue) < 64)
+  }
+
   // --- multimodal ----------------------------------------------------------
   test("multimodal: format sniffing + stub feature extraction plumbing") {
     val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2, 3)

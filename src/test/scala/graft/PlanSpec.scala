@@ -120,6 +120,26 @@ class PlanSpec extends AnyFunSuite {
       s"interpreted HOF dot crept back into the bucketing key:\n$plan")
   }
 
+  test("embedding near-dup candidates come from banded capped buckets, not a key self-join") {
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qe = Similarity
+      .embeddingNearDups(vectors, "vec_id", "embedding", threshold = 0.35)
+      .queryExecution
+    val optimized = qe.optimizedPlan.toString
+    assert(optimized.contains("plane_sign_bits"), s"native sign-bit kernel missing:\n$optimized")
+    assert(optimized.contains("collect_list"), s"capped bucket aggregation missing:\n$optimized")
+    // candidate generation must aggregate (band, bucket) cells and explode
+    // them under the size cap; no join may key on the raw sign-bit bucket —
+    // that is the quadratic n²/2^bits shape this operator replaced
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    assert(
+      !joins.exists(_.condition.exists(_.toString.toLowerCase.contains("bucket"))),
+      s"a join keyed on the sign-bit bucket crept back in:\n$optimized")
+  }
+
   test("dedup spread repartitions an under-split corpus up to defaultParallelism") {
     spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$dir/documents.parquet") // single split
