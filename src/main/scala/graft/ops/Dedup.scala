@@ -405,31 +405,53 @@ object Dedup {
     * dedup pipeline runs after pair generation, so "keep one doc per
     * cluster" is a groupBy away instead of a greedy per-pair guess.
     *
-    * Min-label propagation: labels start as own id; each round takes the
-    * min over neighbors (one key-partitioned join + one aggregate, both
-    * map-side-combining). A label travels one hop per round, so rounds =
-    * O(component diameter) — near-dup components are shallow stars/chains
-    * around a common source, a handful of rounds at any corpus scale. The
-    * driver sees one converged-yet count per round, never the labels. For
-    * adversarially deep general graphs, swap in large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond") on
-    * the same DataFrame-only machinery.
+    * Min-label propagation with POINTER JUMPING: labels start as own id;
+    * each round takes (1) the min over neighbor labels (one key-partitioned
+    * join + one aggregate, both map-side-combining) and then (2) the label
+    * of its own label (`label ← label(label(v))`, one self-join of the
+    * label table). The jump doubles the distance a label has travelled, so
+    * rounds = O(log diameter) — a 1000-hop chain converges in ~10 rounds
+    * instead of 1000 (Shiloach-Vishkin's shortcut step on DataFrame-only
+    * machinery; large-star/small-star — Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" — would also bound per-round
+    * edge-copy volume, which near-dup graphs don't need). Labels only
+    * decrease and every label value is a component member's id, so the
+    * fixed point — label = component minimum — is identical to plain
+    * propagation; the jump changes round count, never the result. The
+    * driver sees one converged-yet count per round, never the labels.
     */
   def connectedComponents(
       pairs: DataFrame,
       id1: String = "id1",
       id2: String = "id2",
-      maxIters: Int = 25): DataFrame = {
-    val sym = pairs
+      maxIters: Int = 25,
+      jumpAfter: Int = 2): DataFrame = {
+    // EAGER localCheckpoint: pair generation upstream (LSH, inverted index)
+    // is the expensive part, and round 1 reads the edge set from several
+    // plan branches — a lazy cache would let those branches race and
+    // recompute it per branch. The checkpoint also pins the loop's plans to
+    // constant size (the jump self-join would otherwise DOUBLE the logical
+    // plan every round — analysis alone goes exponential). Superseded
+    // checkpoint blocks are reclaimed by the context cleaner once the
+    // previous frame goes unreferenced.
+    val t0 = System.nanoTime()
+    // materialize the DIRECTED pairs first: symmetrizing with unionAll
+    // embeds the (expensive — LSH / inverted-index) pair plan twice, and
+    // the two branches would recompute it per branch, racing any lazy
+    // cache inside it. One checkpoint = one pair-generation pass.
+    val half = pairs
       .select(col(id1).as("dj_src"), col(id2).as("dj_dst"))
-      .unionAll(pairs.select(col(id2).as("dj_src"), col(id1).as("dj_dst")))
+      .localCheckpoint()
+    val sym = half
+      .unionAll(half.select(col("dj_dst").as("dj_src"), col("dj_src").as("dj_dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(f"[cc] edge checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     var labels = sym
       .select(col("dj_src").as("dj_id"))
       .distinct()
       .withColumn("dj_label", col("dj_id"))
-      .cache()
     var iters = 0
     var done  = false
     while (!done && iters < maxIters) {
@@ -440,24 +462,50 @@ object Dedup {
         .groupBy("dj_src")
         .agg(min(col("dj_nl")).as("dj_nmin"))
         .select(col("dj_src").as("dj_id"), col("dj_nmin"))
-      // the change flag rides along with the label update — counting changed
-      // rows is then a scan of the cached frame, not another join against
-      // the previous labels (one fewer shuffle per round)
-      val next = labels
+      // hop: one edge-step of label propagation
+      val hopPlan = labels
         .join(nbrMin, Seq("dj_id"), "left")
         .select(
           col("dj_id"),
+          col("dj_label").as("dj_old"),
           least(col("dj_label"), coalesce(col("dj_nmin"), col("dj_label")))
-            .as("dj_label"),
-          (col("dj_nmin") < col("dj_label")).as("dj_changed"))
-        .cache()
+            .as("dj_hop"))
+      // Pointer jumping (label ← label-of-label) doubles the distance a
+      // label has travelled but costs a hop materialization + a self-join
+      // per round — pure overhead for the shallow star/clique components
+      // near-dup graphs actually produce (they converge in ≤ 2 hops). So
+      // the first `jumpAfter` rounds are plain hops; a graph still moving
+      // after that has a deep chain, and the jump caps the remaining
+      // rounds at O(log diameter).
+      val next = (if (iters < jumpAfter) {
+        hopPlan.select(
+          col("dj_id"),
+          col("dj_hop").as("dj_label"),
+          (col("dj_hop") < col("dj_old")).as("dj_changed"))
+      } else {
+        // the self-join reads hop from both sides: materialize it first so
+        // the edge join + aggregate run once, not once per side
+        val hop  = hopPlan.localCheckpoint()
+        val jump = hop.select(col("dj_id").as("dj_jkey"), col("dj_hop").as("dj_jump"))
+        hop
+          .join(jump, col("dj_hop") === col("dj_jkey"), "left")
+          .select(
+            col("dj_id"),
+            least(col("dj_hop"), coalesce(col("dj_jump"), col("dj_hop")))
+              .as("dj_label"),
+            (least(col("dj_hop"), coalesce(col("dj_jump"), col("dj_hop")))
+              < col("dj_old")).as("dj_changed"))
+      }).localCheckpoint()
+      // the change flag rides along with the label update — counting changed
+      // rows is then a scan of the materialized frame, not another join
+      // against the previous labels
       val changed = next.where(col("dj_changed")).count()
-      labels.unpersist()
-      // keep the CACHED frame itself (unpersist on a derived frame is a
-      // no-op); downstream selects name their columns, so the flag is pruned
       labels = next
       done = changed == 0
       iters += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(
+          f"[cc] round $iters: $changed labels changed, ${(System.nanoTime() - t0) / 1e9}%.1fs elapsed")
     }
     // a silently-wrong clustering is worse than an error: non-convergence
     // means components deeper than maxIters exist and labels are still
@@ -467,14 +515,11 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds — " +
           s"component diameter exceeds the bound; raise maxIters or use a " +
           s"star-contraction algorithm for deep graphs")
-    // eager local checkpoint materializes the result so both loop caches can
-    // be released here instead of leaking one entry per call (blocks are
-    // reclaimed by the context cleaner once the result is unreferenced)
-    val result = labels
+    // eager local checkpoint materializes the result so every loop
+    // checkpoint (sym, per-round labels) goes unreferenced here and its
+    // blocks are reclaimed by the context cleaner — no per-call leak
+    labels
       .select(col("dj_id").as("id"), col("dj_label").as("cluster_id"))
       .localCheckpoint()
-    labels.unpersist()
-    sym.unpersist()
-    result
   }
 }

@@ -76,6 +76,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents: pointer jumping makes rounds O(log diameter)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a 256-hop chain: plain one-hop propagation needs ~256 rounds and
+    // would blow the 15-round budget; the label-of-label jump doubles the
+    // travelled distance each round, so ~log2(256)+2 rounds suffice
+    val chain = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 256L).map(i => Row(i, i + 1)), 4),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+    val cc = Dedup.connectedComponents(chain, maxIters = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length == 257)
+    assert(cc.forall(_._2 == 0L), "every chain vertex must settle on the min label")
+  }
+
   test("PII scan: counts and redaction with typed placeholders") {
     val df = docs(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),
