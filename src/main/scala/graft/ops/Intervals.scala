@@ -108,8 +108,59 @@ object Intervals {
     dupAsViolations.union(distinctViolations)
   }
 
+  /** 1-D violating keys WITHOUT the pair self-join: one per-key window pass.
+    *
+    * Rows sort by (start ASC, end DESC) inside each key group. A key has an
+    * overlapping pair iff some row's start is reached by the running
+    * `max(end)` over the STRICTLY-PREVIOUS rows — the sweep-line argument:
+    * the leftmost member of any overlapping pair precedes the other in
+    * start order, and the running max dominates its end. Ties in start are
+    * why end sorts DESC: the self-join admits either row of an equal-start
+    * pair as t1, i.e. the pair overlaps iff the LARGER end reaches the
+    * shared start, and end-DESC puts that larger end into the earlier row
+    * (hence into the running max). Exact duplicates (scenario 1) are
+    * contiguous under this sort, so a null-safe lag comparison flags them
+    * in the same pass. NULL starts sort first and contribute NULL to the
+    * running max — a NULL comparison never flags in the self-join either.
+    *
+    * Only valid when the selection carries exactly key+start+end (extra
+    * payload columns change scenario 1's whole-row duplicate semantics) —
+    * `overlapResult` guards this and falls back to the join.
+    */
+  private[graft] def overlapFlags1D(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumn: String,
+      endColumn: String,
+      endIncluded: Boolean): DataFrame = {
+    val sel = ref.selection(spark)
+    val w     = Window.partitionBy(keyColumns.map(col): _*)
+      .orderBy(col(startColumn).asc, col(endColumn).desc)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val endOp: (Column, Column) => Column =
+      if (endIncluded) (a, b) => a >= b else (a, b) => a > b
+    val prevMax = max(when(col(startColumn).isNotNull, col(endColumn))).over(wPrev)
+    val dup = (col(startColumn) <=> lag(col(startColumn), 1).over(w)) &&
+      (col(endColumn) <=> lag(col(endColumn), 1).over(w))
+    sel
+      .withColumn(
+        "dj_flag",
+        coalesce(endOp(prevMax, col(startColumn)), lit(false)) || coalesce(dup, lit(false)))
+      .where(col("dj_flag"))
+      .select(keyColumns.map(col): _*)
+      .distinct()
+  }
+
   /** Count of distinct violating key groups over `overlapViolations`
     * (reference's `n_violations_selection`).
+    *
+    * The keyed 1-D case — the overwhelmingly common NoOverlap shape — takes
+    * the windowed single-pass count (`overlapFlags1D`): no pair self-join,
+    * so a key holding k mutually-overlapping intervals costs k log k local
+    * sort instead of k² join output. The self-join runs only for N-D /
+    * keyless semantics and for the violation SAMPLE — and the sample join
+    * is skipped entirely when the count says there is nothing to sample.
     */
   def overlapResult(
       spark: SparkSession,
@@ -118,19 +169,35 @@ object Intervals {
       startColumns: Seq[String],
       endColumns: Seq[String],
       endIncluded: Boolean): IntervalResult = {
-    // the self-join plan is the most expensive in the module and feeds BOTH
-    // the distinct-key count and the sample — persist across the two actions
-    val violations = overlapViolations(
-      spark, ref, keyColumns, startColumns, endColumns, endIncluded).cache()
-    try {
-      val grouped =
-        if (keyColumns.nonEmpty) violations.select(keyColumns.map(col): _*).distinct()
-        else violations.distinct()
+    val oneD = startColumns.length == 1 && keyColumns.nonEmpty &&
+      ref.selection(spark).columns.toSet ==
+        (keyColumns ++ startColumns ++ endColumns).toSet
+    if (oneD) {
+      val nViol = overlapFlags1D(
+        spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded).count()
+      val sample =
+        if (nViol == 0) None
+        else overlapViolations(
+          spark, ref, keyColumns, startColumns, endColumns, endIncluded).head(1).headOption
       IntervalResult(
-        nViolationKeys = grouped.count(),
+        nViolationKeys = nViol,
         nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
-        violationSample = violations.head(1).headOption)
-    } finally violations.unpersist()
+        violationSample = sample)
+    } else {
+      // the self-join plan is the most expensive in the module and feeds BOTH
+      // the distinct-key count and the sample — persist across the two actions
+      val violations = overlapViolations(
+        spark, ref, keyColumns, startColumns, endColumns, endIncluded).cache()
+      try {
+        val grouped =
+          if (keyColumns.nonEmpty) violations.select(keyColumns.map(col): _*).distinct()
+          else violations.distinct()
+        IntervalResult(
+          nViolationKeys = grouped.count(),
+          nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
+          violationSample = violations.head(1).headOption)
+      } finally violations.unpersist()
+    }
   }
 
   /** Distinct count of key tuples in the selection

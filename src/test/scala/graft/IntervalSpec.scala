@@ -60,6 +60,43 @@ class IntervalSpec extends AnyFunSuite {
     assert(res.violationSample.isDefined)
   }
 
+  test("1-D windowed overlap count matches the pair self-join on adversarial fixtures") {
+    import org.apache.spark.sql.functions.col
+    // the tie/degenerate taxonomy the sweep-line ordering must survive:
+    val df = numIntervalDf(Seq(
+      // equal starts, differing ends: overlap iff the LARGER end reaches the
+      // shared start (it always does) — either row may be t1 in the join
+      (10, 1.0, 5.0), (10, 1.0, 2.0),
+      // zero-length interval at another's start: endIncluded-only violation
+      (11, 1.0, 1.0), (11, 1.0, 3.0),
+      // exact duplicates (scenario 1) — flagged regardless of overlap math
+      (12, 4.0, 9.0), (12, 4.0, 9.0),
+      // INVERTED duplicate pair (end < start): never overlaps, still scenario 1
+      (13, 5.0, 2.0), (13, 5.0, 2.0),
+      // NULL start must neither flag nor poison the running max
+      (14, null, 9.0), (14, 1.0, 2.0), (14, 3.0, 4.0),
+      // chain where only the running max (not the previous row) overlaps
+      (15, 1.0, 10.0), (15, 2.0, 3.0), (15, 4.0, 5.0),
+      // clean key
+      (16, 1.0, 2.0), (16, 3.0, 4.0)))
+    val ref = DataRef(FrameSource(df, "adversarial_overlap"))
+    for (endIncluded <- Seq(true, false)) {
+      val joined = Intervals
+        .overlapViolations(
+          spark, ref, Seq("id1"), Seq("range_start"), Seq("range_end"), endIncluded)
+        .select(col("id1")).distinct().collect().map(_.getInt(0)).toSet
+      val windowed = Intervals
+        .overlapFlags1D(spark, ref, Seq("id1"), "range_start", "range_end", endIncluded)
+        .collect().map(_.getInt(0)).toSet
+      assert(windowed == joined,
+        s"endIncluded=$endIncluded: windowed $windowed != joined $joined")
+      val res = Intervals.overlapResult(
+        spark, ref, Seq("id1"), Seq("range_start"), Seq("range_end"), endIncluded)
+      assert(res.nViolationKeys == joined.size)
+      assert(res.violationSample.isDefined == joined.nonEmpty)
+    }
+  }
+
   private def gapDf = intervalDf(Seq(
     // key 1: single entry — no gap
     (1, "2016-01-01", "2016-01-10"),

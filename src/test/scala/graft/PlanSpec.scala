@@ -120,6 +120,30 @@ class PlanSpec extends AnyFunSuite {
       s"interpreted HOF dot crept back into the bucketing key:\n$plan")
   }
 
+  test("1-D overlap count path is one key-partitioned window, no self-join") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("l_orderkey"),
+        col("l_shipdate"),
+        date_add(col("l_shipdate"), 5).as("dj_end"))
+    val ref = DataRef(graft.core.FrameSource(df, "li_intervals"))
+    val qe = graft.ops.Intervals
+      .overlapFlags1D(spark, ref, Seq("l_orderkey"), "l_shipdate", "dj_end",
+        endIncluded = true)
+      .queryExecution
+    assert(
+      !qe.optimizedPlan.toString.contains("Join"),
+      s"the 1-D overlap count must not self-join:\n${qe.optimizedPlan}")
+    // string-level because AQE's wrapper hides children from collect()
+    val physical = qe.executedPlan.toString
+    // both window functions (running max + duplicate lag) share one sort:
+    // a single Window node, not a window per function
+    val windowNodes = "\\bWindow \\[".r.findAllIn(physical).size
+    assert(windowNodes == 1, s"expected ONE fused window node, got $windowNodes:\n$physical")
+    assert(physical.contains("windowspecdefinition(l_orderkey"),
+      s"window must be key-partitioned:\n$physical")
+  }
+
   test("embedding near-dup candidates come from banded capped buckets, not a key self-join") {
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
     val qe = Similarity
