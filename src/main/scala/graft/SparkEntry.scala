@@ -523,7 +523,8 @@ object SparkEntry {
     // q_simhash_md5 below)
     "q_simhash_pairs" -> { (s, dir) =>
       graft.ops.Dedup.simhashNearDups(
-        s.read.parquet(pq(dir, "documents")), "text", "doc_id", maxHamming = 10)
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id", maxHamming = 10)
+        .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
     },
 
     // SimHash banding/bucketing/Hamming pipeline with an md5-derived token
@@ -1070,24 +1071,11 @@ object SparkEntry {
        FROM ranked WHERE r <= 3"""
   }
 
-  /** DuckDB oracle for the md5-flavored SimHash pipeline: 64 per-bit vote
-    * aggregates generated programmatically; bit 63's mask is spelled as a
-    * subtraction because DuckDB rejects `1 << 63` as an overflow.
+  /** The banding / bucket-cap / Hamming-verify tail shared by both SimHash
+    * oracles, over a CTE `sk`(doc_id, simhash).
     */
-  private def simhashMd5OracleSql: String = {
-    def bitMask(b: Int): String =
-      if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
-    val votes = (0 until 64).map { b =>
-      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
-        s"THEN ${bitMask(b)} ELSE 0::BIGINT END"
-    }.mkString("\n                 + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
-                      FROM documents WHERE text IS NOT NULL),
-            hashed AS (SELECT doc_id,
-                         ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
-            sk AS (SELECT doc_id, ($votes) AS simhash
-                   FROM hashed GROUP BY doc_id),
-            chunked AS (SELECT doc_id, simhash, c.chunk,
+  private val simhashPairsTailSql: String =
+    s"""chunked AS (SELECT doc_id, simhash, c.chunk,
                           (simhash >> (c.chunk * 16)) & 65535 AS value
                         FROM sk, (SELECT unnest([0,1,2,3]) AS chunk) c),
             sizes AS (SELECT chunk, value, count(*) AS n FROM chunked GROUP BY 1, 2),
@@ -1099,10 +1087,181 @@ object SparkEntry {
                       JOIN sizes s ON s.chunk = a.chunk AND s.value = a.value
                         AND s.n BETWEEN 2 AND 1000)
        SELECT id1, id2, hamming::BIGINT AS hamming FROM pairs WHERE hamming <= 10"""
+
+  /** 64 per-bit vote aggregates over token-hash column `hcol`; bit 63's
+    * mask is spelled as a subtraction because DuckDB rejects `1 << 63` as
+    * an overflow.
+    */
+  private def simhashVotesSql(hcol: String): String = {
+    def bitMask(b: Int): String =
+      if (b == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $b)"
+    (0 until 64).map { b =>
+      s"CASE WHEN sum(CASE WHEN ($hcol >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN ${bitMask(b)} ELSE 0::BIGINT END"
+    }.mkString("\n                 + ")
+  }
+
+  /** Single-statement DuckDB spelling of Spark's `xxhash64` (XXH64, seed
+    * 42) over ASCII tokens — the full public algorithm (Y. Collet's spec):
+    * 32-byte stripe accumulators, merge rounds, 8/4/1-byte tails, final
+    * avalanche. Data-dependent loops become recursive CTEs; every value is
+    * a HUGEINT kept in [0, 2^64) with the wrapping 64×64 multiply split
+    * into 32-bit halves (a full product would overflow the signed 128-bit
+    * HUGEINT). Emits CTE `hashed`(doc_id, p, hv) with hv the SIGNED 64-bit
+    * value Spark reports. Needs `WITH RECURSIVE` and a `tokens` CTE
+    * providing (doc_id, p, t, n = length(t)).
+    */
+  private object XxhSql {
+    private val T  = "18446744073709551616" // 2^64
+    private val P1 = "11400714785074694791"
+    private val P2 = "14029467366897019727"
+    private val P3 = "1609587929392839161"
+    private val P4 = "9650029242287828579"
+    private val P5 = "2870177450012600261"
+    private val Seed = 42L
+
+    private def mult(a: String, b: String): String =
+      s"(((($a) * (($b) % 4294967296)) % $T" +
+        s" + (((($a) * (($b) // 4294967296)) % 4294967296) * 4294967296)) % $T)"
+
+    private def rotl(x: String, r: Int): String =
+      s"(((($x) * ${1L << r}) % $T) + (($x) // ${BigInt(1) << (64 - r)}))"
+
+    private def word(t: String, pos: String, bytes: Int): String =
+      (0 until bytes).map { j =>
+        s"ord(substr($t, ($pos) + $j, 1))::HUGEINT * ${1L << (8 * j)}"
+      }.mkString("(", " + ", ")")
+
+    // stripe round: v' = rotl(v + w*P2, 31) * P1
+    private def vStep(v: String, w: String): String =
+      mult(rotl(s"(($v + ${mult(w, P2)}) % $T)", 31), P1)
+
+    // merge round: h = (h XOR rotl(v*P2,31)*P1) * P1 + P4
+    private def mergeRound(h: String, v: String): String =
+      s"((${mult(s"xor($h, ${mult(rotl(mult(v, P2), 31), P1)})", P1)} + $P4) % $T)"
+
+    def chain(tokensCte: String): String = {
+      val bigP  = BigInt(1) << 64
+      val v1i = (BigInt(Seed) + BigInt(P1) + BigInt(P2)).mod(bigP)
+      val v2i = (BigInt(Seed) + BigInt(P2)).mod(bigP)
+      val v3i = BigInt(Seed)
+      val v4i = (BigInt(Seed) - BigInt(P1)).mod(bigP)
+      s"""stripes AS (
+   SELECT doc_id, p, t, n, 0::BIGINT AS i,
+          $v1i::HUGEINT AS v1, $v2i::HUGEINT AS v2,
+          $v3i::HUGEINT AS v3, $v4i::HUGEINT AS v4
+   FROM $tokensCte WHERE n >= 32
+   UNION ALL
+   SELECT doc_id, p, t, n, i + 32,
+          ${vStep("v1", word("t", "i + 1", 8))},
+          ${vStep("v2", word("t", "i + 9", 8))},
+          ${vStep("v3", word("t", "i + 17", 8))},
+          ${vStep("v4", word("t", "i + 25", 8))}
+   FROM stripes WHERE i + 32 <= n),
+ merged AS (
+   SELECT doc_id, p, t, n, i AS pos,
+          ${mergeRound(
+             mergeRound(
+               mergeRound(
+                 mergeRound(
+                   s"((${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $T)",
+                   "v1"),
+                 "v2"),
+               "v3"),
+             "v4")} AS h
+   FROM stripes WHERE i + 32 > n),
+ lenadj AS (
+   SELECT doc_id, p, t, n, pos, ((h + n) % $T) AS h FROM merged
+   UNION ALL
+   SELECT doc_id, p, t, n, 0::BIGINT AS pos,
+          (($Seed + $P5 + n) % $T) AS h
+   FROM $tokensCte WHERE n < 32),
+ w8loop AS (
+   SELECT doc_id, p, t, n, pos, h FROM lenadj
+   UNION ALL
+   SELECT doc_id, p, t, n, pos + 8,
+          ((${mult(rotl(s"xor(h, ${mult(rotl(mult(word("t", "pos + 1", 8), P2), 31), P1)})", 27), P1)} + $P4) % $T)
+   FROM (SELECT doc_id, p, t, n, pos, h FROM w8loop WHERE pos + 8 <= n) z),
+ w4done AS (
+   SELECT doc_id, p, t, n,
+          CASE WHEN pos + 4 <= n THEN pos + 4 ELSE pos END AS pos,
+          CASE WHEN pos + 4 <= n
+               THEN ((${mult(rotl(s"xor(h, ${mult(word("t", "pos + 1", 4), P1)})", 23), P2)} + $P3) % $T)
+               ELSE h END AS h
+   FROM w8loop WHERE pos + 8 > n),
+ bloop AS (
+   SELECT doc_id, p, t, n, pos, h FROM w4done
+   UNION ALL
+   SELECT doc_id, p, t, n, pos + 1,
+          ${mult(rotl(s"xor(h, (${mult("ord(substr(t, pos + 1, 1))::HUGEINT", P5)}))", 11), P1)}
+   FROM (SELECT doc_id, p, t, n, pos, h FROM bloop WHERE pos < n) z),
+ aval1 AS (SELECT doc_id, p, ${mult("xor(h, h // 8589934592)", P2)} AS h
+           FROM bloop WHERE pos >= n),
+ aval2 AS (SELECT doc_id, p, ${mult("xor(h, h // 536870912)", P3)} AS h FROM aval1),
+ hashed AS (
+   SELECT doc_id, p,
+          CASE WHEN xor(h, h // 4294967296) >= 9223372036854775808::HUGEINT
+               THEN (xor(h, h // 4294967296) - $T)::BIGINT
+               ELSE xor(h, h // 4294967296)::BIGINT END AS hv
+   FROM aval2)"""
+    }
+  }
+
+  /** Full-hash DuckDB oracle for the PRODUCTION SimHash path: the token
+    * hash is Spark's own xxhash64, re-derived in SQL (`XxhSql`), so
+    * `q_simhash_pairs` no longer needs a rows-only concession.
+    */
+  private def simhashXxhOracleSql: String =
+    s"""WITH RECURSIVE
+            d AS (SELECT doc_id, $normSql AS norm FROM documents
+                  WHERE text IS NOT NULL),
+            tok AS (SELECT doc_id,
+                      unnest(string_split(norm, ' ')) AS t,
+                      unnest(range(1, len(string_split(norm, ' ')) + 1)) AS p
+                    FROM d),
+            tokn AS (SELECT doc_id, p, t, length(t)::BIGINT AS n FROM tok),
+            ${XxhSql.chain("tokn")},
+            sk AS (SELECT doc_id, (${simhashVotesSql("hv")}) AS simhash
+                   FROM hashed GROUP BY doc_id),
+            $simhashPairsTailSql"""
+
+  /** DuckDB oracle for the md5-flavored SimHash pipeline. */
+  private def simhashMd5OracleSql: String = {
+    val votes = simhashVotesSql("h")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+                      FROM documents WHERE text IS NOT NULL),
+            hashed AS (SELECT doc_id,
+                         ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM toks),
+            sk AS (SELECT doc_id, ($votes) AS simhash
+                   FROM hashed GROUP BY doc_id),
+            $simhashPairsTailSql"""
+  }
+
+  /** Inlined positional hex parse of the first 6 md5 digits of column
+    * `hcol` scaled to [0,1) — the DuckDB spelling of `decodeStub`'s
+    * feature arithmetic (24-bit dyadic fractions are exact in both
+    * engines' float types, so round-6 agrees bit-for-bit).
+    */
+  private def stubFeatureSql(hcol: String): String = {
+    val digits = (1 to 6).map { p =>
+      s"(strpos('0123456789abcdef', substr($hcol, $p, 1)) - 1) * ${1L << (4 * (6 - p))}"
+    }.mkString("\n                 + ")
+    s"round(($digits) / 16777216.0, 6)"
   }
 
   private def trainingOracles: Map[String, String] = Map(
     "q_embedding_lsh" -> lshOracleSql,
+    // stub feature path: feature i = first 24 bits of md5(payload ++ ":i")
+    // — fully recomputable from the text bytes (NULL text decodes as empty)
+    "q_multimodal_features" ->
+      s"""WITH h AS (SELECT doc_id,
+                  md5(coalesce(text, '') || ':0') AS h0,
+                  md5(coalesce(text, '') || ':7') AS h7
+                FROM documents)
+         SELECT doc_id,
+                ${stubFeatureSql("h0")} AS f0,
+                ${stubFeatureSql("h7")} AS f7
+         FROM h""",
     // embedding near-dup pairs: the same deterministic 32 sign bits BANDED
     // into 4×8-bit sub-keys with the 1000-member bucket cap (mirrors the
     // SimHash oracle's chunked/sizes/pairs shape); candidates are DISTINCT
@@ -1130,6 +1289,7 @@ object SparkEntry {
                       JOIN v vb ON p.id2 = vb.vec_id
          WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
+    "q_simhash_pairs" -> simhashXxhOracleSql,
     "q_text_stats" ->
       s"""SELECT doc_id,
                  len(string_split($normSql, ' '))::BIGINT AS n_tokens,

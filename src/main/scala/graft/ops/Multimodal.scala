@@ -388,8 +388,14 @@ object Multimodal {
 
   /** STUB decode for payloads neither ImageIO nor the WAV parser can read
     * (compressed audio / video — those codecs are environment-blocked):
-    * deterministic pseudo-features from the payload bytes. Features are
-    * hashes of byte slices, normalized to [0,1).
+    * deterministic pseudo-features from the payload bytes.
+    *
+    * Feature i is the first 24 bits of `md5(payload ++ ":i")` scaled to
+    * [0,1). The arithmetic is deliberately CROSS-ENGINE recomputable: any
+    * SQL engine with an md5 function reproduces it bit-exactly
+    * (`md5(p || ':' || i)` → first 6 hex digits → /2^24), and a 24-bit
+    * dyadic fraction is exactly representable in BOTH Float and Double, so
+    * no rounding divergence can creep in between the engines.
     */
   def decodeStub(payload0: Array[Byte], dim: Int): Array[Float] = {
     // ??? <- real video / compressed-audio decoder goes here; image payloads
@@ -398,13 +404,16 @@ object Multimodal {
     // end-to-end for the rest. NULL payloads decode as
     // empty (a missing asset must not kill the task).
     val payload = if (payload0 == null) Array.emptyByteArray else payload0
+    val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
-      var h = 1125899906842597L + i
-      var j = i
-      while (j < payload.length) { h = 31 * h + payload(j); j += dim }
-      out(i) = math.abs(h % 1000003L).toFloat / 1000003f
+      md.reset()
+      md.update(payload)
+      md.update(s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      val k = ((d(0) & 255) << 16) | ((d(1) & 255) << 8) | (d(2) & 255)
+      out(i) = k.toFloat / 16777216f
       i += 1
     }
     out
