@@ -15,22 +15,35 @@ object Skew {
     * [0, saltBuckets); the small side is replicated once per salt value.
     * The hot key's rows spread over `saltBuckets` reducers instead of one.
     *
-    * The salt is `monotonically_increasing_id % buckets` — correctness
-    * never depends on WHICH salt a row gets (the small side carries every
-    * salt value), so the id's retry/partitioning instability is harmless,
-    * and unlike a full-row hash it spreads even a hot key made of
-    * byte-identical duplicate rows (the normal pre-dedup corpus state,
-    * where every copy would hash to the same bucket) and can't trip over
-    * unhashable column types (maps).
+    * Salt choice:
+    *   - With `idCol` (any stable, reasonably-unique column): the salt is
+    *     `pmod(xxhash64(idCol), buckets)` — fully DETERMINISTIC, so a stage
+    *     recomputed after a shuffle-fetch failure reproduces the same
+    *     mapping. Prefer this whenever an id exists.
+    *   - Without: `monotonically_increasing_id % buckets`, which spreads
+    *     even byte-identical duplicate rows of a hot key (the normal
+    *     pre-dedup corpus state, where any content hash puts every copy in
+    *     one bucket) and can't trip over unhashable column types (maps).
+    *     CAVEAT: the id is Spark-NONDETERMINISTIC — if a map stage is
+    *     recomputed after a fetch failure, re-salted rows can land in
+    *     different buckets than already-fetched map output (the
+    *     SPARK-23207 class of hazard), duplicating or dropping rows
+    *     relative to a clean run. An INNER join's result set is the same
+    *     either way only if the whole stage retries atomically; rely on
+    *     the id salt only where the join output is re-derived
+    *     idempotently, or pass `idCol`.
     */
   def saltedJoin(
       skewed: DataFrame,
       small: DataFrame,
       keys: Seq[String],
-      saltBuckets: Int = 16): DataFrame = {
-    val saltedLeft = skewed.withColumn(
-      "dj_salt",
-      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int"))
+      saltBuckets: Int = 16,
+      idCol: Option[String] = None): DataFrame = {
+    val saltExpr = idCol match {
+      case Some(id) => pmod(xxhash64(col(id)), lit(saltBuckets.toLong)).cast("int")
+      case None     => pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)).cast("int")
+    }
+    val saltedLeft = skewed.withColumn("dj_salt", saltExpr)
     val replicatedRight = small
       .withColumn("dj_salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedLeft
@@ -39,18 +52,22 @@ object Skew {
   }
 
   /** Heavy-hitter keys: keys covering strictly more than `threshold` of all
-    * rows — the diagnosis step before salting. One scan of `df` (the
-    * grouped counts are cached and the total derives from them), and the
-    * threshold compares exactly — no floor/clamp, so a 50-row frame at 1%
-    * does not report every key as hot.
+    * rows — the diagnosis step before salting. The threshold compares
+    * exactly — no floor/clamp, so a 50-row frame at 1% does not report
+    * every key as hot.
+    *
+    * No cache: the total is one eager aggregate job and the returned frame
+    * re-derives the groupBy when consumed — two single-scan aggregates,
+    * the same work the former cache-and-keep version did, without pinning
+    * an RDD the caller could never release (each diagnosis call was
+    * leaking one cache entry until clearCache).
     */
   def heavyHitters(
       df: DataFrame,
       keys: Seq[String],
       threshold: Double = 0.01): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*)
+    def counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
-      .cache()
     val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
     counts
       .where(col("n_rows") > lit(total * threshold))

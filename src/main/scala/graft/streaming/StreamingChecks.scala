@@ -82,7 +82,14 @@ object StreamingChecks {
     * min/max to NaN, the IEEE answer, instead of vanishing); `maxEventMs`
     * is the largest event time EVER seen for the key (Long.MinValue before
     * the first one) — kept in state so late or null-event-time batches can
-    * never move the eviction timeout earlier. */
+    * never move the eviction timeout earlier.
+    *
+    * STATE-SCHEMA COMPATIBILITY: this case class IS the state-store encoder
+    * schema. Adding `nVal` was a breaking change — a `runningKeyProfile`
+    * query restored from a checkpoint written before it will fail or
+    * misread state; restart such queries from a fresh checkpoint. Any
+    * future field change carries the same cost (version the class or map
+    * the state forward explicitly if live-upgrade ever matters). */
   final case class KeyRunningState(
       n: Long,
       nNull: Long,

@@ -41,6 +41,25 @@ class SkewSpec extends AnyFunSuite {
     assert(Skew.saltedJoin(skewed, small, Seq("k"), 8).count() == plain)
   }
 
+  test("salted join with idCol: deterministic salt, same join semantics") {
+    import spark.implicits._
+    val skewed = ((1 to 90).map(i => (1, i.toLong, s"v$i")) ++
+      (1 to 10).map(i => (i + 1, (100 + i).toLong, "x"))).toDF("k", "rid", "payload")
+    val small = Seq((1, "one"), (2, "two")).toDF("k", "name")
+    val plain = skewed.join(small, "k").select("k", "rid", "name")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(skewed, small, Seq("k"), 8, idCol = Some("rid"))
+      .select("k", "rid", "name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    // the deterministic salt really spreads the hot key across buckets
+    val spread = skewed
+      .withColumn("dj_salt", pmod(xxhash64(col("rid")), lit(8L)).cast("int"))
+      .where(col("k") === 1)
+      .select(countDistinct(col("dj_salt"))).head().getLong(0)
+    assert(spread > 1, s"hot key must span multiple salt buckets, got $spread")
+  }
+
   test("heavyHitters flags the hot key only") {
     import spark.implicits._
     val df = ((1 to 90).map(_ => 1) ++ (2 to 11)).toDF("k")
