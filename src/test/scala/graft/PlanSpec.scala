@@ -120,6 +120,17 @@ class PlanSpec extends AnyFunSuite {
       s"interpreted HOF dot crept back into the bucketing key:\n$plan")
   }
 
+  test("session posture: AQE + skew-join + skewed-partition rebalance stay enabled") {
+    // the 100x-scale posture must not be config-dependent: every graft
+    // session (Verify/Bench/Smoke build plain local sessions; the library
+    // never overrides these) inherits Spark's adaptive defaults — pin them
+    // so a future config "tweak" that silently disables runtime skew
+    // handling fails loudly here
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
+  }
+
   test("1-D overlap count path is one key-partitioned window, no self-join") {
     val df = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(

@@ -41,6 +41,34 @@ class SkewSpec extends AnyFunSuite {
     assert(Skew.saltedJoin(skewed, small, Seq("k"), 8).count() == plain)
   }
 
+  test("minhash verification join tolerates a planted 10x skewed bucket") {
+    import spark.implicits._
+    // one boilerplate template shared by 40 docs -> every LSH band buckets
+    // them together, so doc ids in that cluster carry ~10x the candidate
+    // pairs of the 4 unrelated docs: the classic hot verification key.
+    // The pipeline must neither error nor lose pairs — banded buckets stay
+    // under the cap and the exact-Jaccard verify filters precisely.
+    val template = "the quick brown fox jumps over the lazy dog while the band plays on"
+    val hot = (1 to 40).map(i => (i.toLong, s"$template edition $i"))
+    val cold = Seq(
+      (101L, "completely unrelated text about spark physical planning"),
+      (102L, "another separate document mentioning adaptive execution"),
+      (103L, "grocery list apples oranges bananas pears plums"),
+      (104L, "weather report heavy rain expected tomorrow evening"))
+    val df = (hot ++ cold).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup
+      .minhashNearDups(df, "text", "doc_id", threshold = 0.5)
+      .collect()
+    val hotIds = (1L to 40L).toSet
+    // every hot pair is near-identical (shared 5-gram mass >> threshold):
+    // all C(40,2) pairs must survive, none involving a cold doc
+    assert(pairs.forall(r => hotIds.contains(r.getLong(0)) && hotIds.contains(r.getLong(1))))
+    assert(pairs.length == 40 * 39 / 2,
+      s"expected every hot pair to survive the skewed bucket, got ${pairs.length}")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    spark.catalog.clearCache()
+  }
+
   test("salted join with idCol: deterministic salt, same join semantics") {
     import spark.implicits._
     val skewed = ((1 to 90).map(i => (1, i.toLong, s"v$i")) ++
