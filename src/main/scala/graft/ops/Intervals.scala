@@ -108,20 +108,31 @@ object Intervals {
     dupAsViolations.union(distinctViolations)
   }
 
-  /** 1-D violating keys WITHOUT the pair self-join: one per-key window pass.
+  /** 1-D violating keys WITHOUT the pair self-join: aggregate to
+    * (key, start) groups, then one per-key window pass — provably the same
+    * key set the self-join flags, case-split on the pair's start order:
     *
-    * Rows sort by (start ASC, end DESC) inside each key group. A key has an
-    * overlapping pair iff some row's start is reached by the running
-    * `max(end)` over the STRICTLY-PREVIOUS rows — the sweep-line argument:
-    * the leftmost member of any overlapping pair precedes the other in
-    * start order, and the running max dominates its end. Ties in start are
-    * why end sorts DESC: the self-join admits either row of an equal-start
-    * pair as t1, i.e. the pair overlaps iff the LARGER end reaches the
-    * shared start, and end-DESC puts that larger end into the earlier row
-    * (hence into the running max). Exact duplicates (scenario 1) are
-    * contiguous under this sort, so a null-safe lag comparison flags them
-    * in the same pass. NULL starts sort first and contribute NULL to the
-    * running max — a NULL comparison never flags in the self-join either.
+    *   - strictly different starts: the inequality clause holds via the
+    *     starts alone, so the pair violates iff the earlier row's end
+    *     reaches the later start — detected by the running
+    *     `max(non-null end)` over STRICTLY-EARLIER start groups (sweep
+    *     line; a ROWS frame is exact here because grouping left one row
+    *     per start value);
+    *   - equal starts, different rows: the self-join admits either row as
+    *     t1 and the inequality needs the ends to differ NON-NULL-ly
+    *     (`e =!= NULL` is NULL, which filters out — so an (s, e)/(s, NULL)
+    *     pair is NOT a violation), i.e. the group violates iff it holds
+    *     ≥ 2 distinct non-null ends and the largest reaches the shared
+    *     start;
+    *   - identical rows (scenario 1): any (key, start, end) multiplicity
+    *     ≥ 2, NULLs equal — the grouped count.
+    *
+    * NULL starts never pair in the join (every comparison is NULL): their
+    * group is excluded from the running max and its own tests evaluate
+    * NULL → false; only the duplicate test can flag it, matching
+    * `Ops.duplicates`. The pre-aggregation also shrinks the window input
+    * to one row per (key, start, end) BEFORE the sort — at scale the
+    * window never sees the raw row count.
     *
     * Only valid when the selection carries exactly key+start+end (extra
     * payload columns change scenario 1's whole-row duplicate semantics) —
@@ -135,18 +146,29 @@ object Intervals {
       endColumn: String,
       endIncluded: Boolean): DataFrame = {
     val sel = ref.selection(spark)
-    val w     = Window.partitionBy(keyColumns.map(col): _*)
-      .orderBy(col(startColumn).asc, col(endColumn).desc)
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val endOp: (Column, Column) => Column =
       if (endIncluded) (a, b) => a >= b else (a, b) => a > b
-    val prevMax = max(when(col(startColumn).isNotNull, col(endColumn))).over(wPrev)
-    val dup = (col(startColumn) <=> lag(col(startColumn), 1).over(w)) &&
-      (col(endColumn) <=> lag(col(endColumn), 1).over(w))
-    sel
+    val rowGroups = sel
+      .groupBy((keyColumns :+ startColumn :+ endColumn).map(col): _*)
+      .agg(count(lit(1)).as("dj_n"))
+    val startGroups = rowGroups
+      .groupBy((keyColumns :+ startColumn).map(col): _*)
+      .agg(
+        max(col(endColumn)).as("dj_gmax"),
+        count(col(endColumn)).as("dj_n_ends"), // rows here are distinct ends
+        max((col("dj_n") > 1).cast("int")).as("dj_dup"))
+    val wPrev = Window.partitionBy(keyColumns.map(col): _*)
+      .orderBy(col(startColumn).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevStrictMax =
+      max(when(col(startColumn).isNotNull, col("dj_gmax"))).over(wPrev)
+    startGroups
       .withColumn(
         "dj_flag",
-        coalesce(endOp(prevMax, col(startColumn)), lit(false)) || coalesce(dup, lit(false)))
+        coalesce(endOp(prevStrictMax, col(startColumn)), lit(false)) ||
+          (col("dj_n_ends") >= 2 &&
+            coalesce(endOp(col("dj_gmax"), col(startColumn)), lit(false))) ||
+          (col("dj_dup") === 1))
       .where(col("dj_flag"))
       .select(keyColumns.map(col): _*)
       .distinct()

@@ -97,6 +97,34 @@ class IntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized 1-D overlap parity: window path == join path on seeded corpora") {
+    import org.apache.spark.sql.functions.col
+    // a dense seeded sweep over a SMALL value domain maximizes ties,
+    // duplicates, containment, and degenerate/inverted intervals — the
+    // cases where the sweep-line ordering could diverge from the self-join
+    for (seed <- 1 to 8; endIncluded <- Seq(true, false)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(60) {
+        val k = rnd.nextInt(6)
+        val s: java.lang.Double =
+          if (rnd.nextInt(12) == 0) null else rnd.nextInt(8).toDouble
+        val e: java.lang.Double =
+          if (rnd.nextInt(12) == 0) null else rnd.nextInt(8).toDouble
+        (Integer.valueOf(k), s, e)
+      }
+      val ref = DataRef(FrameSource(numIntervalDf(rows), s"rand_overlap_$seed"))
+      val joined = Intervals
+        .overlapViolations(
+          spark, ref, Seq("id1"), Seq("range_start"), Seq("range_end"), endIncluded)
+        .select(col("id1")).distinct().collect().map(_.getInt(0)).toSet
+      val windowed = Intervals
+        .overlapFlags1D(spark, ref, Seq("id1"), "range_start", "range_end", endIncluded)
+        .collect().map(_.getInt(0)).toSet
+      assert(windowed == joined,
+        s"seed=$seed endIncluded=$endIncluded: windowed $windowed != joined $joined")
+    }
+  }
+
   private def gapDf = intervalDf(Seq(
     // key 1: single entry — no gap
     (1, "2016-01-01", "2016-01-10"),
