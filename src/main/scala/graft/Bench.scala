@@ -80,7 +80,9 @@ object Bench {
     "q_dedup_clusters",
     // banded capped buckets replaced the full-key self-join — prove the
     // candidate volume no longer tracks n²
-    "q_embedding_neardup")
+    "q_embedding_neardup",
+    // paragraph explode + fingerprint shuffle + reassembly shuffle
+    "q_paragraph_dedup")
 
   private def queriesJson(
       results: Iterable[(String, Double, Seq[Double], Option[String])])

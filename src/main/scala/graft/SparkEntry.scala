@@ -486,6 +486,21 @@ object SparkEntry {
         .where(col("n_docs") > 1)
     },
 
+    // C4-style paragraph dedup: the corpus has no newlines, so the query
+    // synthesizes paragraph structure with a deterministic LITERAL replace
+    // (' table ' -> newline boundary; left-to-right non-overlapping scan,
+    // identical in both engines), then drops every repeated paragraph
+    // beyond its first (doc_id, position) occurrence and reassembles
+    "q_paragraph_dedup" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .withColumn(
+          "text",
+          expr("replace(text, ' table ', concat(chr(10), 'table '))"))
+      graft.ops.Dedup
+        .dedupParagraphs(docs, "text", "doc_id")
+        .select(col("doc_id"), col("text"))
+    },
+
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ops.Dedup
@@ -1415,6 +1430,23 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT substring(text, 1, 20) AS k, count(*) AS n_docs, min(doc_id) AS keep_id
          FROM documents GROUP BY 1 HAVING count(*) > 1""",
+    // paragraph dedup: same synthetic newline injection, first-occurrence
+    // by (doc_id, position), reassembly via ordered string_agg
+    "q_paragraph_dedup" ->
+      """WITH base AS (SELECT doc_id,
+                  replace(text, ' table ', chr(10) || 'table ') AS t
+                FROM documents WHERE text IS NOT NULL),
+            p AS (SELECT doc_id,
+                    unnest(string_split(t, chr(10))) AS para,
+                    unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+                  FROM base),
+            keyed AS (SELECT doc_id, pos, para, md5(para) AS fp,
+                        length(para) >= 1 AS ded FROM p),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY fp
+                         ORDER BY doc_id, pos) AS rn FROM keyed)
+         SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+         FROM ranked WHERE NOT ded OR rn = 1
+         GROUP BY doc_id""",
     "q_ngram_jaccard" -> jaccardSql,
     // transitive closure over the SAME pair set, min reachable id per vertex
     "q_dedup_clusters" ->

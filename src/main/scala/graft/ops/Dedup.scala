@@ -400,6 +400,55 @@ object Dedup {
       .distinct()
   }
 
+  /** C4/CCNet-style PARAGRAPH-level dedup: split each document on
+    * `delimiter`, drop every repetition of a paragraph beyond its first
+    * corpus occurrence (first = minimum (doc id, position) — deterministic
+    * under any partitioning), and reassemble the surviving paragraphs in
+    * document order. A document whose every paragraph is a repeat drops
+    * out of the output entirely (the curation-pipeline contract: fully
+    * boilerplate docs are removed, not emptied). Paragraphs shorter than
+    * `minParagraphChars` are structural (blank lines, headers) and are
+    * never deduplicated.
+    *
+    * Scale shape: first-occurrence is a partial-aggregated
+    * `groupBy(fingerprint).agg(min(struct(id, pos)))` — map-side combine
+    * absorbs a boilerplate paragraph repeated across half the corpus
+    * BEFORE the shuffle, the failure mode a window-over-fingerprint plan
+    * would hit head-on (every copy shuffled to one reducer). The join
+    * back on fingerprint is AQE-skew-splittable. Two shuffles total
+    * (fingerprint, then doc id for reassembly).
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delimiter: String = "\n",
+      minParagraphChars: Int = 1): DataFrame = {
+    val parts = spread(df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
+      .toDF(idCol, "dj_pos", "dj_para")
+    val keyed = parts
+      .withColumn("dj_fp", md5(col("dj_para").cast("binary")))
+      .withColumn("dj_dedupable", length(col("dj_para")) >= minParagraphChars)
+    val firsts = keyed
+      .where(col("dj_dedupable"))
+      .groupBy("dj_fp")
+      .agg(min(struct(col(idCol), col("dj_pos"))).as("dj_first"))
+    keyed
+      .join(firsts, Seq("dj_fp"), "left")
+      .where(!col("dj_dedupable") ||
+        struct(col(idCol), col("dj_pos")) === col("dj_first"))
+      .groupBy(idCol)
+      .agg(
+        concat_ws(
+          delimiter,
+          transform(
+            array_sort(collect_list(struct(col("dj_pos"), col("dj_para")))),
+            s => s.getField("dj_para"))).as(textCol))
+  }
+
   /** Connected components over near-dup pair edges → one row per vertex:
     * (`id`, `cluster_id` = minimum id in its component) — the step every
     * dedup pipeline runs after pair generation, so "keep one doc per

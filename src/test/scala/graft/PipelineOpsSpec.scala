@@ -91,6 +91,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc.forall(_._2 == 0L), "every chain vertex must settle on the min label")
   }
 
+  test("dedupParagraphs: first corpus occurrence survives, docs reassemble in order") {
+    val df = docs(
+      (1L, "alpha\nshared boilerplate\nbeta"),
+      (2L, "shared boilerplate\ngamma"),   // loses the repeat, keeps gamma
+      (3L, "shared boilerplate"),          // fully boilerplate -> dropped
+      (4L, "x\n\ny"))                      // blank paragraph is structural, kept
+    val out = Dedup.dedupParagraphs(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "alpha\nshared boilerplate\nbeta")
+    assert(out(2L) == "gamma")
+    assert(!out.contains(3L), "a fully-deduplicated document must drop out")
+    assert(out(4L) == "x\n\ny")
+  }
+
+  test("dedupParagraphs: minParagraphChars shields short lines; regex delimiters are quoted") {
+    val df = docs((1L, "ab|CHUNK|x|CHUNK|ab"), (2L, "ab|CHUNK|longer paragraph"))
+    // '|' must be treated literally (quoted), and 2-char paragraphs are
+    // structural at minParagraphChars=3: the repeated 'ab' all survive
+    val out = Dedup.dedupParagraphs(df, "text", "doc_id",
+        delimiter = "|CHUNK|", minParagraphChars = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "ab|CHUNK|x|CHUNK|ab")
+    assert(out(2L) == "ab|CHUNK|longer paragraph")
+  }
+
   test("PII scan: counts and redaction with typed placeholders") {
     val df = docs(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),

@@ -175,6 +175,21 @@ class PlanSpec extends AnyFunSuite {
       s"a join keyed on the sign-bit bucket crept back in:\n$optimized")
   }
 
+  test("paragraph dedup first-occurrence is a partial aggregate, not a fingerprint window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.ops.Dedup
+      .dedupParagraphs(docs, "text", "doc_id")
+      .queryExecution
+    // a window over the fingerprint would shuffle EVERY copy of a hot
+    // boilerplate paragraph to one reducer; the groupBy min gets map-side
+    // combine (partial_min before the exchange)
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("partial_min"),
+      s"first-occurrence must partial-aggregate before the shuffle:\n$physical")
+    assert(!physical.contains("windowspecdefinition(dj_fp"),
+      s"fingerprint window crept into paragraph dedup:\n$physical")
+  }
+
   test("dedup spread repartitions an under-split corpus up to defaultParallelism") {
     spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$dir/documents.parquet") // single split
