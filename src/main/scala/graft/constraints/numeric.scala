@@ -148,3 +148,46 @@ final case class NumericPercentile(
     (true, None)
   }
 }
+
+/** Approximate percentile within abs/rel deviation — beyond-reference,
+  * the one-pass sketch path (`percentile_approx`, t-digest-style): no
+  * per-value shuffle, `accuracy` trades memory for error (err <=
+  * 1/accuracy of rank). Use `NumericPercentile` when reference parity
+  * matters; use this when the column is 100 TB wide.
+  */
+final case class NumericPercentileApprox(
+    ref: DataRef,
+    percentage: Double,
+    refValue: Option[Double],
+    maxAbsoluteDeviation: Option[Double] = None,
+    maxRelativeDeviation: Option[Double] = None,
+    accuracy: Int = 10000,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    percentage >= 0 && percentage <= 100,
+    s"Expected percentage to be a value between 0 and 100, got $percentage.")
+  require(
+    maxAbsoluteDeviation.isDefined || maxRelativeDeviation.isDefined,
+    "At least one of 'maxAbsoluteDeviation' and 'maxRelativeDeviation' must be given.")
+  require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+
+  override def test(spark: SparkSession): TestResult = withPlans {
+    val target  = refValue.get
+    val factual = Ops.getPercentileApprox(spark, ref, percentage, accuracy)
+    val absDiff = math.abs(factual - target)
+    val absFail = maxAbsoluteDeviation.exists(absDiff > _)
+    val relFail = maxRelativeDeviation.exists { mrd =>
+      if (target == 0)
+        throw new IllegalArgumentException("Cannot compute relative deviation wrt 0.")
+      absDiff / math.abs(target) > mrd
+    }
+    if (!absFail && !relFail) TestResult.success(description)
+    else
+      TestResult.failure(
+        description,
+        s"The approximate $percentage-th percentile of ${ref.describe} was expected " +
+          s"to be $target but was $factual (accuracy=$accuracy, abs diff $absDiff). " +
+          conditionString)
+  }
+}

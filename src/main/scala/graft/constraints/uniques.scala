@@ -717,3 +717,32 @@ final case class CategoricalBound(
     }
   }
 }
+
+/** Approximate distinct-count budget via HyperLogLog++ — beyond-reference,
+  * the 100 TB path for uniqueness checking: one pass over the selection,
+  * bounded sketch memory, NO shuffle of the distinct tuples (the exact
+  * `NUniques*` constraints shuffle the whole distinct key set). `rsd` is
+  * the sketch's relative standard deviation; size [minUniques, maxUniques]
+  * with ~3·rsd slack for a hard gate.
+  */
+final case class NUniquesApproxBetween(
+    ref: graft.core.DataRef,
+    minUniques: Long,
+    maxUniques: Long,
+    rsd: Double = 0.05,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(minUniques >= 0 && maxUniques >= minUniques,
+    s"need 0 <= minUniques <= maxUniques, got [$minUniques, $maxUniques]")
+  require(rsd > 0 && rsd < 1, s"rsd must be in (0, 1), got $rsd")
+  override def test(spark: org.apache.spark.sql.SparkSession): graft.core.TestResult =
+    withPlans {
+      val f = graft.ops.Ops.getUniqueCountApprox(spark, ref, rsd)
+      if (f >= minUniques && f <= maxUniques) graft.core.TestResult.success(description)
+      else
+        graft.core.TestResult.failure(
+          description,
+          s"${ref.describe} has approximately $f unique(s) (HyperLogLog++, " +
+            s"rsd=$rsd), outside [$minUniques, $maxUniques]. $conditionString")
+    }
+}

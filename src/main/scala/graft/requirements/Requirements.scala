@@ -276,6 +276,44 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: one-pass sketch percentile (`percentile_approx`) —
+    * the scale path when the exact distributed rank machinery is
+    * unnecessary; `accuracy` bounds the rank error at 1/accuracy.
+    */
+  def addApproxNumericPercentileConstraint(
+      column: String,
+      percentage: Double,
+      expectedPercentile: Double,
+      maxAbsoluteDeviation: Option[Double] = None,
+      maxRelativeDeviation: Option[Double] = None,
+      accuracy: Int = 10000,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NumericPercentileApprox(
+      ref(Some(Seq(column)), condition), percentage,
+      refValue = Some(expectedPercentile),
+      maxAbsoluteDeviation = maxAbsoluteDeviation,
+      maxRelativeDeviation = maxRelativeDeviation,
+      accuracy = accuracy, nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: HyperLogLog++ distinct-count budget — one pass,
+    * bounded sketch memory, no shuffle of the distinct tuples; widen the
+    * bounds by ~3·rsd relative slack for a hard gate.
+    */
+  def addApproxNUniquesBetweenConstraint(
+      columns: Seq[String],
+      minUniques: Long,
+      maxUniques: Long,
+      rsd: Double = 0.05,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += NUniquesApproxBetween(
+      ref(Some(columns), condition), minUniques, maxUniques, rsd, nameOverride = name)
+    this
+  }
+
   def addDateMinConstraint(
       column: String,
       minValue: String,

@@ -66,8 +66,11 @@ class BuilderSurfaceSpec extends AnyFunSuite {
     r.addVarcharMaxLengthConstraint("col_varchar", 10)
     r.addGroupbyAggregationConstraint(Seq("col_varchar"), "col_int", tolerance = 1.0)
     r.addMaxNearDupFractionConstraint("col_varchar", maxFraction = 1.0)
+    r.addApproxNUniquesBetweenConstraint(Seq("col_int"), 1, 100)
+    r.addApproxNumericPercentileConstraint("col_int", 50, 10.0,
+      maxAbsoluteDeviation = Some(2.0))
     val results = r.test(spark)
-    assert(results.length == 34)
+    assert(results.length == 36)
     assert(results.forall(_.constraintDescription.nonEmpty))
   }
 

@@ -323,6 +323,25 @@ class ConstraintSpec extends AnyFunSuite {
     assert(!DateBetween(dRef, 0.6, "'2016-01-10'", "'2016-01-19'").test(spark).outcome)
   }
 
+  test("NUniquesApproxBetween: HLL count inside/outside widened bounds") {
+    // 19 distinct ints; HLL++ at default rsd is deterministic for a fixed
+    // input, and far inside a [10, 30] budget / far outside [100, 200]
+    assert(NUniquesApproxBetween(ref1, 10, 30).test(spark).outcome)
+    assert(!NUniquesApproxBetween(ref1, 100, 200).test(spark).outcome)
+    val fail = NUniquesApproxBetween(ref1, 100, 200).test(spark)
+    assert(fail.message.contains("approximately"))
+  }
+
+  test("NumericPercentileApprox: sketch median within deviation") {
+    // values 1..19: any sane sketch median is ~10
+    assert(NumericPercentileApprox(
+      ref1, 50, refValue = Some(10.0),
+      maxAbsoluteDeviation = Some(2.0)).test(spark).outcome)
+    assert(!NumericPercentileApprox(
+      ref1, 50, refValue = Some(100.0),
+      maxAbsoluteDeviation = Some(2.0)).test(spark).outcome)
+  }
+
   // --- requirements builder smoke ------------------------------------------
   test("WithinRequirement end-to-end (reference test_integration.py:69-73 shape)") {
     val req = WithinRequirement.fromDataFrame(int1, "int_table1")
