@@ -170,7 +170,12 @@ final case class NumericPercentileApprox(
   require(
     maxAbsoluteDeviation.isDefined || maxRelativeDeviation.isDefined,
     "At least one of 'maxAbsoluteDeviation' and 'maxRelativeDeviation' must be given.")
+  require(maxAbsoluteDeviation.forall(_ >= 0), "maxAbsoluteDeviation must be at least 0.")
+  require(maxRelativeDeviation.forall(_ >= 0), "maxRelativeDeviation must be at least 0.")
   require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+  require(refValue.isDefined,
+    "NumericPercentileApprox needs a literal expected percentile (refValue); " +
+      "for table-vs-table comparison use the exact NumericPercentile with ref2.")
 
   override def test(spark: SparkSession): TestResult = withPlans {
     val target  = refValue.get

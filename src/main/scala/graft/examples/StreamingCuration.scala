@@ -117,14 +117,5 @@ object StreamingCuration {
     spark.stop()
   }
 
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"'          => "\\\""
-      case '\\'         => "\\\\"
-      case '\n'         => "\\n"
-      case '\r'         => "\\r"
-      case '\t'         => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c            => c.toString
-    } + "\""
+  private def jsonStr(s: String): String = graft.core.JsonEscape.string(s)
 }

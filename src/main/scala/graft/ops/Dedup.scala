@@ -182,19 +182,36 @@ object Dedup {
     * a bucket with more than `maxBucketSize` docs is dropped (boilerplate
     * guard — at scale those would be quadratic; they are better handled by
     * the exact-dedup pass that precedes MinHash).
+    *
+    * COUNT-FIRST capping: bucket sizes come from a count aggregate
+    * (map-side partial, constant memory), the cap filters bucket KEYS,
+    * and only surviving-bucket rows enter the within-bucket self-join —
+    * so a pathological bucket never materializes anywhere (the previous
+    * `collect_list`-then-filter spelling built the full id array in one
+    * aggregation buffer BEFORE the size check could drop it). The
+    * self-join is bounded by construction: every key holds ≤
+    * `maxBucketSize` rows per side.
     */
   def lshCandidatePairs(
-      buckets: DataFrame,
+      buckets0: DataFrame,
       idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sized = buckets
+    // the bucket frame is read THREE times below (size count + both
+    // self-join sides) and upstream it embeds the signature computation —
+    // materialize once ((id, band, bucket) rows, ~24 bytes each; blocks
+    // are reclaimed once the returned candidates go unreferenced)
+    val buckets = buckets0.localCheckpoint()
+    val sizes = buckets
       .groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
-    sized
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
+      .agg(count(lit(1)).as("dj_bn"))
+      .where(col("dj_bn").between(2, maxBucketSize))
+      .select("band", "bucket")
+    val ok = buckets.join(sizes, Seq("band", "bucket"))
+    ok.select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(ok.select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
       .where(col("id1") < col("id2"))
+      .select("id1", "id2")
       .distinct()
   }
 
@@ -222,11 +239,18 @@ object Dedup {
     // low-similarity bulk BEFORE the exact set intersection.
     val estCutoff = math.max(0.0, threshold - 0.25)
     import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
+    // shuffle-hash with the candidate PAIRS as build side: the checkpointed
+    // candidates carry no size statistics, and without the hint the planner
+    // broadcasts `sides` — the whole corpus' shingle arrays through the
+    // driver. Candidates are the small side by construction (capped
+    // buckets); building their hash map per partition is cheap.
     candidates
+      .hint("shuffle_hash")
       .join(
         sides.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"),
           col("signature").as("sig1")),
         "id1")
+      .hint("shuffle_hash")
       .join(
         sides.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"),
           col("signature").as("sig2")),
@@ -383,19 +407,26 @@ object Dedup {
               c.as("chunk"),
               call_function("shiftright", col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("value")))).as("cc"))
       .select(col(idCol), col("simhash"), col("cc.chunk"), col("cc.value"))
-    // cap hot chunk buckets (boilerplate guard, same rationale as MinHash LSH)
-    val bucketed = chunked
+    // cap hot chunk buckets (boilerplate guard, same rationale as MinHash
+    // LSH): COUNT-FIRST — the cap filters bucket keys off a constant-memory
+    // count aggregate; a pathological bucket never materializes as an
+    // array (see `lshCandidatePairs`), and the within-bucket self-join is
+    // bounded at maxBucketSize rows per key per side
+    val sizes = chunked
       .groupBy("chunk", "value")
-      .agg(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).as("members"))
-      .where(size(col("members")).between(2, maxBucketSize))
-    bucketed
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .where(col("a.id") < col("b.id"))
+      .agg(count(lit(1)).as("dj_bn"))
+      .where(col("dj_bn").between(2, maxBucketSize))
+      .select("chunk", "value")
+    val ok = chunked.join(sizes, Seq("chunk", "value"))
+    ok.select(col("chunk"), col("value"), col(idCol).as("id1"), col("simhash").as("sh1"))
+      .join(
+        ok.select(col("chunk"), col("value"), col(idCol).as("id2"), col("simhash").as("sh2")),
+        Seq("chunk", "value"))
+      .where(col("id1") < col("id2"))
       .select(
-        col("a.id").as("id1"),
-        col("b.id").as("id2"),
-        expr("bit_count(a.sh ^ b.sh)").as("hamming"))
+        col("id1"),
+        col("id2"),
+        expr("bit_count(sh1 ^ sh2)").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -495,6 +526,7 @@ object Dedup {
       .unionAll(half.select(col("dj_dst").as("dj_src"), col("dj_src").as("dj_dst")))
       .distinct()
       .localCheckpoint()
+    releaseCheckpoint(half) // sym is materialized; the directed half is dead
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] edge checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     var labels = sym
@@ -526,6 +558,7 @@ object Dedup {
       // the first `jumpAfter` rounds are plain hops; a graph still moving
       // after that has a deep chain, and the jump caps the remaining
       // rounds at O(log diameter).
+      var roundHop: Option[DataFrame] = None
       val next = (if (iters < jumpAfter) {
         hopPlan.select(
           col("dj_id"),
@@ -535,6 +568,7 @@ object Dedup {
         // the self-join reads hop from both sides: materialize it first so
         // the edge join + aggregate run once, not once per side
         val hop  = hopPlan.localCheckpoint()
+        roundHop = Some(hop)
         val jump = hop.select(col("dj_id").as("dj_jkey"), col("dj_hop").as("dj_jump"))
         hop
           .join(jump, col("dj_hop") === col("dj_jkey"), "left")
@@ -549,6 +583,16 @@ object Dedup {
       // rows is then a scan of the materialized frame, not another join
       // against the previous labels
       val changed = next.where(col("dj_changed")).count()
+      // `next` is materialized, so the previous round's checkpoint blocks
+      // (and this round's hop, if the jump ran) are dead — release them
+      // NOW instead of waiting for a driver GC to trigger the context
+      // cleaner (a long-lived driver looping over corpora would otherwise
+      // accumulate O(rounds · |labels|) dead blocks per call). Release
+      // only targets a frame whose plan ROOT is the checkpoint RDD —
+      // round-1 `labels` is a plain derivation over `sym`, and a deep
+      // match would wrongly unpersist the still-needed edge checkpoint.
+      releaseCheckpoint(labels)
+      roundHop.foreach(releaseCheckpoint)
       labels = next
       done = changed == 0
       iters += 1
@@ -564,11 +608,25 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds — " +
           s"component diameter exceeds the bound; raise maxIters or use a " +
           s"star-contraction algorithm for deep graphs")
-    // eager local checkpoint materializes the result so every loop
-    // checkpoint (sym, per-round labels) goes unreferenced here and its
-    // blocks are reclaimed by the context cleaner — no per-call leak
-    labels
+    // eager local checkpoint materializes the result, then the loop's
+    // remaining checkpoints (edge set, final round's labels) are released
+    // explicitly — nothing waits on a driver GC
+    val result = labels
       .select(col("dj_id").as("id"), col("dj_label").as("cluster_id"))
       .localCheckpoint()
+    releaseCheckpoint(labels)
+    releaseCheckpoint(sym)
+    result
   }
+
+  /** Unpersist the RDD behind an eagerly-localCheckpoint'd frame. Matches
+    * ONLY a plan whose root is the checkpoint's `LogicalRDD` — a no-op for
+    * derived frames, so callers can pass either without deep-plan matching
+    * ever touching an upstream checkpoint that is still live.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _                                             => ()
+    }
 }

@@ -130,9 +130,14 @@ object Intervals {
     * NULL starts never pair in the join (every comparison is NULL): their
     * group is excluded from the running max and its own tests evaluate
     * NULL → false; only the duplicate test can flag it, matching
-    * `Ops.duplicates`. The pre-aggregation also shrinks the window input
-    * to one row per (key, start, end) BEFORE the sort — at scale the
-    * window never sees the raw row count.
+    * `Ops.duplicates`. NULL KEYS likewise: the self-join's key equality is
+    * NULL for them, so scenario 2 can never fire inside a NULL-key group —
+    * both scenario-2 terms are gated on every key column being non-null
+    * (the window still groups NULLs together, which is exactly what the
+    * DUPLICATE path wants: `Ops.duplicates` groups NULL-safely). The
+    * pre-aggregation also shrinks the window input to one row per
+    * (key, start, end) BEFORE the sort — at scale the window never sees
+    * the raw row count.
     *
     * Only valid when the selection carries exactly key+start+end (extra
     * payload columns change scenario 1's whole-row duplicate semantics) —
@@ -162,12 +167,14 @@ object Intervals {
       .rowsBetween(Window.unboundedPreceding, -1)
     val prevStrictMax =
       max(when(col(startColumn).isNotNull, col("dj_gmax"))).over(wPrev)
+    val keysNonNull = keyColumns.map(col(_).isNotNull).reduce(_ && _)
     startGroups
       .withColumn(
         "dj_flag",
-        coalesce(endOp(prevStrictMax, col(startColumn)), lit(false)) ||
-          (col("dj_n_ends") >= 2 &&
-            coalesce(endOp(col("dj_gmax"), col(startColumn)), lit(false))) ||
+        (keysNonNull &&
+          (coalesce(endOp(prevStrictMax, col(startColumn)), lit(false)) ||
+            (col("dj_n_ends") >= 2 &&
+              coalesce(endOp(col("dj_gmax"), col(startColumn)), lit(false))))) ||
           (col("dj_dup") === 1))
       .where(col("dj_flag"))
       .select(keyColumns.map(col): _*)

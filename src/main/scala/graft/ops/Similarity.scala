@@ -295,13 +295,17 @@ object Similarity {
   /** Sign-bit width for `embeddingNearDups` scaled to the corpus: per-band
     * bucket count tracks corpusSize/256 so the EXPECTED bucket size stays
     * roughly constant as the corpus grows (the `maxBucketSize` cap handles
-    * the tail). Clamped to [8, 15] bits per band — 15·bands must stay < 64
-    * for the single-long key.
+    * the tail). Per-band width is clamped to [8, 15] bits AND to what the
+    * single-long key can hold (`width·bands < 64` — the hard cap wins over
+    * the 8-bit floor at bands ≥ 8), so the result always satisfies
+    * `embeddingNearDups`' own require for the same `bands`.
     */
   def nearDupBits(corpusSize: Long, bands: Int = 4): Int = {
+    require(bands > 0 && bands < 64, s"bands must be in [1, 63], got $bands")
     val target  = math.max(1L, corpusSize / 256L)
     val perBand = 64 - java.lang.Long.numberOfLeadingZeros(target)
-    math.min(15, math.max(8, perBand)) * bands
+    val hardCap = (64 - 1) / bands // width*bands < 64
+    math.min(hardCap, math.min(15, math.max(8, perBand))) * bands
   }
 
   /** Embedding-cosine near-duplicate pairs (id1 < id2, cosine >= threshold)
@@ -316,8 +320,8 @@ object Similarity {
     *     key's `p^w`, while candidate volume per band is ~n²/2^w before
     *     the cap;
     *   - a (band, bucket) cell with more than `maxBucketSize` members is
-    *     dropped (`collect_list`-with-cap, exactly
-    *     `Dedup.lshCandidatePairs`' guard) — hot cells are where a bucket
+    *     dropped (count-first cap, exactly `Dedup.lshCandidatePairs`'
+    *     guard) — hot cells are where a bucket
     *     join degenerates quadratic at corpus scale; a 100 TB corpus sets
     *     `bits = nearDupBits(n)` so the average cell stays small and the
     *     cap only trims pathological mass (near-constant vectors), which
@@ -344,6 +348,9 @@ object Similarity {
       col(vecCol).as("vec"),
       lshKey(col(vecCol), planes).as("key"))
     val mask = (1L << width) - 1L
+    // materialized once: read three times by the count-first machinery,
+    // and recomputing it would re-run the sign-bit kernel over the corpus
+    // per reference
     val banded = keyed.select(
       col(idCol),
       explode(
@@ -355,17 +362,33 @@ object Similarity {
               .bitwiseAND(lit(mask)).as("bucket"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val candidates = banded
+      .localCheckpoint()
+    // COUNT-FIRST capping (see Dedup.lshCandidatePairs): the cap filters
+    // bucket keys off a constant-memory count aggregate, so a hot cell
+    // never materializes as an array, and the within-bucket self-join is
+    // bounded at maxBucketSize rows per key per side
+    val sizes = banded
       .groupBy("band", "bucket")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(col("ids")).as("id1"), col("ids"))
-      .select(col("id1"), explode(col("ids")).as("id2"))
+      .agg(count(lit(1)).as("dj_bn"))
+      .where(col("dj_bn").between(2, maxBucketSize))
+      .select("band", "bucket")
+    val ok = banded.join(sizes, Seq("band", "bucket"))
+    val candidates = ok
+      .select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(
+        ok.select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
       .where(col("id1") < col("id2"))
+      .select("id1", "id2")
       .distinct()
     val sides = keyed.select(col(idCol), col("vec"))
+    // shuffle-hash with the pairs as build side: the checkpointed banded
+    // frame leaves candidates without size statistics, and the planner
+    // would otherwise broadcast the corpus' vectors (see minhashNearDups)
     candidates
+      .hint("shuffle_hash")
       .join(sides.select(col(idCol).as("id1"), col("vec").as("v1")), "id1")
+      .hint("shuffle_hash")
       .join(sides.select(col(idCol).as("id2"), col("vec").as("v2")), "id2")
       .withColumn("cosine", cosineF(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)

@@ -56,18 +56,21 @@ object Skew {
     * exactly — no floor/clamp, so a 50-row frame at 1% does not report
     * every key as hot.
     *
-    * No cache: the total is one eager aggregate job and the returned frame
-    * re-derives the groupBy when consumed — two single-scan aggregates,
-    * the same work the former cache-and-keep version did, without pinning
-    * an RDD the caller could never release (each diagnosis call was
-    * leaking one cache entry until clearCache).
+    * One input scan: the grouped counts are materialized by an eager
+    * localCheckpoint (key-cardinality-sized, far smaller than the input),
+    * the total reads that, and the returned frame filters it — the raw
+    * input is never re-scanned. Unlike the former `.cache()` (which pinned
+    * an entry the caller could never release — one leak per diagnosis call
+    * until clearCache), checkpoint blocks are reclaimed by the context
+    * cleaner once the returned frame goes unreferenced.
     */
   def heavyHitters(
       df: DataFrame,
       keys: Seq[String],
       threshold: Double = 0.01): DataFrame = {
-    def counts = df.groupBy(keys.map(col): _*)
+    val counts = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint()
     val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
     counts
       .where(col("n_rows") > lit(total * threshold))

@@ -105,21 +105,26 @@ class IntervalSpec extends AnyFunSuite {
     for (seed <- 1 to 8; endIncluded <- Seq(true, false)) {
       val rnd = new scala.util.Random(seed)
       val rows = Seq.fill(60) {
-        val k = rnd.nextInt(6)
+        // NULL keys included: the self-join's key equality is NULL for
+        // them, so only exact duplicates may flag a NULL-key group
+        val k: Integer =
+          if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(6))
         val s: java.lang.Double =
           if (rnd.nextInt(12) == 0) null else rnd.nextInt(8).toDouble
         val e: java.lang.Double =
           if (rnd.nextInt(12) == 0) null else rnd.nextInt(8).toDouble
-        (Integer.valueOf(k), s, e)
+        (k, s, e)
       }
       val ref = DataRef(FrameSource(numIntervalDf(rows), s"rand_overlap_$seed"))
+      def keyOf(r: org.apache.spark.sql.Row): Option[Int] =
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
       val joined = Intervals
         .overlapViolations(
           spark, ref, Seq("id1"), Seq("range_start"), Seq("range_end"), endIncluded)
-        .select(col("id1")).distinct().collect().map(_.getInt(0)).toSet
+        .select(col("id1")).distinct().collect().map(keyOf).toSet
       val windowed = Intervals
         .overlapFlags1D(spark, ref, Seq("id1"), "range_start", "range_end", endIncluded)
-        .collect().map(_.getInt(0)).toSet
+        .collect().map(keyOf).toSet
       assert(windowed == joined,
         s"seed=$seed endIncluded=$endIncluded: windowed $windowed != joined $joined")
     }
