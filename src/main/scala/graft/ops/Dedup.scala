@@ -232,33 +232,66 @@ object Dedup {
     // materialization
     val signed     = minhashed(df, textCol, idCol, shingleK, numHashes)
     val candidates = lshCandidatePairs(lshBuckets(signed, idCol, bands), idCol)
-    val sides      = signed.select(col(idCol), col("shingle_hashes"), col("signature"))
+      .localCheckpoint()
+    val nCand = candidates.count()
+    val sides = signed.select(col(idCol), col("shingle_hashes"), col("signature"))
     // Signature-agreement prefilter: E[matching fraction] = Jaccard with
     // σ = sqrt(j(1-j)/numHashes) ≈ 0.06 at 64 hashes, so a 0.25 margin below
     // the threshold keeps true pairs with ~4σ headroom while discarding the
     // low-similarity bulk BEFORE the exact set intersection.
     val estCutoff = math.max(0.0, threshold - 0.25)
     import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
-    // shuffle-hash with the candidate PAIRS as build side: the checkpointed
-    // candidates carry no size statistics, and without the hint the planner
-    // broadcasts `sides` — the whole corpus' shingle arrays through the
-    // driver. Candidates are the small side by construction (capped
-    // buckets); building their hash map per partition is cheap.
-    candidates
-      .hint("shuffle_hash")
-      .join(
-        sides.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"),
-          col("signature").as("sig1")),
-        "id1")
-      .hint("shuffle_hash")
-      .join(
-        sides.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"),
-          col("signature").as("sig2")),
-        "id2")
+    Dedup
+      .verifyPairs(candidates, nCand, sides, idCol,
+        Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
       .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
       .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Join candidate pairs (id1, id2) back to per-id payload columns for
+    * exact verification, sized by the MEASURED candidate count:
+    *
+    *   - common case (`nCand` small): reduce `sides` to candidate ids
+    *     FIRST with a broadcast semi-join, so the verification joins touch
+    *     payload rows ∝ candidate volume — never the whole corpus — and
+    *     the pair side broadcasts;
+    *   - degenerate case (huge candidate set): shuffle-hash joins with the
+    *     pairs as build side — the stat-less checkpointed pairs would
+    *     otherwise make the planner broadcast the corpus' payloads.
+    *
+    * `payload` maps source column → output prefix (prefix+"1"/"2").
+    */
+  private[graft] def verifyPairs(
+      candidates: DataFrame,
+      nCand: Long,
+      sides: DataFrame,
+      idCol: String,
+      payload: Seq[(String, String)],
+      broadcastableCandidates: Long = 2000000L): DataFrame = {
+    def side(n: Int) = sides.select(
+      (col(idCol).as(s"id$n") +: payload.map { case (c, p) => col(c).as(s"$p$n") }): _*)
+    if (nCand <= broadcastableCandidates) {
+      val candIds = candidates
+        .select(explode(array(col("id1"), col("id2"))).as(idCol))
+        .distinct()
+      // the semi-join reduction stays INLINE (scan + broadcast semi, no
+      // materialization): each verification join re-derives it, which is
+      // one cheap pruned pass — a checkpoint here costs more than it saves
+      val needed = sides.join(broadcast(candIds), Seq(idCol), "left_semi")
+      def neededSide(n: Int) = needed.select(
+        (col(idCol).as(s"id$n") +: payload.map { case (c, p) => col(c).as(s"$p$n") }): _*)
+      broadcast(candidates)
+        .join(neededSide(1), "id1")
+        .join(neededSide(2), "id2")
+    } else {
+      candidates
+        .hint("shuffle_hash")
+        .join(side(1), "id1")
+        .hint("shuffle_hash")
+        .join(side(2), "id2")
+    }
   }
 
   /** n-gram Jaccard near-dup pairs: candidate pairs share at least one

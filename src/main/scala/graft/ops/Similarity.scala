@@ -381,15 +381,14 @@ object Similarity {
       .where(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
+    val checkpointed = candidates.localCheckpoint()
+    val nCand = checkpointed.count()
     val sides = keyed.select(col(idCol), col("vec"))
-    // shuffle-hash with the pairs as build side: the checkpointed banded
-    // frame leaves candidates without size statistics, and the planner
-    // would otherwise broadcast the corpus' vectors (see minhashNearDups)
-    candidates
-      .hint("shuffle_hash")
-      .join(sides.select(col(idCol).as("id1"), col("vec").as("v1")), "id1")
-      .hint("shuffle_hash")
-      .join(sides.select(col(idCol).as("id2"), col("vec").as("v2")), "id2")
+    // candidate-volume-sized verification (see Dedup.verifyPairs): reduce
+    // the vector side to candidate ids first in the common case; full
+    // shuffle-hash only for a degenerate candidate explosion
+    graft.ops.Dedup
+      .verifyPairs(checkpointed, nCand, sides, idCol, Seq("vec" -> "v"))
       .withColumn("cosine", cosineF(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))

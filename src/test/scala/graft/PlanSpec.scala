@@ -161,18 +161,29 @@ class PlanSpec extends AnyFunSuite {
       .embeddingNearDups(vectors, "vec_id", "embedding", threshold = 0.35)
       .queryExecution
     val optimized = qe.optimizedPlan.toString
-    // count-first cap: bucket sizes from a constant-memory count aggregate
-    // feeding the between filter; no id-array materialization anywhere (a
-    // collect_list would buffer a hot bucket BEFORE any size check), and
-    // the within-bucket self-join therefore only ever sees capped buckets.
-    // (the sign-bit kernel itself sits inside the materialized banded
-    // checkpoint — its plan is pinned by the lshTopK kernel test)
+    // candidate generation runs eagerly into a measured pair checkpoint;
+    // the final plan must verify from that LogicalRDD with the PAIR side
+    // as the broadcast/build side — never broadcast or array-materialize
+    // the corpus' vectors
     assert(!optimized.contains("collect_list"),
       s"bucket id-array materialization crept back in:\n$optimized")
-    assert(optimized.contains("dj_bn"),
-      s"count-first size filter missing from candidate generation:\n$optimized")
     assert(optimized.contains("LogicalRDD"),
-      s"banded buckets must be materialized once, not recomputed per reference:\n$optimized")
+      s"candidates must come from the measured pair checkpoint:\n$optimized")
+    assert(optimized.contains("strategy=broadcast"),
+      s"the pair side must be the broadcast side of verification:\n$optimized")
+  }
+
+  test("LSH candidate machinery is count-first capped, no id-array materialization") {
+    import spark.implicits._
+    val buckets = Seq((1L, 0, 10L), (2L, 0, 10L), (3L, 1, 11L))
+      .toDF("doc_id", "band", "bucket")
+    val plan = graft.ops.Dedup
+      .lshCandidatePairs(buckets, "doc_id")
+      .queryExecution.optimizedPlan.toString
+    // the cap must filter bucket KEYS off a count aggregate; a
+    // collect_list would buffer a hot bucket before any size check
+    assert(plan.contains("dj_bn"), s"count-first size filter missing:\n$plan")
+    assert(!plan.contains("collect_list"), s"id-array materialization:\n$plan")
   }
 
   test("paragraph dedup first-occurrence is a partial aggregate, not a fingerprint window") {
