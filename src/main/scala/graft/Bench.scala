@@ -82,7 +82,9 @@ object Bench {
     // candidate volume no longer tracks n²
     "q_embedding_neardup",
     // paragraph explode + fingerprint shuffle + reassembly shuffle
-    "q_paragraph_dedup")
+    "q_paragraph_dedup",
+    // cross-table bucket join + candidate-sized verification
+    "q_cross_neardup")
 
   private def queriesJson(
       results: Iterable[(String, Double, Seq[Double], Option[String])])

@@ -501,6 +501,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     },
 
+    // cross-corpus near-dup containment: even-id docs as "train", odd-id
+    // docs as "eval" — pairs across the split only. Same recall posture as
+    // q_minhash_dedup (64 hashes / 16 bands ≈ brute force on this corpus),
+    // so the exact cross inverted-index Jaccard is the oracle.
+    "q_cross_neardup" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Dedup.crossNearDups(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ops.Dedup
@@ -1465,6 +1478,24 @@ object SparkEntry {
                 count(*) FILTER (WHERE value IS NULL) AS n_null
          FROM events GROUP BY 1, 2""",
     "q_minhash_dedup" -> jaccardSql,
+    // exact cross inverted-index Jaccard between the even/odd doc_id halves
+    "q_cross_neardup" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+             sh AS (SELECT doc_id,
+                      list_distinct(list_filter(
+                        list_transform(range(0, greatest(length(t)-5, 0)+1),
+                                       i -> substring(t, i+1, 5)),
+                        s -> length(s) = 5)) AS shingles FROM d),
+             sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
+             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
+             inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
+             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+                        FROM inv a JOIN inv b ON a.s = b.s
+                          AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                        GROUP BY 1, 2)
+        SELECT id1, id2, round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
+        FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.6""",
     "q_embedding_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),

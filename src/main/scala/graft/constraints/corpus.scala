@@ -59,3 +59,59 @@ final case class MaxNearDupFraction(
         s"near-duplicate pairs (jaccard >= $jaccardThreshold) while only " +
         s"$targetPrefix$target were allowed to."))
 }
+
+/** Between-table near-dup containment budget: the fraction of `ref`'s
+  * documents (e.g. a training corpus) that have at least one near-duplicate
+  * in `ref2Required` (e.g. an evaluation suite) must stay ≤ the target —
+  * the declarable form of train/eval contamination checking, built on
+  * `Dedup.crossNearDups` (cross-table MinHash+LSH, exact Jaccard verify).
+  * Rows get ephemeral ids per side; only the participation count leaves
+  * the executors.
+  */
+final case class MaxCrossNearDupFraction(
+    ref: DataRef,
+    ref2Required: DataRef,
+    textColumn: String,
+    textColumn2: String,
+    refValue: Option[Double],
+    jaccardThreshold: Double = 0.9,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_cross_near_dup_fraction must lie within [0, 1] but is $refValue.")
+  require(
+    jaccardThreshold > 0 && jaccardThreshold <= 1,
+    s"jaccardThreshold must lie in (0, 1]: $jaccardThreshold")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    def prepared(r: DataRef, c: String) = r.selection(spark)
+      .select(col(c).as("dj_text"))
+      .where(col("dj_text").isNotNull)
+      .withColumn("dj_nid", monotonically_increasing_id())
+      // ids must be stable across the pair job's scans — materialize
+      .localCheckpoint()
+    val train = prepared(ref, textColumn)
+    val eval_ = prepared(ref2Required, textColumn2)
+    val total = train.count()
+    val factual =
+      if (total == 0L) 0.0
+      else {
+        val contaminated = Dedup
+          .crossNearDups(train, eval_, "dj_text", "dj_nid",
+            threshold = jaccardThreshold)
+          .select(col("id1")).distinct().count()
+        contaminated.toDouble / total
+      }
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe} documents have a near-duplicate " +
+          s"(jaccard >= $jaccardThreshold) in ${ref2Required.describe} while " +
+          s"only $target were allowed to.")
+  }
+}

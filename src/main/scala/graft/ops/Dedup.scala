@@ -242,7 +242,7 @@ object Dedup {
     val estCutoff = math.max(0.0, threshold - 0.25)
     import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
     Dedup
-      .verifyPairs(candidates, nCand, sides, idCol,
+      .verifyPairs(candidates, nCand, sides, sides, idCol,
         Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
       .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
       .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
@@ -253,45 +253,96 @@ object Dedup {
   /** Join candidate pairs (id1, id2) back to per-id payload columns for
     * exact verification, sized by the MEASURED candidate count:
     *
-    *   - common case (`nCand` small): reduce `sides` to candidate ids
-    *     FIRST with a broadcast semi-join, so the verification joins touch
-    *     payload rows ∝ candidate volume — never the whole corpus — and
-    *     the pair side broadcasts;
+    *   - common case (`nCand` small): reduce each payload side to its
+    *     candidate ids FIRST with a broadcast semi-join, so the
+    *     verification joins touch payload rows ∝ candidate volume — never
+    *     the whole corpus — and the pair side broadcasts;
     *   - degenerate case (huge candidate set): shuffle-hash joins with the
     *     pairs as build side — the stat-less checkpointed pairs would
     *     otherwise make the planner broadcast the corpus' payloads.
     *
-    * `payload` maps source column → output prefix (prefix+"1"/"2").
+    * `sides1` serves id1, `sides2` serves id2 (the same frame for
+    * within-corpus pairs, two frames for cross-corpus pairs). `payload`
+    * maps source column → output prefix (prefix+"1"/"2").
     */
   private[graft] def verifyPairs(
       candidates: DataFrame,
       nCand: Long,
-      sides: DataFrame,
+      sides1: DataFrame,
+      sides2: DataFrame,
       idCol: String,
       payload: Seq[(String, String)],
       broadcastableCandidates: Long = 2000000L): DataFrame = {
-    def side(n: Int) = sides.select(
+    def side(sides: DataFrame, n: Int) = sides.select(
       (col(idCol).as(s"id$n") +: payload.map { case (c, p) => col(c).as(s"$p$n") }): _*)
     if (nCand <= broadcastableCandidates) {
-      val candIds = candidates
-        .select(explode(array(col("id1"), col("id2"))).as(idCol))
-        .distinct()
       // the semi-join reduction stays INLINE (scan + broadcast semi, no
       // materialization): each verification join re-derives it, which is
       // one cheap pruned pass — a checkpoint here costs more than it saves
-      val needed = sides.join(broadcast(candIds), Seq(idCol), "left_semi")
-      def neededSide(n: Int) = needed.select(
-        (col(idCol).as(s"id$n") +: payload.map { case (c, p) => col(c).as(s"$p$n") }): _*)
+      def needed(sides: DataFrame, n: Int) = side(
+        sides.join(
+          broadcast(candidates.select(col(s"id$n").as(idCol)).distinct()),
+          Seq(idCol), "left_semi"),
+        n)
       broadcast(candidates)
-        .join(neededSide(1), "id1")
-        .join(neededSide(2), "id2")
+        .join(needed(sides1, 1), "id1")
+        .join(needed(sides2, 2), "id2")
     } else {
       candidates
         .hint("shuffle_hash")
-        .join(side(1), "id1")
+        .join(side(sides1, 1), "id1")
         .hint("shuffle_hash")
-        .join(side(2), "id2")
+        .join(side(sides2, 2), "id2")
     }
+  }
+
+  /** Cross-corpus near-duplicate pairs: (id1 ∈ dfA, id2 ∈ dfB, jaccard ≥
+    * threshold) — the train-vs-eval / corpus-vs-corpus containment check
+    * (e.g. "which training documents are near-dups of benchmark
+    * documents"). Same MinHash machinery as `minhashNearDups`, but the
+    * bucket join runs ACROSS the two tables only — no within-table pairs —
+    * and each side's hot buckets are capped independently (candidate
+    * volume per cell ≤ maxBucketSize², never |A|·|B|).
+    */
+  def crossNearDups(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val signedA = minhashed(dfA, textCol, idCol, shingleK, numHashes)
+    val signedB = minhashed(dfB, textCol, idCol, shingleK, numHashes)
+    def cappedBuckets(signed: DataFrame): DataFrame = {
+      val b = lshBuckets(signed, idCol, bands).localCheckpoint()
+      b.join(
+        b.groupBy("band", "bucket").agg(count(lit(1)).as("dj_bn"))
+          .where(col("dj_bn") <= maxBucketSize)
+          .select("band", "bucket"),
+        Seq("band", "bucket"))
+    }
+    val candidates = cappedBuckets(signedA)
+      .select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(
+        cappedBuckets(signedB).select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
+      .select("id1", "id2")
+      .distinct()
+      .localCheckpoint()
+    val nCand  = candidates.count()
+    def sides(signed: DataFrame) =
+      signed.select(col(idCol), col("shingle_hashes"), col("signature"))
+    val estCutoff = math.max(0.0, threshold - 0.25)
+    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
+    verifyPairs(candidates, nCand, sides(signedA), sides(signedB), idCol,
+      Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
+      .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
+      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** n-gram Jaccard near-dup pairs: candidate pairs share at least one

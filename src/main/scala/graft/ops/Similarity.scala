@@ -388,7 +388,7 @@ object Similarity {
     // the vector side to candidate ids first in the common case; full
     // shuffle-hash only for a degenerate candidate explosion
     graft.ops.Dedup
-      .verifyPairs(checkpointed, nCand, sides, idCol, Seq("vec" -> "v"))
+      .verifyPairs(checkpointed, nCand, sides, sides, idCol, Seq("vec" -> "v"))
       .withColumn("cosine", cosineF(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))

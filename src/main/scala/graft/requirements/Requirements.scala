@@ -938,6 +938,26 @@ final class BetweenRequirement private (
     this
   }
 
+  /** Beyond-reference: train/eval contamination budget — the fraction of
+    * the FIRST table's documents with a near-duplicate (cross-table
+    * MinHash+LSH, exact Jaccard ≥ `jaccardThreshold`) in the second table
+    * must stay ≤ `maxFraction`.
+    */
+  def addMaxCrossNearDupFractionConstraint(
+      column1: String,
+      column2: String,
+      maxFraction: Double,
+      jaccardThreshold: Double = 0.9,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxCrossNearDupFraction(
+      ref(Some(Seq(column1)), condition1), ref2(Some(Seq(column2)), condition2),
+      column1, column2, refValue = Some(maxFraction),
+      jaccardThreshold = jaccardThreshold, nameOverride = name)
+    this
+  }
+
   def addKs2SampleConstraint(
       column1: String,
       column2: String,

@@ -110,8 +110,10 @@ class BuilderSurfaceSpec extends AnyFunSuite {
     r.addRowMatchingEqualityConstraint(
       Seq("col_int"), Seq("col_int"), Seq("col_varchar"), Seq("col_varchar"), 1.0)
     r.addKs2SampleConstraint("col_int", "col_int")
+    r.addMaxCrossNearDupFractionConstraint("col_varchar", "col_varchar",
+      maxFraction = 1.0, jaccardThreshold = 0.6)
     val results = r.test(spark)
-    assert(results.length == 27)
+    assert(results.length == 28)
   }
 
   test("file sources: csv/json readers feed the same constraint machinery") {

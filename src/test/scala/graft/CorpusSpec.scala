@@ -206,6 +206,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(empty.test(spark).head.outcome)
   }
 
+  test("crossNearDups: pairs cross the tables only; contamination budget constraint") {
+    import graft.requirements.BetweenRequirement
+    val longA = "the quick brown fox jumps over the lazy dog near the warm " +
+      "windowsill every single morning without fail"
+    val longB = "an entirely different benchmark passage about distributed " +
+      "query planning and adaptive shuffle partitioning at petabyte scale"
+    // train: one doc near-identical to an eval doc, one clean, plus a pair
+    // of near-identical TRAIN docs (must NOT appear: within-table pair)
+    val train = docs(
+      1L -> longA.replace("morning", "evening"),
+      2L -> "clean text about parquet footers and column pruning strategies",
+      3L -> longB.replace("petabyte", "exabyte"),
+      4L -> longB.replace("petabyte", "zettabyte"))
+    val eval_ = docs(10L -> longA, 11L -> "totally unrelated evaluation prompt")
+    val pairs = graft.ops.Dedup
+      .crossNearDups(train, eval_, "text", "doc_id", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L)),
+      s"only the planted cross pair may surface (no within-table pairs): $pairs")
+
+    val req = BetweenRequirement.fromDataFrames(train, eval_, "train", "eval")
+    req.addMaxCrossNearDupFractionConstraint("text", "text",
+      maxFraction = 0.25, jaccardThreshold = 0.6)
+    req.addMaxCrossNearDupFractionConstraint("text", "text",
+      maxFraction = 0.1, jaccardThreshold = 0.6)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message) // 1 of 4 docs = 0.25
+    assert(!results(1).outcome)
+    assert(results(1).failureMessage.exists(_.contains("near-duplicate")))
+  }
+
   test("weightedMix: deterministic hash-rate membership, monotone in the rate") {
     val a = spark.range(0, 400).select(col("id").as("doc_id"))
     val b = spark.range(400, 800).select(col("id").as("doc_id"))
