@@ -1045,7 +1045,13 @@ object SparkEntry {
   private val normSql =
     "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +', ' ', 'g'))"
 
-  private val jaccardSql =
+  /** Exact inverted-index 5-gram Jaccard over `documents`, parameterized by
+    * the pair predicate: within-corpus (`a.doc_id < b.doc_id`) serves
+    * `q_ngram_jaccard` / `q_minhash_dedup` / the clustering CTE; the
+    * parity-split cross predicate serves `q_cross_neardup` — one CTE chain,
+    * no desynchronizable copies.
+    */
+  private def jaccardSqlWith(pairCond: String): String =
     s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
             sh AS (SELECT doc_id,
                      list_distinct(list_filter(
@@ -1056,11 +1062,13 @@ object SparkEntry {
             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
             inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-                       FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                       FROM inv a JOIN inv b ON a.s = b.s AND $pairCond
                        GROUP BY 1, 2)
        SELECT id1, id2, round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
        FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
        WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.6"""
+
+  private val jaccardSql = jaccardSqlWith("a.doc_id < b.doc_id")
 
   /** DuckDB oracle for the multi-probe LSH top-k: the hyperplane literals
     * are generated from the SAME deterministic LCG the Spark operator uses,
@@ -1480,22 +1488,7 @@ object SparkEntry {
     "q_minhash_dedup" -> jaccardSql,
     // exact cross inverted-index Jaccard between the even/odd doc_id halves
     "q_cross_neardup" ->
-      s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
-             sh AS (SELECT doc_id,
-                      list_distinct(list_filter(
-                        list_transform(range(0, greatest(length(t)-5, 0)+1),
-                                       i -> substring(t, i+1, 5)),
-                        s -> length(s) = 5)) AS shingles FROM d),
-             sh2 AS (SELECT * FROM sh WHERE len(shingles) > 0),
-             sizes AS (SELECT doc_id, len(shingles) AS n FROM sh2),
-             inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh2),
-             common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
-                        FROM inv a JOIN inv b ON a.s = b.s
-                          AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
-                        GROUP BY 1, 2)
-        SELECT id1, id2, round(c::DOUBLE / (s1.n + s2.n - c), 6) AS jaccard
-        FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
-        WHERE c::DOUBLE / (s1.n + s2.n - c) >= 0.6""",
+      jaccardSqlWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"),
     "q_embedding_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),

@@ -134,8 +134,16 @@ object Dedup {
     * shingles up to vanishing collision probability).
     *
     * Shingling (regex normalize + substring explode) is the expensive step
-    * and runs once; the cached footprint is 8 bytes per shingle, not the
-    * shingle strings (10–50× the text at k=5 — the round-1 cache concern).
+    * and runs once; the materialized footprint is 8 bytes per shingle, not
+    * the shingle strings (10–50× the text at k=5 — the round-1 concern).
+    *
+    * EAGER localCheckpoint, not `.cache()`: the downstream pipelines read
+    * this frame from several plan branches (bucket generation + two
+    * verification sides), and a lazy cache both races those branches on
+    * first materialization AND registers a CacheManager entry nobody can
+    * release — a constraint evaluating near-dup budgets in a loop would
+    * leak one corpus-sized entry per call (the heavyHitters leak class).
+    * Checkpoint blocks are reclaimed once the result goes unreferenced.
     */
   def minhashed(
       df: DataFrame,
@@ -151,9 +159,9 @@ object Dedup {
         graft.functions.ShingleHashes
           .shingleHashes(TextAnalysis.normalize(col(textCol)), shingleK)
           .as("shingle_hashes"))
-      .cache()
+      .localCheckpoint()
     shingled
-      .where(size(col("shingle_hashes")) > 0) // post-cache: no recompute
+      .where(size(col("shingle_hashes")) > 0)
       .withColumn(
         "signature",
         graft.functions.MinHashSignature.minhashSignature(col("shingle_hashes"), numHashes))
@@ -199,8 +207,11 @@ object Dedup {
     // the bucket frame is read THREE times below (size count + both
     // self-join sides) and upstream it embeds the signature computation —
     // materialize once ((id, band, bucket) rows, ~24 bytes each; blocks
-    // are reclaimed once the returned candidates go unreferenced)
-    val buckets = buckets0.localCheckpoint()
+    // are reclaimed once the returned candidates go unreferenced).
+    // NULL ids can never pair (id1 < id2 is NULL) — drop them BEFORE the
+    // size count so they don't shift a bucket across the cap boundary
+    // (the old collect_list(id) spelling skipped them implicitly).
+    val buckets = buckets0.where(col(idCol).isNotNull).localCheckpoint()
     val sizes = buckets
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("dj_bn"))
@@ -317,7 +328,11 @@ object Dedup {
     val signedA = minhashed(dfA, textCol, idCol, shingleK, numHashes)
     val signedB = minhashed(dfB, textCol, idCol, shingleK, numHashes)
     def cappedBuckets(signed: DataFrame): DataFrame = {
-      val b = lshBuckets(signed, idCol, bands).localCheckpoint()
+      // NULL ids can never appear in output pairs — drop before the cap
+      // count (matching lshCandidatePairs' boundary semantics)
+      val b = lshBuckets(signed, idCol, bands)
+        .where(col(idCol).isNotNull)
+        .localCheckpoint()
       b.join(
         b.groupBy("band", "bucket").agg(count(lit(1)).as("dj_bn"))
           .where(col("dj_bn") <= maxBucketSize)
@@ -686,12 +701,17 @@ object Dedup {
     }
     // a silently-wrong clustering is worse than an error: non-convergence
     // means components deeper than maxIters exist and labels are still
-    // intermediate ("no silent caps")
-    if (!done)
+    // intermediate ("no silent caps"). Release the loop's checkpoints
+    // BEFORE throwing — a caller that catches and retries with a higher
+    // maxIters must not accumulate dead blocks per failed attempt.
+    if (!done) {
+      releaseCheckpoint(labels)
+      releaseCheckpoint(sym)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           s"component diameter exceeds the bound; raise maxIters or use a " +
           s"star-contraction algorithm for deep graphs")
+    }
     // eager local checkpoint materializes the result, then the loop's
     // remaining checkpoints (edge set, final round's labels) are released
     // explicitly — nothing waits on a driver GC

@@ -343,7 +343,9 @@ object Similarity {
     val width = bits / bands
     require(width * bands < 64, "banded key must fit a single long")
     val planes = hyperplanes(bits, dim)
-    val keyed = vectors.select(
+    // NULL ids can never pair (id1 < id2 is NULL) — drop them before the
+    // bucket size count so they don't shift a cell across the cap boundary
+    val keyed = vectors.where(col(idCol).isNotNull).select(
       col(idCol),
       col(vecCol).as("vec"),
       lshKey(col(vecCol), planes).as("key"))

@@ -171,6 +171,13 @@ class PlanSpec extends AnyFunSuite {
       s"candidates must come from the measured pair checkpoint:\n$optimized")
     assert(optimized.contains("strategy=broadcast"),
       s"the pair side must be the broadcast side of verification:\n$optimized")
+    // the sign-bit key itself (hidden behind the eager banded checkpoint in
+    // the final plan) must stay the native codegen'd kernel
+    val keyPlan = vectors
+      .select(Similarity.lshKey(col("embedding"), Similarity.hyperplanes(32, 64)))
+      .queryExecution.optimizedPlan.toString
+    assert(keyPlan.contains("plane_sign_bits"),
+      s"native sign-bit kernel missing from the near-dup key:\n$keyPlan")
   }
 
   test("LSH candidate machinery is count-first capped, no id-array materialization") {
@@ -202,19 +209,15 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup spread repartitions an under-split corpus up to defaultParallelism") {
-    spark.catalog.clearCache()
     val docs = spark.read.parquet(s"$dir/documents.parquet") // single split
-    val plan = graft.ops.Dedup
-      .minhashNearDups(docs, "text", "doc_id")
-      .queryExecution.optimizedPlan
-    // the spread exchange sits inside the shingle cache boundary
-    val cached = plan.collect {
-      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
-    }
-    assert(
-      cached.exists(_.cachedPlan.toString.contains("RoundRobinPartitioning")),
-      "a single-split scan must spread to defaultParallelism before the shingle kernel")
-    spark.catalog.clearCache()
+    // minhashed materializes the shingle frame eagerly (localCheckpoint);
+    // the spread must have widened the single-split scan to
+    // defaultParallelism BEFORE the shingle kernel ran, which the
+    // checkpoint's partition count records
+    val shingled = graft.ops.Dedup.minhashed(docs, "text", "doc_id")
+    val parts = shingled.rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism,
+      s"single-split scan must spread to >= defaultParallelism, got $parts")
   }
 
   test("minhash verification plan uses the native kernels, not boxed set ops") {
