@@ -391,7 +391,9 @@ object Dedup {
       .withColumn(
         "shingle_hashes",
         graft.functions.ShingleHashes.shingleHashes(col("dj_norm"), shingleK))
-      .cache()
+      .cache() // deliberately a cache (clearCache-released between bench
+      // queries; checkpoint blocks would linger until driver GC) — no
+      // constraint loops over this path
       .where(size(col("shingle_hashes")) > 0) // post-cache: no recompute
     // the candidate key shuffles twice (df window + self-join): hash the
     // coarseK-char string to 8 bytes first — a collision can only ADD a
@@ -493,7 +495,8 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     // barrier: the chunk explode below references `simhash` inside its
     // generator — without materialization, projection collapse would
-    // re-compute the sketch per reference. 16 bytes/doc, spill-safe.
+    // re-compute the sketch per reference. 16 bytes/doc, spill-safe;
+    // cache (clearCache-released) rather than checkpoint (GC-lingering).
     val sketched = sketchedIn.cache()
     val chunked = sketched.select(
       col(idCol),

@@ -32,7 +32,11 @@ object Stats {
       .select(col(ref.column).as(valueLabel))
       .groupBy(valueLabel)
       .agg(count(lit(1)).as("dj_cnt"))
-      .cache() // feeds boundary estimation and bucketing
+      .cache() // feeds boundary estimation and bucketing. Deliberately a
+      // CACHE, not a checkpoint: Verify/Bench clearCache between queries
+      // releases it, while checkpoint blocks would linger until driver GC
+      // and degrade subsequent queries; the residual cost is one pinned
+      // entry per KS-constraint evaluation until a clearCache.
     // distributed prefix sum over the distinct values (no single-partition
     // window; see CumSum); the sample total rides along in the boundary job
     val (running, totals) =
@@ -85,7 +89,11 @@ object Stats {
       .unionAll(side(ref2, first = false))
       .groupBy(valueLabel)
       .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
-      .cache() // feeds boundary estimation and bucketing
+      .cache() // feeds boundary estimation and bucketing. Deliberately a
+      // CACHE, not a checkpoint: Verify/Bench clearCache between queries
+      // releases it, while checkpoint blocks would linger until driver GC
+      // and degrade subsequent queries; the residual cost is one pinned
+      // entry per KS-constraint evaluation until a clearCache.
     val (running, totals) = CumSum.withRunningSums(
       counts, valueLabel, Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
     val (n, m) = (totals(0), totals(1))
