@@ -84,7 +84,13 @@ object Bench {
     // paragraph explode + fingerprint shuffle + reassembly shuffle
     "q_paragraph_dedup",
     // cross-table bucket join + candidate-sized verification
-    "q_cross_neardup")
+    "q_cross_neardup",
+    // window-fingerprint explode + skew-safe first-occurrence agg + per-doc
+    // sweep — the token-level dedup whose explode volume scales with corpus
+    // token count
+    "q_span_dedup",
+    // broadcast centroid argmax + capped within-cluster pairs
+    "q_semantic_neardup")
 
   private def queriesJson(
       results: Iterable[(String, Double, Seq[Double], Option[String])])

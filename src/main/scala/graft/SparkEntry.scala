@@ -501,6 +501,17 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     },
 
+    // exact-substring span dedup (window-fingerprint flavor): per-doc
+    // duplicated-token coverage from non-first occurrences of 8-token
+    // windows, span union via per-doc sweep
+    "q_span_dedup" -> { (s, dir) =>
+      graft.ops.Dedup
+        .duplicatedSpans(
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+          windowTokens = 8)
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("dup_frac"))
+    },
+
     // cross-corpus near-dup containment: even-id docs as "train", odd-id
     // docs as "eval" — pairs across the split only. Same recall posture as
     // q_minhash_dedup (64 hashes / 16 bands ≈ brute force on this corpus),
@@ -853,6 +864,25 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.3495)
         .select(
           col("id1"), col("id2"),
+          round(col("cosine"), 6).as("cosine"),
+          round(col("cosine"), 3).as("dj_member"))
+        .where(col("dj_member") >= 0.35)
+        .drop("dj_member")
+    },
+
+    // SemDeDup-style semantic near-dups: deterministic coarse quantizer
+    // (lloydIters = 0, stride-1 sample → centroids = first 64 vectors by
+    // id, SQL-replicable), argmax-of-rounded-cosine assignment, capped
+    // within-cluster pairs, exact-cosine verify. Same coarse-membership
+    // rounding as q_embedding_neardup.
+    "q_semantic_neardup" -> { (s, dir) =>
+      graft.ops.Similarity
+        .semanticNearDups(
+          s.read.parquet(pq(dir, "embeddings")),
+          "vec_id", "embedding", threshold = 0.3495,
+          nClusters = 64, lloydIters = 0, corpusSize = Some(1))
+        .select(
+          col("id1"), col("id2"), col("cluster"),
           round(col("cosine"), 6).as("cosine"),
           round(col("cosine"), 3).as("dj_member"))
         .where(col("dj_member") >= 0.35)
@@ -1326,6 +1356,65 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
     "q_simhash_pairs" -> simhashXxhOracleSql,
+    // semantic near-dups: first-64-by-id centroids (the stride-1 sample),
+    // argmax over round(cosine, 6) with ties to the smallest centroid id,
+    // [2, 1000]-capped within-cluster pairs, exact-cosine verify with the
+    // coarse rounded membership
+    "q_semantic_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+             cent AS (SELECT vec_id AS cid, e AS cvec FROM v
+                      ORDER BY vec_id LIMIT 64),
+             scored AS (SELECT vec_id, cid,
+                          round(list_cosine_similarity(e, cvec), 6) AS sim
+                        FROM v, cent),
+             assigned AS (SELECT vec_id, cid AS cluster FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid) AS rn
+                 FROM scored) t WHERE rn = 1),
+             sizes AS (SELECT cluster, count(*) AS n FROM assigned GROUP BY 1),
+             ok AS (SELECT a.vec_id, a.cluster FROM assigned a
+                    JOIN sizes s ON a.cluster = s.cluster
+                      AND s.n BETWEEN 2 AND 1000),
+             pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster
+                       FROM ok a JOIN ok b ON a.cluster = b.cluster
+                         AND a.vec_id < b.vec_id)
+         SELECT p.id1, p.id2, p.cluster,
+                round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+         FROM pairs p JOIN v va ON p.id1 = va.vec_id
+                      JOIN v vb ON p.id2 = vb.vec_id
+         WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
+    // exact-substring span dedup: 8-token window fingerprints,
+    // first-occurrence by (doc_id, pos), per-doc interval-union sweep over
+    // flagged starts. Parallel unnest keeps (pos, fp) aligned, as in the
+    // paragraph-dedup oracle.
+    "q_span_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM d),
+             w0 AS (SELECT doc_id,
+                      list_transform(range(1, n - 6),
+                        i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS fps
+                    FROM t WHERE n >= 8),
+             w AS (SELECT doc_id, unnest(fps) AS fp,
+                     unnest(range(1, len(fps) + 1)) AS pos FROM w0),
+             ranked AS (SELECT doc_id, pos, fp,
+                          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                        FROM w),
+             flagged AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+             sweep AS (SELECT doc_id, pos,
+                         max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+                       FROM flagged),
+             cov AS (SELECT doc_id,
+                       sum(greatest(0, pos + 8 - greatest(pos, coalesce(pe, pos)))) AS dup
+                     FROM sweep GROUP BY doc_id)
+         SELECT t.doc_id, t.n AS n_tokens,
+                coalesce(cov.dup, 0)::BIGINT AS dup_tokens,
+                round(coalesce(cov.dup, 0)::DOUBLE / greatest(t.n, 1), 6) AS dup_frac
+         FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""",
     "q_text_stats" ->
       s"""SELECT doc_id,
                  len(string_split($normSql, ' '))::BIGINT AS n_tokens,

@@ -60,6 +60,103 @@ final case class MaxNearDupFraction(
         s"$targetPrefix$target were allowed to."))
 }
 
+/** Token-level duplication budget: the fraction of corpus TOKENS lying
+  * inside duplicated exact-substring spans (`Dedup.duplicatedSpans` — every
+  * `windowTokens`-token window occurring anywhere earlier in the corpus)
+  * must stay ≤ the target. This is the budget document-level near-dup
+  * checks miss: bulk-quoted or syndicated passages inside otherwise-unique
+  * documents. Documents get ephemeral ids for the window-fingerprint step;
+  * only the two token totals leave the executors.
+  */
+final case class MaxDupSpanFraction(
+    ref: DataRef,
+    textColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    windowTokens: Int = 8,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_dup_span_fraction was expected to lie within [0, 1] but is $refValue.")
+  require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val base = r.selection(spark)
+      .select(col(textColumn))
+      .where(col(textColumn).isNotNull)
+      .withColumn("dj_nid", monotonically_increasing_id())
+      // the id must be stable across the fingerprint job's scans
+      .localCheckpoint()
+    val totals = Dedup
+      .duplicatedSpans(base, textColumn, "dj_nid", windowTokens)
+      .agg(
+        coalesce(sum(col("dup_tokens")), lit(0L)).as("dj_dup"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("dj_n"))
+      .head()
+    val (dup, n) = (totals.getLong(0), totals.getLong(1))
+    if (n == 0L) 0.0 else dup.toDouble / n
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} tokens lie in duplicated " +
+        s"$windowTokens-token spans while only $targetPrefix$target were " +
+        "allowed to."))
+}
+
+/** Semantic (embedding-space) duplication budget: the fraction of vectors
+  * that participate in at least one within-cluster cosine near-dup pair
+  * (`Similarity.semanticNearDups` — SemDeDup-style k-means pruning + exact
+  * cosine verify) must stay ≤ the target. Rows get ephemeral ids; only the
+  * participation count leaves the executors.
+  */
+final case class MaxSemanticDupFraction(
+    ref: DataRef,
+    embeddingColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    cosineThreshold: Double = 0.9,
+    nClusters: Int = 256,
+    lloydIters: Int = 2,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_semantic_dup_fraction was expected to lie within [0, 1] but is $refValue.")
+  require(
+    cosineThreshold >= -1 && cosineThreshold <= 1,
+    s"cosineThreshold must lie in [-1, 1]: $cosineThreshold")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val base = r.selection(spark)
+      .select(col(embeddingColumn))
+      .where(col(embeddingColumn).isNotNull)
+      .withColumn("dj_nid", monotonically_increasing_id())
+      // the id must be stable across the pair job's scans — materialize it
+      .localCheckpoint()
+    val total = base.count()
+    if (total == 0L) 0.0
+    else {
+      val pairs = graft.ops.Similarity.semanticNearDups(
+        base, "dj_nid", embeddingColumn, cosineThreshold,
+        nClusters = nClusters, lloydIters = lloydIters,
+        corpusSize = Some(total))
+      val involved = pairs
+        .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
+        .distinct()
+        .count()
+      involved.toDouble / total
+    }
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} vectors participate in semantic " +
+        s"near-duplicate pairs (cosine >= $cosineThreshold) while only " +
+        s"$targetPrefix$target were allowed to."))
+}
+
 /** Between-table near-dup containment budget: the fraction of `ref`'s
   * documents (e.g. a training corpus) that have at least one near-duplicate
   * in `ref2Required` (e.g. an evaluation suite) must stay ≤ the target —

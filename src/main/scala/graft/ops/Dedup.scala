@@ -726,6 +726,94 @@ object Dedup {
     result
   }
 
+  /** Exact-substring duplication stats per document (the window-fingerprint
+    * approximation of suffix-array exact-substring dedup — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", public
+    * arXiv:2107.06499): every `windowTokens`-token window of the normalized
+    * token stream is fingerprinted; a window occurrence that is not the
+    * corpus-wide FIRST occurrence of its fingerprint (ordered by (id,
+    * position)) marks its token span as duplicated. Returns one row per
+    * non-null-text document: (`idCol`, `n_tokens`, `dup_tokens` = size of
+    * the union of flagged spans, `dup_frac` = dup_tokens / n_tokens) — the
+    * signal pipelines threshold to drop or trim bulk-copied text that
+    * document-level near-dup passes miss (long quotes, syndicated
+    * boilerplate inside otherwise-unique pages).
+    *
+    * Scale shape: windows are a linear explode (one row per token, same
+    * order as any shingling pass); first-occurrence is the skew-safe
+    * partial-aggregated `groupBy(fp).agg(min(struct(id, pos)))` — map-side
+    * combine absorbs a boilerplate window repeated across half the corpus
+    * BEFORE the shuffle (never a window-function over fingerprint, which
+    * funnels every copy through one reducer). The span-union sweep is a
+    * per-DOCUMENT window over flagged starts only — partition count =
+    * document count, bounded by document length, no global ordering
+    * anywhere. Three shuffles total (fingerprint agg, fingerprint join,
+    * doc-id sweep).
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val l = windowTokens
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = spread(df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
+      .select(col(idCol), col("dj_toks"), size(col("dj_toks")).cast("long").as("dj_n"))
+    // md5 of the space-joined window: cross-engine recomputable (the
+    // correctness oracle re-derives it in SQL), 16 bytes per window key.
+    // sequence() is guarded by the n >= l filter — Spark's sequence(1, 0)
+    // would DESCEND ([1, 0]), not return empty.
+    val wins = toksDf
+      .where(col("dj_n") >= l)
+      .select(
+        col(idCol),
+        explode(graft.ops.Hof.bound(col("dj_toks")) { t =>
+          transform(
+            sequence(lit(1), (size(t) - l + 1).cast("int")),
+            i => struct(
+              i.as("dj_pos"),
+              md5(concat_ws(" ", slice(t, i, lit(l))).cast("binary")).as("dj_fp")))
+        }).as("dj_w"))
+      .select(col(idCol), col("dj_w.dj_pos"), col("dj_w.dj_fp"))
+    val firsts = wins
+      .groupBy("dj_fp")
+      .agg(min(struct(col(idCol), col("dj_pos"))).as("dj_first"))
+    val flagged = wins
+      .join(firsts, Seq("dj_fp"))
+      .where(struct(col(idCol), col("dj_pos")) =!= col("dj_first"))
+      .select(col(idCol), col("dj_pos"))
+    // classic interval-union sweep: each flagged window covers tokens
+    // [pos, pos+l); its NEW coverage is what extends past the running max
+    // end of strictly-earlier flagged windows. Positions are unique within
+    // a document (the firsts join is many-to-one), so the ROWS frame is
+    // deterministic.
+    val sweepW = Window.partitionBy(col(idCol)).orderBy(col("dj_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dupAgg = flagged
+      .withColumn("dj_prev_end", max(col("dj_pos") + l).over(sweepW))
+      .select(
+        col(idCol),
+        greatest(
+          lit(0L),
+          col("dj_pos") + l -
+            greatest(col("dj_pos"), coalesce(col("dj_prev_end"), col("dj_pos")))
+        ).as("dj_cov"))
+      .groupBy(idCol)
+      .agg(sum(col("dj_cov")).as("dup_tokens"))
+    toksDf
+      .select(col(idCol), col("dj_n").as("n_tokens"))
+      .join(dupAgg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          coalesce(col("dup_tokens"), lit(0L)) / greatest(col("n_tokens"), lit(1L)),
+          6).as("dup_frac"))
+  }
+
   /** Unpersist the RDD behind an eagerly-localCheckpoint'd frame. Matches
     * ONLY a plan whose root is the checkpoint's `LogicalRDD` — a no-op for
     * derived frames, so callers can pass either without deep-plan matching

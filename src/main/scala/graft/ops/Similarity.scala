@@ -181,78 +181,82 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
   }
 
-  def ivfTopK(
+  /** Centroid set literal: array of (cid, cvec) structs, broadcast to every
+    * task as plan constants (a coarse quantizer is small by construction).
+    */
+  private def centroidArrOf(cs: Seq[(Long, Seq[Double])]): Column =
+    array(cs.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
+    }: _*)
+
+  /** The `howMany` centroid ids nearest to `vec` by dot product, nearest
+    * first, ties broken by ascending centroid id.
+    */
+  private def nearestClustersIn(arr: Column)(vec: Column, howMany: Int): Column =
+    slice(
+      transform(
+        array_sort(
+          transform(arr, c => struct(
+            (-dot(vec, c.getField("cvec"))).as("negSim"),
+            c.getField("cid").as("cid")))),
+        s => s.getField("cid")),
+      1, howMany)
+
+  /** Fit a deterministic coarse quantizer: hash-sampled seed vectors (see
+    * [[ivfCentroids]]; first-`nCentroids`-by-id when the sample comes back
+    * empty) refined with `lloydIters` Lloyd iterations — each iteration is
+    * ONE distributed HashAggregate (count + per-dimension sums with
+    * map-side partials; no explode, no shuffle of raw vectors) returning
+    * ≤ nCentroids rows to the driver. NULL-vector rows are excluded up
+    * front (they can neither seed nor be assigned). Returns the (seed id,
+    * centroid vector) list — empty only for an empty corpus.
+    *
+    * The corpus size only calibrates the seed-sample stride, so a caller
+    * hint or a plan-stats estimate replaces a full count() job. The
+    * estimate must be biased LOW: underestimating shrinks the stride and
+    * samples MORE rows — the distributed top-k still caps the seed set at
+    * nCentroids, so recall never degrades — while overestimating could
+    * under-fill it. Hence the deliberately large 64 KiB/row divisor: even a
+    * 4096-dim float embedding row (~16 KiB) stays an underestimate, at the
+    * cost of a slightly larger (still nCentroids-capped) top-k input.
+    *
+    * With `lloydIters = 0` the centroids are the seed vectors themselves —
+    * pure functions of the input ids, bit-reproducible across engines
+    * (the correctness gate's flavor); Lloyd refinement sums floats in
+    * partition order, so refined centroids are deterministic only up to
+    * summation order (fine for recall, not for bit-exact oracles).
+    */
+  private[graft] def fitCentroids(
       vectors: DataFrame,
-      queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 4,
-      kmeansIters: Int = 2,
-      corpusSize: Option[Long] = None): DataFrame = {
-    // deterministic hash-sampled seeds, refined with `kmeansIters` Lloyd
-    // iterations — each iteration is ONE distributed HashAggregate (count +
-    // per-dimension sums with map-side partials; no explode, no shuffle of
-    // raw vectors) returning ≤ nCentroids rows to the driver.
-    //
-    // The corpus size only calibrates the seed-sample stride, so a caller
-    // hint or a plan-stats estimate replaces the former full count() job.
-    // The estimate must be biased LOW: underestimating shrinks the stride
-    // and samples MORE rows — the distributed top-k still caps the seed set
-    // at nCentroids, so recall never degrades — while overestimating could
-    // under-fill it. Hence the deliberately large 64 KiB/row divisor: even a
-    // 4096-dim float embedding row (~16 KiB) stays an underestimate, at the
-    // cost of a slightly larger (still nCentroids-capped) top-k input.
+      nCentroids: Int,
+      lloydIters: Int,
+      corpusSize: Option[Long]): Seq[(Long, Seq[Double])] = {
+    val nonNull = vectors.where(col(vecCol).isNotNull)
     val n = corpusSize.getOrElse {
-      val stats = vectors.queryExecution.optimizedPlan.stats
+      val stats = nonNull.queryExecution.optimizedPlan.stats
       stats.rowCount.map(_.toLong).getOrElse(
         math.max(1L, (stats.sizeInBytes / 65536).toLong))
     }
     val sampled =
-      ivfCentroids(vectors, idCol, vecCol, nCentroids, n).collect()
+      ivfCentroids(nonNull, idCol, vecCol, nCentroids, n).collect()
     val seedRows =
       if (sampled.nonEmpty) sampled.toSeq
       else // degenerate corpus (hash sample empty): first nCentroids by id
-        vectors
+        nonNull
           .sort(col(idCol))
           .limit(nCentroids)
           .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
           .collect()
           .toSeq
     var centroids: Seq[(Long, Seq[Double])] =
-      seedRows
-        .filterNot(_.isNullAt(1))
-        .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq.map(_.toDouble))
-    if (centroids.isEmpty)
-      // empty corpus: no candidates, typed empty result
-      return queries
-        .select(
-          col(idCol).as("query_id"),
-          col(idCol).as("neighbor_id"),
-          lit(0.0).as("cosine"),
-          lit(0).as("rank"))
-        .where(lit(false))
+      seedRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq.map(_.toDouble))
+    if (centroids.isEmpty) return Nil
     val dim = centroids.head._2.length
-
-    def centroidArrOf(cs: Seq[(Long, Seq[Double])]): Column =
-      array(cs.map { case (cid, v) =>
-        struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
-      }: _*)
-
-    def nearestClustersIn(arr: Column)(vec: Column, howMany: Int): Column =
-      slice(
-        transform(
-          array_sort(
-            transform(arr, c => struct(
-              (-dot(vec, c.getField("cvec"))).as("negSim"),
-              c.getField("cid").as("cid")))),
-          s => s.getField("cid")),
-        1, howMany)
-
-    for (_ <- 0 until kmeansIters) {
+    for (_ <- 0 until lloydIters) {
       val arr = centroidArrOf(centroids)
-      val assigned = vectors.select(
+      val assigned = nonNull.select(
         col(vecCol).as("dj_vec"),
         element_at(nearestClustersIn(arr)(col(vecCol), 1), 1).as("dj_cluster"))
       val aggs = count(lit(1)).as("dj_n") +:
@@ -266,6 +270,30 @@ object Similarity {
       // empty clusters keep their previous centroid
       centroids = centroids.map { case (cid, v) => cid -> updated.getOrElse(cid, v) }
     }
+    centroids
+  }
+
+  def ivfTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 2,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val centroids =
+      fitCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
+    if (centroids.isEmpty)
+      // empty corpus: no candidates, typed empty result
+      return queries
+        .select(
+          col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"),
+          lit(0.0).as("cosine"),
+          lit(0).as("rank"))
+        .where(lit(false))
 
     val centroidArr = centroidArrOf(centroids)
 
@@ -394,5 +422,126 @@ object Similarity {
       .withColumn("cosine", cosineF(col("v1"), col("v2")))
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (public: Abbas et al.
+    * 2023, arXiv:2303.09540): partition the embedding space with a
+    * deterministic k-means coarse quantizer ([[fitCentroids]]) and compare
+    * vectors only WITHIN their cluster — the pruning that makes
+    * embedding-level dedup tractable when sign-bit LSH recalls poorly
+    * (moderate-similarity semantic dups spread across many LSH buckets,
+    * but land in one k-means cell).
+    *
+    * Returns (id1 < id2, cluster, cosine ≥ threshold). Determinism: cluster
+    * assignment is argmax over round(cosine-to-centroid, 6) with ties to
+    * the smallest centroid id — with `lloydIters = 0` the whole pipeline is
+    * a pure function of the input (the correctness gate's flavor); Lloyd
+    * refinement trades bit-reproducibility for tighter cells (see
+    * [[fitCentroids]]).
+    *
+    * 100 TB posture: assignment is a broadcast argmax over the (tiny)
+    * centroid literals — one corpus scan, no shuffle; within-cluster pair
+    * generation shuffles on cluster id with the same COUNT-FIRST
+    * `maxClusterSize` cap as every bucket-join in [[Dedup]] (a cell only
+    * self-joins when its member count is in [2, cap]); verification is
+    * candidate-volume-sized (`Dedup.verifyPairs`). Scale `nClusters` with
+    * the corpus (SemDeDup used 50k clusters at web scale) so the EXPECTED
+    * cell stays small and the cap only trims pathological mass.
+    */
+  /** Cluster count for [[semanticNearDups]] scaled to the corpus: the
+    * EXPECTED cluster size tracks `targetClusterSize`, so within-cluster
+    * candidate volume stays ~n·targetClusterSize/2 — linear in the corpus.
+    * Clamped to [16, 4096]: centroids ship as plan literals (broadcast to
+    * every task), and 4096 × dim doubles is the sane ceiling for that
+    * design — a corpus needing more clusters (SemDeDup used 50k at web
+    * scale) should shard by a coarse LSH band first and run
+    * semanticNearDups per shard, which this helper deliberately does NOT
+    * hide behind a silent cap.
+    */
+  def semanticClusters(corpusSize: Long, targetClusterSize: Int = 200): Int = {
+    require(targetClusterSize > 0, s"targetClusterSize must be positive: $targetClusterSize")
+    math.max(16L, math.min(4096L, corpusSize / targetClusterSize)).toInt
+  }
+
+  def semanticNearDups(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 256,
+      lloydIters: Int = 0,
+      maxClusterSize: Int = 1000,
+      corpusSize: Option[Long] = None): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive: $nClusters")
+    require(maxClusterSize >= 2, s"maxClusterSize must be at least 2: $maxClusterSize")
+    val base = vectors
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("vec"))
+    val centroids =
+      fitCentroids(base, idCol, "vec", nClusters, lloydIters, corpusSize)
+    if (centroids.isEmpty)
+      return base
+        .select(
+          col(idCol).as("id1"),
+          col(idCol).as("id2"),
+          lit(0L).as("cluster"),
+          lit(0.0).as("cosine"))
+        .where(lit(false))
+    // centroid literals carry their norm as a driver-computed constant
+    // (left-to-right sum of squares — the exact doubles the HOF fold would
+    // produce), and the row norm is computed ONCE per row: the per-centroid
+    // work drops from three dot products to one, with bit-identical
+    // arithmetic (same operands, same multiplication order as the plain
+    // cosine spelling the oracle mirrors)
+    val centroidArrN = array(centroids.map { case (cid, v) =>
+      struct(
+        lit(cid).as("cid"),
+        array(v.map(lit): _*).as("cvec"),
+        lit(math.sqrt(v.map(x => x * x).sum)).as("cnorm"))
+    }: _*)
+    // argmax over ROUNDED cosine: negating the rounded value (exact) gives
+    // an ascending sort key, so array_sort's (neg, cid) order is argmax
+    // with ties to the smallest cid — the same coarse-membership trick as
+    // the near-dup oracles (a last-ulp engine divergence only matters
+    // within ~1e-13 of a rounding midpoint)
+    val assigned = base
+      .withColumn("dj_nrm", norm(col("vec")))
+      .select(
+        col(idCol),
+        col("vec"),
+        element_at(
+          transform(
+            array_sort(
+              transform(centroidArrN, c => struct(
+                (-round(
+                  dot(col("vec"), c.getField("cvec")) /
+                    (col("dj_nrm") * c.getField("cnorm")),
+                  6)).as("neg"),
+                c.getField("cid").as("cid")))),
+            s => s.getField("cid")),
+          1).as("cluster"))
+      // read three times below (sizes, two join sides) — the argmax kernel
+      // over the corpus must run once, not per branch
+      .localCheckpoint()
+    val sizes = assigned
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("dj_cn"))
+      .where(col("dj_cn").between(2, maxClusterSize))
+      .select("cluster")
+    val members = assigned.join(sizes, Seq("cluster"))
+    val candidates = members
+      .select(col("cluster"), col(idCol).as("id1"))
+      .join(members.select(col("cluster"), col(idCol).as("id2")), Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "cluster")
+    val checkpointed = candidates.localCheckpoint()
+    val nCand = checkpointed.count()
+    val sides = assigned.select(col(idCol), col("vec"))
+    graft.ops.Dedup
+      // "cluster" rides along on the candidate frame through the joins
+      .verifyPairs(checkpointed, nCand, sides, sides, idCol, Seq("vec" -> "v"))
+      .withColumn("cosine", cosineF(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cluster"), col("cosine"))
   }
 }

@@ -108,6 +108,34 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  def addMaxDupSpanFractionConstraint(
+      textColumn: String,
+      maxFraction: Double,
+      windowTokens: Int = 8,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxDupSpanFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn,
+      refValue = Some(maxFraction), windowTokens = windowTokens,
+      nameOverride = name)
+    this
+  }
+
+  def addMaxSemanticDupFractionConstraint(
+      embeddingColumn: String,
+      maxFraction: Double,
+      cosineThreshold: Double = 0.9,
+      nClusters: Int = 256,
+      lloydIters: Int = 2,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxSemanticDupFraction(
+      ref(Some(Seq(embeddingColumn)), condition), embeddingColumn,
+      refValue = Some(maxFraction), cosineThreshold = cosineThreshold,
+      nClusters = nClusters, lloydIters = lloydIters, nameOverride = name)
+    this
+  }
+
   def addNRowsEqualityConstraint(
       nRows: Long,
       condition: Option[Condition] = None,

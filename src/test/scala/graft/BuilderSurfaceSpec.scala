@@ -24,6 +24,9 @@ class BuilderSurfaceSpec extends AnyFunSuite {
     val mixW = mix1
       .withColumn("col_date2", org.apache.spark.sql.functions.date_add(col("col_date"), 1))
       .withColumn("col_int2", col("col_int") + 1)
+      // embedding column for the semantic-dup constraint
+      .withColumn("col_vec", org.apache.spark.sql.functions.array(
+        col("col_int").cast("float"), org.apache.spark.sql.functions.lit(1f)))
     val r = WithinRequirement.fromDataFrame(mixW, "mix1")
     r.addColumnExistenceConstraint(Seq("col_int"))
     r.addUniquenessConstraint(Some(Seq("col_int")))
@@ -66,11 +69,15 @@ class BuilderSurfaceSpec extends AnyFunSuite {
     r.addVarcharMaxLengthConstraint("col_varchar", 10)
     r.addGroupbyAggregationConstraint(Seq("col_varchar"), "col_int", tolerance = 1.0)
     r.addMaxNearDupFractionConstraint("col_varchar", maxFraction = 1.0)
+    r.addMaxDupSpanFractionConstraint("col_varchar", maxFraction = 1.0,
+      windowTokens = 2)
+    r.addMaxSemanticDupFractionConstraint("col_vec", maxFraction = 1.0,
+      cosineThreshold = 0.99, nClusters = 4, lloydIters = 1)
     r.addApproxNUniquesBetweenConstraint(Seq("col_int"), 1, 100)
     r.addApproxNumericPercentileConstraint("col_int", 50, 10.0,
       maxAbsoluteDeviation = Some(2.0))
     val results = r.test(spark)
-    assert(results.length == 36)
+    assert(results.length == 38)
     assert(results.forall(_.constraintDescription.nonEmpty))
   }
 

@@ -206,6 +206,50 @@ class CorpusSpec extends AnyFunSuite {
     assert(empty.test(spark).head.outcome)
   }
 
+  test("MaxDupSpanFraction: token-level duplication budget as a declarable constraint") {
+    import graft.requirements.WithinRequirement
+    val passage = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val df = docs(
+      1L -> passage, // 16 tokens, all first-occurrence
+      2L -> passage, // exact copy: all 16 tokens in duplicated spans
+      3L -> "quebec romeo sierra tango uniform victor whiskey xray yankee zulu")
+    // totals: 16 dup / 42 tokens ≈ 0.381
+    val req = WithinRequirement.fromDataFrame(df, "corpus")
+    req.addMaxDupSpanFractionConstraint("text", maxFraction = 0.5)
+    req.addMaxDupSpanFractionConstraint("text", maxFraction = 0.25)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message)
+    assert(!results(1).outcome)
+    assert(results(1).failureMessage.exists(_.contains("duplicated")))
+    // an empty corpus has zero duplication, not a crash
+    val empty = WithinRequirement.fromDataFrame(docs(), "empty")
+    empty.addMaxDupSpanFractionConstraint("text", maxFraction = 0.0)
+    assert(empty.test(spark).head.outcome)
+  }
+
+  test("MaxSemanticDupFraction: embedding-space duplication budget constraint") {
+    import graft.requirements.WithinRequirement
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Seq(1.0f, 0.01f)),  // near-dup pair ...
+        Row(Seq(0.99f, 0.0f)),  // ... with the row above
+        Row(Seq(0.0f, 1.0f)),
+        Row(Seq(-1.0f, 0.3f))), 2),
+      StructType(Seq(StructField("vec", ArrayType(FloatType)))))
+    // 2 of 4 vectors participate → 0.5
+    val req = WithinRequirement.fromDataFrame(df, "vectors")
+    req.addMaxSemanticDupFractionConstraint("vec", maxFraction = 0.5,
+      cosineThreshold = 0.99, nClusters = 2, lloydIters = 1)
+    req.addMaxSemanticDupFractionConstraint("vec", maxFraction = 0.25,
+      cosineThreshold = 0.99, nClusters = 2, lloydIters = 1)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message)
+    assert(!results(1).outcome)
+    assert(results(1).failureMessage.exists(_.contains("semantic")))
+  }
+
   test("crossNearDups: pairs cross the tables only; contamination budget constraint") {
     import graft.requirements.BetweenRequirement
     val longA = "the quick brown fox jumps over the lazy dog near the warm " +

@@ -116,6 +116,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == "ab|CHUNK|longer paragraph")
   }
 
+  test("duplicatedSpans: non-first window occurrences mark spans, unions merge") {
+    val df = docs(
+      // all windows first-occurrence → dup 0
+      (1L, "a b c d e f g h i j"),
+      // contains doc 1's window "a b c d e f g h" at pos 3 → 8 dup tokens
+      (2L, "z y a b c d e f g h x w"),
+      // exact copy of doc 1: every window flagged, spans union to the
+      // whole 10-token document
+      (3L, "a b c d e f g h i j"),
+      // shorter than the window → no windows, dup 0
+      (4L, "one two"),
+      // internal repetition: pos-9 window repeats pos-1 → 8 dup tokens
+      (5L, "p q r s t u v w p q r s t u v w"))
+    val r = Dedup.duplicatedSpans(df, "text", "doc_id", windowTokens = 8)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1L) == ((10L, 0L, 0.0)))
+    assert(r(2L) == ((12L, 8L, 0.666667)))
+    assert(r(3L) == ((10L, 10L, 1.0)))
+    assert(r(4L) == ((2L, 0L, 0.0)))
+    assert(r(5L) == ((16L, 8L, 0.5)))
+  }
+
+  test("duplicatedSpans: overlapping flagged windows count covered tokens once") {
+    // doc 11 is the source; doc 12 shares a 9-token run → two overlapping
+    // flagged 8-windows (pos 1 and 2) covering 9 tokens, not 16
+    val df = docs(
+      (11L, "a b c d e f g h i j k l"),
+      (12L, "a b c d e f g h i x y z"))
+    val r = Dedup.duplicatedSpans(df, "text", "doc_id", windowTokens = 8)
+      .where(col("doc_id") === 12L).head()
+    assert(r.getLong(1) == 12L)
+    assert(r.getLong(2) == 9L)
+  }
+
   test("PII scan: counts and redaction with typed placeholders") {
     val df = docs(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),
@@ -497,5 +533,86 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall too low: $recall")
     // every returned neighbor must be ranked correctly within its candidates
     assert(ivf.nonEmpty)
+  }
+}
+
+/** SemDeDup-style within-cluster semantic near-dup tests. */
+class SemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+  import graft.ops.Similarity
+
+  private def vecs(rows: (Long, Seq[Float])*): org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v) => Row(id, v) }, 2),
+      StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))) 
+
+  test("semanticNearDups: pairs form only within a cluster, verified by exact cosine") {
+    // ids 1 and 2 seed the two clusters (stride-1 sample, first 2 by id);
+    // group A hugs e1, group B hugs e2 — cross-group cosine ~ 0
+    val df = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0.99f, 0.1f, 0f),
+      4L -> Seq(0.98f, 0.15f, 0f),
+      5L -> Seq(0.1f, 0.99f, 0f),
+      6L -> Seq(0.05f, 0.98f, 0f))
+    val pairs = Similarity
+      .semanticNearDups(df, "vec_id", "embedding", threshold = 0.9,
+        nClusters = 2, lloydIters = 0, corpusSize = Some(1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    // within-cluster high-cosine pairs present
+    assert(ids.contains((1L, 3L)) && ids.contains((1L, 4L)) && ids.contains((3L, 4L)))
+    assert(ids.contains((2L, 5L)) && ids.contains((2L, 6L)) && ids.contains((5L, 6L)))
+    // never a cross-cluster pair (group A = {1,3,4}, group B = {2,5,6})
+    val groupA = Set(1L, 3L, 4L)
+    assert(pairs.forall { case (a, b, _, _) => groupA.contains(a) == groupA.contains(b) })
+    // cosines are genuine (all above the threshold, none above 1)
+    assert(pairs.forall(p => p._4 >= 0.9 && p._4 <= 1.0 + 1e-9))
+  }
+
+  test("semanticNearDups: a cluster above maxClusterSize is dropped, not exploded") {
+    // one tight 4-member cluster around e1, far-away 2-member cluster at e2
+    val df = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0.99f, 0.01f, 0f),
+      4L -> Seq(0.98f, 0.02f, 0f),
+      5L -> Seq(0.97f, 0.03f, 0f),
+      6L -> Seq(0.01f, 0.99f, 0f))
+    val pairs = Similarity
+      .semanticNearDups(df, "vec_id", "embedding", threshold = 0.5,
+        nClusters = 2, lloydIters = 0, maxClusterSize = 3, corpusSize = Some(1))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // the e1 cluster has 4 members (> cap 3) → contributes nothing;
+    // the e2 cluster (ids 2, 6) survives
+    assert(pairs == Set((2L, 6L)))
+  }
+
+  test("semanticNearDups: lloyd refinement still finds planted near-dups") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val refined = Similarity
+      .semanticNearDups(df, "vec_id", "embedding", threshold = 0.35,
+        nClusters = 8, lloydIters = 2)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sanity: pair set is symmetric-free (id1 < id2) and non-degenerate
+    assert(refined.forall { case (a, b) => a < b })
+    info(s"semantic near-dups with lloyd refinement: ${refined.size} pairs")
+  }
+
+  test("semanticNearDups: empty corpus returns a typed empty frame") {
+    val df = vecs(1L -> Seq(1f, 0f)).where(lit(false))
+    val res = Similarity.semanticNearDups(df, "vec_id", "embedding", 0.5)
+    assert(res.columns.toSeq == Seq("id1", "id2", "cluster", "cosine"))
+    assert(res.count() == 0)
   }
 }

@@ -208,6 +208,42 @@ class PlanSpec extends AnyFunSuite {
       s"fingerprint window crept into paragraph dedup:\n$physical")
   }
 
+  test("span dedup first-occurrence partial-aggregates; sweep window is doc-partitioned") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.ops.Dedup
+      .duplicatedSpans(docs, "text", "doc_id")
+      .queryExecution
+    val physical = qe.executedPlan.toString
+    // a window over the fingerprint would funnel every copy of a hot
+    // boilerplate window through one reducer; the groupBy min must get
+    // map-side combine
+    assert(physical.contains("partial_min"),
+      s"first-occurrence must partial-aggregate before the shuffle:\n$physical")
+    assert(!physical.contains("windowspecdefinition(dj_fp"),
+      s"fingerprint window crept into span dedup:\n$physical")
+    // the interval-union sweep partitions by document id, never globally
+    assert(physical.contains("windowspecdefinition(doc_id"),
+      s"span sweep must be a doc-partitioned window:\n$physical")
+  }
+
+  test("semantic near-dup candidates come from capped clusters, no raw self-join") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = graft.ops.Similarity.semanticNearDups(
+      vecs, "vec_id", "embedding", threshold = 0.35,
+      nClusters = 16, lloydIters = 0, maxClusterSize = 100,
+      corpusSize = Some(1))
+    val optimized = pairs.queryExecution.optimizedPlan.toString
+    // candidate generation runs eagerly into a measured pair checkpoint;
+    // verification must read from that LogicalRDD and never materialize a
+    // cluster's members as an array or cross-join the corpus
+    assert(optimized.contains("LogicalRDD"),
+      s"candidates must come from the measured pair checkpoint:\n$optimized")
+    assert(!optimized.contains("collect_list"),
+      s"cluster id-array materialization crept in:\n$optimized")
+    assert(!optimized.contains("Join Cross") && !optimized.contains("CartesianProduct"),
+      s"cartesian product crept into semantic near-dups:\n$optimized")
+  }
+
   test("dedup spread repartitions an under-split corpus up to defaultParallelism") {
     val docs = spark.read.parquet(s"$dir/documents.parquet") // single split
     // minhashed materializes the shingle frame eagerly (localCheckpoint);
