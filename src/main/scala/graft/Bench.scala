@@ -89,6 +89,8 @@ object Bench {
     // sweep — the token-level dedup whose explode volume scales with corpus
     // token count
     "q_span_dedup",
+    // the rewrite flavor: adds the token-stream explode + reassembly
+    "q_span_removal",
     // broadcast centroid argmax + capped within-cluster pairs
     "q_semantic_neardup")
 

@@ -512,6 +512,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"), col("dup_frac"))
     },
 
+    // exact-substring span REMOVAL: same flags as q_span_dedup, covered
+    // tokens excised, survivors reassembled in order (normalized stream)
+    "q_span_removal" -> { (s, dir) =>
+      graft.ops.Dedup
+        .removeDuplicatedSpans(
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+          windowTokens = 8)
+        .select(col("doc_id"), col("text"))
+    },
+
     // cross-corpus near-dup containment: even-id docs as "train", odd-id
     // docs as "eval" — pairs across the split only. Same recall posture as
     // q_minhash_dedup (64 hashes / 16 bands ≈ brute force on this corpus),
@@ -1415,6 +1425,34 @@ object SparkEntry {
                 coalesce(cov.dup, 0)::BIGINT AS dup_tokens,
                 round(coalesce(cov.dup, 0)::DOUBLE / greatest(t.n, 1), 6) AS dup_frac
          FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id""",
+    // span removal: same flagged starts; a token survives iff the latest
+    // flag start at-or-before it is more than window-1 tokens back
+    "q_span_removal" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM d),
+             w0 AS (SELECT doc_id,
+                      list_transform(range(1, n - 6),
+                        i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))) AS fps
+                    FROM t WHERE n >= 8),
+             w AS (SELECT doc_id, unnest(fps) AS fp,
+                     unnest(range(1, len(fps) + 1)) AS pos FROM w0),
+             ranked AS (SELECT doc_id, pos, fp,
+                          row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+                        FROM w),
+             flagged AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+             tok AS (SELECT doc_id, unnest(toks) AS tok,
+                       unnest(range(1, len(toks) + 1)) AS pos FROM d),
+             marked AS (SELECT tk.doc_id, tk.pos, tk.tok,
+                          max(CASE WHEN f.pos IS NOT NULL THEN tk.pos END)
+                            OVER (PARTITION BY tk.doc_id ORDER BY tk.pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lastf
+                        FROM tok tk LEFT JOIN flagged f
+                          ON tk.doc_id = f.doc_id AND tk.pos = f.pos)
+         SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         FROM marked
+         WHERE lastf IS NULL OR pos > lastf + 7
+         GROUP BY doc_id""",
     "q_text_stats" ->
       s"""SELECT doc_id,
                  len(string_split($normSql, ' '))::BIGINT AS n_tokens,

@@ -750,14 +750,15 @@ object Dedup {
     * anywhere. Three shuffles total (fingerprint agg, fingerprint join,
     * doc-id sweep).
     */
-  def duplicatedSpans(
+  /** Shared window-fingerprint machinery for the exact-substring family:
+    * (tokenized docs with token counts, flagged non-first window starts).
+    * See [[duplicatedSpans]] for semantics and scale shape.
+    */
+  private def spanFlags(
       df: DataFrame,
       textCol: String,
       idCol: String,
-      windowTokens: Int = 8): DataFrame = {
-    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
-    val l = windowTokens
-    import org.apache.spark.sql.expressions.Window
+      l: Int): (DataFrame, DataFrame) = {
     val toksDf = spread(df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
       .select(col(idCol), col("dj_toks"), size(col("dj_toks")).cast("long").as("dj_n"))
@@ -784,6 +785,18 @@ object Dedup {
       .join(firsts, Seq("dj_fp"))
       .where(struct(col(idCol), col("dj_pos")) =!= col("dj_first"))
       .select(col(idCol), col("dj_pos"))
+    (toksDf, flagged)
+  }
+
+  def duplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val l = windowTokens
+    import org.apache.spark.sql.expressions.Window
+    val (toksDf, flagged) = spanFlags(df, textCol, idCol, l)
     // classic interval-union sweep: each flagged window covers tokens
     // [pos, pos+l); its NEW coverage is what extends past the running max
     // end of strictly-earlier flagged windows. Positions are unique within
@@ -812,6 +825,53 @@ object Dedup {
         round(
           coalesce(col("dup_tokens"), lit(0L)) / greatest(col("n_tokens"), lit(1L)),
           6).as("dup_frac"))
+  }
+
+  /** The rewrite flavor of [[duplicatedSpans]] (the reference behavior of
+    * exact-substring dedup — arXiv:2107.06499 REMOVES the cloned spans):
+    * every token covered by a flagged (non-first-occurrence) window is
+    * excised and the survivors reassemble in order. Returns one row per
+    * surviving document: (`idCol`, `textCol` = the NORMALIZED token stream
+    * with duplicated spans removed — normalization is the working
+    * representation of the whole exact-substring family; the original raw
+    * text is not reconstructable from token identity). A fully-covered
+    * document drops out entirely, mirroring [[dedupParagraphs]]'
+    * fully-boilerplate contract.
+    *
+    * Scale shape: everything in [[duplicatedSpans]] plus one token-stream
+    * explode and ONE per-document window (running max of flagged starts —
+    * a token is covered iff the latest flag start at-or-before it is
+    * within `windowTokens`), then the same ordered-reassembly aggregation
+    * as [[dedupParagraphs]]. No per-token-times-per-flag work, no global
+    * ordering.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val l = windowTokens
+    import org.apache.spark.sql.expressions.Window
+    val (toksDf, flagged) = spanFlags(df, textCol, idCol, l)
+    val tokens = toksDf
+      .select(col(idCol), posexplode(col("dj_toks")))
+      .toDF(idCol, "dj_pos0", "dj_tok")
+      .withColumn("dj_pos", col("dj_pos0") + 1)
+      .drop("dj_pos0")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dj_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens
+      .join(flagged.withColumn("dj_flag", lit(true)), Seq(idCol, "dj_pos"), "left")
+      .withColumn("dj_last_flag", max(when(col("dj_flag"), col("dj_pos"))).over(w))
+      .where(col("dj_last_flag").isNull || col("dj_pos") > col("dj_last_flag") + (l - 1))
+      .groupBy(idCol)
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            array_sort(collect_list(struct(col("dj_pos"), col("dj_tok")))),
+            s => s.getField("dj_tok"))).as(textCol))
   }
 
   /** Unpersist the RDD behind an eagerly-localCheckpoint'd frame. Matches

@@ -152,6 +152,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 9L)
   }
 
+  test("removeDuplicatedSpans: covered tokens excised, survivors reassemble, full dups drop") {
+    val df = docs(
+      (1L, "a b c d e f g h i j"),
+      // doc 1's window at pos 3..10 → tokens 3-10 removed, "z y x w" kept
+      (2L, "z y a b c d e f g h x w"),
+      // exact copy → fully covered → drops out
+      (3L, "a b c d e f g h i j"),
+      // shorter than the window → untouched (normalized)
+      (4L, "One  Two!"))
+    val out = Dedup.removeDuplicatedSpans(df, "text", "doc_id", windowTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e f g h i j")
+    assert(out(2L) == "z y x w")
+    assert(!out.contains(3L), "a fully-duplicated document must drop out")
+    assert(out(4L) == "one two")
+  }
+
   test("PII scan: counts and redaction with typed placeholders") {
     val df = docs(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),
