@@ -29,6 +29,10 @@ import graft.runner.Runner
   *      MinHash+LSH machinery (same codegen'd kernels) keyed into
   *      `flatMapGroupsWithState` per (band, bucket), state bounded by the
   *      watermark TTL and a hot-bucket cap.
+  *   5. `streamingEmbeddingNearDups` — the embedding flavor of (4): the
+  *      batch banded sign-bit LSH (`Similarity.embeddingNearDups`'
+  *      geometry) with exact-cosine verification against the bucket's
+  *      recent residents.
   */
 object StreamingChecks {
 
@@ -362,6 +366,125 @@ object StreamingChecks {
             }
             state.update(BucketState(entries, maxEventMs))
             // monotone timeout anchor, as in runningKeyProfile
+            state.setTimeoutTimestamp(
+              math.max(maxEventMs, wmMs) + stateTtlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** One emitted embedding pair (`id1 < id2`); `cosine` is the EXACT
+    * verified similarity (banding only gates candidacy). The same true pair
+    * can surface from several bands — downstream dedups on (id1, id2). */
+  final case class StreamVecPair(id1: Long, id2: Long, band: Int, cosine: Double)
+
+  final case class VecEntry(id: Long, vec: Seq[Float], eventMs: Long)
+
+  final case class VecBucketState(entries: Seq[VecEntry], maxEventMs: Long)
+
+  /** Embedding-cosine near-duplicate detection AT INGEST — the streaming
+    * face of `Similarity.embeddingNearDups`, sharing its banded sign-bit
+    * geometry: the stateless projection computes the same deterministic
+    * hyperplane sign bits and splits them into `bands` sub-keys; each
+    * (band, bucket) group holds its recent vectors in
+    * `flatMapGroupsWithState` state, and a new arrival emits a pair per
+    * resident whose EXACT cosine reaches `threshold`. A bucket at
+    * `maxBucketSize` stops both storing and pairing (the batch path drops
+    * oversized buckets entirely; a stream can't retract pairs already
+    * emitted below the cap). Ids must cast to long; null/uncastable ids
+    * and null vectors are dropped, not fatal.
+    *
+    * State scale: one dim-float vector per document per band within the
+    * TTL horizon, partitioned by (band, bucket) — bounded by ingest rate ×
+    * TTL, NOT corpus size; idle buckets are evicted wholesale by the
+    * event-time timeout.
+    */
+  def streamingEmbeddingNearDups(
+      stream: DataFrame,
+      timeColumn: String,
+      watermark: String,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      bits: Int = 32,
+      dim: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000,
+      stateTtlMs: Long = 3600000L): Dataset[StreamVecPair] = {
+    require(stateTtlMs > 0, s"stateTtlMs must be positive: $stateTtlMs")
+    require(bands > 0 && bits % bands == 0,
+      s"bits ($bits) must be a positive multiple of bands ($bands)")
+    val width = bits / bands
+    require(width * bands < 64, "banded key must fit a single long")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val planes = graft.ops.Similarity.hyperplanes(bits, dim)
+    val mask = (1L << width) - 1L
+    val keyed = stream
+      .withWatermark(timeColumn, watermark)
+      .select(
+        col(idCol).cast("long").as("_id"),
+        col(vecCol).as("_vec"),
+        graft.ops.Similarity.lshKey(col(vecCol), planes).as("_key"),
+        col(timeColumn).as("_t"))
+      .where(col("_id").isNotNull && col("_vec").isNotNull)
+    val banded = keyed
+      .select(
+        col("_id"),
+        col("_vec"),
+        explode(sequence(lit(0), lit(bands - 1))).as("_band"),
+        col("_key"),
+        col("_t"))
+      .select(
+        col("_id"),
+        col("_band"),
+        call_function("shiftrightunsigned", col("_key"), col("_band") * lit(width))
+          .bitwiseAND(lit(mask)).as("_bucket"),
+        col("_vec"),
+        col("_t"))
+      .as[(Long, Int, Long, Seq[Float], java.sql.Timestamp)]
+    banded
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[VecBucketState, StreamVecPair](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key, it, state: GroupState[VecBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmMs = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(VecBucketState(Nil, Long.MinValue))
+            var entries = st.entries.filter(_.eventMs >= wmMs - stateTtlMs).toList
+            var maxEventMs = st.maxEventMs
+            val out = Seq.newBuilder[StreamVecPair]
+            it.foreach { case (id, band, _, vec, t) =>
+              val eventMs = if (t == null) wmMs else t.getTime
+              maxEventMs = math.max(maxEventMs, eventMs)
+              val v = vec.toArray
+              if (entries.size < maxBucketSize) {
+                entries.foreach { e =>
+                  if (e.id != id) {
+                    val o = e.vec.toArray
+                    val n = math.min(v.length, o.length)
+                    var dotAcc, na, nb = 0.0
+                    var i = 0
+                    while (i < n) {
+                      dotAcc += v(i).toDouble * o(i)
+                      na += v(i).toDouble * v(i)
+                      nb += o(i).toDouble * o(i)
+                      i += 1
+                    }
+                    val denom = math.sqrt(na) * math.sqrt(nb)
+                    val cos = if (denom == 0.0) 0.0 else dotAcc / denom
+                    if (cos >= threshold)
+                      out += StreamVecPair(
+                        math.min(id, e.id), math.max(id, e.id), band, cos)
+                  }
+                }
+                entries = VecEntry(id, v.toSeq, eventMs) :: entries
+              }
+            }
+            state.update(VecBucketState(entries, maxEventMs))
             state.setTimeoutTimestamp(
               math.max(maxEventMs, wmMs) + stateTtlMs)
             out.result().iterator

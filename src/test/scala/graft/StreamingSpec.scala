@@ -276,6 +276,42 @@ class StreamingSpec extends AnyFunSuite {
       s"TTL-evicted state must not pair with a fresh arrival: $f2")
   }
 
+  test("streamingEmbeddingNearDups: sign-bit bucket state flags cosine near-dups at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 64-dim vectors matching the default hyperplane dim
+    def vec(main: Int, bump: Double): Seq[Float] =
+      (0 until 64).map(i => if (i == main) 1f else if (i == main + 1) bump.toFloat else 0f)
+    val a     = vec(0, 0.05)  // base direction
+    val aNear = vec(0, 0.10)  // cosine ~0.996 vs a
+    val far   = vec(30, 0.0)  // orthogonal
+    val input = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val pairs = graft.streaming.StreamingChecks.streamingEmbeddingNearDups(
+      input.toDF().toDF("event_time", "vec_id", "embedding"),
+      "event_time", "10 seconds", "vec_id", "embedding",
+      threshold = 0.9, stateTtlMs = 60000L)
+    val q = pairs.writeStream
+      .format("memory").queryName("vec_dups_stream").outputMode("update").start()
+    input.addData(
+      (ts("2026-01-01 00:00:01"), 1L, a),
+      (ts("2026-01-01 00:00:02"), 2L, aNear),
+      (ts("2026-01-01 00:00:03"), 3L, far))
+    q.processAllAvailable()
+    // cross-micro-batch: a later near-dup of vec 1 still pairs
+    input.addData((ts("2026-01-01 00:00:05"), 4L, vec(0, 0.08)))
+    q.processAllAvailable()
+    q.stop()
+    val found = spark.table("vec_dups_stream")
+      .select("id1", "id2", "cosine").distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val ids = found.map(_._1).toSet
+    assert(ids.contains((1L, 2L)), s"near pair missed: $ids")
+    assert(ids.exists(_._2 == 4L), s"cross-batch pair missed: $ids")
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L), s"orthogonal vec paired: $ids")
+    // the emitted cosine is the EXACT similarity, not a banded estimate
+    assert(found.forall { case (_, c) => c >= 0.9 && c <= 1.0 + 1e-9 })
+  }
+
   test("corpus split/rate membership are stateless and run on streams") {
     // splitColumn / the weightedMix rate filter are pure row functions, so
     // they compose with any streaming source with no state and no
