@@ -11,7 +11,9 @@ import graft.ops.{Corpus, Dedup, Pipeline, TextAnalysis}
   *
   *   1. gate on language + quality + repetition signals
   *   2. exact dedup, then near-dup clustering (MinHash LSH pairs →
-  *      connected components, keep the min-id doc per cluster)
+  *      connected components, keep the min-id doc per cluster), then
+  *      exact-substring span removal (excise cloned 8-token runs that
+  *      survive document-level dedup)
   *   3. decontaminate against an eval set (word-n-gram overlap)
   *   4. PII redaction
   *   5. deterministic train/val/test split, weighted mixing, and GPT-style
@@ -52,13 +54,20 @@ object CorpusPipeline {
       Seq("doc_id"), "left_anti")
     val n2 = deduped.count()
 
+    // 2b. substring-level trim: document-level dedup keeps one copy per
+    // near-dup CLUSTER, but cloned passages inside otherwise-unique docs
+    // survive it — excise them (docs that were nothing but clones drop)
+    val trimmed = deduped.drop("text")
+      .join(Dedup.removeDuplicatedSpans(deduped, "text", "doc_id"), "doc_id")
+    val n2b = trimmed.count()
+
     // 3. eval-set decontamination (here: a held-out slice stands in for the
     // benchmark suite)
     val evalSet = docs.where(col("doc_id") % 97 === 0)
     val contaminated = Corpus
-      .decontaminate(deduped, evalSet, "text", "doc_id", n = 8)
+      .decontaminate(trimmed, evalSet, "text", "doc_id", n = 8)
       .select(col("doc_id"))
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = trimmed.join(contaminated, Seq("doc_id"), "left_anti")
     val n3 = clean.count()
 
     // 4. PII redaction + 5. split / mix / pack
@@ -71,8 +80,8 @@ object CorpusPipeline {
       "doc_id", "n_tokens", capacity = 2048)
     val nPacks = packed.agg(countDistinct(col("pack_bucket"), col("pack_id"))).head().getLong(0)
 
-    println(s"[corpus] raw=$n0 gated=$n1 deduped=$n2 decontaminated=$n3 " +
-      s"train packs=$nPacks")
+    println(s"[corpus] raw=$n0 gated=$n1 deduped=$n2 span-trimmed=$n2b " +
+      s"decontaminated=$n3 train packs=$nPacks")
     require(n3 > 0, "pipeline must keep documents")
     spark.stop()
   }
