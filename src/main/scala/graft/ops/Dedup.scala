@@ -778,6 +778,11 @@ object Dedup {
               md5(concat_ws(" ", slice(t, i, lit(l))).cast("binary")).as("dj_fp")))
         }).as("dj_w"))
       .select(col(idCol), col("dj_w.dj_pos"), col("dj_w.dj_fp"))
+      // read twice (first-occurrence aggregate AND the flagged join) — the
+      // per-token fingerprint explode must run once, not per branch.
+      // Deliberately a cache (clearCache-released between bench queries;
+      // checkpoint blocks would linger until driver GC)
+      .cache()
     val firsts = wins
       .groupBy("dj_fp")
       .agg(min(struct(col(idCol), col("dj_pos"))).as("dj_first"))
