@@ -169,6 +169,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == "one two")
   }
 
+  test("duplicatedSpans / removeDuplicatedSpans: randomized parity vs brute force") {
+    val L = 3
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // small alphabet forces plenty of genuine cross-doc window collisions
+      val docsList = (1L to 12L).map { id =>
+        val n = 1 + rnd.nextInt(12)
+        id -> (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+      }
+      val winsRef = docsList.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        (0 to toks.length - L).map(i => ((id, i + 1), toks.slice(i, i + L).mkString(" ")))
+      }
+      val firstRef = winsRef.groupBy(_._2).map { case (g, occ) => g -> occ.map(_._1).min }
+      val flaggedRef = winsRef.filter { case (key, g) => firstRef(g) != key }.map(_._1)
+      def coveredOf(id: Long): Set[Int] =
+        flaggedRef.filter(_._1 == id).flatMap { case (_, p) => p until p + L }.toSet
+
+      val df = docs(docsList: _*)
+      val gotStats = Dedup.duplicatedSpans(df, "text", "doc_id", windowTokens = L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val gotText = Dedup.removeDuplicatedSpans(df, "text", "doc_id", windowTokens = L)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      docsList.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val covered = coveredOf(id)
+        assert(gotStats(id) == ((toks.length.toLong, covered.size.toLong)),
+          s"seed=$seed doc=$id stats mismatch: got ${gotStats(id)}, " +
+            s"expected (${toks.length}, ${covered.size})")
+        val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }
+        if (kept.isEmpty)
+          assert(!gotText.contains(id), s"seed=$seed doc=$id should have dropped")
+        else
+          assert(gotText(id) == kept.mkString(" "), s"seed=$seed doc=$id text mismatch")
+      }
+    }
+  }
+
   test("PII scan: counts and redaction with typed placeholders") {
     val df = docs(
       (1L, "mail a@b.co and c.d+x@e-f.org, call +1 (555) 123-4567, see https://x.io/p?q=1 end"),
