@@ -451,16 +451,13 @@ object Similarity {
   /** Cluster count for [[semanticNearDups]] scaled to the corpus: the
     * EXPECTED cluster size tracks `targetClusterSize`, so within-cluster
     * candidate volume stays ~n·targetClusterSize/2 — linear in the corpus.
-    * Clamped to [16, 4096]: centroids ship as plan literals (broadcast to
-    * every task), and 4096 × dim doubles is the sane ceiling for that
-    * design — a corpus needing more clusters (SemDeDup used 50k at web
-    * scale) should shard by a coarse LSH band first and run
-    * semanticNearDups per shard, which this helper deliberately does NOT
-    * hide behind a silent cap.
+    * Floor 16; no upper cap — past `maxLiteralCentroids` the assignment
+    * switches to the broadcast-join path (SemDeDup used 50k clusters at
+    * web scale), whose cost is the unavoidable n·k distance evaluations.
     */
   def semanticClusters(corpusSize: Long, targetClusterSize: Int = 200): Int = {
     require(targetClusterSize > 0, s"targetClusterSize must be positive: $targetClusterSize")
-    math.max(16L, math.min(4096L, corpusSize / targetClusterSize)).toInt
+    math.max(16L, math.min(Int.MaxValue.toLong, corpusSize / targetClusterSize)).toInt
   }
 
   def semanticNearDups(
@@ -471,7 +468,8 @@ object Similarity {
       nClusters: Int = 256,
       lloydIters: Int = 0,
       maxClusterSize: Int = 1000,
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      maxLiteralCentroids: Int = 512): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive: $nClusters")
     require(maxClusterSize >= 2, s"maxClusterSize must be at least 2: $maxClusterSize")
     val base = vectors
@@ -487,42 +485,76 @@ object Similarity {
           lit(0L).as("cluster"),
           lit(0.0).as("cosine"))
         .where(lit(false))
-    // centroid literals carry their norm as a driver-computed constant
-    // (left-to-right sum of squares — the exact doubles the HOF fold would
-    // produce), and the row norm is computed ONCE per row: the per-centroid
-    // work drops from three dot products to one, with bit-identical
-    // arithmetic (same operands, same multiplication order as the plain
-    // cosine spelling the oracle mirrors)
-    val centroidArrN = array(centroids.map { case (cid, v) =>
-      struct(
-        lit(cid).as("cid"),
-        array(v.map(lit): _*).as("cvec"),
-        lit(math.sqrt(v.map(x => x * x).sum)).as("cnorm"))
-    }: _*)
-    // argmax over ROUNDED cosine: negating the rounded value (exact) gives
-    // an ascending sort key, so array_sort's (neg, cid) order is argmax
-    // with ties to the smallest cid — the same coarse-membership trick as
-    // the near-dup oracles (a last-ulp engine divergence only matters
-    // within ~1e-13 of a rounding midpoint)
-    val assigned = base
-      .withColumn("dj_nrm", norm(col("vec")))
-      .select(
-        col(idCol),
-        col("vec"),
-        element_at(
-          transform(
-            array_sort(
-              transform(centroidArrN, c => struct(
-                (-round(
-                  dot(col("vec"), c.getField("cvec")) /
-                    (col("dj_nrm") * c.getField("cnorm")),
-                  6)).as("neg"),
-                c.getField("cid").as("cid")))),
-            s => s.getField("cid")),
-          1).as("cluster"))
-      // read three times below (sizes, two join sides) — the argmax kernel
-      // over the corpus must run once, not per branch
-      .localCheckpoint()
+    // Both assignment paths share the arithmetic: centroid norms are
+    // driver-computed constants (left-to-right sum of squares — the exact
+    // doubles the HOF fold would produce), the row norm is computed ONCE
+    // per row, and the argmax runs over ROUNDED cosine (negated — exact —
+    // for an ascending sort key) with ties to the smallest centroid id:
+    // the same coarse-membership trick as the near-dup oracles (a last-ulp
+    // engine divergence only matters within ~1e-13 of a rounding
+    // midpoint). Identical operands in identical order → the two paths are
+    // bit-identical; only the plan shape differs.
+    val withNorms = centroids.map { case (cid, v) =>
+      (cid, v, math.sqrt(v.map(x => x * x).sum))
+    }
+    val assignedPlan =
+      if (centroids.size <= maxLiteralCentroids) {
+        // small k: centroids as plan literals, per-row argmax — one corpus
+        // scan, no join, no shuffle
+        val centroidArrN = array(withNorms.map { case (cid, v, nrm) =>
+          struct(
+            lit(cid).as("cid"),
+            array(v.map(lit): _*).as("cvec"),
+            lit(nrm).as("cnorm"))
+        }: _*)
+        base
+          .withColumn("dj_nrm", norm(col("vec")))
+          .select(
+            col(idCol),
+            col("vec"),
+            element_at(
+              transform(
+                array_sort(
+                  transform(centroidArrN, c => struct(
+                    (-round(
+                      dot(col("vec"), c.getField("cvec")) /
+                        (col("dj_nrm") * c.getField("cnorm")),
+                      6)).as("neg"),
+                    c.getField("cid").as("cid")))),
+                s => s.getField("cid")),
+              1).as("cluster"))
+      } else {
+        // large k (SemDeDup's web-scale regime): a plan-literal array this
+        // wide would bloat every task's codegen, so the centroid table is
+        // BROADCAST and the scored rows carry only (id, neg, cid) — 24
+        // bytes × n·k — into a partial-aggregated min(struct) argmin
+        // (map-side combine reduces to one row per id per partition before
+        // the shuffle); the winning cluster joins back to the vectors by
+        // id. Cost is the unavoidable n·k distance evaluations plus one
+        // id-keyed shuffle.
+        val spark = vectors.sparkSession
+        import spark.implicits._
+        val centDf = broadcast(withNorms.toDF("dj_cid", "dj_cvec", "dj_cnorm"))
+        val best = base
+          .withColumn("dj_nrm", norm(col("vec")))
+          .crossJoin(centDf)
+          .select(
+            col(idCol),
+            struct(
+              (-round(
+                dot(col("vec"), col("dj_cvec")) /
+                  (col("dj_nrm") * col("dj_cnorm")),
+                6)).as("neg"),
+              col("dj_cid").as("cid")).as("dj_score"))
+          .groupBy(idCol)
+          .agg(min(col("dj_score")).as("dj_best"))
+          .select(col(idCol), col("dj_best.cid").as("cluster"))
+        base.join(best, Seq(idCol))
+          .select(col(idCol), col("vec"), col("cluster"))
+      }
+    // read three times below (sizes, two join sides) — the argmax kernel
+    // over the corpus must run once, not per branch
+    val assigned = assignedPlan.localCheckpoint()
     val sizes = assigned
       .groupBy("cluster")
       .agg(count(lit(1)).as("dj_cn"))

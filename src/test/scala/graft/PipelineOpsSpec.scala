@@ -652,6 +652,25 @@ class SemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(pairs == Set((2L, 6L)))
   }
 
+  test("semanticNearDups: broadcast-join assignment path is bit-identical to literals") {
+    val df = vecs(
+      1L -> Seq(1f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f),
+      3L -> Seq(0.99f, 0.1f, 0f),
+      4L -> Seq(0.98f, 0.15f, 0f),
+      5L -> Seq(0.1f, 0.99f, 0f),
+      6L -> Seq(0.05f, 0.98f, 0f))
+    def run(maxLit: Int) = Similarity
+      .semanticNearDups(df, "vec_id", "embedding", threshold = 0.9,
+        nClusters = 2, lloydIters = 0, corpusSize = Some(1),
+        maxLiteralCentroids = maxLit)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // maxLit=1 forces the large-k broadcast-join branch on the same data
+    assert(run(Int.MaxValue) == run(1))
+  }
+
   test("semanticNearDups: lloyd refinement still finds planted near-dups") {
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val refined = Similarity
