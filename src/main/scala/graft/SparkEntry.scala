@@ -880,6 +880,19 @@ object SparkEntry {
         .drop("dj_member")
     },
 
+    // heavy-hitter diagnosis (the step before salting a skewed join):
+    // keys covering strictly more than 20% of lineitem rows
+    "q_heavy_hitters" -> { (s, dir) =>
+      graft.ops.Skew
+        .heavyHitters(
+          s.read.parquet(pq(dir, "lineitem")).select(col("l_returnflag")),
+          Seq("l_returnflag"), threshold = 0.2)
+        .select(
+          col("l_returnflag"),
+          col("n_rows"),
+          round(col("share"), 6).as("share"))
+    },
+
     // SemDeDup-style semantic near-dups: deterministic coarse quantizer
     // (lloydIters = 0, stride-1 sample → centroids = first 64 vectors by
     // id, SQL-replicable), argmax-of-rounded-cosine assignment, capped
@@ -1366,6 +1379,13 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
     "q_simhash_pairs" -> simhashXxhOracleSql,
+    "q_heavy_hitters" ->
+      """WITH c AS (SELECT l_returnflag, count(*) AS n_rows
+                 FROM lineitem GROUP BY 1),
+             t AS (SELECT sum(n_rows) AS total FROM c)
+         SELECT l_returnflag, n_rows,
+                round(n_rows::DOUBLE / total, 6) AS share
+         FROM c, t WHERE n_rows > total * 0.2""",
     // semantic near-dups: first-64-by-id centroids (the stride-1 sample),
     // argmax over round(cosine, 6) with ties to the smallest centroid id,
     // [2, 1000]-capped within-cluster pairs, exact-cosine verify with the

@@ -759,7 +759,12 @@ object Dedup {
       textCol: String,
       idCol: String,
       l: Int): (DataFrame, DataFrame) = {
-    val toksDf = spread(df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)))
+    // NULL ids are dropped (the Corpus-ops policy): a NULL id has no stable
+    // identity to anchor the (id, pos) first-occurrence order — min(struct)
+    // would otherwise let a null-id occurrence absorb the real first
+    val toksDf = spread(df
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
       .select(col(idCol), col("dj_toks"), size(col("dj_toks")).cast("long").as("dj_n"))
     // md5 of the space-joined window: cross-engine recomputable (the
