@@ -785,9 +785,12 @@ object Dedup {
       .select(col(idCol), col("dj_w.dj_pos"), col("dj_w.dj_fp"))
       // read twice (first-occurrence aggregate AND the flagged join) — the
       // per-token fingerprint explode must run once, not per branch.
-      // Deliberately a cache (clearCache-released between bench queries;
-      // checkpoint blocks would linger until driver GC)
-      .cache()
+      // localCheckpoint, NOT cache: MaxDupSpanFraction evaluates this path
+      // inside a constraint loop, where a cache entry per call would
+      // accumulate until someone clears the whole cache (the heavyHitters
+      // leak the round-3 advisor flagged); checkpoint blocks are reclaimed
+      // by the context cleaner once the result frame goes unreferenced
+      .localCheckpoint()
     val firsts = wins
       .groupBy("dj_fp")
       .agg(min(struct(col(idCol), col("dj_pos"))).as("dj_first"))
