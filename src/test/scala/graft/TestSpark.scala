@@ -15,6 +15,8 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // managed tables (BucketingSpec) go to /tmp, never the repo tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
