@@ -23,6 +23,12 @@ object Bench {
       catch { case e: Throwable => Some(jsonEscape(String.valueOf(e))) }
     val t = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
+    // drop every checkpoint the query's pipelines materialized: block-
+    // manager storage must not accumulate across a 66-query session (the
+    // round-4 bench showed later queries — q_percentile, q_min_max —
+    // degrading monotonically as dead blocks from earlier dedup/ANN
+    // queries starved execution memory)
+    graft.core.Blocks.releaseAll()
     (t, err)
   }
 
@@ -78,6 +84,7 @@ object Bench {
     "q_pack_sequences",
     // rounds scale with component diameter, not corpus size — prove it
     "q_dedup_clusters",
+    // (q_dedup_clusters also anchors the 100× spot leg below)
     // banded capped buckets replaced the full-key self-join — prove the
     // candidate volume no longer tracks n²
     "q_embedding_neardup",
@@ -93,6 +100,14 @@ object Bench {
     "q_span_removal",
     // broadcast centroid argmax + capped within-cluster pairs
     "q_semantic_neardup")
+
+  /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
+    * pipelines only — enough to expose a superlinear constant that even the
+    * 10× leg hides, cheap enough to run as an optional tail leg.
+    */
+  private val Sf10Subset = Seq(
+    "q_minhash_dedup", "q_dedup_clusters", "q_percentile", "q_span_dedup",
+    "q_embedding_neardup", "q_ngram_jaccard")
 
   private def queriesJson(
       results: Iterable[(String, Double, Seq[Double], Option[String])])
@@ -124,28 +139,42 @@ object Bench {
     val (qs, raw, errs) = queriesJson(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
-    // secondary 10× leg (repo-local ScaleData output, or an explicit dir):
+    // scale legs (repo-local ScaleData output, or explicit dirs), skipped
+    // when the directory is absent: sf1 = 10× on the scale-critical
+    // subset; sf10 = 100× spot-check on the heaviest pipelines —
     // median-timed like the primary, reported as sibling fields so the
     // primary contract (one JSON line, "queries" at sf) is unchanged
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
-    val sf1 =
-      if (!new java.io.File(sf1Dir).isDirectory) ""
-      else {
-        val sub = SparkEntry.queries
-          .filter { case (name, _) => Sf1Subset.contains(name) }
+    def leg(dir: String, names: Seq[String])
+        : Option[Iterable[(String, Double, Seq[Double], Option[String])]] =
+      if (!new java.io.File(dir).isDirectory) None
+      else Some(
+        SparkEntry.queries
+          .filter { case (name, _) => names.contains(name) }
           .map { case (name, fn) =>
-            val (t, raw1, err) = timeQuery(spark, fn, sf1Dir)
+            val (t, raw1, err) = timeQuery(spark, fn, dir)
             (name, t, raw1, err)
-          }
-        val (q1, r1, e1) = queriesJson(sub)
-        s""","sf1_dir":"${jsonEscape(sf1Dir)}","sf1_queries":$q1,"sf1_raw":$r1,"sf1_errors":$e1"""
-      }
+          })
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
+    val sf1Results = leg(sf1Dir, Sf1Subset)
+    val sf1 = sf1Results.map { sub =>
+      val (q1, r1, e1) = queriesJson(sub)
+      s""","sf1_dir":"${jsonEscape(sf1Dir)}","sf1_queries":$q1,"sf1_raw":$r1,"sf1_errors":$e1"""
+    }.getOrElse("")
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
+    val sf10Results = leg(sf10Dir, Sf10Subset)
+    val sf10 = sf10Results.map { sub =>
+      val (q10, r10, e10) = queriesJson(sub)
+      s""","sf10_dir":"${jsonEscape(sf10Dir)}","sf10_queries":$q10,"sf10_raw":$r10,"sf10_errors":$e10"""
+    }.getOrElse("")
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs$sf1,"sf":"$sfDir"}"""
-    println(json)
-    // stdout competes with sbt/log4j noise and has truncated a round artifact
-    // before — always persist the line to a file as well
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs$sf1$sf10,"sf":"$sfDir"}"""
+    // stdout competes with sbt/log4j noise, and the consumer keeps only a
+    // bounded TAIL of it — the full line (raw per-run arrays) overflowed
+    // that window two rounds running ("parsed": null), decapitating the
+    // JSON. So the FILE gets the full artifact, and stdout gets one
+    // deliberately COMPACT line (3-decimal times, no raw arrays) printed
+    // LAST so it always lands intact inside the tail window.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
@@ -154,6 +183,16 @@ object Bench {
     } catch {
       case e: Exception => System.err.println(s"bench: could not write $outPath: $e")
     }
+    def compactTimes(rs: Iterable[(String, Double, Seq[Double], Option[String])]) =
+      rs.map { case (k, v, _, _) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+    val sf1C =
+      sf1Results.map(s => s""","sf1_queries":${compactTimes(s)}""").getOrElse("")
+    val sf10C =
+      sf10Results.map(s => s""","sf10_queries":${compactTimes(s)}""").getOrElse("")
+    val compact =
+      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":${compactTimes(results)},"errors":$errs$sf1C$sf10C,"sf":"$sfDir","full":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }

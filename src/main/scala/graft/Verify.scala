@@ -27,7 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // free operator-internal caches
+      finally {
+        spark.catalog.clearCache() // free operator-internal caches
+        // and the pipelines' tracked checkpoints — 66 queries' worth of
+        // dead blocks otherwise accumulate in one session
+        graft.core.Blocks.releaseAll()
+      }
     }
     // lossless JSON escape — a tab or CR in builder-authored SQL would
     // otherwise make the driver's json.load fail and silently zero the

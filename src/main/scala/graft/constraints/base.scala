@@ -45,7 +45,12 @@ abstract class Constraint {
     * stringify anything extra.
     */
   protected final def withPlans(body: => TestResult): TestResult = {
-    val (res, plans) = PlanCapture.capturing(body)
+    // Blocks.scoped: a constraint evaluation reduces to a TestResult (plans
+    // render to strings without re-execution), so every checkpoint its
+    // retrievals materialized is dead on return — release with the scope
+    // instead of waiting on driver GC (a long production suite would
+    // otherwise accumulate one evaluation's blocks per constraint)
+    val (res, plans) = PlanCapture.capturing(graft.core.Blocks.scoped(body))
     if (res.outcome || plans.isEmpty || res.factualQueries.nonEmpty) res
     else res.copy(factualQueries = PlanCapture.render(plans))
   }

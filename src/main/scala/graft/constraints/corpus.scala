@@ -33,25 +33,30 @@ final case class MaxNearDupFraction(
     jaccardThreshold > 0 && jaccardThreshold <= 1,
     s"jaccardThreshold must lie in (0, 1]: $jaccardThreshold")
 
-  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
-    val base = r.selection(spark)
-      .select(col(textColumn))
-      .where(col(textColumn).isNotNull)
-      .withColumn("dj_nid", monotonically_increasing_id())
-      // the id must be stable across the pair job's scans — materialize it
-      .localCheckpoint()
-    val total = base.count()
-    if (total == 0L) 0.0
-    else {
-      val pairs = Dedup.minhashNearDups(
-        base, textColumn, "dj_nid", threshold = jaccardThreshold)
-      val involved = pairs
-        .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
-        .distinct()
-        .count()
-      involved.toDouble / total
+  // Blocks.scoped: the evaluation reduces to one scalar — every
+  // checkpoint the pair pipeline materializes is dead on return and is
+  // released with the scope, so a constraint suite looping over corpora
+  // holds at most ONE evaluation's blocks at a time.
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double =
+    graft.core.Blocks.scoped {
+      val base = graft.core.Blocks.checkpoint(
+        r.selection(spark)
+          .select(col(textColumn))
+          .where(col(textColumn).isNotNull)
+          // the id must be stable across the pair job's scans — materialize
+          .withColumn("dj_nid", monotonically_increasing_id()))
+      val total = base.count()
+      if (total == 0L) 0.0
+      else {
+        val pairs = Dedup.minhashNearDups(
+          base, textColumn, "dj_nid", threshold = jaccardThreshold)
+        val involved = pairs
+          .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
+          .distinct()
+          .count()
+        involved.toDouble / total
+      }
     }
-  }
 
   override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
     (factual <= target,
@@ -81,22 +86,25 @@ final case class MaxDupSpanFraction(
     s"max_dup_span_fraction was expected to lie within [0, 1] but is $refValue.")
   require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
 
-  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
-    val base = r.selection(spark)
-      .select(col(textColumn))
-      .where(col(textColumn).isNotNull)
-      .withColumn("dj_nid", monotonically_increasing_id())
-      // the id must be stable across the fingerprint job's scans
-      .localCheckpoint()
-    val totals = Dedup
-      .duplicatedSpans(base, textColumn, "dj_nid", windowTokens)
-      .agg(
-        coalesce(sum(col("dup_tokens")), lit(0L)).as("dj_dup"),
-        coalesce(sum(col("n_tokens")), lit(0L)).as("dj_n"))
-      .head()
-    val (dup, n) = (totals.getLong(0), totals.getLong(1))
-    if (n == 0L) 0.0 else dup.toDouble / n
-  }
+  // scalar evaluation — scope releases every checkpoint on return (see
+  // MaxNearDupFraction)
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double =
+    graft.core.Blocks.scoped {
+      val base = graft.core.Blocks.checkpoint(
+        r.selection(spark)
+          .select(col(textColumn))
+          .where(col(textColumn).isNotNull)
+          // the id must be stable across the fingerprint job's scans
+          .withColumn("dj_nid", monotonically_increasing_id()))
+      val totals = Dedup
+        .duplicatedSpans(base, textColumn, "dj_nid", windowTokens)
+        .agg(
+          coalesce(sum(col("dup_tokens")), lit(0L)).as("dj_dup"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("dj_n"))
+        .head()
+      val (dup, n) = (totals.getLong(0), totals.getLong(1))
+      if (n == 0L) 0.0 else dup.toDouble / n
+    }
 
   override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
     (factual <= target,
@@ -128,27 +136,30 @@ final case class MaxSemanticDupFraction(
     cosineThreshold >= -1 && cosineThreshold <= 1,
     s"cosineThreshold must lie in [-1, 1]: $cosineThreshold")
 
-  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
-    val base = r.selection(spark)
-      .select(col(embeddingColumn))
-      .where(col(embeddingColumn).isNotNull)
-      .withColumn("dj_nid", monotonically_increasing_id())
-      // the id must be stable across the pair job's scans — materialize it
-      .localCheckpoint()
-    val total = base.count()
-    if (total == 0L) 0.0
-    else {
-      val pairs = graft.ops.Similarity.semanticNearDups(
-        base, "dj_nid", embeddingColumn, cosineThreshold,
-        nClusters = nClusters, lloydIters = lloydIters,
-        corpusSize = Some(total))
-      val involved = pairs
-        .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
-        .distinct()
-        .count()
-      involved.toDouble / total
+  // scalar evaluation — scope releases every checkpoint on return (see
+  // MaxNearDupFraction)
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double =
+    graft.core.Blocks.scoped {
+      val base = graft.core.Blocks.checkpoint(
+        r.selection(spark)
+          .select(col(embeddingColumn))
+          .where(col(embeddingColumn).isNotNull)
+          // the id must be stable across the pair job's scans — materialize
+          .withColumn("dj_nid", monotonically_increasing_id()))
+      val total = base.count()
+      if (total == 0L) 0.0
+      else {
+        val pairs = graft.ops.Similarity.semanticNearDups(
+          base, "dj_nid", embeddingColumn, cosineThreshold,
+          nClusters = nClusters, lloydIters = lloydIters,
+          corpusSize = Some(total))
+        val involved = pairs
+          .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
+          .distinct()
+          .count()
+        involved.toDouble / total
+      }
     }
-  }
 
   override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
     (factual <= target,
@@ -183,13 +194,16 @@ final case class MaxCrossNearDupFraction(
 
   override protected def ref2Option: Option[DataRef] = Some(ref2Required)
 
+  // scalar evaluation — scope releases every checkpoint on return (see
+  // MaxNearDupFraction)
   override def test(spark: SparkSession): graft.core.TestResult = withPlans {
-    def prepared(r: DataRef, c: String) = r.selection(spark)
-      .select(col(c).as("dj_text"))
-      .where(col("dj_text").isNotNull)
-      .withColumn("dj_nid", monotonically_increasing_id())
-      // ids must be stable across the pair job's scans — materialize
-      .localCheckpoint()
+   graft.core.Blocks.scoped {
+    def prepared(r: DataRef, c: String) = graft.core.Blocks.checkpoint(
+      r.selection(spark)
+        .select(col(c).as("dj_text"))
+        .where(col("dj_text").isNotNull)
+        // ids must be stable across the pair job's scans — materialize
+        .withColumn("dj_nid", monotonically_increasing_id()))
     val train = prepared(ref, textColumn)
     val eval_ = prepared(ref2Required, textColumn2)
     val total = train.count()
@@ -210,5 +224,6 @@ final case class MaxCrossNearDupFraction(
         s"$factual of ${ref.describe} documents have a near-duplicate " +
           s"(jaccard >= $jaccardThreshold) in ${ref2Required.describe} while " +
           s"only $target were allowed to.")
+   }
   }
 }

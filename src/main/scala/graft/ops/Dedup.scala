@@ -137,13 +137,16 @@ object Dedup {
     * and runs once; the materialized footprint is 8 bytes per shingle, not
     * the shingle strings (10–50× the text at k=5 — the round-1 concern).
     *
-    * EAGER localCheckpoint, not `.cache()`: the downstream pipelines read
-    * this frame from several plan branches (bucket generation + two
-    * verification sides), and a lazy cache both races those branches on
-    * first materialization AND registers a CacheManager entry nobody can
-    * release — a constraint evaluating near-dup budgets in a loop would
-    * leak one corpus-sized entry per call (the heavyHitters leak class).
-    * Checkpoint blocks are reclaimed once the result goes unreferenced.
+    * EAGER materialization contract: CONSTRUCTING this frame runs the
+    * shingling job over the corpus (localCheckpoint via [[graft.core.Blocks]],
+    * not `.cache()`) — the downstream pipelines read it from several plan
+    * branches (bucket generation + two verification sides), and a lazy cache
+    * both races those branches on first materialization AND registers a
+    * CacheManager entry nobody can release — a constraint evaluating
+    * near-dup budgets in a loop would leak one corpus-sized entry per call
+    * (the heavyHitters leak class). The blocks are registry-tracked: release
+    * them with `Blocks.release(result)`/`Blocks.releaseAll()` when done, or
+    * they linger until driver GC.
     */
   def minhashed(
       df: DataFrame,
@@ -159,8 +162,8 @@ object Dedup {
         graft.functions.ShingleHashes
           .shingleHashes(TextAnalysis.normalize(col(textCol)), shingleK)
           .as("shingle_hashes"))
-      .localCheckpoint()
-    shingled
+    val shingledCk = graft.core.Blocks.checkpoint(shingled)
+    shingledCk
       .where(size(col("shingle_hashes")) > 0)
       .withColumn(
         "signature",
@@ -206,12 +209,24 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     // the bucket frame is read THREE times below (size count + both
     // self-join sides) and upstream it embeds the signature computation —
-    // materialize once ((id, band, bucket) rows, ~24 bytes each; blocks
-    // are reclaimed once the returned candidates go unreferenced).
+    // materialize once ((id, band, bucket) rows, ~24 bytes each;
+    // registry-tracked — `Blocks.releaseAll()` or driver GC reclaims).
     // NULL ids can never pair (id1 < id2 is NULL) — drop them BEFORE the
     // size count so they don't shift a bucket across the cap boundary
     // (the old collect_list(id) spelling skipped them implicitly).
-    val buckets = buckets0.where(col(idCol).isNotNull).localCheckpoint()
+    val buckets =
+      graft.core.Blocks.checkpoint(buckets0.where(col(idCol).isNotNull))
+    pairsFromBuckets(buckets, idCol, maxBucketSize)
+  }
+
+  /** Count-first-capped pair generation over an ALREADY-MATERIALIZED
+    * (id, band, bucket) frame — split out so pipeline callers can release
+    * the bucket checkpoint as soon as the candidate set is materialized.
+    */
+  private def pairsFromBuckets(
+      buckets: DataFrame,
+      idCol: String,
+      maxBucketSize: Int): DataFrame = {
     val sizes = buckets
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("dj_bn"))
@@ -228,6 +243,16 @@ object Dedup {
 
   /** MinHash near-duplicates: LSH candidates verified with the exact Jaccard
     * over shingle sets. Output: (id1, id2, jaccard) with jaccard >= threshold.
+    *
+    * EAGER materialization contract: CONSTRUCTING the returned frame runs
+    * the shingling, banding, and candidate-generation jobs over the corpus
+    * (the candidate count sizes the verification join, so it must be
+    * measured before the final plan exists) — `explain()` alone triggers
+    * them. Only the exact-Jaccard verification remains lazy. The
+    * intermediates are registry-tracked ([[graft.core.Blocks]]); dead ones
+    * are released before returning, the rest (shingle arrays, candidate
+    * pairs — read by the returned plan) with `Blocks.releaseAll()` once the
+    * result is consumed.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -237,14 +262,19 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    // minhashed caches the sorted shingle-hash arrays; the signature
-    // recomputes from the cached arrays in one codegen'd pass per use —
-    // cheaper than doubling the cached footprint with a second
+    // minhashed materializes the sorted shingle-hash arrays; the signature
+    // recomputes from the materialized arrays in one codegen'd pass per use
+    // — cheaper than doubling the checkpointed footprint with a second
     // materialization
-    val signed     = minhashed(df, textCol, idCol, shingleK, numHashes)
-    val candidates = lshCandidatePairs(lshBuckets(signed, idCol, bands), idCol)
-      .localCheckpoint()
+    val signed = minhashed(df, textCol, idCol, shingleK, numHashes)
+    val buckets = graft.core.Blocks.checkpoint(
+      lshBuckets(signed, idCol, bands).where(col(idCol).isNotNull))
+    val candidates =
+      graft.core.Blocks.checkpoint(pairsFromBuckets(buckets, idCol, 1000))
     val nCand = candidates.count()
+    // candidates are materialized — the banded bucket blocks are dead NOW,
+    // not at the next driver GC
+    graft.core.Blocks.release(buckets)
     val sides = signed.select(col(idCol), col("shingle_hashes"), col("signature"))
     // Signature-agreement prefilter: E[matching fraction] = Jaccard with
     // σ = sqrt(j(1-j)/numHashes) ≈ 0.06 at 64 hashes, so a 0.25 margin below
@@ -275,6 +305,15 @@ object Dedup {
     * `sides1` serves id1, `sides2` serves id2 (the same frame for
     * within-corpus pairs, two frames for cross-corpus pairs). `payload`
     * maps source column → output prefix (prefix+"1"/"2").
+    *
+    * The broadcast path ships the pair set (and a distinct-id set per side)
+    * to every executor AND pins it in driver memory first — so the default
+    * cap derives from the session's own
+    * `spark.sql.autoBroadcastJoinThreshold` at ~16 bytes per (long, long)
+    * pair row (10 MB default → ~650k pairs), instead of a fixed count that
+    * ignores how the session was sized. Pass `broadcastableCandidates >= 0`
+    * to override (0 forces the shuffle-hash path; a broadcast-disabled
+    * session, threshold <= 0, gets shuffle-hash automatically).
     */
   private[graft] def verifyPairs(
       candidates: DataFrame,
@@ -283,10 +322,22 @@ object Dedup {
       sides2: DataFrame,
       idCol: String,
       payload: Seq[(String, String)],
-      broadcastableCandidates: Long = 2000000L): DataFrame = {
+      broadcastableCandidates: Long = -1L): DataFrame = {
+    val cap =
+      if (broadcastableCandidates >= 0L) broadcastableCandidates
+      else {
+        val raw = candidates.sparkSession.conf
+          .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+        val bytes =
+          try {
+            if (raw.startsWith("-")) -1L
+            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+          } catch { case _: NumberFormatException => 10L * 1024 * 1024 }
+        if (bytes <= 0) 0L else bytes / 16L
+      }
     def side(sides: DataFrame, n: Int) = sides.select(
       (col(idCol).as(s"id$n") +: payload.map { case (c, p) => col(c).as(s"$p$n") }): _*)
-    if (nCand <= broadcastableCandidates) {
+    if (nCand <= cap) {
       // the semi-join reduction stays INLINE (scan + broadcast semi, no
       // materialization): each verification join re-derives it, which is
       // one cheap pruned pass — a checkpoint here costs more than it saves
@@ -314,6 +365,11 @@ object Dedup {
     * bucket join runs ACROSS the two tables only — no within-table pairs —
     * and each side's hot buckets are capped independently (candidate
     * volume per cell ≤ maxBucketSize², never |A|·|B|).
+    *
+    * EAGER materialization contract: as [[minhashNearDups]] — construction
+    * runs both sides' shingling and the cross-bucket candidate join; only
+    * the exact-Jaccard verification is lazy in the returned frame. Release
+    * the tracked intermediates with `Blocks.releaseAll()` after consuming.
     */
   def crossNearDups(
       dfA: DataFrame,
@@ -327,27 +383,33 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val signedA = minhashed(dfA, textCol, idCol, shingleK, numHashes)
     val signedB = minhashed(dfB, textCol, idCol, shingleK, numHashes)
-    def cappedBuckets(signed: DataFrame): DataFrame = {
+    // (capped bucket frame, its checkpoint handle — released once the
+    // candidate set is materialized)
+    def cappedBuckets(signed: DataFrame): (DataFrame, DataFrame) = {
       // NULL ids can never appear in output pairs — drop before the cap
       // count (matching lshCandidatePairs' boundary semantics)
-      val b = lshBuckets(signed, idCol, bands)
-        .where(col(idCol).isNotNull)
-        .localCheckpoint()
-      b.join(
+      val b = graft.core.Blocks.checkpoint(
+        lshBuckets(signed, idCol, bands).where(col(idCol).isNotNull))
+      (b.join(
         b.groupBy("band", "bucket").agg(count(lit(1)).as("dj_bn"))
           .where(col("dj_bn") <= maxBucketSize)
           .select("band", "bucket"),
-        Seq("band", "bucket"))
+        Seq("band", "bucket")), b)
     }
-    val candidates = cappedBuckets(signedA)
-      .select(col("band"), col("bucket"), col(idCol).as("id1"))
-      .join(
-        cappedBuckets(signedB).select(col("band"), col("bucket"), col(idCol).as("id2")),
-        Seq("band", "bucket"))
-      .select("id1", "id2")
-      .distinct()
-      .localCheckpoint()
-    val nCand  = candidates.count()
+    val (cappedA, bucketsA) = cappedBuckets(signedA)
+    val (cappedB, bucketsB) = cappedBuckets(signedB)
+    val candidates = graft.core.Blocks.checkpoint(
+      cappedA
+        .select(col("band"), col("bucket"), col(idCol).as("id1"))
+        .join(
+          cappedB.select(col("band"), col("bucket"), col(idCol).as("id2")),
+          Seq("band", "bucket"))
+        .select("id1", "id2")
+        .distinct())
+    val nCand = candidates.count()
+    // candidates are materialized — both sides' bucket blocks are dead NOW
+    graft.core.Blocks.release(bucketsA)
+    graft.core.Blocks.release(bucketsB)
     def sides(signed: DataFrame) =
       signed.select(col(idCol), col("shingle_hashes"), col("signature"))
     val estCutoff = math.max(0.0, threshold - 0.25)
@@ -621,14 +683,12 @@ object Dedup {
     // embeds the (expensive — LSH / inverted-index) pair plan twice, and
     // the two branches would recompute it per branch, racing any lazy
     // cache inside it. One checkpoint = one pair-generation pass.
-    val half = pairs
-      .select(col(id1).as("dj_src"), col(id2).as("dj_dst"))
-      .localCheckpoint()
-    val sym = half
+    val half = graft.core.Blocks.checkpoint(
+      pairs.select(col(id1).as("dj_src"), col(id2).as("dj_dst")))
+    val sym = graft.core.Blocks.checkpoint(half
       .unionAll(half.select(col("dj_dst").as("dj_src"), col("dj_src").as("dj_dst")))
-      .distinct()
-      .localCheckpoint()
-    releaseCheckpoint(half) // sym is materialized; the directed half is dead
+      .distinct())
+    graft.core.Blocks.release(half) // sym is materialized; the directed half is dead
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(f"[cc] edge checkpoint: ${(System.nanoTime() - t0) / 1e9}%.1fs")
     var labels = sym
@@ -661,7 +721,7 @@ object Dedup {
       // after that has a deep chain, and the jump caps the remaining
       // rounds at O(log diameter).
       var roundHop: Option[DataFrame] = None
-      val next = (if (iters < jumpAfter) {
+      val nextPlan = (if (iters < jumpAfter) {
         hopPlan.select(
           col("dj_id"),
           col("dj_hop").as("dj_label"),
@@ -669,7 +729,7 @@ object Dedup {
       } else {
         // the self-join reads hop from both sides: materialize it first so
         // the edge join + aggregate run once, not once per side
-        val hop  = hopPlan.localCheckpoint()
+        val hop  = graft.core.Blocks.checkpoint(hopPlan)
         roundHop = Some(hop)
         val jump = hop.select(col("dj_id").as("dj_jkey"), col("dj_hop").as("dj_jump"))
         hop
@@ -680,7 +740,8 @@ object Dedup {
               .as("dj_label"),
             (least(col("dj_hop"), coalesce(col("dj_jump"), col("dj_hop")))
               < col("dj_old")).as("dj_changed"))
-      }).localCheckpoint()
+      })
+      val next = graft.core.Blocks.checkpoint(nextPlan)
       // the change flag rides along with the label update — counting changed
       // rows is then a scan of the materialized frame, not another join
       // against the previous labels
@@ -693,8 +754,8 @@ object Dedup {
       // only targets a frame whose plan ROOT is the checkpoint RDD —
       // round-1 `labels` is a plain derivation over `sym`, and a deep
       // match would wrongly unpersist the still-needed edge checkpoint.
-      releaseCheckpoint(labels)
-      roundHop.foreach(releaseCheckpoint)
+      graft.core.Blocks.release(labels)
+      roundHop.foreach(graft.core.Blocks.release)
       labels = next
       done = changed == 0
       iters += 1
@@ -708,8 +769,8 @@ object Dedup {
     // BEFORE throwing — a caller that catches and retries with a higher
     // maxIters must not accumulate dead blocks per failed attempt.
     if (!done) {
-      releaseCheckpoint(labels)
-      releaseCheckpoint(sym)
+      graft.core.Blocks.release(labels)
+      graft.core.Blocks.release(sym)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           s"component diameter exceeds the bound; raise maxIters or use a " +
@@ -718,11 +779,10 @@ object Dedup {
     // eager local checkpoint materializes the result, then the loop's
     // remaining checkpoints (edge set, final round's labels) are released
     // explicitly — nothing waits on a driver GC
-    val result = labels
-      .select(col("dj_id").as("id"), col("dj_label").as("cluster_id"))
-      .localCheckpoint()
-    releaseCheckpoint(labels)
-    releaseCheckpoint(sym)
+    val result = graft.core.Blocks.checkpoint(
+      labels.select(col("dj_id").as("id"), col("dj_label").as("cluster_id")))
+    graft.core.Blocks.release(labels)
+    graft.core.Blocks.release(sym)
     result
   }
 
@@ -783,18 +843,18 @@ object Dedup {
               md5(concat_ws(" ", slice(t, i, lit(l))).cast("binary")).as("dj_fp")))
         }).as("dj_w"))
       .select(col(idCol), col("dj_w.dj_pos"), col("dj_w.dj_fp"))
-      // read twice (first-occurrence aggregate AND the flagged join) — the
-      // per-token fingerprint explode must run once, not per branch.
-      // localCheckpoint, NOT cache: MaxDupSpanFraction evaluates this path
-      // inside a constraint loop, where a cache entry per call would
-      // accumulate until someone clears the whole cache (the heavyHitters
-      // leak the round-3 advisor flagged); checkpoint blocks are reclaimed
-      // by the context cleaner once the result frame goes unreferenced
-      .localCheckpoint()
-    val firsts = wins
+    // read twice (first-occurrence aggregate AND the flagged join) — the
+    // per-token fingerprint explode must run once, not per branch.
+    // Registry-tracked checkpoint, NOT cache: MaxDupSpanFraction evaluates
+    // this path inside a constraint loop, where a cache entry per call
+    // would accumulate until someone clears the whole cache (the
+    // heavyHitters leak class); the constraint's scope releases these
+    // blocks the moment the evaluation returns.
+    val winsCk = graft.core.Blocks.checkpoint(wins)
+    val firsts = winsCk
       .groupBy("dj_fp")
       .agg(min(struct(col(idCol), col("dj_pos"))).as("dj_first"))
-    val flagged = wins
+    val flagged = winsCk
       .join(firsts, Seq("dj_fp"))
       .where(struct(col(idCol), col("dj_pos")) =!= col("dj_first"))
       .select(col(idCol), col("dj_pos"))
@@ -887,14 +947,4 @@ object Dedup {
             s => s.getField("dj_tok"))).as(textCol))
   }
 
-  /** Unpersist the RDD behind an eagerly-localCheckpoint'd frame. Matches
-    * ONLY a plan whose root is the checkpoint's `LogicalRDD` — a no-op for
-    * derived frames, so callers can pass either without deep-plan matching
-    * ever touching an upstream checkpoint that is still live.
-    */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _                                             => ()
-    }
 }

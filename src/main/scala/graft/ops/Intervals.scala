@@ -48,13 +48,25 @@ object Intervals {
       keyColumns: Seq[String],
       startColumns: Seq[String],
       endColumns: Seq[String],
+      endIncluded: Boolean): DataFrame =
+    overlapViolationsOn(
+      ref.selection(spark), keyColumns, startColumns, endColumns, endIncluded)
+
+  /** [[overlapViolations]] over an explicit selection frame — split out so
+    * the 1-D sample path can run the pair join on ONE flagged key's rows
+    * instead of the whole table.
+    */
+  private def overlapViolationsOn(
+      sel: DataFrame,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
       endIncluded: Boolean): DataFrame = {
     require(
       startColumns.length == endColumns.length,
       s"Expected same dimensionality for start/end columns, got " +
         s"${startColumns.length} vs ${endColumns.length}")
     val dims     = startColumns.indices
-    val sel      = ref.selection(spark)
     val t1       = Ops.renameAll(sel, "_1")
     val t2       = Ops.renameAll(sel, "_2")
 
@@ -202,16 +214,37 @@ object Intervals {
       ref.selection(spark).columns.toSet ==
         (keyColumns ++ startColumns ++ endColumns).toSet
     if (oneD) {
-      val nViol = overlapFlags1D(
-        spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded).count()
-      val sample =
-        if (nViol == 0) None
-        else overlapViolations(
-          spark, ref, keyColumns, startColumns, endColumns, endIncluded).head(1).headOption
-      IntervalResult(
-        nViolationKeys = nViol,
-        nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
-        violationSample = sample)
+      // flagged keys feed the count AND the sample-key pick — materialize
+      // once (≤ one row per key), release before returning
+      val flagged = graft.core.Blocks.checkpoint(overlapFlags1D(
+        spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded))
+      try {
+        val nViol = flagged.count()
+        val sample =
+          if (nViol == 0) None
+          else {
+            // the pair self-join exists only to produce ONE sample row —
+            // run it on a single flagged key's rows, so a key holding k
+            // mutually-overlapping intervals costs (its own) k² pair
+            // output, never the whole table's (the round-4 advisor's
+            // worst case: one hot key, full-table join for one row)
+            val keyRow = flagged.head()
+            val cond = keyColumns.zipWithIndex
+              .map { case (k, i) =>
+                val v = keyRow.get(i)
+                if (v == null) col(k).isNull else col(k) === lit(v)
+              }
+              .reduce(_ && _)
+            overlapViolationsOn(
+              ref.selection(spark).where(cond),
+              keyColumns, startColumns, endColumns, endIncluded)
+              .head(1).headOption
+          }
+        IntervalResult(
+          nViolationKeys = nViol,
+          nDistinctKeys = distinctKeyCount(spark, ref, keyColumns),
+          violationSample = sample)
+      } finally graft.core.Blocks.release(flagged)
     } else {
       // the self-join plan is the most expensive in the module and feeds BOTH
       // the distinct-key count and the sample — persist across the two actions
@@ -314,10 +347,12 @@ object Intervals {
       // re-running the join per action (blocks are freed by the context
       // cleaner once the result is unreferenced)
       val startTable = CumSum.withGlobalRank(
-        notInOtherInterval(sel, startColumn).select(col(startColumn)).localCheckpoint(),
+        graft.core.Blocks.checkpoint(
+          notInOtherInterval(sel, startColumn).select(col(startColumn))),
         startColumn, "dj_start_rank")
       val endTable = CumSum.withGlobalRank(
-        notInOtherInterval(sel, endColumn).select(col(endColumn)).localCheckpoint(),
+        graft.core.Blocks.checkpoint(
+          notInOtherInterval(sel, endColumn).select(col(endColumn))),
         endColumn, "dj_end_rank")
       startTable
         .join(

@@ -80,31 +80,40 @@ object Ops {
     * Scale-aware plan: instead of ranking every raw row (the reference's
     * row_number over the full table — a global sort), aggregate to distinct
     * values first (`groupBy(v).count` — shuffle on value, map-side combine),
-    * then run the cumulative window over the *distinct values only*. The
-    * single-partition window touches |distinct| rows, not |rows|.
-    * `cum * 100 >= total * p` is the tie-correct form of the reference's
-    * row_number filter (for tied values the last row number of the tie group
-    * is what decides, which is exactly the cumulative count).
+    * then run the distributed prefix sum (`CumSum` — bucket-partitioned
+    * windows, never a single-partition sort) over the *distinct values
+    * only*. `cum * 100 >= total * p` is the tie-correct form of the
+    * reference's row_number filter (for tied values the last row number of
+    * the tie group is what decides, which is exactly the cumulative count).
+    *
+    * ONE scan of the selection: the distinct-value counts are checkpointed,
+    * so CumSum's boundary estimation, its bucket-totals collect, and the
+    * final filtered min all read the (tiny, |distinct|-sized) materialized
+    * frame instead of re-running the base scan+shuffle per pass; the total
+    * row count is the grand total CumSum's boundary job already computed.
+    * The checkpoint is released before returning — a constraint suite
+    * evaluating many percentiles holds no blocks between calls.
     */
   def getPercentile(spark: SparkSession, ref: DataRef, percentage: Double): Double = {
     val c = ref.column
-    val counts = ref
-      .selection(spark)
-      .where(col(c).isNotNull)
-      .groupBy(col(c).as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    // distributed prefix sum over distinct values (CumSum) instead of a
-    // single-partition ordered window; broadcast scalar total
-    val running = CumSum.withRunningSum(counts, "v", "cnt", "cum")
-    val total   = counts.agg(sum(col("cnt")).as("total"))
-    val row = running
-      .crossJoin(broadcast(total))
-      .where(col("cum") * 100.0 >= col("total") * percentage)
-      .agg(min(col("v")))
-      .head()
-    if (row.isNullAt(0))
-      throw new IllegalArgumentException("Percentile selection could not be fetched.")
-    row.get(0).asInstanceOf[Number].doubleValue()
+    val counts = graft.core.Blocks.checkpoint(
+      ref
+        .selection(spark)
+        .where(col(c).isNotNull)
+        .groupBy(col(c).as("v"))
+        .agg(count(lit(1)).as("cnt")))
+    try {
+      val (running, totals) =
+        CumSum.withRunningSums(counts, "v", Seq("cnt"), Seq("cum"))
+      val total = totals.head
+      val row = running
+        .where(col("cum") * 100.0 >= lit(total) * percentage)
+        .agg(min(col("v")))
+        .head()
+      if (row.isNullAt(0))
+        throw new IllegalArgumentException("Percentile selection could not be fetched.")
+      row.get(0).asInstanceOf[Number].doubleValue()
+    } finally graft.core.Blocks.release(counts)
   }
 
   /** Fraction of rows with lo <= col <= hi over all rows of the selection

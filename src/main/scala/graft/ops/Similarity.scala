@@ -357,6 +357,14 @@ object Similarity {
     *
     * Candidates are then verified with the exact cosine, so banding only
     * affects recall, never precision.
+    *
+    * EAGER materialization contract: as `Dedup.minhashNearDups` —
+    * construction runs the banding and candidate-generation jobs (the
+    * measured candidate count sizes the verification join); only the exact
+    * cosine verification stays lazy. Intermediates are registry-tracked
+    * ([[graft.core.Blocks]]); the bucket blocks are released before
+    * returning, the candidate pairs with `Blocks.releaseAll()` once the
+    * result is consumed.
     */
   def embeddingNearDups(
       vectors: DataFrame,
@@ -392,17 +400,17 @@ object Similarity {
               .bitwiseAND(lit(mask)).as("bucket"))))
         .as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-      .localCheckpoint()
+    val bandedCk = graft.core.Blocks.checkpoint(banded)
     // COUNT-FIRST capping (see Dedup.lshCandidatePairs): the cap filters
     // bucket keys off a constant-memory count aggregate, so a hot cell
     // never materializes as an array, and the within-bucket self-join is
     // bounded at maxBucketSize rows per key per side
-    val sizes = banded
+    val sizes = bandedCk
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("dj_bn"))
       .where(col("dj_bn").between(2, maxBucketSize))
       .select("band", "bucket")
-    val ok = banded.join(sizes, Seq("band", "bucket"))
+    val ok = bandedCk.join(sizes, Seq("band", "bucket"))
     val candidates = ok
       .select(col("band"), col("bucket"), col(idCol).as("id1"))
       .join(
@@ -411,8 +419,11 @@ object Similarity {
       .where(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
-    val checkpointed = candidates.localCheckpoint()
+    val checkpointed = graft.core.Blocks.checkpoint(candidates)
     val nCand = checkpointed.count()
+    // candidates are materialized — the banded bucket blocks are dead NOW,
+    // not at the next driver GC
+    graft.core.Blocks.release(bandedCk)
     val sides = keyed.select(col(idCol), col("vec"))
     // candidate-volume-sized verification (see Dedup.verifyPairs): reduce
     // the vector side to candidate ids first in the common case; full
@@ -553,8 +564,10 @@ object Similarity {
           .select(col(idCol), col("vec"), col("cluster"))
       }
     // read three times below (sizes, two join sides) — the argmax kernel
-    // over the corpus must run once, not per branch
-    val assigned = assignedPlan.localCheckpoint()
+    // over the corpus must run once, not per branch; registry-tracked so a
+    // harness/constraint scope can release it the moment the pairs are
+    // consumed
+    val assigned = graft.core.Blocks.checkpoint(assignedPlan)
     val sizes = assigned
       .groupBy("cluster")
       .agg(count(lit(1)).as("dj_cn"))
@@ -566,7 +579,7 @@ object Similarity {
       .join(members.select(col("cluster"), col(idCol).as("id2")), Seq("cluster"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2", "cluster")
-    val checkpointed = candidates.localCheckpoint()
+    val checkpointed = graft.core.Blocks.checkpoint(candidates)
     val nCand = checkpointed.count()
     val sides = assigned.select(col(idCol), col("vec"))
     graft.ops.Dedup

@@ -59,21 +59,25 @@ object Skew {
     * One input scan: the grouped counts are materialized by an eager
     * localCheckpoint (key-cardinality-sized, far smaller than the input),
     * the total reads that, and the returned frame filters it — the raw
-    * input is never re-scanned. Unlike the former `.cache()` (which pinned
-    * an entry the caller could never release — one leak per diagnosis call
-    * until clearCache), checkpoint blocks are reclaimed by the context
-    * cleaner once the returned frame goes unreferenced.
+    * input is never re-scanned. The returned frame is itself materialized
+    * (strictly fewer than 1/threshold rows can exceed a `threshold` share,
+    * so it is tiny by construction) and the key-cardinality-sized counts
+    * checkpoint is released BEFORE returning — a long-lived session
+    * diagnosing many corpora accumulates at most the hot-key rows, never
+    * the count tables ([[graft.core.Blocks]] tracks the remainder).
     */
   def heavyHitters(
       df: DataFrame,
       keys: Seq[String],
       threshold: Double = 0.01): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"))
-      .localCheckpoint()
-    val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-    counts
-      .where(col("n_rows") > lit(total * threshold))
-      .withColumn("share", col("n_rows") / lit(total.toDouble))
+    val counts = graft.core.Blocks.checkpoint(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows")))
+    try {
+      val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+      graft.core.Blocks.checkpoint(
+        counts
+          .where(col("n_rows") > lit(total * threshold))
+          .withColumn("share", col("n_rows") / lit(total.toDouble)))
+    } finally graft.core.Blocks.release(counts)
   }
 }

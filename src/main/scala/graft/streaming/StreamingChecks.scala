@@ -465,15 +465,23 @@ object StreamingChecks {
                 entries.foreach { e =>
                   if (e.id != id) {
                     val o = e.vec.toArray
+                    // EXACTLY the batch cosineF arithmetic (Similarity):
+                    // the dot product truncates to the shared prefix
+                    // (DotProductFloat's contract) but each norm runs over
+                    // its FULL vector — a dimension-mismatched pair scores
+                    // LOW (missing mass stays in the denominator), never
+                    // inflated as the old prefix-only norms had it
                     val n = math.min(v.length, o.length)
                     var dotAcc, na, nb = 0.0
                     var i = 0
                     while (i < n) {
                       dotAcc += v(i).toDouble * o(i)
-                      na += v(i).toDouble * v(i)
-                      nb += o(i).toDouble * o(i)
                       i += 1
                     }
+                    i = 0
+                    while (i < v.length) { na += v(i).toDouble * v(i); i += 1 }
+                    i = 0
+                    while (i < o.length) { nb += o(i).toDouble * o(i); i += 1 }
                     val denom = math.sqrt(na) * math.sqrt(nb)
                     val cos = if (denom == 0.0) 0.0 else dotAcc / denom
                     if (cos >= threshold)
