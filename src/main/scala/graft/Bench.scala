@@ -144,15 +144,23 @@ object Bench {
     // subset; sf10 = 100× spot-check on the heaviest pipelines —
     // median-timed like the primary, reported as sibling fields so the
     // primary contract (one JSON line, "queries" at sf) is unchanged
-    def leg(dir: String, names: Seq[String])
+    def leg(dir: String, names: Seq[String], single: Boolean = false)
         : Option[Iterable[(String, Double, Seq[Double], Option[String])]] =
       if (!new java.io.File(dir).isDirectory) None
       else Some(
         SparkEntry.queries
           .filter { case (name, _) => names.contains(name) }
           .map { case (name, fn) =>
-            val (t, raw1, err) = timeQuery(spark, fn, dir)
-            (name, t, raw1, err)
+            // `single`: the 100× spot leg runs each query once — they sit
+            // 1-2 orders of magnitude above the noise floor, and repeats
+            // would multiply the leg into the whole bench budget
+            if (single) {
+              val (t, err) = runOnce(spark, fn, dir)
+              (name, t, Seq(t), err)
+            } else {
+              val (t, raw1, err) = timeQuery(spark, fn, dir)
+              (name, t, raw1, err)
+            }
           })
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
     val sf1Results = leg(sf1Dir, Sf1Subset)
@@ -161,7 +169,7 @@ object Bench {
       s""","sf1_dir":"${jsonEscape(sf1Dir)}","sf1_queries":$q1,"sf1_raw":$r1,"sf1_errors":$e1"""
     }.getOrElse("")
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
-    val sf10Results = leg(sf10Dir, Sf10Subset)
+    val sf10Results = leg(sf10Dir, Sf10Subset, single = true)
     val sf10 = sf10Results.map { sub =>
       val (q10, r10, e10) = queriesJson(sub)
       s""","sf10_dir":"${jsonEscape(sf10Dir)}","sf10_queries":$q10,"sf10_raw":$r10,"sf10_errors":$e10"""

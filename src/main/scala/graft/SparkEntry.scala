@@ -874,10 +874,16 @@ object SparkEntry {
     // (both engines round to 6 before comparing, so a last-ulp float/double
     // divergence can't flip a pair in or out)
     "q_embedding_neardup" -> { (s, dir) =>
+      // corpus-scaled key width: nearDupBits stays 32 at every gate scale
+      // (≤ ~65k rows → oracle-identical) and widens beyond, so the bench's
+      // 100× leg runs ~32-member expected cells instead of cap-saturated
+      // ones (the fixed-32-bit spelling produced a ~300M-pair candidate
+      // set there and failed its verification join)
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
       graft.ops.Similarity
         .embeddingNearDups(
-          s.read.parquet(pq(dir, "embeddings")),
-          "vec_id", "embedding", threshold = 0.3495)
+          vecs, "vec_id", "embedding", threshold = 0.3495,
+          bits = graft.ops.Similarity.nearDupBits(vecs.count()))
         .select(
           col("id1"), col("id2"),
           round(col("cosine"), 6).as("cosine"),

@@ -350,10 +350,18 @@ object Dedup {
         .join(needed(sides1, 1), "id1")
         .join(needed(sides2, 2), "id2")
     } else {
+      // degenerate candidate explosion: SORT-MERGE — the only join
+      // strategy that spills. The former shuffle_hash hint built an
+      // in-memory hash relation per partition from the pair side, which is
+      // exactly what dies when the candidate set is corpus-scale (the 100×
+      // bench leg reproduced it: "Can't acquire 268435456 bytes memory to
+      // build hash relation"); the merge hint also keeps the stat-less
+      // checkpointed pairs from making the planner broadcast the corpus'
+      // payloads
       candidates
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(side(sides1, 1), "id1")
-        .hint("shuffle_hash")
+        .hint("merge")
         .join(side(sides2, 2), "id2")
     }
   }
@@ -445,7 +453,7 @@ object Dedup {
       coarseK: Int = 24,
       coarseStride: Int = 4,
       maxShingleDf: Int = 20): DataFrame = {
-    val sh = spread(df.select(col(idCol), col(textCol)))
+    val sh0 = spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.normalize(col(textCol)).as("dj_norm"))
       // exact-Jaccard verification runs on sorted 64-bit shingle hashes
       // (fused kernel + codegen'd two-pointer merge, see minhashed) — the
@@ -453,14 +461,15 @@ object Dedup {
       .withColumn(
         "shingle_hashes",
         graft.functions.ShingleHashes.shingleHashes(col("dj_norm"), shingleK))
-      .cache() // deliberately a cache (clearCache-released between bench
-      // queries; checkpoint blocks would linger until driver GC) — no
-      // constraint loops over this path
-      .where(size(col("shingle_hashes")) > 0) // post-cache: no recompute
+    // read by the coarse-key explode AND both verification sides — one
+    // eager registry-tracked checkpoint (released via Blocks, not a
+    // CacheManager entry that outlives the call until clearCache)
+    val shCk = graft.core.Blocks.checkpoint(sh0)
+      .where(size(col("shingle_hashes")) > 0) // post-checkpoint: no recompute
     // the candidate key shuffles twice (df window + self-join): hash the
     // coarseK-char string to 8 bytes first — a collision can only ADD a
     // candidate pair, and every pair is exact-verified below
-    val coarse = sh.select(
+    val coarse = shCk.select(
       col(idCol),
       explode(array_distinct(transform(
         filter(
@@ -479,8 +488,8 @@ object Dedup {
         col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    val s1 = sh.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"))
-    val s2 = sh.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"))
+    val s1 = shCk.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"))
+    val s2 = shCk.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"))
     candidates
       .join(s1, "id1")
       .join(s2, "id2")
@@ -558,8 +567,9 @@ object Dedup {
     // barrier: the chunk explode below references `simhash` inside its
     // generator — without materialization, projection collapse would
     // re-compute the sketch per reference. 16 bytes/doc, spill-safe;
-    // cache (clearCache-released) rather than checkpoint (GC-lingering).
-    val sketched = sketchedIn.cache()
+    // eager registry-tracked checkpoint (Blocks-released, not a
+    // CacheManager entry that outlives the call until clearCache).
+    val sketched = graft.core.Blocks.checkpoint(sketchedIn)
     val chunked = sketched.select(
       col(idCol),
       col("simhash"),

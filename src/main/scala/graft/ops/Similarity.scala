@@ -321,16 +321,22 @@ object Similarity {
   }
 
   /** Sign-bit width for `embeddingNearDups` scaled to the corpus: per-band
-    * bucket count tracks corpusSize/256 so the EXPECTED bucket size stays
-    * roughly constant as the corpus grows (the `maxBucketSize` cap handles
-    * the tail). Per-band width is clamped to [8, 15] bits AND to what the
+    * bucket count tracks corpusSize/32 so the EXPECTED bucket holds ~32
+    * members as the corpus grows (the `maxBucketSize` cap handles the
+    * tail). Candidate volume per band is ≈ n·E[bucket]/2, so the target
+    * bucket size IS the linear constant — the earlier /256 target produced
+    * ~256-member expected buckets, and the 100× bench leg measured the
+    * resulting ~300M-pair candidate set failing its verification join;
+    * /32 cuts that 8× for a modest recall cost (per-band match p^w with
+    * 3 more bits; near-identical vectors at p≈0.95 keep ≥0.9 recall over
+    * 4 bands). Per-band width is clamped to [8, 15] bits AND to what the
     * single-long key can hold (`width·bands < 64` — the hard cap wins over
     * the 8-bit floor at bands ≥ 8), so the result always satisfies
     * `embeddingNearDups`' own require for the same `bands`.
     */
   def nearDupBits(corpusSize: Long, bands: Int = 4): Int = {
     require(bands > 0 && bands < 64, s"bands must be in [1, 63], got $bands")
-    val target  = math.max(1L, corpusSize / 256L)
+    val target  = math.max(1L, corpusSize / 32L)
     val perBand = 64 - java.lang.Long.numberOfLeadingZeros(target)
     val hardCap = (64 - 1) / bands // width*bands < 64
     math.min(hardCap, math.min(15, math.max(8, perBand))) * bands

@@ -27,16 +27,17 @@ object Stats {
       ref: DataRef,
       valueLabel: String,
       cdfLabel: String): DataFrame = {
-    val counts = ref
-      .selection(spark)
-      .select(col(ref.column).as(valueLabel))
-      .groupBy(valueLabel)
-      .agg(count(lit(1)).as("dj_cnt"))
-      .cache() // feeds boundary estimation and bucketing. Deliberately a
-      // CACHE, not a checkpoint: Verify/Bench clearCache between queries
-      // releases it, while checkpoint blocks would linger until driver GC
-      // and degrade subsequent queries; the residual cost is one pinned
-      // entry per KS-constraint evaluation until a clearCache.
+    // feeds boundary estimation AND bucketing — one eager registry-tracked
+    // checkpoint (graft.core.Blocks): a KS/CDF constraint evaluation
+    // releases it with its scope, a harness with releaseAll; the former
+    // `.cache()` pinned one CacheManager entry per evaluation until a
+    // session-wide clearCache
+    val counts = graft.core.Blocks.checkpoint(
+      ref
+        .selection(spark)
+        .select(col(ref.column).as(valueLabel))
+        .groupBy(valueLabel)
+        .agg(count(lit(1)).as("dj_cnt")))
     // distributed prefix sum over the distinct values (no single-partition
     // window; see CumSum); the sample total rides along in the boundary job
     val (running, totals) =
@@ -85,15 +86,13 @@ object Stats {
         col(r.column).as(valueLabel),
         lit(if (first) 1L else 0L).as("dj_w1"),
         lit(if (first) 0L else 1L).as("dj_w2"))
-    val counts = side(ref1, first = true)
-      .unionAll(side(ref2, first = false))
-      .groupBy(valueLabel)
-      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
-      .cache() // feeds boundary estimation and bucketing. Deliberately a
-      // CACHE, not a checkpoint: Verify/Bench clearCache between queries
-      // releases it, while checkpoint blocks would linger until driver GC
-      // and degrade subsequent queries; the residual cost is one pinned
-      // entry per KS-constraint evaluation until a clearCache.
+    // one eager registry-tracked checkpoint (see cdfSelection) — released
+    // by the constraint scope / harness instead of lingering per evaluation
+    val counts = graft.core.Blocks.checkpoint(
+      side(ref1, first = true)
+        .unionAll(side(ref2, first = false))
+        .groupBy(valueLabel)
+        .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2")))
     val (running, totals) = CumSum.withRunningSums(
       counts, valueLabel, Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
     val (n, m) = (totals(0), totals(1))

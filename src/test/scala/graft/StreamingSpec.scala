@@ -312,6 +312,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(found.forall { case (_, c) => c >= 0.9 && c <= 1.0 + 1e-9 })
   }
 
+  test("streamingEmbeddingNearDups scores mismatched dims like batch cosineF (low, not inflated)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a 16-dim prefix of a 64-dim vector: the shared prefix matches
+    // perfectly, but 3/4 of the long vector's mass lies outside it — batch
+    // cosineF (prefix dot / FULL norms) scores it 0.5, well under any
+    // near-dup threshold; the old prefix-only norms scored it 1.0
+    val long  = (0 until 64).map(_ => 0.5f)
+    val short = (0 until 16).map(_ => 0.5f)
+    val input = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val pairs = graft.streaming.StreamingChecks.streamingEmbeddingNearDups(
+      input.toDF().toDF("event_time", "vec_id", "embedding"),
+      "event_time", "10 seconds", "vec_id", "embedding",
+      threshold = 0.9, stateTtlMs = 60000L)
+    val q = pairs.writeStream
+      .format("memory").queryName("vec_dims_stream").outputMode("update").start()
+    input.addData(
+      (ts("2026-01-01 00:00:01"), 1L, long),
+      (ts("2026-01-01 00:00:02"), 2L, short))
+    q.processAllAvailable()
+    q.stop()
+    val found = spark.table("vec_dims_stream").select("id1", "id2").collect()
+    assert(found.isEmpty, s"dimension-mismatched pair must not reach 0.9: ${found.toSeq}")
+    // and the exact score matches the batch kernel on the same inputs
+    val batch = Seq((long, short)).toDF("a", "b")
+      .select(graft.ops.Similarity.cosineF(col("a"), col("b")).as("c"))
+      .head().getDouble(0)
+    assert(math.abs(batch - 0.5) < 1e-9, s"batch cosineF on prefix pair: $batch")
+  }
+
   test("corpus split/rate membership are stateless and run on streams") {
     // splitColumn / the weightedMix rate filter are pure row functions, so
     // they compose with any streaming source with no state and no
