@@ -128,6 +128,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE starts shuffles WIDE and coalesces down to the target size:
+      // at sf0.1 this lands back at ~cpus partitions (identical plans),
+      // while the 10×/100× legs keep per-reducer state spill-free instead
+      // of funneling 100× data through `cpus` reducers (the sf10 leg
+      // measured minhash/ngram going superlinear exactly this way)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

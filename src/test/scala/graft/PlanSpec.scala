@@ -122,10 +122,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("session posture: AQE + skew-join + skewed-partition rebalance stay enabled") {
     // the 100x-scale posture must not be config-dependent: every graft
-    // session (Verify/Bench/Smoke build plain local sessions; the library
-    // never overrides these) inherits Spark's adaptive defaults — pin them
-    // so a future config "tweak" that silently disables runtime skew
-    // handling fails loudly here
+    // session inherits Spark's adaptive defaults (Verify/Bench additionally
+    // START shuffles wide via adaptive.coalescePartitions.initialPartitionNum
+    // and let AQE coalesce — a timing-only knob; the library itself never
+    // disables anything) — pin the defaults so a future config "tweak" that
+    // silently disables runtime skew handling fails loudly here
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
     assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true")
