@@ -478,11 +478,20 @@ object Dedup {
             i => col("dj_norm").substr(i + 1, lit(coarseK))),
           s => length(s) === coarseK),
         s => xxhash64(s)))).as("ckey"))
-    val rare = coarse
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("ckey")))
-      .where(col("df") <= maxShingleDf)
-      .drop("df")
+    // COUNT-FIRST df cap (the lshCandidatePairs pattern): the document
+    // frequency comes from a groupBy — map-side combine collapses a hot
+    // boilerplate 24-gram BEFORE the shuffle — and the cap filters KEYS.
+    // The former window-over-ckey spelling funneled every occurrence of a
+    // hot key through one reducer just to count it (windows get no AQE
+    // skew splitting); the explode recomputes once per branch from the
+    // checkpointed shingle frame, which is cheaper than the skewed sort.
+    val rare = coarse.join(
+      coarse
+        .groupBy("ckey")
+        .agg(count(lit(1)).as("dj_df"))
+        .where(col("dj_df") <= maxShingleDf)
+        .select("ckey"),
+      Seq("ckey"))
     val candidates = rare.as("a")
       .join(rare.as("b"), col("a.ckey") === col("b.ckey") &&
         col(s"a.$idCol") < col(s"b.$idCol"))

@@ -194,6 +194,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"), s"id-array materialization:\n$plan")
   }
 
+  test("ngram-jaccard df cap is count-first, never a window over the shingle key") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.ops.Dedup
+      .ngramJaccardPairs(docs, "text", "doc_id")
+      .queryExecution
+    val physical = qe.executedPlan.toString
+    // a window over ckey funnels every copy of a hot boilerplate shingle
+    // through one reducer (no AQE skew help for windows); the groupBy df
+    // count gets map-side combine and the cap filters bucket KEYS
+    assert(physical.contains("partial_count") || physical.contains("dj_df"),
+      s"count-first df cap missing:\n$physical")
+    assert(!physical.contains("windowspecdefinition(ckey"),
+      s"shingle-key window crept back into the ngram df cap:\n$physical")
+  }
+
   test("paragraph dedup first-occurrence is a partial aggregate, not a fingerprint window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val qe = graft.ops.Dedup
