@@ -14,6 +14,8 @@ object TimeQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same wide-start AQE posture as Bench/Verify
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -24,6 +26,7 @@ object TimeQuery {
         fn(spark, dir).count()
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        graft.core.Blocks.releaseAll()
         t
       }
       println(f"[time] $name warm=${times.head}%.2fs timed=${times.last}%.2fs")

@@ -194,6 +194,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("collect_list"), s"id-array materialization:\n$plan")
   }
 
+  test("degenerate verification path is sort-merge (spillable), not shuffle-hash") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val sides = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "payload")
+    // cap 0 forces the huge-candidate-set path: the join must be able to
+    // SPILL — a shuffle-hash build died at the 100× bench leg ("Can't
+    // acquire ... bytes memory to build hash relation")
+    val plan = graft.ops.Dedup
+      .verifyPairs(pairs, nCand = 2L, sides, sides, "doc_id",
+        Seq("payload" -> "p"), broadcastableCandidates = 0L)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"degenerate verify must sort-merge join:\n$plan")
+    assert(!plan.contains("ShuffledHashJoin"),
+      s"non-spillable hash build crept back into verification:\n$plan")
+  }
+
   test("ngram-jaccard df cap is count-first, never a window over the shingle key") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val qe = graft.ops.Dedup
