@@ -787,6 +787,90 @@ object SparkEntry {
           col("peak"))
     },
 
+    // G.711 telephony-audio decode round-trip (REAL mu-law/A-law companding,
+    // ITU-T spec arithmetic): per doc_id, synthesize raw companded BYTES as a
+    // direct function of (id, position), wrap them in a format-7/format-6 WAV,
+    // decode, and emit amplitude stats. The oracle re-derives every 16-bit
+    // sample from the same byte formula with the G.711 expansion spelled in
+    // SQL — the decode tables themselves are cross-checked, not just the
+    // container walk. Integer sums are exact; the two divisions and the sqrt
+    // are identical IEEE ops on identical inputs.
+    "q_audio_g711" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 29 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val wavs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val n = (24 + id % 8).toInt
+          val bytes =
+            Array.tabulate[Byte](n)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+          org.apache.spark.sql.Row(
+            id, Multimodal.encodeG711Wav(8000, 1, mulaw = id % 2 == 0, bytes))
+        },
+        schema)
+      Multimodal
+        .decodeAudios(wavs, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 2 === 0, "mulaw").otherwise("alaw").as("law"),
+          col("sample_rate"),
+          col("n_frames"),
+          col("peak"),
+          round(col("mean_abs"), 6).as("mean_abs"),
+          round(col("rms"), 6).as("rms"))
+    },
+
+    // AIFF decode round-trip (REAL big-endian FORM/AIFF chunk walk + 80-bit
+    // extended-float sample rate): the same two-level square wave as
+    // q_audio_decode, but through the Apple container — the oracle recomputes
+    // the closed forms, verifying the big-endian path end-to-end
+    "q_audio_aiff" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 31 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val aiffs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val sr = 8000 + (id % 5).toInt * 1000
+          val ampA = ((id % 997) + 1).toInt
+          val ampB = (((id * 7) % 997) + 1).toInt
+          val nPairs = 32 + (id % 16).toInt
+          val samples = new Array[Short](2 * nPairs)
+          var i = 0
+          while (i < nPairs) {
+            samples(2 * i) = ampA.toShort
+            samples(2 * i + 1) = (-ampB).toShort
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, Multimodal.encodeAiff(sr, 1, samples))
+        },
+        schema)
+      Multimodal
+        .decodeAudios(aiffs, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("sample_rate"),
+          col("channels"),
+          col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          round(col("rms"), 6).as("rms"),
+          round(col("mean_abs"), 6).as("mean_abs"),
+          col("peak"))
+    },
+
     // Gopher-style repetition quality signals: most-frequent word 2-gram
     // character coverage + duplicated word 5-gram coverage (ops.Corpus)
     "q_repetition" -> { (s, dir) =>
@@ -1695,6 +1779,59 @@ object SparkEntry {
                 round(((doc_id % 997 + 1) + ((doc_id * 7) % 997 + 1)) / 2.0, 6) AS mean_abs,
                 CAST(greatest(doc_id % 997 + 1, (doc_id * 7) % 997 + 1) AS INT) AS peak
          FROM documents WHERE doc_id % 19 = 0""",
+    // G.711 round-trip: the oracle re-derives each companded byte from the
+    // (doc_id, i) formula and expands it to 16-bit linear with the ITU-T
+    // G.711 arithmetic spelled in SQL — mu-law: complement, +132-biased
+    // exponent/mantissa; A-law: XOR 0x55, sign bit set = positive. Integer
+    // aggregation is exact, so mean/rms doubles agree bit-for-bit.
+    "q_audio_g711" ->
+      """WITH d AS (SELECT doc_id, 24 + doc_id % 8 AS n FROM documents
+                    WHERE doc_id % 29 = 0),
+              s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+              byt AS (SELECT doc_id, n,
+                        CAST((doc_id * 31 + i * 7) % 256 AS INT) AS b,
+                        doc_id % 2 = 0 AS mu
+                      FROM s),
+              dec AS (SELECT doc_id, n,
+                        CASE WHEN mu THEN
+                          (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)
+                          * ((((255 - b) % 16) * 8 + 132)
+                             * CAST(pow(2, ((255 - b) // 16) % 8) AS INT) - 132)
+                        ELSE
+                          (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+                          * (CASE WHEN (xor(b, 85) // 16) % 8 = 0
+                                  THEN (xor(b, 85) % 16) * 16 + 8
+                                  ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                       * CAST(pow(2, (xor(b, 85) // 16) % 8 - 1) AS INT)
+                             END)
+                        END AS smp
+                      FROM byt),
+              agg AS (SELECT doc_id, max(n) AS nf, max(abs(smp)) AS peak,
+                             sum(abs(smp)) AS sum_abs, sum(smp * smp) AS sum_sq
+                      FROM dec GROUP BY doc_id)
+         SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'mulaw' ELSE 'alaw' END AS law,
+                CAST(8000 AS INT) AS sample_rate,
+                CAST(nf AS INT) AS n_frames,
+                CAST(peak AS INT) AS peak,
+                round(CAST(sum_abs AS DOUBLE) / nf, 6) AS mean_abs,
+                round(sqrt(CAST(sum_sq AS DOUBLE) / nf), 6) AS rms
+         FROM agg""",
+    // AIFF round-trip: same closed forms as q_audio_decode (half the samples
+    // at +A, half at -B), through the big-endian container
+    "q_audio_aiff" ->
+      """SELECT doc_id,
+                CAST(8000 + (doc_id % 5) * 1000 AS INT) AS sample_rate,
+                CAST(1 AS INT) AS channels,
+                CAST(2 * (32 + doc_id % 16) AS INT) AS n_frames,
+                round(2 * (32 + doc_id % 16) * 1000.0
+                      / (8000 + (doc_id % 5) * 1000), 6) AS duration_ms,
+                round(sqrt(((doc_id % 997 + 1) * (doc_id % 997 + 1)
+                            + ((doc_id * 7) % 997 + 1) * ((doc_id * 7) % 997 + 1))
+                           / 2.0), 6) AS rms,
+                round(((doc_id % 997 + 1) + ((doc_id * 7) % 997 + 1)) / 2.0, 6) AS mean_abs,
+                CAST(greatest(doc_id % 997 + 1, (doc_id * 7) % 997 + 1) AS INT) AS peak
+         FROM documents WHERE doc_id % 31 = 0""",
     // repetition signals: word-n-gram multiplicity counts rebuilt with list
     // comprehensions; same deterministic arg-max tie-break (cnt desc, gram asc)
     "q_repetition" ->

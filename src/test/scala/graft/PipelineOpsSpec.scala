@@ -535,6 +535,84 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeWav(evil, dim = 1).isEmpty)
   }
 
+  test("multimodal: G.711 mu-law/A-law companding matches the ITU-T tables") {
+    import Multimodal._
+    // spec spot values: mu-law 0xFF = +0, 0x7F = -0, 0x00 = -32124,
+    // 0x80 = +32124; A-law 0xD5 = +8, 0x55 = -8, 0xAA = +32256, 0x2A = -32256
+    assert(mulawDecode(0xFF.toByte) == 0 && mulawDecode(0x7F.toByte) == 0)
+    assert(mulawDecode(0x00.toByte) == -32124 && mulawDecode(0x80.toByte) == 32124)
+    assert(alawDecode(0xD5.toByte) == 8 && alawDecode(0x55.toByte) == -8)
+    assert(alawDecode(0xAA.toByte) == 32256 && alawDecode(0x2A.toByte) == -32256)
+    assert(mulawEncode(0) == 0xFF.toByte)
+    // every code word survives a decode -> encode -> decode cycle (the
+    // codec's idempotence on its own quantization lattice, ALL 256 bytes —
+    // covers both negative-zero representations)
+    (0 until 256).foreach { v =>
+      val b = v.toByte
+      assert(mulawDecode(mulawEncode(mulawDecode(b))) == mulawDecode(b),
+        s"mu-law byte $v")
+      assert(alawDecode(alawEncode(alawDecode(b))) == alawDecode(b),
+        s"A-law byte $v")
+    }
+    // encode quantization error is bounded by the segment step size
+    Seq(-30000, -5000, -347, -8, 0, 7, 1000, 20000, 32635).foreach { s =>
+      val muErr = math.abs(mulawDecode(mulawEncode(s.toShort)) - s)
+      val aErr = math.abs(alawDecode(alawEncode(s.toShort)) - s)
+      assert(muErr <= math.max(4, math.abs(s) / 16 + 1), s"mu-law err $s: $muErr")
+      assert(aErr <= math.max(8, math.abs(s) / 16 + 1), s"A-law err $s: $aErr")
+    }
+
+    // WAV format-7/6 payloads take the REAL G.711 path through decodeWav:
+    // stats equal a direct pass over the expanded samples
+    val bytes = Array.tabulate[Byte](40)(i => ((i * 37 + 11) % 256).toByte)
+    for (mu <- Seq(true, false)) {
+      val wav = encodeG711Wav(8000, 1, mulaw = mu, bytes)
+      val d = decodeWav(wav, dim = 1).get
+      val lin = bytes.map(b => (if (mu) mulawDecode(b) else alawDecode(b)).toInt)
+      assert(d.sampleRate == 8000 && d.channels == 1 && d.nFrames == 40)
+      assert(d.peak == lin.map(math.abs).max)
+      assert(d.meanAbs == lin.map(s => math.abs(s).toLong).sum.toDouble / 40)
+      assert(d.rms == math.sqrt(lin.map(s => s.toLong * s).sum.toDouble / 40))
+    }
+    // a truncated G.711 data chunk clamps byte-wise (1 byte = 1 sample;
+    // the canonical G.711 WAV header is 46 bytes)
+    val clipped = decodeWav(encodeG711Wav(8000, 1, mulaw = true, bytes).take(56), dim = 1).get
+    assert(clipped.nFrames == 10)
+  }
+
+  test("multimodal: REAL AIFF encode -> decode round-trip (big-endian parse)") {
+    import Multimodal._
+    // 80-bit extended float: exact for every integer rate audio uses
+    Seq(1L, 8000L, 11025L, 22050L, 44100L, 48000L, 96000L).foreach { r =>
+      assert(extendedToLong(longToExtended(r), 0) == r, s"rate $r")
+    }
+    val samples =
+      Array.tabulate(12)(i => if (i % 2 == 0) 300.toShort else (-400).toShort)
+    val aiff = encodeAiff(sampleRate = 44100, channels = 1, samples)
+    val d = decodeAiff(aiff, dim = 4).get
+    assert(d.sampleRate == 44100 && d.channels == 1 && d.nFrames == 12)
+    assert(d.meanAbs == 350.0 && d.peak == 400)
+    assert(d.rms == math.sqrt((300.0 * 300 + 400.0 * 400) / 2))
+    // identical stats to the same samples through the little-endian WAV path
+    val viaWav = decodeWav(encodePcmWav(44100, 1, samples), dim = 4).get
+    assert(viaWav.rms == d.rms && viaWav.features.sameElements(d.features))
+    // decodeAudios falls through WAV -> AIFF
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, aiff)), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val row = Multimodal.decodeAudios(df, "doc_id", "payload").head()
+    assert(row.getInt(1) == 44100 && row.getInt(3) == 12 && row.getInt(7) == 400)
+    // degradation: truncated SSND clamps; garbage/null -> None, never a throw
+    assert(decodeAiff(aiff.take(aiff.length - 8), dim = 1).get.nFrames == 8)
+    assert(decodeAiff("FORMnope".getBytes, dim = 1).isEmpty)
+    assert(decodeAiff(null, dim = 1).isEmpty)
+    // stereo frame count
+    val st = decodeAiff(encodeAiff(8000, 2, samples), dim = 1).get
+    assert(st.channels == 2 && st.nFrames == 6)
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(
