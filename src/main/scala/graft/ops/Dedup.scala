@@ -170,6 +170,70 @@ object Dedup {
         graft.functions.MinHashSignature.minhashSignature(col("shingle_hashes"), numHashes))
   }
 
+  /** Per-document MinHash signature ONLY, eagerly checkpointed (same
+    * [[graft.core.Blocks]] contract as `minhashed`): the bucketing
+    * representation for the near-dup pipelines. Materializes 8·numHashes
+    * bytes/doc (~512 B at 64 hashes) instead of `minhashed`'s full sorted
+    * shingle arrays (8 B per DISTINCT SHINGLE ≈ the text itself) — at
+    * 100 TB that's the difference between a sub-TB signature table and a
+    * corpus-sized one. Exact-verification shingle arrays are recomputed for
+    * CANDIDATE docs only (see `candidateSides`), so the big arrays never
+    * materialize corpus-wide; the signature itself is also computed exactly
+    * once per doc here (the minhashed-based spelling recomputed the
+    * 64-hashes-per-shingle pass on every plan branch that read it).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64): DataFrame = {
+    val sigs = spread(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol),
+        graft.functions.ShingleHashes
+          .shingleHashes(TextAnalysis.normalize(col(textCol)), shingleK)
+          .as("shingle_hashes"))
+      .where(size(col("shingle_hashes")) > 0)
+      .select(
+        col(idCol),
+        graft.functions.MinHashSignature
+          .minhashSignature(col("shingle_hashes"), numHashes)
+          .as("signature"))
+    graft.core.Blocks.checkpoint(sigs)
+  }
+
+  /** Exact-verification payload for CANDIDATE docs only: semi-join the raw
+    * corpus to the candidate id set and recompute (shingle_hashes,
+    * signature) for that subset — one checkpoint sized by candidate volume,
+    * not corpus volume. `broadcastIds` should mirror the verification
+    * join's own broadcast decision (candidate set within the session's
+    * broadcast budget).
+    */
+  private def candidateSides(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      candIds: DataFrame,
+      broadcastIds: Boolean): DataFrame = {
+    val ids = if (broadcastIds) broadcast(candIds) else candIds
+    val docs = spread(df.select(col(idCol), col(textCol)))
+      .join(ids, Seq(idCol), "left_semi")
+    graft.core.Blocks.checkpoint(
+      docs
+        .select(
+          col(idCol),
+          graft.functions.ShingleHashes
+            .shingleHashes(TextAnalysis.normalize(col(textCol)), shingleK)
+            .as("shingle_hashes"))
+        .withColumn(
+          "signature",
+          graft.functions.MinHashSignature
+            .minhashSignature(col("shingle_hashes"), numHashes)))
+  }
+
   /** LSH banding: explode the signature into `bands` band keys
     * (band index, xxhash64 of the band's rows); docs sharing any band key
     * are candidates. Returns (id, band, bucket).
@@ -245,14 +309,17 @@ object Dedup {
     * over shingle sets. Output: (id1, id2, jaccard) with jaccard >= threshold.
     *
     * EAGER materialization contract: CONSTRUCTING the returned frame runs
-    * the shingling, banding, and candidate-generation jobs over the corpus
-    * (the candidate count sizes the verification join, so it must be
-    * measured before the final plan exists) — `explain()` alone triggers
-    * them. Only the exact-Jaccard verification remains lazy. The
-    * intermediates are registry-tracked ([[graft.core.Blocks]]); dead ones
-    * are released before returning, the rest (shingle arrays, candidate
-    * pairs — read by the returned plan) with `Blocks.releaseAll()` once the
-    * result is consumed.
+    * the shingling, banding, candidate-generation, AND candidate-payload
+    * jobs over the corpus (the candidate count sizes the verification join,
+    * so it must be measured before the final plan exists) — `explain()`
+    * alone triggers them. Only the exact-Jaccard verification remains lazy.
+    * On sparse-dup corpora (broadcast-small candidate sets) materialized
+    * state is signature-sized + candidate-sized — never corpus-shingle-sized;
+    * only a dup-heavy corpus (candidates ≈ corpus) falls back to one full
+    * shingle checkpoint for verification. The bucket and signature
+    * checkpoints are released before returning; the candidate pairs +
+    * verification payloads (read by the returned plan) with
+    * `Blocks.releaseAll()` once the result is consumed.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -262,20 +329,41 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    // minhashed materializes the sorted shingle-hash arrays; the signature
-    // recomputes from the materialized arrays in one codegen'd pass per use
-    // — cheaper than doubling the checkpointed footprint with a second
-    // materialization
-    val signed = minhashed(df, textCol, idCol, shingleK, numHashes)
+    // signatures-only checkpoint (8·numHashes B/doc): the corpus-wide
+    // shingle arrays never materialize — exact-verification payloads are
+    // recomputed below for candidate docs only
+    val signed = minhashSignatures(df, textCol, idCol, shingleK, numHashes)
     val buckets = graft.core.Blocks.checkpoint(
       lshBuckets(signed, idCol, bands).where(col(idCol).isNotNull))
     val candidates =
       graft.core.Blocks.checkpoint(pairsFromBuckets(buckets, idCol, 1000))
     val nCand = candidates.count()
-    // candidates are materialized — the banded bucket blocks are dead NOW,
-    // not at the next driver GC
+    // candidates are materialized — the banded bucket AND signature blocks
+    // are dead NOW, not at the next driver GC (verification carries its own
+    // candidate-subset signatures)
     graft.core.Blocks.release(buckets)
-    val sides = signed.select(col(idCol), col("shingle_hashes"), col("signature"))
+    graft.core.Blocks.release(signed)
+    val small = nCand <= pairBroadcastCap(df.sparkSession)
+    // Verification payload, sized by the measured candidate volume:
+    //   - sparse-dup corpora (candidate set broadcast-small — the realistic
+    //     100 TB regime): recompute (shingles, signature) for candidate docs
+    //     only, behind a broadcast semi-join — nothing corpus-shingle-sized
+    //     ever materializes;
+    //   - dup-heavy corpora (candidates ≈ corpus): ONE full shingle+signature
+    //     checkpoint serves both join sides — a per-candidate recompute here
+    //     would re-shingle and re-shuffle the whole corpus a second time for
+    //     no reduction (measured 2.5× slower on the 100× bench leg).
+    val sides =
+      if (small) {
+        val candIds = candidates.select(col("id1").as(idCol))
+          .union(candidates.select(col("id2").as(idCol)))
+          .distinct()
+        candidateSides(df, textCol, idCol, shingleK, numHashes, candIds,
+          broadcastIds = true)
+      } else {
+        minhashed(df, textCol, idCol, shingleK, numHashes)
+          .select(col(idCol), col("shingle_hashes"), col("signature"))
+      }
     // Signature-agreement prefilter: E[matching fraction] = Jaccard with
     // σ = sqrt(j(1-j)/numHashes) ≈ 0.06 at 64 hashes, so a 0.25 margin below
     // the threshold keeps true pairs with ~4σ headroom while discarding the
@@ -315,6 +403,23 @@ object Dedup {
     * to override (0 forces the shuffle-hash path; a broadcast-disabled
     * session, threshold <= 0, gets shuffle-hash automatically).
     */
+  /** How many (long, long) candidate pairs fit the session's broadcast
+    * budget (`spark.sql.autoBroadcastJoinThreshold` at ~16 B/pair;
+    * disabled threshold → 0). Shared by `verifyPairs` and the
+    * candidate-id semi-join broadcast decisions so they agree.
+    */
+  private[graft] def pairBroadcastCap(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val raw =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val bytes =
+      try {
+        if (raw.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      } catch { case _: NumberFormatException => 10L * 1024 * 1024 }
+    if (bytes <= 0) 0L else bytes / 16L
+  }
+
   private[graft] def verifyPairs(
       candidates: DataFrame,
       nCand: Long,
@@ -325,16 +430,7 @@ object Dedup {
       broadcastableCandidates: Long = -1L): DataFrame = {
     val cap =
       if (broadcastableCandidates >= 0L) broadcastableCandidates
-      else {
-        val raw = candidates.sparkSession.conf
-          .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-        val bytes =
-          try {
-            if (raw.startsWith("-")) -1L
-            else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-          } catch { case _: NumberFormatException => 10L * 1024 * 1024 }
-        if (bytes <= 0) 0L else bytes / 16L
-      }
+      else pairBroadcastCap(candidates.sparkSession)
     def side(sides: DataFrame, n: Int) = sides.select(
       (col(idCol).as(s"id$n") +: payload.map { case (c, p) => col(c).as(s"$p$n") }): _*)
     if (nCand <= cap) {
@@ -389,8 +485,8 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.6,
       maxBucketSize: Int = 1000): DataFrame = {
-    val signedA = minhashed(dfA, textCol, idCol, shingleK, numHashes)
-    val signedB = minhashed(dfB, textCol, idCol, shingleK, numHashes)
+    val signedA = minhashSignatures(dfA, textCol, idCol, shingleK, numHashes)
+    val signedB = minhashSignatures(dfB, textCol, idCol, shingleK, numHashes)
     // (capped bucket frame, its checkpoint handle — released once the
     // candidate set is materialized)
     def cappedBuckets(signed: DataFrame): (DataFrame, DataFrame) = {
@@ -415,14 +511,27 @@ object Dedup {
         .select("id1", "id2")
         .distinct())
     val nCand = candidates.count()
-    // candidates are materialized — both sides' bucket blocks are dead NOW
+    // candidates are materialized — both sides' bucket AND signature blocks
+    // are dead NOW (verification recomputes candidate-subset payloads)
     graft.core.Blocks.release(bucketsA)
     graft.core.Blocks.release(bucketsB)
-    def sides(signed: DataFrame) =
-      signed.select(col(idCol), col("shingle_hashes"), col("signature"))
+    graft.core.Blocks.release(signedA)
+    graft.core.Blocks.release(signedB)
+    // same candidate-volume-sized strategy switch as minhashNearDups
+    val small = nCand <= pairBroadcastCap(dfA.sparkSession)
+    def sideFor(df: DataFrame, pairCol: String) =
+      if (small)
+        candidateSides(df, textCol, idCol, shingleK, numHashes,
+          candidates.select(col(pairCol).as(idCol)).distinct(),
+          broadcastIds = true)
+      else
+        minhashed(df, textCol, idCol, shingleK, numHashes)
+          .select(col(idCol), col("shingle_hashes"), col("signature"))
+    val sidesA = sideFor(dfA, "id1")
+    val sidesB = sideFor(dfB, "id2")
     val estCutoff = math.max(0.0, threshold - 0.25)
     import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
-    verifyPairs(candidates, nCand, sides(signedA), sides(signedB), idCol,
+    verifyPairs(candidates, nCand, sidesA, sidesB, idCol,
       Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
       .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
       .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))

@@ -59,12 +59,13 @@ class BlocksSpec extends AnyFunSuite {
     resetStorage()
     val before = pinnedRdds
     Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
-    // live after construction: the shingle frame + the candidate pairs —
-    // the (id, band, bucket) explode, strictly larger than either, must be
-    // gone already (released as soon as the candidates materialized)
+    // live after construction: the candidate pairs + the candidate-subset
+    // verification payloads — the corpus-wide signature checkpoint and the
+    // (id, band, bucket) explode, both strictly corpus-sized, must be gone
+    // already (released as soon as the candidates materialized)
     assert(
       pinnedRdds - before == 2,
-      s"expected exactly {shingles, candidates} pinned, got ${pinnedRdds - before}")
+      s"expected exactly {candidates, candidate sides} pinned, got ${pinnedRdds - before}")
     Blocks.releaseAll()
   }
 
