@@ -134,6 +134,13 @@ object Bench {
       // of funneling 100× data through `cpus` reducers (the sf10 leg
       // measured minhash/ngram going superlinear exactly this way)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // ContextCleaner only reclaims shuffle files/broadcasts when their
+      // driver-side handles get GC'd; a 16 GiB driver heap can go the whole
+      // ~300-execution bench session without a full GC, so dead shuffle
+      // state accumulates and the TAIL of the session slows (r5 artifact:
+      // q_date_gaps sf1 raws 3.2→21.5 s, flat in a fresh session). Spark's
+      // own remedy, tightened from its 30 min default to within-session.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

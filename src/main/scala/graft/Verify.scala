@@ -17,6 +17,8 @@ object Verify {
       // same AQE wide-start posture as Bench — results are partitioning-
       // independent (the gate pins that), so this only affects timing
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // bound dead-shuffle accumulation across the 68-query session (see Bench)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -14,8 +14,9 @@ object TimeQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // same wide-start AQE posture as Bench/Verify
+      // same wide-start AQE + periodic-GC posture as Bench/Verify
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -99,6 +99,33 @@ class ApproxSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.10, s"approx=$approx exact=$exact")
   }
 
+  test("getPercentile is one base scan + constant small jobs") {
+    val df = intDf("jobs_p", (1 to 2000).map(Integer.valueOf))
+    val r  = DataRef(FrameSource(df, "jobs_p"), Some(Seq("col_int")))
+    // warm once: first call JIT-compiles the kernels and registers the view
+    Ops.getPercentile(spark, r, 25.0)
+    val jobs = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(Ops.getPercentile(spark, r, 50.0) == 1000.0)
+      Thread.sleep(500)
+      // the round-4 shape re-scanned the base selection 4× (counts groupBy
+      // feeding CumSum's boundary job, its bucket-totals collect, a separate
+      // total agg, and the final min); now the checkpoint job is the ONLY
+      // base scan and every downstream pass reads the |distinct|-sized
+      // frame. Under AQE each materialized shuffle stage is its own job, so
+      // the call decomposes into 9 small jobs (measured; deterministic for
+      // a fixed plan) — a regression back to per-pass base rescans adds
+      // its scan+shuffle stages on top and fails this pin loudly.
+      assert(jobs.get() <= 9,
+        s"getPercentile launched ${jobs.get()} jobs, expected <= 9")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("approx percentile close to exact on 1..2000") {
     val df = intDf("approx_p", (1 to 2000).map(Integer.valueOf))
     val r  = DataRef(FrameSource(df, "approx_p"), Some(Seq("col_int")))
