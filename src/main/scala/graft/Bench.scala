@@ -139,8 +139,10 @@ object Bench {
       // ~300-execution bench session without a full GC, so dead shuffle
       // state accumulates and the TAIL of the session slows (r5 artifact:
       // q_date_gaps sf1 raws 3.2→21.5 s, flat in a fresh session). Spark's
-      // own remedy, tightened from its 30 min default to within-session.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // own remedy, tightened from its 30 min default to within-session —
+      // but not lower: at 1min the forced GCs land mid-query and taxed the
+      // checkpoint-loop queries 3× (CC fresh-session A/B 23.7 s vs 7.8 s)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

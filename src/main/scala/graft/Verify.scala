@@ -18,7 +18,7 @@ object Verify {
       // independent (the gate pins that), so this only affects timing
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       // bound dead-shuffle accumulation across the 68-query session (see Bench)
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -16,7 +16,7 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       // same wide-start AQE + periodic-GC posture as Bench/Verify
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
