@@ -871,6 +871,48 @@ object SparkEntry {
           col("peak"))
     },
 
+    // MP4/ISO-BMFF container-metadata round-trip (REAL box walk, ISO
+    // 14496-12): synthesize a minimal conforming MP4 (ftyp + moov[mvhd +
+    // n x trak[tkhd]]) whose timescale/duration/track dims are functions of
+    // doc_id, parse it back, and emit the header fields a pipeline filters
+    // on before any codec runs. The oracle recomputes the closed forms —
+    // duration_ms is the one double, exact-integer inputs both sides.
+    "q_video_meta" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 41 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val mp4s = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val w = 16 * (1 + (id % 8).toInt)
+          val h = 16 * (1 + (id % 5).toInt)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeMinimalMp4(
+              timescale = 600 + (id % 7).toInt * 100,
+              duration = 1200 + (id % 601).toInt,
+              tracks = Seq.fill(1 + (id % 3).toInt)((w, h))))
+        },
+        schema)
+      Multimodal
+        .videoMeta(mp4s, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("brand"),
+          col("timescale"),
+          col("duration"),
+          round(col("duration_ms"), 6).as("duration_ms"),
+          col("n_tracks"),
+          col("width"),
+          col("height"))
+    },
+
     // Gopher-style repetition quality signals: most-frequent word 2-gram
     // character coverage + duplicated word 5-gram coverage (ops.Corpus)
     "q_repetition" -> { (s, dir) =>
@@ -1832,6 +1874,18 @@ object SparkEntry {
                 round(((doc_id % 997 + 1) + ((doc_id * 7) % 997 + 1)) / 2.0, 6) AS mean_abs,
                 CAST(greatest(doc_id % 997 + 1, (doc_id * 7) % 997 + 1) AS INT) AS peak
          FROM documents WHERE doc_id % 31 = 0""",
+    // MP4 metadata round-trip: closed forms of the synthesized container
+    "q_video_meta" ->
+      """SELECT doc_id,
+                'isom' AS brand,
+                CAST(600 + (doc_id % 7) * 100 AS INT) AS timescale,
+                CAST(1200 + doc_id % 601 AS INT) AS duration,
+                round((1200 + doc_id % 601) * 1000.0
+                      / (600 + (doc_id % 7) * 100), 6) AS duration_ms,
+                CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+                CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+                CAST(16 * (1 + doc_id % 5) AS INT) AS height
+         FROM documents WHERE doc_id % 41 = 0""",
     // repetition signals: word-n-gram multiplicity counts rebuilt with list
     // comprehensions; same deterministic arg-max tie-break (cnt desc, gram asc)
     "q_repetition" ->

@@ -59,6 +59,8 @@ object Multimodal {
     val format = when(magic.startsWith("FFD8"), "jpeg")
       .when(isPng, "png")
       .when(isWav, "riff-wav")
+      // ISO-BMFF: box type "ftyp" at bytes 5-8 (box size varies, type fixed)
+      .when(hex(substring(b, 5, 4)) === "66747970", "mp4")
       .otherwise("unknown")
     def pngBe32(pos: Int) =
       conv(hex(substring(b, pos, 4)), 16, 10).cast(IntegerType)
@@ -600,6 +602,177 @@ object Multimodal {
         case Some(d) =>
           Row(id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
             d.rms, d.meanAbs, d.peak)
+        case None => Row(id, null, null, null, null, null, null, null)
+      }
+    }
+  }
+
+  // --- MP4 / ISO-BMFF container metadata (ISO/IEC 14496-12, public spec) ---
+
+  /** Really-parsed MP4 container metadata: the header fields a training-data
+    * pipeline filters/partitions on BEFORE any codec runs (duration buckets,
+    * resolution floors, track sanity). Codec frame DECODE stays stubbed —
+    * this is the container walk only.
+    */
+  final case class VideoMeta(
+      majorBrand: String,
+      timescale: Int,
+      duration: Int,
+      durationMs: Double,
+      nTracks: Int,
+      width: Int,
+      height: Int)
+
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p != null && p.length > 16 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  /** REAL MP4/ISO-BMFF metadata parse: top-level box walk to `moov`, then
+    * `mvhd` (timescale + duration) and per-`trak` `tkhd` (16.16 fixed-point
+    * width/height; the first track with nonzero dimensions wins). Pure JVM
+    * byte work — no codec library. Degrade-don't-kill: truncated boxes end
+    * the walk, `size==1` (64-bit largesize) and `size==0` (to-EOF) are
+    * followed per the spec, and anything non-conforming returns None.
+    */
+  def parseMp4Meta(payload: Array[Byte]): Option[VideoMeta] = {
+    if (!looksLikeMp4(payload)) return None
+    val brand = new String(payload, 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    var timescale = 0; var duration = -1
+    var nTracks = 0; var width = 0; var height = 0
+
+    // walk boxes in [from, to); returns unit, accumulating into the vars
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size32 = be(payload, pos.toInt, 4)
+        val typ = new String(payload, pos.toInt + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        var header = 8L
+        val size =
+          if (size32 == 1L && pos + 16 <= to) {
+            header = 16L
+            be(payload, pos.toInt + 8, 8)
+          } else if (size32 == 0L) to - pos // box extends to end of enclosing
+          else size32
+        if (size < header || pos + size > to) return // truncated/corrupt: stop
+        val body = pos + header
+        typ match {
+          case "moov" if depth == 0 => walk(body, pos + size, 1)
+          case "trak" if depth == 1 =>
+            nTracks += 1
+            walk(body, pos + size, 2)
+          case "mvhd" if depth == 1 && body + 20 <= to =>
+            val version = payload(body.toInt) & 0xFF
+            // v1 widens creation/modification to 64-bit; timescale stays 32
+            val off = if (version == 1) body + 4 + 16 else body + 4 + 8
+            if (off + 8 <= to) {
+              timescale = be(payload, off.toInt, 4).toInt
+              duration =
+                if (version == 1) be(payload, off.toInt + 4, 8).toInt
+                else be(payload, off.toInt + 4, 4).toInt
+            }
+          case "tkhd" if depth == 2 =>
+            // width/height are the LAST 8 bytes of the tkhd body (16.16)
+            val end = pos + size
+            if (end - 8 >= body && end <= to && (width == 0 || height == 0)) {
+              val w = (be(payload, end.toInt - 8, 4) >> 16).toInt
+              val h = (be(payload, end.toInt - 4, 4) >> 16).toInt
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          case _ => ()
+        }
+        pos += size
+      }
+    }
+    walk(0L, payload.length.toLong, 0)
+    if (timescale <= 0 || duration < 0) return None
+    Some(VideoMeta(
+      majorBrand = brand,
+      timescale = timescale,
+      duration = duration,
+      durationMs = duration * 1000.0 / timescale,
+      nTracks = nTracks,
+      width = width,
+      height = height))
+  }
+
+  /** Encode a minimal conforming MP4 (ftyp + moov[mvhd + n×trak[tkhd]]) —
+    * the deterministic synthetic payload behind the `q_video_meta` oracle
+    * and the container tests. Metadata-only (no mdat/codec data), which is
+    * exactly the surface `parseMp4Meta` reads.
+    */
+  def encodeMinimalMp4(
+      timescale: Int,
+      duration: Int,
+      tracks: Seq[(Int, Int)],
+      majorBrand: String = "isom"): Array[Byte] = {
+    require(timescale > 0 && duration >= 0, "timescale/duration must be valid")
+    require(majorBrand.length == 4, "major brand is a 4CC")
+    val ftypLen = 8 + 8           // major brand + minor version (no compat list)
+    val mvhdLen = 8 + 4 + 96      // fullbox header + v0 body
+    val tkhdLen = 8 + 4 + 80      // fullbox header + v0 body
+    val trakLen = 8 + tkhdLen
+    val moovLen = 8 + mvhdLen + tracks.size * trakLen
+    val out = java.nio.ByteBuffer.allocate(ftypLen + moovLen) // BE default
+    out.putInt(ftypLen).put("ftyp".getBytes)
+      .put(majorBrand.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      .putInt(0x200)
+    out.putInt(moovLen).put("moov".getBytes)
+    out.putInt(mvhdLen).put("mvhd".getBytes)
+      .putInt(0)                  // version 0 + flags
+      .putInt(0).putInt(0)        // creation/modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000)         // rate 1.0
+      .putShort(0x0100.toShort)   // volume 1.0
+      .putShort(0.toShort)        // reserved
+      .putLong(0L)                // reserved
+    putUnityMatrix(out)
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(tracks.size + 1)   // next_track_ID
+    tracks.zipWithIndex.foreach { case ((w, h), i) =>
+      out.putInt(trakLen).put("trak".getBytes)
+      out.putInt(tkhdLen).put("tkhd".getBytes)
+        .putInt(7)                // version 0 + flags (enabled|in movie|in preview)
+        .putInt(0).putInt(0)      // creation/modification
+        .putInt(i + 1)            // track_ID
+        .putInt(0)                // reserved
+        .putInt(duration)
+        .putLong(0L)              // reserved
+        .putShort(0.toShort)      // layer
+        .putShort(0.toShort)      // alternate_group
+        .putShort(0.toShort)      // volume (video track)
+        .putShort(0.toShort)      // reserved
+      putUnityMatrix(out)
+      out.putInt(w << 16).putInt(h << 16) // 16.16 fixed
+    }
+    out.array()
+  }
+
+  private def putUnityMatrix(out: java.nio.ByteBuffer): Unit = {
+    out.putInt(0x00010000).putInt(0).putInt(0)
+    out.putInt(0).putInt(0x00010000).putInt(0)
+    out.putInt(0).putInt(0).putInt(0x40000000)
+  }
+
+  /** Per-partition batch MP4 metadata extraction over (id, binary) rows →
+    * per-clip container fields; non-MP4 payloads yield nulls. Same streaming
+    * constant-memory contract as `extractFeatures`.
+    */
+  def videoMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("brand", StringType),
+      StructField("timescale", IntegerType),
+      StructField("duration", IntegerType),
+      StructField("duration_ms", DoubleType),
+      StructField("n_tracks", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      parseMp4Meta(payload) match {
+        case Some(m) =>
+          Row(id, m.majorBrand, m.timescale, m.duration, m.durationMs,
+            m.nTracks, m.width, m.height)
         case None => Row(id, null, null, null, null, null, null, null)
       }
     }

@@ -613,6 +613,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(st.channels == 2 && st.nFrames == 6)
   }
 
+  test("multimodal: REAL MP4 container metadata parse (ISO-BMFF box walk)") {
+    import Multimodal._
+    val mp4 = encodeMinimalMp4(
+      timescale = 900, duration = 1800, tracks = Seq((640, 360), (640, 360)))
+    val m = parseMp4Meta(mp4).get
+    assert(m.majorBrand == "isom" && m.timescale == 900 && m.duration == 1800)
+    assert(m.durationMs == 2000.0 && m.nTracks == 2)
+    assert(m.width == 640 && m.height == 360)
+    // zero-track file still parses (mvhd alone carries the duration)
+    val noTracks = parseMp4Meta(encodeMinimalMp4(600, 0, Seq.empty)).get
+    assert(noTracks.nTracks == 0 && noTracks.duration == 0 && noTracks.width == 0)
+    // degradation: truncation mid-moov, garbage, and null never throw
+    assert(parseMp4Meta(mp4.take(40)).isEmpty)
+    assert(parseMp4Meta("not a video".getBytes).isEmpty)
+    assert(parseMp4Meta(null).isEmpty)
+    // batch op yields nulls for non-MP4 rows, fields for real ones
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, mp4), Row(2L, "junk".getBytes)), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val rows = Multimodal.videoMeta(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "isom" && rows(0).getInt(6) == 640)
+    assert(rows(1).isNullAt(1))
+    // header sniff classifies the container without any parse
+    val fmt = Multimodal.withMediaMeta(df, "payload")
+      .orderBy("doc_id").select(col("media_meta.format")).head().getString(0)
+    assert(fmt == "mp4")
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(
