@@ -913,6 +913,45 @@ object SparkEntry {
           col("height"))
     },
 
+    // FLAC STREAMINFO round-trip (REAL bit-packed header parse, public FLAC
+    // spec): synthesize a minimal header (magic + STREAMINFO) whose
+    // rate/channels/bps/total-samples are functions of doc_id — total spans
+    // the 36-bit field past the 32-bit line — parse it back, and emit the
+    // fields an audio-curation pipeline filters on. The oracle recomputes
+    // the closed forms; duration_ms is the one double, exact-integer inputs.
+    "q_flac_meta" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 43 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val flacs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeFlacHeader(
+              sampleRate = 8000 + (id % 11).toInt * 4000,
+              channels = 1 + (id % 8).toInt,
+              bitsPerSample = 8 + (id % 25).toInt,
+              totalSamples = 1000L + (id % 7) * 8589934592L))
+        },
+        schema)
+      Multimodal
+        .flacMeta(flacs, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("sample_rate"),
+          col("channels"),
+          col("bits_per_sample"),
+          col("total_samples"),
+          round(col("duration_ms"), 6).as("duration_ms"))
+    },
+
     // Gopher-style repetition quality signals: most-frequent word 2-gram
     // character coverage + duplicated word 5-gram coverage (ops.Corpus)
     "q_repetition" -> { (s, dir) =>
@@ -1886,6 +1925,17 @@ object SparkEntry {
                 CAST(16 * (1 + doc_id % 8) AS INT) AS width,
                 CAST(16 * (1 + doc_id % 5) AS INT) AS height
          FROM documents WHERE doc_id % 41 = 0""",
+    // FLAC metadata round-trip: closed forms of the synthesized STREAMINFO;
+    // total_samples exercises the 36-bit field past the 32-bit line
+    "q_flac_meta" ->
+      """SELECT doc_id,
+                CAST(8000 + (doc_id % 11) * 4000 AS INT) AS sample_rate,
+                CAST(1 + doc_id % 8 AS INT) AS channels,
+                CAST(8 + doc_id % 25 AS INT) AS bits_per_sample,
+                CAST(1000 + (doc_id % 7) * 8589934592 AS BIGINT) AS total_samples,
+                round((1000 + (doc_id % 7) * 8589934592) * 1000.0
+                      / (8000 + (doc_id % 11) * 4000), 6) AS duration_ms
+         FROM documents WHERE doc_id % 43 = 0""",
     // repetition signals: word-n-gram multiplicity counts rebuilt with list
     // comprehensions; same deterministic arg-max tie-break (cnt desc, gram asc)
     "q_repetition" ->

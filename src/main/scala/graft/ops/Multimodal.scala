@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * `javax.imageio`: PNG/JPEG/GIF/BMP), verified end-to-end by the
   * `q_image_decode` encode→decode round-trip oracle. Audio decode is REAL
   * for RIFF/WAV 16-bit PCM (`decodeWav` — pure byte parsing, no codec
-  * library), verified by the `q_audio_decode` round-trip oracle. Compressed
-  * audio/video codecs are environment-blocked, so those payloads fall back
+  * library), verified by the `q_audio_decode` round-trip oracle. Container
+  * METADATA is real for MP4/ISO-BMFF (`parseMp4Meta`) and FLAC STREAMINFO
+  * (`parseFlacMeta`) — the fields a pipeline filters on before any codec
+  * runs. Compressed audio/video FRAME decode is environment-blocked, so
+  * those payloads fall back
   * to `decodeStub`'s deterministic fake features; swapping in a real codec
   * changes ONLY that function body — the Spark-side contract (schema, batch
   * iteration, partitioning, spill behavior) is identical and tested.
@@ -56,12 +59,22 @@ object Multimodal {
     // path additionally requires "fmt " at byte 13 — recorders that emit a
     // JUNK/LIST chunk first keep nulls here (decodeWav still parses them)
     val isCanonicalWav = isWav && hex(substring(b, 13, 4)) === "666D7420"
+    val isFlac = magic === "664C6143" // "fLaC"
     val format = when(magic.startsWith("FFD8"), "jpeg")
       .when(isPng, "png")
       .when(isWav, "riff-wav")
+      .when(isFlac, "flac")
       // ISO-BMFF: box type "ftyp" at bytes 5-8 (box size varies, type fixed)
       .when(hex(substring(b, 5, 4)) === "66747970", "mp4")
       .otherwise("unknown")
+    def u8(pos: Int) =
+      conv(hex(substring(b, pos, 1)), 16, 10).cast(IntegerType)
+    // FLAC mandates STREAMINFO as the FIRST metadata block (type bits of the
+    // header byte at offset 4 = 0), so its bit-packed rate/channel fields sit
+    // at fixed offsets: rate = b[18]<<12 | b[19]<<4 | b[20]>>4, channels in
+    // b[20] bits 3-1 (0-indexed; +1 below for 1-indexed substring)
+    val isCanonicalFlac = isFlac && length(b) >= 42 &&
+      u8(5).bitwiseAND(lit(0x7F)) === 0
     def pngBe32(pos: Int) =
       conv(hex(substring(b, pos, 4)), 16, 10).cast(IntegerType)
     // little-endian: reverse the bytes before the base-16 parse
@@ -78,8 +91,12 @@ object Multimodal {
         when(isPng && length(b) >= 24, pngBe32(17)).cast(IntegerType).as("width"),
         when(isPng && length(b) >= 24, pngBe32(21)).cast(IntegerType).as("height"),
         when(isCanonicalWav && length(b) >= 28, wavLe(25, 4))
+          .when(isCanonicalFlac,
+            shiftleft(u8(19), 12) + shiftleft(u8(20), 4) + shiftright(u8(21), 4))
           .cast(IntegerType).as("sample_rate"),
         when(isCanonicalWav && length(b) >= 28, wavLe(23, 2))
+          .when(isCanonicalFlac,
+            shiftright(u8(21), 1).bitwiseAND(lit(0x7)) + lit(1))
           .cast(IntegerType).as("channels"),
         length(b).cast(LongType).as("n_bytes")))
   }
@@ -603,6 +620,111 @@ object Multimodal {
           Row(id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
             d.rms, d.meanAbs, d.peak)
         case None => Row(id, null, null, null, null, null, null, null)
+      }
+    }
+  }
+
+  // --- FLAC STREAMINFO metadata (public format spec; bit-packed fields) ---
+
+  /** Really-parsed FLAC stream header: the fields audio curation filters on
+    * (rate/channels/bit depth/length) — frame DECODE stays stubbed.
+    */
+  final case class FlacMeta(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      totalSamples: Long,
+      durationMs: Double)
+
+  /** REAL FLAC metadata parse: "fLaC" magic, then the metadata-block walk to
+    * STREAMINFO (type 0, 34 bytes) and its bit-packed fields — sample rate
+    * (20 bits), channels-1 (3), bits-per-sample-1 (5), total samples (36).
+    * Pure JVM byte work; malformed/truncated payloads return None.
+    */
+  def parseFlacMeta(payload: Array[Byte]): Option[FlacMeta] = {
+    if (payload == null || payload.length < 8 ||
+      payload(0) != 'f' || payload(1) != 'L' || payload(2) != 'a' ||
+      payload(3) != 'C') return None
+    var pos = 4
+    while (pos + 4 <= payload.length) {
+      val hdr = payload(pos) & 0xFF
+      val last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7F
+      val len = be(payload, pos + 1, 3).toInt
+      val body = pos + 4
+      if (btype == 0) { // STREAMINFO
+        if (len < 34 || body + 34 > payload.length) return None
+        val rate = (((payload(body + 10) & 0xFF) << 12)
+          | ((payload(body + 11) & 0xFF) << 4)
+          | ((payload(body + 12) & 0xFF) >> 4))
+        val channels = (((payload(body + 12) & 0xFF) >> 1) & 0x7) + 1
+        val bps = ((((payload(body + 12) & 0x1) << 4)
+          | ((payload(body + 13) & 0xFF) >> 4)) & 0x1F) + 1
+        val total = (((payload(body + 13) & 0xFL) << 32)
+          | be(payload, body + 14, 4))
+        if (rate <= 0) return None
+        return Some(FlacMeta(
+          sampleRate = rate,
+          channels = channels,
+          bitsPerSample = bps,
+          totalSamples = total,
+          durationMs = total * 1000.0 / rate))
+      }
+      if (last) return None // walked every block, no STREAMINFO
+      pos = body + len
+    }
+    None
+  }
+
+  /** Encode a minimal FLAC header (magic + STREAMINFO block; no frames) —
+    * the deterministic synthetic payload behind the `q_flac_meta` oracle
+    * and the metadata tests.
+    */
+  def encodeFlacHeader(
+      sampleRate: Int,
+      channels: Int,
+      bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "rate is a 20-bit field")
+    require(channels >= 1 && channels <= 8, "channels-1 is a 3-bit field")
+    require(bitsPerSample >= 1 && bitsPerSample <= 32, "bps-1 is a 5-bit field")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), "36-bit total")
+    val out = java.nio.ByteBuffer.allocate(4 + 4 + 34)
+    out.put("fLaC".getBytes)
+    out.put(0x80.toByte).put(0.toByte).put(0.toByte).put(34.toByte) // last, type 0, len 34
+    out.putShort(4096.toShort).putShort(4096.toShort) // min/max block size
+    // min/max frame size (24-bit each): unknown = 0
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte)
+    out.put((sampleRate >> 12).toByte)
+    out.put(((sampleRate >> 4) & 0xFF).toByte)
+    out.put((((sampleRate & 0xF) << 4)
+      | ((channels - 1) << 1)
+      | ((bitsPerSample - 1) >> 4)).toByte)
+    out.put(((((bitsPerSample - 1) & 0xF) << 4)
+      | ((totalSamples >> 32) & 0xF).toInt).toByte)
+    out.putInt((totalSamples & 0xFFFFFFFFL).toInt)
+    out.put(new Array[Byte](16)) // MD5 of the unencoded audio: zeros
+    out.array()
+  }
+
+  /** Per-partition batch FLAC metadata extraction over (id, binary) rows;
+    * non-FLAC payloads yield nulls. Same streaming contract as the rest.
+    */
+  def flacMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits_per_sample", IntegerType),
+      StructField("total_samples", LongType),
+      StructField("duration_ms", DoubleType)))
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      parseFlacMeta(payload) match {
+        case Some(m) =>
+          Row(id, m.sampleRate, m.channels, m.bitsPerSample,
+            m.totalSamples, m.durationMs)
+        case None => Row(id, null, null, null, null, null)
       }
     }
   }

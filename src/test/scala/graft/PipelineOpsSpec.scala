@@ -645,6 +645,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fmt == "mp4")
   }
 
+  test("multimodal: REAL FLAC STREAMINFO parse (bit-packed header fields)") {
+    import Multimodal._
+    // bit-boundary exercise: 20-bit rate, 3-bit channels at max, 5-bit bps,
+    // 36-bit total crossing the 32-bit line
+    val flac = encodeFlacHeader(
+      sampleRate = 96000, channels = 8, bitsPerSample = 24,
+      totalSamples = (5L << 32) + 123)
+    val m = parseFlacMeta(flac).get
+    assert(m.sampleRate == 96000 && m.channels == 8 && m.bitsPerSample == 24)
+    assert(m.totalSamples == (5L << 32) + 123)
+    assert(m.durationMs == ((5L << 32) + 123) * 1000.0 / 96000)
+    // low-boundary fields round-trip too (mono 8-bit, zero samples)
+    val lo = parseFlacMeta(encodeFlacHeader(8000, 1, 8, 0L)).get
+    assert(lo.sampleRate == 8000 && lo.channels == 1 &&
+      lo.bitsPerSample == 8 && lo.totalSamples == 0L)
+    // degradation: truncation mid-STREAMINFO, garbage, and null never throw
+    assert(parseFlacMeta(flac.take(20)).isEmpty)
+    assert(parseFlacMeta("not audio at all".getBytes).isEmpty)
+    assert(parseFlacMeta(null).isEmpty)
+    // batch op yields nulls for non-FLAC rows, fields for real ones
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, flac), Row(2L, "junk".getBytes)), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val rows = Multimodal.flacMeta(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) == 96000 && rows(0).getLong(4) == (5L << 32) + 123)
+    assert(rows(1).isNullAt(1))
+    // column-function fast path reads rate/channels at scan speed, no decode
+    val meta = Multimodal.withMediaMeta(df, "payload")
+      .orderBy("doc_id").select("media_meta.*").collect()
+    assert(meta(0).getString(0) == "flac")
+    assert(meta(0).getInt(3) == 96000 && meta(0).getInt(4) == 8)
+    assert(meta(1).getString(0) == "unknown" && meta(1).isNullAt(3))
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(
