@@ -50,6 +50,44 @@ object PropertySpec extends Properties("graft") {
         true
     }
 
+  // a dirty 100 TB corpus throws every imaginable byte soup at the parsers;
+  // None/degraded output is fine, an executor-killing exception is not
+  private val garbageGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  property("every binary parser survives arbitrary byte payloads") =
+    Prop.forAll(garbageGen) { bytes =>
+      Multimodal.parseFlacMeta(bytes)
+      Multimodal.parseMp4Meta(bytes)
+      Multimodal.decodeAiff(bytes, dim = 2)
+      Multimodal.decodeImage(bytes, dim = 2)
+      true // reaching here (Some or None, no exception) is the property
+    }
+
+  property("flac/mp4/aiff parsers survive corrupted valid headers") =
+    Prop.forAll(
+      Gen.chooseNum(0, 80),
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) { (pos, b) =>
+      val flac = Multimodal.encodeFlacHeader(44100, 2, 16, 48000L)
+      val mp4 = Multimodal.encodeMinimalMp4(600, 1200, Seq((64, 48)))
+      val aiff = Multimodal.encodeAiff(8000, 1, Array[Short](5, -5, 7))
+      for (p <- Seq(flac, mp4, aiff); if pos < p.length) p(pos) = b.toByte
+      Multimodal.parseFlacMeta(flac)
+      Multimodal.parseMp4Meta(mp4)
+      Multimodal.decodeAiff(aiff, dim = 2)
+      true
+    }
+
+  // truncation at every prefix length — the mid-chunk/mid-box boundary cases
+  property("flac/mp4 parsers survive every truncation point") =
+    Prop.forAll(Gen.chooseNum(0, 100)) { n =>
+      Multimodal.parseFlacMeta(
+        Multimodal.encodeFlacHeader(96000, 8, 24, (5L << 32) + 1).take(n))
+      Multimodal.parseMp4Meta(
+        Multimodal.encodeMinimalMp4(600, 1200, Seq((64, 48), (32, 32))).take(n))
+      true
+    }
+
   private val weightsGen: Gen[List[Double]] =
     Gen.chooseNum(2, 6).flatMap { n =>
       Gen.listOfN(n, Gen.chooseNum(1, 1000)).map { raw =>
