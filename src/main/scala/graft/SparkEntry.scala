@@ -952,6 +952,49 @@ object SparkEntry {
           round(col("duration_ms"), 6).as("duration_ms"))
     },
 
+    // MP3/MPEG-audio frame-header round-trip (REAL Layer III bit-field
+    // parse + ID3v2 syncsafe skip + frame walk, ISO 11172-3): version,
+    // bitrate/rate table lookups, channel mode, and the frame-counted
+    // duration, all closed forms of doc_id. The oracle spells the spec's
+    // bitrate/rate tables as SQL list lookups — table semantics are
+    // cross-engine-verified, not just the walk.
+    "q_mp3_meta" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 47 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val mp3s = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeMp3(
+              mpeg1 = id % 2 == 0,
+              bitrateIdx = 1 + (id % 14).toInt,
+              rateIdx = (id % 3).toInt,
+              padding = id % 5 == 0,
+              mono = id % 3 == 0,
+              nFrames = 5 + (id % 9).toInt,
+              id3Size = (id % 50).toInt))
+        },
+        schema)
+      Multimodal
+        .mp3Meta(mp3s, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("version"),
+          col("sample_rate"),
+          col("bitrate_kbps"),
+          col("channels"),
+          col("n_frames"),
+          round(col("duration_ms"), 6).as("duration_ms"))
+    },
+
     // Gopher-style repetition quality signals: most-frequent word 2-gram
     // character coverage + duplicated word 5-gram coverage (ops.Corpus)
     "q_repetition" -> { (s, dir) =>
@@ -1936,6 +1979,31 @@ object SparkEntry {
                 round((1000 + (doc_id % 7) * 8589934592) * 1000.0
                       / (8000 + (doc_id % 11) * 4000), 6) AS duration_ms
          FROM documents WHERE doc_id % 43 = 0""",
+    // MP3 metadata round-trip: the spec's Layer III bitrate/rate tables as
+    // SQL list lookups; duration = frames * samples-per-frame / rate
+    "q_mp3_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'mpeg1' ELSE 'mpeg2' END AS version,
+                CAST(list_extract(
+                  CASE WHEN doc_id % 2 = 0 THEN [44100, 48000, 32000]
+                       ELSE [22050, 24000, 16000] END,
+                  CAST(1 + doc_id % 3 AS INT)) AS INT) AS sample_rate,
+                CAST(list_extract(
+                  CASE WHEN doc_id % 2 = 0
+                       THEN [32, 40, 48, 56, 64, 80, 96, 112,
+                             128, 160, 192, 224, 256, 320]
+                       ELSE [8, 16, 24, 32, 40, 48, 56, 64,
+                             80, 96, 112, 128, 144, 160] END,
+                  CAST(1 + doc_id % 14 AS INT)) AS INT) AS bitrate_kbps,
+                CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+                CAST(5 + doc_id % 9 AS INT) AS n_frames,
+                round((5 + doc_id % 9)
+                      * (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000.0
+                      / list_extract(
+                          CASE WHEN doc_id % 2 = 0 THEN [44100, 48000, 32000]
+                               ELSE [22050, 24000, 16000] END,
+                          CAST(1 + doc_id % 3 AS INT)), 6) AS duration_ms
+         FROM documents WHERE doc_id % 47 = 0""",
     // repetition signals: word-n-gram multiplicity counts rebuilt with list
     // comprehensions; same deterministic arg-max tie-break (cnt desc, gram asc)
     "q_repetition" ->

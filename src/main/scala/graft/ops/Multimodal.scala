@@ -66,6 +66,9 @@ object Multimodal {
       .when(isFlac, "flac")
       // ISO-BMFF: box type "ftyp" at bytes 5-8 (box size varies, type fixed)
       .when(hex(substring(b, 5, 4)) === "66747970", "mp4")
+      // ID3v2 tag or a bare 11-bit MPEG frame sync (JPEG's FFD8 is above)
+      .when(magic.startsWith("494433") ||
+        magic.startsWith("FFF") || magic.startsWith("FFE"), "mp3")
       .otherwise("unknown")
     def u8(pos: Int) =
       conv(hex(substring(b, pos, 1)), 16, 10).cast(IntegerType)
@@ -725,6 +728,152 @@ object Multimodal {
           Row(id, m.sampleRate, m.channels, m.bitsPerSample,
             m.totalSamples, m.durationMs)
         case None => Row(id, null, null, null, null, null)
+      }
+    }
+  }
+
+  // --- MP3 / MPEG audio frame-header metadata (ISO/IEC 11172-3, public) ---
+
+  /** Really-parsed MPEG Layer III stream header: version, first-frame
+    * rate/bitrate/channels, and the frame-walk duration — the fields audio
+    * curation filters on. Frame DECODE (the perceptual codec) stays stubbed.
+    */
+  final case class Mp3Meta(
+      version: String, // "mpeg1" | "mpeg2" | "mpeg2.5"
+      sampleRate: Int,
+      bitrateKbps: Int,
+      channels: Int,
+      nFrames: Int,
+      durationMs: Double)
+
+  // Layer III tables from the public MPEG spec, indexed by the 4-bit
+  // bitrate index (0 = free format, 15 = invalid — both rejected) and the
+  // 2-bit sample-rate index (3 = reserved)
+  private val mp3BitrateMpeg1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val mp3BitrateMpeg2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val mp3RateMpeg1 = Array(44100, 48000, 32000, 0)
+  private val mp3RateMpeg2 = Array(22050, 24000, 16000, 0)
+  private val mp3RateMpeg25 = Array(11025, 12000, 8000, 0)
+
+  /** REAL MP3 metadata parse: skip an ID3v2 tag (syncsafe 28-bit size),
+    * then walk Layer III frames — 11-bit sync, version/bitrate/rate/padding
+    * bit fields, frameLen = spf/8 * kbps*1000 / rate + pad — counting only
+    * complete frames. VBR streams parse (each frame re-reads its own
+    * header); duration comes from the per-frame sample count over the
+    * first frame's rate. Malformed/truncated payloads return None.
+    */
+  def parseMp3Meta(payload: Array[Byte]): Option[Mp3Meta] = {
+    if (payload == null || payload.length < 4) return None
+    var pos = 0
+    if (payload.length >= 10 &&
+      payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+      val size = ((payload(6) & 0x7F) << 21) | ((payload(7) & 0x7F) << 14) |
+        ((payload(8) & 0x7F) << 7) | (payload(9) & 0x7F)
+      pos = 10 + size
+    }
+    var nFrames = 0
+    var totalSamples = 0L
+    var rate0 = 0; var bitrate0 = 0; var chan0 = 0
+    var ver0: String = null
+    var walking = true
+    while (walking && pos >= 0 && pos + 4 <= payload.length) {
+      val b2 = payload(pos + 1) & 0xFF
+      val b3 = payload(pos + 2) & 0xFF
+      val b4 = payload(pos + 3) & 0xFF
+      val verBits = (b2 >> 3) & 3
+      val layerBits = (b2 >> 1) & 3
+      val bitrateIdx = (b3 >> 4) & 0xF
+      val rateIdx = (b3 >> 2) & 3
+      if ((payload(pos) & 0xFF) != 0xFF || (b2 & 0xE0) != 0xE0 ||
+        verBits == 1 || layerBits != 1 || // reserved version / not Layer III
+        bitrateIdx == 0 || bitrateIdx == 15 || rateIdx == 3) walking = false
+      else {
+        val mpeg1 = verBits == 3
+        val kbps = (if (mpeg1) mp3BitrateMpeg1 else mp3BitrateMpeg2)(bitrateIdx)
+        val rate = (verBits match {
+          case 3 => mp3RateMpeg1
+          case 2 => mp3RateMpeg2
+          case _ => mp3RateMpeg25
+        })(rateIdx)
+        val spf = if (mpeg1) 1152 else 576
+        val frameLen = spf / 8 * kbps * 1000 / rate + ((b3 >> 1) & 1)
+        if (frameLen < 4 || pos + frameLen > payload.length) walking = false
+        else {
+          if (nFrames == 0) {
+            rate0 = rate; bitrate0 = kbps
+            chan0 = if (((b4 >> 6) & 3) == 3) 1 else 2
+            ver0 = if (mpeg1) "mpeg1" else if (verBits == 2) "mpeg2" else "mpeg2.5"
+          }
+          nFrames += 1
+          totalSamples += spf
+          pos += frameLen
+        }
+      }
+    }
+    if (nFrames == 0) None
+    else Some(Mp3Meta(
+      ver0, rate0, bitrate0, chan0, nFrames, totalSamples * 1000.0 / rate0))
+  }
+
+  /** Encode a minimal constant-header MP3 (optional zero-filled ID3v2 tag +
+    * `nFrames` Layer III frames with zero bodies) — the deterministic
+    * synthetic payload behind the `q_mp3_meta` oracle and the tests.
+    */
+  def encodeMp3(
+      mpeg1: Boolean,
+      bitrateIdx: Int,
+      rateIdx: Int,
+      padding: Boolean,
+      mono: Boolean,
+      nFrames: Int,
+      id3Size: Int): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1-14")
+    require(rateIdx >= 0 && rateIdx <= 2, "rate index 0-2")
+    require(nFrames >= 1 && id3Size >= 0 && id3Size < (1 << 28))
+    val kbps = (if (mpeg1) mp3BitrateMpeg1 else mp3BitrateMpeg2)(bitrateIdx)
+    val rate = (if (mpeg1) mp3RateMpeg1 else mp3RateMpeg2)(rateIdx)
+    val spf = if (mpeg1) 1152 else 576
+    val frameLen = spf / 8 * kbps * 1000 / rate + (if (padding) 1 else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      bos.write('I'); bos.write('D'); bos.write('3')
+      bos.write(3); bos.write(0); bos.write(0) // v2.3, no flags
+      bos.write((id3Size >> 21) & 0x7F); bos.write((id3Size >> 14) & 0x7F)
+      bos.write((id3Size >> 7) & 0x7F); bos.write(id3Size & 0x7F)
+      bos.write(new Array[Byte](id3Size))
+    }
+    val frame = new Array[Byte](frameLen)
+    frame(0) = 0xFF.toByte
+    // sync(3) | version(2) | layer III (01) | no-CRC (1)
+    frame(1) = (0xE0 | ((if (mpeg1) 3 else 2) << 3) | (1 << 1) | 1).toByte
+    frame(2) = ((bitrateIdx << 4) | (rateIdx << 2)
+      | ((if (padding) 1 else 0) << 1)).toByte
+    frame(3) = (((if (mono) 3 else 0) << 6)).toByte
+    var i = 0
+    while (i < nFrames) { bos.write(frame); i += 1 }
+    bos.toByteArray
+  }
+
+  /** Per-partition batch MP3 metadata extraction over (id, binary) rows;
+    * non-MP3 payloads yield nulls. Same streaming contract as the rest.
+    */
+  def mp3Meta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("version", StringType),
+      StructField("sample_rate", IntegerType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("duration_ms", DoubleType)))
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      parseMp3Meta(payload) match {
+        case Some(m) =>
+          Row(id, m.version, m.sampleRate, m.bitrateKbps, m.channels,
+            m.nFrames, m.durationMs)
+        case None => Row(id, null, null, null, null, null, null)
       }
     }
   }

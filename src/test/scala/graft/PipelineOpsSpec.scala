@@ -683,6 +683,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(meta(1).getString(0) == "unknown" && meta(1).isNullAt(3))
   }
 
+  test("multimodal: REAL MP3 frame-header parse (ID3 skip + frame walk)") {
+    import Multimodal._
+    // MPEG1 Layer III, 128 kbps (idx 9), 44.1 kHz (idx 0), stereo, ID3 tag
+    val mp3 = encodeMp3(mpeg1 = true, bitrateIdx = 9, rateIdx = 0,
+      padding = false, mono = false, nFrames = 7, id3Size = 33)
+    val m = parseMp3Meta(mp3).get
+    assert(m.version == "mpeg1" && m.sampleRate == 44100 &&
+      m.bitrateKbps == 128 && m.channels == 2 && m.nFrames == 7)
+    assert(m.durationMs == 7L * 1152 * 1000.0 / 44100)
+    // MPEG2 table, padding bit changes frame stride but not the count
+    val lo = parseMp3Meta(encodeMp3(mpeg1 = false, bitrateIdx = 3,
+      rateIdx = 2, padding = true, mono = true, nFrames = 3, id3Size = 0)).get
+    assert(lo.version == "mpeg2" && lo.sampleRate == 16000 &&
+      lo.bitrateKbps == 24 && lo.channels == 1 && lo.nFrames == 3)
+    // degradation: truncation mid-frame keeps the complete-frame count
+    assert(parseMp3Meta(mp3.dropRight(10)).get.nFrames == 6)
+    assert(parseMp3Meta(mp3.take(20)).isEmpty) // ID3 only, no frame
+    assert(parseMp3Meta("not audio".getBytes).isEmpty)
+    assert(parseMp3Meta(null).isEmpty)
+    // batch op yields nulls for non-MP3 rows, fields for real ones
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, mp3), Row(2L, "junk".getBytes)), 1),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val rows = Multimodal.mp3Meta(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "mpeg1" && rows(0).getInt(5) == 7)
+    assert(rows(1).isNullAt(1))
+    // sniff classifies by ID3 magic and by bare frame sync
+    val bare = encodeMp3(mpeg1 = true, bitrateIdx = 9, rateIdx = 0,
+      padding = false, mono = false, nFrames = 1, id3Size = 0)
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, mp3), Row(2L, bare)), 1),
+      df.schema)
+    val fmts = Multimodal.withMediaMeta(df2, "payload")
+      .orderBy("doc_id").select(col("media_meta.format")).collect()
+    assert(fmts(0).getString(0) == "mp3" && fmts(1).getString(0) == "mp3")
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(

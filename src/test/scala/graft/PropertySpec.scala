@@ -58,6 +58,7 @@ object PropertySpec extends Properties("graft") {
   property("every binary parser survives arbitrary byte payloads") =
     Prop.forAll(garbageGen) { bytes =>
       Multimodal.parseFlacMeta(bytes)
+      Multimodal.parseMp3Meta(bytes)
       Multimodal.parseMp4Meta(bytes)
       Multimodal.decodeAiff(bytes, dim = 2)
       Multimodal.decodeImage(bytes, dim = 2)
@@ -71,10 +72,14 @@ object PropertySpec extends Properties("graft") {
       val flac = Multimodal.encodeFlacHeader(44100, 2, 16, 48000L)
       val mp4 = Multimodal.encodeMinimalMp4(600, 1200, Seq((64, 48)))
       val aiff = Multimodal.encodeAiff(8000, 1, Array[Short](5, -5, 7))
-      for (p <- Seq(flac, mp4, aiff); if pos < p.length) p(pos) = b.toByte
+      val mp3 = Multimodal.encodeMp3(
+        mpeg1 = true, bitrateIdx = 9, rateIdx = 0,
+        padding = false, mono = false, nFrames = 2, id3Size = 12)
+      for (p <- Seq(flac, mp4, aiff, mp3); if pos < p.length) p(pos) = b.toByte
       Multimodal.parseFlacMeta(flac)
       Multimodal.parseMp4Meta(mp4)
       Multimodal.decodeAiff(aiff, dim = 2)
+      Multimodal.parseMp3Meta(mp3)
       true
     }
 
