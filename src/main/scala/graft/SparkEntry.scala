@@ -626,12 +626,18 @@ object SparkEntry {
     // streaming.StreamingChecks.windowedProfile; same plan shape Structured
     // Streaming runs incrementally with a watermark)
     "q_events_profile" -> { (s, dir) =>
-      // the events table carries TIMESTAMP(NANOS) parquet timestamps, which
-      // Spark only reads via the legacy nanos-as-long switch; convert to a
-      // proper timestamp at microsecond precision
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(pq(dir, "events"))
-        .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (surfacing
+      // as int64 nanos under the legacy read switch) and native
+      // TIMESTAMP(MICROS); branch on the dtype Spark actually read instead
+      // of assuming one generation — `ts / 1000` on a timestamp throws
+      // DATATYPE_MISMATCH
+      val raw = s.read.parquet(pq(dir, "events"))
+      val events = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // int64 epoch-nanos
+          raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case _ => raw // TimestampType / TimestampNTZType: use directly
+      }
+      events
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),

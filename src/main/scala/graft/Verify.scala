@@ -24,6 +24,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // lossless JSON escape — a tab or CR in builder-authored SQL would
+    // otherwise make the driver's json.load fail and silently zero the
+    // round's correctness
+    def q(s: String): String = graft.core.JsonEscape.string(s)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -31,6 +36,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = String.valueOf(e).take(2000)
       }
       finally {
         spark.catalog.clearCache() // free operator-internal caches
@@ -39,10 +45,16 @@ object Verify {
         graft.core.Blocks.releaseAll()
       }
     }
-    // lossless JSON escape — a tab or CR in builder-authored SQL would
-    // otherwise make the driver's json.load fail and silently zero the
-    // round's correctness
-    def q(s: String): String = graft.core.JsonEscape.string(s)
+    // a throwing query must leave a visible artifact: in round 6 a query
+    // that errored simply vanished from the correctness JSON (71 → 70 rows,
+    // every remaining row green) and nobody noticed for a round. errors.json
+    // is written even when empty so its absence/presence is never ambiguous.
+    Files.writeString(
+      Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.keys.mkString(", ")}")
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
