@@ -40,12 +40,12 @@ object Bench {
     * whose warm-up already ran ≥ 5 s get a single post-JIT run instead:
     * they sit far above the noise floor and repetition would triple the
     * driver's bench budget for no signal.
-    */
-  /** (gate time, all raw run times incl. warm-up, first error). The gate
-    * time stays min/median (suppresses GC-noise false regressions) but the
-    * raw times are reported alongside so a PERSISTENT second-run slowdown —
-    * e.g. genuine memory pressure — remains visible in the artifact rather
-    * than being optimized away.
+    *
+    * Returns (gate time, all raw run times incl. warm-up, first error).
+    * The gate time stays min/median (suppresses GC-noise false
+    * regressions) but the raw times are reported alongside so a PERSISTENT
+    * second-run slowdown — e.g. genuine memory pressure — remains visible
+    * in the artifact rather than being optimized away.
     */
   private def timeQuery(
       spark: SparkSession,
@@ -109,95 +109,176 @@ object Bench {
     "q_minhash_dedup", "q_dedup_clusters", "q_percentile", "q_span_dedup",
     "q_embedding_neardup", "q_ngram_jaccard")
 
-  private def queriesJson(
-      results: Iterable[(String, Double, Seq[Double], Option[String])])
-      : (String, String, String) = {
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+  /** Per-query memory snapshot appended to the full artifact: lets drift be
+    * ATTRIBUTED from the artifact alone. The r6 driver bench degraded
+    * monotonically within-session while a clean machine was flat — with
+    * only the times recorded there was no way to tell engine leak from
+    * external memory pressure. `sys_avail_mb` (host MemAvailable) falling
+    * while `heap_used_mb`/`storage_used_mb` stay flat = external load;
+    * heap/storage climbing = ours.
+    */
+  private def memSnapshot(spark: SparkSession): String = {
+    val rt = Runtime.getRuntime
+    val heapUsedMb = (rt.totalMemory - rt.freeMemory) >> 20
+    val (stMax, stFree) = spark.sparkContext.getExecutorMemoryStatus.values
+      .foldLeft((0L, 0L)) { case ((m, f), (a, b)) => (m + a, f + b) }
+    val sysAvailMb =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("MemAvailable:") =>
+            l.trim.split("\\s+")(1).toLong / 1024
+        }.getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    s"""{"heap_used_mb":$heapUsedMb,"storage_used_mb":${(stMax - stFree) >> 20},"sys_avail_mb":$sysAvailMb}"""
+  }
+
+  private case class QResult(
+      name: String, t: Double, raw: Seq[Double], err: Option[String], mem: String)
+
+  private def queriesJson(results: Iterable[QResult]): (String, String, String, String) = {
+    val qs = results.map(r => s"\"" + r.name + "\":" + r.t)
       .mkString("{", ",", "}")
-    val raw = results.map { case (k, _, rs, _) =>
-      s"\"" + k + "\":" + rs.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"\"" + k + "\":\"" + e + "\"" }
+    val raw = results.map(r => s"\"" + r.name + "\":" + r.raw.mkString("[", ",", "]"))
       .mkString("{", ",", "}")
-    (qs, raw, errs)
+    val errs = results.collect { case QResult(k, _, _, Some(e), _) => s"\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val mem = results.map(r => s"\"" + r.name + "\":" + r.mem)
+      .mkString("{", ",", "}")
+    (qs, raw, errs, mem)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // AQE starts shuffles WIDE and coalesces down to the target size:
-      // at sf0.1 this lands back at ~cpus partitions (identical plans),
-      // while the 10×/100× legs keep per-reducer state spill-free instead
-      // of funneling 100× data through `cpus` reducers (the sf10 leg
-      // measured minhash/ngram going superlinear exactly this way)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
-      // ContextCleaner only reclaims shuffle files/broadcasts when their
-      // driver-side handles get GC'd; a 16 GiB driver heap can go the whole
-      // ~300-execution bench session without a full GC, so dead shuffle
-      // state accumulates and the TAIL of the session slows (r5 artifact:
-      // q_date_gaps sf1 raws 3.2→21.5 s, flat in a fresh session). Spark's
-      // own remedy, tightened from its 30 min default to within-session —
-      // but not lower: at 1min the forced GCs land mid-query and taxed the
-      // checkpoint-loop queries 3× (CC fresh-session A/B 23.7 s vs 7.8 s)
-      .config("spark.cleaner.periodicGC.interval", "5min")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val (t, raw, err) = timeQuery(spark, fn, sfDir)
-      (name, t, raw, err)
+    // AQE starts shuffles WIDE and coalesces down to the target size, so
+    // the 10×/100× legs keep per-reducer state spill-free instead of
+    // funneling 100× data through `cpus` reducers (the sf10 leg measured
+    // minhash/ngram going superlinear exactly this way). The width is
+    // sized to the leg's input (core.Tuning): a flat 512 cost ~2× fixed
+    // stage-scheduling overhead on small many-stage queries at sf0.1.
+    def newSession(wideStart: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wideStart)
+        // ContextCleaner only reclaims shuffle files/broadcasts when their
+        // driver-side handles get GC'd; a 16 GiB driver heap can go the whole
+        // ~300-execution bench session without a full GC, so dead shuffle
+        // state accumulates and the TAIL of the session slows (r5 artifact:
+        // q_date_gaps sf1 raws 3.2→21.5 s, flat in a fresh session). Spark's
+        // own remedy, tightened from its 30 min default to within-session —
+        // but not lower: at 1min the forced GCs land mid-query and taxed the
+        // checkpoint-loop queries 3× (CC fresh-session A/B 23.7 s vs 7.8 s)
+        .config("spark.cleaner.periodicGC.interval", "5min")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
     }
-    val (qs, raw, errs) = queriesJson(results)
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
-    // scale legs (repo-local ScaleData output, or explicit dirs), skipped
-    // when the directory is absent: sf1 = 10× on the scale-critical
-    // subset; sf10 = 100× spot-check on the heaviest pipelines —
-    // median-timed like the primary, reported as sibling fields so the
-    // primary contract (one JSON line, "queries" at sf) is unchanged
-    def leg(dir: String, names: Seq[String], single: Boolean = false)
-        : Option[Iterable[(String, Double, Seq[Double], Option[String])]] =
-      if (!new java.io.File(dir).isDirectory) None
-      else Some(
-        SparkEntry.queries
-          .filter { case (name, _) => names.contains(name) }
-          .map { case (name, fn) =>
-            // `single`: the 100× spot leg runs each query once — they sit
-            // 1-2 orders of magnitude above the noise floor, and repeats
-            // would multiply the leg into the whole bench budget
-            if (single) {
-              val (t, err) = runOnce(spark, fn, dir)
-              (name, t, Seq(t), err)
-            } else {
-              val (t, raw1, err) = timeQuery(spark, fn, dir)
-              (name, t, raw1, err)
-            }
-          })
+    // Session recycling: the r6 driver artifact showed monotonic
+    // within-session degradation that per-query cache/Blocks hygiene did
+    // not eliminate on that box. A production driver recycles sessions;
+    // so does the bench — a fresh SparkContext every ~30 timed queries
+    // bounds whatever JVM/session state the hygiene misses, and the mem
+    // snapshots bracket each stretch so residual drift is attributable.
+    val RecycleEvery = 30
+    var spark = newSession(graft.core.Tuning.wideStart(sfDir, cpus))
+    var sinceRecycle = 0
+    def recycled(wideStart: Int): SparkSession = {
+      if (sinceRecycle >= RecycleEvery) {
+        spark.stop()
+        spark = newSession(wideStart)
+        sinceRecycle = 0
+      }
+      sinceRecycle += 1
+      spark
+    }
+
+    def runLeg(dir: String, names: Option[Seq[String]], single: Boolean)
+        : Iterable[QResult] = {
+      val wide = graft.core.Tuning.wideStart(dir, cpus)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wide)
+      SparkEntry.queries
+        .filter { case (name, _) => names.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val s = recycled(wide)
+          s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wide)
+          // `single`: the 100× spot leg runs each query once — they sit
+          // 1-2 orders of magnitude above the noise floor, and repeats
+          // would multiply the leg into the whole bench budget
+          if (single) {
+            val (t, err) = runOnce(s, fn, dir)
+            QResult(name, t, Seq(t), err, memSnapshot(s))
+          } else {
+            val (t, raw, err) = timeQuery(s, fn, dir)
+            QResult(name, t, raw, err, memSnapshot(s))
+          }
+        }
+    }
+
+    val results = runLeg(sfDir, None, single = false)
+    val (qs, raw, errs, mem) = queriesJson(results)
+    val total = if (results.nonEmpty) results.map(_.t).sum else 0.0
+
+    // Scale legs: sf1 = 10× of the primary dir on the scale-critical
+    // subset; sf10 = 100× spot-check on the heaviest pipelines. An absent
+    // leg directory is REGENERATED in-session via tools.ScaleData (it was
+    // silently skipped in r6 — gitignored benchdata vanished from the
+    // driver workspace and the artifact quietly lost its scale legs)
+    // unless SPARK_GRAFT_SCALEGEN=0. Generation time is reported in the
+    // artifact, not folded into any query time.
+    val scaleGen = sys.env.getOrElse("SPARK_GRAFT_SCALEGEN", "1") != "0"
+    def ensureLeg(dir: String, reps: Int): Option[Double] =
+      if (new java.io.File(dir).isDirectory || !scaleGen) None
+      else {
+        val t0 = System.nanoTime()
+        try {
+          graft.tools.ScaleData.scale(spark, sfDir, dir, reps)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench: scale-gen $dir failed: $e")
+            None
+        }
+      }
+
+    def legJson(prefix: String, dir: String,
+        sub: Option[Iterable[QResult]], genSec: Option[Double]): String =
+      sub.map { rs =>
+        val (q, r, e, m) = queriesJson(rs)
+        val gen = genSec.map(g => s""","${prefix}_gen_sec":$g""").getOrElse("")
+        s""","${prefix}_dir":"${jsonEscape(dir)}","${prefix}_queries":$q,"${prefix}_raw":$r,"${prefix}_errors":$e,"${prefix}_mem":$m$gen"""
+      }.getOrElse("")
+
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
-    val sf1Results = leg(sf1Dir, Sf1Subset)
-    val sf1 = sf1Results.map { sub =>
-      val (q1, r1, e1) = queriesJson(sub)
-      s""","sf1_dir":"${jsonEscape(sf1Dir)}","sf1_queries":$q1,"sf1_raw":$r1,"sf1_errors":$e1"""
-    }.getOrElse("")
+    val sf1Gen = ensureLeg(sf1Dir, 10)
+    val sf1Results =
+      if (new java.io.File(sf1Dir).isDirectory)
+        Some(runLeg(sf1Dir, Some(Sf1Subset), single = false))
+      else None
+    val sf1 = legJson("sf1", sf1Dir, sf1Results, sf1Gen)
+
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
-    val sf10Results = leg(sf10Dir, Sf10Subset, single = true)
-    val sf10 = sf10Results.map { sub =>
-      val (q10, r10, e10) = queriesJson(sub)
-      s""","sf10_dir":"${jsonEscape(sf10Dir)}","sf10_queries":$q10,"sf10_raw":$r10,"sf10_errors":$e10"""
-    }.getOrElse("")
+    val sf10Gen = ensureLeg(sf10Dir, 100)
+    val sf10Results =
+      if (new java.io.File(sf10Dir).isDirectory)
+        Some(runLeg(sf10Dir, Some(Sf10Subset), single = true))
+      else None
+    val sf10 = legJson("sf10", sf10Dir, sf10Results, sf10Gen)
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs$sf1$sf10,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$sf1$sf10,"sf":"$sfDir"}"""
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
-    // bounded TAIL of it — the full line (raw per-run arrays) overflowed
-    // that window two rounds running ("parsed": null), decapitating the
-    // JSON. So the FILE gets the full artifact, and stdout gets one
-    // deliberately COMPACT line (3-decimal times, no raw arrays) printed
-    // LAST so it always lands intact inside the tail window.
+    // bounded 2000-char TAIL of it. The FILE gets the full artifact; stdout
+    // gets (a) a compact per-query line for humans, then (b) a MINIMAL
+    // final line — totals only, no per-query map — that is guaranteed to
+    // fit intact inside the tail window. Both the full line (r4/r5) and
+    // the compact line (r6, ~1.9 kB for 71 queries) overflowed that window
+    // and decapitated the parsed JSON three rounds running.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
@@ -206,16 +287,25 @@ object Bench {
     } catch {
       case e: Exception => System.err.println(s"bench: could not write $outPath: $e")
     }
-    def compactTimes(rs: Iterable[(String, Double, Seq[Double], Option[String])]) =
-      rs.map { case (k, v, _, _) => s"\"" + k + "\":" + (math.round(v * 1000) / 1000.0) }
-        .mkString("{", ",", "}")
+    def round3(v: Double) = math.round(v * 1000) / 1000.0
+    def compactTimes(rs: Iterable[QResult]) =
+      rs.map(r => s"\"" + r.name + "\":" + round3(r.t)).mkString("{", ",", "}")
     val sf1C =
       sf1Results.map(s => s""","sf1_queries":${compactTimes(s)}""").getOrElse("")
     val sf10C =
       sf10Results.map(s => s""","sf10_queries":${compactTimes(s)}""").getOrElse("")
     val compact =
-      s"""{"metric":"total","value":${math.round(total * 1000) / 1000.0},"unit":"sec","queries":${compactTimes(results)},"errors":$errs$sf1C$sf10C,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":${compactTimes(results)},"errors":$errs$sf1C$sf10C,"sf":"$sfDir","full":"$outPath"}"""
     println(compact)
+    val nErrors = results.count(_.err.isDefined) +
+      sf1Results.map(_.count(_.err.isDefined)).getOrElse(0) +
+      sf10Results.map(_.count(_.err.isDefined)).getOrElse(0)
+    val legTotals =
+      sf1Results.map(s => s""","sf1_total":${round3(s.map(_.t).sum)}""").getOrElse("") +
+        sf10Results.map(s => s""","sf10_total":${round3(s.map(_.t).sum)}""").getOrElse("")
+    val minimal =
+      s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors$legTotals,"sf":"$sfDir","full":"$outPath"}"""
+    println(minimal)
     spark.stop()
   }
 }

@@ -14,9 +14,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // same AQE wide-start posture as Bench — results are partitioning-
-      // independent (the gate pins that), so this only affects timing
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // same input-sized AQE wide-start posture as Bench — results are
+      // partitioning-independent (the gate pins that), so this only
+      // affects timing
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.Tuning.wideStart(sfDir, cpus.toInt))
       // bound dead-shuffle accumulation across the 68-query session (see Bench)
       .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.sql.session.timeZone", "UTC")

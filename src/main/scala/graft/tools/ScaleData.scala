@@ -46,10 +46,17 @@ object ScaleData {
       .appName("graft-scaledata")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the events table carries TIMESTAMP(NANOS), readable only via the
-    // legacy switch (ts surfaces as int64 nanos — the shape every events
-    // query already normalizes from)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scale(spark, src, dst, reps)
+    spark.stop()
+  }
+
+  /** Session-reusing entry point: Bench regenerates absent scale legs with
+    * its own session (a nested getOrCreate would hijack — and then stop —
+    * the caller's). `events.ts` replicates dtype-agnostically: only ids are
+    * shifted, so both the int64-nanos and native-timestamp generations of
+    * the driver testdata pass through unchanged.
+    */
+  def scale(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
 
     def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
@@ -109,7 +116,5 @@ object ScaleData {
                 (pmod(xxhash64(col("vec_id"), j, lit(r)), lit(1000)).cast("double") - 500.0)
                   / 50000.0).cast("float")))
     }
-
-    spark.stop()
   }
 }

@@ -14,8 +14,9 @@ object TimeQuery {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // same wide-start AQE + periodic-GC posture as Bench/Verify
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // same input-sized wide-start AQE + periodic-GC posture as Bench/Verify
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        graft.core.Tuning.wideStart(dir, cpus.toInt))
       .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
