@@ -986,7 +986,18 @@ object SparkEntry {
               padding = id % 5 == 0,
               mono = id % 3 == 0,
               nFrames = 5 + (id % 9).toInt,
-              id3Size = (id % 50).toInt))
+              id3Size = (id % 50).toInt,
+              // VBR header coverage: Xing and VBRI on MPEG1 payloads (even
+              // ids), the CBR Info tag on MPEG2 (odd ids, where bitrateIdx
+              // >= 2 always — odd multiples of 47 are never = 0 mod 14 —
+              // so the tag fits the smallest frame), a quarter untagged
+              vbrTag = (id % 4) match {
+                case 0 => "xing"
+                case 1 => "info"
+                case 2 => "vbri"
+                case _ => null
+              },
+              vbrFrames = 100 + (id % 50).toInt))
         },
         schema)
       Multimodal
@@ -998,7 +1009,10 @@ object SparkEntry {
           col("bitrate_kbps"),
           col("channels"),
           col("n_frames"),
-          round(col("duration_ms"), 6).as("duration_ms"))
+          round(col("duration_ms"), 6).as("duration_ms"),
+          col("vbr_method"),
+          col("vbr_frames"),
+          round(col("vbr_duration_ms"), 6).as("vbr_duration_ms"))
     },
 
     // Gopher-style repetition quality signals: most-frequent word 2-gram
@@ -2008,7 +2022,20 @@ object SparkEntry {
                       / list_extract(
                           CASE WHEN doc_id % 2 = 0 THEN [44100, 48000, 32000]
                                ELSE [22050, 24000, 16000] END,
-                          CAST(1 + doc_id % 3 AS INT)), 6) AS duration_ms
+                          CAST(1 + doc_id % 3 AS INT)), 6) AS duration_ms,
+                CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 'xing' WHEN 1 THEN 'info' WHEN 2 THEN 'vbri'
+                     ELSE NULL END AS vbr_method,
+                CASE WHEN doc_id % 4 < 3 THEN CAST(100 + doc_id % 50 AS INT)
+                     ELSE NULL END AS vbr_frames,
+                CASE WHEN doc_id % 4 < 3
+                     THEN round((100 + doc_id % 50)
+                           * (CASE WHEN doc_id % 2 = 0 THEN 1152 ELSE 576 END) * 1000.0
+                           / list_extract(
+                               CASE WHEN doc_id % 2 = 0 THEN [44100, 48000, 32000]
+                                    ELSE [22050, 24000, 16000] END,
+                               CAST(1 + doc_id % 3 AS INT)), 6)
+                     ELSE NULL END AS vbr_duration_ms
          FROM documents WHERE doc_id % 47 = 0""",
     // repetition signals: word-n-gram multiplicity counts rebuilt with list
     // comprehensions; same deterministic arg-max tie-break (cnt desc, gram asc)

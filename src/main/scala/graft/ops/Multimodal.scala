@@ -744,7 +744,13 @@ object Multimodal {
       bitrateKbps: Int,
       channels: Int,
       nFrames: Int,
-      durationMs: Double)
+      durationMs: Double,
+      // VBR header (Xing/Info/VBRI) in the first frame, when present:
+      // tag name, declared frame count, and the declared duration — the
+      // number a pipeline trusts when the payload is truncated mid-stream
+      vbrMethod: Option[String] = None,
+      vbrFrames: Option[Int] = None,
+      vbrDurationMs: Option[Double] = None)
 
   // Layer III tables from the public MPEG spec, indexed by the 4-bit
   // bitrate index (0 = free format, 15 = invalid — both rejected) and the
@@ -777,7 +783,12 @@ object Multimodal {
     var totalSamples = 0L
     var rate0 = 0; var bitrate0 = 0; var chan0 = 0
     var ver0: String = null
+    var vbrMethod: Option[String] = None
+    var vbrFrames: Option[Int] = None
     var walking = true
+    def tagAt(off: Int, t: String): Boolean =
+      off >= 0 && off + 4 <= payload.length &&
+        (0 until 4).forall(i => payload(off + i) == t.charAt(i).toByte)
     while (walking && pos >= 0 && pos + 4 <= payload.length) {
       val b2 = payload(pos + 1) & 0xFF
       val b3 = payload(pos + 2) & 0xFF
@@ -805,6 +816,36 @@ object Multimodal {
             rate0 = rate; bitrate0 = kbps
             chan0 = if (((b4 >> 6) & 3) == 3) 1 else 2
             ver0 = if (mpeg1) "mpeg1" else if (verBits == 2) "mpeg2" else "mpeg2.5"
+            // VBR headers live in the first frame. Xing/Info sits after the
+            // (optional 2-byte CRC and) Layer III side info — 17/32 bytes
+            // MPEG1 mono/stereo, 9/17 MPEG2(.5) — followed by 4 flag bytes;
+            // flag bit 0 declares a 32-bit big-endian frame count. VBRI
+            // (Fraunhofer) sits at a fixed 32 bytes past the header, with
+            // its frame count 14 bytes into the tag. Declared counts let a
+            // pipeline recover intended duration from truncated payloads.
+            val crc = if ((b2 & 1) == 0) 2 else 0
+            val sideInfo =
+              if (mpeg1) (if (chan0 == 1) 17 else 32)
+              else (if (chan0 == 1) 9 else 17)
+            val xOff = pos + 4 + crc + sideInfo
+            val xTag =
+              if (tagAt(xOff, "Xing")) Some("xing")
+              else if (tagAt(xOff, "Info")) Some("info")
+              else None
+            xTag match {
+              case Some(t) =>
+                vbrMethod = Some(t)
+                if (xOff + 8 <= payload.length) {
+                  val flags = be(payload, xOff + 4, 4)
+                  if ((flags & 1L) != 0 && xOff + 12 <= payload.length)
+                    vbrFrames = Some(be(payload, xOff + 8, 4).toInt)
+                }
+              case None if tagAt(pos + 36, "VBRI") =>
+                vbrMethod = Some("vbri")
+                if (pos + 36 + 18 <= payload.length)
+                  vbrFrames = Some(be(payload, pos + 36 + 14, 4).toInt)
+              case None => ()
+            }
           }
           nFrames += 1
           totalSamples += spf
@@ -813,8 +854,13 @@ object Multimodal {
       }
     }
     if (nFrames == 0) None
-    else Some(Mp3Meta(
-      ver0, rate0, bitrate0, chan0, nFrames, totalSamples * 1000.0 / rate0))
+    else {
+      val spf0 = if (ver0 == "mpeg1") 1152 else 576
+      Some(Mp3Meta(
+        ver0, rate0, bitrate0, chan0, nFrames, totalSamples * 1000.0 / rate0,
+        vbrMethod, vbrFrames,
+        vbrFrames.map(f => f.toDouble * spf0 * 1000.0 / rate0)))
+    }
   }
 
   /** Encode a minimal constant-header MP3 (optional zero-filled ID3v2 tag +
@@ -828,7 +874,9 @@ object Multimodal {
       padding: Boolean,
       mono: Boolean,
       nFrames: Int,
-      id3Size: Int): Array[Byte] = {
+      id3Size: Int,
+      vbrTag: String = null, // "xing" | "info" | "vbri" | null
+      vbrFrames: Int = 0): Array[Byte] = {
     require(bitrateIdx >= 1 && bitrateIdx <= 14, "bitrate index 1-14")
     require(rateIdx >= 0 && rateIdx <= 2, "rate index 0-2")
     require(nFrames >= 1 && id3Size >= 0 && id3Size < (1 << 28))
@@ -851,7 +899,36 @@ object Multimodal {
     frame(2) = ((bitrateIdx << 4) | (rateIdx << 2)
       | ((if (padding) 1 else 0) << 1)).toByte
     frame(3) = (((if (mono) 3 else 0) << 6)).toByte
-    var i = 0
+    def be32(a: Array[Byte], off: Int, v: Int): Unit = {
+      a(off) = (v >>> 24).toByte; a(off + 1) = (v >>> 16).toByte
+      a(off + 2) = (v >>> 8).toByte; a(off + 3) = v.toByte
+    }
+    val frame0 = frame.clone()
+    if (vbrTag != null) {
+      // first frame only: Xing/Info after the side info, VBRI at +32
+      val tag = vbrTag match {
+        case "xing" => "Xing"
+        case "info" => "Info"
+        case "vbri" => "VBRI"
+        case other  => throw new IllegalArgumentException(s"vbr tag $other")
+      }
+      if (tag == "VBRI") {
+        // 32 bytes after the 4-byte frame header → frame offset 36
+        require(frameLen >= 36 + 18, s"frame too small for VBRI ($frameLen)")
+        val off = 36
+        tag.zipWithIndex.foreach { case (c, i) => frame0(off + i) = c.toByte }
+        be32(frame0, off + 14, vbrFrames)
+      } else {
+        val sideInfo = if (mpeg1) (if (mono) 17 else 32) else (if (mono) 9 else 17)
+        val off = 4 + sideInfo
+        require(frameLen >= off + 12, s"frame too small for $tag ($frameLen)")
+        tag.zipWithIndex.foreach { case (c, i) => frame0(off + i) = c.toByte }
+        be32(frame0, off + 4, 1) // flags: frame count present
+        be32(frame0, off + 8, vbrFrames)
+      }
+    }
+    bos.write(frame0)
+    var i = 1
     while (i < nFrames) { bos.write(frame); i += 1 }
     bos.toByteArray
   }
@@ -867,13 +944,19 @@ object Multimodal {
       StructField("bitrate_kbps", IntegerType),
       StructField("channels", IntegerType),
       StructField("n_frames", IntegerType),
-      StructField("duration_ms", DoubleType)))
+      StructField("duration_ms", DoubleType),
+      StructField("vbr_method", StringType),
+      StructField("vbr_frames", IntegerType),
+      StructField("vbr_duration_ms", DoubleType)))
     perPayload(df, idCol, binCol, schema) { (id, payload) =>
       parseMp3Meta(payload) match {
         case Some(m) =>
           Row(id, m.version, m.sampleRate, m.bitrateKbps, m.channels,
-            m.nFrames, m.durationMs)
-        case None => Row(id, null, null, null, null, null, null)
+            m.nFrames, m.durationMs, m.vbrMethod.orNull,
+            m.vbrFrames.map(Int.box).orNull,
+            m.vbrDurationMs.map(Double.box).orNull)
+        case None =>
+          Row(id, null, null, null, null, null, null, null, null, null)
       }
     }
   }

@@ -724,6 +724,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fmts(0).getString(0) == "mp3" && fmts(1).getString(0) == "mp3")
   }
 
+  test("multimodal: MP3 Xing/Info/VBRI VBR header parse") {
+    import Multimodal._
+    // Xing in an MPEG1 stereo first frame: declared count differs from the
+    // physical walk — both must surface
+    val xing = encodeMp3(mpeg1 = true, bitrateIdx = 9, rateIdx = 0,
+      padding = false, mono = false, nFrames = 4, id3Size = 21,
+      vbrTag = "xing", vbrFrames = 1234)
+    val mx = parseMp3Meta(xing).get
+    assert(mx.vbrMethod.contains("xing") && mx.vbrFrames.contains(1234))
+    assert(mx.nFrames == 4) // physical frames unaffected by the tag
+    assert(mx.vbrDurationMs.get == 1234L * 1152 * 1000.0 / 44100)
+    // Info = CBR marker, same layout; MPEG2 mono has the 9-byte side info
+    val info = encodeMp3(mpeg1 = false, bitrateIdx = 8, rateIdx = 1,
+      padding = false, mono = true, nFrames = 2, id3Size = 0,
+      vbrTag = "info", vbrFrames = 55)
+    val mi = parseMp3Meta(info).get
+    assert(mi.vbrMethod.contains("info") && mi.vbrFrames.contains(55))
+    assert(mi.vbrDurationMs.get == 55L * 576 * 1000.0 / 24000)
+    // VBRI sits at the fixed +36 offset regardless of side-info size
+    val vbri = encodeMp3(mpeg1 = true, bitrateIdx = 5, rateIdx = 2,
+      padding = true, mono = true, nFrames = 3, id3Size = 7,
+      vbrTag = "vbri", vbrFrames = 99)
+    val mv = parseMp3Meta(vbri).get
+    assert(mv.vbrMethod.contains("vbri") && mv.vbrFrames.contains(99))
+    // untagged payloads carry no VBR fields
+    val plain = parseMp3Meta(encodeMp3(mpeg1 = true, bitrateIdx = 9,
+      rateIdx = 0, padding = false, mono = false, nFrames = 2, id3Size = 0)).get
+    assert(plain.vbrMethod.isEmpty && plain.vbrFrames.isEmpty &&
+      plain.vbrDurationMs.isEmpty)
+    // a truncated declared-count field degrades to method-only, no throw
+    val cut = xing.take(21 + 10 + 4 + 32 + 6) // mid-flags
+    assert(parseMp3Meta(cut).isEmpty || parseMp3Meta(cut).get.vbrFrames.isEmpty)
+  }
+
   test("multimodal: sampleChunks yields every stride-th real binary slice") {
     val payload = (0 until 10).map(_.toByte).toArray // 10 bytes, chunk 2 → 5 chunks
     val df = spark.createDataFrame(
