@@ -166,6 +166,75 @@ object CumSum {
     (out.drop("dj_bucket"), grandTotals)
   }
 
+  /** Running max of `valueCol` over rows ordered by `orderCol` (ties broken
+    * by `tieCols`, which only ever reorder WITHIN a bucket — equal order
+    * keys land in one bucket by construction) — the distributed version of
+    * `max(v).over(Window.orderBy(o, ties...))`. Same bucket scheme as
+    * `withRunningSum`: per-bucket local running max, then each bucket
+    * inherits the max of all earlier buckets via a driver-side prefix over
+    * the ≤`numBuckets` per-bucket maxima (collected values are Comparable —
+    * Double/Long/Date/Timestamp — so the prefix needs no type dispatch).
+    * NULL `valueCol` rows are transparent (max ignores them); NULL order
+    * keys land in bucket 0 and sort first, same contract as the other
+    * kernels here.
+    */
+  def withRunningMax(
+      df: DataFrame,
+      orderCol: String,
+      tieCols: Seq[String],
+      valueCol: String,
+      outCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    val dt = df.schema(valueCol).dataType
+    val key = orderProxy(df, orderCol)
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val head = df
+      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(1000)), count(lit(1)))
+      .head()
+    if (head.getLong(1) == 0L)
+      return df.withColumn(outCol, lit(null).cast(dt)).where(lit(false))
+    val boundaries =
+      if (head.isNullAt(0)) Seq.empty[Double]
+      else head.getSeq[Double](0).distinct.sorted
+    val bucketed = df.withColumn(
+      "dj_bucket",
+      graft.functions.BucketIndex.bucketIndex(
+        coalesce(key, lit(Double.NegativeInfinity)), boundaries))
+    val wLocal = Window
+      .partitionBy("dj_bucket")
+      .orderBy(col(orderCol) +: tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn(outCol, max(col(valueCol)).over(wLocal))
+    // exclusive prefix max of the per-bucket maxima (tiny collect, no
+    // global window): carry(b) = max value in any bucket < b
+    val maxima: Map[Int, Any] = bucketed
+      .groupBy("dj_bucket")
+      .agg(max(col(valueCol)))
+      .collect()
+      .collect { case r if !r.isNullAt(1) => r.getInt(0) -> r.get(1) }
+      .toMap
+    // bucket indices span 0..boundaries.size regardless of which buckets
+    // happen to hold non-null values — size the carry array to ALL of them
+    val maxBucket = boundaries.size
+    def cmpMax(a: Any, b: Any): Any =
+      if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+    val carries: Seq[Option[Any]] = (0 to maxBucket)
+      .map(maxima.get)
+      .scanLeft(Option.empty[Any]) { (acc, v) =>
+        (acc, v) match {
+          case (Some(x), Some(y)) => Some(cmpMax(x, y))
+          case (x, y)             => y.orElse(x)
+        }
+      }
+      .dropRight(1)
+    val carryArr = array(carries.map(v => lit(v.orNull).cast(dt)): _*)
+    local
+      .withColumn(
+        outCol,
+        greatest(col(outCol), element_at(carryArr, col("dj_bucket") + 1)))
+      .drop("dj_bucket")
+  }
+
   /** Forward-fill `fillCols` over rows ordered by `orderCol` — the
     * distributed version of `last(c, ignoreNulls).over(Window.orderBy(o))`.
     * Same bucket scheme as `withRunningSum`: local fill inside each bucket's

@@ -292,62 +292,61 @@ object Intervals {
       if (keyColumnsIn.nonEmpty) keyColumnsIn
       else sel.columns.toSeq.filterNot(c => c == startColumn || c == endColumn)
 
-    val helper = Ops.renameAll(sel, "_h")
-
     /** NOT EXISTS: the point is not strictly inside any interval of the
-      * same key group (reference `db_access.py:475-496`).
+      * same key group (reference `db_access.py:475-496`), as a union-tag
+      * SWEEP instead of an anti-join. The SMJ anti-join is per-key-group
+      * QUADRATIC (every point rescans its group's interval buffer — 3.3 s
+      * of the 3.5 s q_numeric_gaps total at sf0.1, and a scale-killer for
+      * large key groups at 100 TB). Equivalent O(n log n) form: union
+      * interval events (coord = start, carrying end) with probe rows
+      * (coord = point), sort by (coord, tag) with probes BEFORE events at
+      * equal coord, and take a running max of interval ends — a probe is
+      * strictly inside some other interval iff that running max exceeds
+      * it. The tie-break preserves the reference's strict `point > start`:
+      * an interval starting AT the probe's coordinate sorts after it and
+      * never counts. Strictness also makes self-exclusion automatic,
+      * exactly like the anti-join condition it replaces.
       *
-      * Keyed: a union-tag SWEEP instead of the anti-join. The SMJ anti-join
-      * is per-key-group QUADRATIC (every point rescans its group's interval
-      * buffer — 3.3 s of the 3.5 s q_numeric_gaps total at sf0.1, and a
-      * scale-killer for large key groups at 100 TB). Equivalent O(n log n)
-      * form: union interval events (coord = start, carrying end) with probe
-      * rows (coord = point), sort per key by (coord, tag) with probes
-      * BEFORE events at equal coord, and take a running max of interval
-      * ends — a probe is strictly inside some other interval iff that
-      * running max exceeds it. The tie-break preserves the reference's
-      * strict `point > start`: an interval starting AT the probe's
-      * coordinate sorts after it and never counts. Strictness also makes
-      * self-exclusion automatic, exactly like the anti-join condition.
+      * Keyed: one window per key group. Keyless (global timeline): the
+      * same sweep through `CumSum.withRunningMax`'s range-bucket scheme —
+      * per-bucket windows plus a driver-side prefix-max carry — so there
+      * is still no unpartitioned window (equal coords land in one bucket
+      * by construction, which keeps the tie-break local).
       *
-      * Keyless (global timeline): the sweep window would be unpartitioned —
-      * a single-partition global sort, which this file's posture (and
-      * PlanSpec) forbids — so the anti-join is kept there.
+      * NULL semantics match the anti-join: a NULL-coordinate probe never
+      * matches (strict compares yield NULL) → kept via the coalesce;
+      * NULL-start intervals never contain anything → filtered out of the
+      * event side; NULL ends are ignored by max() natively.
       */
     def notInOtherInterval(table: DataFrame, pointCol: String): DataFrame = {
-      if (keyColumns.isEmpty) {
-        val cond =
-          col(pointCol) > col(startColumn + "_h") &&
-            col(pointCol) < col(endColumn + "_h")
-        table.join(helper, cond, "left_anti")
-      } else {
-        // NULL semantics match the anti-join: a NULL-coordinate probe never
-        // matches (strict compares yield NULL) → kept via the coalesce;
-        // NULL-start intervals never contain anything → filtered out of the
-        // event side; NULL ends are ignored by max() natively.
-        val probes = table
-          .withColumn("dj_coord", col(pointCol))
-          .withColumn("dj_end", lit(null).cast(sel.schema(endColumn).dataType))
-          .withColumn("dj_is_iv", lit(0))
-        val events = sel
-          .select(
-            keyColumns.map(col) :+
-              col(startColumn).as("dj_coord") :+
-              col(endColumn).as("dj_end"): _*)
-          .where(col("dj_coord").isNotNull)
-          .withColumn("dj_is_iv", lit(1))
-        val w = Window
-          .partitionBy(keyColumns.map(col): _*)
-          .orderBy(col("dj_coord"), col("dj_is_iv"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        probes
-          .unionByName(events, allowMissingColumns = true)
-          .withColumn("dj_runmax", max(col("dj_end")).over(w))
-          .where(
-            col("dj_is_iv") === 0 &&
-              coalesce(!(col("dj_runmax") > col("dj_coord")), lit(true)))
-          .drop("dj_coord", "dj_end", "dj_is_iv", "dj_runmax")
-      }
+      val probes = table
+        .withColumn("dj_coord", col(pointCol))
+        .withColumn("dj_end", lit(null).cast(sel.schema(endColumn).dataType))
+        .withColumn("dj_is_iv", lit(0))
+      val events = sel
+        .select(
+          keyColumns.map(col) :+
+            col(startColumn).as("dj_coord") :+
+            col(endColumn).as("dj_end"): _*)
+        .where(col("dj_coord").isNotNull)
+        .withColumn("dj_is_iv", lit(1))
+      val union = probes.unionByName(events, allowMissingColumns = true)
+      val swept =
+        if (keyColumns.nonEmpty) {
+          val w = Window
+            .partitionBy(keyColumns.map(col): _*)
+            .orderBy(col("dj_coord"), col("dj_is_iv"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          union.withColumn("dj_runmax", max(col("dj_end")).over(w))
+        } else {
+          CumSum.withRunningMax(
+            union, "dj_coord", Seq("dj_is_iv"), "dj_end", "dj_runmax")
+        }
+      swept
+        .where(
+          col("dj_is_iv") === 0 &&
+            coalesce(!(col("dj_runmax") > col("dj_coord")), lit(true)))
+        .drop("dj_coord", "dj_end", "dj_is_iv", "dj_runmax")
     }
 
     // Classic per-column ranges-gaps plan, kept deliberately after a fused
