@@ -19,6 +19,21 @@ object SparkEntry {
 
   private def pq(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** The events table with `ts` normalized to a real timestamp: the column
+    * has shipped both as parquet TIMESTAMP(NANOS) (int64 epoch-nanos under
+    * the legacy read switch) and as a native TIMESTAMP(MICROS) — branch on
+    * the dtype Spark actually read (`ts / 1000` on a timestamp throws
+    * DATATYPE_MISMATCH).
+    */
+  private def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(pq(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
+
   private def ref(
       dir: String,
       table: String,
@@ -626,18 +641,7 @@ object SparkEntry {
     // streaming.StreamingChecks.windowedProfile; same plan shape Structured
     // Streaming runs incrementally with a watermark)
     "q_events_profile" -> { (s, dir) =>
-      // `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (surfacing
-      // as int64 nanos under the legacy read switch) and native
-      // TIMESTAMP(MICROS); branch on the dtype Spark actually read instead
-      // of assuming one generation — `ts / 1000` on a timestamp throws
-      // DATATYPE_MISMATCH
-      val raw = s.read.parquet(pq(dir, "events"))
-      val events = raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => // int64 epoch-nanos
-          raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
-        case _ => raw // TimestampType / TimestampNTZType: use directly
-      }
-      events
+      readEvents(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),
@@ -646,6 +650,52 @@ object SparkEntry {
         .select(
           col("w.start").cast("string").as("window_start"),
           col("event_type"), col("n_events"), col("avg_value"), col("n_null"))
+    },
+
+    // backward as-of join (ops.Events.asofJoin): every click joined to the
+    // user's most recent at-or-before purchase — union-tag sweep, one
+    // window per user, no range join. DuckDB's native ASOF JOIN is the
+    // oracle (tie-broken identically via max event_id per (user, ts)).
+    "q_asof_join" -> { (s, dir) =>
+      val events = readEvents(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      graft.ops.Events
+        .asofJoin(
+          events.where(col("event_type") === "click"),
+          events.where(col("event_type") === "purchase"),
+          keys = Seq("user_id"),
+          leftTs = "ts",
+          rightTs = "ts",
+          payloadCols = Seq("event_id", "value"),
+          tieBreak = Some("event_id"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), fmt).as("ts"),
+          date_format(col("asof_ts"), fmt).as("purchase_ts"),
+          col("asof_event_id").as("purchase_id"),
+          round(col("asof_value"), 6).as("purchase_value"))
+    },
+
+    // gap-based sessionization (ops.Events.sessionize + sessionProfile):
+    // per-user 6-hour-gap sessions, profiled — two stacked windows on one
+    // per-key sort, one shuffle; decimal-cast avg for cross-engine
+    // exactness (the q_mean convention)
+    "q_sessionize" -> { (s, dir) =>
+      val events = readEvents(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val sess = graft.ops.Events.sessionize(
+        events.withColumn("value", col("value").cast("decimal(38,9)")),
+        "user_id", "ts", expr("INTERVAL 6 HOURS"))
+      graft.ops.Events
+        .sessionProfile(sess, "user_id", "ts", "value")
+        .select(
+          col("user_id"),
+          col("session_id"),
+          date_format(col("session_start"), fmt).as("session_start"),
+          date_format(col("session_end"), fmt).as("session_end"),
+          col("n_events"),
+          round(col("avg_value"), 6).cast("double").as("avg_value"))
     },
 
     // multimodal plumbing: binary payloads (text bytes stand in for media)
@@ -1872,6 +1922,38 @@ object SparkEntry {
                 round(avg(value), 6) AS avg_value,
                 count(*) FILTER (WHERE value IS NULL) AS n_null
          FROM events GROUP BY 1, 2""",
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, event_id, value,
+                      row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase'),
+              pd AS (SELECT user_id, ts, event_id, value FROM p WHERE rn = 1)
+         SELECT c.event_id, c.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                strftime(pd.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                pd.event_id AS purchase_id,
+                round(pd.value, 6) AS purchase_value
+         FROM c ASOF LEFT JOIN pd
+           ON c.user_id = pd.user_id AND c.ts >= pd.ts""",
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                           THEN 1 ELSE 0 END AS brk
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+              s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+                      ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS session_id
+                    FROM o)
+         SELECT user_id, session_id,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                count(*) AS n_events,
+                round(avg(CAST(value AS DECIMAL(38,9))), 6) AS avg_value
+         FROM s GROUP BY 1, 2""",
     "q_minhash_dedup" -> jaccardSql,
     // exact cross inverted-index Jaccard between the even/odd doc_id halves
     "q_cross_neardup" ->

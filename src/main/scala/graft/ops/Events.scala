@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators beyond the reference surface: as-of join and
+  * sessionization — the two time-ordered primitives a telemetry/training-
+  * data pipeline needs that Spark's built-in joins don't express without a
+  * range-join explosion.
+  *
+  * Both are one-shuffle plans: everything is windows PARTITIONED BY the
+  * entity key (no global sort, no per-key quadratic rescans), the same
+  * posture as the interval sweep in [[Intervals]].
+  */
+object Events {
+
+  /** Backward as-of join: for every left row, the LATEST right row of the
+    * same key with `rightTs <= leftTs` (`<` when `strict`) — "the state
+    * that was current when the event happened". Spark has no native as-of
+    * join; the naive formulations are a non-equi range join (quadratic
+    * blow-up per key) or a groupBy-collect (driver-bound). This is the
+    * union-tag sweep instead: right rows become carriers (coord = rightTs,
+    * payload struct), left rows become probes, one window per key ordered
+    * by (coord, tag, tieBreak) forward-fills the last carrier — O(n log n)
+    * per key, one shuffle total.
+    *
+    * Tag order encodes the boundary semantics: inclusive (default) sorts
+    * carriers BEFORE probes at equal coord (a right row AT the probe's
+    * timestamp matches); strict flips the pair. `tieBreak` makes duplicate
+    * (key, rightTs) carriers deterministic — the max tieBreak value wins,
+    * matching a `row_number ... ORDER BY tieBreak DESC` pre-dedup. NULL
+    * timestamps never match on either side (null right coords are dropped
+    * from the carrier set; a null left coord sorts before every carrier
+    * and fills nothing) — the same three-valued-logic outcome as a join
+    * predicate comparing NULL.
+    *
+    * `withinTolerance(leftTs, rightTs)`, when given, nulls out matches
+    * whose carrier is too old (e.g. `(l, r) => l - r <= expr("INTERVAL 1
+    * HOUR")`), without re-scanning.
+    *
+    * Output: every left row (left join semantics) plus each payload column
+    * as `asof_<name>` and the matched timestamp as `asof_<rightTs>`.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      tieBreak: Option[String] = None,
+      strict: Boolean = false,
+      withinTolerance: Option[(Column, Column) => Column] = None): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+    val carrierTag = if (strict) 1 else 0
+    val probeTag = 1 - carrierTag
+    val tieExpr = tieBreak.map(col).getOrElse(lit(0))
+    val payload = struct(
+      col(rightTs).as("dj_rts") +: payloadCols.map(c => col(c).as(c)): _*)
+    val carriers = right
+      .select(
+        keys.map(col) :+
+          col(rightTs).as("dj_coord") :+
+          payload.as("dj_rp") :+
+          tieExpr.as("dj_tie"): _*)
+      .where(col("dj_coord").isNotNull)
+      .withColumn("dj_tag", lit(carrierTag))
+    val probes = left
+      .withColumn("dj_coord", col(leftTs))
+      .withColumn("dj_tie", lit(null).cast(carriers.schema("dj_tie").dataType))
+      .withColumn("dj_tag", lit(probeTag))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("dj_coord"), col("dj_tag"), col("dj_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = probes
+      .unionByName(carriers, allowMissingColumns = true)
+      .withColumn("dj_fill", last(col("dj_rp"), ignoreNulls = true).over(w))
+      .where(col("dj_tag") === probeTag)
+    val toleranced = withinTolerance match {
+      case Some(ok) =>
+        filled.withColumn(
+          "dj_fill",
+          when(ok(col(leftTs), col("dj_fill.dj_rts")), col("dj_fill")))
+      case None => filled
+    }
+    toleranced.select(
+      left.columns.map(col) ++
+        Seq(col("dj_fill.dj_rts").as(s"asof_$rightTs")) ++
+        payloadCols.map(c => col(s"dj_fill.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Gap-based sessionization: per key, a new session starts whenever the
+    * time since the previous event exceeds `gap` (an interval or numeric
+    * expression matching the timestamp type's subtraction). Adds
+    * `session_id` (1-based per-key session index) — two stacked windows on
+    * ONE per-key sort (lag flag + running sum), a single shuffle.
+    *
+    * Rows with equal timestamps always land in the same session regardless
+    * of their (arbitrary) within-tie order: their in-gap flag is 0 against
+    * an equal neighbor either way, so the running sum is deterministic.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gap: Column): DataFrame = {
+    val wOrder = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val wRun = wOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col(tsCol), 1).over(wOrder)
+    val newSession =
+      when(prev.isNull || col(tsCol) - prev > gap, 1L).otherwise(0L)
+    df.withColumn("dj_brk", newSession)
+      .withColumn("session_id", sum(col("dj_brk")).over(wRun))
+      .drop("dj_brk")
+  }
+
+  /** Per-session aggregate profile over [[sessionize]] output: bounds,
+    * event count, and mean value — the usual "session table" a pipeline
+    * joins activity metrics against.
+    */
+  def sessionProfile(
+      sessionized: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame =
+    sessionized
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        avg(col(valueCol)).as("avg_value"))
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Events
+
+class EventsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def df(rows: Seq[(String, Long, java.lang.Long)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (k, t, v) => Row(k, t, v) }, 2),
+      StructType(Seq(
+        StructField("k", StringType),
+        StructField("t", LongType),
+        StructField("v", LongType))))
+
+  test("asofJoin: backward inclusive match, per key, with left-join nulls") {
+    val left = df(Seq(("a", 10L, null), ("a", 20L, null), ("b", 5L, null)))
+    val right = df(Seq(("a", 10L, 100L), ("a", 15L, 150L), ("b", 9L, 900L)))
+    val out = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("k", "t")
+      .collect()
+    // a@10 matches right a@10 (inclusive boundary), a@20 matches a@15
+    assert(out(0).getLong(out(0).fieldIndex("asof_t")) == 10L)
+    assert(out(0).getLong(out(0).fieldIndex("asof_v")) == 100L)
+    assert(out(1).getLong(out(1).fieldIndex("asof_t")) == 15L)
+    // b@5 has no right row at-or-before → null match, row kept
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_t")))
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_v")))
+  }
+
+  test("asofJoin: strict excludes the equal-timestamp carrier") {
+    val left = df(Seq(("a", 10L, null)))
+    val right = df(Seq(("a", 10L, 100L), ("a", 7L, 70L)))
+    val incl = Events.asofJoin(left, right, Seq("k"), "t", "t", Seq("v")).head()
+    val strict = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"), strict = true)
+      .head()
+    assert(incl.getLong(incl.fieldIndex("asof_v")) == 100L)
+    assert(strict.getLong(strict.fieldIndex("asof_v")) == 70L)
+  }
+
+  test("asofJoin: tieBreak picks the max among duplicate right timestamps") {
+    val left = df(Seq(("a", 10L, null)))
+    val right = df(Seq(("a", 8L, 1L), ("a", 8L, 3L), ("a", 8L, 2L)))
+    val out = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"), tieBreak = Some("v"))
+      .head()
+    assert(out.getLong(out.fieldIndex("asof_v")) == 3L)
+  }
+
+  test("asofJoin: tolerance nulls out stale matches, keeps the row") {
+    val left = df(Seq(("a", 100L, null), ("a", 11L, null)))
+    val right = df(Seq(("a", 10L, 100L)))
+    val out = Events
+      .asofJoin(
+        left, right, Seq("k"), "t", "t", Seq("v"),
+        withinTolerance = Some((l, r) => l - r <= lit(5L)))
+      .orderBy("t")
+      .collect()
+    assert(out(0).getLong(out(0).fieldIndex("asof_v")) == 100L) // 11-10 <= 5
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_v"))) // 100-10 > 5
+    assert(out.length == 2)
+  }
+
+  test("asofJoin: NULL timestamps never match on either side") {
+    val left = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("a", null, null), Row("a", java.lang.Long.valueOf(50L), null)), 1),
+      df(Nil).schema)
+    val right = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("a", null, java.lang.Long.valueOf(999L)),
+          Row("a", java.lang.Long.valueOf(40L), java.lang.Long.valueOf(40L))), 1),
+      df(Nil).schema)
+    val out = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect()
+      .sortBy(r => Option(r.get(r.fieldIndex("t"))).map(_.toString).getOrElse(""))
+    // null-ts left row matches nothing; null-ts right row is never a carrier
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_v")))
+    assert(out(1).getLong(out(1).fieldIndex("asof_v")) == 40L)
+  }
+
+  test("asofJoin plan: no join operator, window partitioned by key") {
+    val left = df(Seq(("a", 10L, null)))
+    val right = df(Seq(("a", 8L, 1L)))
+    val plan = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"as-of must not funnel to one partition:\n$plan")
+  }
+
+  test("sessionize: gap boundary is strict-greater, ids are 1-based per key") {
+    val d = df(Seq(
+      ("a", 0L, null), ("a", 10L, null), // gap 10 == gap → same session
+      ("a", 21L, null), // gap 11 > 10 → new session
+      ("b", 5L, null)))
+    val out = Events.sessionize(d, "k", "t", lit(10L))
+      .orderBy("k", "t").collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("session_id"))).toSeq ==
+      Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("sessionProfile aggregates bounds and counts per session") {
+    val d = df(Seq(
+      ("a", 0L, 10L), ("a", 5L, 20L), ("a", 100L, 30L)))
+    val prof = Events
+      .sessionProfile(Events.sessionize(d, "k", "t", lit(10L)), "k", "t", "v")
+      .orderBy("session_id")
+      .collect()
+    assert(prof.length == 2)
+    assert(prof(0).getLong(prof(0).fieldIndex("session_start")) == 0L)
+    assert(prof(0).getLong(prof(0).fieldIndex("session_end")) == 5L)
+    assert(prof(0).getLong(prof(0).fieldIndex("n_events")) == 2L)
+    assert(prof(1).getLong(prof(1).fieldIndex("n_events")) == 1L)
+  }
+}
