@@ -99,7 +99,10 @@ object Bench {
     // the rewrite flavor: adds the token-stream explode + reassembly
     "q_span_removal",
     // broadcast centroid argmax + capped within-cluster pairs
-    "q_semantic_neardup")
+    "q_semantic_neardup",
+    // union-tag sweep + per-key windows — the event-time family's
+    // shuffle+window plans
+    "q_asof_join", "q_sessionize")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the

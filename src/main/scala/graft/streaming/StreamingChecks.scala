@@ -60,6 +60,33 @@ object StreamingChecks {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming sessionization: per-key session profiles via Spark's native
+    * `session_window` (dynamic-gap windows merge as events arrive; state is
+    * bounded by the watermark — closed sessions emit and evict). The
+    * streaming flavor of `ops.Events.sessionize`+`sessionProfile`: same
+    * gap semantics, incremental execution. Append mode emits each session
+    * exactly once, when the watermark passes its close.
+    */
+  def streamingSessionProfile(
+      stream: DataFrame,
+      keyColumn: String,
+      timeColumn: String,
+      watermark: String,
+      gap: String,
+      valueColumn: String): DataFrame =
+    stream
+      .withWatermark(timeColumn, watermark)
+      .groupBy(session_window(col(timeColumn), gap).as("session"), col(keyColumn))
+      .agg(
+        count(lit(1)).as("n_events"),
+        avg(col(valueColumn)).as("avg_value"))
+      .select(
+        col(keyColumn),
+        col("session.start").as("session_start"),
+        col("session.end").as("session_end"),
+        col("n_events"),
+        col("avg_value"))
+
   /** Streaming exact deduplication on a fingerprint key with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per key while the
     * watermark bounds how long a key's state lives — the streaming flavor of

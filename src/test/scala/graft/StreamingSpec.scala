@@ -51,6 +51,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2026-01-01 00:01:00") == ((2L, 0.0, 5.0, 7.0)))
   }
 
+  test("streamingSessionProfile merges gap-bounded sessions incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, java.lang.Double)]
+    val stream = input.toDF().toDF("event_time", "user", "value")
+    val query = StreamingChecks
+      .streamingSessionProfile(
+        stream, "user", "event_time",
+        watermark = "10 seconds", gap = "30 seconds", valueColumn = "value")
+      .writeStream
+      .format("memory")
+      .queryName("session_test")
+      .outputMode("append")
+      .start()
+    input.addData(
+      (ts("2026-01-01 00:00:00"), "u1", 2.0),
+      (ts("2026-01-01 00:00:20"), "u1", 4.0), // 20s gap → same session
+      (ts("2026-01-01 00:02:00"), "u1", 9.0), // >30s gap → new session
+      (ts("2026-01-01 00:00:05"), "u2", 1.0))
+    query.processAllAvailable()
+    // push the watermark far past every session close so append emits all
+    input.addData((ts("2026-01-01 00:30:00"), "u3", java.lang.Double.valueOf(0.0)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("session_test")
+      .select(col("user"), col("session_start").cast("string"),
+        col("n_events"), col("avg_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // u1's first two events merged into one session (avg 3.0), the third
+    // opened a fresh one; u2 sessioned alone
+    assert(rows(("u1", "2026-01-01 00:00:00")) == ((2L, 3.0)))
+    assert(rows(("u1", "2026-01-01 00:02:00")) == ((1L, 9.0)))
+    assert(rows(("u2", "2026-01-01 00:00:05")) == ((1L, 1.0)))
+  }
+
   test("streamingDedup keeps one row per key with watermark-bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
