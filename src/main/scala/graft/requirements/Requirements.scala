@@ -136,6 +136,26 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: bound the longest gap-delimited session per entity —
+    * events of one `keyColumn` value closer than `gapSeconds` chain into a
+    * session, and no session may span more than `maxDurationSeconds`
+    * (clock-skew / replay / bot signal). `tsColumn` may be a timestamp or
+    * numeric epoch seconds.
+    */
+  def addMaxSessionDurationConstraint(
+      keyColumn: String,
+      tsColumn: String,
+      gapSeconds: Double,
+      maxDurationSeconds: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxSessionDurationSeconds(
+      ref(Some(Seq(keyColumn, tsColumn)), condition), keyColumn, tsColumn,
+      gapSeconds = gapSeconds, refValue = Some(maxDurationSeconds),
+      nameOverride = name)
+    this
+  }
+
   def addNRowsEqualityConstraint(
       nRows: Long,
       condition: Option[Condition] = None,
@@ -983,6 +1003,29 @@ final class BetweenRequirement private (
       ref(Some(Seq(column1)), condition1), ref2(Some(Seq(column2)), condition2),
       column1, column2, refValue = Some(maxFraction),
       jaccardThreshold = jaccardThreshold, nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: event freshness budget — the fraction of the FIRST
+    * table's rows with no second-table row (per `keyColumns`, backward
+    * as-of) at most `toleranceSeconds` before them must stay ≤
+    * `maxFraction` ("every trade has a quote at most 5 s old").
+    */
+  def addMaxStaleAsofFractionConstraint(
+      keyColumns: Seq[String],
+      tsColumn1: String,
+      tsColumn2: String,
+      toleranceSeconds: Double,
+      maxFraction: Double,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxStaleAsofFraction(
+      ref(Some(keyColumns :+ tsColumn1), condition1),
+      ref2(Some(keyColumns :+ tsColumn2), condition2),
+      keyColumns, tsColumn1, tsColumn2,
+      toleranceSeconds = toleranceSeconds, refValue = Some(maxFraction),
+      nameOverride = name)
     this
   }
 

@@ -110,6 +110,44 @@ class EventsSpec extends AnyFunSuite {
       Seq(1L, 1L, 2L, 1L))
   }
 
+  test("MaxSessionDurationSeconds: longest-session bound as a constraint") {
+    import graft.requirements.WithinRequirement
+    // key a: sessions [0..15] (duration 15) and [100]; key b: [5..8]
+    val d = df(Seq(
+      ("a", 0L, null), ("a", 9L, null), ("a", 15L, null), ("a", 100L, null),
+      ("b", 5L, null), ("b", 8L, null)))
+    val ok = WithinRequirement.fromDataFrame(d, "events")
+    ok.addMaxSessionDurationConstraint("k", "t", gapSeconds = 10, maxDurationSeconds = 15)
+    assert(ok.test(spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(d, "events")
+    bad.addMaxSessionDurationConstraint("k", "t", gapSeconds = 10, maxDurationSeconds = 14)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("session")))
+    // empty input → duration 0, not a crash
+    val empty = WithinRequirement.fromDataFrame(df(Nil), "events")
+    empty.addMaxSessionDurationConstraint("k", "t", 10, 0)
+    assert(empty.test(spark).head.outcome)
+  }
+
+  test("MaxStaleAsofFraction: freshness budget as a between constraint") {
+    import graft.requirements.BetweenRequirement
+    val trades = df(Seq(("a", 10L, null), ("a", 50L, null), ("b", 7L, null)))
+    val quotes = df(Seq(("a", 8L, null), ("a", 20L, null), ("b", 7L, null)))
+    // a@10 ← quote@8 (2s old), a@50 ← quote@20 (30s: stale at tol 5),
+    // b@7 ← quote@7 (0s). 1 of 3 stale.
+    val ok = BetweenRequirement.fromDataFrames(trades, quotes, "trades", "quotes")
+    ok.addMaxStaleAsofFractionConstraint(
+      Seq("k"), "t", "t", toleranceSeconds = 5, maxFraction = 0.34)
+    assert(ok.test(spark).head.outcome)
+    val bad = BetweenRequirement.fromDataFrames(trades, quotes, "trades", "quotes")
+    bad.addMaxStaleAsofFractionConstraint(
+      Seq("k"), "t", "t", toleranceSeconds = 5, maxFraction = 0.3)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("within 5.0s")))
+  }
+
   test("sessionProfile aggregates bounds and counts per session") {
     val d = df(Seq(
       ("a", 0L, 10L), ("a", 5L, 20L), ("a", 100L, 30L)))
