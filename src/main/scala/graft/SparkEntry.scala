@@ -1083,6 +1083,22 @@ object SparkEntry {
         "text", "doc_id", n = 5, hashKeys = false)
     },
 
+    // sliding-window document chunking (context-length prep): 32-token
+    // windows, 8-token overlap — pure per-row explode, no shuffle
+    "q_chunk_docs" -> { (s, dir) =>
+      graft.ops.Corpus
+        .chunkDocuments(
+          s.read.parquet(pq(dir, "documents"))
+            .select(col("doc_id"), col("text"))
+            .where(col("doc_id") % 13 === 0),
+          "text", chunkTokens = 32, overlapTokens = 8)
+        .select(
+          col("doc_id"),
+          col("chunk_idx").cast("bigint").as("chunk_idx"),
+          col("chunk_text"),
+          col("chunk_tokens").cast("bigint").as("chunk_tokens"))
+    },
+
     // corpus vocabulary: 50 most frequent normalized tokens, distributed
     // top-k (TakeOrderedAndProject), ties broken token-ascending
     "q_vocab_topk" -> { (s, dir) =>
@@ -2171,6 +2187,20 @@ object SparkEntry {
          FROM g JOIN ev USING (gram)
          WHERE g.doc_id % 37 <> 0
          GROUP BY g.doc_id""",
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> length(x) > 0)
+                        AS toks
+                    FROM documents
+                    WHERE text IS NOT NULL AND doc_id % 13 = 0),
+              s AS (SELECT doc_id, toks,
+                      unnest(range(0, len(toks), 24)) AS start
+                    FROM t WHERE len(toks) > 0)
+         SELECT doc_id,
+                CAST(start / 24 AS BIGINT) AS chunk_idx,
+                array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
+                CAST(least(32, len(toks) - start) AS BIGINT) AS chunk_tokens
+         FROM s""",
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS token
                         FROM documents WHERE text IS NOT NULL)

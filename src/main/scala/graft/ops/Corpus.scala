@@ -329,6 +329,51 @@ object Corpus {
       .drop("dj_u")
   }
 
+  /** Sliding-window document chunking (context-length preparation): split
+    * each document's whitespace tokens into windows of `chunkTokens` with
+    * `overlapTokens` carried between consecutive windows (stride =
+    * chunkTokens - overlapTokens). Pure per-row explode — no shuffle at
+    * all; the chunk stream inherits the scan's partitioning, which is
+    * exactly the 100 TB posture (chunking is embarrassingly parallel).
+    *
+    * Emits (all original columns, chunk_idx, chunk_text, chunk_tokens).
+    * Deterministic: tokens are the non-empty fragments of a single-space
+    * split (reproducible in any engine), a window starts at every stride
+    * multiple below the token count, the final window may be short, and
+    * token-less or NULL documents emit no chunks.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    require(
+      overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must lie in [0, chunkTokens): $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val n = size(col("dj_toks"))
+    // sequence() throws on start > stop with a positive step — guard the
+    // token-less case to an empty array (posexplode then drops the row)
+    val starts = when(n > 0, sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.where(col(textCol).isNotNull)
+      .withColumn("dj_toks", toks)
+      .select(
+        (df.columns.map(col) :+
+          posexplode(starts).as(Seq("chunk_idx", "dj_start"))) :+
+          col("dj_toks"): _*)
+      .withColumn(
+        "chunk_text",
+        array_join(
+          slice(col("dj_toks"), col("dj_start") + 1, lit(chunkTokens)), " "))
+      .withColumn(
+        "chunk_tokens",
+        size(slice(col("dj_toks"), col("dj_start") + 1, lit(chunkTokens))))
+      .drop("dj_toks", "dj_start")
+  }
+
   /** Deterministic weighted corpus mixture (training-mix construction):
     * keep each source's rows whose `md5(id ":" seed ":" sourceName)` falls
     * under the source's rate boundary, tag them with the source name, and

@@ -184,6 +184,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocuments: sliding token windows with overlap") {
+    import graft.ops.Corpus
+    val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val d = docs(
+      1L -> words,
+      2L -> "a  b", // double space → 2 tokens after empty-fragment filter
+      3L -> "   ",  // whitespace-only → no chunks
+      4L -> null)   // null → no chunks
+    val out = Corpus.chunkDocuments(d, "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("chunk_idx")),
+        r.getString(r.fieldIndex("chunk_text")),
+        r.getInt(r.fieldIndex("chunk_tokens"))))
+    // stride 3: windows at 0,3,6,9 — the last is a 1-token tail
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, "w1 w2 w3 w4", 4),
+      (1L, 1, "w4 w5 w6 w7", 4), // w4 carried: 1-token overlap
+      (1L, 2, "w7 w8 w9 w10", 4),
+      (1L, 3, "w10", 1)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+    // zero overlap partitions exactly
+    val flat = Corpus.chunkDocuments(docs(1L -> words), "text", 5)
+      .select(col("chunk_text")).collect().map(_.getString(0))
+    assert(flat.toSeq == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+  }
+
   test("MaxNearDupFraction: a near-duplication budget as a declarable constraint") {
     import graft.requirements.WithinRequirement
     val longA = "the quick brown fox jumps over the lazy dog near the warm " +
