@@ -1099,6 +1099,20 @@ object SparkEntry {
           col("chunk_tokens").cast("bigint").as("chunk_tokens"))
     },
 
+    // TF-IDF keyword extraction: top-5 tokens per doc, smoothed idf over
+    // the full corpus — tf aggregate, vocabulary join (AQE broadcast/skew),
+    // per-doc ranking window
+    "q_tfidf_topk" -> { (s, dir) =>
+      graft.ops.Corpus
+        .tfidfTopK(
+          s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text")),
+          "text", "doc_id", k = 5)
+        .select(
+          col("doc_id"), col("token"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"),
+          col("rank").cast("bigint").as("rank"))
+    },
+
     // corpus vocabulary: 50 most frequent normalized tokens, distributed
     // top-k (TakeOrderedAndProject), ties broken token-ascending
     "q_vocab_topk" -> { (s, dir) =>
@@ -2201,6 +2215,23 @@ object SparkEntry {
                 array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
                 CAST(least(32, len(toks) - start) AS BIGINT) AS chunk_tokens
          FROM s""",
+    "q_tfidf_topk" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+                     WHERE text IS NOT NULL),
+              tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token
+                      FROM d),
+              tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+                     WHERE token <> '' GROUP BY 1, 2),
+              dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              n AS (SELECT count(*) AS n FROM d),
+              scored AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                           tf.tf * ln((n.n + 1.0) / (dfq.df + 1.0)) AS tfidf
+                         FROM tf JOIN dfq USING (token) CROSS JOIN n),
+              ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) AS rank
+                         FROM scored)
+         SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf, rank
+         FROM ranked WHERE rank <= 5""",
     "q_vocab_topk" ->
       s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS token
                         FROM documents WHERE text IS NOT NULL)

@@ -329,6 +329,50 @@ object Corpus {
       .drop("dj_u")
   }
 
+  /** TF-IDF keyword extraction: the `k` highest-scoring normalized tokens
+    * per document, score = tf · ln((N+1)/(df+1)) (add-one smoothed IDF,
+    * N = documents with text). The corpus-curation "what is this document
+    * about" signal next to [[vocabularyTopK]]'s corpus-level view.
+    *
+    * Plan shape, 100 TB posture: term frequencies are one hash aggregate
+    * (map-side partials, one row per distinct (doc, token) reaches the
+    * shuffle); document frequencies are a second aggregate over THAT
+    * (vocabulary-sized) and come back via an equi-join on token — a join,
+    * not a token-partitioned window, deliberately: a stopword's window
+    * partition would concentrate every document on one reducer, while AQE
+    * both broadcasts the vocabulary side when small and splits skewed join
+    * partitions when not. The final per-document top-k window partitions
+    * by document (bounded by per-doc vocabulary, no skew). N is the one
+    * bounded driver-side scalar (the idf literal).
+    *
+    * Ranking determinism: exact score ties (equal tf and df) break
+    * token-ascending; distinct (tf, df) pairs differ by far more than
+    * cross-engine ulp noise in ln.
+    */
+  def tfidfTopK(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val base = df.where(col(textCol).isNotNull)
+    val nDocs = base.count()
+    val tf = base
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wDoc = Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(docFreq, "token")
+      .withColumn(
+        "tfidf",
+        col("tf") * log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0))))
+      .withColumn("rank", row_number().over(wDoc))
+      .where(col("rank") <= k)
+      .select(
+        col(idCol), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
   /** Sliding-window document chunking (context-length preparation): split
     * each document's whitespace tokens into windows of `chunkTokens` with
     * `overlapTokens` carried between consecutive windows (stride =

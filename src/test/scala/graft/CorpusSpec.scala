@@ -184,6 +184,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidfTopK: rare terms outrank common ones, ties break by token") {
+    import graft.ops.Corpus
+    val d = docs(
+      1L -> "common rare common unique",
+      2L -> "common common shared",
+      3L -> "common shared")
+    val out = Corpus.tfidfTopK(d, "text", "doc_id", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("rank"))) ->
+        (r.getString(r.fieldIndex("token")),
+          r.getLong(r.fieldIndex("tf")), r.getLong(r.fieldIndex("df"))))
+      .toMap
+    // doc 1: 'common' appears in all 3 docs (idf = ln(4/4) = 0); the df=1
+    // terms 'rare'/'unique' share tf=1,df=1 → exact tie → token ascending
+    assert(out((1L, 1)) == (("rare", 1L, 1L)))
+    assert(out((1L, 2)) == (("unique", 1L, 1L)))
+    // doc 2: tf=2 ln(4/4)=0 for common; 'shared' df=2 idf=ln(4/3)>0 wins
+    assert(out((2L, 1))._1 == "shared")
+    // smoothed idf of an everywhere-term is exactly 0 → it can still rank
+    // (k exceeds the doc's vocabulary) but with score 0
+    assert(out((3L, 2))._1 == "common")
+    // empty corpus → empty result, no crash
+    assert(Corpus.tfidfTopK(docs(), "text", "doc_id", 3).count() == 0)
+  }
+
   test("chunkDocuments: sliding token windows with overlap") {
     import graft.ops.Corpus
     val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
