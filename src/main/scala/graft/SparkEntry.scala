@@ -1099,6 +1099,20 @@ object SparkEntry {
           col("chunk_tokens").cast("bigint").as("chunk_tokens"))
     },
 
+    // self-trained bigram-LM cross-entropy (perplexity-filter proxy):
+    // decimal-summed log terms keep the score order-independent and
+    // cross-engine exact
+    "q_lm_score" -> { (s, dir) =>
+      graft.ops.Corpus
+        .bigramCrossEntropy(
+          s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text")),
+          "text", "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_bigrams"),
+          round(col("cross_entropy"), 6).cast("double").as("cross_entropy"))
+    },
+
     // TF-IDF keyword extraction: top-5 tokens per doc, smoothed idf over
     // the full corpus — tf aggregate, vocabulary join (AQE broadcast/skew),
     // per-doc ranking window
@@ -2215,6 +2229,25 @@ object SparkEntry {
                 array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text,
                 CAST(least(32, len(toks) - start) AS BIGINT) AS chunk_tokens
          FROM s""",
+    "q_lm_score" ->
+      s"""WITH d AS (SELECT doc_id,
+                       string_split($normSql, ' ') AS toks
+                     FROM documents WHERE text IS NOT NULL),
+              vocab AS (SELECT count(DISTINCT w) AS v
+                        FROM (SELECT unnest(toks) AS w FROM d) WHERE w <> ''),
+              idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                      FROM d WHERE len(toks) > 1),
+              bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+              c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+              c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+              terms AS (SELECT bi.doc_id,
+                          CAST(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v))
+                               AS DECIMAL(28,12)) AS lp
+                        FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                             CROSS JOIN vocab)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(-avg(lp), 6) AS cross_entropy
+         FROM terms GROUP BY doc_id""",
     "q_tfidf_topk" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
                      WHERE text IS NOT NULL),

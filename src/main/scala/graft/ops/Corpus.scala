@@ -329,6 +329,61 @@ object Corpus {
       .drop("dj_u")
   }
 
+  /** Bigram language-model cross-entropy per document (the perplexity-
+    * filter proxy of CCNet/Gopher-style curation, self-trained on the
+    * corpus): score = -mean ln P(w2|w1) over the document's adjacent
+    * normalized-token pairs, with add-one smoothing over the corpus
+    * vocabulary — P = (C(w1,w2)+1) / (C(w1)+V). High scores mark
+    * improbable-token-sequence documents (boilerplate, encoding junk,
+    * non-language).
+    *
+    * Plan: one token explode feeds (a) the bigram stream (index explode,
+    * no self-join), (b) the bigram/context count aggregates (map-side
+    * partials, vocabulary-sized outputs) rejoined on their keys — joins,
+    * not token-partitioned windows, for the same stopword-skew reason as
+    * [[tfidfTopK]] — and (c) V, the one bounded driver scalar. The per-doc
+    * mean runs over DECIMAL-cast log terms: a double sum's value depends
+    * on partial-aggregation arrival order, and this keeps the score
+    * bit-deterministic across runs and engines.
+    *
+    * Documents with fewer than two tokens carry no bigrams and are absent
+    * from the result (callers treat them via the length filters instead).
+    */
+  def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
+    val vocabSize = base
+      .select(explode(col("dj_toks")).as("token"))
+      .where(col("token") =!= "")
+      .agg(count_distinct(col("token")))
+      .head().getLong(0)
+    val bigrams = base
+      .select(
+        col(idCol),
+        col("dj_toks"),
+        explode(
+          when(size(col("dj_toks")) > 1,
+            sequence(lit(1), size(col("dj_toks")) - 1))
+            .otherwise(array().cast("array<int>"))).as("dj_i"))
+      .select(
+        col(idCol),
+        element_at(col("dj_toks"), col("dj_i")).as("w1"),
+        element_at(col("dj_toks"), col("dj_i") + 1).as("w2"))
+    val cBi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("dj_c12"))
+    val cUni = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("dj_c1"))
+    bigrams
+      .join(cBi, Seq("w1", "w2"))
+      .join(cUni, Seq("w1"))
+      .withColumn(
+        "dj_lp",
+        log((col("dj_c12") + 1.0) / (col("dj_c1") + lit(vocabSize.toDouble)))
+          .cast("decimal(28,12)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (-avg(col("dj_lp"))).as("cross_entropy"))
+  }
+
   /** TF-IDF keyword extraction: the `k` highest-scoring normalized tokens
     * per document, score = tf · ln((N+1)/(df+1)) (add-one smoothed IDF,
     * N = documents with text). The corpus-curation "what is this document

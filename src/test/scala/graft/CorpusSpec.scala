@@ -184,6 +184,25 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramCrossEntropy: add-one smoothed self-LM, hand-computed") {
+    import graft.ops.Corpus
+    // vocab {a,b,c,z} (the bigram-less doc still contributes to V);
+    // C(a,b)=2 C(b,a)=1 C(a,c)=1; contexts C(a)=3 C(b)=1
+    val d = docs(1L -> "a b a b", 2L -> "a c", 3L -> "z")
+    val out = Corpus.bigramCrossEntropy(d, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(r.fieldIndex("n_bigrams")),
+          r.getDecimal(r.fieldIndex("cross_entropy")).doubleValue())))
+      .toMap
+    val ce1 = -(2 * math.log(3.0 / 7) + math.log(2.0 / 5)) / 3
+    val ce2 = -math.log(2.0 / 7)
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - ce1) < 1e-9, s"${out(1L)._2} vs $ce1")
+    assert(math.abs(out(2L)._2 - ce2) < 1e-9)
+    assert(!out.contains(3L)) // no bigrams → absent
+  }
+
   test("tfidfTopK: rare terms outrank common ones, ties break by token") {
     import graft.ops.Corpus
     val d = docs(
