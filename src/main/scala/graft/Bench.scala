@@ -102,7 +102,10 @@ object Bench {
     "q_semantic_neardup",
     // union-tag sweep + per-key windows — the event-time family's
     // shuffle+window plans
-    "q_asof_join", "q_sessionize")
+    "q_asof_join", "q_sessionize",
+    // token-explode aggregates + vocabulary joins + per-doc ranking — the
+    // text-statistics plans whose explode volume scales with token count
+    "q_tfidf_topk", "q_lm_score")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the
