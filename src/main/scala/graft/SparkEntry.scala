@@ -969,6 +969,66 @@ object SparkEntry {
           col("height"))
     },
 
+    // Y4M (YUV4MPEG2) video FRAME decode round-trip (REAL frame decode —
+    // the yuv4mpegpipe interchange format carries raw planar YUV, so pixel
+    // access needs no codec library): per doc_id, synthesize a multi-frame
+    // stream whose geometry / rational fps / chroma layout / per-frame plane
+    // constants are functions of the id, then really walk the FRAME records
+    // and compute exact plane means for every 2nd frame (skipped frames are
+    // never read — the select-every-Nth contract, now on a real container).
+    // One row per sampled frame; the oracle recomputes every field in
+    // closed form, mono rows with NULL chroma.
+    "q_y4m_frames" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 37 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val streams = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val cs = (id % 4) match {
+            case 0 => "420jpeg"
+            case 1 => "422"
+            case 2 => "444"
+            case _ => "mono"
+          }
+          val frames = (0 until (3 + (id % 5).toInt)).map { f =>
+            (((id * 13 + 7L * f) % 256).toInt,
+              ((id * 5 + 11L * f) % 256).toInt,
+              ((id * 3 + 17L * f) % 256).toInt)
+          }
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeY4m(
+              width = 4 + 2 * (id % 3).toInt,
+              height = 4 + 2 * (id % 2).toInt,
+              fpsNum = 24 + (id % 6).toInt,
+              fpsDen = 1 + (id % 2).toInt,
+              colorspace = cs,
+              frames = frames))
+        },
+        schema)
+      Multimodal
+        .decodeY4mFrames(streams, "doc_id", "payload", frameStride = 2)
+        .select(
+          col("doc_id"),
+          col("width"),
+          col("height"),
+          col("fps_num"),
+          col("fps_den"),
+          col("colorspace"),
+          col("n_frames"),
+          col("frame_idx"),
+          col("mean_y"),
+          col("mean_u"),
+          col("mean_v"))
+    },
+
     // FLAC STREAMINFO round-trip (REAL bit-packed header parse, public FLAC
     // spec): synthesize a minimal header (magic + STREAMINFO) whose
     // rate/channels/bps/total-samples are functions of doc_id — total spans
@@ -2114,6 +2174,33 @@ object SparkEntry {
                 CAST(16 * (1 + doc_id % 8) AS INT) AS width,
                 CAST(16 * (1 + doc_id % 5) AS INT) AS height
          FROM documents WHERE doc_id % 41 = 0""",
+    // Y4M frame-decode round-trip: every sampled frame's plane means are
+    // the synthesized per-frame constants — the oracle regenerates frame
+    // indices with a zipped range and recomputes each field in closed form
+    // (mono chroma NULL, stride-2 sampling as a parity filter)
+    "q_y4m_frames" ->
+      """WITH d AS (SELECT doc_id,
+                      3 + doc_id % 5 AS n,
+                      CAST(4 + 2 * (doc_id % 3) AS INT) AS w,
+                      CAST(4 + 2 * (doc_id % 2) AS INT) AS h,
+                      CAST(24 + doc_id % 6 AS INT) AS fn,
+                      CAST(1 + doc_id % 2 AS INT) AS fd,
+                      CASE CAST(doc_id % 4 AS INT)
+                        WHEN 0 THEN '420jpeg' WHEN 1 THEN '422'
+                        WHEN 2 THEN '444' ELSE 'mono' END AS cs
+                    FROM documents WHERE doc_id % 37 = 0),
+              f AS (SELECT *, unnest(range(0, n)) AS fi FROM d)
+         SELECT doc_id, w AS width, h AS height, fn AS fps_num, fd AS fps_den,
+                cs AS colorspace, CAST(n AS INT) AS n_frames,
+                CAST(fi AS INT) AS frame_idx,
+                CAST((doc_id * 13 + 7 * fi) % 256 AS DOUBLE) AS mean_y,
+                CASE WHEN cs = 'mono' THEN NULL
+                     ELSE CAST((doc_id * 5 + 11 * fi) % 256 AS DOUBLE)
+                END AS mean_u,
+                CASE WHEN cs = 'mono' THEN NULL
+                     ELSE CAST((doc_id * 3 + 17 * fi) % 256 AS DOUBLE)
+                END AS mean_v
+         FROM f WHERE fi % 2 = 0""",
     // FLAC metadata round-trip: closed forms of the synthesized STREAMINFO;
     // total_samples exercises the 36-bit field past the 32-bit line
     "q_flac_meta" ->

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * library), verified by the `q_audio_decode` round-trip oracle. Container
   * METADATA is real for MP4/ISO-BMFF (`parseMp4Meta`) and FLAC STREAMINFO
   * (`parseFlacMeta`) — the fields a pipeline filters on before any codec
-  * runs. Compressed audio/video FRAME decode is environment-blocked, so
-  * those payloads fall back
+  * runs. Video FRAME decode is REAL for uncompressed YUV4MPEG2 streams
+  * (`decodeY4m` — raw planar pixels, stride-sampled without reading skipped
+  * frames). PERCEPTUAL-codec frame decode (h264/mp3/aac/opus) is
+  * environment-blocked, so those payloads fall back
   * to `decodeStub`'s deterministic fake features; swapping in a real codec
   * changes ONLY that function body — the Spark-side contract (schema, batch
   * iteration, partitioning, spill behavior) is identical and tested.
@@ -210,6 +212,29 @@ object Multimodal {
     val projected = df.select(col(idCol).cast(LongType), col(binCol))
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        f(id, r.getAs[Array[Byte]](1))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .withColumnRenamed(schema.head.name, idCol)
+  }
+
+  /** One-to-many flavor of [[perPayload]] for decoders that emit a row per
+    * FRAME (video/animation): same projection, streaming, and null-id
+    * contract, but `f` returns an iterator — frames of one asset never
+    * materialize beyond the iterator the caller drains.
+    */
+  private def perPayloadFlat(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      schema: StructType)(
+      f: (java.lang.Long, Array[Byte]) => Iterator[Row]): DataFrame = {
+    val spark = df.sparkSession
+    val projected = df.select(col(idCol).cast(LongType), col(binCol))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
         val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
         f(id, r.getAs[Array[Byte]](1))
       }
@@ -1132,11 +1157,200 @@ object Multimodal {
     }
   }
 
+  // --- YUV4MPEG2 (Y4M) uncompressed video (public format: the mjpegtools /
+  // ffmpeg `yuv4mpegpipe` interchange stream — an ASCII stream header, then
+  // one `FRAME` line + raw planar YUV bytes per frame; no entropy coding, so
+  // REAL frame decode needs no codec library) ---
+
+  /** Stream-level Y4M metadata: geometry, rational frame rate, chroma
+    * layout, and the number of COMPLETE frames present in the payload.
+    */
+  final case class Y4mMeta(
+      width: Int,
+      height: Int,
+      fpsNum: Int,
+      fpsDen: Int,
+      colorspace: String,
+      nFrames: Int)
+
+  /** Plane means of one really-decoded Y4M frame. `meanU`/`meanV` are NaN
+    * for mono streams (mapped to SQL NULL by the DataFrame op). */
+  final case class Y4mFrameStats(
+      frameIdx: Int,
+      meanY: Double,
+      meanU: Double,
+      meanV: Double)
+
+  private def looksLikeY4m(p: Array[Byte]): Boolean =
+    p != null && p.length > 10 &&
+      p(0) == 'Y' && p(1) == 'U' && p(2) == 'V' && p(3) == '4' &&
+      p(4) == 'M' && p(5) == 'P' && p(6) == 'E' && p(7) == 'G' && p(8) == '2'
+
+  /** REAL Y4M decode: parse the ASCII stream header (W/H/F/C tags; I/A/X
+    * ignored), size the planes from the chroma tag (420* both-axis
+    * subsample, 422 horizontal-only, 444 full, mono Y-only), then walk the
+    * `FRAME` records and compute exact per-plane byte means for every
+    * `frameStride`-th frame. Unsampled frames are skipped by offset
+    * arithmetic — their bytes are never read, so sampling 1-in-30 costs
+    * 1/30th of the scan. A truncated tail frame is ignored (dirty-corpus
+    * posture); a malformed FRAME marker stops the walk at the last good
+    * frame. Returns None when the payload is not Y4M at all.
+    */
+  def decodeY4m(
+      payload: Array[Byte],
+      frameStride: Int = 1): Option[(Y4mMeta, Seq[Y4mFrameStats])] = {
+    require(frameStride >= 1, "frameStride must be >= 1")
+    if (!looksLikeY4m(payload)) return None
+    val nl = payload.indexOf('\n'.toByte)
+    if (nl < 0) return None
+    val header =
+      new String(payload, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+    var w = -1; var h = -1; var fn = 25; var fd = 1; var cs = "420"
+    try {
+      header.split(' ').iterator.drop(1).filter(_.nonEmpty).foreach { tag =>
+        tag.charAt(0) match {
+          case 'W' => w = tag.substring(1).toInt
+          case 'H' => h = tag.substring(1).toInt
+          case 'F' =>
+            val parts = tag.substring(1).split(':')
+            if (parts.length == 2) { fn = parts(0).toInt; fd = parts(1).toInt }
+          case 'C' => cs = tag.substring(1)
+          case _   => () // I (interlacing), A (aspect), X (extensions)
+        }
+      }
+    } catch { case _: NumberFormatException => return None }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val (cw, ch) =
+      if (cs.startsWith("420")) (w / 2, h / 2)      // 420jpeg/420mpeg2/420paldv
+      else if (cs.startsWith("422")) (w / 2, h)
+      else if (cs.startsWith("444")) (w, h)
+      else if (cs == "mono") (0, 0)
+      else return None
+    val ySize = w * h
+    val cSize = cw * ch
+    val frameBytes = ySize + 2 * cSize
+    def planeMean(from: Int, len: Int): Double = {
+      var s = 0L
+      var i = from
+      val end = from + len
+      while (i < end) { s += payload(i) & 0xFF; i += 1 }
+      s.toDouble / len
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Y4mFrameStats]
+    var off = nl + 1
+    var idx = 0
+    var ok = true
+    while (ok && off < payload.length) {
+      // each frame record: "FRAME"[ params]\n then the raw planes
+      ok = off + 5 <= payload.length &&
+        payload(off) == 'F' && payload(off + 1) == 'R' &&
+        payload(off + 2) == 'A' && payload(off + 3) == 'M' &&
+        payload(off + 4) == 'E'
+      if (ok) {
+        var fnl = off + 5
+        while (fnl < payload.length && payload(fnl) != '\n') fnl += 1
+        val data = fnl + 1
+        ok = fnl < payload.length && data + frameBytes <= payload.length
+        if (ok) {
+          if (idx % frameStride == 0) {
+            val mY = planeMean(data, ySize)
+            val (mU, mV) =
+              if (cSize == 0) (Double.NaN, Double.NaN)
+              else (planeMean(data + ySize, cSize),
+                planeMean(data + ySize + cSize, cSize))
+            out += Y4mFrameStats(idx, mY, mU, mV)
+          }
+          off = data + frameBytes
+          idx += 1
+        }
+      }
+    }
+    Some((Y4mMeta(w, h, fn, fd, cs, idx), out.toSeq))
+  }
+
+  /** Encode a Y4M stream with per-frame constant planes — the deterministic
+    * synthetic payload behind the `q_y4m_frames` decode round-trip oracle.
+    * Each element of `frames` is the (y, u, v) byte value filling that
+    * frame's planes (u/v ignored for mono).
+    */
+  def encodeY4m(
+      width: Int,
+      height: Int,
+      fpsNum: Int,
+      fpsDen: Int,
+      colorspace: String,
+      frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val (cw, ch) =
+      if (colorspace.startsWith("420")) (width / 2, height / 2)
+      else if (colorspace.startsWith("422")) (width / 2, height)
+      else if (colorspace.startsWith("444")) (width, height)
+      else if (colorspace == "mono") (0, 0)
+      else throw new IllegalArgumentException(s"colorspace: $colorspace")
+    val header =
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C$colorspace\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val ySize = width * height
+    val cSize = cw * ch
+    val marker = "FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val bos = new java.io.ByteArrayOutputStream(
+      header.length + frames.size * (marker.length + ySize + 2 * cSize))
+    bos.write(header, 0, header.length)
+    frames.foreach { case (y, u, v) =>
+      bos.write(marker, 0, marker.length)
+      var i = 0
+      while (i < ySize) { bos.write(y & 0xFF); i += 1 }
+      i = 0
+      while (i < cSize) { bos.write(u & 0xFF); i += 1 }
+      i = 0
+      while (i < cSize) { bos.write(v & 0xFF); i += 1 }
+    }
+    bos.toByteArray
+  }
+
+  /** Per-partition batch Y4M frame sampling over (id, binary) rows → one row
+    * per SAMPLED frame with stream metadata and exact plane means; non-Y4M
+    * payloads yield a single null row so every asset stays visible to
+    * downstream missing-fraction checks. Same streaming constant-memory
+    * contract as `extractFeatures`; skipped frames are never even read.
+    */
+  def decodeY4mFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameStride: Int = 1): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("fps_num", IntegerType),
+      StructField("fps_den", IntegerType),
+      StructField("colorspace", StringType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("mean_y", DoubleType),
+      StructField("mean_u", DoubleType),
+      StructField("mean_v", DoubleType)))
+    perPayloadFlat(df, idCol, binCol, schema) { (id, payload) =>
+      decodeY4m(payload, frameStride) match {
+        case Some((m, stats)) =>
+          stats.iterator.map { s =>
+            Row(id, m.width, m.height, m.fpsNum, m.fpsDen, m.colorspace,
+              m.nFrames, s.frameIdx, s.meanY,
+              if (s.meanU.isNaN) null else s.meanU,
+              if (s.meanV.isNaN) null else s.meanV)
+          }
+        case None =>
+          Iterator.single(
+            Row(id, null, null, null, null, null, null, null, null, null, null))
+      }
+    }
+  }
+
   /** STUB decode for payloads none of the real decoders can read — ImageIO
-    * images, RIFF/WAV PCM + G.711 mu-law/A-law, AIFF PCM are all REAL; what
-    * falls through here is video and perceptual audio codecs (mp3/aac/opus —
-    * environment-blocked): deterministic pseudo-features from the payload
-    * bytes.
+    * images, RIFF/WAV PCM + G.711 mu-law/A-law, AIFF PCM, and raw-YUV Y4M
+    * video are all REAL; what falls through here is PERCEPTUAL codecs
+    * (h264/mp3/aac/opus — environment-blocked): deterministic
+    * pseudo-features from the payload bytes.
     *
     * Feature i is the first 24 bits of `md5(payload ++ ":i")` scaled to
     * [0,1). The arithmetic is deliberately CROSS-ENGINE recomputable: any

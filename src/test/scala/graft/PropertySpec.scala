@@ -62,7 +62,48 @@ object PropertySpec extends Properties("graft") {
       Multimodal.parseMp4Meta(bytes)
       Multimodal.decodeAiff(bytes, dim = 2)
       Multimodal.decodeImage(bytes, dim = 2)
+      Multimodal.decodeY4m(bytes)
       true // reaching here (Some or None, no exception) is the property
+    }
+
+  private val y4mCsGen: Gen[String] = Gen.oneOf(
+    "420jpeg", "420mpeg2", "420paldv", "422", "444", "mono")
+
+  property("y4m round-trip recovers meta and exact sampled plane means") =
+    Prop.forAll(
+      Gen.chooseNum(1, 8), // half-dims so 420/422 geometry is always even
+      Gen.chooseNum(1, 6),
+      Gen.chooseNum(1, 120),
+      Gen.chooseNum(1, 5),
+      y4mCsGen,
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0, 255), Gen.chooseNum(0, 255), Gen.chooseNum(0, 255))),
+      Gen.chooseNum(1, 3)) { (hw, hh, fn, fd, cs, frames, stride) =>
+      val (w, h) = (2 * hw, 2 * hh)
+      val payload = Multimodal.encodeY4m(w, h, fn, fd, cs, frames)
+      val (meta, stats) = Multimodal.decodeY4m(payload, stride).get
+      val expectedIdx = frames.indices.filter(_ % stride == 0)
+      (meta == Multimodal.Y4mMeta(w, h, fn, fd, cs, frames.size)) &&
+      (stats.map(_.frameIdx) == expectedIdx) &&
+      stats.forall { s =>
+        val (y, u, v) = frames(s.frameIdx)
+        s.meanY == y.toDouble &&
+        (if (cs == "mono") s.meanU.isNaN && s.meanV.isNaN
+         else s.meanU == u.toDouble && s.meanV == v.toDouble)
+      }
+    }
+
+  property("y4m decode survives every truncation point, counting only complete frames") =
+    Prop.forAll(Gen.chooseNum(0, 200)) { n =>
+      val full = Multimodal.encodeY4m(4, 4, 30, 1, "420jpeg", Seq((9, 8, 7), (6, 5, 4)))
+      Multimodal.decodeY4m(full.take(n)) match {
+        case Some((meta, stats)) =>
+          // header "YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C420jpeg\n" = 39 bytes;
+          // a complete frame record is 6 (marker) + 24 (planes) bytes
+          val complete = math.max(0, (n - 39) / 30)
+          meta.nFrames == math.min(2, complete) && stats.size == meta.nFrames
+        case None => true // header itself truncated
+      }
     }
 
   property("flac/mp4/aiff parsers survive corrupted valid headers") =
