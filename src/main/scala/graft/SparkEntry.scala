@@ -1029,6 +1029,46 @@ object SparkEntry {
           col("mean_v"))
     },
 
+    // Animated-GIF frame extraction round-trip (REAL multi-frame decode via
+    // the JDK's ImageIO GIF plugin — LZW-compressed frames, so this is real
+    // codec work, not raw bytes): per doc_id synthesize a GIF89a animation
+    // of solid-gray frames, count + decode every 2nd stored frame, emit its
+    // mean luminance. Solid frames survive palette quantization exactly, so
+    // the oracle recomputes the gray levels in closed form.
+    "q_gif_frames" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 53 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val gifs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val grays = (0 until (2 + (id % 4).toInt))
+            .map(f => ((id * 11 + 29L * f) % 256).toInt)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeGifAnim(
+              width = 2 + (id % 5).toInt,
+              height = 2 + (id % 3).toInt,
+              grays = grays))
+        },
+        schema)
+      Multimodal
+        .gifFrames(gifs, "doc_id", "payload", frameStride = 2)
+        .select(
+          col("doc_id"),
+          col("n_frames"),
+          col("frame_idx"),
+          col("width"),
+          col("height"),
+          round(col("mean_luma"), 6).cast("long").as("mean_gray"))
+    },
+
     // FLAC STREAMINFO round-trip (REAL bit-packed header parse, public FLAC
     // spec): synthesize a minimal header (magic + STREAMINFO) whose
     // rate/channels/bps/total-samples are functions of doc_id — total spans
@@ -2200,6 +2240,19 @@ object SparkEntry {
                 CASE WHEN cs = 'mono' THEN NULL
                      ELSE CAST((doc_id * 3 + 17 * fi) % 256 AS DOUBLE)
                 END AS mean_v
+         FROM f WHERE fi % 2 = 0""",
+    // GIF frame-extraction round-trip: sampled stored frames' gray levels
+    // in closed form (stride-2 parity filter over regenerated indices)
+    "q_gif_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n FROM documents
+                    WHERE doc_id % 53 = 0),
+              f AS (SELECT doc_id, n, unnest(range(0, n)) AS fi FROM d)
+         SELECT doc_id,
+                CAST(n AS INT) AS n_frames,
+                CAST(fi AS INT) AS frame_idx,
+                CAST(2 + doc_id % 5 AS INT) AS width,
+                CAST(2 + doc_id % 3 AS INT) AS height,
+                CAST((doc_id * 11 + 29 * fi) % 256 AS BIGINT) AS mean_gray
          FROM f WHERE fi % 2 = 0""",
     // FLAC metadata round-trip: closed forms of the synthesized STREAMINFO;
     // total_samples exercises the 36-bit field past the 32-bit line

@@ -1346,6 +1346,134 @@ object Multimodal {
     }
   }
 
+  // --- Animated GIF (GIF89a) multi-frame decode via the JDK's built-in
+  // ImageIO GIF plugin — the palette-codec cousin of the Y4M path: real
+  // frame extraction from a genuinely compressed (LZW) container, no
+  // external library ---
+
+  /** Encode a multi-frame animated GIF whose frame `i` is a solid gray
+    * `grays(i)` — the deterministic synthetic payload behind the
+    * `q_gif_frames` decode round-trip oracle. Uses ImageIO's sequence
+    * writer, so the payload is a genuine GIF89a animation (LZW-compressed
+    * frames, per-frame image descriptors).
+    */
+  def encodeGifAnim(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    require(grays.nonEmpty, "at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** REAL animated-GIF frame extraction: count the stored frames and decode
+    * every `frameStride`-th one (mean luminance per sampled frame, same
+    * formula as `decodeImage`). `reader.read(i)` returns the STORED frame,
+    * not a composite against prior frames — exactly right for frame-level
+    * feature extraction; a compositing player would fold in disposal
+    * methods, which curation features don't need. Returns None for non-GIF
+    * payloads; corrupt bodies behind a valid magic degrade to however many
+    * frames decode cleanly.
+    */
+  def decodeGifFrames(
+      payload: Array[Byte],
+      frameStride: Int = 1): Option[(Int, Seq[(Int, Int, Int, Double)])] = {
+    require(frameStride >= 1, "frameStride must be >= 1")
+    if (payload == null || payload.length < 6 ||
+      payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F') return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n =
+          try reader.getNumImages(true)
+          catch { case scala.util.control.NonFatal(_) => return None }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Double)]
+        var i = 0
+        var ok = true
+        while (ok && i < n) {
+          if (i % frameStride == 0) {
+            val img =
+              try reader.read(i)
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) ok = false
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var total = 0.0
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  total +=
+                    (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+                  x += 1
+                }
+                y += 1
+              }
+              out += ((i, w, h, total / (w.toLong * h)))
+            }
+          }
+          i += 1
+        }
+        Some((n, out.toSeq))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
+  /** Per-partition batch GIF frame sampling over (id, binary) rows → one
+    * row per SAMPLED frame; non-GIF payloads yield a single null row. Same
+    * streaming constant-memory contract as `extractFeatures` — one frame's
+    * raster lives at a time.
+    */
+  def gifFrames(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameStride: Int = 1): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_luma", DoubleType)))
+    perPayloadFlat(df, idCol, binCol, schema) { (id, payload) =>
+      decodeGifFrames(payload, frameStride) match {
+        case Some((n, frames)) =>
+          frames.iterator.map { case (idx, w, h, luma) =>
+            Row(id, n, idx, w, h, luma)
+          }
+        case None => Iterator.single(Row(id, null, null, null, null, null))
+      }
+    }
+  }
+
   /** STUB decode for payloads none of the real decoders can read — ImageIO
     * images, RIFF/WAV PCM + G.711 mu-law/A-law, AIFF PCM, and raw-YUV Y4M
     * video are all REAL; what falls through here is PERCEPTUAL codecs

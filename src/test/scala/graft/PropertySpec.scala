@@ -63,7 +63,24 @@ object PropertySpec extends Properties("graft") {
       Multimodal.decodeAiff(bytes, dim = 2)
       Multimodal.decodeImage(bytes, dim = 2)
       Multimodal.decodeY4m(bytes)
+      Multimodal.decodeGifFrames(bytes)
       true // reaching here (Some or None, no exception) is the property
+    }
+
+  property("gif animation round-trip recovers frame count and exact gray levels") =
+    Prop.forAll(
+      Gen.chooseNum(1, 8),
+      Gen.chooseNum(1, 6),
+      Gen.nonEmptyListOf(Gen.chooseNum(0, 255)),
+      Gen.chooseNum(1, 3)) { (w, h, grays, stride) =>
+      val payload = Multimodal.encodeGifAnim(w, h, grays)
+      val (n, frames) = Multimodal.decodeGifFrames(payload, stride).get
+      val expectedIdx = grays.indices.filter(_ % stride == 0)
+      (n == grays.size) &&
+      (frames.map(_._1) == expectedIdx) &&
+      frames.forall { case (idx, fw, fh, luma) =>
+        fw == w && fh == h && luma == grays(idx).toDouble
+      }
     }
 
   private val y4mCsGen: Gen[String] = Gen.oneOf(
