@@ -105,7 +105,11 @@ object Bench {
     "q_asof_join", "q_sessionize",
     // token-explode aggregates + vocabulary joins + per-doc ranking — the
     // text-statistics plans whose explode volume scales with token count
-    "q_tfidf_topk", "q_lm_score")
+    "q_tfidf_topk", "q_lm_score",
+    // bucketed non-equi rewrite: explode volume tracks interval lengths,
+    // join is the (bucket) equi-shuffle — the plan that replaces Spark's
+    // nested-loop range join
+    "q_range_join")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the

@@ -698,6 +698,28 @@ object SparkEntry {
           round(col("avg_value"), 6).cast("double").as("avg_value"))
     },
 
+    // bucketed range join (ops.RangeJoin): order dates as points joined
+    // into sampled order-date windows — the non-equi predicate Spark would
+    // plan as a nested loop, rewritten as explode-to-buckets + equi-join +
+    // residual. The oracle runs the naive inequality join directly.
+    "q_range_join" -> { (s, dir) =>
+      val orders = s.read.parquet(pq(dir, "orders"))
+      def day(c: org.apache.spark.sql.Column) =
+        datediff(c, lit("1970-01-01")).cast("long")
+      val ivs = orders.where(col("o_orderkey") % 97 === 0)
+        .select(
+          col("o_orderkey").as("interval_id"),
+          day(col("o_orderdate")).as("start_day"),
+          (day(col("o_orderdate")) + col("o_orderkey") % 5 + 3).as("end_day"))
+      val pts = orders.where(col("o_orderkey") % 89 === 0)
+        .select(
+          col("o_orderkey").as("point_id"),
+          day(col("o_orderdate")).as("point_day"))
+      graft.ops.RangeJoin
+        .rangeJoin(pts, ivs, "point_day", "start_day", "end_day")
+        .select("point_id", "interval_id", "point_day", "start_day", "end_day")
+    },
+
     // multimodal plumbing: binary payloads (text bytes stand in for media)
     // → deterministic stub features via per-partition batch transform
     "q_multimodal_features" -> { (s, dir) =>
@@ -2241,6 +2263,21 @@ object SparkEntry {
                      ELSE CAST((doc_id * 3 + 17 * fi) % 256 AS DOUBLE)
                 END AS mean_v
          FROM f WHERE fi % 2 = 0""",
+    // range join: the oracle IS the naive inequality join the bucketed
+    // rewrite must reproduce pair-for-pair
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS interval_id,
+                       datediff('day', DATE '1970-01-01', o_orderdate) AS start_day,
+                       datediff('day', DATE '1970-01-01', o_orderdate)
+                         + o_orderkey % 5 + 3 AS end_day
+                     FROM orders WHERE o_orderkey % 97 = 0),
+              pt AS (SELECT o_orderkey AS point_id,
+                       datediff('day', DATE '1970-01-01', o_orderdate) AS point_day
+                     FROM orders WHERE o_orderkey % 89 = 0)
+         SELECT pt.point_id, iv.interval_id, pt.point_day,
+                iv.start_day, iv.end_day
+         FROM pt JOIN iv
+           ON pt.point_day >= iv.start_day AND pt.point_day < iv.end_day""",
     // GIF frame-extraction round-trip: sampled stored frames' gray levels
     // in closed form (stride-2 parity filter over regenerated indices)
     "q_gif_frames" ->

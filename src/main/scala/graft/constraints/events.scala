@@ -61,6 +61,45 @@ final case class MaxSessionDurationSeconds(
         s"spans ${factual}s while only $targetPrefix${target}s were allowed."))
 }
 
+/** Between-table coverage budget: the fraction of FIRST-table rows whose
+  * (numeric) coordinate falls inside at least one second-table interval
+  * must reach the target — "every event happened during a deployment
+  * window / sensor uptime span". Planned as the bucketed equi-rewrite in
+  * [[graft.ops.RangeJoin.coverageFraction]], never a nested-loop range
+  * join.
+  */
+final case class MinPointCoverageFraction(
+    ref: DataRef,
+    ref2Required: DataRef,
+    pointColumn: String,
+    startColumn: String,
+    endColumn: String,
+    keyColumns: Seq[String],
+    inclusiveEnd: Boolean,
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"min_point_coverage_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val factual = graft.ops.RangeJoin.coverageFraction(
+      ref.selection(spark), ref2Required.selection(spark),
+      pointColumn, startColumn, endColumn,
+      keys = keyColumns, inclusiveEnd = inclusiveEnd)
+    val target = refValue.get
+    if (factual >= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"only $factual of ${ref.describe} rows fall inside a " +
+          s"${ref2Required.describe} interval while at least $target must.")
+  }
+}
+
 /** Between-table event freshness budget: every row of the FIRST table
   * should be preceded (per key, backward as-of) by a row of the second
   * table at most `toleranceSeconds` earlier — e.g. "every trade has a

@@ -1029,6 +1029,30 @@ final class BetweenRequirement private (
     this
   }
 
+  /** Beyond-reference: interval coverage budget — at least `minFraction`
+    * of the first table's `pointColumn` values (optionally per
+    * `keyColumns`) must fall inside some second-table
+    * [`startColumn`, `endColumn`) interval. Bucketed range-join rewrite —
+    * no nested-loop plan at any scale.
+    */
+  def addMinPointCoverageFractionConstraint(
+      pointColumn: String,
+      startColumn: String,
+      endColumn: String,
+      minFraction: Double,
+      keyColumns: Seq[String] = Nil,
+      inclusiveEnd: Boolean = false,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinPointCoverageFraction(
+      ref(Some(keyColumns :+ pointColumn), condition1),
+      ref2(Some(keyColumns ++ Seq(startColumn, endColumn)), condition2),
+      pointColumn, startColumn, endColumn, keyColumns, inclusiveEnd,
+      refValue = Some(minFraction), nameOverride = name)
+    this
+  }
+
   def addKs2SampleConstraint(
       column1: String,
       column2: String,

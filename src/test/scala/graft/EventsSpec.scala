@@ -148,6 +148,22 @@ class EventsSpec extends AnyFunSuite {
     assert(res.failureMessage.exists(_.contains("within 5.0s")))
   }
 
+  test("MinPointCoverageFraction: interval coverage as a between constraint") {
+    import graft.requirements.BetweenRequirement
+    import spark.implicits._
+    val points = Seq(1.0, 5.0, 50.0, 99.0).toDF("x")
+    val windows = Seq((0.0, 10.0), (98.0, 100.0)).toDF("s", "e")
+    // 1, 5, 99 covered; 50 not → 0.75
+    val ok = BetweenRequirement.fromDataFrames(points, windows, "pts", "wins")
+    ok.addMinPointCoverageFractionConstraint("x", "s", "e", minFraction = 0.75)
+    assert(ok.test(spark).head.outcome)
+    val bad = BetweenRequirement.fromDataFrames(points, windows, "pts", "wins")
+    bad.addMinPointCoverageFractionConstraint("x", "s", "e", minFraction = 0.76)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("0.75")))
+  }
+
   test("sessionProfile aggregates bounds and counts per session") {
     val d = df(Seq(
       ("a", 0L, 10L), ("a", 5L, 20L), ("a", 100L, 30L)))
