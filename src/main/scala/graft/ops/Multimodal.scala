@@ -344,7 +344,9 @@ object Multimodal {
       rms: Double,
       meanAbs: Double,
       peak: Int,
-      features: Array[Float])
+      features: Array[Float],
+      zeroCrossings: Long,
+      dcOffset: Double)
 
   private def looksLikeWav(p: Array[Byte]): Boolean =
     p != null && p.length > 44 &&
@@ -430,12 +432,20 @@ object Multimodal {
     val sums = new Array[Long](dim)
     val counts = new Array[Long](dim)
     var sumAbs = 0L; var sumSq = 0L; var peak = 0
+    // ZCR (strict sign flips, zeros break a run) + signed sum for DC offset
+    // — the two cheap time-domain features (voicedness / mic bias) audio
+    // curation filters on; computed over the interleaved stream (exact for
+    // mono, deterministic stream-level for multi-channel)
+    var signedSum = 0L; var crossings = 0L; var prev = 0
     var i = 0
     while (i < nSamples) {
       val s = sampleAt(i)
       val a = math.abs(s)
       sumAbs += a
       sumSq += s.toLong * s
+      signedSum += s
+      if ((prev > 0 && s < 0) || (prev < 0 && s > 0)) crossings += 1
+      prev = s
       if (a > peak) peak = a
       val cell = math.min(dim - 1, (i.toLong * dim / nSamples).toInt)
       sums(cell) += s.toLong * s
@@ -455,7 +465,9 @@ object Multimodal {
       rms = math.sqrt(sumSq.toDouble / nSamples),
       meanAbs = sumAbs.toDouble / nSamples,
       peak = peak,
-      features = feats)
+      features = feats,
+      zeroCrossings = crossings,
+      dcOffset = signedSum.toDouble / nSamples)
   }
 
   /** Encode 16-bit PCM samples as a canonical 44-byte-header WAV — the
@@ -641,13 +653,16 @@ object Multimodal {
       StructField("duration_ms", DoubleType),
       StructField("rms", DoubleType),
       StructField("mean_abs", DoubleType),
-      StructField("peak", IntegerType)))
+      StructField("peak", IntegerType),
+      StructField("zero_crossings", LongType),
+      StructField("dc_offset", DoubleType)))
     perPayload(df, idCol, binCol, schema) { (id, payload) =>
       decodeWav(payload, dim = 1).orElse(decodeAiff(payload, dim = 1)) match {
         case Some(d) =>
           Row(id, d.sampleRate, d.channels, d.nFrames, d.durationMs,
-            d.rms, d.meanAbs, d.peak)
-        case None => Row(id, null, null, null, null, null, null, null)
+            d.rms, d.meanAbs, d.peak, d.zeroCrossings, d.dcOffset)
+        case None =>
+          Row(id, null, null, null, null, null, null, null, null, null)
       }
     }
   }

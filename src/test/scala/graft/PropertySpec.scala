@@ -26,12 +26,19 @@ object PropertySpec extends Properties("graft") {
       // Long-exact reference stats
       val sumAbs = samples.map(s => math.abs(s.toLong)).sum
       val sumSq = samples.map(s => s.toLong * s).sum
+      val signed = samples.map(_.toLong).sum
+      val crossings = samples.sliding(2).count {
+        case Array(a, b) => (a > 0 && b < 0) || (a < 0 && b > 0)
+        case _           => false
+      }
       (d.sampleRate == rate) &&
       (d.channels == channels) &&
       (d.nFrames == n / channels) &&
       (d.meanAbs == sumAbs.toDouble / n) &&
       (d.rms == math.sqrt(sumSq.toDouble / n)) &&
       (d.peak == samples.map(s => math.abs(s.toInt)).max) &&
+      (d.zeroCrossings == crossings.toLong) &&
+      (d.dcOffset == signed.toDouble / n) &&
       d.features.forall(f => f >= 0f && f <= 1f)
     }
 
