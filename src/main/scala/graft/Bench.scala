@@ -109,7 +109,10 @@ object Bench {
     // bucketed non-equi rewrite: explode volume tracks interval lengths,
     // join is the (bucket) equi-shuffle — the plan that replaces Spark's
     // nested-loop range join
-    "q_range_join")
+    "q_range_join",
+    // unit explode + partial-agg countDistinct + fingerprint join +
+    // reassembly — the boilerplate pass whose agg width tracks vocabulary
+    "q_boilerplate")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,6 +18,40 @@ import graft.ops.{Intervals, Ops, Stats}
 object SparkEntry {
 
   private def pq(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Deterministic messy URL per document row (mixed-case scheme/host,
+    * default + explicit ports, trailing slash, utm_* params, fragment) —
+    * shared by the `q_url_normalize` / `q_domain_stats` gate queries; the
+    * oracle rebuilds the identical strings in SQL (`synthUrlSql`).
+    */
+  private def synthUrlCol: Column = concat(
+    when(col("doc_id") % 2 === 0, "HTTPS").otherwise("http"), lit("://"),
+    lit("WWW."),
+    when(col("doc_id") % 3 === 0, "news.").otherwise(""),
+    lit("Site-"), col("source"), lit(".Org"),
+    when(col("doc_id") % 5 === 0, ":443")
+      .when(col("doc_id") % 5 === 1, ":8080")
+      .otherwise(""),
+    lit("/Docs/"), col("doc_id"),
+    when(col("doc_id") % 4 === 0, "/").otherwise(""),
+    when(col("doc_id") % 3 === 0, concat(lit("?utm_source=feed&ref="), col("source")))
+      .when(col("doc_id") % 3 === 1, "?a=1&utm_campaign=x&b=2")
+      .otherwise(""),
+    when(col("doc_id") % 2 === 0, "#sec2").otherwise(""))
+
+  /** The DuckDB spelling of [[synthUrlCol]]. */
+  private val synthUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://'
+       || 'WWW.' || CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE '' END
+       || 'Site-' || source || '.Org'
+       || CASE WHEN doc_id % 5 = 0 THEN ':443'
+               WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END
+       || '/Docs/' || doc_id
+       || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+       || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || source
+               WHEN doc_id % 3 = 1 THEN '?a=1&utm_campaign=x&b=2'
+               ELSE '' END
+       || CASE WHEN doc_id % 2 = 0 THEN '#sec2' ELSE '' END)"""
 
   /** The events table with `ts` normalized to a real timestamp: the column
     * has shipped both as parquet TIMESTAMP(NANOS) (int64 epoch-nanos under
@@ -522,6 +556,73 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     },
 
+    // Gopher document-quality rules (Rae et al. 2021): per-doc signals +
+    // composite keep flag, all codegen'd column expressions (one
+    // projection, zero shuffle). Integer-exact char totals and dyadic
+    // divisions keep every signal bit-identical to the oracle's recompute.
+    "q_gopher_filter" -> { (s, dir) =>
+      graft.ops.TextAnalysis
+        .gopherRules(s.read.parquet(pq(dir, "documents")), "text", minWords = 40)
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          round(col("mean_word_chars"), 6).as("mean_word_chars"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+          col("stopword_count"),
+          col("gopher_keep"))
+    },
+
+    // URL parsing + canonical normalization (ops.Web): a deterministic
+    // messy URL per doc (mixed-case scheme/host, default + explicit ports,
+    // trailing slashes, utm_* tracking params, fragments) is parsed and
+    // canonicalized with portable regex/HOF column functions; the oracle
+    // rebuilds the same URLs and re-derives every part with the identical
+    // regexes in DuckDB — the regex semantics are what's cross-checked.
+    "q_url_normalize" -> { (s, dir) =>
+      import graft.ops.Web
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .withColumn("url", synthUrlCol)
+      Web.urlProfile(docs, "url")
+        .select(
+          col("doc_id"),
+          col("url_scheme"),
+          col("url_host"),
+          col("url_domain"),
+          col("url_path"),
+          col("url_norm"))
+    },
+
+    // registered-domain rollup over the same synthesized URLs: doc counts,
+    // distinct hosts, corpus share per domain — one partial-agg shuffle +
+    // broadcast total
+    "q_domain_stats" -> { (s, dir) =>
+      import graft.ops.Web
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .withColumn("url", synthUrlCol)
+      Web.domainStats(docs, "url")
+        .select(
+          col("url_domain"),
+          col("n_docs"),
+          col("n_hosts"),
+          round(col("doc_share"), 6).as("doc_share"))
+    },
+
+    // cross-document boilerplate removal (CCNet/C4-style): units appearing
+    // in ≥ ceil(0.9 · source-doc-count) distinct docs of the same source
+    // are stripped everywhere and the survivors reassembled in order;
+    // fully-stripped docs stay with empty text. One countDistinct shuffle
+    // + broadcast group counts + fingerprint join — oracle recomputes the
+    // document-frequency threshold directly.
+    "q_boilerplate" -> { (s, dir) =>
+      graft.ops.Dedup
+        .removeBoilerplate(
+          s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+          delimiter = " ", minDocFraction = 0.9, minDocs = 2,
+          groupCol = Some("source"))
+        .select(col("doc_id"), col("text"), col("n_units"), col("n_removed"))
+    },
+
     // exact-substring span dedup (window-fingerprint flavor): per-doc
     // duplicated-token coverage from non-first occurrences of 8-token
     // windows, span union via per-doc sweep
@@ -903,6 +1004,46 @@ object SparkEntry {
           col("peak"),
           round(col("mean_abs"), 6).as("mean_abs"),
           round(col("rms"), 6).as("rms"))
+    },
+
+    // time-domain audio features (REAL decode + one-pass ZCR / DC-offset):
+    // three waveform shapes per id class — constant (no crossings, DC = A),
+    // alternating ±(A,B) (every adjacent pair crosses), block wave (one
+    // crossing) — exercise the sign-flip counter and the signed-sum mean.
+    // All closed forms: integer crossings, dyadic DC offsets.
+    "q_audio_features" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 13 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val wavs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val m = 16 + (id % 8).toInt
+          val a = ((id % 500) + 1).toInt
+          val b = (((id * 3) % 500) + 1).toInt
+          val samples = (id % 3) match {
+            case 0 => Array.fill[Short](2 * m)(a.toShort)
+            case 1 => Array.tabulate[Short](2 * m)(i =>
+              if (i % 2 == 0) a.toShort else (-b).toShort)
+            case _ => Array.tabulate[Short](2 * m)(i =>
+              if (i < m) a.toShort else (-b).toShort)
+          }
+          org.apache.spark.sql.Row(id, Multimodal.encodePcmWav(8000, 1, samples))
+        },
+        schema)
+      Multimodal
+        .decodeAudios(wavs, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("n_frames"),
+          col("zero_crossings"),
+          round(col("dc_offset"), 6).as("dc_offset"))
     },
 
     // AIFF decode round-trip (REAL big-endian FORM/AIFF chunk walk + 80-bit
@@ -2071,6 +2212,115 @@ object SparkEntry {
          SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
          FROM ranked WHERE NOT ded OR rn = 1
          GROUP BY doc_id""",
+    // Gopher rules: same signals via DuckDB list/regex functions (replace()
+    // is global where Spark's regexp_replace is; '...' counts by length
+    // delta over non-overlapping replace — identical semantics)
+    "q_gopher_filter" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+                    FROM documents),
+              sig AS (SELECT doc_id,
+                        CAST(len(words) AS BIGINT) AS n_words,
+                        greatest(len(words), 1) AS nw,
+                        CAST(list_sum(list_transform(words, x -> length(x)))
+                             AS BIGINT) AS chars,
+                        length(text) - length(replace(text, '#', '')) AS n_hash,
+                        (length(text) - length(replace(text, '...', ''))) / 3
+                          + length(text) - length(replace(text, '…', ''))
+                          AS n_ell,
+                        len(list_filter(words,
+                          x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+                        CAST(list_contains(words, 'the') AS INT)
+                          + CAST(list_contains(words, 'and') AS INT)
+                          + CAST(list_contains(words, 'of') AS INT)
+                          + CAST(list_contains(words, 'to') AS INT)
+                          + CAST(list_contains(words, 'in') AS INT)
+                          + CAST(list_contains(words, 'a') AS INT)
+                          + CAST(list_contains(words, 'is') AS INT)
+                          AS stopword_count
+                      FROM w)
+         SELECT doc_id, n_words,
+                round(CAST(chars AS DOUBLE) / nw, 6) AS mean_word_chars,
+                round(CAST(n_hash + n_ell AS DOUBLE) / nw, 6) AS symbol_word_ratio,
+                round(CAST(n_alpha AS DOUBLE) / nw, 6) AS alpha_word_frac,
+                stopword_count,
+                (n_words BETWEEN 40 AND 100000)
+                  AND (CAST(chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0)
+                  AND (CAST(n_hash + n_ell AS DOUBLE) / nw <= 0.1)
+                  AND (CAST(n_alpha AS DOUBLE) / nw >= 0.8)
+                  AND (stopword_count >= 2) AS gopher_keep
+         FROM sig""",
+    // URL normalize: identical regexes re-evaluated by DuckDB over the
+    // same synthesized URLs — scheme/host casefold, default-port strip,
+    // trailing-slash trim, utm_* filter, fragment drop
+    "q_url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+              p AS (SELECT doc_id, url,
+                      lower(regexp_extract(url,
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS sch,
+                      regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS hp,
+                      regexp_extract(url,
+                        '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+                      regexp_extract(url, '[?]([^#]*)', 1) AS q
+                    FROM u),
+              p2 AS (SELECT doc_id, sch,
+                       lower(regexp_extract(hp, '^([^:]+)', 1)) AS hst,
+                       regexp_extract(hp, ':([0-9]+)$$', 1) AS prt,
+                       pth, q FROM p),
+              p3 AS (SELECT *,
+                       regexp_extract(hst, '([^.]+[.][^.]+)$$', 1) AS dom,
+                       array_to_string(list_filter(string_split(q, '&'),
+                         x -> x <> '' AND NOT starts_with(x, 'utm_')), '&') AS cq,
+                       CASE WHEN regexp_replace(pth, '/+$$', '') = '' THEN '/'
+                            ELSE regexp_replace(pth, '/+$$', '') END AS cpth
+                     FROM p2)
+         SELECT doc_id, sch AS url_scheme, hst AS url_host, dom AS url_domain,
+                pth AS url_path,
+                sch || '://' || hst
+                  || CASE WHEN prt <> ''
+                            AND NOT (sch = 'http' AND prt = '80')
+                            AND NOT (sch = 'https' AND prt = '443')
+                          THEN ':' || prt ELSE '' END
+                  || cpth
+                  || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS url_norm
+         FROM p3""",
+    // domain rollup: counts + distinct hosts + share per registered domain
+    "q_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url FROM documents),
+              h AS (SELECT lower(regexp_extract(regexp_extract(url,
+                      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1),
+                      '^([^:]+)', 1)) AS hst FROM u),
+              d AS (SELECT regexp_extract(hst, '([^.]+[.][^.]+)$$', 1)
+                      AS url_domain, hst FROM h),
+              a AS (SELECT url_domain, count(*) AS n_docs,
+                      count(DISTINCT hst) AS n_hosts
+                    FROM d GROUP BY url_domain)
+         SELECT url_domain, n_docs, n_hosts,
+                round(CAST(n_docs AS DOUBLE)
+                      / (SELECT sum(n_docs) FROM a), 6) AS doc_share
+         FROM a""",
+    // boilerplate removal: document-frequency threshold per source group,
+    // survivors reassembled in order, fully-stripped docs kept empty
+    "q_boilerplate" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents
+                       WHERE text IS NOT NULL),
+              gc AS (SELECT source, count(*) AS n_docs FROM base GROUP BY source),
+              u AS (SELECT doc_id, source,
+                      unnest(string_split(text, ' ')) AS unit,
+                      unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+                    FROM base),
+              lf AS (SELECT source, unit, count(DISTINCT doc_id) AS n
+                     FROM u GROUP BY source, unit),
+              keep AS (SELECT u.doc_id, u.pos, u.unit FROM u
+                       JOIN lf ON u.source = lf.source AND u.unit = lf.unit
+                       JOIN gc ON u.source = gc.source
+                       WHERE lf.n < greatest(2, CAST(ceil(0.9 * gc.n_docs) AS BIGINT))),
+              agg AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS text,
+                             count(*) AS n_kept FROM keep GROUP BY doc_id),
+              tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(a.text, '') AS text,
+                t.n_units, t.n_units - coalesce(a.n_kept, 0) AS n_removed
+         FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
     "q_ngram_jaccard" -> jaccardSql,
     // transitive closure over the SAME pair set, min reachable id per vertex
     "q_dedup_clusters" ->
@@ -2209,6 +2459,21 @@ object SparkEntry {
                 round(CAST(sum_abs AS DOUBLE) / nf, 6) AS mean_abs,
                 round(sqrt(CAST(sum_sq AS DOUBLE) / nf), 6) AS rms
          FROM agg""",
+    // audio time-domain features: crossings and DC in closed form per
+    // waveform class (constant / alternating / block)
+    "q_audio_features" ->
+      """SELECT doc_id,
+                CAST(2 * (16 + doc_id % 8) AS INT) AS n_frames,
+                CAST(CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 0
+                       WHEN 1 THEN 2 * (16 + doc_id % 8) - 1
+                       ELSE 1 END AS BIGINT) AS zero_crossings,
+                round(CASE WHEN doc_id % 3 = 0
+                           THEN CAST(doc_id % 500 + 1 AS DOUBLE)
+                           ELSE ((doc_id % 500 + 1)
+                                 - ((doc_id * 3) % 500 + 1)) / 2.0
+                      END, 6) AS dc_offset
+         FROM documents WHERE doc_id % 13 = 0""",
     // AIFF round-trip: same closed forms as q_audio_decode (half the samples
     // at +A, half at -B), through the big-endian container
     "q_audio_aiff" ->

@@ -65,6 +65,81 @@ final case class MaxNearDupFraction(
         s"$targetPrefix$target were allowed to."))
 }
 
+/** Document-quality budget: the fraction of documents passing the Gopher
+  * rule set ([[graft.ops.TextAnalysis.gopherRules]] — word-count bounds,
+  * mean word length, symbol/bullet/ellipsis ratios, alpha fraction,
+  * stopword presence) must reach the target. One codegen'd projection +
+  * one count pair — nothing but two longs leaves the executors.
+  */
+final case class MinGopherKeepFraction(
+    ref: DataRef,
+    textColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    minWords: Int = 50,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"min_gopher_keep_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val base = r.selection(spark).where(col(textColumn).isNotNull)
+    val row = graft.ops.TextAnalysis
+      .gopherRules(base, textColumn, minWords = minWords)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("gopher_keep"), 1)).as("kept"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 1.0 else row.getLong(1).toDouble / total
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual >= target,
+      Some(s"only $factual of ${ref.describe} documents pass the Gopher " +
+        s"quality rules while at least $targetPrefix$target must."))
+}
+
+/** Boilerplate budget: the fraction of corpus units (lines) removed by the
+  * cross-document frequency pass ([[graft.ops.Dedup.removeBoilerplate]])
+  * must stay ≤ the target — a corpus whose crawl suddenly duplicates
+  * navigation chrome everywhere fails loudly instead of silently shrinking
+  * after cleaning.
+  */
+final case class MaxBoilerplateFraction(
+    ref: DataRef,
+    textColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    delimiter: String = "\n",
+    minDocFraction: Double = 0.5,
+    groupColumn: Option[String] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_boilerplate_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val base = r.selection(spark)
+      .where(col(textColumn).isNotNull)
+      .withColumn("dj_bid", monotonically_increasing_id())
+    val row = Dedup
+      .removeBoilerplate(base, textColumn, "dj_bid", delimiter,
+        minDocFraction = minDocFraction, groupCol = groupColumn)
+      .agg(sum(col("n_units")).as("units"), sum(col("n_removed")).as("removed"))
+      .head()
+    if (row.isNullAt(0) || row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0)
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} units are cross-document " +
+        s"boilerplate while only $targetPrefix$target were allowed to be."))
+}
+
 /** Token-level duplication budget: the fraction of corpus TOKENS lying
   * inside duplicated exact-substring spans (`Dedup.duplicatedSpans` — every
   * `windowTokens`-token window occurring anywhere earlier in the corpus)

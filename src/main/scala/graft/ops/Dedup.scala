@@ -772,6 +772,78 @@ object Dedup {
             s => s.getField("dj_para"))).as(textCol))
   }
 
+  /** Boilerplate-line removal (the CCNet/C4 "strip lines repeated across
+    * many documents" pass — navbars, cookie banners, license footers): a
+    * delimiter-separated unit is boilerplate WITHIN its `groupCol` slice
+    * (e.g. the crawl source; global when None) if it appears in at least
+    * `max(minDocs, ceil(minDocFraction * group-doc-count))` distinct
+    * documents. Every occurrence of a boilerplate unit is removed and the
+    * survivors are reassembled in order; fully-boilerplate documents stay
+    * in the output with empty text (so downstream min-length filters see
+    * them, instead of them silently vanishing).
+    *
+    * Plan: one explode, ONE countDistinct aggregate over (group, unit
+    * fingerprint) — partial-aggregated, so a navbar repeated in 100 M docs
+    * arrives at its reducer as per-partition distinct sets, not 100 M rows
+    * — a broadcast of the tiny per-group doc-count table, one join back on
+    * the fingerprint, and a per-doc reassembly aggregate. Nothing driver-
+    * side, no window over an unpartitioned frame.
+    *
+    * Output: (`idCol`, `textCol` cleaned, `n_units`, `n_removed`).
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      delimiter: String = "\n",
+      minDocFraction: Double = 0.5,
+      minDocs: Long = 2,
+      groupCol: Option[String] = None): DataFrame = {
+    require(minDocFraction > 0 && minDocFraction <= 1,
+      s"minDocFraction must lie in (0, 1]: $minDocFraction")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val keep = Seq(col(idCol)) ++ groupCol.map(col)
+    val g = groupCol.map(col).getOrElse(lit(""))
+    val base = spread(
+      df.where(col(textCol).isNotNull).select(keep :+ col(textCol): _*))
+    val units = base
+      .select(
+        col(idCol),
+        g.as("dj_grp"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
+      .toDF(idCol, "dj_grp", "dj_pos", "dj_unit")
+      .withColumn("dj_fp", md5(col("dj_unit").cast("binary")))
+    // tiny: one row per group (one row total when ungrouped) — broadcast
+    val groupDocs = broadcast(
+      base.groupBy(g.as("dj_grp")).agg(count(lit(1)).as("dj_group_docs")))
+    val unitDocs = units
+      .groupBy(col("dj_grp"), col("dj_fp"))
+      .agg(countDistinct(col(idCol)).as("dj_unit_docs"))
+    val kept = units
+      .join(unitDocs, Seq("dj_grp", "dj_fp"))
+      .join(groupDocs, Seq("dj_grp"))
+      .where(col("dj_unit_docs") <
+        greatest(lit(minDocs), ceil(lit(minDocFraction) * col("dj_group_docs"))))
+    val keptAgg = kept
+      .groupBy(idCol)
+      .agg(
+        concat_ws(
+          delimiter,
+          transform(
+            array_sort(collect_list(struct(col("dj_pos"), col("dj_unit")))),
+            s => s.getField("dj_unit"))).as("dj_text"),
+        count(lit(1)).as("dj_kept"))
+    units
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_units"))
+      .join(keptAgg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("dj_text"), lit("")).as(textCol),
+        col("n_units"),
+        (col("n_units") - coalesce(col("dj_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Connected components over near-dup pair edges → one row per vertex:
     * (`id`, `cluster_id` = minimum id in its component) — the step every
     * dedup pipeline runs after pair generation, so "keep one doc per

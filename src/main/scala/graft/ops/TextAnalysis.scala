@@ -143,6 +143,85 @@ object TextAnalysis {
         UrlPattern, "[URL]"),
       PhonePattern, "[PHONE]")
 
+  // --- Gopher quality rules (Rae et al. 2021, "Scaling Language Models" —
+  // the published document-level heuristics most curation pipelines start
+  // from). Every signal is a pure column expression (codegen'd, zero
+  // shuffle: a full-corpus filter is one projection), and every arithmetic
+  // form is chosen to be exactly recomputable by the SQL oracle. ---
+
+  private val gopherStopwords =
+    Seq("the", "and", "of", "to", "in", "a", "is")
+
+  /** Per-document Gopher rule signals + the composite `gopher_keep` flag.
+    * Words are the raw space-separated units (not `normalize`d — the rules
+    * measure the RAW text's noisiness), lines the newline-separated ones.
+    *
+    *   - `n_words` in [`minWords`, `maxWords`]
+    *   - `mean_word_chars` in [`minMeanWordChars`, `maxMeanWordChars`]
+    *   - `symbol_word_ratio` ('#' or ellipsis per word) ≤ `maxSymbolRatio`
+    *   - `bullet_line_frac` (lines starting `-`/`*`/`•`) ≤ `maxBulletFrac`
+    *   - `ellipsis_line_frac` (lines ending `...`/`…`) ≤ `maxEllipsisFrac`
+    *   - `alpha_word_frac` (words with ≥1 ASCII letter) ≥ `minAlphaFrac`
+    *   - `stopword_count` (DISTINCT hits from a fixed 7-word list) ≥
+    *     `minStopwords`
+    */
+  def gopherRules(
+      df: DataFrame,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordChars: Double = 3.0,
+      maxMeanWordChars: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nWords = size(words).cast("long")
+    val nWordsSafe = greatest(nWords, lit(1L))
+    // exact integer char total (no float accumulation): sum of word lengths
+    val charTotal = aggregate(
+      transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+    val meanWordChars = charTotal.cast("double") / nWordsSafe
+    // '#' per char diff; ellipsis occurrences via non-overlapping replace —
+    // identical leftmost-non-overlapping semantics in Spark and DuckDB
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis =
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3 +
+        (length(t) - length(regexp_replace(t, "…", "")))
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nWordsSafe
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("long")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines
+    val alphaFrac = size(filter(words, w => w.rlike("[a-zA-Z]")))
+      .cast("double") / nWordsSafe
+    val stopCount = gopherStopwords
+      .map(w => array_contains(words, w).cast("int"))
+      .reduce(_ + _)
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_chars", meanWordChars)
+      .withColumn("symbol_word_ratio", symbolRatio)
+      .withColumn("bullet_line_frac", bulletFrac)
+      .withColumn("ellipsis_line_frac", ellipsisFrac)
+      .withColumn("alpha_word_frac", alphaFrac)
+      .withColumn("stopword_count", stopCount)
+      .withColumn(
+        "gopher_keep",
+        nWords.between(minWords, maxWords) &&
+          meanWordChars.between(minMeanWordChars, maxMeanWordChars) &&
+          symbolRatio <= maxSymbolRatio &&
+          bulletFrac <= maxBulletFrac &&
+          ellipsisFrac <= maxEllipsisFrac &&
+          alphaFrac >= minAlphaFrac &&
+          stopCount >= minStopwords)
+  }
+
   /** Convenience: the standard per-document analysis frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

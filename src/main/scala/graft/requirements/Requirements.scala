@@ -121,6 +121,42 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at least `minFraction` of documents must pass the
+    * Gopher quality rule set (word counts, mean word length,
+    * symbol/bullet/ellipsis ratios, alpha fraction, stopword presence).
+    */
+  def addMinGopherKeepFractionConstraint(
+      textColumn: String,
+      minFraction: Double,
+      minWords: Int = 50,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinGopherKeepFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn,
+      refValue = Some(minFraction), minWords = minWords, nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: at most `maxFraction` of delimiter-separated units
+    * may be cross-document boilerplate (present in ≥ `minDocFraction` of
+    * the documents of their `groupColumn` slice).
+    */
+  def addMaxBoilerplateFractionConstraint(
+      textColumn: String,
+      maxFraction: Double,
+      delimiter: String = "\n",
+      minDocFraction: Double = 0.5,
+      groupColumn: Option[String] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxBoilerplateFraction(
+      ref(Some(Seq(textColumn) ++ groupColumn), condition), textColumn,
+      refValue = Some(maxFraction), delimiter = delimiter,
+      minDocFraction = minDocFraction, groupColumn = groupColumn,
+      nameOverride = name)
+    this
+  }
+
   def addMaxSemanticDupFractionConstraint(
       embeddingColumn: String,
       maxFraction: Double,

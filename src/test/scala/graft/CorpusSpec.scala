@@ -300,6 +300,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(empty.test(spark).head.outcome)
   }
 
+  test("MinGopherKeepFraction: quality budget as a declarable constraint") {
+    import graft.requirements.WithinRequirement
+    val good =
+      Seq.fill(10)("the quick brown foxes and jumps of to in a is lazy dogs")
+        .mkString(" ")
+    val df = docs(1L -> good, 2L -> good, 3L -> good, 4L -> "way too short")
+    val req = WithinRequirement.fromDataFrame(df, "corpus")
+    req.addMinGopherKeepFractionConstraint("text", minFraction = 0.75, minWords = 50)
+    req.addMinGopherKeepFractionConstraint("text", minFraction = 0.76, minWords = 50)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message) // 3 of 4 pass
+    assert(!results(1).outcome)
+    assert(results(1).failureMessage.exists(_.contains("Gopher")))
+    val empty = WithinRequirement.fromDataFrame(docs(), "empty")
+    empty.addMinGopherKeepFractionConstraint("text", minFraction = 1.0)
+    assert(empty.test(spark).head.outcome)
+  }
+
+  test("MaxBoilerplateFraction: boilerplate budget as a declarable constraint") {
+    import graft.requirements.WithinRequirement
+    val df = docs(
+      1L -> "nav\nalpha\nbeta",
+      2L -> "nav\ngamma",
+      3L -> "nav\ndelta",
+      4L -> "epsilon")
+    // "nav" in 3/4 docs ≥ ceil(0.5·4)=2 → 3 of 8 units removed = 0.375
+    val req = WithinRequirement.fromDataFrame(df, "corpus")
+    req.addMaxBoilerplateFractionConstraint("text", maxFraction = 0.375)
+    req.addMaxBoilerplateFractionConstraint("text", maxFraction = 0.3)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message)
+    assert(!results(1).outcome)
+    assert(results(1).failureMessage.exists(_.contains("boilerplate")))
+    val empty = WithinRequirement.fromDataFrame(docs(), "empty")
+    empty.addMaxBoilerplateFractionConstraint("text", maxFraction = 0.0)
+    assert(empty.test(spark).head.outcome)
+  }
+
   test("MaxSemanticDupFraction: embedding-space duplication budget constraint") {
     import graft.requirements.WithinRequirement
     import org.apache.spark.sql.types.{ArrayType, FloatType}

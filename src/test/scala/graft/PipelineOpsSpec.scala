@@ -116,6 +116,89 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == "ab|CHUNK|longer paragraph")
   }
 
+  test("gopherRules: each rule trips independently, composite ANDs them") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val good =
+      Seq.fill(12)("the quick brown foxes and jumps of to in a is lazy dogs")
+        .mkString(" ")
+    val df = Seq(
+      (1L, good),                                     // passes everything
+      (2L, "too short the and"),                      // n_words < minWords
+      (3L, good + " ##### ##### ##### ##### #####"),  // symbol ratio > 0.1
+      (4L, good.replace(" ", " … ")),                 // symbols per word >> 0.1
+      (5L, Seq.fill(50)("zz9 88").mkString(" ")),     // no stopwords
+      (6L, (1 to 60).map(_ => "12345").mkString(" ")) // no alpha words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "text", minWords = 50)
+      .select("doc_id", "gopher_keep", "n_words", "stopword_count")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L)._1, "clean doc passes")
+    assert(out(1L)._3 === 7, "all seven stopwords present")
+    assert(!out(2L)._1 && out(2L)._2 === 4L)
+    assert(!out(3L)._1, "hash symbols fail the ratio")
+    assert(!out(4L)._1, "ellipsis symbols fail the ratio")
+    assert(!out(5L)._1 && out(5L)._3 === 0)
+    assert(!out(6L)._1, "all-numeric words fail the alpha fraction")
+  }
+
+  test("gopherRules: bullet and ellipsis line fractions") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val wordy = Seq.fill(60)("the of a is and").mkString(" ")
+    val bullets = (1 to 10).map(i => s"- item $i of the a is and thing")
+      .mkString("\n") + "\n" + wordy
+    val trailing = (1 to 9).map(i => s"line $i of the a is and then...")
+      .mkString("\n") + "\n" + wordy
+    val df = Seq((1L, bullets), (2L, trailing)).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .gopherRules(df, "text", minWords = 10,
+        maxBulletFrac = 0.5, maxEllipsisFrac = 0.5)
+      .select("doc_id", "bullet_line_frac", "ellipsis_line_frac", "gopher_keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 > 0.5 && !out(1L)._3, "bullet-heavy doc fails")
+    assert(out(2L)._2 === 0.9 && !out(2L)._3, "ellipsis-trailing doc fails")
+  }
+
+  test("removeBoilerplate: df-threshold strips per group, empty docs survive") {
+    import spark.implicits._
+    val df = Seq(
+      // group A: 4 docs — threshold ceil(0.5*4)=2 docs
+      (1L, "A", "nav\nalpha\nfoot"),
+      (2L, "A", "nav\nbeta"),
+      (3L, "A", "gamma\nfoot"),
+      (4L, "A", "nav\nfoot"), // fully boilerplate → empty text, still present
+      // group B: 1 doc — "nav" here is NOT boilerplate (minDocs=2 floor)
+      (5L, "B", "nav\ndelta")
+    ).toDF("doc_id", "src", "text")
+    val out = Dedup
+      .removeBoilerplate(df, "text", "doc_id", minDocFraction = 0.5,
+        groupCol = Some("src"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === (("alpha", 3L, 2L)))
+    assert(out(2L) === (("beta", 2L, 1L)))
+    assert(out(3L) === (("gamma", 2L, 1L)))
+    assert(out(4L) === (("", 2L, 2L)), "fully-stripped doc stays, empty")
+    assert(out(5L) === (("nav\ndelta", 2L, 0L)), "singleton group keeps everything")
+  }
+
+  test("removeBoilerplate: global mode with fraction threshold") {
+    import spark.implicits._
+    val df = (1L to 10L).map { i =>
+      (i, if (i <= 9) "promo\nbody" + i else "body10")
+    }.toDF("doc_id", "text")
+    // "promo" in 9/10 docs ≥ ceil(0.8*10)=8 → stripped everywhere
+    val out = Dedup
+      .removeBoilerplate(df, "text", "doc_id", minDocFraction = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 9L).forall(i => out(i) == s"body$i"))
+    assert(out(10L) == "body10")
+  }
+
   test("duplicatedSpans: non-first window occurrences mark spans, unions merge") {
     val df = docs(
       // all windows first-occurrence → dup 0

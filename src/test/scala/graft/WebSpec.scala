@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Web
+
+/** URL parsing/normalization edge cases beyond what the corpus-wide gate
+  * query exercises: missing components, default vs explicit ports, utm-only
+  * queries, and non-URL payloads degrading to empty parts.
+  */
+class WebSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(urls: String*): Seq[String] = {
+    val df = urls.toDF("url")
+    df.select(Web.normalizeUrl(col("url"))).as[String].collect().toSeq
+  }
+
+  test("normalizeUrl canonical forms") {
+    assert(norm("HTTPS://Example.COM/") === Seq("https://example.com/"))
+    assert(norm("https://example.com:443/a/") === Seq("https://example.com/a"))
+    assert(norm("http://example.com:80/a") === Seq("http://example.com/a"))
+    // non-default port survives; https on 80 is explicit, kept
+    assert(norm("http://example.com:8080/a") === Seq("http://example.com:8080/a"))
+    assert(norm("https://example.com:80/a") === Seq("https://example.com:80/a"))
+    // bare host → root path; fragment dropped
+    assert(norm("https://example.com#top") === Seq("https://example.com/"))
+    // tracking params dropped, order preserved, empty query omitted
+    assert(norm("https://e.com/p?utm_source=x&a=1&utm_b=2&b=2")
+      === Seq("https://e.com/p?a=1&b=2"))
+    assert(norm("https://e.com/p?utm_source=x") === Seq("https://e.com/p"))
+  }
+
+  test("parts of a URL with everything present") {
+    val df = Seq("HTTP://User.Site.co:8080/x/y?a=1#f").toDF("url")
+    val r = df.select(
+      Web.scheme(col("url")), Web.host(col("url")), Web.port(col("url")),
+      Web.path(col("url")), Web.query(col("url")), Web.fragment(col("url")),
+      Web.registeredDomain(col("url"))).head()
+    assert(r.getString(0) === "http")
+    assert(r.getString(1) === "user.site.co")
+    assert(r.getString(2) === "8080")
+    assert(r.getString(3) === "/x/y")
+    assert(r.getString(4) === "a=1")
+    assert(r.getString(5) === "f")
+    assert(r.getString(6) === "site.co")
+  }
+
+  test("non-URL and single-label hosts degrade to empty parts") {
+    val df = Seq("not a url", "https://localhost/x").toDF("url")
+    val r = df.select(Web.scheme(col("url")), Web.host(col("url")),
+      Web.registeredDomain(col("url"))).collect()
+    assert(r(0).getString(0) === "" && r(0).getString(1) === "")
+    assert(r(1).getString(1) === "localhost")
+    assert(r(1).getString(2) === "", "no dot → no registered domain")
+  }
+
+  test("domainStats shares sum to 1 and count hosts distinctly") {
+    val df = Seq(
+      "https://a.x.org/1", "https://b.x.org/2", "https://a.x.org/3",
+      "https://y.net/4").toDF("url")
+    val rows = Web.domainStats(df, "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("x.org") === ((3L, 2L, 0.75)))
+    assert(rows("y.net") === ((1L, 1L, 0.25)))
+  }
+}
