@@ -1397,6 +1397,26 @@ object SparkEntry {
         s.read.parquet(pq(dir, "documents")), "text", k = 50)
     },
 
+    // Count-Min sketch (ops.Sketches): token frequencies folded into a
+    // 4×64 grouped-count table (deliberately narrow so collisions make the
+    // estimates diverge from true counts — the CMS arithmetic is what's
+    // verified, not plain counting), then point estimates for 8 probe
+    // words including one absent. The oracle rebuilds sketch AND estimates
+    // from the same row-salted md5 hashing.
+    "q_cms_counts" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ops.{Sketches, TextAnalysis}
+      val toks = s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = Sketches.cmsSketch(toks, "tok", depth = 4, width = 64)
+      val probes = Seq(
+        "table", "value", "spark", "row", "key", "data", "vector",
+        "zzz_absent").toDF("word")
+      Sketches.cmsEstimate(sketch, probes, "word", depth = 4, width = 64)
+        .select(col("word"), col("cms_count"))
+    },
+
     // deterministic train/val/test assignment: split is a pure function of
     // md5(id ":" seed) against integer-lattice hex boundaries — DuckDB
     // recomputes membership bit-for-bit from the same digest
@@ -2321,6 +2341,27 @@ object SparkEntry {
          SELECT t.doc_id, coalesce(a.text, '') AS text,
                 t.n_units, t.n_units - coalesce(a.n_kept, 0) AS n_removed
          FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id""",
+    // CMS: sketch cells and min-over-rows estimates from the identical
+    // row-salted md5 buckets
+    "q_cms_counts" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS t
+                        FROM documents WHERE text IS NOT NULL),
+              ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+              pairs AS (SELECT d,
+                          ('0x' || substring(md5(d || ':' || t), 1, 15))::BIGINT
+                            % 64 AS bucket
+                        FROM toks, ds),
+              sk AS (SELECT d, bucket, count(*) AS cnt
+                     FROM pairs GROUP BY d, bucket),
+              probes AS (SELECT unnest(['table', 'value', 'spark', 'row',
+                           'key', 'data', 'vector', 'zzz_absent']) AS word),
+              pe AS (SELECT word, d,
+                       ('0x' || substring(md5(d || ':' || word), 1, 15))::BIGINT
+                         % 64 AS bucket
+                     FROM probes, ds),
+              est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
+                      FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
+         SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
     "q_ngram_jaccard" -> jaccardSql,
     // transitive closure over the SAME pair set, min reachable id per vertex
     "q_dedup_clusters" ->
