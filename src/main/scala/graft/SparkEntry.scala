@@ -1417,6 +1417,43 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // Bloom filter (ops.Sketches): even doc_ids into a 4×4096-bit filter
+    // (the set-bit table), then EVERY doc_id probed — evens must all hit
+    // (no false negatives), odds hit only on deterministic collisions. The
+    // oracle rebuilds bits and verdicts from the same salted md5.
+    "q_bloom_filter" -> { (s, dir) =>
+      import graft.ops.Sketches
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val members = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").cast("string").as("v"))
+      val sketch = Sketches.bloomSketch(members, "v", hashes = 4, bits = 4096)
+      val probes = docs.select(col("doc_id").cast("string").as("v"))
+      Sketches.bloomContains(sketch, probes, "v", hashes = 4, bits = 4096)
+        .select(col("v").cast("long").as("doc_id"), col("might_contain"))
+    },
+
+    // HyperLogLog (ops.Sketches): register tables over two streams chosen
+    // to land on BOTH estimator branches — 500 distinct doc_ids (raw
+    // harmonic-mean branch at m=64) and the ~40-word token vocabulary
+    // (linear-counting branch). Registers are integer-exact via the
+    // bin()-length rank trick; the oracle rebuilds registers and the
+    // estimate arithmetic.
+    "q_hll_uniques" -> { (s, dir) =>
+      import graft.ops.{Sketches, TextAnalysis}
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val ids = docs.select(col("doc_id").cast("string").as("v"))
+      val toks = docs.where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("v"))
+      def leg(df: DataFrame, label: String) =
+        Sketches.hllEstimate(Sketches.hllSketch(df, "v", b = 6), b = 6)
+          .select(
+            lit(label).as("stream"),
+            col("n_hit"),
+            col("n_zero_buckets"),
+            round(col("estimate"), 6).as("estimate"))
+      leg(ids, "doc_ids").unionByName(leg(toks, "tokens"))
+    },
+
     // deterministic train/val/test assignment: split is a pure function of
     // md5(id ":" seed) against integer-lattice hex boundaries — DuckDB
     // recomputes membership bit-for-bit from the same digest
@@ -2362,6 +2399,66 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // Bloom: set-bit table + all-bits-present verdicts from identical
+    // salted md5 bits
+    "q_bloom_filter" ->
+      """WITH vals AS (SELECT CAST(doc_id AS VARCHAR) AS v FROM documents
+                       WHERE doc_id % 2 = 0),
+              ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+              bits AS (SELECT DISTINCT
+                         ('0x' || substring(md5('b' || d || ':' || v), 1, 15))::BIGINT
+                           % 4096 AS bit
+                       FROM vals, ds),
+              probes AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS v
+                         FROM documents),
+              pb AS (SELECT doc_id,
+                       ('0x' || substring(md5('b' || d || ':' || v), 1, 15))::BIGINT
+                         % 4096 AS bit
+                     FROM probes, ds),
+              r AS (SELECT doc_id,
+                      min(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) AS hit
+                    FROM pb LEFT JOIN bits ON pb.bit = bits.bit
+                    GROUP BY doc_id)
+         SELECT doc_id, hit = 1 AS might_contain FROM r""",
+    // HLL: exact register rebuild (bin()-length rank) + the same estimator
+    // arithmetic; ln() is the one cross-engine-libm op — round 6 absorbs it
+    "q_hll_uniques" ->
+      s"""WITH ids AS (SELECT CAST(doc_id AS VARCHAR) AS v FROM documents),
+              toks AS (SELECT unnest(string_split($normSql, ' ')) AS v
+                       FROM documents WHERE text IS NOT NULL),
+              h1 AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+                     FROM ids),
+              r1 AS (SELECT h % 64 AS b,
+                       max(CASE WHEN h // 64 = 0 THEN 55
+                                ELSE 54 - length(bin(h // 64)) + 1 END) AS r
+                     FROM h1 GROUP BY 1),
+              e1 AS (SELECT count(*) AS n_hit, 64 - count(*) AS nz,
+                       CAST(sum(CAST(pow(2, 54 - r) AS DECIMAL(38, 0)))
+                            AS DOUBLE) AS hs
+                     FROM r1),
+              h2 AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+                     FROM toks),
+              r2 AS (SELECT h % 64 AS b,
+                       max(CASE WHEN h // 64 = 0 THEN 55
+                                ELSE 54 - length(bin(h // 64)) + 1 END) AS r
+                     FROM h2 GROUP BY 1),
+              e2 AS (SELECT count(*) AS n_hit, 64 - count(*) AS nz,
+                       CAST(sum(CAST(pow(2, 54 - r) AS DECIMAL(38, 0)))
+                            AS DOUBLE) AS hs
+                     FROM r2),
+              u AS (SELECT 'doc_ids' AS stream, * FROM e1
+                    UNION ALL SELECT 'tokens', * FROM e2),
+              est AS (SELECT stream, n_hit, nz,
+                        (((0.7213 / (1 + 1.079 / 64.0)) * 64.0) * 64.0)
+                          * pow(2, 54)
+                          / (hs + CAST(64 - n_hit AS DOUBLE) * pow(2, 54))
+                          AS raw
+                      FROM u)
+         SELECT stream, n_hit, CAST(nz AS BIGINT) AS n_zero_buckets,
+                round(CASE WHEN raw <= 160.0 AND nz > 0
+                           THEN 64.0 * ln(64.0 / nz) ELSE raw END, 6)
+                  AS estimate
+         FROM est""",
     "q_ngram_jaccard" -> jaccardSql,
     // transitive closure over the SAME pair set, min reachable id per vertex
     "q_dedup_clusters" ->

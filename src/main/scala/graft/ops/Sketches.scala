@@ -52,6 +52,128 @@ object Sketches {
       .groupBy("cms_row", "cms_bucket")
       .agg(sum(col("cnt")).as("cnt"))
 
+  // --- Bloom filter: the set-membership sibling. The sketch is the table
+  // of SET BIT POSITIONS (≤ m rows, distinct) — merge is union-distinct,
+  // membership is a broadcast join. ---
+
+  /** Hash-`d` bit position of a value (same salted-md5 family as CMS). */
+  def bloomBit(value: Column, d: Int, bits: Int): Column =
+    conv(substring(md5(concat(lit(s"b$d:"), value.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % bits
+
+  /** Build a Bloom filter of `valueCol`: the distinct set-bit positions for
+    * `hashes` salted hash rows over a `bits`-wide bit space.
+    */
+  def bloomSketch(
+      df: DataFrame,
+      valueCol: String,
+      hashes: Int = 4,
+      bits: Int = 1024): DataFrame = {
+    require(hashes >= 1 && bits >= 1, s"bad bloom geometry: $hashes x $bits")
+    val pos = (0 until hashes).map(d => bloomBit(col(valueCol), d, bits))
+    df.where(col(valueCol).isNotNull)
+      .select(explode(array(pos: _*)).as("bloom_bit"))
+      .distinct()
+  }
+
+  /** Merge Bloom filters of the same geometry: bit-OR = union-distinct. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Membership test: `might_contain` is true iff EVERY probe bit is set —
+    * no false negatives, false-positive rate set by the geometry. The bit
+    * table is tiny — broadcast.
+    */
+  def bloomContains(
+      sketch: DataFrame,
+      probes: DataFrame,
+      valueCol: String,
+      hashes: Int = 4,
+      bits: Int = 1024): DataFrame = {
+    val pos = (0 until hashes).map(d => bloomBit(col(valueCol), d, bits))
+    probes
+      .where(col(valueCol).isNotNull)
+      .select(col(valueCol), explode(array(pos: _*)).as("bloom_bit"))
+      .join(broadcast(sketch.withColumn("dj_set", lit(1))), Seq("bloom_bit"), "left")
+      .groupBy(valueCol)
+      .agg((min(coalesce(col("dj_set"), lit(0))) === 1).as("might_contain"))
+  }
+
+  // --- HyperLogLog: mergeable cardinality registers. The sketch is the
+  // (bucket → max leading-zero rank) table (≤ 2^b rows); merge is a
+  // union+max; the estimate is the standard bias-corrected harmonic mean
+  // with the linear-counting small-range branch. The rank uses the exact
+  // integer trick `rank = maxRank - length(bin(suffix)) + 1` (bin() exists
+  // in both Spark and DuckDB and never emits leading zeros), so the whole
+  // register table is integer-exact and the oracle rebuilds it
+  // bit-for-bit. ---
+
+  /** Number of suffix bits carried by the 60-bit md5 hash after `b` bucket
+    * bits. */
+  private def hllSuffixBits(b: Int): Int = 60 - b
+
+  /** HLL register table of `valueCol` for `2^b` buckets: one row per
+    * non-empty bucket with the max rank (position of the first 1-bit in
+    * the hash suffix, 1-based; an all-zero suffix ranks suffixBits+1).
+    */
+  def hllSketch(df: DataFrame, valueCol: String, b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"bucket bits out of range: $b")
+    val m = 1 << b
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val bucket = h % m
+    // integer shift, NOT `/` (Column division is double — a 60-bit hash
+    // would lose low bits past the 53-bit mantissa)
+    val suffix = shiftright(h, b)
+    val rank = when(suffix === 0, lit(hllSuffixBits(b) + 1))
+      .otherwise(lit(hllSuffixBits(b)) - length(bin(suffix)) + 1)
+    df.where(col(valueCol).isNotNull)
+      .select(bucket.as("hll_bucket"), rank.cast("int").as("dj_rank"))
+      .groupBy("hll_bucket")
+      .agg(max(col("dj_rank")).as("hll_register"))
+  }
+
+  /** Merge HLL register tables of the same geometry: per-bucket max. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("hll_bucket").agg(max("hll_register").as("hll_register"))
+
+  /** Cardinality estimate from a register table: one row —
+    * (n_buckets_hit, n_zero_buckets, estimate). The harmonic-mean sum
+    * `Σ 2^-reg` is computed EXACTLY as an integer-scaled decimal
+    * (`Σ 2^(suffixBits-reg)` — every term a power of two ≤ 2^56), so the
+    * only floating-point steps are one multiply/divide on identical inputs
+    * (bit-deterministic cross-engine) and the `ln` of the linear-counting
+    * branch (rounded by callers). Standard constants: α_m = 0.7213/(1 +
+    * 1.079/m); linear counting below 2.5·m when empty buckets remain.
+    */
+  def hllEstimate(sketch: DataFrame, b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val sb = hllSuffixBits(b)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val agg = sketch.agg(
+      count(lit(1)).as("n_hit"),
+      // exact: each term 2^(sb - reg) is an integer power of two
+      sum(pow(lit(2.0), lit(sb) - col("hll_register")).cast("decimal(38,0)"))
+        .as("dj_hitsum"))
+    agg.select(
+      col("n_hit"),
+      (lit(m) - col("n_hit")).as("n_zero_buckets"),
+      // Σ over all m buckets of 2^-reg, scaled by 2^sb: hit buckets from
+      // the exact decimal sum, the (m - n_hit) empty ones contribute 2^sb
+      ((lit(alpha * m.toDouble * m) * math.pow(2.0, sb)) /
+        (col("dj_hitsum").cast("double") +
+          (lit(m) - col("n_hit")).cast("double") * math.pow(2.0, sb)))
+        .as("dj_raw"))
+      .select(
+        col("n_hit"),
+        col("n_zero_buckets"),
+        when(
+          col("dj_raw") <= lit(2.5 * m) && col("n_zero_buckets") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("n_zero_buckets")))
+          .otherwise(col("dj_raw"))
+          .as("estimate"))
+  }
+
   /** Point-frequency estimates for `probes`' `valueCol`: min over the
     * sketch rows of the probed cell (0 for a never-hit cell). The classic
     * CMS guarantee holds: estimate ≥ true count, with overshoot bounded by

@@ -57,4 +57,50 @@ class SketchesSpec extends AnyFunSuite {
     val n = Sketches.cmsSketch(big, "w", depth = 4, width = 64).count()
     assert(n <= 4L * 64)
   }
+
+  test("bloom: no false negatives; merge equals sketch of the union") {
+    val members = (1 to 200).map(i => s"m$i")
+    val sketch = Sketches.bloomSketch(members.toDF("v"), "v", 4, 8192)
+    val verdicts = Sketches
+      .bloomContains(sketch, members.toDF("v"), "v", 4, 8192)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(verdicts(_)), "a member must never read absent")
+    // absent probes: mostly false at this generous geometry
+    val absent = Sketches
+      .bloomContains(sketch, (1 to 200).map(i => s"a$i").toDF("v"), "v", 4, 8192)
+      .collect().count(_.getBoolean(1))
+    assert(absent < 20, s"false-positive burst: $absent/200")
+    val (x, y) = members.splitAt(77)
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomSketch(x.toDF("v"), "v", 4, 8192),
+      Sketches.bloomSketch(y.toDF("v"), "v", 4, 8192))
+      .as[Long].collect().toSet
+    assert(merged === sketch.as[Long].collect().toSet)
+  }
+
+  test("hll: estimate within expected error on both branches; merge = union") {
+    // raw branch: 5000 uniques at m=256 (b=8) — typical error ~1.04/√m ≈ 6.5%
+    val big = (1 to 5000).map(i => s"u$i").toDF("v")
+    val bigEst = Sketches.hllEstimate(Sketches.hllSketch(big, "v", 8), 8)
+      .head().getDouble(2)
+    assert(math.abs(bigEst - 5000) / 5000 < 0.2, s"raw-branch estimate $bigEst")
+    // linear-counting branch: 30 uniques at m=256
+    val small = (1 to 30).map(i => s"s$i").toDF("v")
+    val smallEst = Sketches.hllEstimate(Sketches.hllSketch(small, "v", 8), 8)
+      .head().getDouble(2)
+    assert(math.abs(smallEst - 30) / 30 < 0.2, s"linear-counting estimate $smallEst")
+    // duplicates don't move the registers
+    val dup = Sketches.hllEstimate(
+      Sketches.hllSketch(big.unionAll(big), "v", 8), 8).head().getDouble(2)
+    assert(dup === bigEst)
+    // merge: per-bucket max equals the union's sketch
+    val (p, q) = (1 to 5000).map(i => s"u$i").splitAt(2222)
+    val merged = Sketches.hllMerge(
+      Sketches.hllSketch(p.toDF("v"), "v", 8),
+      Sketches.hllSketch(q.toDF("v"), "v", 8))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = Sketches.hllSketch(big, "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === whole)
+  }
 }
