@@ -1417,6 +1417,47 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // referential integrity (ops.Integrity.orphanStats): parents carved to
+    // every third order so lineitems genuinely orphan — LEFT ANTI hash
+    // join + one count row; the oracle runs the NOT-EXISTS directly
+    "q_fk_orphans" -> { (s, dir) =>
+      import graft.ops.Integrity
+      val lineitem = s.read.parquet(pq(dir, "lineitem"))
+      val parents = s.read.parquet(pq(dir, "orders"))
+        .where(col("o_orderkey") % 3 =!= 0)
+      Integrity
+        .orphanStats(lineitem, parents, Seq("l_orderkey"), Seq("o_orderkey"))
+        .select(col("n_rows"), col("n_orphans"), col("n_orphan_keys"))
+    },
+
+    // within-key monotonicity (ops.Integrity): per user, event timestamps
+    // ordered by event_id — one per-key window counts the backwards pairs
+    "q_monotonic" -> { (s, dir) =>
+      import graft.ops.Integrity
+      Integrity
+        .monotonicityViolations(
+          s.read.parquet(pq(dir, "events")), "user_id", "event_id", "ts")
+        .select(col("user_id"), col("n_pairs"), col("n_violations"))
+    },
+
+    // z-score outliers (ops.Integrity.zOutliers): |x−μ| > 2σ over
+    // l_extendedprice, evaluated as the EXACT integer-scaled comparison
+    // (x·n − S)² > k²·(n·Q − S²) in cents — no float mean/stddev can
+    // flip a boundary row between engines. Oracle re-runs the same
+    // HUGEINT arithmetic.
+    "q_outliers" -> { (s, dir) =>
+      import graft.ops.Integrity
+      Integrity
+        .zOutliers(
+          s.read.parquet(pq(dir, "lineitem")), "l_extendedprice",
+          k = 2, scale = 100L)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("is_outlier"), 1)).as("n_outliers"),
+          round(max(when(col("is_outlier"), col("l_extendedprice"))), 6)
+            .as("max_outlier"))
+    },
+
     // Bloom filter (ops.Sketches): even doc_ids into a 4×4096-bit filter
     // (the set-bit table), then EVERY doc_id probed — evens must all hit
     // (no false negatives), odds hit only on deterministic collisions. The
@@ -2399,6 +2440,44 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // FK orphans: the NOT-EXISTS the anti join must reproduce
+    "q_fk_orphans" ->
+      """WITH p AS (SELECT DISTINCT o_orderkey FROM orders
+                    WHERE o_orderkey % 3 <> 0),
+              c AS (SELECT l_orderkey FROM lineitem
+                    WHERE l_orderkey IS NOT NULL),
+              o AS (SELECT c.l_orderkey FROM c
+                    LEFT JOIN p ON c.l_orderkey = p.o_orderkey
+                    WHERE p.o_orderkey IS NULL)
+         SELECT (SELECT count(*) FROM c) AS n_rows,
+                count(*) AS n_orphans,
+                count(DISTINCT l_orderkey) AS n_orphan_keys
+         FROM o""",
+    // monotonicity: identical per-key lag recomputation
+    "q_monotonic" ->
+      """WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id
+                                    ORDER BY event_id, ts) AS prev
+                    FROM events
+                    WHERE event_id IS NOT NULL AND ts IS NOT NULL)
+         SELECT user_id, count(prev) AS n_pairs,
+                count(*) FILTER (WHERE ts < prev) AS n_violations
+         FROM o GROUP BY user_id""",
+    // outliers: the same integer-scaled variance comparison in HUGEINT
+    "q_outliers" ->
+      """WITH b AS (SELECT l_extendedprice AS x,
+                      CAST(round(l_extendedprice * 100) AS HUGEINT) AS v
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      sum(v) AS sv, sum(v * v) AS q FROM b),
+              f AS (SELECT x,
+                      (v * n - sv) * (v * n - sv) > 4 * (n * q - sv * sv)
+                        AS is_out
+                    FROM b, s)
+         SELECT count(*) AS n_rows,
+                count(*) FILTER (WHERE is_out) AS n_outliers,
+                round(max(CASE WHEN is_out THEN x END), 6) AS max_outlier
+         FROM f""",
     // Bloom: set-bit table + all-bits-present verdicts from identical
     // salted md5 bits
     "q_bloom_filter" ->

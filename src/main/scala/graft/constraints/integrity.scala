@@ -1,0 +1,131 @@
+package graft.constraints
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.DataRef
+import graft.ops.Integrity
+
+/** Beyond-reference constraint family: relational integrity checks
+  * (foreign-key orphans, within-key monotonicity, z-score outliers) built
+  * on [[graft.ops.Integrity]], declared through the same requirement DSL
+  * as every reference constraint.
+  */
+
+/** Referential-integrity budget (between-table): the fraction of first-
+  * table rows whose key tuple has no match in the second table must stay ≤
+  * the target (0 = a strict foreign key). NULL child keys follow SQL MATCH
+  * SIMPLE: exempt, not orphaned. One anti hash join + one count pair.
+  */
+final case class MaxOrphanFraction(
+    ref: DataRef,
+    ref2Required: DataRef,
+    childColumns: Seq[String],
+    parentColumns: Seq[String],
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_orphan_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val row = Integrity
+      .orphanStats(
+        ref.selection(spark), ref2Required.selection(spark),
+        childColumns, parentColumns)
+      .head()
+    val total = row.getLong(0)
+    val factual =
+      if (total == 0L) 0.0 else row.getLong(1).toDouble / total
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe} rows reference no " +
+          s"${ref2Required.describe} row on (${childColumns.mkString(", ")}) " +
+          s"while only $target were allowed to.")
+  }
+}
+
+/** Within-key monotonicity: `valueColumn` must never decrease (strictly
+  * increase when `strict`) along `orderColumn` within each `keyColumn`
+  * group — "timestamps must not run backwards per session". At most
+  * `refValue` (fraction of adjacent pairs) may violate; 0 = strictly
+  * monotone data. One per-key window.
+  */
+final case class MaxMonotonicityViolationFraction(
+    ref: DataRef,
+    keyColumn: String,
+    orderColumn: String,
+    valueColumn: String,
+    strict: Boolean,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_violation_fraction must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val row = Integrity
+      .monotonicityViolations(
+        ref.selection(spark), keyColumn, orderColumn, valueColumn, strict)
+      .agg(
+        coalesce(sum(col("n_pairs")), lit(0L)).as("pairs"),
+        coalesce(sum(col("n_violations")), lit(0L)).as("bad"))
+      .head()
+    val pairs = row.getLong(0)
+    val factual = if (pairs == 0L) 0.0 else row.getLong(1).toDouble / pairs
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of adjacent $valueColumn pairs (per $keyColumn, ordered " +
+          s"by $orderColumn) in ${ref.describe} decrease while only $target " +
+          "were allowed to.")
+  }
+}
+
+/** Outlier budget: at most `refValue` of rows may sit more than `k`
+  * standard deviations from the column mean. The comparison runs in exact
+  * integer-decimal arithmetic ([[Integrity.zOutliers]]), so the verdict is
+  * engine- and partitioning-independent.
+  */
+final case class MaxOutlierFraction(
+    ref: DataRef,
+    column: String,
+    k: Int,
+    scale: Long,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_outlier_fraction must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val row = Integrity
+      .zOutliers(ref.selection(spark), column, k, scale)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("is_outlier"), 1)).as("out"))
+      .head()
+    val total = row.getLong(0)
+    val factual = if (total == 0L) 0.0 else row.getLong(1).toDouble / total
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe}.$column values lie more than $k " +
+          s"standard deviations from the mean while only $target were " +
+          "allowed to.")
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational data-quality operators beyond the reference surface:
+  * referential integrity (FK orphans), within-key monotonicity, and
+  * z-score outliers. All three are single-purpose plans — an anti hash
+  * join, one per-key window, one aggregate + broadcast — with the same
+  * declarative posture as the reference ops in [[Ops]].
+  */
+object Integrity {
+
+  /** Orphan rows: `child` rows whose key tuple has no match in `parent` —
+    * a LEFT ANTI hash join (AQE broadcasts a small parent; no plan
+    * branches here). `nullExempt` follows the SQL standard's MATCH SIMPLE
+    * foreign-key semantics: a child row with any NULL key column is exempt
+    * (dropped from the check), not an orphan.
+    */
+  def orphans(
+      child: DataFrame,
+      parent: DataFrame,
+      childKeys: Seq[String],
+      parentKeys: Seq[String],
+      nullExempt: Boolean = true): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+      "childKeys and parentKeys must be non-empty and of equal length")
+    val checked =
+      if (nullExempt)
+        child.where(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      else child
+    val parentSide = parent
+      .select(parentKeys.zip(childKeys).map { case (p, c) => col(p).as(s"dj_pk_$c") }: _*)
+      .distinct()
+    val cond = childKeys.map(c =>
+      if (nullExempt) col(c) === col(s"dj_pk_$c")
+      else col(c) <=> col(s"dj_pk_$c")).reduce(_ && _)
+    checked.join(parentSide, cond, "left_anti")
+  }
+
+  /** One-row orphan summary: checked row count, orphan rows, distinct
+    * orphan key tuples.
+    */
+  def orphanStats(
+      child: DataFrame,
+      parent: DataFrame,
+      childKeys: Seq[String],
+      parentKeys: Seq[String],
+      nullExempt: Boolean = true): DataFrame = {
+    val checked =
+      if (nullExempt)
+        child.where(childKeys.map(col(_).isNotNull).reduce(_ && _))
+      else child
+    val o = orphans(child, parent, childKeys, parentKeys, nullExempt)
+      .agg(
+        count(lit(1)).as("n_orphans"),
+        countDistinct(childKeys.head, childKeys.tail: _*).as("n_orphan_keys"))
+    checked.agg(count(lit(1)).as("n_rows")).crossJoin(o)
+  }
+
+  /** Per-key monotonicity violations of `valueCol` along `orderCol`: a
+    * violation is an adjacent pair (ordered by `orderCol`, ties broken by
+    * the value itself so equal-order rows can never fabricate one) where
+    * the value strictly decreases (`strict = true` flags non-increase,
+    * i.e. requires strict growth). One per-key window — the
+    * "timestamps/sequence numbers must not run backwards" check.
+    * Output: one row per key with `n_pairs` and `n_violations`.
+    */
+  def monotonicityViolations(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      strict: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol), col(valueCol))
+    // the flag must read the MATERIALIZED lag column: a window expression
+    // inside the aggregate below is illegal SQL
+    val bad =
+      if (strict) col(valueCol) <= col("dj_prev")
+      else col(valueCol) < col("dj_prev")
+    df.where(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("dj_prev", lag(col(valueCol), 1).over(w))
+      .groupBy(keyCol)
+      .agg(
+        count(col("dj_prev")).as("n_pairs"),
+        count(when(bad, 1)).as("n_violations"))
+  }
+
+  /** Z-score outlier flags with EXACT cross-engine arithmetic: the
+    * condition |x − μ| > k·σ (population σ) is evaluated as the
+    * integer-scaled equivalent `(x·n − S)² > k²·(n·Q − S²)` over DECIMAL
+    * sums of `round(value · scale)` — no float mean/stddev enters the
+    * comparison, so engines can never disagree on a boundary row. `scale`
+    * lifts fixed-point data to integers (100 for cents); `k` is an
+    * integer number of standard deviations.
+    *
+    * Two passes by necessity (the aggregate, then the scan with the 1-row
+    * stats broadcast); adds `is_outlier`.
+    */
+  def zOutliers(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 3,
+      scale: Long = 1L): DataFrame = {
+    require(k >= 1 && scale >= 1, s"bad outlier params: k=$k scale=$scale")
+    val v = round(col(valueCol) * scale).cast("decimal(38,0)")
+    val base = df.where(col(valueCol).isNotNull).withColumn("dj_v", v)
+    val stats = base.agg(
+      count(lit(1)).cast("decimal(38,0)").as("dj_n"),
+      sum(col("dj_v")).as("dj_s"),
+      sum(col("dj_v") * col("dj_v")).as("dj_q"))
+    val lhs = (col("dj_v") * col("dj_n") - col("dj_s")) *
+      (col("dj_v") * col("dj_n") - col("dj_s"))
+    val rhs = lit(k.toLong * k).cast("decimal(38,0)") *
+      (col("dj_n") * col("dj_q") - col("dj_s") * col("dj_s"))
+    base
+      .crossJoin(broadcast(stats))
+      .withColumn("is_outlier", lhs > rhs)
+      .drop("dj_v", "dj_n", "dj_s", "dj_q")
+  }
+}

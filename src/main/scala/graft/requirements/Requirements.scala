@@ -172,6 +172,44 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: within-key monotonicity — `valueColumn` must not
+    * decrease (must strictly increase when `strict`) along `orderColumn`
+    * within each `keyColumn` group; at most `maxViolationFraction` of
+    * adjacent pairs may violate.
+    */
+  def addMonotonicityConstraint(
+      keyColumn: String,
+      orderColumn: String,
+      valueColumn: String,
+      maxViolationFraction: Double = 0.0,
+      strict: Boolean = false,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxMonotonicityViolationFraction(
+      ref(Some(Seq(keyColumn, orderColumn, valueColumn)), condition),
+      keyColumn, orderColumn, valueColumn, strict,
+      refValue = Some(maxViolationFraction), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: outlier budget — at most `maxFraction` of rows may
+    * lie more than `k` standard deviations from the column mean (exact
+    * integer-decimal comparison; `scale` lifts fixed-point data to
+    * integers, e.g. 100 for cents).
+    */
+  def addMaxOutlierFractionConstraint(
+      column: String,
+      maxFraction: Double,
+      k: Int = 3,
+      scale: Long = 1L,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxOutlierFraction(
+      ref(Some(Seq(column)), condition), column, k, scale,
+      refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: bound the longest gap-delimited session per entity —
     * events of one `keyColumn` value closer than `gapSeconds` chain into a
     * session, and no session may span more than `maxDurationSeconds`
@@ -1086,6 +1124,26 @@ final class BetweenRequirement private (
       ref2(Some(keyColumns ++ Seq(startColumn, endColumn)), condition2),
       pointColumn, startColumn, endColumn, keyColumns, inclusiveEnd,
       refValue = Some(minFraction), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: referential integrity — at most `maxOrphanFraction`
+    * of the first table's rows may reference no second-table row on the
+    * given key columns (0 = strict foreign key; NULL child keys exempt per
+    * SQL MATCH SIMPLE).
+    */
+  def addReferentialIntegrityConstraint(
+      childColumns: Seq[String],
+      parentColumns: Seq[String],
+      maxOrphanFraction: Double = 0.0,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxOrphanFraction(
+      ref(Some(childColumns), condition1),
+      ref2(Some(parentColumns), condition2),
+      childColumns, parentColumns,
+      refValue = Some(maxOrphanFraction), nameOverride = name)
     this
   }
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Integrity
+import graft.requirements.{BetweenRequirement, WithinRequirement}
+
+/** FK-orphan, monotonicity, and outlier operators + their declarable
+  * constraints: hand-built truth tables including the NULL-exemption,
+  * tie-ordering, and exact-boundary cases.
+  */
+class IntegritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("orphans: NULL child keys exempt, distinct parents, anti semantics") {
+    val child = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, java.lang.Long.valueOf(10L)),
+        Row(2L, java.lang.Long.valueOf(11L)),
+        Row(3L, java.lang.Long.valueOf(99L)),  // orphan
+        Row(4L, java.lang.Long.valueOf(99L)),  // same orphan key
+        Row(5L, null.asInstanceOf[java.lang.Long]))), // exempt
+      StructType(Seq(
+        StructField("id", LongType), StructField("fk", LongType))))
+    val parent = Seq(10L, 10L, 11L).toDF("pk") // duplicate parents fine
+    val o = Integrity.orphans(child, parent, Seq("fk"), Seq("pk"))
+      .select("id").as[Long].collect().toSet
+    assert(o === Set(3L, 4L))
+    val stats = Integrity
+      .orphanStats(child, parent, Seq("fk"), Seq("pk")).head()
+    assert(stats.getLong(0) === 4L, "null-key row not counted as checked")
+    assert(stats.getLong(1) === 2L)
+    assert(stats.getLong(2) === 1L)
+  }
+
+  test("referential-integrity constraint pass/fail") {
+    val child = Seq(10L, 11L, 99L, 98L).toDF("fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val ok = BetweenRequirement.fromDataFrames(child, parent, "c", "p")
+    ok.addReferentialIntegrityConstraint(Seq("fk"), Seq("pk"), maxOrphanFraction = 0.5)
+    assert(ok.test(spark).head.outcome)
+    val bad = BetweenRequirement.fromDataFrames(child, parent, "c", "p")
+    bad.addReferentialIntegrityConstraint(Seq("fk"), Seq("pk"))
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("reference no")))
+  }
+
+  test("monotonicity: ties never violate, strict flags plateaus") {
+    val df = Seq(
+      // key a: 1,2,2,3 by order — loose: 0 violations, strict: 1 (the tie)
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 2.0), ("a", 4L, 3.0),
+      // key b: goes backwards once
+      ("b", 1L, 5.0), ("b", 2L, 4.0), ("b", 3L, 6.0)
+    ).toDF("k", "o", "v")
+    val loose = Integrity.monotonicityViolations(df, "k", "o", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(loose("a") === ((3L, 0L)))
+    assert(loose("b") === ((2L, 1L)))
+    val strict = Integrity
+      .monotonicityViolations(df, "k", "o", "v", strict = true)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(strict("a") === 1L)
+
+    val ok = WithinRequirement.fromDataFrame(df, "events")
+    ok.addMonotonicityConstraint("k", "o", "v", maxViolationFraction = 0.2)
+    assert(ok.test(spark).head.outcome) // 1 of 5 pairs
+    val bad = WithinRequirement.fromDataFrame(df, "events")
+    bad.addMonotonicityConstraint("k", "o", "v")
+    assert(!bad.test(spark).head.outcome)
+  }
+
+  test("zOutliers: exact boundary — k·σ exactly is NOT an outlier") {
+    // values 0,0,10,10 → μ=5, σ=5; with k=1 the boundary |x−μ|=σ holds
+    // exactly for every row → zero outliers (strict >)
+    val df = Seq(0L, 0L, 10L, 10L).toDF("x")
+    val n = Integrity.zOutliers(df, "x", k = 1)
+      .where($"is_outlier").count()
+    assert(n === 0L)
+    // one far point: 0,0,0,0,100 → clearly outlying at k=1
+    val df2 = Seq(0L, 0L, 0L, 0L, 100L).toDF("x")
+    val out = Integrity.zOutliers(df2, "x", k = 1)
+      .where($"is_outlier").select("x").as[Long].collect().toSeq
+    assert(out === Seq(100L))
+
+    val ok = WithinRequirement.fromDataFrame(df2, "t")
+    ok.addMaxOutlierFractionConstraint("x", maxFraction = 0.2, k = 1)
+    assert(ok.test(spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(df2, "t")
+    bad.addMaxOutlierFractionConstraint("x", maxFraction = 0.1, k = 1)
+    assert(!bad.test(spark).head.outcome)
+  }
+}
