@@ -87,6 +87,34 @@ object StreamingChecks {
         col("n_events"),
         col("avg_value"))
 
+  /** Streaming Count-Min sketch: the batch sketch
+    * ([[graft.ops.Sketches.cmsSketch]]) is a grouped count, so it is ALSO a
+    * legal streaming aggregation — the state store holds at most
+    * depth × width counter rows regardless of stream volume, and update
+    * mode emits the revised cells each micro-batch. Continuous token/URL
+    * frequency tracking at a fixed memory budget; snapshot the output and
+    * [[graft.ops.Sketches.cmsEstimate]]/[[graft.ops.Sketches.cmsMerge]]
+    * work on it unchanged (the sketch table is the interchange format).
+    */
+  def streamingCmsSketch(
+      stream: DataFrame,
+      valueCol: String,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val cells = (0 until depth).map { d =>
+      struct(
+        lit(d).as("cms_row"),
+        graft.ops.Sketches.cmsBucket(col(valueCol), d, width).as("cms_bucket"))
+    }
+    stream
+      .where(col(valueCol).isNotNull)
+      .select(explode(array(cells: _*)).as("dj_cell"))
+      .groupBy(
+        col("dj_cell.cms_row").as("cms_row"),
+        col("dj_cell.cms_bucket").as("cms_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming exact deduplication on a fingerprint key with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per key while the
     * watermark bounds how long a key's state lives — the streaming flavor of

@@ -144,6 +144,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKeyLatest("b") == ((1L, 0.0, 9.0, 9.0)), s"b=${byKeyLatest("b")}")
   }
 
+  test("streamingCmsSketch: incremental cells converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = StreamingChecks
+      .streamingCmsSketch(input.toDF().toDF("v"), "v", depth = 3, width = 16)
+      .writeStream
+      .format("memory")
+      .queryName("cms_stream_test")
+      .outputMode("complete")
+      .start()
+    val batch1 = Seq("x", "y", "x", "z")
+    val batch2 = Seq("x", "w", "y")
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("cms_stream_test")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the streaming state must equal the one-shot batch sketch of all data
+    val batch = graft.ops.Sketches
+      .cmsSketch((batch1 ++ batch2).toDF("v"), "v", depth = 3, width = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("runningKeyProfile: idle keys are evicted after the event-time TTL") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
