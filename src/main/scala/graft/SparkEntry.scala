@@ -1417,6 +1417,17 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // exact per-group percentiles (ops.Stats.groupPercentiles): discrete
+    // quantiles per return flag — one per-group sort carries both windows,
+    // integer cross-product rank comparison, no unpartitioned window
+    "q_group_percentile" -> { (s, dir) =>
+      graft.ops.Stats
+        .groupPercentiles(
+          s.read.parquet(pq(dir, "lineitem")), "l_returnflag", "l_quantity",
+          Seq(25, 50, 90))
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p90"))
+    },
+
     // referential integrity (ops.Integrity.orphanStats): parents carved to
     // every third order so lineitems genuinely orphan — LEFT ANTI hash
     // join + one count row; the oracle runs the NOT-EXISTS directly
@@ -2440,6 +2451,19 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // group percentiles: same discrete-rank selection per group
+    "q_group_percentile" ->
+      """WITH c AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS cnt
+                    FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+              c2 AS (SELECT g, v,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+                       sum(cnt) OVER (PARTITION BY g) AS total
+                     FROM c)
+         SELECT g AS l_returnflag,
+                min(CASE WHEN cum * 100 >= total * 25 THEN v END) AS p25,
+                min(CASE WHEN cum * 100 >= total * 50 THEN v END) AS p50,
+                min(CASE WHEN cum * 100 >= total * 90 THEN v END) AS p90
+         FROM c2 GROUP BY g""",
     // FK orphans: the NOT-EXISTS the anti join must reproduce
     "q_fk_orphans" ->
       """WITH p AS (SELECT DISTINCT o_orderkey FROM orders

@@ -51,6 +51,50 @@ final case class MaxOrphanFraction(
   }
 }
 
+/** Key-overlap budget (between-table) — the inverse of
+  * [[MaxOrphanFraction]]: at most `refValue` of first-table rows may have
+  * a key tuple that ALSO appears in the second table. With a normalized
+  * URL or content fingerprint as the key this is train/eval
+  * decontamination at the exact-key level (the n-gram and MinHash flavors
+  * live in `ops.Corpus`/`ops.Dedup`). LEFT SEMI hash join + count pair.
+  */
+final case class MaxKeyOverlapFraction(
+    ref: DataRef,
+    ref2Required: DataRef,
+    columns1: Seq[String],
+    columns2: Seq[String],
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_key_overlap_fraction must lie within [0, 1] but is $refValue.")
+  require(columns1.nonEmpty && columns1.size == columns2.size,
+    "columns1 and columns2 must be non-empty and of equal length")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val left = ref.selection(spark)
+      .where(columns1.map(col(_).isNotNull).reduce(_ && _))
+    val total = left.count()
+    val rightKeys = ref2Required.selection(spark)
+      .select(columns2.zip(columns1).map { case (c2, c1) => col(c2).as(s"dj_k_$c1") }: _*)
+      .distinct()
+    val cond = columns1.map(c => col(c) === col(s"dj_k_$c")).reduce(_ && _)
+    val overlapping = left.join(rightKeys, cond, "left_semi").count()
+    val factual = if (total == 0L) 0.0 else overlapping.toDouble / total
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe} rows share their " +
+          s"(${columns1.mkString(", ")}) key with ${ref2Required.describe} " +
+          s"while only $target were allowed to (contamination).")
+  }
+}
+
 /** Within-key monotonicity: `valueColumn` must never decrease (strictly
   * increase when `strict`) along `orderColumn` within each `keyColumn`
   * group — "timestamps must not run backwards per session". At most

@@ -172,6 +172,47 @@ object Stats {
     * `constraints/stats.py:25-54`'s no-scipy fallback): 2·exp(−(D·√min(n,m))²),
     * clamped to [0,1]; None below 35 samples (approximation inaccurate).
     */
+  /** Exact per-group discrete percentiles (the group-wise flavor of
+    * `Ops.getPercentile`): for each `groupCol` value and each integer
+    * percent p, the smallest value whose within-group cumulative count
+    * reaches ⌈p% · n⌉ — `quantile_disc` semantics, chosen over
+    * interpolation because the result is a VALUE FROM THE DATA (no float
+    * arithmetic to diverge across engines).
+    *
+    * Plan: distinct-value counts (partial-agg shuffle on (group, value)),
+    * then ONE per-group sort carrying both windows (running sum + group
+    * total — same partitioning, Spark plans a single Exchange+Sort), then
+    * a per-group aggregate. The rank comparison is the integer cross-
+    * product form (`cum·100 ≥ total·p`) — no double percentage ever
+    * multiplies a count. No unpartitioned window: a group's values sort
+    * within the group's partition only, so 10^4 groups × 10^8 values
+    * spread across the cluster.
+    */
+  def groupPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1,100]: $percents")
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("dj_v"))
+      .agg(count(lit(1)).as("dj_cnt"))
+    val wRun = Window.partitionBy(col(groupCol)).orderBy(col("dj_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("dj_cum", sum(col("dj_cnt")).over(wRun))
+      .withColumn("dj_total", sum(col("dj_cnt")).over(wAll))
+    val aggs = percents.map { p =>
+      min(when(col("dj_cum") * 100 >= col("dj_total") * p, col("dj_v")))
+        .as(s"p$p")
+    }
+    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def ksApproxPValue(d: Double, nSamples: Long, mSamples: Long): Option[Double] = {
     val samples = math.min(nSamples, mSamples)
     if (samples < 35) None

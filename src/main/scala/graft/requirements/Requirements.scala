@@ -1147,6 +1147,23 @@ final class BetweenRequirement private (
     this
   }
 
+  /** Beyond-reference: exact-key contamination budget — at most
+    * `maxFraction` of first-table rows may share their key tuple (e.g. a
+    * normalized URL or content fingerprint) with the second table.
+    */
+  def addMaxKeyOverlapFractionConstraint(
+      columns1: Seq[String],
+      columns2: Seq[String],
+      maxFraction: Double,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxKeyOverlapFraction(
+      ref(Some(columns1), condition1), ref2(Some(columns2), condition2),
+      columns1, columns2, refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   def addKs2SampleConstraint(
       column1: String,
       column2: String,

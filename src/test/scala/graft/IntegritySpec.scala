@@ -49,6 +49,19 @@ class IntegritySpec extends AnyFunSuite {
     assert(res.failureMessage.exists(_.contains("reference no")))
   }
 
+  test("key-overlap constraint: exact-key contamination budget") {
+    val train = Seq("u1", "u2", "u3", "u4").toDF("url")
+    val eval_ = Seq("u3", "u9").toDF("url")
+    val ok = BetweenRequirement.fromDataFrames(train, eval_, "train", "eval")
+    ok.addMaxKeyOverlapFractionConstraint(Seq("url"), Seq("url"), maxFraction = 0.25)
+    assert(ok.test(spark).head.outcome) // 1 of 4
+    val bad = BetweenRequirement.fromDataFrames(train, eval_, "train", "eval")
+    bad.addMaxKeyOverlapFractionConstraint(Seq("url"), Seq("url"), maxFraction = 0.0)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("contamination")))
+  }
+
   test("monotonicity: ties never violate, strict flags plateaus") {
     val df = Seq(
       // key a: 1,2,2,3 by order — loose: 0 violations, strict: 1 (the tie)

@@ -202,4 +202,30 @@ class StatsSpec extends AnyFunSuite {
     val rb = DataRef(FrameSource(b, "b"), Some(Seq("col_int")))
     assert(!KolmogorovSmirnov2Sample(ra, rb).test(spark).outcome)
   }
+
+  test("groupPercentiles: discrete quantiles per group, duplicates honored") {
+    import spark.implicits._
+    val df = (
+      (1 to 10).map(i => ("a", i.toDouble)) ++    // p50 of 1..10 → 5
+        Seq(("b", 7.0), ("b", 7.0), ("b", 7.0), ("b", 100.0)) // dup-heavy
+      ).toDF("g", "v")
+    val out = graft.ops.Stats.groupPercentiles(df, "g", "v", Seq(50, 90, 100))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a") === ((5.0, 9.0, 10.0)))
+    assert(out("b") === ((7.0, 100.0, 100.0)))
+  }
+
+  test("groupPercentiles plan: every window carries a partitionSpec") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"g${i % 5}", i.toDouble)).toDF("g", "v")
+    val plan = graft.ops.Stats.groupPercentiles(df, "g", "v", Seq(50))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.contains("windowspecdefinition()"), "unpartitioned window")
+    // both window aggregates share one sort: exactly one Window exchange
+    assert("partitionSpec".r.findAllIn(plan).isEmpty ||
+      !plan.contains("SinglePartition"), s"global funnel in:\n$plan")
+  }
 }
