@@ -1417,6 +1417,28 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // equi-width histogram (ops.Stats.histogram): 10 buckets over
+    // l_quantity — identical left-associated float bucket arithmetic on
+    // both engines, ≤ nBuckets rows shuffled
+    "q_histogram" -> { (s, dir) =>
+      graft.ops.Stats
+        .histogram(
+          s.read.parquet(pq(dir, "lineitem")), "l_quantity",
+          lo = 1.0, hi = 51.0, nBuckets = 10)
+        .select(col("bucket"), col("cnt"))
+    },
+
+    // Pearson correlation (ops.Stats.pearsonExact): integer-scaled DECIMAL
+    // sums (cents × units) so the five moments are exact; the oracle
+    // re-runs the same formula over HUGEINT sums
+    "q_correlation" -> { (s, dir) =>
+      graft.ops.Stats
+        .pearsonExact(
+          s.read.parquet(pq(dir, "lineitem")),
+          "l_extendedprice", "l_quantity", scaleX = 100L)
+        .select(col("n"), round(col("pearson_r"), 6).as("pearson_r"))
+    },
+
     // exact per-group percentiles (ops.Stats.groupPercentiles): discrete
     // quantiles per return flag — one per-group sort carries both windows,
     // integer cross-product rank comparison, no unpartitioned window
@@ -2451,6 +2473,31 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // histogram: identical bucket arithmetic
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(
+                  floor((l_quantity - 1.0) * 10 / 50.0), 0), 9) AS BIGINT)
+                  AS bucket,
+                count(*) AS cnt
+         FROM lineitem WHERE l_quantity IS NOT NULL
+         GROUP BY 1""",
+    // correlation: the same exact-moment formula in HUGEINT
+    "q_correlation" ->
+      """WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS HUGEINT) AS x,
+                      CAST(round(l_quantity) AS HUGEINT) AS y
+                    FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL
+                      AND l_quantity IS NOT NULL),
+              s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                      sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                      sum(y * y) AS syy, sum(x * y) AS sxy
+                    FROM b)
+         SELECT CAST(n AS BIGINT) AS n,
+                round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                  AS pearson_r
+         FROM s""",
     // group percentiles: same discrete-rank selection per group
     "q_group_percentile" ->
       """WITH c AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS cnt

@@ -34,9 +34,14 @@ object CorpusPipeline {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val n0 = docs.count()
 
-    // 1. quality gates: language, composite quality score, repetition
+    // 1. quality gates: language, composite quality score, Gopher rules,
+    // repetition — each gate a codegen'd projection joined on doc_id
     val gated = Pipeline
       .curateCorpus(docs, "text", "doc_id", minQuality = 0.5)
+      .join(
+        TextAnalysis.gopherRules(docs, "text", minWords = 10)
+          .where(col("gopher_keep")).select("doc_id"),
+        "doc_id")
       .join(
         Corpus.repetitionSignals(docs, "text", "doc_id")
           .where(col("top2_frac") < 0.2 && col("dup5_frac") < 0.2)

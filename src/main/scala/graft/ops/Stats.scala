@@ -213,6 +213,62 @@ object Stats {
     ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-width histogram with EXPLICIT bounds (so bucket edges are pure
+    * arithmetic both engines reproduce — a data-derived min/max would work
+    * too, at the cost of one extra count-first aggregate): `nBuckets`
+    * buckets over [lo, hi), out-of-range values clamped into the edge
+    * buckets (profiling convention: nothing silently dropped). One
+    * partial-agg shuffle of ≤ nBuckets rows.
+    */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1 && hi > lo, s"bad histogram: [$lo,$hi) x $nBuckets")
+    val idx = floor((col(valueCol) - lo) * nBuckets / (hi - lo)).cast("long")
+    val clamped = least(greatest(idx, lit(0L)), lit(nBuckets - 1L))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(clamped.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pearson correlation with EXACT cross-engine arithmetic: the five sums
+    * accumulate as integer-scaled DECIMALs (`scaleX`/`scaleY` lift
+    * fixed-point data to integers), so
+    * r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    * evaluates as identical IEEE ops on identical exact inputs — no
+    * partial-aggregation-order float drift (the same posture as
+    * `Integrity.zOutliers`). One aggregate, one row out.
+    */
+  def pearsonExact(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      scaleX: Long = 1L,
+      scaleY: Long = 1L): DataFrame = {
+    val x = round(col(xCol) * scaleX).cast("decimal(38,0)")
+    val y = round(col(yCol) * scaleY).cast("decimal(38,0)")
+    val base = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(x.as("dj_x"), y.as("dj_y"))
+    base
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("dj_n"),
+        sum(col("dj_x")).as("dj_sx"),
+        sum(col("dj_y")).as("dj_sy"),
+        sum(col("dj_x") * col("dj_x")).as("dj_sxx"),
+        sum(col("dj_y") * col("dj_y")).as("dj_syy"),
+        sum(col("dj_x") * col("dj_y")).as("dj_sxy"))
+      .select(
+        col("dj_n").cast("long").as("n"),
+        ((col("dj_n") * col("dj_sxy") - col("dj_sx") * col("dj_sy")).cast("double") /
+          (sqrt((col("dj_n") * col("dj_sxx") - col("dj_sx") * col("dj_sx")).cast("double")) *
+            sqrt((col("dj_n") * col("dj_syy") - col("dj_sy") * col("dj_sy")).cast("double"))))
+          .as("pearson_r"))
+  }
+
   def ksApproxPValue(d: Double, nSamples: Long, mSamples: Long): Option[Double] = {
     val samples = math.min(nSamples, mSamples)
     if (samples < 35) None

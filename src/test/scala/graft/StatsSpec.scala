@@ -203,6 +203,38 @@ class StatsSpec extends AnyFunSuite {
     assert(!KolmogorovSmirnov2Sample(ra, rb).test(spark).outcome)
   }
 
+  test("histogram: clamped edges, empty buckets absent, exact counts") {
+    import spark.implicits._
+    val df = Seq(0.5, 1.0, 1.9, 5.0, 9.9, 10.0, 42.0).toDF("v")
+    // [1,10) in 9 buckets of width 1; 0.5 clamps into bucket 0, 10.0 and
+    // 42.0 clamp into bucket 8
+    val out = graft.ops.Stats.histogram(df, "v", 1.0, 10.0, 9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 3L, 4L -> 1L, 8L -> 3L))
+  }
+
+  test("pearsonExact: perfect, inverse, and hand-computed correlation") {
+    import spark.implicits._
+    // the sqrt·sqrt denominator can land one ulp past the numerator, so
+    // |r| may exceed 1 by ~2^-52 — deterministic, but not exactly 1.0
+    val perfect = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    assert(math.abs(graft.ops.Stats.pearsonExact(perfect, "x", "y")
+      .head().getDouble(1) - 1.0) < 1e-12)
+    val inverse = Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0)).toDF("x", "y")
+    assert(math.abs(graft.ops.Stats.pearsonExact(inverse, "x", "y")
+      .head().getDouble(1) + 1.0) < 1e-12)
+    // x=(1,2,3), y=(1,2,4): r = 0.9819805060619659 (hand-derived:
+    // (3·17−6·7)/( √(3·14−36) · √(3·21−49) ) = 9/(√6·√14))
+    val mixed = Seq((1.0, 1.0), (2.0, 2.0), (3.0, 4.0)).toDF("x", "y")
+    val r = graft.ops.Stats.pearsonExact(mixed, "x", "y").head().getDouble(1)
+    assert(math.abs(r - 9.0 / (math.sqrt(6.0) * math.sqrt(14.0))) < 1e-15)
+    // fixed-point scaling: same data in cents gives the identical r
+    val cents = Seq((0.01, 1.0), (0.02, 2.0), (0.03, 4.0)).toDF("x", "y")
+    val rc = graft.ops.Stats.pearsonExact(cents, "x", "y", scaleX = 100L)
+      .head().getDouble(1)
+    assert(rc === r)
+  }
+
   test("groupPercentiles: discrete quantiles per group, duplicates honored") {
     import spark.implicits._
     val df = (
