@@ -1417,6 +1417,25 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // BPE vocabulary induction, round-1 statistics (ops.Bpe): weighted
+    // adjacent character-pair counts over the distinct-word table — the
+    // aggregate every merge round re-runs; top-20 fully tie-broken. (The
+    // iterative trainer itself is pinned by BpeSpec's textbook-sequence
+    // test; DuckDB can't express the k-round loop.)
+    "q_bpe_pairs" -> { (s, dir) =>
+      import graft.ops.{Bpe, TextAnalysis}
+      val words = s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("weight"))
+      Bpe.pairCounts(Bpe.toSymbols(words, "w", "weight"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(20)
+        .select(col("left_sym"), col("right_sym"), col("pair_count"))
+    },
+
     // equi-width histogram (ops.Stats.histogram): 10 buckets over
     // l_quantity — identical left-associated float bucket arithmetic on
     // both engines, ≤ nBuckets rows shuffled
@@ -2473,6 +2492,22 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // BPE round-1 pairs: per-char split + zipped-index pair explode,
+    // weighted by distinct-word counts, same total order
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS w
+                        FROM documents WHERE text IS NOT NULL),
+              wc AS (SELECT w, count(*) AS cnt FROM toks
+                     WHERE w <> '' GROUP BY w),
+              sy AS (SELECT string_split(w, '') AS l, cnt FROM wc
+                     WHERE len(w) >= 2),
+              ix AS (SELECT l, cnt, unnest(range(1, len(l))) AS i FROM sy),
+              pr AS (SELECT l[i] AS left_sym, l[i + 1] AS right_sym,
+                       sum(cnt) AS pair_count
+                     FROM ix GROUP BY 1, 2)
+         SELECT left_sym, right_sym, CAST(pair_count AS BIGINT) AS pair_count
+         FROM pr
+         ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20""",
     // histogram: identical bucket arithmetic
     "q_histogram" ->
       """SELECT CAST(least(greatest(
