@@ -1417,6 +1417,35 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // PSI drift (ops.Drift.psi): even- vs odd-order lineitems over ten
+    // l_quantity buckets, 0.5-additive smoothing, decimal-cast term sums
+    // — the oracle recomputes every probability and log term with the
+    // identical double ops
+    "q_psi" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Drift
+        .psi(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_quantity", lo = 1.0, hi = 51.0, nBuckets = 10)
+        .select(col("n_a"), col("n_b"), round(col("psi"), 6).as("psi"))
+    },
+
+    // chi-square drift (ops.Drift.chiSquareDrift): order-priority
+    // categories across the same parity split; per-cell (O−E)²/E terms
+    // decimal-cast before the sum
+    "q_chi2" -> { (s, dir) =>
+      val o = s.read.parquet(pq(dir, "orders"))
+      graft.ops.Drift
+        .chiSquareDrift(
+          o.where(col("o_orderkey") % 2 === 0),
+          o.where(col("o_orderkey") % 2 === 1),
+          "o_orderpriority")
+        .select(
+          col("n_a"), col("n_b"), col("n_categories"),
+          round(col("chi2"), 6).as("chi2"))
+    },
+
     // BPE vocabulary induction, round-1 statistics (ops.Bpe): weighted
     // adjacent character-pair counts over the distinct-word table — the
     // aggregate every merge round re-runs; top-20 fully tie-broken. (The
@@ -2492,6 +2521,70 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // PSI: identical bucket arithmetic + smoothing + ln terms, decimal sum
+    "q_psi" ->
+      """WITH a AS (SELECT l_quantity AS v FROM lineitem
+                    WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL),
+              b AS (SELECT l_quantity AS v FROM lineitem
+                    WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL),
+              ha AS (SELECT CAST(least(greatest(
+                         floor((v - 1.0) * 10 / 50.0), 0), 9) AS BIGINT)
+                         AS bucket, count(*) AS ca
+                     FROM a GROUP BY 1),
+              hb AS (SELECT CAST(least(greatest(
+                         floor((v - 1.0) * 10 / 50.0), 0), 9) AS BIGINT)
+                         AS bucket, count(*) AS cb
+                     FROM b GROUP BY 1),
+              j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                    FROM ha FULL OUTER JOIN hb USING (bucket)),
+              n AS (SELECT (SELECT count(*) FROM a) AS na,
+                           (SELECT count(*) FROM b) AS nb),
+              t AS (SELECT CAST(
+                      ((ca + 0.5) / (CAST(na AS DOUBLE) + 5.0)
+                        - (cb + 0.5) / (CAST(nb AS DOUBLE) + 5.0))
+                      * ln(((ca + 0.5) / (CAST(na AS DOUBLE) + 5.0))
+                           / ((cb + 0.5) / (CAST(nb AS DOUBLE) + 5.0)))
+                      AS DECIMAL(28, 12)) AS term, na, nb
+                    FROM j, n)
+         SELECT max(na) AS n_a, max(nb) AS n_b,
+                round(CAST(sum(term) AS DOUBLE), 6) AS psi
+         FROM t""",
+    // chi-square: identical per-cell expectation arithmetic, decimal sum
+    "q_chi2" ->
+      """WITH a AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+                      AS c FROM orders WHERE o_orderkey % 2 = 0),
+              b AS (SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+                      AS c FROM orders WHERE o_orderkey % 2 = 1),
+              ca AS (SELECT c, count(*) AS ca FROM a GROUP BY c),
+              cb AS (SELECT c, count(*) AS cb FROM b GROUP BY c),
+              j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                    FROM ca FULL OUTER JOIN cb USING (c)),
+              tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k
+                      FROM j),
+              t AS (SELECT na, nb, k,
+                      CAST((CAST(ca AS DOUBLE)
+                             - CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           * (CAST(ca AS DOUBLE)
+                             - CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           / (CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           AS DECIMAL(28, 12))
+                      + CAST((CAST(cb AS DOUBLE)
+                             - CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           * (CAST(cb AS DOUBLE)
+                             - CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                               / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           / (CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                              / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                           AS DECIMAL(28, 12)) AS term
+                    FROM j, tot)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                CAST(max(k) AS INT) AS n_categories,
+                round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+         FROM t""",
     // BPE round-1 pairs: per-char split + zipped-index pair explode,
     // weighted by distinct-word counts, same total order
     "q_bpe_pairs" ->

@@ -95,6 +95,78 @@ final case class MaxKeyOverlapFraction(
   }
 }
 
+/** PSI drift budget (between-table): the Population Stability Index of
+  * `column` between the two snapshots, over explicit equi-width buckets,
+  * must stay ≤ the target (industry rule of thumb: 0.1 watch, 0.25 act).
+  */
+final case class MaxPsiDrift(
+    ref: DataRef,
+    ref2Required: DataRef,
+    column: String,
+    lo: Double,
+    hi: Double,
+    nBuckets: Int,
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(_ >= 0), s"max_psi must be non-negative: $refValue")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val factual = graft.ops.Drift
+      .psi(ref.selection(spark), ref2Required.selection(spark),
+        column, lo, hi, nBuckets)
+      .head().getDouble(2)
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"PSI of $column between ${ref.describe} and " +
+          s"${ref2Required.describe} is $factual while at most $target was " +
+          "allowed (distribution drift).")
+  }
+}
+
+/** Chi-square homogeneity drift (between-table): the two snapshots'
+  * category distributions of `column` must not differ at the given
+  * significance level — fails when the upper-tail p-value of the
+  * statistic (dof = categories − 1) drops below `significanceLevel`.
+  */
+final case class ChiSquareDrift(
+    ref: DataRef,
+    ref2Required: DataRef,
+    column: String,
+    significanceLevel: Double,
+    refValue: Option[Double] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    significanceLevel > 0 && significanceLevel <= 1,
+    s"significance level must lie in (0, 1]: $significanceLevel")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val r = graft.ops.Drift
+      .chiSquareDrift(ref.selection(spark), ref2Required.selection(spark), column)
+      .head()
+    val k = r.getInt(2)
+    if (k <= 1) graft.core.TestResult.success(description)
+    else {
+      val p = graft.ops.Drift.chiSquarePValue(r.getDouble(3), k - 1)
+      if (p >= significanceLevel) graft.core.TestResult.success(description)
+      else
+        graft.core.TestResult.failure(
+          description,
+          s"the $column category distributions of ${ref.describe} and " +
+            s"${ref2Required.describe} differ (chi2=${r.getDouble(3)}, " +
+            s"dof=${k - 1}, p=$p < $significanceLevel).")
+    }
+  }
+}
+
 /** Within-key monotonicity: `valueColumn` must never decrease (strictly
   * increase when `strict`) along `orderColumn` within each `keyColumn`
   * group — "timestamps must not run backwards per session". At most

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between two table snapshots (the "did
+  * this week's data change shape" checks an ML data pipeline runs next to
+  * the KS test in [[Stats]]): Population Stability Index over explicit
+  * buckets and the chi-square homogeneity statistic over categories.
+  *
+  * Both reduce each side to a bucket/category count table (one partial-agg
+  * shuffle apiece, rows bounded by bucket/category count), join the two
+  * tiny tables, and fold per-bucket terms with the
+  * decimal-cast-before-sum trick ([[Corpus.bigramCrossEntropy]]
+  * precedent), so the result is independent of partial-aggregation
+  * arrival order and bit-reproducible cross-engine.
+  */
+object Drift {
+
+  /** PSI between `a` and `b` over `nBuckets` equi-width buckets of
+    * [lo, hi) (out-of-range clamps to the edge buckets, as in
+    * [[Stats.histogram]]): Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ). Empty buckets take the
+    * standard additive smoothing — count + 0.5 against total + 0.5·nB —
+    * so the index is finite for disjoint supports; the smoothing is part
+    * of the definition here and the oracle's. Output one row:
+    * (n_a, n_b, psi). Rule of thumb: < 0.1 stable, > 0.25 shifted.
+    */
+  def psi(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    val ha = Stats.histogram(a, valueCol, lo, hi, nBuckets)
+      .withColumnRenamed("cnt", "dj_ca")
+    val hb = Stats.histogram(b, valueCol, lo, hi, nBuckets)
+      .withColumnRenamed("cnt", "dj_cb")
+    val na = a.where(col(valueCol).isNotNull).count().toDouble
+    val nb = b.where(col(valueCol).isNotNull).count().toDouble
+    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("dj_ca"), lit(0L)).as("dj_ca"),
+        coalesce(col("dj_cb"), lit(0L)).as("dj_cb"))
+    val p = (col("dj_ca") + 0.5) / (na + 0.5 * nBuckets)
+    val q = (col("dj_cb") + 0.5) / (nb + 0.5 * nBuckets)
+    joined
+      .select(((p - q) * log(p / q)).cast("decimal(28,12)").as("dj_term"))
+      .agg(
+        lit(na.toLong).as("n_a"),
+        lit(nb.toLong).as("n_b"),
+        sum(col("dj_term")).cast("double").as("psi"))
+  }
+
+  /** Chi-square homogeneity statistic for a CATEGORICAL column across the
+    * two snapshots: Σ over the 2×k contingency cells of (O − E)²/E with
+    * E = rowTotal·colTotal/grand. Output one row:
+    * (n_a, n_b, n_categories, chi2); degrees of freedom = k − 1. NULL
+    * categories are a real category ("<null>"). Use
+    * [[chiSquarePValue]] driver-side for the significance level.
+    */
+  def chiSquareDrift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String): DataFrame = {
+    def cats(df: DataFrame, cntName: String) = df
+      .select(coalesce(col(valueCol).cast("string"), lit("<null>")).as("dj_cat"))
+      .groupBy("dj_cat")
+      .agg(count(lit(1)).as(cntName))
+    val ca = cats(a, "dj_ca")
+    val cb = cats(b, "dj_cb")
+    val joined = ca.join(cb, Seq("dj_cat"), "full_outer")
+      .select(
+        coalesce(col("dj_ca"), lit(0L)).as("dj_ca"),
+        coalesce(col("dj_cb"), lit(0L)).as("dj_cb"))
+    val na = col("dj_na").cast("double")
+    val nb = col("dj_nb").cast("double")
+    val grand = na + nb
+    val catTotal = (col("dj_ca") + col("dj_cb")).cast("double")
+    def cell(obs: Column, rowTotal: Column): Column = {
+      val e = rowTotal * catTotal / grand
+      ((obs - e) * (obs - e) / e).cast("decimal(28,12)")
+    }
+    val totals = joined.agg(
+      sum(col("dj_ca")).as("dj_na"),
+      sum(col("dj_cb")).as("dj_nb"),
+      count(lit(1)).as("dj_k"))
+    joined
+      .crossJoin(broadcast(totals))
+      .select(
+        col("dj_na"), col("dj_nb"), col("dj_k"),
+        (cell(col("dj_ca").cast("double"), na) +
+          cell(col("dj_cb").cast("double"), nb)).as("dj_term"))
+      .groupBy(col("dj_na"), col("dj_nb"), col("dj_k"))
+      .agg(sum(col("dj_term")).cast("double").as("chi2"))
+      .select(
+        col("dj_na").as("n_a"),
+        col("dj_nb").as("n_b"),
+        col("dj_k").cast("int").as("n_categories"),
+        col("chi2"))
+  }
+
+  /** Upper-tail chi-square p-value (survival function) via the regularized
+    * incomplete gamma function — series expansion for x < s+1, continued
+    * fraction otherwise (the standard numerical split). Driver-side scalar
+    * math on the collected statistic, same posture as
+    * [[Kolmogorov]].
+    */
+  def chiSquarePValue(chi2: Double, dof: Int): Double = {
+    require(dof >= 1, s"dof must be positive: $dof")
+    if (chi2 <= 0.0) return 1.0
+    val s = dof / 2.0
+    val x = chi2 / 2.0
+    val logGammaS = logGamma(s)
+    val p =
+      if (x < s + 1.0) {
+        // lower series: P(s,x) = x^s e^-x Σ x^n / Γ(s+n+1)
+        var term = 1.0 / s
+        var sum = term
+        var n = 1
+        while (n < 500 && math.abs(term) > math.abs(sum) * 1e-15) {
+          term *= x / (s + n)
+          sum += term
+          n += 1
+        }
+        1.0 - sum * math.exp(-x + s * math.log(x) - logGammaS)
+      } else {
+        // continued fraction for Q(s,x) (Lentz's method)
+        var b = x + 1.0 - s
+        var c = 1.0 / 1e-300
+        var d = 1.0 / b
+        var h = d
+        var i = 1
+        var break_ = false
+        while (i < 500 && !break_) {
+          val an = -i * (i - s)
+          b += 2.0
+          d = an * d + b
+          if (math.abs(d) < 1e-300) d = 1e-300
+          c = b + an / c
+          if (math.abs(c) < 1e-300) c = 1e-300
+          d = 1.0 / d
+          val del = d * c
+          h *= del
+          if (math.abs(del - 1.0) < 1e-15) break_ = true
+          i += 1
+        }
+        math.exp(-x + s * math.log(x) - logGammaS) * h
+      }
+    math.min(1.0, math.max(0.0, p))
+  }
+
+  /** Lanczos log-gamma (g=7, 9 coefficients — the standard public
+    * approximation, ~15 significant digits).
+    */
+  private def logGamma(x0: Double): Double = {
+    val g = 7.0
+    val coef = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x0 < 0.5) {
+      // reflection
+      math.log(math.Pi / math.sin(math.Pi * x0)) - logGamma(1.0 - x0)
+    } else {
+      val x = x0 - 1.0
+      var a = coef(0)
+      val t = x + g + 0.5
+      var i = 1
+      while (i < 9) { a += coef(i) / (x + i); i += 1 }
+      0.5 * math.log(2.0 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+}

@@ -1164,6 +1164,39 @@ final class BetweenRequirement private (
     this
   }
 
+  /** Beyond-reference: PSI drift budget over explicit equi-width buckets
+    * (0.1 = watch, 0.25 = act, per the usual monitoring rule of thumb).
+    */
+  def addMaxPsiDriftConstraint(
+      column: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      maxPsi: Double,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxPsiDrift(
+      ref(Some(Seq(column)), condition1), ref2(Some(Seq(column)), condition2),
+      column, lo, hi, nBuckets, refValue = Some(maxPsi), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: chi-square homogeneity drift on a categorical
+    * column — fails when the two snapshots differ at `significanceLevel`.
+    */
+  def addChiSquareDriftConstraint(
+      column: String,
+      significanceLevel: Double = 0.05,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += ChiSquareDrift(
+      ref(Some(Seq(column)), condition1), ref2(Some(Seq(column)), condition2),
+      column, significanceLevel, nameOverride = name)
+    this
+  }
+
   def addKs2SampleConstraint(
       column1: String,
       column2: String,

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Drift
+
+/** PSI and chi-square drift: zero on identical snapshots, hand-computed
+  * contingency values, and p-values against the standard chi-square
+  * critical points.
+  */
+class DriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("psi: identical distributions score 0; a shift scores > 0.25") {
+    val a = (1 to 100).map(i => (i % 10) + 1.0).toDF("v")
+    val same = Drift.psi(a, a, "v", 1.0, 11.0, 10).head()
+    assert(same.getLong(0) === 100L && same.getLong(1) === 100L)
+    assert(same.getDouble(2) === 0.0)
+    val shifted = (1 to 100).map(i => (i % 10) / 2 + 6.0).toDF("v")
+    val psi = Drift.psi(a, shifted, "v", 1.0, 11.0, 10).head().getDouble(2)
+    assert(psi > 0.25, s"shifted psi=$psi")
+  }
+
+  test("chiSquareDrift: hand-computed 2x2 contingency") {
+    val a = (Seq.fill(10)("x") ++ Seq.fill(10)("y")).toDF("c")
+    val b = (Seq.fill(5)("x") ++ Seq.fill(15)("y")).toDF("c")
+    val r = Drift.chiSquareDrift(a, b, "c").head()
+    assert(r.getLong(0) === 20L && r.getLong(1) === 20L)
+    assert(r.getInt(2) === 2)
+    // E(x)=7.5 both sides, E(y)=12.5: 2·(2.5²/7.5) + 2·(2.5²/12.5) = 8/3
+    assert(math.abs(r.getDouble(3) - 8.0 / 3.0) < 1e-9)
+    // identical snapshots: exactly 0
+    val zero = Drift.chiSquareDrift(a, a, "c").head().getDouble(3)
+    assert(zero === 0.0)
+  }
+
+  test("chiSquareDrift: nulls are a category") {
+    val a = Seq[Option[String]](Some("x"), None, None).toDF("c")
+    val b = Seq[Option[String]](Some("x"), Some("x"), None).toDF("c")
+    val r = Drift.chiSquareDrift(a, b, "c").head()
+    assert(r.getInt(2) === 2)
+    assert(r.getDouble(3) > 0.0)
+  }
+
+  test("drift constraints: PSI budget and chi-square significance") {
+    import graft.requirements.BetweenRequirement
+    val a = (1 to 100).map(i => ((i % 10) + 1.0, s"c${i % 3}")).toDF("v", "cat")
+    val shifted = (1 to 100).map(i => ((i % 10) / 2 + 6.0, s"c${i % 3}"))
+      .toDF("v", "cat")
+    val okPsi = BetweenRequirement.fromDataFrames(a, a, "old", "new")
+    okPsi.addMaxPsiDriftConstraint("v", 1.0, 11.0, 10, maxPsi = 0.1)
+    assert(okPsi.test(spark).head.outcome)
+    val badPsi = BetweenRequirement.fromDataFrames(a, shifted, "old", "new")
+    badPsi.addMaxPsiDriftConstraint("v", 1.0, 11.0, 10, maxPsi = 0.25)
+    val res = badPsi.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("drift")))
+    // chi-square: identical categories pass; a hard category flip fails
+    val okChi = BetweenRequirement.fromDataFrames(a, a, "old", "new")
+    okChi.addChiSquareDriftConstraint("cat")
+    assert(okChi.test(spark).head.outcome)
+    val flipped = (1 to 100).map(i => (1.0, if (i <= 95) "c0" else "c1"))
+      .toDF("v", "cat")
+    val badChi = BetweenRequirement.fromDataFrames(a, flipped, "old", "new")
+    badChi.addChiSquareDriftConstraint("cat")
+    assert(!badChi.test(spark).head.outcome)
+  }
+
+  test("chiSquarePValue matches the standard critical points") {
+    assert(math.abs(Drift.chiSquarePValue(3.841, 1) - 0.05) < 2e-4)
+    assert(math.abs(Drift.chiSquarePValue(6.635, 1) - 0.01) < 2e-4)
+    assert(math.abs(Drift.chiSquarePValue(5.991, 2) - 0.05) < 2e-4)
+    assert(math.abs(Drift.chiSquarePValue(18.307, 10) - 0.05) < 2e-4)
+    assert(Drift.chiSquarePValue(0.0, 5) === 1.0)
+    assert(Drift.chiSquarePValue(1000.0, 1) < 1e-100)
+    // monotone in the statistic
+    assert(Drift.chiSquarePValue(2.0, 3) > Drift.chiSquarePValue(3.0, 3))
+  }
+}
