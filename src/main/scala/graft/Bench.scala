@@ -112,7 +112,14 @@ object Bench {
     "q_range_join",
     // unit explode + partial-agg countDistinct + fingerprint join +
     // reassembly — the boilerplate pass whose agg width tracks vocabulary
-    "q_boilerplate")
+    "q_boilerplate",
+    // character-pair explode over the distinct-word table — the BPE
+    // round's aggregate, whose explode volume tracks corpus characters
+    "q_bpe_pairs",
+    // per-group sort carrying two windows + rank aggregate
+    "q_group_percentile",
+    // anti hash join over the full fact table
+    "q_fk_orphans")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the
