@@ -1417,6 +1417,28 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // semi-structured JSON extraction (ops.SemiStructured): typed
+    // from_json over events.props with ~1% of payloads deterministically
+    // truncated to exercise the malformed path — per-type counts,
+    // malformed counts, and the exact sum of the extracted field. The
+    // oracle uses DuckDB's JSON functions over identical strings.
+    "q_json_extract" -> { (s, dir) =>
+      import graft.ops.SemiStructured
+      val ev = s.read.parquet(pq(dir, "events"))
+        .withColumn(
+          "raw",
+          when(col("event_id") % 97 === 0,
+            expr("substring(props, 1, length(props) - 1)"))
+            .otherwise(col("props")))
+      SemiStructured.withParsedJson(ev, "raw", "k INT")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(!col("json_ok"), 1)).as("n_malformed"),
+          sum(col("parsed.k")).as("sum_k"))
+        .select(col("event_type"), col("n"), col("n_malformed"), col("sum_k"))
+    },
+
     // PSI drift (ops.Drift.psi): even- vs odd-order lineitems over ten
     // l_quantity buckets, 0.5-additive smoothing, decimal-cast term sums
     // — the oracle recomputes every probability and log term with the
@@ -2521,6 +2543,22 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // JSON extraction: DuckDB json_valid + ->> path over the same strings
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_type,
+                      CASE WHEN event_id % 97 = 0
+                           THEN substring(props, 1, length(props) - 1)
+                           ELSE props END AS raw
+                    FROM events),
+              p AS (SELECT event_type,
+                      CASE WHEN raw IS NOT NULL AND json_valid(raw)
+                           THEN CAST(raw ->> '$.k' AS INT) END AS k,
+                      raw IS NULL OR NOT json_valid(raw) AS bad
+                    FROM e)
+         SELECT event_type, count(*) AS n,
+                count(*) FILTER (WHERE bad) AS n_malformed,
+                CAST(sum(k) AS BIGINT) AS sum_k
+         FROM p GROUP BY event_type""",
     // PSI: identical bucket arithmetic + smoothing + ln terms, decimal sum
     "q_psi" ->
       """WITH a AS (SELECT l_quantity AS v FROM lineitem

@@ -95,6 +95,31 @@ final case class MaxKeyOverlapFraction(
   }
 }
 
+/** Malformed-JSON budget: at most `refValue` of a JSON string column's
+  * non-null documents may fail to parse against the declared DDL schema —
+  * the ingestion-feed corruption / schema-drift alarm.
+  */
+final case class MaxMalformedJsonFraction(
+    ref: DataRef,
+    column: String,
+    schemaDdl: String,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_malformed_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double =
+    graft.ops.SemiStructured.malformedFraction(r.selection(spark), column, schemaDdl)
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe}.$column documents fail to parse " +
+        s"as `$schemaDdl` while only $targetPrefix$target were allowed to."))
+}
+
 /** PSI drift budget (between-table): the Population Stability Index of
   * `column` between the two snapshots, over explicit equi-width buckets,
   * must stay ≤ the target (industry rule of thumb: 0.1 watch, 0.25 act).

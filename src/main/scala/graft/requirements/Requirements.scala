@@ -172,6 +172,21 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: malformed-JSON budget — at most `maxFraction` of
+    * `column`'s non-null documents may fail to parse against `schemaDdl`.
+    */
+  def addMaxMalformedJsonFractionConstraint(
+      column: String,
+      schemaDdl: String,
+      maxFraction: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxMalformedJsonFraction(
+      ref(Some(Seq(column)), condition), column, schemaDdl,
+      refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: within-key monotonicity — `valueColumn` must not
     * decrease (must strictly increase when `strict`) along `orderColumn`
     * within each `keyColumn` group; at most `maxViolationFraction` of

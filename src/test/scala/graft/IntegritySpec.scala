@@ -49,6 +49,32 @@ class IntegritySpec extends AnyFunSuite {
     assert(res.failureMessage.exists(_.contains("reference no")))
   }
 
+  test("malformed-JSON budget: truncated docs counted, nested schema parses") {
+    import graft.ops.SemiStructured
+    val df = Seq(
+      """{"k": 1, "tags": ["a", "b"]}""",
+      """{"k": 2, "tags": []}""",
+      """{"k": 3, "tags": ["c"]""", // truncated — Jackson would accept it
+      """not json at all"""
+    ).toDF("doc")
+    assert(SemiStructured.malformedFraction(df, "doc", "k INT, tags ARRAY<STRING>") === 0.5)
+    val parsed = SemiStructured
+      .withParsedJson(df, "doc", "k INT, tags ARRAY<STRING>")
+      .where($"json_ok")
+      .select($"parsed.k", $"parsed.tags")
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(parsed === Map(1 -> Seq("a", "b"), 2 -> Seq()))
+
+    val ok = WithinRequirement.fromDataFrame(df, "feed")
+    ok.addMaxMalformedJsonFractionConstraint("doc", "k INT", maxFraction = 0.5)
+    assert(ok.test(spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(df, "feed")
+    bad.addMaxMalformedJsonFractionConstraint("doc", "k INT", maxFraction = 0.25)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("fail to parse")))
+  }
+
   test("key-overlap constraint: exact-key contamination budget") {
     val train = Seq("u1", "u2", "u3", "u4").toDF("url")
     val eval_ = Seq("u3", "u9").toDF("url")
