@@ -1046,6 +1046,49 @@ object SparkEntry {
           round(col("dc_offset"), 6).as("dc_offset"))
     },
 
+    // IMA ADPCM round-trip (REAL 4:1-compressed audio decode, public IMA
+    // spec): per doc_id, synthesize raw packed nibble BYTES as a function
+    // of (id, position) plus a block-header (predictor, step index), wrap
+    // as a format-0x11 WAV, decode through the step-table recurrence, and
+    // emit amplitude stats. The oracle re-derives EVERY decoded sample
+    // with the same recurrence as a recursive CTE in SQL — the step/index
+    // tables and clamping arithmetic are cross-engine-verified.
+    "q_audio_adpcm" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 61 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val wavs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val n = (16 + id % 8).toInt
+          val bytes =
+            Array.tabulate[Byte](n)(j => ((id * 31 + 7L * j) % 256).toByte)
+          org.apache.spark.sql.Row(
+            id,
+            Multimodal.encodeImaAdpcmWav(
+              8000,
+              predictor0 = ((id % 1000) - 500).toInt,
+              stepIndex0 = (id % 89).toInt,
+              packedNibbles = bytes))
+        },
+        schema)
+      Multimodal
+        .decodeAudios(wavs, "doc_id", "payload")
+        .select(
+          col("doc_id"),
+          col("n_frames"),
+          col("peak"),
+          col("zero_crossings"),
+          round(col("mean_abs"), 6).as("mean_abs"),
+          round(col("rms"), 6).as("rms"))
+    },
+
     // AIFF decode round-trip (REAL big-endian FORM/AIFF chunk walk + 80-bit
     // extended-float sample rate): the same two-level square wave as
     // q_audio_decode, but through the Apple container — the oracle recomputes
@@ -1892,6 +1935,66 @@ object SparkEntry {
            FROM lineitem GROUP BY l_orderkey)
          WHERE arr <> range(1, cast(n AS INTEGER) + 1)"""
   ) ++ trainingOracles
+
+  /** DuckDB oracle for the IMA ADPCM decode: the spec recurrence as a
+    * recursive CTE, one row per (doc, sample), with the step-size/index
+    * tables emitted from the decoder's own arrays — a transcription error
+    * is impossible by construction.
+    */
+  private def imaAdpcmOracleSql: String = {
+    val steps = graft.ops.Multimodal.ImaStepTable.mkString("[", ", ", "]")
+    val idxs = graft.ops.Multimodal.ImaIndexTable.mkString("[", ", ", "]")
+    s"""WITH RECURSIVE d AS (
+              SELECT doc_id, 16 + doc_id % 8 AS nbytes,
+                     CAST(doc_id % 1000 - 500 AS INT) AS pred0,
+                     CAST(doc_id % 89 AS INT) AS sidx0
+              FROM documents WHERE doc_id % 61 = 0),
+            rec AS (
+              SELECT doc_id, nbytes, 0 AS t, pred0 AS pred, sidx0 AS sidx,
+                     pred0 AS sample
+              FROM d
+              UNION ALL
+              SELECT r.doc_id, r.nbytes, r.t + 1, q.np, q.ns, q.np
+              FROM rec r,
+              LATERAL (
+                SELECT CASE WHEN (q1.nib & 8) != 0
+                            THEN greatest(-32768, least(32767, r.pred - q2.diff))
+                            ELSE greatest(-32768, least(32767, r.pred + q2.diff))
+                       END AS np,
+                       greatest(0, least(88, r.sidx + $idxs[(q1.nib & 7) + 1])) AS ns
+                FROM LATERAL (
+                  SELECT CASE WHEN r.t % 2 = 0
+                              THEN CAST((r.doc_id * 31 + 7 * (r.t // 2)) % 256
+                                   AS INT) & 15
+                              ELSE CAST((r.doc_id * 31 + 7 * (r.t // 2)) % 256
+                                   AS INT) >> 4
+                         END AS nib,
+                         $steps[r.sidx + 1] AS step) q1,
+                LATERAL (
+                  SELECT (q1.step >> 3)
+                         + CASE WHEN (q1.nib & 1) != 0 THEN q1.step >> 2 ELSE 0 END
+                         + CASE WHEN (q1.nib & 2) != 0 THEN q1.step >> 1 ELSE 0 END
+                         + CASE WHEN (q1.nib & 4) != 0 THEN q1.step ELSE 0 END
+                           AS diff) q2
+              ) q
+              WHERE r.t < 2 * r.nbytes),
+            lagged AS (
+              SELECT doc_id, sample,
+                     lag(sample) OVER (PARTITION BY doc_id ORDER BY t) AS prev
+              FROM rec),
+            agg AS (
+              SELECT doc_id, count(*) AS nf, max(abs(sample)) AS peak,
+                     sum(abs(CAST(sample AS BIGINT))) AS sum_abs,
+                     sum(CAST(sample AS BIGINT) * sample) AS sum_sq,
+                     count(*) FILTER (WHERE (prev > 0 AND sample < 0)
+                                        OR (prev < 0 AND sample > 0)) AS zc
+              FROM lagged GROUP BY doc_id)
+       SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(peak AS INT) AS peak,
+              CAST(zc AS BIGINT) AS zero_crossings,
+              round(CAST(sum_abs AS DOUBLE) / nf, 6) AS mean_abs,
+              round(sqrt(CAST(sum_sq AS DOUBLE) / nf), 6) AS rms
+       FROM agg"""
+  }
 
   private val normSql =
     "trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' +', ' ', 'g'))"
@@ -2928,6 +3031,10 @@ object SparkEntry {
                                  - ((doc_id * 3) % 500 + 1)) / 2.0
                       END, 6) AS dc_offset
          FROM documents WHERE doc_id % 13 = 0""",
+    // IMA ADPCM round-trip: every decoded sample re-derived by the spec
+    // recurrence as a recursive CTE (step/index tables as literal lists —
+    // emitted from the SAME Scala arrays the decoder uses)
+    "q_audio_adpcm" -> imaAdpcmOracleSql,
     // AIFF round-trip: same closed forms as q_audio_decode (half the samples
     // at +A, half at -B), through the big-endian container
     "q_audio_aiff" ->

@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * (`parseFlacMeta`) — the fields a pipeline filters on before any codec
   * runs. Video FRAME decode is REAL for uncompressed YUV4MPEG2 streams
   * (`decodeY4m` — raw planar pixels, stride-sampled without reading skipped
-  * frames). PERCEPTUAL-codec frame decode (h264/mp3/aac/opus) is
+  * frames). COMPRESSED audio decode is real for G.711 (2:1 log-PCM) and
+  * IMA ADPCM (4:1 differential, `imaDecodeBlocks`). PERCEPTUAL-codec
+  * frame decode (h264/mp3/aac/opus) is
   * environment-blocked, so those payloads fall back
   * to `decodeStub`'s deterministic fake features; swapping in a real codec
   * changes ONLY that function body — the Spark-side contract (schema, batch
@@ -360,6 +362,103 @@ object Multimodal {
     v
   }
 
+  // --- IMA/DVI4 ADPCM (public IMA spec; WAV format code 0x11) — REAL
+  // 4:1-compressed audio decode: 4-bit differential nibbles expand
+  // through the 89-entry step-size table with a clamped predictor, block
+  // headers reseeding (predictor, step index) per block. ---
+
+  /** The IMA ADPCM step-size table (public spec, 89 entries). */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** Step-index adjustment per nibble magnitude (public spec). */
+  private[graft] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode mono IMA ADPCM blocks: each `blockAlign`-byte block carries a
+    * 4-byte header (initial predictor int16 LE, step index, reserved) —
+    * ITS OWN first output sample — then two low-nibble-first samples per
+    * data byte. A truncated final block decodes the nibbles present.
+    */
+  def imaDecodeBlocks(
+      p: Array[Byte],
+      dataPos: Int,
+      dataLen: Int,
+      blockAlign: Int): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var bp = dataPos
+    val end = dataPos + dataLen
+    while (bp + 4 <= end) {
+      val blockEnd = math.min(bp + blockAlign, end)
+      var pred = ((p(bp) & 0xFF) | (p(bp + 1) << 8)).toShort.toInt
+      var sidx = math.min(p(bp + 2) & 0xFF, 88)
+      out += pred
+      var i = bp + 4
+      while (i < blockEnd) {
+        val b = p(i) & 0xFF
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) b & 0xF else (b >> 4) & 0xF
+          val step = ImaStepTable(sidx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767 else if (pred < -32768) pred = -32768
+          sidx += ImaIndexTable(nib & 7)
+          if (sidx < 0) sidx = 0 else if (sidx > 88) sidx = 88
+          out += pred
+          half += 1
+        }
+        i += 1
+      }
+      bp += blockAlign
+    }
+    out.toArray
+  }
+
+  /** Encode raw packed ADPCM nibble bytes as a mono single-block WAV
+    * (format 0x11, 20-byte fmt with samplesPerBlock) — the synthetic
+    * payload behind the `q_audio_adpcm` round-trip oracle. The nibble
+    * stream itself is the caller's (the oracle re-derives every decoded
+    * sample from it via the spec recurrence in SQL).
+    */
+  def encodeImaAdpcmWav(
+      sampleRate: Int,
+      predictor0: Int,
+      stepIndex0: Int,
+      packedNibbles: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0, "sample rate must be positive")
+    require(stepIndex0 >= 0 && stepIndex0 <= 88, s"step index: $stepIndex0")
+    val blockAlign = 4 + packedNibbles.length
+    val samplesPerBlock = 1 + 2 * packedNibbles.length
+    val dataLen = blockAlign
+    val out = java.nio.ByteBuffer
+      .allocate(48 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(40 + dataLen).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(20)
+      .putShort(0x11.toShort)                    // IMA ADPCM
+      .putShort(1.toShort)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / samplesPerBlock) // approx byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(4.toShort)                       // bits per (coded) sample
+      .putShort(2.toShort)                       // cbSize
+      .putShort(samplesPerBlock.toShort)
+    out.put("data".getBytes).putInt(dataLen)
+    out.putShort(predictor0.toShort)
+    out.put(stepIndex0.toByte).put(0.toByte)
+    out.put(packedNibbles)
+    out.array()
+  }
+
   /** REAL audio decode: RIFF/WAV chunk walk + 16-bit PCM sample scan — pure
     * JVM byte work, no codec library at all. One streaming pass over the
     * sample bytes computes mean |amplitude|, RMS, peak, and the windowed-RMS
@@ -376,6 +475,7 @@ object Multimodal {
     if (!looksLikeWav(payload)) return None
     var fmtOk = false
     var audioFormat = 0; var channels = 0; var sampleRate = 0; var bits = 0
+    var blockAlign = 0
     var dataPos = -1; var dataLen = 0
     var pos = 12
     var walking = true
@@ -388,6 +488,7 @@ object Multimodal {
           audioFormat = le(payload, body, 2).toInt
           channels = le(payload, body + 2, 2).toInt
           sampleRate = le(payload, body + 4, 4).toInt
+          blockAlign = le(payload, body + 12, 2).toInt
           bits = le(payload, body + 14, 2).toInt
           fmtOk = true
         case "data" =>
@@ -403,11 +504,20 @@ object Multimodal {
       if (next > payload.length) walking = false else pos = next.toInt
     }
     // format 1 = linear PCM (16-bit), 6 = G.711 A-law, 7 = G.711 mu-law
-    // (8-bit log-PCM — REAL compressed-audio decode, pure JVM arithmetic)
+    // (8-bit log-PCM), 0x11 = IMA ADPCM (4-bit differential — REAL
+    // 4:1-compressed decode via the step-table recurrence; mono here,
+    // interleaved multi-channel blocks stay out of scope)
     val isPcm16 = audioFormat == 1 && bits == 16
     val isG711 = (audioFormat == 6 || audioFormat == 7) && bits == 8
-    if (!fmtOk || dataPos < 0 || !(isPcm16 || isG711) ||
+    val isIma = audioFormat == 0x11 && bits == 4 && channels == 1 &&
+      blockAlign > 4
+    if (!fmtOk || dataPos < 0 || !(isPcm16 || isG711 || isIma) ||
       channels <= 0 || sampleRate <= 0) return None
+    if (isIma) {
+      val samples = imaDecodeBlocks(payload, dataPos, dataLen, blockAlign)
+      if (samples.isEmpty) return None
+      return Some(audioStats(samples(_), samples.length, sampleRate, 1, dim))
+    }
     val nSamples = if (isPcm16) dataLen / 2 else dataLen
     if (nSamples == 0) return None
     val sampleAt: Int => Int =

@@ -57,6 +57,33 @@ object PropertySpec extends Properties("graft") {
         true
     }
 
+  property("adpcm decode never throws on corrupted/truncated payloads") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.chooseNum(0, 88),
+      Gen.chooseNum(0, 80),
+      Gen.chooseNum(Byte.MinValue, Byte.MaxValue)) { (nibbles, sidx, pos, b) =>
+      val wav = Multimodal.encodeImaAdpcmWav(
+        8000, -3, sidx, nibbles.map(_.toByte).toArray)
+      if (pos < wav.length) wav(pos) = b.toByte
+      Multimodal.decodeWav(wav, dim = 2)
+      Multimodal.decodeWav(wav.take(pos), dim = 2)
+      true
+    }
+
+  property("adpcm round-trip sample count and clamp invariants") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)),
+      Gen.chooseNum(-32768, 32767),
+      Gen.chooseNum(0, 88)) { (nibbles, pred0, sidx) =>
+      val wav = Multimodal.encodeImaAdpcmWav(
+        8000, pred0, sidx, nibbles.map(_.toByte).toArray)
+      val d = Multimodal.decodeWav(wav, dim = 2).get
+      (d.nFrames == 1 + 2 * nibbles.size) &&
+      (d.peak <= 32768) && // |-32768| after clamping
+      (d.sampleRate == 8000)
+    }
+
   // a dirty 100 TB corpus throws every imaginable byte soup at the parsers;
   // None/degraded output is fine, an executor-killing exception is not
   private val garbageGen: Gen[Array[Byte]] =
