@@ -1460,6 +1460,22 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // whole-table column profile (ops.Profile): counts / nulls / exact
+    // distincts / min-max for four part columns from ONE aggregate over
+    // one scan (multi-countDistinct Expand). Integer and string columns
+    // only in the gate — double rendering (sci-notation thresholds)
+    // differs across engines; values still profile fine, they just don't
+    // hash-compare.
+    "q_profile" -> { (s, dir) =>
+      graft.ops.Profile
+        .profileColumns(
+          s.read.parquet(pq(dir, "part")),
+          Seq("p_partkey", "p_brand", "p_type", "p_size"))
+        .select(
+          col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("min_value"), col("max_value"))
+    },
+
     // semi-structured JSON extraction (ops.SemiStructured): typed
     // from_json over events.props with ~1% of payloads deterministically
     // truncated to exercise the malformed path — per-type counts,
@@ -2646,6 +2662,29 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    // column profile: per-column aggregates unioned
+    "q_profile" ->
+      """SELECT 'p_partkey' AS column, count(*) AS n_rows,
+                count(*) - count(p_partkey) AS n_null,
+                count(DISTINCT p_partkey) AS n_distinct,
+                CAST(min(p_partkey) AS VARCHAR) AS min_value,
+                CAST(max(p_partkey) AS VARCHAR) AS max_value
+         FROM part
+         UNION ALL
+         SELECT 'p_brand', count(*), count(*) - count(p_brand),
+                count(DISTINCT p_brand),
+                CAST(min(p_brand) AS VARCHAR), CAST(max(p_brand) AS VARCHAR)
+         FROM part
+         UNION ALL
+         SELECT 'p_type', count(*), count(*) - count(p_type),
+                count(DISTINCT p_type),
+                CAST(min(p_type) AS VARCHAR), CAST(max(p_type) AS VARCHAR)
+         FROM part
+         UNION ALL
+         SELECT 'p_size', count(*), count(*) - count(p_size),
+                count(DISTINCT p_size),
+                CAST(min(p_size) AS VARCHAR), CAST(max(p_size) AS VARCHAR)
+         FROM part""",
     // JSON extraction: DuckDB json_valid + ->> path over the same strings
     "q_json_extract" ->
       """WITH e AS (SELECT event_type,

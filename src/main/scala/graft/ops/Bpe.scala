@@ -77,6 +77,39 @@ object Bpe {
     symbolized.withColumn("symbols", fold)
   }
 
+  /** Apply an ORDERED merge list to tokenize documents — the encode side
+    * (Sennrich's `apply_bpe`: each learned merge applied everywhere, in
+    * learned order). Per document: whitespace words explode with their
+    * position, each word's character symbols run through the merge chain
+    * (k stacked HOF folds — one projection, zero shuffles; keep k modest,
+    * the plan nests one lambda per merge), and the pieces re-gather in
+    * word order. Output: (`idCol`, `pieces` array, `n_pieces`).
+    */
+  def encode(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("dj_pos", "dj_w")))
+      .where(col("dj_w") =!= "")
+      .withColumn("symbols", split(col("dj_w"), ""))
+    val merged = merges.foldLeft(words) {
+      case (d, (a, b)) => applyMerge(d, a, b)
+    }
+    merged
+      .groupBy(idCol)
+      .agg(
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("dj_pos"), col("symbols")))),
+            s => s.getField("symbols"))).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")))
+  }
+
   /** Train `nMerges` BPE merges over `textCol` (whitespace-tokenized via
     * [[TextAnalysis.tokens]]): returns the ordered merge list and the
     * final (symbols, weight) table. Stops early when the best pair drops

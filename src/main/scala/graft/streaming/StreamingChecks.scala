@@ -115,6 +115,30 @@ object StreamingChecks {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming HyperLogLog registers: the batch sketch
+    * ([[graft.ops.Sketches.hllSketch]]) is a grouped MAX, so it too is a
+    * legal streaming aggregation — ≤ 2^b register rows of state for a
+    * running distinct-count over an unbounded stream;
+    * [[graft.ops.Sketches.hllEstimate]] reads any snapshot.
+    */
+  def streamingHllSketch(
+      stream: DataFrame,
+      valueCol: String,
+      b: Int = 8): DataFrame = {
+    val m = 1 << b
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val suffix = shiftright(h, b)
+    val sb = 60 - b
+    val rank = when(suffix === 0, lit(sb + 1))
+      .otherwise(lit(sb) - length(bin(suffix)) + 1)
+    stream
+      .where(col(valueCol).isNotNull)
+      .select((h % m).as("hll_bucket"), rank.cast("int").as("dj_rank"))
+      .groupBy("hll_bucket")
+      .agg(max(col("dj_rank")).as("hll_register"))
+  }
+
   /** Streaming exact deduplication on a fingerprint key with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per key while the
     * watermark bounds how long a key's state lives — the streaming flavor of

@@ -48,6 +48,22 @@ class BpeSpec extends AnyFunSuite {
     assert(syms.contains(Seq("low", "e", "r")))
   }
 
+  test("encode applies trained merges in order, pieces in word order") {
+    val corpus = (
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+      ).mkString(" ")
+    val (merges, _) = Bpe.train(Seq(corpus).toDF("text"), "text", nMerges = 4)
+    val docs = Seq((1L, "lowest newest"), (2L, "low low")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, "text", "doc_id", merges)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getInt(2))))
+      .toMap
+    // lowest = lo+w → low, e+s → es → est; newest = n e w est
+    assert(out(1L) === ((Seq("low", "est", "n", "e", "w", "est"), 6)))
+    assert(out(2L) === ((Seq("low", "low"), 2)))
+  }
+
   test("minPairCount stops training; ties break lexicographically") {
     val df = Seq("ab cd ab cd").toDF("text") // (a,b)=2, (c,d)=2 tie
     val (merges, _) = Bpe.train(df, "text", nMerges = 10, minPairCount = 2)

@@ -171,6 +171,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streamingHllSketch: incremental registers converge to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val query = StreamingChecks
+      .streamingHllSketch(input.toDF().toDF("v"), "v", b = 6)
+      .writeStream
+      .format("memory")
+      .queryName("hll_stream_test")
+      .outputMode("complete")
+      .start()
+    val batch1 = (1 to 40).map(i => s"u$i")
+    val batch2 = (30 to 70).map(i => s"u$i") // overlap: dups must not move it
+    input.addData(batch1: _*)
+    query.processAllAvailable()
+    input.addData(batch2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("hll_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = graft.ops.Sketches
+      .hllSketch((batch1 ++ batch2).toDF("v"), "v", b = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("runningKeyProfile: idle keys are evicted after the event-time TTL") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
