@@ -725,6 +725,25 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
     },
 
+    // embedding-space similarity histogram: exact cosines of a
+    // deterministic linear pair sample (successor vectors of every 7th
+    // id — NEVER all pairs) bucketed over [-1, 1) — the embedding-health
+    // profile (collapsed space → mass near 1). Cosines are bit-identical
+    // cross-engine (double-accumulated dot, same order), so the bucket
+    // floor can't flip.
+    "q_embedding_hist" -> { (s, dir) =>
+      val v = s.read.parquet(pq(dir, "embeddings"))
+      val a = v.where(col("vec_id") % 7 === 0)
+        .select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      val b = v.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+      val cos = a
+        .join(b, col("id_b") === col("id_a") + 1)
+        .select(graft.ops.Similarity.cosineF(col("ea"), col("eb")).as("c"))
+      graft.ops.Stats
+        .histogram(cos, "c", lo = -1.0, hi = 1.0, nBuckets = 20)
+        .select(col("bucket"), col("cnt"))
+    },
+
     // LSH-bucketed approximate top-k (scale path; full DuckDB oracle — the
     // sign-bit buckets are bit-deterministic because ±1-plane dot products
     // are the same exact double-addition sequence in both engines)
@@ -2982,6 +3001,18 @@ object SparkEntry {
                          FROM scored)
          SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
          FROM ranked WHERE r <= 3""",
+    // similarity histogram: same pair sample, same cosine (bit-identical
+    // double accumulation), same bucket arithmetic
+    "q_embedding_hist" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+              p AS (SELECT list_cosine_similarity(a.e, b.e) AS c
+                    FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+                    WHERE a.vec_id % 7 = 0)
+         SELECT CAST(least(greatest(
+                  floor((c - -1.0) * 20 / 2.0), 0), 19) AS BIGINT) AS bucket,
+                count(*) AS cnt
+         FROM p GROUP BY 1""",
     // decode round-trip: Spark really encodes + decodes PNG payloads whose
     // dimensions/gray level are functions of doc_id; the oracle recomputes
     // those functions arithmetically, verifying the codec path end-to-end
