@@ -119,7 +119,11 @@ object Bench {
     // per-group sort carrying two windows + rank aggregate
     "q_group_percentile",
     // anti hash join over the full fact table
-    "q_fk_orphans")
+    "q_fk_orphans",
+    // multi-countDistinct Expand over every profiled column
+    "q_profile",
+    // typed JSON parse over the full event stream + groupBy
+    "q_json_extract")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the
