@@ -357,4 +357,64 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"no partial aggregation:\n$plan")
   }
+
+  test("boilerplate removal: group counts broadcast, no nested loop, no global window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.ops.Dedup
+      .removeBoilerplate(docs, "text", "doc_id", delimiter = " ",
+        minDocFraction = 0.9, groupCol = Some("source"))
+      .queryExecution
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("BroadcastExchange"),
+      s"group doc counts not broadcast:\n$physical")
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"), s"nested loop:\n$physical")
+    val globalWindows = qe.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "global window in boilerplate plan")
+  }
+
+  test("CMS estimate joins the sketch via broadcast, never shuffling probes wide") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("text").isNotNull)
+      .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+    val plan = graft.ops.Sketches
+      .cmsEstimate(
+        graft.ops.Sketches.cmsSketch(toks, "tok", 4, 64),
+        toks.limit(3), "tok", 4, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"sketch join not broadcast:\n$plan")
+  }
+
+  test("range join plans as a hash equi-join with the residual as join filter") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    def day(c: org.apache.spark.sql.Column) =
+      datediff(c, lit("1970-01-01")).cast("long")
+    val plan = graft.ops.RangeJoin
+      .rangeJoin(
+        orders.select(col("o_orderkey").as("pid"), day(col("o_orderdate")).as("p")),
+        orders.where(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("iid"),
+            day(col("o_orderdate")).as("s"),
+            (day(col("o_orderdate")) + lit(5)).as("e")),
+        "p", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi fallback:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/merge equi-join:\n$plan")
+  }
+
+  test("JSON extraction stays a single projection (no UDF, no shuffle before the agg)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val qe = graft.ops.SemiStructured
+      .withParsedJson(ev, "props", "k INT")
+      .queryExecution
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("from_json"), s"from_json missing:\n$physical")
+    assert(!physical.contains("Exchange"), s"unexpected shuffle:\n$physical")
+    assert(!physical.contains("BatchEvalPython") && !physical.contains("SQLUDF"),
+      s"UDF crept in:\n$physical")
+  }
 }
