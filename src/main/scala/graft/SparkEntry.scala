@@ -1756,6 +1756,25 @@ object SparkEntry {
         .drop("dj_member")
     },
 
+    // cross-corpus SEMANTIC contamination: even-id vectors as "train",
+    // odd-id as "eval" — near-dup pairs across the split only, per-side
+    // capped banded sign-bit buckets (Similarity.crossEmbeddingNearDups).
+    // Same coarse-membership rounding discipline as q_embedding_neardup.
+    "q_cross_embedding" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      graft.ops.Similarity
+        .crossEmbeddingNearDups(
+          vecs.where(col("vec_id") % 2 === 0),
+          vecs.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", threshold = 0.3495, bits = 32)
+        .select(
+          col("id1"), col("id2"),
+          round(col("cosine"), 6).as("cosine"),
+          round(col("cosine"), 3).as("dj_member"))
+        .where(col("dj_member") >= 0.35)
+        .drop("dj_member")
+    },
+
     // heavy-hitter diagnosis (the step before salting a skewed join):
     // keys covering strictly more than 20% of lineitem rows
     "q_heavy_hitters" -> { (s, dir) =>
@@ -2308,6 +2327,39 @@ object SparkEntry {
                          AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
                        JOIN sizes s ON s.band = a.band AND s.bucket = a.bucket
                          AND s.n BETWEEN 2 AND 1000)
+         SELECT p.id1, p.id2,
+                round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+         FROM pairs p JOIN v va ON p.id1 = va.vec_id
+                      JOIN v vb ON p.id2 = vb.vec_id
+         WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
+    // cross-corpus embedding near-dups: same banded sub-keys, per-side
+    // [1,1000] caps, cross-parity pairs only
+    "q_cross_embedding" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             k AS (SELECT vec_id, e,
+                  (${lshBucketExprSql(bits = 32)}) AS key FROM v),
+             bandedA AS (SELECT vec_id, bd.band AS band,
+                           (key >> (bd.band * 8)) & 255 AS bucket
+                         FROM k, (SELECT unnest([0,1,2,3]) AS band) bd
+                         WHERE vec_id % 2 = 0),
+             bandedB AS (SELECT vec_id, bd.band AS band,
+                           (key >> (bd.band * 8)) & 255 AS bucket
+                         FROM k, (SELECT unnest([0,1,2,3]) AS band) bd
+                         WHERE vec_id % 2 = 1),
+             sizesA AS (SELECT band, bucket, count(*) AS n
+                        FROM bandedA GROUP BY 1, 2),
+             sizesB AS (SELECT band, bucket, count(*) AS n
+                        FROM bandedB GROUP BY 1, 2),
+             pairs AS (SELECT DISTINCT a.vec_id AS id1, b2.vec_id AS id2
+                       FROM bandedA a
+                       JOIN bandedB b2 ON a.band = b2.band
+                         AND a.bucket = b2.bucket
+                       JOIN sizesA sa ON sa.band = a.band
+                         AND sa.bucket = a.bucket
+                         AND sa.n BETWEEN 1 AND 1000
+                       JOIN sizesB sb ON sb.band = b2.band
+                         AND sb.bucket = b2.bucket
+                         AND sb.n BETWEEN 1 AND 1000)
          SELECT p.id1, p.id2,
                 round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
          FROM pairs p JOIN v va ON p.id1 = va.vec_id

@@ -65,6 +65,60 @@ final case class MaxNearDupFraction(
         s"$targetPrefix$target were allowed to."))
 }
 
+/** Semantic cross-corpus contamination budget (between-table): the
+  * fraction of FIRST-table embedding vectors with a ≥`cosineThreshold`
+  * near-duplicate in the second table must stay ≤ the target —
+  * [[MaxCrossNearDupFraction]]'s embedding sibling
+  * ([[graft.ops.Similarity.crossEmbeddingNearDups]]: per-side capped
+  * banded sign-bit buckets, cross-only pairs, exact-cosine verify).
+  */
+final case class MaxCrossSemanticDupFraction(
+    ref: DataRef,
+    ref2Required: DataRef,
+    embeddingColumn: String,
+    embeddingColumn2: String,
+    refValue: Option[Double],
+    cosineThreshold: Double = 0.9,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_cross_semantic_dup_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+   graft.core.Blocks.scoped {
+    def prepared(r: DataRef, c: String) = graft.core.Blocks.checkpoint(
+      r.selection(spark)
+        .select(col(c).as("dj_vec"))
+        .where(col("dj_vec").isNotNull)
+        .withColumn("dj_nid", monotonically_increasing_id()))
+    val train = prepared(ref, embeddingColumn)
+    val eval_ = prepared(ref2Required, embeddingColumn2)
+    val total = train.count()
+    val factual =
+      if (total == 0L) 0.0
+      else {
+        val contaminated = graft.ops.Similarity
+          .crossEmbeddingNearDups(train, eval_, "dj_nid", "dj_vec",
+            threshold = cosineThreshold,
+            bits = graft.ops.Similarity.nearDupBits(total))
+          .select(col("id1")).distinct().count()
+        contaminated.toDouble / total
+      }
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe} vectors have a semantic near-duplicate " +
+          s"(cosine >= $cosineThreshold) in ${ref2Required.describe} while " +
+          s"only $target were allowed to.")
+   }
+  }
+}
+
 /** Document-quality budget: the fraction of documents passing the Gopher
   * rule set ([[graft.ops.TextAnalysis.gopherRules]] — word-count bounds,
   * mean word length, symbol/bullet/ellipsis ratios, alpha fraction,

@@ -372,6 +372,76 @@ object Similarity {
     * returning, the candidate pairs with `Blocks.releaseAll()` once the
     * result is consumed.
     */
+  /** Cross-corpus embedding near-dups — the SEMANTIC train/eval
+    * contamination check ([[graft.ops.Dedup.crossNearDups]]'s embedding
+    * sibling): pairs (one id from `a`, one from `b`) whose exact cosine
+    * reaches `threshold`, candidates from the same banded sign-bit
+    * buckets as [[embeddingNearDups]] but joined ACROSS the two sides
+    * only, with per-side count-first caps (a hot bucket on either side is
+    * dropped by key before any row materializes — candidate volume is
+    * bounded at maxBucketSize² per cell, never |a|·|b|).
+    */
+  def crossEmbeddingNearDups(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 32,
+      dim: Int = 64,
+      bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(bands > 0 && bits % bands == 0, s"bits ($bits) must divide into bands ($bands)")
+    val width = bits / bands
+    require(width * bands < 64, "banded key must fit a single long")
+    val planes = hyperplanes(bits, dim)
+    val mask = (1L << width) - 1L
+    def banded(df: DataFrame): DataFrame = {
+      val keyed = df.where(col(idCol).isNotNull).select(
+        col(idCol),
+        lshKey(col(vecCol), planes).as("key"))
+      keyed.select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            bd => struct(
+              bd.as("band"),
+              call_function("shiftrightunsigned", col("key"), bd * lit(width))
+                .bitwiseAND(lit(mask)).as("bucket"))))
+          .as("bb"))
+        .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    }
+    val ba = graft.core.Blocks.checkpoint(banded(a))
+    val bb = graft.core.Blocks.checkpoint(banded(b))
+    def okBuckets(s: DataFrame) = s
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("dj_bn"))
+      .where(col("dj_bn").between(1, maxBucketSize))
+      .select("band", "bucket")
+    val candidates = ba.join(okBuckets(ba), Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col(idCol).as("id1"))
+      .join(
+        bb.join(okBuckets(bb), Seq("band", "bucket"))
+          .select(col("band"), col("bucket"), col(idCol).as("id2")),
+        Seq("band", "bucket"))
+      .select("id1", "id2")
+      .distinct()
+    val checkpointed = graft.core.Blocks.checkpoint(candidates)
+    val nCand = checkpointed.count()
+    graft.core.Blocks.release(ba)
+    graft.core.Blocks.release(bb)
+    val sidesA = a.where(col(idCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("vec"))
+    val sidesB = b.where(col(idCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("vec"))
+    graft.ops.Dedup
+      .verifyPairs(checkpointed, nCand, sidesA, sidesB, idCol, Seq("vec" -> "v"))
+      .withColumn("cosine", cosineF(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+
   def embeddingNearDups(
       vectors: DataFrame,
       idCol: String,

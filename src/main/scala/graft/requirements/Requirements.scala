@@ -1118,6 +1118,26 @@ final class BetweenRequirement private (
     this
   }
 
+  /** Beyond-reference: semantic cross-corpus contamination budget — at
+    * most `maxFraction` of the first table's embedding vectors may have a
+    * ≥ `cosineThreshold` near-duplicate in the second table.
+    */
+  def addMaxCrossSemanticDupFractionConstraint(
+      embeddingColumn1: String,
+      embeddingColumn2: String,
+      maxFraction: Double,
+      cosineThreshold: Double = 0.9,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxCrossSemanticDupFraction(
+      ref(Some(Seq(embeddingColumn1)), condition1),
+      ref2(Some(Seq(embeddingColumn2)), condition2),
+      embeddingColumn1, embeddingColumn2, refValue = Some(maxFraction),
+      cosineThreshold = cosineThreshold, nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: interval coverage budget — at least `minFraction`
     * of the first table's `pointColumn` values (optionally per
     * `keyColumns`) must fall inside some second-table

@@ -338,6 +338,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(empty.test(spark).head.outcome)
   }
 
+  test("MaxCrossSemanticDupFraction: semantic contamination across corpora") {
+    import graft.requirements.BetweenRequirement
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    def vecs(rows: Seq[Seq[Float]]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row(_)), 2),
+      StructType(Seq(StructField("vec", ArrayType(FloatType)))))
+    val train = vecs(Seq(
+      Seq(1.0f, 0.0f),   // contaminated: eval holds a near-identical vector
+      Seq(0.0f, 1.0f),
+      Seq(-1.0f, 0.0f),
+      Seq(0.7f, -0.7f)))
+    val eval_ = vecs(Seq(Seq(0.999f, 0.01f), Seq(0.1f, -0.9f)))
+    // 1 of 4 train vectors has a >= 0.99-cosine eval neighbor → 0.25
+    val ok = BetweenRequirement.fromDataFrames(train, eval_, "train", "eval")
+    ok.addMaxCrossSemanticDupFractionConstraint("vec", "vec",
+      maxFraction = 0.25, cosineThreshold = 0.99)
+    assert(ok.test(spark).head.outcome, ok.test(spark).head.message)
+    val bad = BetweenRequirement.fromDataFrames(train, eval_, "train", "eval")
+    bad.addMaxCrossSemanticDupFractionConstraint("vec", "vec",
+      maxFraction = 0.1, cosineThreshold = 0.99)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("semantic near-duplicate")))
+    // empty train side: zero contamination, not a crash
+    val empty = BetweenRequirement.fromDataFrames(
+      vecs(Nil), eval_, "train", "eval")
+    empty.addMaxCrossSemanticDupFractionConstraint("vec", "vec", 0.0)
+    assert(empty.test(spark).head.outcome)
+  }
+
   test("MaxSemanticDupFraction: embedding-space duplication budget constraint") {
     import graft.requirements.WithinRequirement
     import org.apache.spark.sql.types.{ArrayType, FloatType}
