@@ -330,6 +330,27 @@ object Bench {
     val minimal =
       s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors$legTotals,"sf":"$sfDir","full":"$outPath"}"""
     println(minimal)
+    // The driver parses the LAST stdout line, but under sbt's same-JVM
+    // `runMain` the `[success] Total time: …` footer prints AFTER main
+    // returns — three rounds of artifacts show the minimal line present in
+    // the tail yet never last, so `parsed` stayed null. Two belt-and-braces
+    // fixes: (a) a fixed sidecar file the driver can read unconditionally,
+    // (b) a JVM shutdown hook that re-emits the minimal line — shutdown
+    // hooks run at JVM exit, i.e. after sbt has printed its footer in the
+    // same-JVM path. Registered only now, so a crash mid-bench can never
+    // replay a stale or empty line.
+    val minPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN", "bench_min.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(minPath),
+        (minimal + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception => System.err.println(s"bench: could not write $minPath: $e")
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(minimal)
+      System.out.flush()
+    }))
     spark.stop()
   }
 }

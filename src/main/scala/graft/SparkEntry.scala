@@ -271,6 +271,53 @@ object SparkEntry {
       one(s, Seq("col_type"), Seq(tpe.simpleString))
     },
 
+    // #26 get_primary_keys — the reflection path end-to-end: a catalog
+    // table with a `primaryKey` TBLPROPERTY, PrimaryKeys.of round-trip, and
+    // the PrimaryKeyDefinition constraint judging a right and a wrong
+    // declaration. Oracle is a constant row — the point is exercising the
+    // reflection inside the driver gate (VERDICT r7 item 3).
+    "q_primary_keys" -> { (s, dir) =>
+      val table = "graft_pk_gate"
+      // the in-memory catalog is per-session but the warehouse DIRECTORY
+      // persists across runs — saveAsTable refuses a leftover location for
+      // a table the fresh catalog has never seen, so purge both
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val whPath =
+        try {
+          val uri = new java.net.URI(wh)
+          if (uri.getScheme == "file") uri.getPath else wh
+        } catch { case _: Exception => wh }
+      def rmRec(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRec))
+        f.delete(): Unit
+      }
+      rmRec(new java.io.File(whPath, table))
+      s.read
+        .parquet(pq(dir, "nation"))
+        .write
+        .mode("overwrite")
+        .saveAsTable(table)
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('primaryKey' = 'n_nationkey')")
+      val reflected = graft.core.PrimaryKeys
+        .of(s, graft.core.TableSource(table))
+        .map(_.mkString(","))
+        .getOrElse("")
+      val tref = DataRef(graft.core.TableSource(table))
+      val ok = graft.constraints
+        .PrimaryKeyDefinition(tref, Seq("n_nationkey"))
+        .test(s)
+        .outcome
+      val wrong = graft.constraints
+        .PrimaryKeyDefinition(tref, Seq("n_name"))
+        .test(s)
+        .outcome
+      one(
+        s,
+        Seq("pk_cols", "pk_match", "pk_mismatch"),
+        Seq(reflected, String.valueOf(ok), String.valueOf(wrong)))
+    },
+
     // #27/#28 get_row_difference (EXCEPT = EXCEPT DISTINCT)
     "q_row_diff" -> ((s, dir) =>
       ref(
@@ -380,6 +427,27 @@ object SparkEntry {
           endIncluded = true)
         .select(col("o_custkey"))
         .distinct()
+    },
+
+    // #7 get_interval_overlaps_nd (2-D: date × price, keyed) — exercises the
+    // dim-1 sweep + treap prefix-max count path (Intervals.overlapFlags2D),
+    // not the pair self-join
+    "q_interval_overlap_2d" -> { (s, dir) =>
+      val iv = s.read
+        .parquet(pq(dir, "orders"))
+        .select(
+          col("o_custkey"),
+          to_date(col("o_orderdate")).as("s_date"),
+          date_add(to_date(col("o_orderdate")), 30).as("e_date"),
+          col("o_totalprice").as("s_price"),
+          (col("o_totalprice") + lit(50000.0)).as("e_price"))
+      Intervals.overlapViolationKeys(
+        s,
+        DataRef(FrameSource(iv, "order_intervals_2d")),
+        Seq("o_custkey"),
+        Seq("s_date", "s_price"),
+        Seq("e_date", "e_price"),
+        endIncluded = true)
     },
 
     // #9/#11 get_date_gaps
@@ -1873,6 +1941,8 @@ object SparkEntry {
       """SELECT column_name FROM (DESCRIBE SELECT * FROM customer) ORDER BY column_name""",
     "q_column_type" ->
       """SELECT lower(column_type) AS col_type FROM (DESCRIBE SELECT c_custkey FROM customer)""",
+    "q_primary_keys" ->
+      """SELECT 'n_nationkey' AS pk_cols, 'true' AS pk_match, 'false' AS pk_mismatch""",
     "q_row_diff" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 50000
          EXCEPT
@@ -1923,6 +1993,17 @@ object SparkEntry {
                       ON a.o_custkey = b.o_custkey AND a.s_date <= b.s_date
                       AND a.e_date >= b.s_date
                       AND (a.s_date <> b.s_date OR a.e_date <> b.e_date))
+         SELECT DISTINCT o_custkey FROM (SELECT * FROM dup UNION ALL SELECT * FROM ovl)""",
+    "q_interval_overlap_2d" ->
+      """WITH iv AS (SELECT o_custkey, cast(o_orderdate AS DATE) AS s1,
+                            cast(o_orderdate AS DATE) + 30 AS e1,
+                            o_totalprice AS s2, o_totalprice + 50000.0 AS e2 FROM orders),
+              dup AS (SELECT o_custkey FROM iv GROUP BY o_custkey, s1, e1, s2, e2 HAVING count(*) > 1),
+              ovl AS (SELECT a.o_custkey FROM iv a JOIN iv b
+                      ON a.o_custkey = b.o_custkey
+                      AND a.s1 <= b.s1 AND a.e1 >= b.s1
+                      AND a.s2 <= b.s2 AND a.e2 >= b.s2
+                      AND (a.s1 <> b.s1 OR a.e1 <> b.e1 OR a.s2 <> b.s2 OR a.e2 <> b.e2))
          SELECT DISTINCT o_custkey FROM (SELECT * FROM dup UNION ALL SELECT * FROM ovl)""",
     "q_date_gaps" ->
       """WITH iv AS (SELECT o_custkey AS k, cast(o_orderdate AS DATE) AS s_date,

@@ -29,6 +29,98 @@ object Intervals {
       nDistinctKeys: Long,
       violationSample: Option[Row])
 
+  /** Treap keyed by the composite (s2, e2) rectangle coordinates, augmented
+    * with the subtree max of e2 — the dynamic prefix-max structure the 2-D
+    * overlap sweep stabs into: `prefixMax(b)` answers "largest dim-2 end
+    * among active rectangles whose dim-2 start is <= b" in O(log n), with
+    * O(log n) insert/delete as the dim-1 sweep activates and expires
+    * rectangles. A plain floor-lookup is NOT enough here: two active
+    * rectangles can be mutually non-violating purely because the reference's
+    * direction constraint (t1 leftmost in EVERY dimension) blocks both
+    * orders, while their dim-2 spans still interleave — so the true stabber
+    * for a probe can sit arbitrarily far below the floor entry.
+    *
+    * Coordinates are the JVM objects Spark rows carry (Integer/Long/Double/
+    * BigDecimal/Date/Timestamp/String — all Comparable); the caller
+    * guarantees type-homogeneous columns via the fast-path guard. Duplicate
+    * composite keys hold a count (distinct rectangles sharing (s2, e2) but
+    * differing in dim-1, and their expiry, stay independent).
+    */
+  private final class MaxTreap {
+    private def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    private final class Node(val s2: Any, val e2: Any, val prio: Int) {
+      var count: Int = 1
+      var left: Node = _
+      var right: Node = _
+      var maxE2: Any = e2
+    }
+    private var root: Node = _
+    private val rnd = new java.util.Random(0x2d51eef7)
+
+    private def subMax(n: Node): Any = if (n == null) null else n.maxE2
+    private def maxOf(a: Any, b: Any): Any =
+      if (a == null) b else if (b == null) a else if (cmp(a, b) >= 0) a else b
+    private def pull(n: Node): Unit =
+      n.maxE2 = maxOf(maxOf(subMax(n.left), n.e2), subMax(n.right))
+    private def keyCmp(s2: Any, e2: Any, n: Node): Int = {
+      val c = cmp(s2, n.s2)
+      if (c != 0) c else cmp(e2, n.e2)
+    }
+    private def rotRight(n: Node): Node = {
+      val l = n.left; n.left = l.right; l.right = n; pull(n); pull(l); l
+    }
+    private def rotLeft(n: Node): Node = {
+      val r = n.right; n.right = r.left; r.left = n; pull(n); pull(r); r
+    }
+
+    def insert(s2: Any, e2: Any): Unit = root = ins(root, s2, e2)
+    private def ins(n: Node, s2: Any, e2: Any): Node =
+      if (n == null) new Node(s2, e2, rnd.nextInt())
+      else {
+        val c = keyCmp(s2, e2, n)
+        if (c == 0) { n.count += 1; n }
+        else if (c < 0) {
+          n.left = ins(n.left, s2, e2)
+          if (n.left.prio > n.prio) rotRight(n) else { pull(n); n }
+        } else {
+          n.right = ins(n.right, s2, e2)
+          if (n.right.prio > n.prio) rotLeft(n) else { pull(n); n }
+        }
+      }
+
+    def delete(s2: Any, e2: Any): Unit = root = del(root, s2, e2)
+    private def del(n: Node, s2: Any, e2: Any): Node =
+      if (n == null) null // not present (defensive; sweep only deletes inserted keys)
+      else {
+        val c = keyCmp(s2, e2, n)
+        if (c < 0) { n.left = del(n.left, s2, e2); pull(n); n }
+        else if (c > 0) { n.right = del(n.right, s2, e2); pull(n); n }
+        else if (n.count > 1) { n.count -= 1; n }
+        else removeRoot(n)
+      }
+    private def removeRoot(n: Node): Node =
+      if (n.left == null) n.right
+      else if (n.right == null) n.left
+      else if (n.left.prio > n.right.prio) {
+        val l = rotRight(n); l.right = removeRoot(l.right); pull(l); l
+      } else {
+        val r = rotLeft(n); r.left = removeRoot(r.left); pull(r); r
+      }
+
+    /** Max e2 over nodes with s2 <= bound (null when empty below bound). */
+    def prefixMax(bound: Any): Any = {
+      var acc: Any = null
+      var n = root
+      while (n != null)
+        if (cmp(n.s2, bound) <= 0) {
+          acc = maxOf(acc, maxOf(subMax(n.left), n.e2))
+          n = n.right
+        } else n = n.left
+      acc
+    }
+  }
+
   /** N-dimensional interval-overlap violations
     * (reference `get_interval_overlaps_nd`, `db_access.py:316-472`).
     *
@@ -193,6 +285,222 @@ object Intervals {
       .distinct()
   }
 
+  /** 2-D violating keys WITHOUT the pair self-join — the dim-1 sweep the
+    * 1-D path got in round 7, extended to two dimensions (reference
+    * `get_interval_overlaps_nd`, `db_access.py:316-472`, N=2 — the
+    * `DateNoOverlap2d` shape). Same contract as [[overlapFlags1D]]: returns
+    * the exact distinct key tuples the self-join would flag, but a key
+    * holding k mutually-dim-1-overlapping rectangles costs O(k log k) sort +
+    * stab instead of O(k²) join output.
+    *
+    * Decomposition (pre-aggregated to one row per distinct
+    * (key, s1, e1, s2, e2) rectangle, carrying its multiplicity):
+    *
+    *   - scenario 1 (whole-row duplicates — the column guard in
+    *     [[overlapResult]] makes rows == rectangles): multiplicity >= 2
+    *     flags the key directly, NULLs grouping as equal, like the 1-D
+    *     `dj_dup` term;
+    *   - rectangles with a NULL start in either dimension can never join a
+    *     scenario-2 pair (every start comparison is NULL) — dropped;
+    *   - keys holding a rectangle with a NULL END (r2-only rows whose
+    *     pairs' inequality clause can evaluate NULL) are routed to the
+    *     legacy pair join RESTRICTED to those keys — exact, and quadratic
+    *     only in the NULL-end keys' own row counts;
+    *   - clean keys (all coordinates non-null) take the sweep: rectangles
+    *     sorted per key by (s1, s2); a min-heap on e1 expires rectangles
+    *     whose dim-1 reach ends before the probe's s1 (exactly the join's
+    *     `e1_i endOp s1_j` clause, self-exclusion included since a
+    *     rectangle is only activated AFTER it probes); the [[MaxTreap]]
+    *     stab `prefixMax(s2_j) endOp s2_j` decides whether ANY active
+    *     rectangle reaches the probe in dim 2. Active ⟹ s1_i <= s1_j
+    *     (sort order) and dim-1 reach (not expired) — both join clauses;
+    *     stab ⟹ s2_i <= s2_j and dim-2 reach; distinct clean rectangles
+    *     always satisfy the inequality clause. Ties at equal (s1, s2) are
+    *     probed as a group: cross-group candidates come from the treap
+    *     (the group is not yet activated), and the group itself violates
+    *     iff it holds >= 2 distinct rectangles and any member reaches its
+    *     own corner in both dimensions (either order of such a pair is
+    *     admissible — processing order inside the tie must not matter).
+    *
+    * Memory: the treap holds only ACTIVE rectangles (dim-1 reach spans the
+    * probe) — worst case O(k) for a fully-dim-1-overlapping hot key, never
+    * O(k²); a found violation flags the key and skips its remaining rows.
+    */
+  private[graft] def overlapFlags2D(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
+      endIncluded: Boolean): DataFrame = {
+    val sel = ref.selection(spark)
+    val Seq(s1, s2) = startColumns
+    val Seq(e1, e2) = endColumns
+    val rectCols = keyColumns ++ Seq(s1, e1, s2, e2)
+    val rects = graft.core.Blocks.checkpoint(
+      sel.groupBy(rectCols.map(col): _*).agg(count(lit(1)).as("dj_n")))
+    try {
+      val dupKeys =
+        rects.where(col("dj_n") > 1).select(keyColumns.map(col): _*).distinct()
+      val keysNonNull = keyColumns.map(col(_).isNotNull).reduce(_ && _)
+      val startsNonNull = col(s1).isNotNull && col(s2).isNotNull
+      val sweepable = rects.where(keysNonNull && startsNonNull)
+      val oddKeys = sweepable
+        .where(col(e1).isNull || col(e2).isNull)
+        .select(keyColumns.map(col): _*)
+        .distinct()
+
+      // the legacy join branch only enters the final plan when NULL-end
+      // keys actually exist — the common all-clean case keeps a join-free
+      // count plan (PlanSpec pins this)
+      val oddFlags: Option[DataFrame] =
+        if (oddKeys.isEmpty) None
+        else
+          Some(
+            overlapViolationsOn(
+              sel.join(oddKeys, keyColumns, "left_semi"),
+              keyColumns, startColumns, endColumns, endIncluded)
+              .select(keyColumns.map(col): _*)
+              .distinct())
+
+      val cleanBase = sweepable.where(col(e1).isNotNull && col(e2).isNotNull)
+      val clean =
+        if (oddFlags.isEmpty) cleanBase
+        else cleanBase.join(oddKeys, keyColumns, "left_anti")
+
+      val sweepFlags =
+        sweep2DFlags(clean, keyColumns, s1, e1, s2, e2, endIncluded)
+
+      val flags = (Seq(dupKeys, sweepFlags) ++ oddFlags).reduce(_.union(_)).distinct()
+      graft.core.Blocks.checkpoint(flags)
+    } finally graft.core.Blocks.release(rects)
+  }
+
+  /** The clean-key 2-D sweep plan (see [[overlapFlags2D]]): one hash
+    * exchange on the keys, one within-partition sort by (keys, s1, s2), one
+    * streaming mapPartitions — no join anywhere (PlanSpec pins this).
+    * `clean` must hold one row per distinct rectangle, all coordinates and
+    * keys non-null.
+    */
+  private[graft] def sweep2DFlags(
+      clean: DataFrame,
+      keyColumns: Seq[String],
+      s1: String,
+      e1: String,
+      s2: String,
+      e2: String,
+      endIncluded: Boolean): DataFrame = {
+    val nKeys = keyColumns.length
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyColumns.map(k => clean.schema(clean.schema.fieldIndex(k))))
+    val inclusive = endIncluded
+    val sorted = clean
+      .select((keyColumns ++ Seq(s1, e1, s2, e2)).map(col): _*)
+      .repartition(keyColumns.map(col): _*)
+      .sortWithinPartitions((keyColumns ++ Seq(s1, s2)).map(col): _*)
+    sorted.mapPartitions { rows =>
+        def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        // endOp(a, b) == the join's `a >= b` / `a > b` reach test
+        def reaches(a: Any, b: Any): Boolean =
+          if (a == null) false else if (inclusive) cmp(a, b) >= 0 else cmp(a, b) > 0
+
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var curKey: Seq[Any] = null
+        var flagged = false
+        var treap: MaxTreap = null
+        // expiry heap: (e1, s2, e2) min-ordered by e1
+        var heap: java.util.PriorityQueue[(Any, Any, Any)] = null
+        // buffered (s1, s2) tie group: (e1, e2) members
+        var groupS1: Any = null
+        var groupS2: Any = null
+        var group = scala.collection.mutable.ArrayBuffer.empty[(Any, Any)]
+
+        def flushGroup(): Unit = if (!flagged && group.nonEmpty) {
+          // expire rectangles whose dim-1 reach ends before this s1
+          while (!heap.isEmpty && !reaches(heap.peek()._1, groupS1)) {
+            val (_, hs2, he2) = heap.poll()
+            treap.delete(hs2, he2)
+          }
+          // cross-group stab: any active rectangle reaching (s1, s2)?
+          val m = treap.prefixMax(groupS2)
+          if (m != null && reaches(m, groupS2)) flagged = true
+          // within-group: >= 2 distinct rectangles at one corner violate iff
+          // any member reaches its own corner in both dims
+          if (!flagged && group.length >= 2 &&
+            group.exists { case (ge1, ge2) => reaches(ge1, groupS1) && reaches(ge2, groupS2) })
+            flagged = true
+          if (!flagged) group.foreach { case (ge1, ge2) =>
+            treap.insert(groupS2, ge2)
+            heap.add((ge1, groupS2, ge2))
+          }
+          group.clear()
+        }
+
+        def emit(): Unit = {
+          if (curKey != null) {
+            flushGroup()
+            if (flagged) out += Row.fromSeq(curKey)
+          }
+        }
+
+        rows.foreach { r =>
+          val key = (0 until nKeys).map(r.get)
+          if (curKey == null || key != curKey) {
+            emit()
+            curKey = key
+            flagged = false
+            treap = new MaxTreap
+            heap = new java.util.PriorityQueue[(Any, Any, Any)](
+              11, (a: (Any, Any, Any), b: (Any, Any, Any)) => cmp(a._1, b._1))
+            groupS1 = null; groupS2 = null; group.clear()
+          }
+          if (!flagged) {
+            val rs1 = r.get(nKeys); val re1 = r.get(nKeys + 1)
+            val rs2 = r.get(nKeys + 2); val re2 = r.get(nKeys + 3)
+            if (groupS1 == null || cmp(rs1, groupS1) != 0 || cmp(rs2, groupS2) != 0)
+              flushGroup()
+            groupS1 = rs1; groupS2 = rs2
+            group += ((re1, re2))
+          }
+        }
+        emit()
+        out.iterator
+      }(org.apache.spark.sql.Encoders.row(keySchema))
+  }
+
+  /** Distinct violating key tuples — the COUNT-path entry point that picks
+    * the scale-safe plan per shape: 1-D keyed → windowed sweep
+    * ([[overlapFlags1D]]), 2-D keyed → dim-1 sweep + treap stab
+    * ([[overlapFlags2D]]), anything else (keyless, N>=3-D, payload columns
+    * beyond key+intervals, or per-dimension start/end type mismatch) → the
+    * pair self-join. Both sweeps require the selection to carry exactly
+    * key+interval columns (scenario 1's whole-row duplicate semantics).
+    */
+  def overlapViolationKeys(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
+      endIncluded: Boolean): DataFrame = {
+    val sel = ref.selection(spark)
+    val guard = keyColumns.nonEmpty &&
+      sel.columns.toSet == (keyColumns ++ startColumns ++ endColumns).toSet
+    if (guard && startColumns.length == 1)
+      overlapFlags1D(
+        spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded)
+    else if (guard && startColumns.length == 2 &&
+      sweepable2DTypes(sel, startColumns, endColumns))
+      overlapFlags2D(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
+    else {
+      val violations =
+        overlapViolations(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
+      if (keyColumns.nonEmpty)
+        violations.select(keyColumns.map(col): _*).distinct()
+      else violations.distinct()
+    }
+  }
+
   /** Count of distinct violating key groups over `overlapViolations`
     * (reference's `n_violations_selection`).
     *
@@ -210,14 +518,21 @@ object Intervals {
       startColumns: Seq[String],
       endColumns: Seq[String],
       endIncluded: Boolean): IntervalResult = {
-    val oneD = startColumns.length == 1 && keyColumns.nonEmpty &&
-      ref.selection(spark).columns.toSet ==
-        (keyColumns ++ startColumns ++ endColumns).toSet
-    if (oneD) {
+    val sel = ref.selection(spark)
+    val colGuard = keyColumns.nonEmpty &&
+      sel.columns.toSet == (keyColumns ++ startColumns ++ endColumns).toSet
+    val oneD = startColumns.length == 1 && colGuard
+    val twoD = startColumns.length == 2 && colGuard &&
+      sweepable2DTypes(sel, startColumns, endColumns)
+    if (oneD || twoD) {
       // flagged keys feed the count AND the sample-key pick — materialize
       // once (≤ one row per key), release before returning
-      val flagged = graft.core.Blocks.checkpoint(overlapFlags1D(
-        spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded))
+      val flagged =
+        if (oneD)
+          graft.core.Blocks.checkpoint(overlapFlags1D(
+            spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded))
+        else // overlapFlags2D returns an already-checkpointed frame
+          overlapFlags2D(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
       try {
         val nViol = flagged.count()
         val sample =
@@ -261,6 +576,27 @@ object Intervals {
       } finally violations.unpersist()
     }
   }
+
+  /** The 2-D sweep's coordinate types: per dimension, start and end must
+    * share one atomic orderable type — the sweep compares the row-level JVM
+    * objects via `Comparable`, which matches Spark's ordering for exactly
+    * these types (Double/Float NaN sorts largest on both sides).
+    */
+  private def sweepable2DTypes(
+      sel: DataFrame,
+      startColumns: Seq[String],
+      endColumns: Seq[String]): Boolean =
+    startColumns.zip(endColumns).forall { case (s, e) =>
+      val st = sel.schema(s).dataType
+      st == sel.schema(e).dataType && (st match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case org.apache.spark.sql.types.DateType => true
+        case org.apache.spark.sql.types.TimestampType => true
+        case org.apache.spark.sql.types.TimestampNTZType => true
+        case org.apache.spark.sql.types.StringType => true
+        case _ => false
+      })
+    }
 
   /** Distinct count of key tuples in the selection
     * (reference `constraints/interval.py:52-56`).

@@ -130,6 +130,116 @@ class IntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("2-D sweep matches the pair self-join on adversarial fixtures") {
+    import org.apache.spark.sql.functions.col
+    val df = num2dIntervalDf(Seq(
+      // key 20: plain 2-D overlap (both dims reach) — violation
+      (20, 0.0, 10.0, 0.0, 10.0), (20, 5.0, 15.0, 5.0, 15.0),
+      // key 21: dim-1 overlaps, dim-2 disjoint — no violation
+      (21, 0.0, 10.0, 0.0, 1.0), (21, 5.0, 15.0, 5.0, 6.0),
+      // key 22: geometric overlap but direction-blocked in the reference's
+      // semantics (neither row is leftmost in BOTH dims) — no violation
+      (22, 0.0, 10.0, 5.0, 15.0), (22, 1.0, 11.0, 0.0, 14.0),
+      // key 23: the non-floor stabber — A and B mutually direction-blocked,
+      // probe C's dim-2 floor (B, s2=50) does not reach but A (smaller s2,
+      // larger e2) does: pair (A, C) violates; a floor-only structure would
+      // miss it — this is the case that forces the treap's true prefix-max
+      (23, 5.0, 100.0, 0.0, 100.0), (23, 0.0, 100.0, 50.0, 60.0),
+      (23, 6.0, 7.0, 70.0, 71.0),
+      // key 24: boundary corner touch — endIncluded-only violation
+      (24, 0.0, 5.0, 0.0, 5.0), (24, 5.0, 9.0, 5.0, 9.0),
+      // key 25: exact duplicates (scenario 1)
+      (25, 1.0, 2.0, 1.0, 2.0), (25, 1.0, 2.0, 1.0, 2.0),
+      // key 26: equal corner (s1, s2), differing ends — violation (either
+      // order admissible, both reach the shared corner)
+      (26, 0.0, 5.0, 0.0, 5.0), (26, 0.0, 7.0, 0.0, 3.0),
+      // key 27: equal corner but both rows inverted in dim 2 — no violation
+      (27, 0.0, 5.0, 4.0, 1.0), (27, 0.0, 7.0, 4.0, 2.0),
+      // key 28: NULL dim-2 start — excluded from pairing entirely
+      (28, 0.0, 10.0, null, 10.0), (28, 5.0, 15.0, 5.0, 15.0),
+      // key 29: NULL dim-2 END — r2-only row, pair flags via the odd-key
+      // legacy route (inequality holds through the differing s1)
+      (29, 0.0, 10.0, 0.0, 10.0), (29, 5.0, 15.0, 5.0, null),
+      // key 30: NULL-end row identical to its partner in every non-null
+      // coordinate — inequality evaluates NULL, NOT a violation
+      (30, 0.0, 10.0, 0.0, 10.0), (30, 0.0, 10.0, 0.0, null),
+      // NULL key: scenario 2 can never fire, duplicates still flag
+      (null, 0.0, 10.0, 0.0, 10.0), (null, 0.0, 10.0, 0.0, 10.0)))
+    val ref = DataRef(FrameSource(df, "adversarial_overlap_2d"))
+    def keyOf(r: org.apache.spark.sql.Row): Option[Int] =
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    for (endIncluded <- Seq(true, false)) {
+      val joined = Intervals
+        .overlapViolations(
+          spark, ref, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded)
+        .select(col("id1")).distinct().collect().map(keyOf).toSet
+      val swept = Intervals
+        .overlapFlags2D(
+          spark, ref, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded)
+        .collect().map(keyOf).toSet
+      assert(swept == joined,
+        s"endIncluded=$endIncluded: swept $swept != joined $joined")
+      if (endIncluded)
+        assert(joined == Set(Some(20), Some(23), Some(24), Some(25), Some(26), Some(29), None))
+      val res = Intervals.overlapResult(
+        spark, ref, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded)
+      assert(res.nViolationKeys == joined.size)
+      assert(res.violationSample.isDefined)
+    }
+  }
+
+  test("randomized 2-D overlap parity: sweep == join path on seeded corpora") {
+    import org.apache.spark.sql.functions.col
+    // dense small-domain corpora maximize ties, duplicate corners,
+    // containment, inverted/degenerate rectangles, and NULL routing
+    for (seed <- 1 to 8; endIncluded <- Seq(true, false)) {
+      val rnd = new scala.util.Random(100 + seed)
+      val rows = Seq.fill(80) {
+        val k: Integer =
+          if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(6))
+        def coord(): java.lang.Double =
+          if (rnd.nextInt(14) == 0) null else rnd.nextInt(6).toDouble
+        (k, coord(), coord(), coord(), coord())
+      }
+      val ref = DataRef(FrameSource(num2dIntervalDf(rows), s"rand_overlap2d_$seed"))
+      def keyOf(r: org.apache.spark.sql.Row): Option[Int] =
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
+      val joined = Intervals
+        .overlapViolations(
+          spark, ref, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded)
+        .select(col("id1")).distinct().collect().map(keyOf).toSet
+      val swept = Intervals
+        .overlapFlags2D(
+          spark, ref, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded)
+        .collect().map(keyOf).toSet
+      assert(swept == joined,
+        s"seed=$seed endIncluded=$endIncluded: swept $swept != joined $joined")
+    }
+  }
+
+  test("2-D sweep survives a planted hot key the self-join cannot") {
+    // one key, 30k rectangles, ALL mutually overlapping in dim 1 (the
+    // self-join would emit ~9·10⁸ candidate pairs) but pairwise disjoint in
+    // dim 2 → no violation; a second key carries one genuine violation.
+    // The sweep's treap holds the full 30k active set (O(k), not O(k²))
+    // and finishes in seconds.
+    val hot = (0 until 30000).map { i =>
+      (Integer.valueOf(1), java.lang.Double.valueOf(i.toDouble),
+        java.lang.Double.valueOf(1e9), java.lang.Double.valueOf(2.0 * i),
+        java.lang.Double.valueOf(2.0 * i + 0.5))
+    }
+    val planted = Seq(
+      (Integer.valueOf(2), java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(10.0),
+        java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(10.0)),
+      (Integer.valueOf(2), java.lang.Double.valueOf(5.0), java.lang.Double.valueOf(15.0),
+        java.lang.Double.valueOf(5.0), java.lang.Double.valueOf(15.0)))
+    val ref = DataRef(FrameSource(num2dIntervalDf(hot ++ planted), "hotkey_overlap_2d"))
+    val res = Intervals.overlapResult(
+      spark, ref, Seq("id1"), Seq("s1", "s2"), Seq("e1", "e2"), endIncluded = true)
+    assert(res.nViolationKeys == 1)
+    assert(res.nDistinctKeys == 2)
+  }
+
   private def gapDf = intervalDf(Seq(
     // key 1: single entry — no gap
     (1, "2016-01-01", "2016-01-10"),

@@ -66,4 +66,19 @@ object TestSpark {
         StructField("range_start", DoubleType),
         StructField("range_end", DoubleType))))
   }
+
+  /** 2-D interval fixture: id1, (s1, e1) × (s2, e2), doubles. */
+  def num2dIntervalDf(
+      rows: Seq[(Integer, java.lang.Double, java.lang.Double, java.lang.Double, java.lang.Double)])
+      : DataFrame = {
+    val data = rows.map { case (k, s1, e1, s2, e2) => Row(k, s1, e1, s2, e2) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2),
+      StructType(Seq(
+        StructField("id1", IntegerType),
+        StructField("s1", DoubleType),
+        StructField("e1", DoubleType),
+        StructField("s2", DoubleType),
+        StructField("e2", DoubleType))))
+  }
 }
