@@ -77,6 +77,9 @@ object Bench {
     "q_groupby_range", "q_duplicates", "q_unique_count_union",
     "q_numeric_gaps", "q_simhash_md5", "q_text_stats", "q_date_gaps",
     "q_functional_dependency",
+    // dim-1 sweep + treap prefix-max — the plan that replaced the 2-D
+    // overlap self-join; its constant must stay n log n at 10×
+    "q_interval_overlap_2d",
     // corpus-prep family: n-gram explode shuffles, the salted stratified
     // top-k, and the bucketed packing window are exactly the plans whose
     // constants hide at sf0.1

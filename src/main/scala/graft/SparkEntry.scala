@@ -636,6 +636,8 @@ object SparkEntry {
           col("n_words"),
           round(col("mean_word_chars"), 6).as("mean_word_chars"),
           round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("bullet_line_frac"), 6).as("bullet_line_frac"),
+          round(col("ellipsis_line_frac"), 6).as("ellipsis_line_frac"),
           round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
           col("stopword_count"),
           col("gopher_keep"))
@@ -2688,17 +2690,24 @@ object SparkEntry {
     // is global where Spark's regexp_replace is; '...' counts by length
     // delta over non-overlapping replace — identical semantics)
     "q_gopher_filter" ->
-      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words,
+                           string_split(text, chr(10)) AS lines
                     FROM documents),
               sig AS (SELECT doc_id,
                         CAST(len(words) AS BIGINT) AS n_words,
                         greatest(len(words), 1) AS nw,
+                        greatest(len(lines), 1) AS nl,
                         CAST(list_sum(list_transform(words, x -> length(x)))
                              AS BIGINT) AS chars,
                         length(text) - length(replace(text, '#', '')) AS n_hash,
                         (length(text) - length(replace(text, '...', ''))) / 3
                           + length(text) - length(replace(text, '…', ''))
                           AS n_ell,
+                        len(list_filter(lines, l ->
+                          starts_with(l, '-') OR starts_with(l, '*')
+                          OR starts_with(l, '•'))) AS n_bullet,
+                        len(list_filter(lines, l ->
+                          ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell_line,
                         len(list_filter(words,
                           x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
                         CAST(list_contains(words, 'the') AS INT)
@@ -2713,11 +2722,15 @@ object SparkEntry {
          SELECT doc_id, n_words,
                 round(CAST(chars AS DOUBLE) / nw, 6) AS mean_word_chars,
                 round(CAST(n_hash + n_ell AS DOUBLE) / nw, 6) AS symbol_word_ratio,
+                round(CAST(n_bullet AS DOUBLE) / nl, 6) AS bullet_line_frac,
+                round(CAST(n_ell_line AS DOUBLE) / nl, 6) AS ellipsis_line_frac,
                 round(CAST(n_alpha AS DOUBLE) / nw, 6) AS alpha_word_frac,
                 stopword_count,
                 (n_words BETWEEN 40 AND 100000)
                   AND (CAST(chars AS DOUBLE) / nw BETWEEN 3.0 AND 10.0)
                   AND (CAST(n_hash + n_ell AS DOUBLE) / nw <= 0.1)
+                  AND (CAST(n_bullet AS DOUBLE) / nl <= 0.9)
+                  AND (CAST(n_ell_line AS DOUBLE) / nl <= 0.3)
                   AND (CAST(n_alpha AS DOUBLE) / nw >= 0.8)
                   AND (stopword_count >= 2) AS gopher_keep
          FROM sig""",
@@ -2867,8 +2880,10 @@ object SparkEntry {
                          floor((v - 1.0) * 10 / 50.0), 0), 9) AS BIGINT)
                          AS bucket, count(*) AS cb
                      FROM b GROUP BY 1),
+              sp AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(10)),
               j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
-                    FROM ha FULL OUTER JOIN hb USING (bucket)),
+                    FROM sp LEFT JOIN ha ON ha.bucket = sp.bucket
+                            LEFT JOIN hb ON hb.bucket = sp.bucket),
               n AS (SELECT (SELECT count(*) FROM a) AS na,
                            (SELECT count(*) FROM b) AS nb),
               t AS (SELECT CAST(

@@ -174,20 +174,32 @@ final case class ChiSquareDrift(
   override protected def ref2Option: Option[DataRef] = Some(ref2Required)
 
   override def test(spark: SparkSession): graft.core.TestResult = withPlans {
-    val r = graft.ops.Drift
+    val rOpt = graft.ops.Drift
       .chiSquareDrift(ref.selection(spark), ref2Required.selection(spark), column)
-      .head()
-    val k = r.getInt(2)
-    if (k <= 1) graft.core.TestResult.success(description)
-    else {
-      val p = graft.ops.Drift.chiSquarePValue(r.getDouble(3), k - 1)
-      if (p >= significanceLevel) graft.core.TestResult.success(description)
-      else
-        graft.core.TestResult.failure(
-          description,
-          s"the $column category distributions of ${ref.describe} and " +
-            s"${ref2Required.describe} differ (chi2=${r.getDouble(3)}, " +
-            s"dof=${k - 1}, p=$p < $significanceLevel).")
+      .head(1)
+      .headOption
+    rOpt match {
+      // both snapshots empty: the contingency table has no cells at all
+      case None => graft.core.TestResult.success(description)
+      case Some(r) =>
+        val na = if (r.isNullAt(0)) 0L else r.getLong(0)
+        val nb = if (r.isNullAt(1)) 0L else r.getLong(1)
+        val k = r.getInt(2)
+        // an EMPTY snapshot carries no distribution to compare — the
+        // statistic's expectations divide by a zero row total (chi2 would
+        // be NaN), so the test is vacuous rather than failed-with-NaN
+        if (na == 0L || nb == 0L || k <= 1)
+          graft.core.TestResult.success(description)
+        else {
+          val p = graft.ops.Drift.chiSquarePValue(r.getDouble(3), k - 1)
+          if (p >= significanceLevel) graft.core.TestResult.success(description)
+          else
+            graft.core.TestResult.failure(
+              description,
+              s"the $column category distributions of ${ref.describe} and " +
+                s"${ref2Required.describe} differ (chi2=${r.getDouble(3)}, " +
+                s"dof=${k - 1}, p=$p < $significanceLevel).")
+        }
     }
   }
 }

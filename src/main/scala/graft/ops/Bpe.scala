@@ -140,8 +140,13 @@ object Bpe {
         case Some(r) if r.getLong(2) >= minPairCount =>
           val (a, b) = (r.getString(0), r.getString(1))
           merges += ((a, b))
-          // checkpoint: round k's fold must not re-evaluate rounds 1..k-1
+          // checkpoint: round k's fold must not re-evaluate rounds 1..k-1;
+          // the superseded round's blocks are dead the moment the new
+          // checkpoint materializes — release them here instead of letting
+          // up to nMerges word tables pile up until the caller's releaseAll
+          val prev = current
           current = graft.core.Blocks.checkpoint(applyMerge(current, a, b))
+          graft.core.Blocks.release(prev)
         case _ => continue = false
       }
       round += 1

@@ -19,10 +19,13 @@ object Drift {
 
   /** PSI between `a` and `b` over `nBuckets` equi-width buckets of
     * [lo, hi) (out-of-range clamps to the edge buckets, as in
-    * [[Stats.histogram]]): Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ). Empty buckets take the
+    * [[Stats.histogram]]): Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ). Every bucket takes the
     * standard additive smoothing — count + 0.5 against total + 0.5·nB —
     * so the index is finite for disjoint supports; the smoothing is part
-    * of the definition here and the oracle's. Output one row:
+    * of the definition here and the oracle's, and the sum runs over ALL
+    * `nBuckets` buckets: a bucket empty on BOTH sides still contributes
+    * its (small, nonzero when n_a ≠ n_b) smoothed term, so the generated
+    * bucket spine below is load-bearing, not cosmetic. Output one row:
     * (n_a, n_b, psi). Rule of thumb: < 0.1 stable, > 0.25 shifted.
     */
   def psi(
@@ -38,7 +41,12 @@ object Drift {
       .withColumnRenamed("cnt", "dj_cb")
     val na = a.where(col(valueCol).isNotNull).count().toDouble
     val nb = b.where(col(valueCol).isNotNull).count().toDouble
-    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+    // full bucket spine: nBuckets rows, broadcast-joined against the two
+    // (≤ nBuckets-row) histograms
+    val spine = a.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(ha, Seq("bucket"), "left")
+      .join(hb, Seq("bucket"), "left")
       .select(
         coalesce(col("dj_ca"), lit(0L)).as("dj_ca"),
         coalesce(col("dj_cb"), lit(0L)).as("dj_cb"))
@@ -79,7 +87,14 @@ object Drift {
     val catTotal = (col("dj_ca") + col("dj_cb")).cast("double")
     def cell(obs: Column, rowTotal: Column): Column = {
       val e = rowTotal * catTotal / grand
-      ((obs - e) * (obs - e) / e).cast("decimal(28,12)")
+      // E = 0 (an empty snapshot's row) has no defined cell contribution —
+      // standard chi-square practice excludes zero-expectation cells, and
+      // under ANSI SQL the division would otherwise throw; the
+      // ChiSquareDrift constraint additionally treats a whole empty
+      // snapshot as vacuous
+      when(e > 0, (obs - e) * (obs - e) / e)
+        .otherwise(lit(0.0))
+        .cast("decimal(28,12)")
     }
     val totals = joined.agg(
       sum(col("dj_ca")).as("dj_na"),

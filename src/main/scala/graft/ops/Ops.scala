@@ -400,12 +400,31 @@ object Ops {
     val violations = base.where(c.isNotNull && !c.rlike(regex))
     val n          = violations.count()
     val examples: Seq[String] = nCounterexamples match {
-      case 0  => Seq.empty
-      case -1 => violations.collect().toSeq.map(r => String.valueOf(r.get(0)))
-      case k  => violations.limit(k).collect().toSeq.map(r => String.valueOf(r.get(0)))
+      case 0 => Seq.empty
+      case -1 =>
+        // "all" is reference parity (`db_access.py:1340-1347`) but an
+        // unbounded driver collect is the one thing a 100 TB engine must
+        // not do on request — bound it like the uniques path and make the
+        // truncation loud via a sentinel tail element
+        val cap = spark.conf.getOption(RegexCollectCapKey)
+          .map(_.toInt).getOrElse(DefaultRegexCollectCap)
+        val collected =
+          violations.limit(cap).collect().toSeq.map(r => String.valueOf(r.get(0)))
+        if (n > cap)
+          collected :+
+            s"<SHORTENED OUTPUT, displaying the first $cap / $n counterexamples; " +
+            s"raise spark.conf '$RegexCollectCapKey' for more>"
+        else collected
+      case k => violations.limit(k).collect().toSeq.map(r => String.valueOf(r.get(0)))
     }
     (n, examples)
   }
+
+  /** Spark-conf key bounding the `nCounterexamples = -1` ("all") regex
+    * violation collect; overflow appends a visible truncation sentinel.
+    */
+  val RegexCollectCapKey = "graft.regex.maxCollectedViolations"
+  private val DefaultRegexCollectCap = 100000
 
   /** Rename every column with a suffix — makes self-join and two-source join
     * lineage unambiguous without relying on alias resolution.

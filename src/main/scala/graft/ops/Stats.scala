@@ -168,10 +168,6 @@ object Stats {
     }
   }
 
-  /** Approximate p-value (Fachinetti 2009; reference
-    * `constraints/stats.py:25-54`'s no-scipy fallback): 2·exp(−(D·√min(n,m))²),
-    * clamped to [0,1]; None below 35 samples (approximation inaccurate).
-    */
   /** Exact per-group discrete percentiles (the group-wise flavor of
     * `Ops.getPercentile`): for each `groupCol` value and each integer
     * percent p, the smallest value whose within-group cumulative count
@@ -269,6 +265,10 @@ object Stats {
           .as("pearson_r"))
   }
 
+  /** Approximate p-value (Fachinetti 2009; reference
+    * `constraints/stats.py:25-54`'s no-scipy fallback): 2·exp(−(D·√min(n,m))²),
+    * clamped to [0,1]; None below 35 samples (approximation inaccurate).
+    */
   def ksApproxPValue(d: Double, nSamples: Long, mSamples: Long): Option[Double] = {
     val samples = math.min(nSamples, mSamples)
     if (samples < 35) None

@@ -221,6 +221,27 @@ class ConstraintSpec extends AnyFunSuite {
       VarCharRegex(vRef, "q", allowNone = true).test(spark).outcome) // prefix match ok
   }
 
+  test("getRegexViolations(-1) bounds the collect and appends a loud sentinel") {
+    import graft.ops.Ops
+    val df = spark.range(50).selectExpr("concat('v', id) AS s")
+    val r = DataRef(FrameSource(df, "regex_cap"), Some(Seq("s")))
+    spark.conf.set(Ops.RegexCollectCapKey, "10")
+    try {
+      val (n, examples) = Ops.getRegexViolations(
+        spark, r, aggregated = false, regex = "^nope$", nCounterexamples = -1)
+      assert(n == 50)
+      assert(examples.length == 11, "10 capped examples + 1 sentinel")
+      assert(examples.last.contains("SHORTENED OUTPUT") &&
+        examples.last.contains("10 / 50"))
+      // under the cap: no sentinel, full list
+      spark.conf.set(Ops.RegexCollectCapKey, "1000")
+      val (n2, ex2) = Ops.getRegexViolations(
+        spark, r, aggregated = false, regex = "^nope$", nCounterexamples = -1)
+      assert(n2 == 50 && ex2.length == 50 &&
+        !ex2.exists(_.contains("SHORTENED OUTPUT")))
+    } finally spark.conf.unset(Ops.RegexCollectCapKey)
+  }
+
   test("VarCharRegexDb unanchored search semantics + tolerance") {
     assert(VarCharRegexDb(vRef, "q+").test(spark).outcome)
     assert(!VarCharRegexDb(vRef, "^qqqq+$").test(spark).outcome)

@@ -35,6 +35,41 @@ class DriftSpec extends AnyFunSuite {
     assert(zero === 0.0)
   }
 
+  test("psi: buckets empty on BOTH sides still contribute their smoothed term") {
+    // a=2 rows in bucket 0, b=1 row in bucket 0; buckets 1..9 empty on both
+    // sides. With n_a != n_b each all-empty bucket's smoothed term
+    // (0.5/(2+5) vs 0.5/(1+5)) is nonzero — the full-spine sum includes
+    // all 10 of them.
+    val a = Seq(1.0, 1.0).toDF("v")
+    val b = Seq(1.0).toDF("v")
+    val psi = Drift.psi(a, b, "v", 1.0, 11.0, 10).head().getDouble(2)
+    val p0 = 2.5 / 7.0; val q0 = 1.5 / 6.0
+    val pe = 0.5 / 7.0; val qe = 0.5 / 6.0
+    val expected = (p0 - q0) * math.log(p0 / q0) +
+      9.0 * (pe - qe) * math.log(pe / qe)
+    assert(math.abs(psi - expected) < 1e-9, s"psi=$psi expected=$expected")
+  }
+
+  test("chiSquareDrift constraint: empty snapshots are vacuous, not NaN failures") {
+    import graft.core.{DataRef, FrameSource}
+    val a = Seq("x", "y").toDF("c")
+    val empty = Seq.empty[String].toDF("c")
+    def r(df: org.apache.spark.sql.DataFrame, n: String) =
+      DataRef(FrameSource(df, n), Some(Seq("c")))
+    // one empty side: E divides by a zero row total → guarded success
+    assert(graft.constraints
+      .ChiSquareDrift(r(a, "a"), r(empty, "e"), "c", 0.05).test(spark).outcome)
+    assert(graft.constraints
+      .ChiSquareDrift(r(empty, "e"), r(a, "a"), "c", 0.05).test(spark).outcome)
+    // both empty: no contingency cells at all
+    assert(graft.constraints
+      .ChiSquareDrift(r(empty, "e"), r(empty, "e2"), "c", 0.05).test(spark).outcome)
+    // single shared category: dof = 0, vacuous
+    val onecat = Seq("x", "x").toDF("c")
+    assert(graft.constraints
+      .ChiSquareDrift(r(onecat, "o"), r(onecat, "o2"), "c", 0.05).test(spark).outcome)
+  }
+
   test("chiSquareDrift: nulls are a category") {
     val a = Seq[Option[String]](Some("x"), None, None).toDF("c")
     val b = Seq[Option[String]](Some("x"), Some("x"), None).toDF("c")
