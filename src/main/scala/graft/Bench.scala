@@ -161,6 +161,86 @@ object Bench {
     s"""{"heap_used_mb":$heapUsedMb,"storage_used_mb":${(stMax - stFree) >> 20},"sys_avail_mb":$sysAvailMb}"""
   }
 
+  /** ANN quality harness (VERDICT r7 item 4): recall of the approximate
+    * similarity paths against brute-force ground truth, reported next to
+    * the speed numbers — at 100 TB the speed of an ANN path is meaningless
+    * without the recall it bought. ~200 deterministic stride-sampled
+    * queries give recall@10 for `lshTopK` and `ivfTopK`; pair-recall for
+    * `semanticNearDups` is measured on a 1-in-10 stride subsample (the
+    * brute-force pair baseline is quadratic — the subsample bounds it)
+    * at the gate's threshold. Returns a JSON object or None (no
+    * embeddings table / evaluation error — never fails the bench).
+    */
+  private[graft] def annRecall(spark: SparkSession, dir: String): Option[String] = {
+    import org.apache.spark.sql.functions._
+    val S = graft.ops.Similarity
+    if (!new java.io.File(s"$dir/embeddings.parquet").exists()) return None
+    try {
+      val v = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = v.count()
+      if (n < 20) return None
+      val k = 10
+      val qStep = math.max(1L, n / 200L)
+      val queries = v.where(pmod(col("vec_id"), lit(qStep)) === 0)
+      val truth = graft.core.Blocks.checkpoint(
+        S.bruteForceTopK(v, queries, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id")))
+      val nTruth = truth.count().toDouble
+      def recall(approx: org.apache.spark.sql.DataFrame): Double =
+        if (nTruth == 0) 0.0
+        else truth.join(
+          approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count() / nTruth
+      val lsh = recall(S.lshTopK(v, queries, "vec_id", "embedding", k))
+      val lsh4 = recall(
+        S.lshTopK(v, queries, "vec_id", "embedding", k, nTables = 4))
+      val ivf = recall(
+        S.ivfTopK(v, queries, "vec_id", "embedding", k, corpusSize = Some(n)))
+      val ivf8 = recall(S.ivfTopK(
+        v, queries, "vec_id", "embedding", k, nProbe = 8, corpusSize = Some(n)))
+      // pair recall on the stride subsample, gate threshold (0.3495);
+      // ~2000 vectors bounds the brute-force pair baseline at ~2M pairs
+      // regardless of leg size
+      val pairStep = math.max(10L, n / 2000L)
+      val sub = v.where(pmod(col("vec_id"), lit(pairStep)) === 0)
+      val subCount = sub.count()
+      val thr = 0.3495
+      val a = sub.select(col("vec_id").as("pid1"), col("embedding").as("e1"))
+      val b = sub.select(col("vec_id").as("pid2"), col("embedding").as("e2"))
+      val truthPairs = graft.core.Blocks.checkpoint(
+        a.join(b, col("pid1") < col("pid2"))
+          .where(S.cosineF(col("e1"), col("e2")) >= thr)
+          .select(col("pid1"), col("pid2")))
+      val nPairs = truthPairs.count().toDouble
+      val sem = S.semanticNearDups(
+        sub, "vec_id", "embedding", thr,
+        // size clusters to the SUBSAMPLE (the 256-cluster default over a
+        // ~2000-vector sample would put each vector alone in its cell and
+        // zero the recall by construction)
+        nClusters = S.semanticClusters(subCount),
+        corpusSize = Some(subCount))
+        .select(
+          least(col("id1"), col("id2")).as("pid1"),
+          greatest(col("id1"), col("id2")).as("pid2"))
+      val semRecall =
+        if (nPairs == 0) 0.0
+        else truthPairs.join(sem, Seq("pid1", "pid2"), "left_semi").count() / nPairs
+      def r3(x: Double) = math.round(x * 1000) / 1000.0
+      Some(
+        s"""{"k":$k,"n_queries":${queries.count()},"n_truth":${nTruth.toLong},""" +
+          s""""lsh_recall":${r3(lsh)},"lsh4_recall":${r3(lsh4)},""" +
+          s""""ivf_recall":${r3(ivf)},"ivf8_recall":${r3(ivf8)},""" +
+          s""""semantic_pair_recall":${r3(semRecall)},"n_truth_pairs":${nPairs.toLong}}""")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench: ann recall eval failed on $dir: $e")
+        None
+    } finally {
+      graft.core.Blocks.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   private case class QResult(
       name: String, t: Double, raw: Seq[Double], err: Option[String], mem: String)
 
@@ -297,8 +377,20 @@ object Bench {
       else None
     val sf10 = legJson("sf10", sf10Dir, sf10Results, sf10Gen)
 
+    // ANN recall legs: sf1 as the standing number, sf10 as the 100× spot
+    // check (the toy-scale IvfSpec pin is NOT a substitute — recall is the
+    // number a user must see next to the ANN speed at scale)
+    val annSf1 =
+      if (new java.io.File(sf1Dir).isDirectory)
+        annRecall(spark, sf1Dir).map(j => s""","ann_recall_sf1":$j""").getOrElse("")
+      else ""
+    val annSf10 =
+      if (new java.io.File(sf10Dir).isDirectory)
+        annRecall(spark, sf10Dir).map(j => s""","ann_recall_sf10":$j""").getOrElse("")
+      else ""
+
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$sf1$sf10,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$sf1$sf10$annSf1$annSf10,"sf":"$sfDir"}"""
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
     // bounded 2000-char TAIL of it. The FILE gets the full artifact; stdout
     // gets (a) a compact per-query line for humans, then (b) a MINIMAL

@@ -114,7 +114,16 @@ object Similarity {
       k: Int,
       bits: Int = 8,
       dim: Int = 64,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true,
+      nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables must be positive: $nTables")
+    if (nTables > 1)
+      // multiple independent hash tables — the standard recall lever when
+      // one sign-bucket table misses true neighbors (recall scales with
+      // 1-(1-p)^L at L× hashing/join cost); candidates are deduplicated
+      // before scoring so k-selection sees each pair once
+      return lshTopKMultiTable(
+        vectors, queries, idCol, vecCol, k, bits, dim, multiProbe, nTables)
     val planes = hyperplanes(bits, dim)
     val corpus = vectors.select(
       col(idCol).as("neighbor_id"),
@@ -142,6 +151,70 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
     scored
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** The L-table flavor of [[lshTopK]]: per table t, planes are seeded
+    * independently (42 + 1000·t), the corpus row fans out to its L
+    * (table, bucket) cells, query probes fan out likewise (with the same
+    * Hamming-1 multi-probe per table), and the equi-join runs on
+    * (table, bucket). A candidate pair surfacing from several tables is
+    * deduplicated BEFORE the cosine so scoring work and the k-window see
+    * it once. Same partitioning story as the single-table path — one
+    * equi-join keyed by cell, queries broadcast.
+    */
+  private def lshTopKMultiTable(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      dim: Int,
+      multiProbe: Boolean,
+      nTables: Int): DataFrame = {
+    val tables = (0 until nTables).map(t => hyperplanes(bits, dim, 42L + 1000L * t))
+    def cell(t: Int, bucket: Column): Column =
+      struct(lit(t).as("tbl"), bucket.as("bkt"))
+    val corpus = vectors
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"),
+        explode(array(tables.zipWithIndex.map { case (p, t) =>
+          cell(t, lshKey(col(vecCol), p))
+        }: _*)).as("dj_cell"))
+    // NOTE: probes must reference the SOURCE vector column, not the
+    // `query_vec` alias defined in the same select — a lateral column
+    // alias under explode() trips an internal resolver error (Spark 4.1)
+    val qCells = tables.zipWithIndex.map { case (p, t) =>
+      val base = lshKey(col(vecCol), p)
+      val probes =
+        if (!multiProbe) array(base)
+        else
+          array_union(
+            array(base),
+            transform(
+              sequence(lit(0), lit(bits - 1)),
+              b => base.bitwiseXOR(call_function("shiftleft", lit(1L), b))))
+      transform(probes, b => cell(t, b))
+    }
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"),
+        explode(flatten(array(qCells: _*))).as("dj_cell"))
+    val candidates = corpus
+      .join(broadcast(q), Seq("dj_cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("neighbor_id"), col("vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    candidates
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
       .withColumn(
         "rank",
         row_number().over(

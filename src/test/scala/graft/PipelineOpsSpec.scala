@@ -433,6 +433,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
 
+  test("multi-table lshTopK: dedup'd candidates, true cosines, recall >= one table") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+    val exactPairs = exact.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    def run(tables: Int) = Similarity
+      .lshTopK(df, queries, "vec_id", "embedding", 3,
+        bits = 4, dim = 64, multiProbe = true, nTables = tables)
+      .collect()
+    val one = run(1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val four = run(4)
+    val fourPairs = four.map(r => (r.getLong(0), r.getLong(1)))
+    // no duplicate (query, neighbor) pairs survive the cross-table dedup
+    assert(fourPairs.toSet.size == fourPairs.length)
+    // per-query ranks are contiguous from 1
+    four.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+    // reported cosines are the true cosines (spot-check via the exact map)
+    four.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactCos.get(key).foreach(c =>
+        assert(math.abs(r.getAs[Double]("cosine") - c) < 1e-12))
+    }
+    // more tables can only widen the candidate set → recall does not drop
+    val r1 = (exactPairs & one).size.toDouble / exactPairs.size
+    val r4 = (exactPairs & fourPairs.toSet).size.toDouble / exactPairs.size
+    info(s"LSH recall: 1 table $r1, 4 tables $r4")
+    assert(r4 >= r1, s"4-table recall $r4 below 1-table $r1")
+  }
+
   test("embeddingNearDups: banded LSH finds planted near-dups with exact precision") {
     val base = (0 until 64).map(i => math.sin(i + 1).toFloat)
     def perturbed(eps: Float, at: Int): Seq[Float] = base.updated(at, base(at) + eps)
