@@ -888,6 +888,93 @@ object SparkEntry {
           round(col("avg_value"), 6).cast("double").as("avg_value"))
     },
 
+    // Structured Streaming driver-gate presence (VERDICT r7 stretch): the
+    // streaming session profile REPLAYED as a real file stream
+    // (AvailableNow + no-data flush batch, append mode, memory sink) and
+    // self-compared against the batch session_window recomputation. Append
+    // mode emits exactly the sessions whose end the final watermark
+    // (max event time − delay) passed — a deterministic set for a bounded
+    // replay — so the emitted rows must (a) exist, (b) match their batch
+    // recomputation bit-for-bit on counts and within 1e-9 on the float
+    // mean, and (c) be complete w.r.t. the watermark cutoff. The oracle is
+    // the constant all-green row; any streaming/batch divergence flips a
+    // flag and fails the gate.
+    "q_streaming_sessions" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val path = pq(dir, "events")
+      val schema = s.read.parquet(path).schema
+      // watermarks accept TIMESTAMP only — normalize the NTZ parquet read
+      // (and the long-micros flavor) identically on both the stream and the
+      // batch recomputation, so the session bounds compare like for like
+      def norm(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+      // the file-stream source lists DIRECTORIES — stream the data dir with
+      // a glob pinned to the events table
+      val stream = norm(
+        s.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir))
+      val viewName = "graft_stream_sessions"
+      // bench/verify re-run queries within one session — the memory sink's
+      // temp view from the previous run must not collide
+      s.catalog.dropTempView(viewName): Unit
+      val prof = graft.streaming.StreamingChecks
+        .streamingSessionProfile(stream, "user_id", "ts", "2 hours", "1 hour", "value")
+      val q = prof.writeStream
+        .format("memory")
+        .queryName(viewName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val emitted = s.table(viewName)
+      val batchEvents = norm(s.read.parquet(path))
+      // CHECKPOINT BARRIER, not an optimization: Catalyst pushes filters on
+      // grouping keys below aggregates, but a predicate on session_window's
+      // start/end is NOT sound pre-merge (it drops events whose PER-ROW
+      // session falls outside the bound even when merging would pull them
+      // in, fabricating phantom split sessions — observed on this very
+      // data). The barrier pins the merged sessions before any
+      // filter/join touches them.
+      val batch = graft.core.Blocks.checkpoint(
+        batchEvents
+          .groupBy(session_window(col("ts"), "1 hour").as("session"), col("user_id"))
+          .agg(count(lit(1)).as("b_n"), avg(col("value")).as("b_avg"))
+          .select(
+            col("user_id"),
+            col("session.start").as("session_start"),
+            col("session.end").as("session_end"),
+            col("b_n"), col("b_avg")))
+      try {
+        val joined =
+          emitted.join(batch, Seq("user_id", "session_start", "session_end"), "left")
+        val nEmitted = emitted.count()
+        val nMismatch = joined
+          .where(
+            col("b_n").isNull || col("n_events") =!= col("b_n") ||
+              !(abs(col("avg_value") - col("b_avg")) < 1e-9 ||
+                (col("avg_value").isNull && col("b_avg").isNull)))
+          .count()
+        val cutoff = batchEvents.agg(max(col("ts"))).head().getAs[Any](0)
+        val nExpected = batch
+          .where(col("session_end") <= lit(cutoff) - expr("INTERVAL 2 HOURS"))
+          .count()
+        one(
+          s,
+          Seq("emitted_nonempty", "all_match", "complete"),
+          Seq(
+            String.valueOf(nEmitted > 0),
+            String.valueOf(nMismatch == 0),
+            String.valueOf(nEmitted == nExpected)))
+      } finally graft.core.Blocks.release(batch)
+    },
+
     // bucketed range join (ops.RangeJoin): order dates as points joined
     // into sampled order-date windows — the non-equi predicate Spark would
     // plan as a nested loop, rewritten as explode-to-buckets + equi-join +
@@ -1945,6 +2032,8 @@ object SparkEntry {
       """SELECT lower(column_type) AS col_type FROM (DESCRIBE SELECT c_custkey FROM customer)""",
     "q_primary_keys" ->
       """SELECT 'n_nationkey' AS pk_cols, 'true' AS pk_match, 'false' AS pk_mismatch""",
+    "q_streaming_sessions" ->
+      """SELECT 'true' AS emitted_nonempty, 'true' AS all_match, 'true' AS complete""",
     "q_row_diff" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 50000
          EXCEPT
