@@ -446,6 +446,33 @@ object Bench {
       System.out.println(minimal)
       System.out.flush()
     }))
+    // The shutdown hook alone is NOT enough: `run / fork := true` means
+    // this JVM is a CHILD of the sbt JVM — our stdout is a pipe into sbt's
+    // logger, and sbt prints its own `[success] Total time: …` footer
+    // after we die (observed in the r8 log: minimal lines present, footer
+    // still last, so a parse-the-last-line driver still fails). The
+    // emitter below targets the PARENT process instead: it dups the
+    // parent's real stdout (`/proc/<ppid>/fd/1` — the pipe the driver
+    // actually captures) while the parent is alive, waits for the parent
+    // to exit (i.e. after the footer is flushed), and only then emits the
+    // sidecar line — making the minimal JSON the last line of the captured
+    // stream regardless of what sbt appends. Falls back silently if /proc
+    // or a parent is unavailable; the sidecar file remains the contract.
+    try {
+      val abs = java.nio.file.Paths.get(minPath).toAbsolutePath.toString
+      val self = ProcessHandle.current()
+      val target = self.parent().map[java.lang.Long](p => p.pid()).orElse(self.pid())
+      new ProcessBuilder(
+        "/bin/bash", "-c",
+        s"exec 3>/proc/$target/fd/1 || exit 0; " +
+          s"while kill -0 $target 2>/dev/null; do sleep 0.2; done; " +
+          s"cat '$abs' >&3")
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start(): Unit
+    } catch {
+      case e: Exception => System.err.println(s"bench: could not arm tail emitter: $e")
+    }
     spark.stop()
   }
 }

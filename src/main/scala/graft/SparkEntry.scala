@@ -569,6 +569,36 @@ object SparkEntry {
           md5(redactPii(t).cast("binary")).as("redacted_md5"))
     },
 
+    // encoding health (ops.Encoding): deterministic non-ASCII suffixes are
+    // CORRUPTED in-plan (UTF-8 bytes re-read as Latin-1 via encode/decode —
+    // the classic mojibake), profiled, and repaired; the repair must
+    // round-trip back to the original exactly. The oracle recomputes mark
+    // and control counts with the identical regex over the identical
+    // corrupted literals, and pins the repair round-trip as all-green.
+    "q_encoding_profile" -> { (s, dir) =>
+      import graft.ops.Encoding
+      val suffixes = Seq(
+        " café déjà vu",
+        " naïve façade",
+        " price 20€ – ok",
+        " Gefühl größer")
+      val original = concat(
+        col("text"),
+        element_at(
+          array(suffixes.map(lit): _*),
+          (col("doc_id") % 4 + 1).cast("int")))
+      val corrupted = decode(encode(original, "UTF-8"), "ISO-8859-1")
+      s.read
+        .parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          Encoding.mojibakeMarks(corrupted).cast("bigint").as("mojibake_marks"),
+          Encoding.controlChars(corrupted).cast("bigint").as("control_chars"),
+          (Encoding.fixMojibake(corrupted) === original).cast("string").as("repaired_ok"),
+          (Encoding.fixMojibake(corrupted) =!= corrupted).cast("string").as("enc_changed"))
+    },
+
     // composite quality score
     "q_quality_score" -> { (s, dir) =>
       s.read.parquet(pq(dir, "documents")).select(
@@ -2662,6 +2692,30 @@ object SparkEntry {
                       'https?://[A-Za-z0-9./?=&_%#:-]+', '[URL]', 'g'),
                       '[+][0-9][0-9() -]{7,}[0-9]', '[PHONE]', 'g')) AS redacted_md5
          FROM t""",
+    "q_encoding_profile" -> {
+      // the corrupted form of each suffix (UTF-8 bytes re-read as
+      // Latin-1), embedded as literals so DuckDB re-evaluates the SAME
+      // mark/control regexes over the SAME strings the Spark plan builds
+      val corrupt = Seq(
+        " caf\u00C3\u00A9 d\u00C3\u00A9j\u00C3\u00A0 vu",
+        " na\u00C3\u00AFve fa\u00C3\u00A7ade",
+        " price 20\u00E2\u0082\u00AC \u00E2\u0080\u0093 ok",
+        " Gef\u00C3\u00BChl gr\u00C3\u00B6\u00C3\u009Fer")
+      val cases = corrupt.zipWithIndex
+        .map { case (c, i) => s"WHEN ${i} THEN '$c'" }
+        .mkString(" ")
+      s"""WITH c AS (SELECT doc_id,
+                       CASE CAST(doc_id % 4 AS INT) $cases END AS suf
+                     FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id,
+                len(regexp_extract_all(text || suf,
+                    '${graft.ops.Encoding.MojibakePattern}')) AS mojibake_marks,
+                len(regexp_extract_all(text || suf,
+                    '${graft.ops.Encoding.ControlPattern}')) AS control_chars,
+                'true' AS repaired_ok,
+                'true' AS enc_changed
+         FROM c JOIN documents USING (doc_id)"""
+    },
     "q_quality_score" ->
       s"""WITH m AS (SELECT doc_id,
                  len(string_split($normSql, ' ')) AS n_tokens,

@@ -119,6 +119,44 @@ final case class MaxCrossSemanticDupFraction(
   }
 }
 
+/** Encoding-health budget: the fraction of documents showing encoding
+  * artifacts (mojibake marks, disallowed control characters, or U+FFFD
+  * replacement characters — [[graft.ops.Encoding]]) must stay ≤ the
+  * target. A crawl batch that regressed to double-encoded UTF-8 fails
+  * loudly before it poisons training text. One codegen'd projection +
+  * one count pair.
+  */
+final case class MaxEncodingArtifactFraction(
+    ref: DataRef,
+    textColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_encoding_artifact_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val t = col(textColumn)
+    val dirty = graft.ops.Encoding.mojibakeMarks(t) > 0 ||
+      graft.ops.Encoding.controlChars(t) > 0 ||
+      graft.ops.Encoding.replacementChars(t) > 0
+    val row = r.selection(spark)
+      .where(t.isNotNull)
+      .agg(count(lit(1)).as("n"), count(when(dirty, 1)).as("dirty"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0 else row.getLong(1).toDouble / total
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} documents carry encoding artifacts " +
+        s"(mojibake/control/replacement characters) while at most " +
+        s"$targetPrefix$target were allowed."))
+}
+
 /** Document-quality budget: the fraction of documents passing the Gopher
   * rule set ([[graft.ops.TextAnalysis.gopherRules]] — word-count bounds,
   * mean word length, symbol/bullet/ellipsis ratios, alpha fraction,

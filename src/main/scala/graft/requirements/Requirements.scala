@@ -137,6 +137,21 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at most `maxFraction` of documents may carry
+    * encoding artifacts — mojibake marks, disallowed control characters,
+    * or U+FFFD replacement characters ([[graft.ops.Encoding]]).
+    */
+  def addMaxEncodingArtifactFractionConstraint(
+      textColumn: String,
+      maxFraction: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxEncodingArtifactFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn,
+      refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of delimiter-separated units
     * may be cross-document boilerplate (present in ≥ `minDocFraction` of
     * the documents of their `groupColumn` slice).

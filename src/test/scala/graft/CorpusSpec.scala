@@ -318,6 +318,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(empty.test(spark).head.outcome)
   }
 
+  test("MaxEncodingArtifactFraction: encoding budget as a declarable constraint") {
+    import graft.requirements.WithinRequirement
+    def corrupt(s: String): String = new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    val df = docs(
+      1L -> "perfectly clean ascii",
+      2L -> "also clean",
+      3L -> "still clean",
+      4L -> corrupt("café déjà vu"))
+    val req = WithinRequirement.fromDataFrame(df, "corpus")
+    req.addMaxEncodingArtifactFractionConstraint("text", maxFraction = 0.25)
+    req.addMaxEncodingArtifactFractionConstraint("text", maxFraction = 0.2)
+    val results = req.test(spark)
+    assert(results.head.outcome, results.head.message) // exactly 1 of 4 dirty
+    assert(!results(1).outcome)
+    assert(results(1).failureMessage.exists(_.contains("encoding artifacts")))
+    val empty = WithinRequirement.fromDataFrame(docs(), "empty")
+    empty.addMaxEncodingArtifactFractionConstraint("text", maxFraction = 0.0)
+    assert(empty.test(spark).head.outcome)
+  }
+
   test("MaxBoilerplateFraction: boilerplate budget as a declarable constraint") {
     import graft.requirements.WithinRequirement
     val df = docs(
