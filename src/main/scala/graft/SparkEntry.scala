@@ -1666,6 +1666,78 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // streaming Count-Min sketch over a REAL file-stream replay of the
+    // documents table (Complete mode: the memory sink holds the final
+    // snapshot deterministically regardless of micro-batching) — the
+    // sketch TABLE itself is the output, hash-compared against the same
+    // full DuckDB recompute the batch q_cms_counts uses. The streaming
+    // aggregation and the batch sketch are the same grouped count, so
+    // replay convergence is exact, not approximate.
+    "q_streaming_cms" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import graft.ops.TextAnalysis
+      val schema = s.read.parquet(pq(dir, "documents")).schema
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val toks = stream
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val viewName = "graft_stream_cms"
+      s.catalog.dropTempView(viewName): Unit
+      val q = graft.streaming.StreamingChecks
+        .streamingCmsSketch(toks, "tok", depth = 4, width = 64)
+        .writeStream
+        .format("memory")
+        .queryName(viewName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(viewName)
+        .select(
+          col("cms_row").cast("bigint").as("cms_row"),
+          col("cms_bucket").cast("bigint").as("cms_bucket"),
+          col("cnt").cast("bigint").as("cnt"))
+    },
+
+    // streaming exact dedup over the replayed event stream
+    // (dropDuplicatesWithinWatermark): append mode emits the first row of
+    // each key exactly once, so projecting the key columns makes the
+    // output deterministically the distinct key set — hash-compared to
+    // DuckDB's DISTINCT. The watermark bounds the dedup state at scale;
+    // the replay proves the streaming path produces the batch answer.
+    "q_streaming_dedup" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val path = pq(dir, "events")
+      val schema = s.read.parquet(path).schema
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val normed = stream.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          stream.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          stream.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => stream
+      }
+      val viewName = "graft_stream_dedup"
+      s.catalog.dropTempView(viewName): Unit
+      val q = graft.streaming.StreamingChecks
+        .streamingDedup(normed, "ts", "2 hours", Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .writeStream
+        .format("memory")
+        .queryName(viewName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(viewName)
+    },
+
     // whole-table column profile (ops.Profile): counts / nulls / exact
     // distincts / min-max for four part columns from ONE aggregate over
     // one scan (multi-countDistinct Expand). Integer and string columns
@@ -2970,6 +3042,19 @@ object SparkEntry {
               est AS (SELECT word, min(coalesce(cnt, 0)) AS cms_count
                       FROM pe LEFT JOIN sk USING (d, bucket) GROUP BY word)
          SELECT word, CAST(cms_count AS BIGINT) AS cms_count FROM est""",
+    "q_streaming_cms" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS t
+                        FROM documents WHERE text IS NOT NULL),
+              ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+              pairs AS (SELECT d,
+                          ('0x' || substring(md5(d || ':' || t), 1, 15))::BIGINT
+                            % 64 AS bucket
+                        FROM toks, ds)
+         SELECT CAST(d AS BIGINT) AS cms_row, CAST(bucket AS BIGINT) AS cms_bucket,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM pairs GROUP BY d, bucket""",
+    "q_streaming_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
     // column profile: per-column aggregates unioned
     "q_profile" ->
       """SELECT 'p_partkey' AS column, count(*) AS n_rows,
