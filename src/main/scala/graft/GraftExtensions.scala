@@ -50,6 +50,14 @@ object GraftExtensions {
           "_FUNC_(str, k) - sorted distinct xxhash64 values of all k-char shingles"),
         (args: Seq[Expression]) =>
           ShingleHashes(args.head, intLit(args(1), "shingle_hashes", "k"))),
+      ("strided_hashes",
+        info("strided_hashes",
+          "_FUNC_(str, n, stride) - distinct xxhash64 values of n-char windows every stride chars"),
+        (args: Seq[Expression]) =>
+          StridedHashes(
+            args.head,
+            intLit(args(1), "strided_hashes", "n"),
+            intLit(args(2), "strided_hashes", "stride"))),
       ("minhash_signature",
         info("minhash_signature",
           "_FUNC_(hashes, n) - n-hash MinHash signature of a sorted shingle-hash array"),

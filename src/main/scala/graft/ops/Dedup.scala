@@ -576,17 +576,17 @@ object Dedup {
     val shCk = graft.core.Blocks.checkpoint(sh0)
       .where(size(col("shingle_hashes")) > 0) // post-checkpoint: no recompute
     // the candidate key shuffles twice (df window + self-join): hash the
-    // coarseK-char string to 8 bytes first — a collision can only ADD a
-    // candidate pair, and every pair is exact-verified below
+    // coarseK-char window to 8 bytes first — a collision can only ADD a
+    // candidate pair, and every pair is exact-verified below. The native
+    // kernel hashes each strided window straight off the input bytes
+    // (bit-identical to the substr+xxhash64 HOF chain it replaced; that
+    // chain copied one 24-char substring per window — the dominant cost of
+    // this explode at the 100× leg)
     val coarse = shCk.select(
       col(idCol),
-      explode(array_distinct(transform(
-        filter(
-          transform(
-            sequence(lit(0), greatest(length(col("dj_norm")) - coarseK, lit(0)), lit(coarseStride)),
-            i => col("dj_norm").substr(i + 1, lit(coarseK))),
-          s => length(s) === coarseK),
-        s => xxhash64(s)))).as("ckey"))
+      explode(
+        graft.functions.StridedHashes
+          .stridedHashes(col("dj_norm"), coarseK, coarseStride)).as("ckey"))
     // COUNT-FIRST df cap (the lshCandidatePairs pattern): the document
     // frequency comes from a groupBy — map-side combine collapses a hot
     // boilerplate 24-gram BEFORE the shuffle — and the cap filters KEYS.

@@ -94,6 +94,37 @@ class MinHashSignatureSpec extends AnyFunSuite {
     short.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("strided-hash kernel equals the declarative substr+xxhash64 chain") {
+    import graft.functions.StridedHashes.stridedHashes
+    def declarative(t: org.apache.spark.sql.Column, n: Int, stride: Int) =
+      sort_array(array_distinct(transform(
+        filter(
+          transform(
+            sequence(lit(0), greatest(length(t) - n, lit(0)), lit(stride)),
+            i => t.substr(i + 1, lit(n))),
+          s => length(s) === n),
+        s => xxhash64(s))))
+    val norm = TextAnalysis.normalize(col("text"))
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200)
+      .select(
+        sort_array(stridedHashes(norm, 24, 4)).as("native"),
+        declarative(norm, 24, 4).as("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // edges: shorter than the window, exactly the window, stride overshoot
+    import spark.implicits._
+    val edge = Seq("", "shorty", "exactly-24-chars-string!", "x" * 25, "y" * 29)
+      .toDF("text")
+      .select(
+        sort_array(stridedHashes(col("text"), 24, 4)).as("native"),
+        declarative(col("text"), 24, 4).as("declarative"))
+      .collect()
+    edge.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash64 equals the HOF fold bit-for-bit (all three flavors)") {
     import graft.functions.SimHash64.simhash64
     val rows = spark.read
