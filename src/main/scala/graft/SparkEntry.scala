@@ -450,6 +450,28 @@ object SparkEntry {
         endIncluded = true)
     },
 
+    // N >= 3-D overlap: the flag-early linear-scan sweep
+    // (Intervals.sweepNDFlags) vs DuckDB's pair self-join
+    "q_interval_overlap_3d" -> { (s, dir) =>
+      val iv = s.read
+        .parquet(pq(dir, "orders"))
+        .select(
+          col("o_custkey"),
+          to_date(col("o_orderdate")).as("s_date"),
+          date_add(to_date(col("o_orderdate")), 45).as("e_date"),
+          col("o_totalprice").as("s_price"),
+          (col("o_totalprice") + lit(80000.0)).as("e_price"),
+          (col("o_orderkey") % 50).as("s_slot"),
+          (col("o_orderkey") % 50 + 5).as("e_slot"))
+      Intervals.overlapViolationKeys(
+        s,
+        DataRef(FrameSource(iv, "order_intervals_3d")),
+        Seq("o_custkey"),
+        Seq("s_date", "s_price", "s_slot"),
+        Seq("e_date", "e_price", "e_slot"),
+        endIncluded = true)
+    },
+
     // #9/#11 get_date_gaps
     "q_date_gaps" -> { (s, dir) =>
       val iv = s.read
@@ -2197,6 +2219,20 @@ object SparkEntry {
                       AND a.s1 <= b.s1 AND a.e1 >= b.s1
                       AND a.s2 <= b.s2 AND a.e2 >= b.s2
                       AND (a.s1 <> b.s1 OR a.e1 <> b.e1 OR a.s2 <> b.s2 OR a.e2 <> b.e2))
+         SELECT DISTINCT o_custkey FROM (SELECT * FROM dup UNION ALL SELECT * FROM ovl)""",
+    "q_interval_overlap_3d" ->
+      """WITH iv AS (SELECT o_custkey, cast(o_orderdate AS DATE) AS s1,
+                            cast(o_orderdate AS DATE) + 45 AS e1,
+                            o_totalprice AS s2, o_totalprice + 80000.0 AS e2,
+                            o_orderkey % 50 AS s3, o_orderkey % 50 + 5 AS e3 FROM orders),
+              dup AS (SELECT o_custkey FROM iv GROUP BY o_custkey, s1, e1, s2, e2, s3, e3 HAVING count(*) > 1),
+              ovl AS (SELECT a.o_custkey FROM iv a JOIN iv b
+                      ON a.o_custkey = b.o_custkey
+                      AND a.s1 <= b.s1 AND a.e1 >= b.s1
+                      AND a.s2 <= b.s2 AND a.e2 >= b.s2
+                      AND a.s3 <= b.s3 AND a.e3 >= b.s3
+                      AND (a.s1 <> b.s1 OR a.e1 <> b.e1 OR a.s2 <> b.s2 OR a.e2 <> b.e2
+                           OR a.s3 <> b.s3 OR a.e3 <> b.e3))
          SELECT DISTINCT o_custkey FROM (SELECT * FROM dup UNION ALL SELECT * FROM ovl)""",
     "q_date_gaps" ->
       """WITH iv AS (SELECT o_custkey AS k, cast(o_orderdate AS DATE) AS s_date,

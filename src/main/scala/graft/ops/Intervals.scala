@@ -332,21 +332,37 @@ object Intervals {
       keyColumns: Seq[String],
       startColumns: Seq[String],
       endColumns: Seq[String],
+      endIncluded: Boolean): DataFrame =
+    overlapFlagsSweep(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
+
+  /** The swept N-D (N >= 2) flag plan: the [[overlapFlags2D]] routing
+    * generalized to any dimensionality — scenario-1 duplicates flag keys
+    * directly off the rectangle pre-aggregate, NULL-start rectangles drop,
+    * NULL-END keys route to the exact pair join restricted to their own
+    * rows, and clean keys take the dim-1 sweep: the treap stab for N == 2
+    * ([[sweep2DFlags]]), the flag-early linear active-scan for N >= 3
+    * ([[sweepNDFlags]]).
+    */
+  private[graft] def overlapFlagsSweep(
+      spark: SparkSession,
+      ref: DataRef,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
       endIncluded: Boolean): DataFrame = {
     val sel = ref.selection(spark)
-    val Seq(s1, s2) = startColumns
-    val Seq(e1, e2) = endColumns
-    val rectCols = keyColumns ++ Seq(s1, e1, s2, e2)
+    val rectCols = keyColumns ++
+      startColumns.zip(endColumns).flatMap { case (s, e) => Seq(s, e) }
     val rects = graft.core.Blocks.checkpoint(
       sel.groupBy(rectCols.map(col): _*).agg(count(lit(1)).as("dj_n")))
     try {
       val dupKeys =
         rects.where(col("dj_n") > 1).select(keyColumns.map(col): _*).distinct()
       val keysNonNull = keyColumns.map(col(_).isNotNull).reduce(_ && _)
-      val startsNonNull = col(s1).isNotNull && col(s2).isNotNull
+      val startsNonNull = startColumns.map(col(_).isNotNull).reduce(_ && _)
       val sweepable = rects.where(keysNonNull && startsNonNull)
       val oddKeys = sweepable
-        .where(col(e1).isNull || col(e2).isNull)
+        .where(endColumns.map(col(_).isNull).reduce(_ || _))
         .select(keyColumns.map(col): _*)
         .distinct()
 
@@ -363,13 +379,18 @@ object Intervals {
               .select(keyColumns.map(col): _*)
               .distinct())
 
-      val cleanBase = sweepable.where(col(e1).isNotNull && col(e2).isNotNull)
+      val cleanBase =
+        sweepable.where(endColumns.map(col(_).isNotNull).reduce(_ && _))
       val clean =
         if (oddFlags.isEmpty) cleanBase
         else cleanBase.join(oddKeys, keyColumns, "left_anti")
 
       val sweepFlags =
-        sweep2DFlags(clean, keyColumns, s1, e1, s2, e2, endIncluded)
+        if (startColumns.length == 2)
+          sweep2DFlags(clean, keyColumns, startColumns.head, endColumns.head,
+            startColumns(1), endColumns(1), endIncluded)
+        else
+          sweepNDFlags(clean, keyColumns, startColumns, endColumns, endIncluded)
 
       val flags = (Seq(dupKeys, sweepFlags) ++ oddFlags).reduce(_.union(_)).distinct()
       graft.core.Blocks.checkpoint(flags)
@@ -468,13 +489,137 @@ object Intervals {
       }(org.apache.spark.sql.Encoders.row(keySchema))
   }
 
+  /** The clean-key N-D (N >= 3) sweep: same shuffle shape as
+    * [[sweep2DFlags]] (one key exchange, one within-partition sort by
+    * (keys, s1..sN), one streaming mapPartitions, no join) but the dim-2
+    * treap is replaced by a FLAG-EARLY linear scan of the active set —
+    * beyond two dimensions no single-axis prefix-max answers "does any
+    * active hyper-rectangle reach this probe in every residual dimension",
+    * so each probe corner scans the rectangles still alive in dim 1
+    * (lazily compacting expired ones in the same pass) and stops at the
+    * first hit, which also flags the whole key and skips its remaining
+    * rows. Worst case O(k · active) compares per key with NO materialized
+    * pair output and no shuffle amplification — the self-join's k² JOIN
+    * ROWS through an exchange were the scale-killer, and they are gone;
+    * the no-violation fully-dim-1-overlapping hot key (the quadratic
+    * residue) costs in-core compares only, bounded by the dim-1 adjacency
+    * structure rather than the key's row count squared.
+    *
+    * Semantics per probe group at corner (g1..gN) (identical to the 2-D
+    * sweep's): active ⟹ s1 <= g1 (sort order) and dim-1 reach (not
+    * expired); residual dims require s_d <= g_d and end_d reach; ties at
+    * an equal full start corner are probed as a group, violating iff the
+    * group holds >= 2 distinct rectangles and any member reaches its own
+    * corner in every dimension.
+    */
+  private[graft] def sweepNDFlags(
+      clean: DataFrame,
+      keyColumns: Seq[String],
+      startColumns: Seq[String],
+      endColumns: Seq[String],
+      endIncluded: Boolean): DataFrame = {
+    val nKeys = keyColumns.length
+    val nd = startColumns.length
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyColumns.map(k => clean.schema(clean.schema.fieldIndex(k))))
+    val inclusive = endIncluded
+    val coordCols =
+      startColumns.zip(endColumns).flatMap { case (s, e) => Seq(s, e) }
+    val sorted = clean
+      .select((keyColumns ++ coordCols).map(col): _*)
+      .repartition(keyColumns.map(col): _*)
+      .sortWithinPartitions((keyColumns ++ startColumns).map(col): _*)
+    sorted.mapPartitions { rows =>
+        def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+        def reaches(a: Any, b: Any): Boolean =
+          if (a == null) false else if (inclusive) cmp(a, b) >= 0 else cmp(a, b) > 0
+
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var curKey: Seq[Any] = null
+        var flagged = false
+        // active rectangles: coords laid out (s1, e1, s2, e2, …) — s1 is
+        // dead weight post-activation but keeps one layout everywhere
+        var active = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+        // buffered full-start-corner tie group
+        var groupStarts: Array[Any] = null
+        var group = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+
+        def flushGroup(): Unit = if (!flagged && group.nonEmpty) {
+          // one pass: lazily compact dim-1-expired rectangles IN PLACE
+          // (no per-probe buffer allocation) and stab the survivors
+          var w = 0
+          var i = 0
+          while (i < active.length && !flagged) {
+            val a = active(i)
+            if (reaches(a(1), groupStarts(0))) {
+              active(w) = a
+              w += 1
+              var d = 1
+              var ok = true
+              while (d < nd && ok) {
+                ok = cmp(a(2 * d), groupStarts(d)) <= 0 &&
+                  reaches(a(2 * d + 1), groupStarts(d))
+                d += 1
+              }
+              if (ok) flagged = true
+            }
+            i += 1
+          }
+          if (!flagged) {
+            // the scan ran to completion — the prefix [0, w) is the
+            // compacted active set (a flagged early-exit skips this; the
+            // key's state is discarded wholesale at the next key)
+            if (w < active.length) active.remove(w, active.length - w)
+            if (group.length >= 2 && group.exists { m =>
+                (0 until nd).forall(d => reaches(m(2 * d + 1), groupStarts(d)))
+              }) flagged = true
+          }
+          if (!flagged) group.foreach(active += _)
+          group.clear()
+        }
+
+        def emit(): Unit = {
+          if (curKey != null) {
+            flushGroup()
+            if (flagged) out += Row.fromSeq(curKey)
+          }
+        }
+
+        rows.foreach { r =>
+          val key = (0 until nKeys).map(r.get)
+          if (curKey == null || key != curKey) {
+            emit()
+            curKey = key
+            flagged = false
+            active = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+            groupStarts = null
+            group.clear()
+          }
+          if (!flagged) {
+            val coords = Array.tabulate[Any](2 * nd)(i => r.get(nKeys + i))
+            val sameCorner = groupStarts != null &&
+              (0 until nd).forall(d => cmp(coords(2 * d), groupStarts(d)) == 0)
+            if (!sameCorner) flushGroup()
+            if (!flagged) {
+              groupStarts = Array.tabulate[Any](nd)(d => coords(2 * d))
+              group += coords
+            }
+          }
+        }
+        emit()
+        out.iterator
+      }(org.apache.spark.sql.Encoders.row(keySchema))
+  }
+
   /** Distinct violating key tuples — the COUNT-path entry point that picks
     * the scale-safe plan per shape: 1-D keyed → windowed sweep
     * ([[overlapFlags1D]]), 2-D keyed → dim-1 sweep + treap stab
-    * ([[overlapFlags2D]]), anything else (keyless, N>=3-D, payload columns
-    * beyond key+intervals, or per-dimension start/end type mismatch) → the
-    * pair self-join. Both sweeps require the selection to carry exactly
-    * key+interval columns (scenario 1's whole-row duplicate semantics).
+    * ([[sweep2DFlags]]), N>=3-D keyed → dim-1 sweep + flag-early linear
+    * active scan ([[sweepNDFlags]]), anything else (keyless, payload
+    * columns beyond key+intervals, or per-dimension start/end type
+    * mismatch) → the pair self-join. The sweeps require the selection to
+    * carry exactly key+interval columns (scenario 1's whole-row duplicate
+    * semantics).
     */
   def overlapViolationKeys(
       spark: SparkSession,
@@ -489,9 +634,9 @@ object Intervals {
     if (guard && startColumns.length == 1)
       overlapFlags1D(
         spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded)
-    else if (guard && startColumns.length == 2 &&
+    else if (guard && startColumns.length >= 2 &&
       sweepable2DTypes(sel, startColumns, endColumns))
-      overlapFlags2D(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
+      overlapFlagsSweep(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
     else {
       val violations =
         overlapViolations(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
@@ -522,17 +667,17 @@ object Intervals {
     val colGuard = keyColumns.nonEmpty &&
       sel.columns.toSet == (keyColumns ++ startColumns ++ endColumns).toSet
     val oneD = startColumns.length == 1 && colGuard
-    val twoD = startColumns.length == 2 && colGuard &&
+    val swept = startColumns.length >= 2 && colGuard &&
       sweepable2DTypes(sel, startColumns, endColumns)
-    if (oneD || twoD) {
+    if (oneD || swept) {
       // flagged keys feed the count AND the sample-key pick — materialize
       // once (≤ one row per key), release before returning
       val flagged =
         if (oneD)
           graft.core.Blocks.checkpoint(overlapFlags1D(
             spark, ref, keyColumns, startColumns.head, endColumns.head, endIncluded))
-        else // overlapFlags2D returns an already-checkpointed frame
-          overlapFlags2D(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
+        else // overlapFlagsSweep returns an already-checkpointed frame
+          overlapFlagsSweep(spark, ref, keyColumns, startColumns, endColumns, endIncluded)
       try {
         val nViol = flagged.count()
         val sample =

@@ -240,6 +240,118 @@ class IntervalSpec extends AnyFunSuite {
     assert(res.nDistinctKeys == 2)
   }
 
+  test("3-D sweep matches the pair self-join on adversarial fixtures") {
+    def D(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val N: java.lang.Double = null
+    val df = num3dIntervalDf(Seq(
+      // key 40: overlap in all three dims — violation
+      (40, Seq(D(0), D(10), D(0), D(10), D(0), D(10))),
+      (40, Seq(D(5), D(15), D(5), D(15), D(5), D(15))),
+      // key 41: overlap in dims 1-2, disjoint in dim 3 — no violation
+      (41, Seq(D(0), D(10), D(0), D(10), D(0), D(1))),
+      (41, Seq(D(5), D(15), D(5), D(15), D(5), D(6))),
+      // key 42: geometric overlap, direction-blocked (neither row leftmost
+      // in all three dims) — no violation
+      (42, Seq(D(0), D(10), D(5), D(15), D(0), D(10))),
+      (42, Seq(D(1), D(11), D(0), D(14), D(1), D(11))),
+      // key 43: the dim-2 interleave under a shared dim-3 band: A and B
+      // mutually blocked, probe C reached only by A (smaller s2, larger
+      // e2) — a floor-only / last-seen structure would miss the pair
+      (43, Seq(D(5), D(100), D(0), D(100), D(0), D(100))),
+      (43, Seq(D(0), D(100), D(50), D(60), D(0), D(100))),
+      (43, Seq(D(6), D(7), D(70), D(71), D(1), D(99))),
+      // key 44: corner touch in every dim — endIncluded-only violation
+      (44, Seq(D(0), D(5), D(0), D(5), D(0), D(5))),
+      (44, Seq(D(5), D(9), D(5), D(9), D(5), D(9))),
+      // key 45: exact duplicates (scenario 1)
+      (45, Seq(D(1), D(2), D(1), D(2), D(1), D(2))),
+      (45, Seq(D(1), D(2), D(1), D(2), D(1), D(2))),
+      // key 46: equal full corner, differing ends — violation
+      (46, Seq(D(0), D(5), D(0), D(5), D(0), D(5))),
+      (46, Seq(D(0), D(7), D(0), D(3), D(0), D(4))),
+      // key 47: NULL dim-3 start — excluded from pairing
+      (47, Seq(D(0), D(10), D(0), D(10), N, D(10))),
+      (47, Seq(D(5), D(15), D(5), D(15), D(5), D(15))),
+      // key 48: NULL dim-3 END — routes the key to the legacy pair join
+      (48, Seq(D(0), D(10), D(0), D(10), D(0), D(10))),
+      (48, Seq(D(5), D(15), D(5), D(15), D(5), N)),
+      // NULL key: only exact duplicates flag
+      (null, Seq(D(0), D(10), D(0), D(10), D(0), D(10))),
+      (null, Seq(D(0), D(10), D(0), D(10), D(0), D(10)))))
+    val ref = DataRef(FrameSource(df, "adversarial_overlap_3d"))
+    val starts = Seq("s1", "s2", "s3"); val ends = Seq("e1", "e2", "e3")
+    def keyOf(r: org.apache.spark.sql.Row): Option[Int] =
+      if (r.isNullAt(0)) None else Some(r.getInt(0))
+    for (endIncluded <- Seq(true, false)) {
+      val joined = Intervals
+        .overlapViolations(spark, ref, Seq("id1"), starts, ends, endIncluded)
+        .select(org.apache.spark.sql.functions.col("id1"))
+        .distinct().collect().map(keyOf).toSet
+      val swept = Intervals
+        .overlapFlagsSweep(spark, ref, Seq("id1"), starts, ends, endIncluded)
+        .collect().map(keyOf).toSet
+      assert(swept == joined,
+        s"endIncluded=$endIncluded: swept $swept != joined $joined")
+      if (endIncluded)
+        assert(joined == Set(Some(40), Some(43), Some(44), Some(45), Some(46), Some(48), None))
+      val res =
+        Intervals.overlapResult(spark, ref, Seq("id1"), starts, ends, endIncluded)
+      assert(res.nViolationKeys == joined.size)
+      assert(res.violationSample.isDefined)
+    }
+  }
+
+  test("randomized 3-D overlap parity: sweep == join path on seeded corpora") {
+    import org.apache.spark.sql.functions.col
+    // dense small-domain corpora maximize ties, duplicate corners,
+    // containment, inverted/degenerate boxes, and NULL routing
+    val starts = Seq("s1", "s2", "s3"); val ends = Seq("e1", "e2", "e3")
+    for (seed <- 1 to 6; endIncluded <- Seq(true, false)) {
+      val rnd = new scala.util.Random(300 + seed)
+      val rows = Seq.fill(90) {
+        val k: Integer =
+          if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(6))
+        def coord(): java.lang.Double =
+          if (rnd.nextInt(16) == 0) null else rnd.nextInt(5).toDouble
+        (k, Seq.fill(6)(coord()))
+      }
+      val ref = DataRef(FrameSource(num3dIntervalDf(rows), s"rand_overlap3d_$seed"))
+      def keyOf(r: org.apache.spark.sql.Row): Option[Int] =
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
+      val joined = Intervals
+        .overlapViolations(spark, ref, Seq("id1"), starts, ends, endIncluded)
+        .select(col("id1")).distinct().collect().map(keyOf).toSet
+      val swept = Intervals
+        .overlapFlagsSweep(spark, ref, Seq("id1"), starts, ends, endIncluded)
+        .collect().map(keyOf).toSet
+      assert(swept == joined,
+        s"seed=$seed endIncluded=$endIncluded: swept $swept != joined $joined")
+    }
+  }
+
+  test("3-D sweep survives a planted hot key the self-join cannot") {
+    // one key, 20k boxes, ALL mutually overlapping in dims 1-2 (the
+    // self-join would emit ~4·10⁸ candidate pairs) but pairwise disjoint
+    // in dim 3 → no violation; a second key carries one genuine violation.
+    // The flag-early linear scan holds the 20k active set (O(k) memory)
+    // and each probe exits its scan without materializing any pair rows.
+    def D(v: Double): java.lang.Double = java.lang.Double.valueOf(v)
+    val hot = (0 until 20000).map { i =>
+      (Integer.valueOf(1),
+        Seq(D(i.toDouble), D(1e9), D(0.0), D(1e9), D(2.0 * i), D(2.0 * i + 0.5)))
+    }
+    val planted = Seq(
+      (Integer.valueOf(2), Seq(D(0), D(10), D(0), D(10), D(0), D(10))),
+      (Integer.valueOf(2), Seq(D(5), D(15), D(5), D(15), D(5), D(15))))
+    val ref =
+      DataRef(FrameSource(num3dIntervalDf(hot ++ planted), "hotkey_overlap_3d"))
+    val res = Intervals.overlapResult(
+      spark, ref, Seq("id1"), Seq("s1", "s2", "s3"), Seq("e1", "e2", "e3"),
+      endIncluded = true)
+    assert(res.nViolationKeys == 1)
+    assert(res.nDistinctKeys == 2)
+  }
+
   private def gapDf = intervalDf(Seq(
     // key 1: single entry — no gap
     (1, "2016-01-01", "2016-01-10"),

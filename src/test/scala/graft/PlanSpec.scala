@@ -177,6 +177,30 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one shuffle in the sweep plan:\n$physical")
   }
 
+  test("N-D overlap clean-key sweep: one key exchange + sort + mapPartitions, no self-join") {
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(
+        col("l_orderkey"),
+        col("l_shipdate").cast("timestamp").cast("double").as("s1"),
+        (col("l_shipdate").cast("timestamp").cast("double") + 86400 * 5).as("e1"),
+        col("l_quantity").cast("double").as("s2"),
+        (col("l_quantity") + 10.0).cast("double").as("e2"),
+        col("l_suppkey").cast("double").as("s3"),
+        (col("l_suppkey") + 3.0).cast("double").as("e3"))
+    val qe = graft.ops.Intervals
+      .sweepNDFlags(df, Seq("l_orderkey"), Seq("s1", "s2", "s3"),
+        Seq("e1", "e2", "e3"), endIncluded = true)
+      .queryExecution
+    assert(
+      !qe.optimizedPlan.toString.contains("Join"),
+      s"the N-D overlap count sweep must not self-join:\n${qe.optimizedPlan}")
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("hashpartitioning(l_orderkey"),
+      s"sweep must exchange on the key:\n$physical")
+    assert("Exchange hashpartitioning".r.findAllIn(physical).size == 1,
+      s"exactly one shuffle in the sweep plan:\n$physical")
+  }
+
   test("embedding near-dup candidates come from banded capped buckets, not a key self-join") {
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
     val qe = Similarity

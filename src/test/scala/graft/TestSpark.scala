@@ -81,4 +81,15 @@ object TestSpark {
         StructField("s2", DoubleType),
         StructField("e2", DoubleType))))
   }
+
+  def num3dIntervalDf(rows: Seq[(Integer, Seq[java.lang.Double])]): DataFrame = {
+    val data = rows.map { case (k, cs) => Row(k +: cs: _*) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2),
+      StructType(
+        StructField("id1", IntegerType) +:
+          (1 to 3).flatMap(d => Seq(
+            StructField(s"s$d", DoubleType),
+            StructField(s"e$d", DoubleType)))))
+  }
 }
