@@ -126,7 +126,15 @@ object Bench {
     // multi-countDistinct Expand over every profiled column
     "q_profile",
     // typed JSON parse over the full event stream + groupBy
-    "q_json_extract")
+    "q_json_extract",
+    // two distribution aggregates + broadcast log-ratio scoring join —
+    // the n-gram explode volume tracks corpus tokens
+    "q_dsir_weights",
+    // bucketed global rank (sampled boundaries + per-bucket windows) —
+    // the plan whose balance-vs-skew behavior only shows at scale
+    "q_shard_assign",
+    // dim-1 sweep + flag-early linear scan (N>=3-D overlap)
+    "q_interval_overlap_3d")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the

@@ -1647,6 +1647,55 @@ object SparkEntry {
           round(col("cross_entropy"), 6).cast("double").as("cross_entropy"))
     },
 
+    // DSIR importance weights: hashed unigram+bigram buckets (md5 flavor so
+    // the oracle recomputes identical buckets), smoothed target/raw
+    // log-ratios over the full bucket spine, exact decimal per-doc sums
+    "q_dsir_weights" -> { (s, dir) =>
+      val docs =
+        s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      graft.ops.Dsir
+        .importanceWeights(
+          docs, docs.where(col("doc_id") % 7 === 0), "text", "doc_id",
+          nBuckets = 512, md5Flavor = true)
+        .select(
+          col("doc_id"),
+          col("n_features").cast("bigint").as("n_features"),
+          round(col("logw"), 6).cast("double").as("logw"))
+    },
+
+    // weight-balanced serpentine shard assignment over the bucketed global
+    // rank (no unpartitioned window) — per-shard token totals near-equal
+    "q_shard_assign" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          graft.ops.TextAnalysis.tokenCount(col("text")).cast("bigint").as("tok_w"))
+      graft.ops.Corpus
+        .assignShardsBalanced(docs, "doc_id", "tok_w", nShards = 8)
+        .select(
+          col("doc_id"), col("tok_w"),
+          col("shard_rank").cast("bigint").as("shard_rank"),
+          col("shard").cast("bigint").as("shard"))
+    },
+
+    // DSIR Gumbel-top-k selection: deterministic md5-lattice uniforms,
+    // sample-∝-weight without replacement, rank pinned by (gumbel, id)
+    "q_dsir_sample" -> { (s, dir) =>
+      val docs =
+        s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      graft.ops.Dsir
+        .resample(
+          docs, docs.where(col("doc_id") % 7 === 0), "text", "doc_id",
+          k = 50, seed = "gate", nBuckets = 512, md5Flavor = true)
+        .select(
+          col("doc_id"),
+          col("n_features").cast("bigint").as("n_features"),
+          round(col("logw"), 6).cast("double").as("logw"),
+          round(col("gumbel"), 6).as("gumbel"),
+          col("rank").cast("bigint").as("rank"))
+    },
+
     // TF-IDF keyword extraction: top-5 tokens per doc, smoothed idf over
     // the full corpus — tf aggregate, vocabulary join (AQE broadcast/skew),
     // per-doc ranking window
@@ -2603,7 +2652,69 @@ object SparkEntry {
     s"round(($digits) / 16777216.0, 6)"
   }
 
+  /** Shared DSIR oracle chain: empty-filtered normalized tokens, unigram +
+    * bigram features, md5 buckets mod 512, smoothed log-ratio spine, exact
+    * decimal per-doc weights (target = doc_id % 7 == 0, raw = all docs).
+    */
+  private def dsirChainSql: String =
+    s"""d AS (SELECT doc_id, list_filter(string_split($normSql, ' '),
+                                         t -> t <> '') AS toks
+              FROM documents WHERE text IS NOT NULL),
+        uni AS (SELECT doc_id, unnest(toks) AS g FROM d),
+        bi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                     FROM d WHERE len(toks) > 1)),
+        feats AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+        fb AS (SELECT doc_id,
+                 ('0x' || substring(md5(g), 1, 15))::BIGINT % 512 AS b FROM feats),
+        tgt AS (SELECT b, count(*) AS ct FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+        rw AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+        nt AS (SELECT CAST(sum(ct) AS DOUBLE) AS n FROM tgt),
+        nr AS (SELECT CAST(sum(cr) AS DOUBLE) AS n FROM rw),
+        lr AS (SELECT sp.b,
+                 CAST(ln(((coalesce(ct, 0) + 0.5) / (nt.n + 256.0)) /
+                         ((coalesce(cr, 0) + 0.5) / (nr.n + 256.0)))
+                      AS DECIMAL(20,12)) AS lr
+               FROM (SELECT unnest(range(0, 512)) AS b) sp
+               LEFT JOIN tgt ON sp.b = tgt.b
+               LEFT JOIN rw ON sp.b = rw.b
+               CROSS JOIN nt CROSS JOIN nr),
+        db AS (SELECT doc_id, b, count(*) AS cnt FROM fb GROUP BY 1, 2),
+        w AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
+                     CAST(sum(CAST(cnt AS DECIMAL(17,0)) * lr) AS DECIMAL(38,12)) AS logw_raw
+              FROM db JOIN lr USING (b) GROUP BY doc_id)"""
+
   private def trainingOracles: Map[String, String] = Map(
+    "q_shard_assign" ->
+      s"""WITH d AS (SELECT doc_id,
+                       len(string_split($normSql, ' '))::BIGINT AS tok_w
+                     FROM documents WHERE text IS NOT NULL),
+              r AS (SELECT doc_id, tok_w,
+                      row_number() OVER (ORDER BY tok_w DESC, doc_id ASC) AS rk
+                    FROM d)
+         SELECT doc_id, tok_w, CAST(rk AS BIGINT) AS shard_rank,
+                CAST(CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+                          ELSE 7 - (rk - 1) % 8 END AS BIGINT) AS shard
+         FROM r""",
+    "q_dsir_weights" ->
+      s"""WITH $dsirChainSql
+         SELECT doc_id, n_features,
+                CAST(round(logw_raw, 6) AS DOUBLE) AS logw FROM w""",
+    "q_dsir_sample" ->
+      s"""WITH $dsirChainSql,
+              g AS (SELECT doc_id, n_features, logw_raw,
+                      CAST(logw_raw AS DOUBLE)
+                        - ln(-ln((('0x' || substring(md5(doc_id::VARCHAR || ':gate'), 1, 13))::BIGINT
+                                  + 0.5) / 4503599627370496.0)) AS gum
+                    FROM w),
+              r AS (SELECT doc_id, n_features, logw_raw, gum,
+                      row_number() OVER (ORDER BY gum DESC, doc_id ASC) AS rank
+                    FROM g)
+         SELECT doc_id, n_features,
+                CAST(round(logw_raw, 6) AS DOUBLE) AS logw,
+                round(gum, 6) AS gumbel,
+                CAST(rank AS BIGINT) AS rank
+         FROM r WHERE rank <= 50""",
     "q_embedding_lsh" -> lshOracleSql,
     // stub feature path: feature i = first 24 bits of md5(payload ++ ":i")
     // — fully recomputable from the text bytes (NULL text decodes as empty)

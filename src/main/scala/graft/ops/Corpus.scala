@@ -510,4 +510,57 @@ object Corpus {
       }
       .reduce(_ unionByName _)
   }
+
+  /** Weight-balanced shard assignment: give every row a shard in
+    * [0, nShards) so the per-shard WEIGHT totals (token counts, byte
+    * sizes) come out near-equal — the "write the corpus as N output
+    * shards no straggler reader chokes on" primitive that naive
+    * `id % nShards` hashing misses when document sizes are heavy-tailed.
+    *
+    * Deterministic serpentine LPT approximation: rows are ranked globally
+    * by (weight desc, id asc) and dealt boustrophedon — pass 0 deals
+    * shards 0..n-1, pass 1 deals n-1..0, … — so each shard receives one
+    * row per pass and alternating deal directions cancel the within-pass
+    * weight slope (the classic sorted-folding approximation of greedy
+    * LPT, within a pass-width of its balance without any sequential
+    * state).
+    *
+    * 100 TB posture: the global rank is [[CumSum.withGlobalRank]]'s
+    * bucketed scheme (sampled range boundaries + per-bucket windows +
+    * driver-side bucket offsets) over a SINGLE composite decimal order
+    * key `−weight·10¹⁹ + id` (|id| < 10¹⁹ keeps the encoding collision-
+    * free and tie-ordered id-ascending) — no unpartitioned window, no
+    * single-reducer sort; everything downstream is arithmetic on the
+    * rank. NULL-id rows are excluded (no deterministic identity); NULL
+    * weights rank as 0. Duplicate ids make their mutual order arbitrary
+    * (every other row's shard is unaffected).
+    *
+    * Returns the input plus `shard_rank` (1-based) and `shard` (BIGINT in
+    * [0, nShards)).
+    */
+  def assignShardsBalanced(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      nShards: Int,
+      numBuckets: Int = 256): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val scale = lit(new java.math.BigDecimal("10000000000000000000")) // 10^19
+    val w = coalesce(col(weightCol), lit(0)).cast("decimal(19,0)")
+    val keyed = df
+      .where(col(idCol).isNotNull)
+      .withColumn(
+        "dj_shard_key",
+        (w * lit(-1) * scale + col(idCol).cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+    CumSum
+      .withGlobalRank(keyed, "dj_shard_key", "shard_rank", numBuckets)
+      .withColumn("dj_pass", expr(s"(shard_rank - 1) div ${nShards}L"))
+      .withColumn("dj_pos", pmod(col("shard_rank") - 1, lit(nShards.toLong)))
+      .withColumn(
+        "shard",
+        when(pmod(col("dj_pass"), lit(2L)) === 0, col("dj_pos"))
+          .otherwise(lit((nShards - 1).toLong) - col("dj_pos")))
+      .drop("dj_shard_key", "dj_pass", "dj_pos")
+  }
 }

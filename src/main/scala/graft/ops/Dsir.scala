@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance resampling for training-corpus selection (public
+  * method: Xie et al., "Data Selection for Language Models via Importance
+  * Resampling", NeurIPS 2023): hashed-n-gram bag features, per-bucket
+  * target/raw distributions with additive smoothing, per-document
+  * importance log-weights log(p_target(doc)/p_raw(doc)), and deterministic
+  * Gumbel-top-k sampling ∝ the importance weights. Beyond-reference: the
+  * reference has no corpus-selection surface at all.
+  *
+  * 100 TB posture: the feature space is FIXED at `nBuckets` regardless of
+  * corpus size — each side's distribution is one map-side-combined hash
+  * aggregate collapsing to ≤ nBuckets rows, the log-ratio table is
+  * bucket-sized and broadcast to the per-document scoring join (never a
+  * shuffle of the corpus against the vocabulary), and selection is one
+  * top-k over doc-level rows. Nothing in the plan scales with the raw
+  * corpus beyond the two aggregate scans and the per-doc aggregate.
+  *
+  * Hash flavors: `md5Flavor = false` (default) hashes grams with
+  * `xxhash64` — codegen'd, no string materialization beyond the gram
+  * itself; `md5Flavor = true` derives the bucket from the first 15 md5 hex
+  * digits, reproducible in any engine (the DuckDB gate oracle computes the
+  * identical buckets — same convention as the SimHash md5 gate flavor).
+  */
+object Dsir {
+
+  /** Non-empty normalized tokens of `textCol` (the shared
+    * [[TextAnalysis.tokens]] tokenization with empties dropped — the rule
+    * both unigrams and bigram adjacency run over).
+    */
+  private def cleanTokens(textCol: Column): Column =
+    filter(TextAnalysis.tokens(textCol), t => t =!= "")
+
+  /** Per-document gram multiset (unigrams + space-joined bigrams over the
+    * empty-filtered token list), exploded to one row per occurrence.
+    */
+  private[graft] def gramRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), cleanTokens(col(textCol)).as("dj_toks"))
+    val nBi = greatest(size(col("dj_toks")) - 1, lit(0))
+    val grams = concat(
+      col("dj_toks"),
+      zip_with(
+        slice(col("dj_toks"), lit(1), nBi),
+        slice(col("dj_toks"), lit(2), nBi),
+        (a, b) => concat(a, lit(" "), b)))
+    base.select(col(idCol), explode(grams).as("dj_gram"))
+  }
+
+  /** Bucket of one gram: `hash(gram) mod nBuckets`, non-negative. */
+  private[graft] def bucketOf(gram: Column, nBuckets: Int, md5Flavor: Boolean): Column =
+    if (md5Flavor)
+      pmod(
+        conv(substring(md5(gram.cast("binary")), 1, 15), 16, 10).cast("long"),
+        lit(nBuckets.toLong))
+    else pmod(xxhash64(gram), lit(nBuckets.toLong))
+
+  /** One side's hashed feature histogram: (dj_bucket, dj_cnt), ≤ nBuckets
+    * rows out of one map-side-combined aggregate.
+    */
+  private def bucketCounts(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int,
+      md5Flavor: Boolean): DataFrame =
+    gramRows(df, textCol, idCol)
+      .select(bucketOf(col("dj_gram"), nBuckets, md5Flavor).as("dj_bucket"))
+      .groupBy(col("dj_bucket"))
+      .agg(count(lit(1)).as("dj_cnt"))
+
+  /** Per-bucket importance log-ratio table over the FULL bucket spine
+    * (empty buckets carry their smoothed term — additive 0.5 smoothing,
+    * p(b) = (c_b + 0.5) / (N + 0.5·nBuckets)):
+    * (dj_bucket, dj_lr DECIMAL(20,12)). Exactly nBuckets rows.
+    */
+  private[graft] def logRatioTable(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int,
+      md5Flavor: Boolean): DataFrame = {
+    val spark = raw.sparkSession
+    val tgt = bucketCounts(target, textCol, idCol, nBuckets, md5Flavor)
+    val rw = bucketCounts(raw, textCol, idCol, nBuckets, md5Flavor)
+    val nT = tgt.agg(sum(col("dj_cnt"))).head().getLong(0).toDouble
+    val nR = rw.agg(sum(col("dj_cnt"))).head().getLong(0).toDouble
+    val denomT = nT + 0.5 * nBuckets
+    val denomR = nR + 0.5 * nBuckets
+    spark.range(nBuckets).select(col("id").as("dj_bucket"))
+      .join(tgt.withColumnRenamed("dj_cnt", "dj_ct"), Seq("dj_bucket"), "left")
+      .join(rw.withColumnRenamed("dj_cnt", "dj_cr"), Seq("dj_bucket"), "left")
+      .select(
+        col("dj_bucket"),
+        // decimal(20,12), NOT (28,12): the per-doc scoring multiplies this
+        // by a count — (20,12)·(17,0) fits precision 38 with the scale
+        // intact, while a wider operand trips Spark's precision-loss rule
+        // (allowPrecisionLoss clamps the product scale to 6, quantizing
+        // every term; |ln ratio| < 40 needs only 2 integral digits anyway)
+        log(
+          ((coalesce(col("dj_ct"), lit(0L)) + 0.5) / lit(denomT)) /
+            ((coalesce(col("dj_cr"), lit(0L)) + 0.5) / lit(denomR)))
+          .cast("decimal(20,12)")
+          .as("dj_lr"))
+  }
+
+  /** Per-document importance log-weight of each raw document against the
+    * target distribution: (idCol, n_features BIGINT, logw DECIMAL(38,12)).
+    * `logw = Σ_buckets count_b(doc) · lr_b` — the decimal sum is exact, so
+    * the value is reproducible across engines and summation orders.
+    * Documents with no features (NULL or token-free text) are absent.
+    *
+    * EAGER contract: CONSTRUCTING the frame runs the two distribution
+    * aggregates (each side's total feature count sizes the smoothing
+    * denominators — two corpus scans collapsing to ≤ nBuckets rows each);
+    * the per-document scoring join stays lazy.
+    */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 4096,
+      md5Flavor: Boolean = false): DataFrame = {
+    val lr = logRatioTable(target, raw, textCol, idCol, nBuckets, md5Flavor)
+    val docBuckets = gramRows(raw, textCol, idCol)
+      .select(
+        col(idCol),
+        bucketOf(col("dj_gram"), nBuckets, md5Flavor).as("dj_bucket"))
+      .groupBy(col(idCol), col("dj_bucket"))
+      .agg(count(lit(1)).as("dj_cnt"))
+    docBuckets
+      .join(broadcast(lr), Seq("dj_bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("dj_cnt")).as("n_features"),
+        // (17,0)·(20,12) → decimal(38,12) EXACTLY (no precision-loss
+        // rescale); the sum is then an exact decimal in any order
+        sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_lr"))
+          .cast("decimal(38,12)").as("logw"))
+  }
+
+  /** Deterministic uniform in (0, 1) from a document id and seed: the
+    * first 13 md5 hex digits (52 bits — exactly a double's mantissa, so
+    * the dyadic fraction is exact in every engine) of `id:seed`, offset by
+    * half a lattice step to keep u strictly inside (0, 1).
+    */
+  private[graft] def hashUniform(idCol: Column, seed: String): Column =
+    (conv(
+      substring(md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary")), 1, 13),
+      16, 10).cast("long") + 0.5) / lit(4503599627370496.0) // 2^52
+
+  /** Gumbel-top-k resampling ∝ exp(logw): per document the key is
+    * `g = logw − ln(−ln(u))` with `u = hashUniform(id, seed)` — taking the
+    * k largest keys samples k documents without replacement with
+    * probability proportional to their importance weights (the Gumbel-max
+    * trick), deterministically in the seed. Returns the selected rows:
+    * (idCol, n_features, logw, gumbel DOUBLE, rank BIGINT), rank 1..k by
+    * (gumbel desc, id asc).
+    */
+  def resample(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      seed: String = "dsir",
+      nBuckets: Int = 4096,
+      md5Flavor: Boolean = false): DataFrame = {
+    val w = importanceWeights(raw, target, textCol, idCol, nBuckets, md5Flavor)
+    val g = w.withColumn(
+      "gumbel",
+      col("logw").cast("double") - log(-log(hashUniform(col(idCol), seed))))
+    // a global top-k over doc-level rows: TakeOrderedAndProject territory —
+    // never a global sort of the corpus
+    g.withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("gumbel").desc, col(idCol).asc)))
+      .where(col("rank") <= k)
+  }
+}
