@@ -134,7 +134,10 @@ object Bench {
     // the plan whose balance-vs-skew behavior only shows at scale
     "q_shard_assign",
     // dim-1 sweep + flag-early linear scan (N>=3-D overlap)
-    "q_interval_overlap_3d")
+    "q_interval_overlap_3d",
+    // 2 GD rounds: per-doc margin joins + per-bucket gradient aggregates
+    // over the checkpointed feature frame
+    "q_classifier_score")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the

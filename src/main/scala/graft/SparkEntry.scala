@@ -1696,6 +1696,38 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     },
 
+    // hashed-n-gram KL text-drift scalar (the PSI sibling for text):
+    // smoothed target/raw distributions over the full bucket spine
+    "q_text_drift_kl" -> { (s, dir) =>
+      val docs =
+        s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      graft.ops.Dsir
+        .hashedNgramKlFrame(
+          docs, docs.where(col("doc_id") % 7 === 0), "text",
+          nBuckets = 512, md5Flavor = true)
+        .select(round(col("kl"), 6).cast("double").as("kl"))
+    },
+
+    // fastText-style hashed linear classifier: a 2-round full-batch
+    // logistic-GD model trained IN the query (md5 flavor, labels derived
+    // from doc_id) and scored over the corpus — the oracle re-derives the
+    // identical 2-round model with unrolled SQL
+    "q_classifier_score" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select(
+          col("doc_id"), col("text"),
+          (col("doc_id") % 7 === 0).cast("int").as("dj_label"))
+      val model = graft.ops.Classifier.train(
+        docs, "text", "doc_id", "dj_label", nBuckets = 256, nIters = 2,
+        learningRate = 0.5, md5Flavor = true)
+      graft.ops.Classifier
+        .score(model, docs, "text", "doc_id")
+        .select(
+          col("doc_id"), col("n_features"),
+          round(col("margin"), 6).cast("double").as("margin"),
+          round(col("score"), 6).as("score"))
+    },
+
     // TF-IDF keyword extraction: top-5 tokens per doc, smoothed idf over
     // the full corpus — tf aggregate, vocabulary join (AQE broadcast/skew),
     // per-doc ranking window
@@ -2684,7 +2716,86 @@ object SparkEntry {
                      CAST(sum(CAST(cnt AS DECIMAL(17,0)) * lr) AS DECIMAL(38,12)) AS logw_raw
               FROM db JOIN lr USING (b) GROUP BY doc_id)"""
 
+  /** Unrolled 2-round logistic-GD oracle for `q_classifier_score`:
+    * md5-hashed unigram+bigram buckets mod 256, labels y = (doc_id % 7 ==
+    * 0), lr = 0.5, full-batch. Decimal casts mirror Classifier exactly:
+    * per-term (17,0)·(20,12) products, (30,12)-before-bias-addition
+    * margins, (20,12) weight-table rounding of the double weights; the
+    * weight-update arithmetic runs in DOUBLE (IEEE ops are bit-identical
+    * across engines).
+    */
+  private def classifierOracleSql: String =
+    s"""WITH clf AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS y
+                     FROM documents),
+            cd AS (SELECT doc_id, list_filter(string_split($normSql, ' '),
+                                              t -> t <> '') AS toks
+                   FROM documents WHERE text IS NOT NULL),
+            cuni AS (SELECT doc_id, unnest(toks) AS g FROM cd),
+            cbi AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+                    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                          FROM cd WHERE len(toks) > 1)),
+            cfeats AS (SELECT doc_id, g FROM cuni UNION ALL SELECT doc_id, g FROM cbi),
+            cdb AS (SELECT doc_id,
+                      ('0x' || substring(md5(g), 1, 15))::BIGINT % 256 AS b,
+                      count(*) AS cnt
+                    FROM cfeats GROUP BY 1, 2),
+            nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM cdb),
+            e0 AS (SELECT clf.doc_id, CAST(0.5 - y AS DECIMAL(20,12)) AS err
+                   FROM clf WHERE clf.doc_id IN (SELECT doc_id FROM cdb)),
+            g1 AS (SELECT b, CAST(sum(CAST(cnt AS DECIMAL(17,0)) * err)
+                                  AS DECIMAL(38,12)) AS g
+                   FROM cdb JOIN e0 USING (doc_id) GROUP BY b),
+            bg1 AS (SELECT CAST(sum(err) AS DECIMAL(38,12)) AS bg FROM e0),
+            w1 AS (SELECT b, 0.0 - 0.5 * (CAST(g AS DOUBLE) / nn.n) AS wd
+                   FROM g1 CROSS JOIN nn),
+            b1 AS (SELECT 0.0 - 0.5 * (CAST(bg AS DOUBLE) / nn.n) AS bd
+                   FROM bg1 CROSS JOIN nn),
+            m1 AS (SELECT doc_id,
+                     CAST(CAST(sum(CAST(cnt AS DECIMAL(17,0)) *
+                                   CAST(wd AS DECIMAL(20,12))) AS DECIMAL(30,12))
+                          + CAST((SELECT bd FROM b1) AS DECIMAL(20,12))
+                          AS DECIMAL(38,12)) AS m
+                   FROM cdb JOIN w1 USING (b) GROUP BY doc_id),
+            e1 AS (SELECT m1.doc_id,
+                     CAST(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))) - y
+                          AS DECIMAL(20,12)) AS err
+                   FROM m1 JOIN clf ON m1.doc_id = clf.doc_id),
+            g2 AS (SELECT b, CAST(sum(CAST(cnt AS DECIMAL(17,0)) * err)
+                                  AS DECIMAL(38,12)) AS g
+                   FROM cdb JOIN e1 USING (doc_id) GROUP BY b),
+            bg2 AS (SELECT CAST(sum(err) AS DECIMAL(38,12)) AS bg FROM e1),
+            w2 AS (SELECT w1.b,
+                     w1.wd - 0.5 * (CAST(coalesce(g2.g, 0) AS DOUBLE) / nn.n) AS wd
+                   FROM w1 LEFT JOIN g2 ON w1.b = g2.b CROSS JOIN nn),
+            b2 AS (SELECT b1.bd - 0.5 * (CAST(bg2.bg AS DOUBLE) / nn.n) AS bd
+                   FROM b1 CROSS JOIN bg2 CROSS JOIN nn),
+            m2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
+                     CAST(CAST(sum(CAST(cnt AS DECIMAL(17,0)) *
+                                   CAST(wd AS DECIMAL(20,12))) AS DECIMAL(30,12))
+                          + CAST((SELECT bd FROM b2) AS DECIMAL(20,12))
+                          AS DECIMAL(38,12)) AS m
+                   FROM cdb JOIN w2 USING (b) GROUP BY doc_id)
+       SELECT doc_id, n_features, CAST(round(m, 6) AS DOUBLE) AS margin,
+              round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) AS score
+       FROM m2"""
+
   private def trainingOracles: Map[String, String] = Map(
+    "q_classifier_score" -> classifierOracleSql,
+    // reuses the DSIR chain's md5-bucket histograms and smoothing
+    // constants (nBuckets 512 → +256.0 denominators)
+    "q_text_drift_kl" ->
+      s"""WITH $dsirChainSql,
+              kl AS (SELECT CAST(sum(CAST(
+                       ((coalesce(cr, 0) + 0.5) / (nr.n + 256.0)) *
+                       ln(((coalesce(cr, 0) + 0.5) / (nr.n + 256.0)) /
+                          ((coalesce(ct, 0) + 0.5) / (nt.n + 256.0)))
+                       AS DECIMAL(20,12))) AS DECIMAL(38,12)) AS v
+                     FROM (SELECT unnest(range(0, 512)) AS b) sp
+                     LEFT JOIN tgt ON sp.b = tgt.b
+                     LEFT JOIN rw ON sp.b = rw.b
+                     CROSS JOIN nt CROSS JOIN nr)
+         SELECT CAST(round(v, 6) AS DOUBLE) AS kl FROM kl""",
     "q_shard_assign" ->
       s"""WITH d AS (SELECT doc_id,
                        len(string_split($normSql, ' '))::BIGINT AS tok_w

@@ -394,3 +394,78 @@ final case class MaxCrossNearDupFraction(
    }
   }
 }
+
+/** Between-corpus text-distribution drift budget: KL(ref ‖ ref2) over
+  * smoothed hashed-n-gram feature distributions
+  * ([[graft.ops.Dsir.hashedNgramKl]]) must stay ≤ the target — the
+  * hashed-text sibling of the numeric PSI drift constraint: a crawl whose
+  * vocabulary/topic mix shifts against the reference corpus fails loudly
+  * before it dilutes a training mix.
+  */
+final case class MaxHashedNgramKlDrift(
+    ref: DataRef,
+    ref2Required: DataRef,
+    textColumn: String,
+    textColumn2: String,
+    nBuckets: Int,
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(_ >= 0), s"max_kl must be non-negative: $refValue")
+  require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val factual = graft.ops.Dsir.hashedNgramKl(
+      ref.selection(spark).select(col(textColumn)),
+      ref2Required.selection(spark).select(col(textColumn2).as(textColumn)),
+      textColumn, nBuckets)
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"hashed-ngram KL divergence of ${ref.describe} against " +
+          s"${ref2Required.describe} is $factual while at most $target was " +
+          "allowed (text distribution drift).")
+  }
+}
+
+/** Quality-classifier gate: at least `refValue` of documents (among those
+  * with at least one hashed feature) must score ≥ `scoreThreshold` under a
+  * trained [[graft.ops.Classifier.Model]] — the declarative form of the
+  * usual "keep only docs the quality model likes" curation step, run as a
+  * corpus health check instead of a filter.
+  */
+final case class MinClassifierScoreFraction(
+    ref: DataRef,
+    textColumn: String,
+    idColumn: String,
+    model: graft.ops.Classifier.Model,
+    scoreThreshold: Double,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"min_classifier_score_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val row = graft.ops.Classifier
+      .score(model, r.selection(spark), textColumn, idColumn)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("score") >= scoreThreshold, 1)).as("kept"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 1.0 else row.getLong(1).toDouble / total
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual >= target,
+      Some(s"only $factual of ${ref.describe} documents score >= " +
+        s"$scoreThreshold under the quality classifier while at least " +
+        s"$targetPrefix$target must."))
+}

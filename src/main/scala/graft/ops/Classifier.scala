@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style hashed linear quality classifier (public method: Joulin
+  * et al., "Bag of Tricks for Efficient Text Classification", 2016 —
+  * hashed n-gram bag features + a linear model): distributed full-batch
+  * logistic-regression training over the corpus, and codegen'd inference.
+  * Beyond-reference: the usual "train a quality classifier on labeled
+  * docs, score the whole corpus" curation step (the model behind
+  * GPT-3/LLaMA-style quality filtering), with no ML library dependency.
+  *
+  * 100 TB posture: model state is a `nBuckets`-sized weight table that
+  * lives broadcast; one (doc, bucket, count) feature frame is checkpointed
+  * ONCE and reused by every training round; each round is two bounded
+  * jobs — a per-doc margin aggregate (join against the broadcast weight
+  * table) and a per-bucket gradient aggregate (≤ nBuckets rows to the
+  * driver). Nothing driver-side ever scales with the corpus; rounds are
+  * O(nIters) small plans, not one deep lineage (the weight table is a
+  * fresh literal frame each round).
+  *
+  * Determinism: gradient and margin sums run over DECIMAL-cast terms
+  * (exact in any partial-aggregation order), and the driver-side update
+  * arithmetic is plain double — so trained weights are bit-reproducible
+  * across runs, partitionings, and engines (the gate oracle re-derives a
+  * 2-round model in SQL).
+  */
+object Classifier {
+
+  /** A trained model: per-bucket weights (size nBuckets) + bias. */
+  final case class Model(
+      weights: Array[Double],
+      bias: Double,
+      nBuckets: Int,
+      md5Flavor: Boolean)
+
+  /** Per-doc hashed feature counts: (idCol, dj_bucket, dj_cnt). */
+  private def docFeatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int,
+      md5Flavor: Boolean): DataFrame =
+    Dsir
+      .gramRows(df, textCol, idCol)
+      .select(
+        col(idCol),
+        Dsir.bucketOf(col("dj_gram"), nBuckets, md5Flavor).as("dj_bucket"))
+      .groupBy(col(idCol), col("dj_bucket"))
+      .agg(count(lit(1)).as("dj_cnt"))
+
+  /** Exact decimal per-doc margin against a weight table `(dj_bucket,
+    * dj_w DECIMAL(20,12))`: margin = bias + Σ cnt·w_b, DECIMAL(38,12).
+    */
+  private def margins(
+      feats: DataFrame,
+      wTable: DataFrame,
+      bias: Double,
+      idCol: String): DataFrame =
+    feats
+      .join(broadcast(wTable), Seq("dj_bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        // (30,12) BEFORE the bias addition: (38,12)+(20,12) would need
+        // precision 40 and Spark's precision-loss rule would clip the
+        // scale to 10; (30,12)+(20,12) fits 38 exactly
+        (sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_w"))
+          .cast("decimal(30,12)") +
+          lit(new java.math.BigDecimal(bias).setScale(12, java.math.RoundingMode.HALF_UP))
+            .cast("decimal(20,12)"))
+          .cast("decimal(38,12)")
+          .as("dj_margin"))
+
+  private def weightTable(
+      spark: org.apache.spark.sql.SparkSession,
+      weights: Array[Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = weights.zipWithIndex.map { case (w, b) =>
+      org.apache.spark.sql.Row(
+        b.toLong,
+        new java.math.BigDecimal(w).setScale(12, java.math.RoundingMode.HALF_UP))
+    }.toSeq.asJava
+    spark.createDataFrame(
+      rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "dj_bucket", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "dj_w", org.apache.spark.sql.types.DecimalType(20, 12)))))
+  }
+
+  /** Train by full-batch gradient descent on labeled documents
+    * (`labelCol` ∈ {0, 1}, NULL labels and NULL/token-free texts drop):
+    * per round, err_doc = σ(margin) − y, then
+    * `w_b ← w_b − lr·(Σ err·cnt_b / n + λ·w_b)` and the bias likewise
+    * over Σ err. Deterministic for fixed inputs (see object docs).
+    */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      nBuckets: Int = 4096,
+      nIters: Int = 20,
+      learningRate: Double = 0.5,
+      l2: Double = 0.0,
+      md5Flavor: Boolean = false): Model = {
+    require(nIters >= 1, s"nIters must be >= 1: $nIters")
+    val spark = df.sparkSession
+    val labeled = df.where(col(labelCol).isNotNull)
+    val feats = graft.core.Blocks.checkpoint(
+      docFeatures(labeled, textCol, idCol, nBuckets, md5Flavor))
+    try {
+      val labels = labeled.select(col(idCol), col(labelCol).cast("int").as("dj_y"))
+      val n = feats.select(col(idCol)).distinct().count().toDouble
+      require(n > 0, "no labeled documents with features")
+      var w = new Array[Double](nBuckets)
+      var bias = 0.0
+      for (_ <- 0 until nIters) {
+        // err per doc: σ(margin) − y, decimal-cast for exact bucket sums
+        val err = margins(feats, weightTable(spark, w), bias, idCol)
+          .join(labels, Seq(idCol))
+          .select(
+            col(idCol),
+            (lit(1.0) / (lit(1.0) + exp(-col("dj_margin").cast("double"))) -
+              col("dj_y")).cast("decimal(20,12)").as("dj_err"))
+        val grad = feats
+          .join(err, Seq(idCol))
+          .groupBy(col("dj_bucket"))
+          .agg(sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_err"))
+            .cast("decimal(38,12)").as("dj_g"))
+          .collect()
+          .map(r => r.getLong(0).toInt -> r.getDecimal(1).doubleValue())
+          .toMap
+        val biasGrad = err.agg(sum(col("dj_err")).cast("decimal(38,12)"))
+          .head().getDecimal(0).doubleValue()
+        val w2 = new Array[Double](nBuckets)
+        var b = 0
+        while (b < nBuckets) {
+          w2(b) = w(b) - learningRate * (grad.getOrElse(b, 0.0) / n + l2 * w(b))
+          b += 1
+        }
+        w = w2
+        bias = bias - learningRate * (biasGrad / n)
+      }
+      Model(w, bias, nBuckets, md5Flavor)
+    } finally graft.core.Blocks.release(feats)
+  }
+
+  /** Score documents with a trained model: (idCol, n_features BIGINT,
+    * margin DECIMAL(38,12), score DOUBLE = σ(margin)). Token-free/NULL
+    * texts are absent (no features ⇒ nothing to score; callers gate those
+    * with the length filters).
+    */
+  def score(
+      model: Model,
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val feats = docFeatures(df, textCol, idCol, model.nBuckets, model.md5Flavor)
+    val biasDec =
+      new java.math.BigDecimal(model.bias).setScale(12, java.math.RoundingMode.HALF_UP)
+    feats
+      .join(broadcast(weightTable(df.sparkSession, model.weights)), Seq("dj_bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("dj_cnt")).cast("bigint").as("n_features"),
+        // same (30,12)-before-addition discipline as the training margins
+        (sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_w"))
+          .cast("decimal(30,12)") + lit(biasDec).cast("decimal(20,12)"))
+          .cast("decimal(38,12)")
+          .as("margin"))
+      .withColumn(
+        "score", lit(1.0) / (lit(1.0) + exp(-col("margin").cast("double"))))
+  }
+}

@@ -145,6 +145,55 @@ object Dsir {
           .cast("decimal(38,12)").as("logw"))
   }
 
+  /** KL(raw ‖ target) over the smoothed hashed-feature distributions:
+    * Σ_b p_raw(b) · ln(p_raw(b)/p_target(b)) with the same 0.5-additive
+    * smoothing as [[logRatioTable]], summed over the FULL bucket spine —
+    * the scalar text-distribution-drift measure behind the between-corpus
+    * constraint (a hashed-n-gram sibling of the numeric PSI drift). Terms
+    * are decimal-cast before the sum, so the value is deterministic across
+    * partial-aggregation orders. Two bucket-sized aggregates; nothing
+    * corpus-scaled beyond the scans.
+    */
+  def hashedNgramKl(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      nBuckets: Int = 4096,
+      md5Flavor: Boolean = false): Double =
+    hashedNgramKlFrame(raw, target, textCol, nBuckets, md5Flavor)
+      .head().getDecimal(0).doubleValue()
+
+  /** [[hashedNgramKl]] as a 1-row frame `(kl DECIMAL(38,12))` — the exact
+    * decimal the gate oracle rebuilds. EAGER contract: constructing the
+    * frame runs the two distribution aggregates (the totals size the
+    * smoothing denominators).
+    */
+  def hashedNgramKlFrame(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String,
+      nBuckets: Int = 4096,
+      md5Flavor: Boolean = false): DataFrame = {
+    val spark = raw.sparkSession
+    def counts(df: DataFrame) =
+      bucketCounts(df.withColumn("dj_kid", lit(0L)), textCol, "dj_kid",
+        nBuckets, md5Flavor)
+    val tgt = counts(target)
+    val rw = counts(raw)
+    def total(df: DataFrame): Double = df.agg(sum(col("dj_cnt"))).head().get(0) match {
+      case null => 0.0; case l: java.lang.Long => l.toDouble
+    }
+    val denomT = total(tgt) + 0.5 * nBuckets
+    val denomR = total(rw) + 0.5 * nBuckets
+    val pR = (coalesce(col("dj_cr"), lit(0L)) + 0.5) / lit(denomR)
+    val pT = (coalesce(col("dj_ct"), lit(0L)) + 0.5) / lit(denomT)
+    spark.range(nBuckets).select(col("id").as("dj_bucket"))
+      .join(tgt.withColumnRenamed("dj_cnt", "dj_ct"), Seq("dj_bucket"), "left")
+      .join(rw.withColumnRenamed("dj_cnt", "dj_cr"), Seq("dj_bucket"), "left")
+      .agg(sum((pR * log(pR / pT)).cast("decimal(20,12)"))
+        .cast("decimal(38,12)").as("kl"))
+  }
+
   /** Deterministic uniform in (0, 1) from a document id and seed: the
     * first 13 md5 hex digits (52 bits — exactly a double's mantissa, so
     * the dyadic fraction is exact in every engine) of `id:seed`, offset by

@@ -137,6 +137,25 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at least `minFraction` of documents (among those
+    * with at least one hashed feature) must score ≥ `scoreThreshold` under
+    * a trained hashed linear quality classifier
+    * ([[graft.ops.Classifier.Model]]).
+    */
+  def addMinClassifierScoreFractionConstraint(
+      textColumn: String,
+      idColumn: String,
+      model: graft.ops.Classifier.Model,
+      scoreThreshold: Double,
+      minFraction: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinClassifierScoreFraction(
+      ref(Some(Seq(idColumn, textColumn)), condition), textColumn, idColumn,
+      model, scoreThreshold, refValue = Some(minFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).
@@ -1229,6 +1248,27 @@ final class BetweenRequirement private (
     constraintsBuffer += MaxPsiDrift(
       ref(Some(Seq(column)), condition1), ref2(Some(Seq(column)), condition2),
       column, lo, hi, nBuckets, refValue = Some(maxPsi), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: KL divergence of the first corpus' hashed-n-gram
+    * text distribution against the second's must stay ≤ `maxKl`
+    * ([[graft.ops.Dsir.hashedNgramKl]] — the text sibling of the PSI
+    * drift budget).
+    */
+  def addMaxHashedNgramKlConstraint(
+      textColumn1: String,
+      textColumn2: String,
+      maxKl: Double,
+      nBuckets: Int = 4096,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxHashedNgramKlDrift(
+      ref(Some(Seq(textColumn1)), condition1),
+      ref2(Some(Seq(textColumn2)), condition2),
+      textColumn1, textColumn2, nBuckets, refValue = Some(maxKl),
+      nameOverride = name)
     this
   }
 

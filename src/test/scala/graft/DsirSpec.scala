@@ -87,4 +87,26 @@ class DsirSpec extends AnyFunSuite {
     // sanity: roughly uniform (mean within 0.05 of 0.5 at n=1000)
     assert(math.abs(u.sum / u.length - 0.5) < 0.05)
   }
+
+  test("hashedNgramKl: zero on identical corpora, grows with drift, gated by the constraint") {
+    import spark.implicits._
+    val a = (0 until 60).map(i => (i.toLong, s"alpha beta gamma delta common text $i"))
+      .toDF("doc_id", "text")
+    val b = (0 until 60).map(i => (i.toLong, s"zulu yankee xray whiskey other words $i"))
+      .toDF("doc_id", "text")
+    val same = Dsir.hashedNgramKl(a, a, "text", nBuckets = 256)
+    val far = Dsir.hashedNgramKl(a, b, "text", nBuckets = 256)
+    assert(math.abs(same) < 1e-9, s"self-KL should be ~0, got $same")
+    assert(far > 0.5, s"disjoint-vocabulary KL should be large, got $far")
+
+    import graft.requirements.BetweenRequirement
+    val ok = BetweenRequirement.fromDataFrames(a, a, "old", "new")
+    ok.addMaxHashedNgramKlConstraint("text", "text", maxKl = 0.05, nBuckets = 256)
+    assert(ok.test(spark).head.outcome)
+    val bad = BetweenRequirement.fromDataFrames(a, b, "old", "new")
+    bad.addMaxHashedNgramKlConstraint("text", "text", maxKl = 0.05, nBuckets = 256)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("drift")))
+  }
 }
