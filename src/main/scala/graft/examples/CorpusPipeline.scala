@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Corpus, Dedup, Pipeline, TextAnalysis}
+import graft.ops.{Classifier, Corpus, Dedup, Dsir, Pipeline, TextAnalysis}
 
 /** End-to-end training-data curation example over the driver's `documents`
   * table — the full pipeline a pretraining-data team runs, composed from
@@ -15,9 +15,14 @@ import graft.ops.{Corpus, Dedup, Pipeline, TextAnalysis}
   *      exact-substring span removal (excise cloned 8-token runs that
   *      survive document-level dedup)
   *   3. decontaminate against an eval set (word-n-gram overlap)
+  *   3b. model-based selection: a hashed linear quality classifier
+  *      (trained in-pipeline on the Gopher verdict as a weak label)
+  *      defines the target slice, and DSIR importance-resamples the
+  *      corpus toward its n-gram distribution
   *   4. PII redaction
-  *   5. deterministic train/val/test split, weighted mixing, and GPT-style
-  *      sequence packing for the train split
+  *   5. deterministic train/val/test split, weighted mixing, GPT-style
+  *      sequence packing for the train split, and weight-balanced
+  *      serpentine output sharding
   *
   * Run: `sbt "runMain graft.examples.CorpusPipeline [sfDir]"`
   */
@@ -75,8 +80,28 @@ object CorpusPipeline {
     val clean = trimmed.join(contaminated, Seq("doc_id"), "left_anti")
     val n3 = clean.count()
 
-    // 4. PII redaction + 5. split / mix / pack
-    val redacted = clean.withColumn("text", TextAnalysis.redactPii(col("text")))
+    // 3b. model-based selection: a quality classifier trained on the
+    // Gopher verdict as a weak label scores every remaining doc, and DSIR
+    // importance-resamples the survivors toward the high-scoring slice's
+    // n-gram distribution (keep 3/4 — selection, not a hard gate)
+    val labeled = clean.join(
+      TextAnalysis.gopherRules(docs, "text", minWords = 10)
+        .select(col("doc_id"), col("gopher_keep").cast("int").as("ql")),
+      "doc_id")
+    val model = Classifier.train(
+      labeled, "text", "doc_id", "ql", nBuckets = 2048, nIters = 5)
+    val scored = Classifier.score(model, clean, "text", "doc_id")
+    val target = clean.join(
+      scored.where(col("score") >= 0.5).select("doc_id"), "doc_id")
+    val kTake = math.max(1, (n3 * 3 / 4).toInt)
+    val selected = clean.join(
+      Dsir.resample(clean, target, "text", "doc_id", k = kTake,
+        nBuckets = 2048).select("doc_id"),
+      "doc_id")
+    val n4 = selected.count()
+
+    // 4. PII redaction + 5. split / mix / pack / balanced shards
+    val redacted = selected.withColumn("text", TextAnalysis.redactPii(col("text")))
     val split = Corpus.assignSplits(
       redacted, "doc_id", Seq(("train", 0.98), ("val", 0.01), ("test", 0.01)))
     val packed = Corpus.packSequences(
@@ -84,10 +109,22 @@ object CorpusPipeline {
         .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long")),
       "doc_id", "n_tokens", capacity = 2048)
     val nPacks = packed.agg(countDistinct(col("pack_bucket"), col("pack_id"))).head().getLong(0)
+    // balanced output sharding: near-equal token mass per output file
+    val shardTotals = Corpus
+      .assignShardsBalanced(
+        packed.select(col("doc_id"), col("n_tokens")), "doc_id", "n_tokens",
+        nShards = 8)
+      .groupBy("shard").agg(sum("n_tokens").as("tok"))
+      .collect().map(_.getLong(1))
+    val shardSpread =
+      if (shardTotals.isEmpty || shardTotals.min == 0L) 0.0
+      else shardTotals.max.toDouble / shardTotals.min
 
     println(s"[corpus] raw=$n0 gated=$n1 deduped=$n2 span-trimmed=$n2b " +
-      s"decontaminated=$n3 train packs=$nPacks")
+      s"decontaminated=$n3 dsir-selected=$n4 train packs=$nPacks " +
+      f"shard spread=$shardSpread%.3f")
     require(n3 > 0, "pipeline must keep documents")
+    require(n4 > 0, "selection must keep documents")
     spark.stop()
   }
 }
