@@ -372,18 +372,22 @@ object Bench {
         s""","${prefix}_dir":"${jsonEscape(dir)}","${prefix}_queries":$q,"${prefix}_raw":$r,"${prefix}_errors":$e,"${prefix}_mem":$m$gen"""
       }.getOrElse("")
 
+    // SPARK_GRAFT_SKIP_LEGS=1: primary-leg-only run for local iteration —
+    // the driver's per-round invocation never sets it
+    val skipLegs = sys.env.getOrElse("SPARK_GRAFT_SKIP_LEGS", "0") == "1"
+
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
-    val sf1Gen = ensureLeg(sf1Dir, 10)
+    val sf1Gen = if (skipLegs) None else ensureLeg(sf1Dir, 10)
     val sf1Results =
-      if (new java.io.File(sf1Dir).isDirectory)
+      if (!skipLegs && new java.io.File(sf1Dir).isDirectory)
         Some(runLeg(sf1Dir, Some(Sf1Subset), single = false))
       else None
     val sf1 = legJson("sf1", sf1Dir, sf1Results, sf1Gen)
 
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
-    val sf10Gen = ensureLeg(sf10Dir, 100)
+    val sf10Gen = if (skipLegs) None else ensureLeg(sf10Dir, 100)
     val sf10Results =
-      if (new java.io.File(sf10Dir).isDirectory)
+      if (!skipLegs && new java.io.File(sf10Dir).isDirectory)
         Some(runLeg(sf10Dir, Some(Sf10Subset), single = true))
       else None
     val sf10 = legJson("sf10", sf10Dir, sf10Results, sf10Gen)
@@ -392,11 +396,11 @@ object Bench {
     // check (the toy-scale IvfSpec pin is NOT a substitute — recall is the
     // number a user must see next to the ANN speed at scale)
     val annSf1 =
-      if (new java.io.File(sf1Dir).isDirectory)
+      if (!skipLegs && new java.io.File(sf1Dir).isDirectory)
         annRecall(spark, sf1Dir).map(j => s""","ann_recall_sf1":$j""").getOrElse("")
       else ""
     val annSf10 =
-      if (new java.io.File(sf10Dir).isDirectory)
+      if (!skipLegs && new java.io.File(sf10Dir).isDirectory)
         annRecall(spark, sf10Dir).map(j => s""","ann_recall_sf10":$j""").getOrElse("")
       else ""
 

@@ -118,23 +118,31 @@ object Classifier {
       var w = new Array[Double](nBuckets)
       var bias = 0.0
       for (_ <- 0 until nIters) {
-        // err per doc: σ(margin) − y, decimal-cast for exact bucket sums
-        val err = margins(feats, weightTable(spark, w), bias, idCol)
-          .join(labels, Seq(idCol))
-          .select(
-            col(idCol),
-            (lit(1.0) / (lit(1.0) + exp(-col("dj_margin").cast("double"))) -
-              col("dj_y")).cast("decimal(20,12)").as("dj_err"))
-        val grad = feats
-          .join(err, Seq(idCol))
-          .groupBy(col("dj_bucket"))
-          .agg(sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_err"))
-            .cast("decimal(38,12)").as("dj_g"))
-          .collect()
-          .map(r => r.getLong(0).toInt -> r.getDecimal(1).doubleValue())
-          .toMap
-        val biasGrad = err.agg(sum(col("dj_err")).cast("decimal(38,12)"))
-          .head().getDecimal(0).doubleValue()
+        // err per doc: σ(margin) − y, decimal-cast for exact bucket sums;
+        // CHECKPOINTED because two aggregates consume it (per-bucket
+        // gradient, bias gradient) — without it each round would run the
+        // corpus-wide margin join twice
+        val err = graft.core.Blocks.checkpoint(
+          margins(feats, weightTable(spark, w), bias, idCol)
+            .join(labels, Seq(idCol))
+            .select(
+              col(idCol),
+              (lit(1.0) / (lit(1.0) + exp(-col("dj_margin").cast("double"))) -
+                col("dj_y")).cast("decimal(20,12)").as("dj_err")))
+        val (grad, biasGrad) =
+          try {
+            val g = feats
+              .join(err, Seq(idCol))
+              .groupBy(col("dj_bucket"))
+              .agg(sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_err"))
+                .cast("decimal(38,12)").as("dj_g"))
+              .collect()
+              .map(r => r.getLong(0).toInt -> r.getDecimal(1).doubleValue())
+              .toMap
+            val bg = err.agg(sum(col("dj_err")).cast("decimal(38,12)"))
+              .head().getDecimal(0).doubleValue()
+            (g, bg)
+          } finally graft.core.Blocks.release(err)
         val w2 = new Array[Double](nBuckets)
         var b = 0
         while (b < nBuckets) {

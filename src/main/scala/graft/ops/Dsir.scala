@@ -225,13 +225,17 @@ object Dsir {
     val g = w.withColumn(
       "gumbel",
       col("logw").cast("double") - log(-log(hashUniform(col(idCol), seed))))
-    // a global top-k over doc-level rows: TakeOrderedAndProject territory —
-    // never a global sort of the corpus
-    g.withColumn(
+    // distributed top-k FIRST (orderBy+limit collapses to
+    // TakeOrderedAndProject — per-partition heaps, no global sort, no
+    // corpus-wide single-reducer window); only the k selected rows then
+    // pass through the rank window, whose single partition is k-bounded
+    // by construction
+    g.orderBy(col("gumbel").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn(
         "rank",
         row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("gumbel").desc, col(idCol).asc)))
-      .where(col("rank") <= k)
   }
 }

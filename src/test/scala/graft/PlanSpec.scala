@@ -201,6 +201,25 @@ class PlanSpec extends AnyFunSuite {
       s"exactly one shuffle in the sweep plan:\n$physical")
   }
 
+  test("DSIR resample plans a distributed top-k, not a corpus-wide rank window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qe = graft.ops.Dsir
+      .resample(docs, docs.where(col("doc_id") % 7 === 0), "text", "doc_id",
+        k = 20, nBuckets = 64)
+      .queryExecution
+    val physical = qe.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"the selection must collapse to a per-partition-heap top-k:\n$physical")
+    // the only Window is the k-bounded rank over the top-k result — it
+    // must sit ABOVE the TakeOrderedAndProject, never below it (below =
+    // every doc through one reducer)
+    val winIdx = physical.indexOf("Window")
+    val topIdx = physical.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && topIdx > winIdx,
+      s"rank window must consume the top-k output, not the corpus:\n$physical")
+  }
+
   test("embedding near-dup candidates come from banded capped buckets, not a key self-join") {
     val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
     val qe = Similarity
