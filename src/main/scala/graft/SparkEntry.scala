@@ -1696,6 +1696,29 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     },
 
+    // Unicode script-mix profile: text deterministically enriched with
+    // known non-Latin samples on id-derived rows so every profiled script
+    // exercises on both engines (the q_pii_scan enrichment pattern)
+    "q_script_mix" -> { (s, dir) =>
+      val samples = Seq(
+        "привет мир", "你好世界", "مرحبا بالعالم", "안녕하세요",
+        "こんにちは", "カタカナ", "नमस्ते दुनिया", "γεια σου κόσμε",
+        "שלום עולם")
+      val injected = samples.zipWithIndex.foldLeft(lit("")) {
+        case (acc, (txt, i)) =>
+          when(pmod(col("doc_id"), lit(11)) === i, lit(txt)).otherwise(acc)
+      }
+      val enriched = s.read.parquet(pq(dir, "documents"))
+        .select(
+          col("doc_id"),
+          concat_ws(" ", coalesce(col("text"), lit("")), injected).as("t2"))
+      val mixed = graft.ops.TextAnalysis.scriptMix(enriched, "t2")
+      mixed.select(
+        col("doc_id") +: col("n_script_chars") +:
+          graft.ops.TextAnalysis.ScriptNames.map(n =>
+            round(col(s"${n.toLowerCase}_frac"), 6).as(s"${n.toLowerCase}_frac")): _*)
+    },
+
     // hashed-n-gram KL text-drift scalar (the PSI sibling for text):
     // smoothed target/raw distributions over the full bucket spine
     "q_text_drift_kl" -> { (s, dir) =>
@@ -2782,6 +2805,33 @@ object SparkEntry {
 
   private def trainingOracles: Map[String, String] = Map(
     "q_classifier_score" -> classifierOracleSql,
+    "q_script_mix" -> {
+      val samples = Seq(
+        "привет мир", "你好世界", "مرحبا بالعالم", "안녕하세요",
+        "こんにちは", "カタカナ", "नमस्ते दुनिया", "γεια σου κόσμε",
+        "שלום עולם")
+      val injectCase = samples.zipWithIndex
+        .map { case (txt, i) => s"WHEN doc_id % 11 = $i THEN '$txt'" }
+        .mkString(" ")
+      val scripts = graft.ops.TextAnalysis.ScriptNames
+      val cnts = scripts.map(n =>
+        s"len(regexp_extract_all(t2, '[\\p{$n}]')) AS c_${n.toLowerCase}")
+        .mkString(",\n                 ")
+      val totalExpr = scripts.map(n => s"c_${n.toLowerCase}").mkString(" + ")
+      val fracs = scripts.map(n =>
+        s"round(CAST(c_${n.toLowerCase} AS DOUBLE) / greatest($totalExpr, 1), 6) AS ${n.toLowerCase}_frac")
+        .mkString(",\n               ")
+      s"""WITH e AS (SELECT doc_id,
+                       concat_ws(' ', coalesce(text, ''),
+                         CASE $injectCase ELSE '' END) AS t2
+                     FROM documents),
+              c AS (SELECT doc_id,
+                 $cnts
+                    FROM e)
+         SELECT doc_id, CAST($totalExpr AS BIGINT) AS n_script_chars,
+               $fracs
+         FROM c"""
+    },
     // reuses the DSIR chain's md5-bucket histograms and smoothing
     // constants (nBuckets 512 → +256.0 denominators)
     "q_text_drift_kl" ->

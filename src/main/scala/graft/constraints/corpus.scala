@@ -469,3 +469,49 @@ final case class MinClassifierScoreFraction(
         s"$scoreThreshold under the quality classifier while at least " +
         s"$targetPrefix$target must."))
 }
+
+/** Script-purity budget: the fraction of profiled-script characters
+  * belonging to scripts OUTSIDE `allowedScripts` must stay ≤ the target —
+  * the wrong-language-contamination alarm for a corpus that is supposed to
+  * be (say) Latin-script ([[graft.ops.TextAnalysis.scriptMix]] machinery;
+  * counts are exact integer regexp counts summed corpus-wide, one
+  * projection + one aggregate).
+  */
+final case class MaxForeignScriptFraction(
+    ref: DataRef,
+    textColumn: String,
+    allowedScripts: Seq[String],
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_foreign_script_fraction must lie within [0, 1] but is $refValue.")
+  private val unknown =
+    allowedScripts.filterNot(graft.ops.TextAnalysis.ScriptNames.contains)
+  require(
+    unknown.isEmpty,
+    s"unknown scripts $unknown; profiled: ${graft.ops.TextAnalysis.ScriptNames}")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val t = coalesce(col(textColumn), lit(""))
+    val counts = graft.ops.TextAnalysis.ScriptNames.map(s =>
+      s -> regexp_count(t, lit(s"[\\p{Is$s}]")).cast("long"))
+    val total = counts.map(_._2).reduce(_ + _)
+    val foreign = counts
+      .collect { case (s, c) if !allowedScripts.contains(s) => c }
+      .reduceOption(_ + _)
+      .getOrElse(lit(0L))
+    val row = r.selection(spark)
+      .agg(sum(total).as("dj_total"), sum(foreign).as("dj_foreign"))
+      .head()
+    val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (tot == 0L) 0.0 else row.getLong(1).toDouble / tot
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} script characters fall outside " +
+        s"$allowedScripts while at most $targetPrefix$target may."))
+}

@@ -222,6 +222,34 @@ object TextAnalysis {
           stopCount >= minStopwords)
   }
 
+  /** Unicode scripts profiled by [[scriptMix]], in output order. Java
+    * regex spells the char class `\p{IsXxx}`; RE2-family engines (the
+    * DuckDB oracle) spell the same script `\p{Xxx}`.
+    */
+  val ScriptNames: Seq[String] =
+    Seq("Latin", "Cyrillic", "Han", "Arabic", "Hangul", "Hiragana",
+      "Katakana", "Devanagari", "Greek", "Hebrew")
+
+  /** Per-document Unicode-script mix: `n_script_chars` (chars belonging to
+    * ANY profiled script) and a `<script>_frac` column per profiled script
+    * (fraction of those chars; 0.0 for script-free docs) — the
+    * multilingual-corpus health signal that catches wrong-language
+    * contamination and mixed-script mojibake `langId`'s stopword heuristic
+    * can't see. One codegen'd projection: each script's count is a
+    * `regexp_count` over the scan, no explode, no UDF.
+    */
+  def scriptMix(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val counts = ScriptNames.map(s =>
+      s.toLowerCase -> regexp_count(t, lit(s"[\\p{Is$s}]")).cast("long"))
+    val total = counts.map(_._2).reduce(_ + _)
+    val totalSafe = greatest(total, lit(1L))
+    val withTotal = df.withColumn("n_script_chars", total)
+    counts.foldLeft(withTotal) { case (acc, (name, cnt)) =>
+      acc.withColumn(s"${name}_frac", cnt.cast("double") / totalSafe)
+    }
+  }
+
   /** Convenience: the standard per-document analysis frame. */
   def analyze(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -137,6 +137,22 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at most `maxFraction` of profiled-script characters
+    * may fall outside `allowedScripts` (wrong-language contamination;
+    * profiled scripts: [[graft.ops.TextAnalysis.ScriptNames]]).
+    */
+  def addMaxForeignScriptFractionConstraint(
+      textColumn: String,
+      allowedScripts: Seq[String],
+      maxFraction: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxForeignScriptFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn, allowedScripts,
+      refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at least `minFraction` of documents (among those
     * with at least one hashed feature) must score ≥ `scoreThreshold` under
     * a trained hashed linear quality classifier

@@ -329,6 +329,40 @@ class IntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized 4-D overlap parity: sweep == join path on seeded corpora") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val starts = (1 to 4).map(d => s"s$d"); val ends = (1 to 4).map(d => s"e$d")
+    val schema = StructType(
+      StructField("id1", IntegerType) +:
+        (1 to 4).flatMap(d => Seq(
+          StructField(s"s$d", DoubleType), StructField(s"e$d", DoubleType))))
+    for (seed <- 1 to 4; endIncluded <- Seq(true, false)) {
+      val rnd = new scala.util.Random(500 + seed)
+      val rows = Seq.fill(100) {
+        val k: Integer =
+          if (rnd.nextInt(10) == 0) null else Integer.valueOf(rnd.nextInt(5))
+        def coord(): java.lang.Double =
+          if (rnd.nextInt(18) == 0) null else rnd.nextInt(4).toDouble
+        SRow(k +: Seq.fill(8)(coord()): _*)
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), schema)
+      val ref = DataRef(FrameSource(df, s"rand_overlap4d_$seed"))
+      def keyOf(r: org.apache.spark.sql.Row): Option[Int] =
+        if (r.isNullAt(0)) None else Some(r.getInt(0))
+      val joined = Intervals
+        .overlapViolations(spark, ref, Seq("id1"), starts, ends, endIncluded)
+        .select(col("id1")).distinct().collect().map(keyOf).toSet
+      val swept = Intervals
+        .overlapFlagsSweep(spark, ref, Seq("id1"), starts, ends, endIncluded)
+        .collect().map(keyOf).toSet
+      assert(swept == joined,
+        s"seed=$seed endIncluded=$endIncluded: swept $swept != joined $joined")
+    }
+  }
+
   test("3-D sweep survives a planted hot key the self-join cannot") {
     // one key, 20k boxes, ALL mutually overlapping in dims 1-2 (the
     // self-join would emit ~4·10⁸ candidate pairs) but pairwise disjoint

@@ -1029,4 +1029,38 @@ class SemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(res.columns.toSeq == Seq("id1", "id2", "cluster", "cosine"))
     assert(res.count() == 0)
   }
+
+  test("scriptMix profiles Unicode scripts; foreign-script constraint gates") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "hello latin world"),
+      (2L, "привет мир"),
+      (3L, "hello мир 你好"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val mixed = TextAnalysis.scriptMix(df, "text")
+      .select("doc_id", "n_script_chars", "latin_frac", "cyrillic_frac", "han_frac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(mixed(1L)._2 == 1.0 && mixed(1L)._3 == 0.0)
+    assert(mixed(2L)._3 == 1.0)
+    // doc 3: 5 latin + 3 cyrillic + 2 han = 10 script chars
+    assert(mixed(3L)._1 == 10L)
+    assert(mixed(3L)._2 == 0.5 && mixed(3L)._3 == 0.3 && mixed(3L)._4 == 0.2)
+    assert(mixed(4L)._1 == 0L && mixed(4L)._2 == 0.0)
+    assert(mixed(5L)._1 == 0L)
+
+    import graft.requirements.WithinRequirement
+    val ok = WithinRequirement.fromDataFrame(df, "corpus")
+    ok.addMaxForeignScriptFractionConstraint(
+      "text", Seq("Latin"), maxFraction = 0.5)
+    assert(ok.test(spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(df, "corpus")
+    bad.addMaxForeignScriptFractionConstraint(
+      "text", Seq("Latin"), maxFraction = 0.1)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("script")))
+  }
 }
