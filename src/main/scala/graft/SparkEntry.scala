@@ -1828,6 +1828,39 @@ object SparkEntry {
           col("cnt").cast("bigint").as("cnt"))
     },
 
+    // streaming HyperLogLog registers over the replayed document stream:
+    // grouped-MAX state (≤ 2^b rows), complete-mode snapshot hash-compared
+    // to the full DuckDB register rebuild — with q_streaming_cms this
+    // pins BOTH mergeable-sketch streaming aggregations to their batch
+    // equivalents in the driver gate
+    "q_streaming_hll" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      import graft.ops.TextAnalysis
+      val schema = s.read.parquet(pq(dir, "documents")).schema
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val toks = stream
+        .where(col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val viewName = "graft_stream_hll"
+      s.catalog.dropTempView(viewName): Unit
+      val q = graft.streaming.StreamingChecks
+        .streamingHllSketch(toks, "tok", b = 6)
+        .writeStream
+        .format("memory")
+        .queryName(viewName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(viewName)
+        .select(
+          col("hll_bucket").cast("bigint").as("hll_bucket"),
+          col("hll_register").cast("bigint").as("hll_register"))
+    },
+
     // streaming exact dedup over the replayed event stream
     // (dropDuplicatesWithinWatermark): append mode emits the first row of
     // each key exactly once, so projecting the key columns makes the
@@ -3363,6 +3396,16 @@ object SparkEntry {
          FROM pairs GROUP BY d, bucket""",
     "q_streaming_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+    "q_streaming_hll" ->
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS t
+                        FROM documents WHERE text IS NOT NULL),
+              h AS (SELECT ('0x' || substring(md5(t), 1, 15))::BIGINT AS h
+                    FROM toks)
+         SELECT CAST(h % 64 AS BIGINT) AS hll_bucket,
+                CAST(max(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END)
+                     AS BIGINT) AS hll_register
+         FROM h GROUP BY 1""",
     // column profile: per-column aggregates unioned
     "q_profile" ->
       """SELECT 'p_partkey' AS column, count(*) AS n_rows,
