@@ -1696,6 +1696,79 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     },
 
+    // HTML -> text extraction: each document wrapped in synthesized HTML
+    // (scripts, styles, comments, entities, block structure; text
+    // entity-escaped so markup-looking content survives the round trip),
+    // extracted by the codegen'd regex pipeline, oracled by the
+    // IDENTICAL chain in RE2
+    "q_html_extract" -> { (s, dir) =>
+      import graft.ops.Web
+      def esc(c: Column): Column =
+        regexp_replace(
+          regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"),
+          ">", "&gt;")
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      val html = concat(
+        lit("<html><head><title>T</title><style>p{color:red}</style>" +
+          "<script>if(a<b){alert(\"x</p>\");}</script></head><body><h1>Doc "),
+        col("doc_id"),
+        lit("</h1><p>"), esc(col("t")),
+        lit("</p><div>tail&nbsp;&amp;&lt;raw&gt;</div><!-- hidden -->" +
+          "line<br/>break</body></html>"))
+      docs
+        .select(col("doc_id"), Web.extractHtmlText(html).as("extracted"))
+        .select(
+          col("doc_id"),
+          length(col("extracted")).cast("bigint").as("n_chars"),
+          md5(col("extracted").cast("binary")).as("text_md5"))
+    },
+
+    // WARC ingestion: REAL WARC/1.0 blobs synthesized in-plan per doc
+    // (three records each; even ids gzip-compressed — the .warc.gz
+    // record-per-member layout), parsed back by the streaming parser,
+    // record geometry + payload digests oracled in closed form
+    "q_warc_parse" -> { (s, dir) =>
+      import graft.ops.Warc
+      import graft.ops.Warc.WarcRecord
+      val docs = s.read.parquet(pq(dir, "documents"))
+        .where(col("doc_id") % 13 === 0)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "blob", org.apache.spark.sql.types.BinaryType)))
+      val blobs = s.createDataFrame(
+        docs.rdd.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getString(1).getBytes("UTF-8")
+          val meta = s"len:${payload.length}".getBytes("UTF-8")
+          val recs = Seq(
+            WarcRecord("warcinfo",
+              Seq("WARC-Record-ID" -> s"<urn:uuid:$id>"),
+              "robots: classic\r\n".getBytes("UTF-8")),
+            WarcRecord("response",
+              Seq("WARC-Record-ID" -> s"<urn:uuid:$id-r>",
+                "WARC-Target-URI" -> s"http://example.com/$id"),
+              payload),
+            WarcRecord("metadata",
+              Seq("WARC-Record-ID" -> s"<urn:uuid:$id-m>"), meta))
+          org.apache.spark.sql.Row(
+            id, Warc.encodeWarc(recs, gzip = id % 2 == 0))
+        },
+        schema)
+      Warc.parseWarcRecords(blobs, "doc_id", "blob")
+        .select(
+          col("doc_id"),
+          col("rec_idx").cast("bigint").as("rec_idx"),
+          col("warc_type"),
+          col("n_headers").cast("bigint").as("n_headers"),
+          col("content_length"),
+          md5(col("payload")).as("payload_md5"),
+          col("warc_valid"))
+    },
+
     // Unicode script-mix profile: text deterministically enriched with
     // known non-Latin samples on id-derived rows so every profiled script
     // exercises on both engines (the q_pii_scan enrichment pattern)
@@ -2838,6 +2911,69 @@ object SparkEntry {
 
   private def trainingOracles: Map[String, String] = Map(
     "q_classifier_score" -> classifierOracleSql,
+    // the IDENTICAL regex chain as Web.extractHtmlText, applied by RE2 —
+    // patterns are in the Java∩RE2 portable subset, so the chain is
+    // transcribed step-for-step (programmatic fold, no hand-copied
+    // variants to drift)
+    "q_html_extract" -> {
+      val repl = Map(
+        " " -> "' '", "\n" -> "chr(10)", "&" -> "'&'", "<" -> "'<'",
+        ">" -> "'>'", "\"" -> "'\"'", "'" -> "''''")
+      val steps = Seq(
+        "(?is)<script[^>]*>.*?</script>" -> " ",
+        "(?is)<style[^>]*>.*?</style>" -> " ",
+        "(?s)<!--.*?-->" -> " ",
+        "(?i)</(p|div|h[1-6]|li|ul|ol|table|tr|blockquote|section|article)>|<br[^>]*>" -> "\n",
+        "<[^>]*>" -> " ",
+        "&nbsp;" -> " ",
+        "&amp;" -> "&",
+        "&lt;" -> "<",
+        "&gt;" -> ">",
+        "&quot;" -> "\"",
+        "&#39;" -> "'",
+        "[ \\t\\x0B\\f\\r]+" -> " ",
+        " ?\\n ?" -> "\n",
+        "\\n{2,}" -> "\n")
+      val chain = steps.foldLeft("html") { case (acc, (pat, r)) =>
+        s"regexp_replace($acc, '$pat', ${repl(r)}, 'g')"
+      }
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+              h AS (SELECT doc_id,
+                      '<html><head><title>T</title><style>p{color:red}</style><script>if(a<b){alert("x</p>");}</script></head><body><h1>Doc '
+                      || doc_id || '</h1><p>'
+                      || regexp_replace(regexp_replace(regexp_replace(t,
+                           '&', '&amp;', 'g'), '<', '&lt;', 'g'), '>', '&gt;', 'g')
+                      || '</p><div>tail&nbsp;&amp;&lt;raw&gt;</div><!-- hidden -->line<br/>break</body></html>'
+                        AS html
+                    FROM d),
+              e AS (SELECT doc_id, trim($chain) AS x FROM h)
+         SELECT doc_id, CAST(length(x) AS BIGINT) AS n_chars,
+                md5(x) AS text_md5
+         FROM e"""
+    },
+    // closed-form record geometry: the parser's output is fully
+    // determined by the synthesis formula (3 records/doc; WARC-Type and
+    // Content-Length are consumed by the parser, so n_headers counts the
+    // REMAINING headers)
+    "q_warc_parse" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+                    FROM documents WHERE doc_id % 13 = 0),
+             rs AS (
+               SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+                      1 AS n_headers, 17 AS content_length,
+                      md5('robots: classic' || chr(13) || chr(10)) AS payload_md5
+               FROM d
+               UNION ALL
+               SELECT doc_id, 1, 'response', 2, strlen(t), md5(t) FROM d
+               UNION ALL
+               SELECT doc_id, 2, 'metadata', 1,
+                      strlen('len:' || strlen(t)),
+                      md5('len:' || strlen(t)) FROM d)
+         SELECT doc_id, CAST(rec_idx AS BIGINT) AS rec_idx, warc_type,
+                CAST(n_headers AS BIGINT) AS n_headers,
+                CAST(content_length AS BIGINT) AS content_length,
+                payload_md5, true AS warc_valid
+         FROM rs""",
     "q_script_mix" -> {
       val samples = Seq(
         "привет мир", "你好世界", "مرحبا بالعالم", "안녕하세요",

@@ -95,6 +95,41 @@ object Web {
     * (one partial-agg shuffle; the total rides along via a window-free
     * cross join of the 1-row count).
     */
+  /** HTML → text extraction (the step after WARC ingestion): drop
+    * `<script>`/`<style>`/`<!-- -->` blocks wholesale, turn
+    * block-level closers/br into newlines, strip the remaining tags,
+    * decode the common entities, and collapse runs of blanks — the
+    * regex-pipeline flavor of boilerplate-free extraction (what a crawl
+    * pipeline runs corpus-wide BEFORE the quality/dedup operators; a DOM
+    * parser is per-document tooling, not a 100 TB scan). Pure codegen'd
+    * column expressions, one projection, no UDF; every regex is in the
+    * Java∩RE2 portable subset so the DuckDB oracle applies the identical
+    * chain.
+    */
+  def extractHtmlText(html: Column): Column = {
+    // (?s) DOTALL for multi-line blocks; (?i) case-insensitive tags
+    val noScript =
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blockBreaks = regexp_replace(
+      noComment,
+      "(?i)</(p|div|h[1-6]|li|ul|ol|table|tr|blockquote|section|article)>|<br[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blockBreaks, "<[^>]*>", " ")
+    // entity names contain no regex metacharacters — the patterns stay
+    // literal (and textually identical in the oracle's RE2 chain)
+    val entities = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    // collapse horizontal whitespace, then blank-line runs, then trim
+    val squashed = regexp_replace(entities, "[ \\t\\x0B\\f\\r]+", " ")
+    val lines = regexp_replace(squashed, " ?\\n ?", "\n")
+    trim(regexp_replace(lines, "\\n{2,}", "\n"))
+  }
+
   def domainStats(df: DataFrame, urlCol: String): DataFrame = {
     val parts = df
       .select(

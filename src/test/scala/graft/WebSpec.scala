@@ -67,4 +67,34 @@ class WebSpec extends AnyFunSuite {
     assert(rows("x.org") === ((3L, 2L, 0.75)))
     assert(rows("y.net") === ((1L, 1L, 0.25)))
   }
+
+  test("extractHtmlText strips scripts/styles/tags, decodes entities, keeps block structure") {
+    import spark.implicits._
+    import graft.ops.Web
+    val html = """<html><head><title>T</title>
+      |<style>p { color: red; }</style>
+      |<script>if (a<b) { alert("x</p>"); }</script></head>
+      |<body><h1>Big Title</h1>
+      |<p>First &amp; foremost &lt;tag&gt; &quot;quoted&quot; &#39;q&#39;&nbsp;end</p>
+      |<div>Second   block</div><!-- hidden comment -->
+      |line<br/>break</body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(Web.extractHtmlText(col("h")).as("t")).head().getString(0)
+    assert(!out.contains("color"))
+    assert(!out.contains("alert"))
+    assert(!out.contains("hidden"))
+    // no markup survives (decoded &lt;tag&gt; content legitimately
+    // reintroduces a literal '<tag>')
+    assert(!out.contains("</") && !out.contains("<body") && !out.contains("<p>"))
+    assert(out.contains("Big Title"))
+    assert(out.contains("First & foremost <tag> \"quoted\" 'q' end"))
+    assert(out.contains("Second block"))
+    assert(out.contains("line\nbreak"))
+    // block closers become single newlines; no blank-line runs survive
+    assert(!out.contains("\n\n"))
+    // empty / tag-only input extracts to empty
+    val empty = Seq("<html><body><script>x()</script></body></html>").toDF("h")
+      .select(Web.extractHtmlText(col("h"))).head().getString(0)
+    assert(empty == "")
+  }
 }
