@@ -137,7 +137,12 @@ object Bench {
     "q_interval_overlap_3d",
     // 2 GD rounds: per-doc margin joins + per-bucket gradient aggregates
     // over the checkpointed feature frame
-    "q_classifier_score")
+    "q_classifier_score",
+    // per-partition WARC synthesis + parse (gzip on half the blobs) —
+    // the binary-ingestion pass whose cost tracks corpus bytes
+    "q_warc_parse",
+    // the 14-regex extraction projection over every document
+    "q_html_extract")
 
   /** 100× spot-check subset: the heaviest shuffle/bucket-join/prefix-sum
     * pipelines only — enough to expose a superlinear constant that even the
