@@ -58,6 +58,14 @@ object GraftExtensions {
             args.head,
             intLit(args(1), "strided_hashes", "n"),
             intLit(args(2), "strided_hashes", "stride"))),
+      ("winnow_hashes",
+        info("winnow_hashes",
+          "_FUNC_(str, k, w) - sorted distinct winnowing fingerprints (window-min of k-char shingle hashes over windows of w)"),
+        (args: Seq[Expression]) =>
+          WinnowHashes(
+            args.head,
+            intLit(args(1), "winnow_hashes", "k"),
+            intLit(args(2), "winnow_hashes", "w"))),
       ("minhash_signature",
         info("minhash_signature",
           "_FUNC_(hashes, n) - n-hash MinHash signature of a sorted shingle-hash array"),

@@ -836,6 +836,31 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("hamming").cast("bigint").as("hamming"))
     },
 
+    // winnowing fingerprints (Schleimer et al. 2003): the exploded
+    // per-document fingerprint set of every third document — full XXH64
+    // oracle re-derives the window-min chain declaratively
+    "q_winnow_fp" -> { (s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .where(col("doc_id") % 3 === 0 && col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(graft.ops.TextAnalysis.winnowFingerprints(col("text"), 8, 4))
+            .as("fp"))
+    },
+
+    // cross-corpus substring contamination: parity-split corpus/eval,
+    // per-document winnowing-fingerprint containment — the verbatim-leak
+    // detector (any shared >= 11-char normalized substring is detected)
+    "q_winnow_overlap" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Dedup
+        .winnowContamination(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "text", "doc_id", k = 8, w = 4, minContainment = 0.5)
+        .select(col("doc_id"), col("n_fp"), col("n_matched"),
+          round(col("containment"), 6).as("containment"), col("flagged"))
+    },
+
     // brute-force cosine top-3 neighbors for the first 5 vectors
     "q_embedding_topk" -> { (s, dir) =>
       val vectors = s.read.parquet(pq(dir, "embeddings"))
@@ -1138,6 +1163,37 @@ object SparkEntry {
           col("width"),
           col("height"),
           round(col("mean_luma"), 6).cast("long").as("mean_gray"))
+    },
+
+    // perceptual image hash (dHash): REAL PNG encode -> ImageIO decode ->
+    // integer-exact 9x8 pooled difference hash on synthesized gradient
+    // images at two scales; the oracle re-derives every bit in closed form
+    "q_image_dhash" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 17 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val pngs = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val sc = 1 + (id % 2).toInt
+          val w = 9 * sc
+          val h = 8 * sc
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w
+            val y = i / w
+            ((id * 31 + x * 7 + y * 3) % 256).toInt
+          }
+          org.apache.spark.sql.Row(id, Multimodal.encodeGrayPngPixels(w, h, px))
+        },
+        schema)
+      Multimodal.imageDHashes(pngs, "doc_id", "payload")
+        .select(col("doc_id"), col("dhash"))
     },
 
     // audio decode round-trip (REAL RIFF/WAV 16-bit PCM parse, pure byte
@@ -1863,6 +1919,29 @@ object SparkEntry {
         "zzz_absent").toDF("word")
       Sketches.cmsEstimate(sketch, probes, "word", depth = 4, width = 64)
         .select(col("word"), col("cms_count"))
+    },
+
+    // KMV bottom-k sketch: the 128 distinct l_partkey values with the
+    // smallest md5-lattice hashes — distinct-count + uniform-sample +
+    // quantile sketch in one k-row table (oracle rebuilds it exactly)
+    "q_kmv_sketch" -> { (s, dir) =>
+      graft.ops.Sketches.kmvSketch(
+        s.read.parquet(pq(dir, "lineitem")), "l_partkey", k = 128)
+    },
+
+    // KMV distinct-count estimator arithmetic over the same sketch
+    "q_kmv_estimate" -> { (s, dir) =>
+      val sk = graft.ops.Sketches.kmvSketch(
+        s.read.parquet(pq(dir, "lineitem")), "l_partkey", k = 128)
+      graft.ops.Sketches.kmvDistinctEstimate(sk, k = 128)
+    },
+
+    // KMV quantiles of the distinct o_custkey population (discrete-rank
+    // selection over the ≤ 256-row uniform sample)
+    "q_kmv_quantiles" -> { (s, dir) =>
+      val sk = graft.ops.Sketches.kmvSketch(
+        s.read.parquet(pq(dir, "orders")), "o_custkey", k = 256)
+      graft.ops.Sketches.kmvQuantiles(sk, Seq(0.1, 0.5, 0.9))
     },
 
     // streaming Count-Min sketch over a REAL file-stream replay of the
@@ -2771,6 +2850,36 @@ object SparkEntry {
     }
   }
 
+  /** Winnowing-fingerprint CTE chain (emits `fps`(doc_id, fp) — the sorted
+    * distinct window-min shingle-hash set of `WinnowHashes`): per-position
+    * 8-char shingles, each hashed with the full XXH64 re-derivation
+    * (`XxhSql`), then the window minimum over every run of 4 consecutive
+    * positions (`min() OVER ... ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING`,
+    * valid starts only) with the short-document (< w shingles) global-min
+    * degradation — the declarative spelling of the deque kernel, exact
+    * because window-min VALUES are tie-rule independent.
+    */
+  private def winnowFpSqlWith(docFilter: String): String =
+    s"""d AS (SELECT doc_id, $normSql AS norm FROM documents
+                  WHERE text IS NOT NULL AND ($docFilter)),
+            sp AS (SELECT doc_id, norm,
+                     unnest(range(1, greatest(length(norm) - 8 + 1, 0) + 1)) AS p
+                   FROM d),
+            tokn AS (SELECT doc_id, p, substring(norm, p, 8) AS t,
+                       length(substring(norm, p, 8))::BIGINT AS n FROM sp),
+            ${XxhSql.chain("tokn")},
+            mm AS (SELECT doc_id, count(*) AS m FROM hashed GROUP BY 1),
+            wmins AS (SELECT h.doc_id, h.p, mm.m,
+                        min(hv) OVER (PARTITION BY h.doc_id ORDER BY h.p
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                      FROM hashed h JOIN mm ON h.doc_id = mm.doc_id),
+            sel AS (SELECT doc_id, fp FROM wmins WHERE m >= 4 AND p <= m - 3
+                    UNION ALL
+                    SELECT h.doc_id, min(hv) AS fp
+                    FROM hashed h JOIN mm ON h.doc_id = mm.doc_id
+                    WHERE mm.m < 4 GROUP BY h.doc_id),
+            fps AS (SELECT DISTINCT doc_id, fp FROM sel)"""
+
   /** Full-hash DuckDB oracle for the PRODUCTION SimHash path: the token
     * hash is Spark's own xxhash64, re-derived in SQL (`XxhSql`), so
     * `q_simhash_pairs` no longer needs a rows-only concession.
@@ -3118,6 +3227,51 @@ object SparkEntry {
          WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
     "q_simhash_md5" -> simhashMd5OracleSql,
     "q_simhash_pairs" -> simhashXxhOracleSql,
+    "q_winnow_fp" ->
+      s"""WITH RECURSIVE
+            ${winnowFpSqlWith("doc_id % 3 = 0")}
+         SELECT doc_id, fp FROM fps""",
+    "q_kmv_sketch" ->
+      """WITH d AS (SELECT DISTINCT l_partkey::VARCHAR AS v FROM lineitem
+                    WHERE l_partkey IS NOT NULL),
+             h AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS kmv_hash,
+                          v AS kmv_value FROM d)
+         SELECT kmv_hash, kmv_value FROM h ORDER BY kmv_hash LIMIT 128""",
+    "q_kmv_estimate" ->
+      """WITH d AS (SELECT DISTINCT l_partkey::VARCHAR AS v FROM lineitem
+                    WHERE l_partkey IS NOT NULL),
+             h AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS kmv_hash
+                   FROM d),
+             sk AS (SELECT kmv_hash FROM h ORDER BY kmv_hash LIMIT 128)
+         SELECT count(*)::BIGINT AS n_sketch,
+                CASE WHEN count(*) < 128 THEN count(*)::DOUBLE
+                     ELSE round(127.0 * 1152921504606846976
+                                / max(kmv_hash)::DOUBLE) END AS estimate
+         FROM sk""",
+    "q_kmv_quantiles" ->
+      """WITH d AS (SELECT DISTINCT o_custkey::VARCHAR AS v FROM orders
+                    WHERE o_custkey IS NOT NULL),
+             h AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS kmv_hash,
+                          v FROM d),
+             sk AS (SELECT kmv_hash, v FROM h ORDER BY kmv_hash LIMIT 256),
+             ranked AS (SELECT v::DOUBLE AS val,
+                          row_number() OVER (ORDER BY v::DOUBLE) AS r,
+                          count(*) OVER () AS n FROM sk),
+             qs AS (SELECT unnest([0.1, 0.5, 0.9])::DOUBLE AS quantile)
+         SELECT q.quantile AS quantile, ranked.val AS value
+         FROM qs q JOIN ranked
+           ON ranked.r = greatest(1, ceil(q.quantile * ranked.n))""",
+    "q_winnow_overlap" ->
+      s"""WITH RECURSIVE
+            ${winnowFpSqlWith("TRUE")},
+            ev AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 1),
+            corp AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 0),
+            agg AS (SELECT c.doc_id, count(*) AS n_fp, count(e.fp) AS n_matched
+                    FROM corp c LEFT JOIN ev e ON c.fp = e.fp GROUP BY 1)
+         SELECT doc_id, n_fp::BIGINT AS n_fp, n_matched::BIGINT AS n_matched,
+                round(n_matched::DOUBLE / n_fp, 6) AS containment,
+                (n_matched::DOUBLE / n_fp) >= 0.5 AS flagged
+         FROM agg""",
     "q_heavy_hitters" ->
       """WITH c AS (SELECT l_returnflag, count(*) AS n_rows
                  FROM lineitem GROUP BY 1),
@@ -3892,6 +4046,34 @@ object SparkEntry {
                 CAST(2 AS INT) AS height,
                 CAST(doc_id % 256 AS BIGINT) AS mean_gray
          FROM documents WHERE doc_id % 23 = 0""",
+    // dHash closed form: regenerate the gradient rasters, pool to the 9x8
+    // grid (equal cell sizes -> the cross-multiplied comparison reduces to
+    // the plain sum compare), set bit cy*8+cx iff the right cell sum is
+    // larger; bit 63's mask is the usual subtraction spelling
+    "q_image_dhash" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS s FROM documents
+                      WHERE doc_id % 17 = 0),
+             px AS (SELECT doc_id, s, xs.x, ys.y,
+                      (doc_id * 31 + xs.x * 7 + ys.y * 3) % 256 AS g
+                    FROM ids,
+                         (SELECT unnest(range(0, 18)) AS x) xs,
+                         (SELECT unnest(range(0, 16)) AS y) ys
+                    WHERE xs.x < 9 * s AND ys.y < 8 * s),
+             cells AS (SELECT doc_id, x // s AS cx, y // s AS cy,
+                         sum(3 * g) AS sg
+                       FROM px GROUP BY 1, 2, 3),
+             bits AS (SELECT l.doc_id, l.cy * 8 + l.cx AS bit
+                      FROM cells l JOIN cells r
+                        ON l.doc_id = r.doc_id AND r.cy = l.cy
+                          AND r.cx = l.cx + 1
+                      WHERE l.cx < 8 AND r.sg > l.sg),
+             hashed AS (SELECT i.doc_id,
+                          coalesce(sum(CASE WHEN bit = 63
+                            THEN -9223372036854775807 - 1
+                            ELSE (1::BIGINT << bit) END), 0)::BIGINT AS dhash
+                        FROM ids i LEFT JOIN bits b ON i.doc_id = b.doc_id
+                        GROUP BY 1)
+         SELECT doc_id, dhash FROM hashed""",
     // audio round-trip: Spark really encodes + decodes WAV payloads whose
     // amplitudes/length/rate are functions of doc_id; the oracle recomputes
     // the closed forms (half the samples at +A, half at -B, so

@@ -395,6 +395,67 @@ final case class MaxCrossNearDupFraction(
   }
 }
 
+/** Between-corpus SUBSTRING contamination budget: the fraction of
+  * first-table documents whose winnowing-fingerprint containment in the
+  * second table reaches `minContainment`
+  * ([[graft.ops.Dedup.winnowContamination]]) must stay ≤ the target. The
+  * winnowing guarantee makes this the verbatim-leak detector: any shared
+  * normalized substring of ≥ `k + w - 1` characters contributes a shared
+  * fingerprint, so a lifted paragraph is caught even when whole-document
+  * Jaccard barely moves.
+  */
+final case class MaxSubstringContaminationFraction(
+    ref: DataRef,
+    ref2Required: DataRef,
+    textColumn: String,
+    textColumn2: String,
+    refValue: Option[Double],
+    shingleK: Int = 8,
+    winnowWindow: Int = 4,
+    minContainment: Double = 0.5,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_substring_contamination_fraction must lie within [0, 1] but is $refValue.")
+  require(
+    minContainment >= 0 && minContainment <= 1,
+    s"minContainment must lie in [0, 1]: $minContainment")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+   graft.core.Blocks.scoped {
+    def prepared(r: DataRef, c: String) = graft.core.Blocks.checkpoint(
+      r.selection(spark)
+        .select(col(c).as("dj_text"))
+        .where(col("dj_text").isNotNull)
+        .withColumn("dj_nid", monotonically_increasing_id()))
+    val corpus = prepared(ref, textColumn)
+    val eval_ = prepared(ref2Required, textColumn2)
+    val total = corpus.count()
+    val factual =
+      if (total == 0L) 0.0
+      else {
+        val flagged = Dedup
+          .winnowContamination(corpus, eval_, "dj_text", "dj_nid",
+            k = shingleK, w = winnowWindow, minContainment = minContainment)
+          .where(col("flagged")).count()
+        flagged.toDouble / total
+      }
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe} documents have winnowing-fingerprint " +
+          s"containment >= $minContainment in ${ref2Required.describe} " +
+          s"(shared substrings of >= ${shingleK + winnowWindow - 1} chars) " +
+          s"while only $target were allowed to.")
+   }
+  }
+}
+
 /** Between-corpus text-distribution drift budget: KL(ref ‖ ref2) over
   * smoothed hashed-n-gram feature distributions
   * ([[graft.ops.Dsir.hashedNgramKl]]) must stay ≤ the target — the

@@ -1147,4 +1147,59 @@ object Dedup {
             s => s.getField("dj_tok"))).as(textCol))
   }
 
+  /** Cross-corpus SUBSTRING contamination via winnowing fingerprints
+    * ([[graft.ops.TextAnalysis.winnowFingerprints]]): for every corpus
+    * document, the fraction of its fingerprints that also occur anywhere in
+    * the eval corpus. A shared substring of ≥ `k + w - 1` normalized
+    * characters is GUARANTEED to contribute a shared fingerprint (the
+    * winnowing property), so `containment` upper-bounds how much of the
+    * document could have leaked verbatim into the eval set — the
+    * position-robust exact sibling of [[crossNearDups]]' whole-document
+    * Jaccard and [[graft.ops.Corpus.decontaminate]]'s word-n-gram overlap.
+    *
+    * Returns one row per corpus document with at least one fingerprint:
+    * (`idCol`, `n_fp`, `n_matched`, `containment`, `flagged` =
+    * containment ≥ `minContainment`).
+    *
+    * Scale shape: the eval side is reduced to its DISTINCT fingerprint set
+    * (a hash equi-join key — broadcastable when the eval corpus is small,
+    * the usual case for decontamination); the corpus side explodes each
+    * document's already-distinct fingerprint array, so join output is
+    * bounded by the exploded corpus row count — there is no document-pair
+    * space at any scale. One shuffle (the per-document regroup).
+    */
+  def winnowContamination(
+      corpus: DataFrame,
+      evalDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minContainment: Double = 0.5): DataFrame = {
+    require(
+      minContainment >= 0 && minContainment <= 1,
+      s"minContainment must lie in [0, 1]: $minContainment")
+    def fps(df: DataFrame) = df
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        TextAnalysis.winnowFingerprints(col(textCol), k, w).as("dj_fps"))
+      .where(size(col("dj_fps")) > 0)
+    val evalSet = fps(evalDf)
+      .select(explode(col("dj_fps")).as("dj_fp"))
+      .distinct()
+      .withColumn("dj_hit", lit(1L))
+    fps(corpus)
+      .select(col(idCol), size(col("dj_fps")).as("n_fp"),
+        explode(col("dj_fps")).as("dj_fp"))
+      .join(evalSet, Seq("dj_fp"), "left")
+      .groupBy(col(idCol), col("n_fp"))
+      .agg(sum(coalesce(col("dj_hit"), lit(0L))).as("n_matched"))
+      .withColumn("containment",
+        col("n_matched").cast("double") / col("n_fp").cast("double"))
+      .withColumn("flagged", col("containment") >= minContainment)
+      .select(col(idCol), col("n_fp").cast("long").as("n_fp"),
+        col("n_matched"), col("containment"), col("flagged"))
+  }
+
 }

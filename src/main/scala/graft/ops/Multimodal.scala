@@ -282,6 +282,119 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Per-pixel grayscale PNG encoder (row-major `pixels`, values clamped to
+    * [0, 255]) — the gate's gradient-image synthesizer; [[encodeGrayPng]]'s
+    * constant fill is the `pixels = const` special case.
+    */
+  def encodeGrayPngPixels(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixels length ${pixels.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val g = math.max(0, math.min(255, pixels(y * width + x)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit difference hash (dHash — the standard perceptual image
+    * fingerprint: Krawetz's "Kind of Like That" construction, 2013): pool
+    * the image to a 9-column × 8-row brightness grid and emit one bit per
+    * horizontally-adjacent cell pair, set iff the right cell is strictly
+    * brighter. Near-identical images (recompression, mild resize, small
+    * edits) keep most bits, so Hamming distance over the hash is the
+    * image near-dup signal — banded and verified by the SAME machinery as
+    * text SimHash ([[graft.ops.Dedup.simhashPairsFromSketch]]).
+    *
+    * Pooling is INTEGER-EXACT, never resampled through a codec: cell(x, y)
+    * = (floor(x·9/w), floor(y·8/h)), per-cell sum of (r+g+b), and the bit
+    * compares cross-multiplied long sums (`sumR·nL > sumL·nR`) — no float
+    * boundary flips, and a closed-form oracle can re-derive every bit.
+    * Bit i = row·8 + colPair, LSB first.
+    */
+  def imageDHash(payload: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(payload)) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](9 * 8)
+    val counts = new Array[Long](9 * 8)
+    var y = 0
+    while (y < h) {
+      val cy = ((y.toLong * 8) / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = ((x.toLong * 9) / w).toInt
+        val rgb = img.getRGB(x, y)
+        val cell = cy * 9 + cx
+        sums(cell) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    // fewer than 9 columns / 8 rows of pixels leaves empty cells — too
+    // small for a stable perceptual hash
+    if (counts.exists(_ == 0L)) return None
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val l = cy * 9 + cx
+        val r = l + 1
+        if (sums(r) * counts(l) > sums(l) * counts(r))
+          hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-partition batch dHash over (id, binary) rows → (`idCol`, `dhash`);
+    * undecodable or too-small payloads yield null. Same streaming
+    * constant-memory contract as the other decode ops.
+    */
+  def imageDHashes(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", LongType)))
+    perPayload(df, idCol, binCol, schema) { (id, payload) =>
+      val hv = Option(payload).flatMap(imageDHash)
+      Row(id, hv.map(java.lang.Long.valueOf).orNull)
+    }
+  }
+
+  /** Perceptual image near-duplicate pairs: dHash sketch + the text-SimHash
+    * banding/Hamming pipeline (16-bit chunk buckets, COUNT-FIRST capped,
+    * exact Hamming verify). Returns (id1, id2, hamming ≤ `maxHamming`).
+    */
+  def imageNearDups(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sketched = imageDHashes(df, idCol, binCol)
+      .where(col("dhash").isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col("dhash").as("simhash"))
+    graft.ops.Dedup
+      .simhashPairsFromSketch(sketched, idCol, maxHamming, maxBucketSize)
+  }
+
   // --- ITU-T G.711 companding (public spec; clean-room arithmetic form) ---
   // 8-bit log-PCM <-> 16-bit linear. mu-law: byte is the bitwise complement
   // of sign|exponent|mantissa over a +132-biased magnitude; A-law: even bits

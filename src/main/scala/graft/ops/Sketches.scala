@@ -196,4 +196,87 @@ object Sketches {
       .groupBy(valueCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
+
+  /** KMV hash: the same cross-engine md5-15-hex-digit convention as
+    * [[cmsBucket]] — a uniform draw from [0, 2^60), recomputable by the
+    * DuckDB oracle bit-for-bit.
+    */
+  def kmvHash(value: Column): Column =
+    conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** KMV (k-minimum-values / bottom-k) sketch (Bar-Yossef et al. 2002,
+    * Beyer et al. SIGMOD 2007): the `k` DISTINCT values of `valueCol` with
+    * the smallest [[kmvHash]] — ≤ `k` rows of (`kmv_hash`, `kmv_value`).
+    * One sketch serves three reads: an unbiased distinct-count estimate
+    * ([[kmvDistinctEstimate]]), a UNIFORM sample of the distinct-value
+    * population (the hash order is value-independent), and quantile
+    * estimates over that population ([[kmvQuantiles]]) — the sketch-family
+    * member CMS/Bloom/HLL don't cover.
+    *
+    * Like the other sketches it is a TABLE: [[kmvMerge]] = union +
+    * re-bottom-k (associative, commutative, idempotent — daily sketches
+    * roll up into monthly ones), so incremental maintenance needs no
+    * special state. Scale shape: partial aggregation dedups map-side, the
+    * one exchange carries per-partition-distinct values only (the same
+    * bound as every distinct aggregate in the engine), and the bottom-k is
+    * `TakeOrderedAndProject` — per-partition k-bounded heaps, never a full
+    * sort.
+    */
+  def kmvSketch(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv k must be >= 2: $k")
+    df.where(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string").as("kmv_value"))
+      .distinct()
+      .select(kmvHash(col("kmv_value")).as("kmv_hash"), col("kmv_value"))
+      .orderBy("kmv_hash")
+      .limit(k)
+  }
+
+  /** Merge KMV sketches built with the same `k`: union, re-dedup (the same
+    * value may appear in both), re-bottom-k.
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    a.unionByName(b).distinct().orderBy("kmv_hash").limit(k)
+
+  /** Distinct-count estimate from a KMV sketch: with the sketch full
+    * (`n_sketch = k`), the classic unbiased estimator `(k-1) / U_(k)`
+    * where `U_(k)` is the k-th smallest normalized hash (the k-th order
+    * statistic of n uniform draws ≈ k/n); under-full sketches saw every
+    * distinct value, so the count is exact. One row:
+    * (`n_sketch`, `estimate`).
+    */
+  def kmvDistinctEstimate(sketch: DataFrame, k: Int = 256): DataFrame =
+    sketch
+      .agg(count(lit(1)).as("n_sketch"), max(col("kmv_hash")).as("dj_hmax"))
+      .select(
+        col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(
+            round(lit((k - 1).toDouble) * math.pow(2.0, 60) /
+              col("dj_hmax").cast("double")))
+          .as("estimate"))
+
+  /** Quantile estimates over the DISTINCT-value population from a KMV
+    * sketch: the sketch rows are a uniform sample of the distinct values,
+    * so the empirical quantiles of `kmv_value` (cast numeric) estimate the
+    * population's. Discrete-rank selection (`ceil(q·n)`, the engine's
+    * exact-percentile convention) over the ≤ k sketch rows — one row per
+    * requested quantile: (`quantile`, `value`).
+    */
+  def kmvQuantiles(sketch: DataFrame, quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must lie in (0, 1]: $quantiles")
+    import org.apache.spark.sql.expressions.Window
+    // ≤ k rows: the single-partition window is over sketch-geometry-bounded
+    // data, never over corpus-scaled data
+    val ranked = sketch
+      .select(col("kmv_value").cast("double").as("dj_v"))
+      .withColumn("dj_r", row_number().over(Window.orderBy(col("dj_v"))))
+    val qs = quantiles.map(q => struct(lit(q).as("quantile")))
+    ranked
+      .crossJoin(ranked.select(count(lit(1)).as("dj_n")))
+      .select(col("dj_v"), col("dj_r"), explode(array(qs: _*)).as("dj_q"), col("dj_n"))
+      .where(col("dj_r") === greatest(lit(1), ceil(col("dj_q.quantile") * col("dj_n"))))
+      .select(col("dj_q.quantile").as("quantile"), col("dj_v").as("value"))
+  }
 }

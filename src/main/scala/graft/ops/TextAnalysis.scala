@@ -118,6 +118,18 @@ object TextAnalysis {
   def minShingleHash(text: Column, k: Int = 8): Column =
     array_min(transform(Dedup.charShingles(normalize(text), k), s => xxhash64(s)))
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * sorted distinct window-minimum shingle hashes of the normalized text —
+    * one O(n) codegen'd scan ([[graft.functions.WinnowHashes]]). Any two
+    * documents sharing a substring of ≥ `k + w - 1` normalized characters
+    * share at least one fingerprint; density is ~2/(w+1) of the shingle
+    * count, so the representation is a tunable-size position-robust
+    * substring sketch (the exact-contamination signal whole-document
+    * MinHash can't localize).
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowHashes.winnowHashes(normalize(text), k, w)
+
   /** PII patterns for corpus scrubbing, written in the regex subset Java
     * and RE2 evaluate identically (no lookaround, no escape-sequence
     * classes like `\s` whose spellings differ across SQL string literals):

@@ -1188,6 +1188,31 @@ final class BetweenRequirement private (
     this
   }
 
+  /** Beyond-reference: verbatim substring-contamination budget — the
+    * fraction of first-table documents whose winnowing-fingerprint
+    * containment in the second table reaches `minContainment` must stay
+    * ≤ `maxFraction` (any shared normalized substring of ≥
+    * `shingleK + winnowWindow - 1` chars is guaranteed detected).
+    */
+  def addMaxSubstringContaminationFractionConstraint(
+      textColumn1: String,
+      textColumn2: String,
+      maxFraction: Double,
+      shingleK: Int = 8,
+      winnowWindow: Int = 4,
+      minContainment: Double = 0.5,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxSubstringContaminationFraction(
+      ref(Some(Seq(textColumn1)), condition1),
+      ref2(Some(Seq(textColumn2)), condition2),
+      textColumn1, textColumn2, refValue = Some(maxFraction),
+      shingleK = shingleK, winnowWindow = winnowWindow,
+      minContainment = minContainment, nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: interval coverage budget — at least `minFraction`
     * of the first table's `pointColumn` values (optionally per
     * `keyColumns`) must fall inside some second-table

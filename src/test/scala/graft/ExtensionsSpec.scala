@@ -69,7 +69,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // names covered by the register() path above; here we pin the count so
     // a function added to one path can't be forgotten in the other
     assert(GraftExtensions.functions.map(_._1).toSet == Set(
-      "normalize_text", "shingle_hashes", "strided_hashes",
+      "normalize_text", "shingle_hashes", "strided_hashes", "winnow_hashes",
       "minhash_signature", "jaccard_sorted_long", "matching_fraction_long",
       "dot_product_float", "simhash64"))
   }

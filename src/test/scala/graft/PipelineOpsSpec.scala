@@ -575,6 +575,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage(null, 3, 2).isEmpty)
   }
 
+  test("multimodal: dHash bits follow the pooled gradient; invariances hold") {
+    // 9x8 image, one pixel per cell: gray rises left-to-right -> every
+    // right-of-left comparison is true -> all 64 bits set
+    val rising = Array.tabulate(8 * 9)(i => (i % 9) * 20)
+    val hUp = Multimodal.imageDHash(
+      Multimodal.encodeGrayPngPixels(9, 8, rising)).get
+    assert(hUp === -1L, s"all-ascending rows must set all 64 bits: $hUp")
+    // falling gradient -> no bit set; constant image -> no bit set (strict >)
+    val falling = Array.tabulate(8 * 9)(i => 200 - (i % 9) * 20)
+    assert(Multimodal.imageDHash(
+      Multimodal.encodeGrayPngPixels(9, 8, falling)).get === 0L)
+    assert(Multimodal.imageDHash(Multimodal.encodeGrayPng(9, 8, 128)).get === 0L)
+    // pooling: 18x16 (2x2 pixels per cell) with the same cell-level
+    // pattern hashes identically to the 9x8 original
+    val big = Array.tabulate(16 * 18)(i => ((i % 18) / 2) * 20)
+    assert(Multimodal.imageDHash(
+      Multimodal.encodeGrayPngPixels(18, 16, big)).get === hUp)
+    // brightness shift keeps the hash (dHash is difference-based)
+    val shifted = rising.map(_ + 13)
+    assert(Multimodal.imageDHash(
+      Multimodal.encodeGrayPngPixels(9, 8, shifted)).get === hUp)
+    // too small for the 9x8 grid -> None; garbage -> None
+    assert(Multimodal.imageDHash(Multimodal.encodeGrayPng(4, 4, 10)).isEmpty)
+    assert(Multimodal.imageDHash("not an image".getBytes).isEmpty)
+  }
+
+  test("multimodal: imageNearDups pairs near-identical images only") {
+    val rnd = new scala.util.Random(77)
+    val base = Array.tabulate(8 * 9)(_ => rnd.nextInt(256))
+    // one-cell tweak: at most a couple of bits flip
+    val tweaked = base.clone(); tweaked(40) = (base(40) + 60) % 256
+    val noise = Array.tabulate(8 * 9)(_ => rnd.nextInt(256))
+    val rows = Seq(
+      (1L, Multimodal.encodeGrayPngPixels(9, 8, base)),
+      (2L, Multimodal.encodeGrayPngPixels(9, 8, tweaked)),
+      (3L, Multimodal.encodeGrayPngPixels(9, 8, noise)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val pairs = Multimodal.imageNearDups(df, "doc_id", "payload", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-identical pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"random image must not pair: $pairs")
+  }
+
   test("multimodal: REAL WAV encode -> decode round-trip (RIFF/PCM byte parse)") {
     // two-level square wave: +300 / -400 alternating, 12 samples
     val samples =

@@ -103,4 +103,49 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(merged === whole)
   }
+
+  test("kmv: sketch is the exact bottom-k by hash; dups never consume slots") {
+    val vals = (1 to 500).map(i => s"v$i")
+    val df = (vals ++ vals ++ vals).toDF("v") // triplicated
+    val sk = Sketches.kmvSketch(df, "v", k = 32).collect()
+    assert(sk.length === 32)
+    // brute force: hash every distinct value, take the 32 smallest
+    val brute = vals.toDF("v")
+      .select(Sketches.kmvHash(col("v")).as("h"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).take(32)
+    assert(sk.map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === brute.toSeq)
+  }
+
+  test("kmv: merge of two sketches equals the sketch of the union") {
+    val (p, q) = (1 to 400).map(i => s"m$i").splitAt(170)
+    val k = 48
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvSketch(p.toDF("v"), "v", k),
+      Sketches.kmvSketch(q.toDF("v"), "v", k), k)
+      .collect().map(_.getString(1)).toSet
+    val whole = Sketches.kmvSketch((p ++ q).toDF("v"), "v", k)
+      .collect().map(_.getString(1)).toSet
+    assert(merged === whole)
+  }
+
+  test("kmv: under-full estimate is exact, full estimate lands near truth") {
+    val few = (1 to 20).map(i => s"f$i").toDF("v")
+    val exact = Sketches.kmvDistinctEstimate(
+      Sketches.kmvSketch(few, "v", 64), 64).head()
+    assert(exact.getLong(0) === 20L && exact.getDouble(1) === 20.0)
+    val many = (1 to 20000).map(i => s"g$i").toDF("v")
+    val est = Sketches.kmvDistinctEstimate(
+      Sketches.kmvSketch(many, "v", 256), 256).head().getDouble(1)
+    // k=256 -> relative error ~1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert(math.abs(est - 20000) / 20000 < 0.25, s"kmv estimate $est")
+  }
+
+  test("kmv: quantiles with k >= n distinct are the exact distinct quantiles") {
+    val df = (1 to 100).map(i => i.toString).toDF("v")
+    val sk = Sketches.kmvSketch(df, "v", k = 200) // under-full: all values
+    val qs = Sketches.kmvQuantiles(sk, Seq(0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(qs(0.25) === 25.0 && qs(0.5) === 50.0 && qs(1.0) === 100.0)
+  }
 }
