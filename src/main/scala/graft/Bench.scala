@@ -116,6 +116,10 @@ object Bench {
     // unit explode + partial-agg countDistinct + fingerprint join +
     // reassembly — the boilerplate pass whose agg width tracks vocabulary
     "q_boilerplate",
+    // winnowing-fingerprint explode on both sides + distinct eval set +
+    // left equi-join + per-doc regroup — explode volume tracks corpus
+    // character count, the join is the contamination path's only shuffle
+    "q_winnow_overlap",
     // character-pair explode over the distinct-word table — the BPE
     // round's aggregate, whose explode volume tracks corpus characters
     "q_bpe_pairs",

@@ -1921,6 +1921,19 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // BM25 ranked retrieval: three literal queries against the documents
+    // corpus, Okapi k1=1.2 b=0.75, decimal-summed per-term scores
+    "q_bm25" -> { (s, dir) =>
+      import s.implicits._
+      val q = Seq(
+        ("q_scan", "table scan fast"),
+        ("q_stream", "stream window batch"),
+        ("q_join", "join merge hash")).toDF("query_id", "query_text")
+      graft.ops.Corpus.bm25TopK(
+        s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+        q, "query_id", "query_text", k = 10)
+    },
+
     // KMV bottom-k sketch: the 128 distinct l_partkey values with the
     // smallest md5-lattice hashes — distinct-count + uniform-sample +
     // quantile sketch in one k-row table (oracle rebuilds it exactly)
@@ -3231,6 +3244,46 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+                     WHERE text IS NOT NULL),
+             tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+             tf AS (SELECT doc_id, t, count(*) AS tf FROM tok
+                    WHERE t <> '' GROUP BY 1, 2),
+             lens AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             corpus AS (SELECT count(*) AS n, sum(dl) AS tot FROM lens),
+             q AS (SELECT * FROM (VALUES
+                     ('q_scan', 'table scan fast'),
+                     ('q_stream', 'stream window batch'),
+                     ('q_join', 'join merge hash')) AS v(query_id, query_text)),
+             qt AS (SELECT DISTINCT query_id, t FROM (
+                      SELECT query_id,
+                             unnest(string_split(query_text, ' ')) AS t FROM q)
+                    WHERE t <> ''),
+             dfq AS (SELECT t, count(*) AS df FROM tf
+                     WHERE t IN (SELECT t FROM qt) GROUP BY 1),
+             terms AS (SELECT qt.query_id, tf.doc_id,
+                         CAST(ln((c.n::DOUBLE - dfq.df + 0.5)
+                                  / (dfq.df::DOUBLE + 0.5) + 1.0)
+                              * tf.tf * 2.2
+                              / (tf.tf + 1.2 * (0.25
+                                  + 0.75 * lens.dl
+                                    / (c.tot::DOUBLE / c.n::DOUBLE)))
+                           AS DECIMAL(38, 12)) AS term
+                       FROM qt
+                       JOIN tf ON qt.t = tf.t
+                       JOIN dfq ON dfq.t = qt.t
+                       JOIN lens ON tf.doc_id = lens.doc_id,
+                       corpus c),
+             scored AS (SELECT query_id, doc_id,
+                          round(sum(term), 6)::DOUBLE AS score
+                        FROM terms GROUP BY 1, 2),
+             ranked AS (SELECT query_id, doc_id, score,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+                        FROM scored)
+         SELECT query_id, doc_id, score, rank::BIGINT AS rank
+         FROM ranked WHERE rank <= 10""",
     "q_kmv_sketch" ->
       """WITH d AS (SELECT DISTINCT l_partkey::VARCHAR AS v FROM lineitem
                     WHERE l_partkey IS NOT NULL),

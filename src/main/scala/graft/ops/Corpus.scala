@@ -428,6 +428,90 @@ object Corpus {
         col("tfidf"), col("rank"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Walker Okapi BM25, the Lucene
+    * `k1`/`b` parameterization with the +1 idf floor): score every corpus
+    * document against every query and keep each query's `k` best.
+    * `score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) /
+    * (tf(t,d) + k1·(1 − b + b·|d|/avgdl))`, `idf(t) =
+    * ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Determinism contract (the gate's): each per-term score is a double
+    * computed from exact integer tf/df/|d| statistics, then cast to
+    * `DECIMAL(38, 12)` BEFORE the per-(query, doc) sum — decimal addition
+    * is associative, so the total never depends on partitioning; the
+    * reported score is the sum rounded to 6.
+    *
+    * Scale shape: ONE token explode feeds the (doc, term) tf aggregate
+    * (checkpointed — tf, doc lengths, and df derive from the same frame);
+    * document frequencies are computed for QUERY terms only (the df
+    * aggregate runs after the postings ⋈ query-terms semi-join, so nothing
+    * vocabulary-sized shuffles); query-term stats broadcast (queries are
+    * the small side by construction); the scored join's volume is the
+    * postings of query terms, never |docs|·|queries|; top-k is a per-query
+    * window over k-bounded candidates.
+    *
+    * Emits (`qIdCol`, `idCol`, `score`, `rank` ≤ k), ranked by
+    * (score desc, `idCol` asc) — fully deterministic.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 parameters: k1=$k1 b=$b")
+    val tf = graft.core.Blocks.checkpoint(
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("dj_t"))
+        .where(col("dj_t") =!= "")
+        .groupBy(col(idCol), col("dj_t"))
+        .agg(count(lit(1)).as("dj_tf")))
+    val lens = tf.groupBy(col(idCol)).agg(sum(col("dj_tf")).as("dj_dl"))
+    val corpus = lens.agg(
+      count(lit(1)).as("dj_n"), sum(col("dj_dl")).as("dj_toktotal"))
+    val qterms = queries
+      .where(col(qTextCol).isNotNull)
+      .select(col(qIdCol), explode(TextAnalysis.tokens(col(qTextCol))).as("dj_t"))
+      .where(col("dj_t") =!= "")
+      .distinct()
+    // df for query terms only — the postings semi-join runs first, so the
+    // aggregate is bounded by matched postings, not vocabulary
+    val dfreq = tf
+      .join(broadcast(qterms.select("dj_t").distinct()), Seq("dj_t"), "left_semi")
+      .groupBy(col("dj_t"))
+      .agg(count(lit(1)).as("dj_df"))
+    val qstats = broadcast(
+      qterms.join(dfreq, Seq("dj_t"))
+        .crossJoin(corpus)
+        .withColumn("dj_idf",
+          log((col("dj_n").cast("double") - col("dj_df") + lit(0.5)) /
+            (col("dj_df").cast("double") + lit(0.5)) + lit(1.0)))
+        .withColumn("dj_avgdl",
+          col("dj_toktotal").cast("double") / col("dj_n").cast("double"))
+        .select(col(qIdCol), col("dj_t"), col("dj_idf"), col("dj_avgdl")))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+    tf.join(qstats, Seq("dj_t"))
+      .join(lens, Seq(idCol))
+      .withColumn("dj_term",
+        (col("dj_idf") * col("dj_tf").cast("double") * lit(k1 + 1.0) /
+          (col("dj_tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dj_dl").cast("double") / col("dj_avgdl"))))
+          .cast("decimal(38,12)"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(round(sum(col("dj_term")), 6).cast("double").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Sliding-window document chunking (context-length preparation): split
     * each document's whitespace tokens into windows of `chunkTokens` with
     * `overlapTokens` carried between consecutive windows (stride =

@@ -228,6 +228,58 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.tfidfTopK(docs(), "text", "doc_id", 3).count() == 0)
   }
 
+  test("bm25TopK: hand-computed Okapi scores, deterministic ranking") {
+    import graft.ops.Corpus
+    val d = docs(
+      1L -> "apple banana apple",
+      2L -> "apple cherry",
+      3L -> "banana banana cherry cherry")
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("q1", "apple banana")), 1),
+      StructType(Seq(
+        StructField("query_id", StringType),
+        StructField("query_text", StringType))))
+    val out = Corpus
+      .bm25TopK(d, "text", "doc_id", q, "query_id", "query_text", k = 3)
+      .collect()
+      .map(r => r.getLong(r.fieldIndex("rank")) ->
+        (r.getLong(r.fieldIndex("doc_id")), r.getDouble(r.fieldIndex("score"))))
+      .toMap
+    // N=3, avgdl=3, df(apple)=df(banana)=2 -> idf = ln(1.6) for both.
+    // d1 (dl=3): apple tf=2 -> 4.4/3.2, banana tf=1 -> 2.2/2.2
+    // d2 (dl=2): apple tf=1 -> 2.2/1.9
+    // d3 (dl=4): banana tf=2 -> 4.4/3.5
+    val idf = math.log(1.6)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - r6((4.4 / 3.2 + 2.2 / 2.2) * idf)) < 2e-6)
+    assert(out(2L)._1 === 3L)
+    assert(math.abs(out(2L)._2 - r6(4.4 / 3.5 * idf)) < 2e-6)
+    assert(out(3L)._1 === 2L)
+    assert(math.abs(out(3L)._2 - r6(2.2 / 1.9 * idf)) < 2e-6)
+    graft.core.Blocks.releaseAll()
+  }
+
+  test("bm25TopK: k bounds results; queries with no matching term vanish") {
+    import graft.ops.Corpus
+    val d = docs(1L -> "alpha beta", 2L -> "alpha gamma", 3L -> "alpha delta")
+    val q = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("qa", "alpha"), Row("qz", "zeta")), 1),
+      StructType(Seq(
+        StructField("query_id", StringType),
+        StructField("query_text", StringType))))
+    val rows = Corpus
+      .bm25TopK(d, "text", "doc_id", q, "query_id", "query_text", k = 2)
+      .collect()
+    assert(rows.forall(_.getString(0) == "qa"), "no-match query must emit nothing")
+    assert(rows.length === 2, s"k=2 must cap the per-query list: ${rows.length}")
+    // equal scores everywhere -> ties break by doc_id ascending
+    assert(rows.map(r => r.getLong(r.fieldIndex("doc_id"))).toSeq === Seq(1L, 2L))
+    graft.core.Blocks.releaseAll()
+  }
+
   test("chunkDocuments: sliding token windows with overlap") {
     import graft.ops.Corpus
     val words = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
