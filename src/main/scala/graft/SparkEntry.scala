@@ -1921,6 +1921,40 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // robots.txt (RFC 9309): REAL group parsing + longest-match evaluation
+    // over synthesized per-domain policies at two agents; the oracle
+    // recomputes every verdict in closed form from the template arithmetic
+    "q_robots" -> { (s, dir) =>
+      import graft.ops.Web
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 13 === 0)
+      val k = col("doc_id") % 3
+      val m = col("doc_id") % 2
+      val robots = ids.select(
+        concat(lit("d"), col("doc_id")).as("domain"),
+        concat(
+          lit("# synthesized policy\nUser-agent: *\nDisallow: /private"), k,
+          lit("/\nAllow: /private"), k,
+          lit("/ok\n\nUser-agent: graftbot\nDisallow: /bot"), m,
+          lit("*\n")).as("robots"))
+      val urls = ids
+        .select(col("doc_id"),
+          concat(lit("d"), col("doc_id")).as("domain"),
+          explode(array(
+            concat(lit("/private"), k, lit("/x")),
+            concat(lit("/private"), k, lit("/ok/page")),
+            concat(lit("/bot"), m, lit("xyz")),
+            lit("/pub/page"))).as("path"))
+        .withColumn("id", concat(col("doc_id"), lit(":"), col("path")))
+      Seq("*", "graftbot").map { ag =>
+        Web.robotsAllowed(urls, robots, "id", "domain", "path",
+            "domain", "robots", agent = ag)
+          .withColumn("agent", lit(ag))
+      }.reduce(_ unionByName _)
+        .select(col("id"), col("agent"), col("allowed"), col("matched_pattern"))
+    },
+
     // BM25 ranked retrieval: three literal queries against the documents
     // corpus, Okapi k1=1.2 b=0.75, decimal-summed per-term scores
     "q_bm25" -> { (s, dir) =>
@@ -3244,6 +3278,37 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_robots" ->
+      """WITH ids AS (SELECT doc_id, (doc_id % 3)::VARCHAR AS k,
+                        (doc_id % 2)::VARCHAR AS m
+                      FROM documents WHERE doc_id % 13 = 0),
+             urls AS (SELECT doc_id, k, m,
+                        unnest(['/private' || k || '/x',
+                                '/private' || k || '/ok/page',
+                                '/bot' || m || 'xyz',
+                                '/pub/page']) AS path
+                      FROM ids),
+             ag AS (SELECT unnest(['*', 'graftbot']) AS agent),
+             evald AS (SELECT doc_id::VARCHAR || ':' || path AS id,
+                         agent, path, k, m FROM urls, ag)
+         SELECT id, agent,
+                CASE WHEN agent = '*' THEN
+                       CASE WHEN starts_with(path, '/private' || k || '/ok')
+                              THEN TRUE
+                            WHEN starts_with(path, '/private' || k || '/')
+                              THEN FALSE
+                            ELSE TRUE END
+                     ELSE NOT starts_with(path, '/bot' || m) END AS allowed,
+                CASE WHEN agent = '*' THEN
+                       CASE WHEN starts_with(path, '/private' || k || '/ok')
+                              THEN '/private' || k || '/ok'
+                            WHEN starts_with(path, '/private' || k || '/')
+                              THEN '/private' || k || '/'
+                            ELSE NULL END
+                     WHEN starts_with(path, '/bot' || m)
+                       THEN '/bot' || m || '*'
+                     ELSE NULL END AS matched_pattern
+         FROM evald""",
     "q_bm25" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
                      WHERE text IS NOT NULL),

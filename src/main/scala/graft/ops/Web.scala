@@ -130,6 +130,131 @@ object Web {
     trim(regexp_replace(lines, "\\n{2,}", "\n"))
   }
 
+  /** Robots Exclusion Protocol rules (RFC 9309): parse one robots.txt per
+    * domain into the rule set governing `agent`. Declarative group
+    * parsing — lines explode with position, comments strip, directives
+    * classify, a group starts at a `User-agent` line whose previous
+    * RELEVANT line is not a `User-agent` line (RFC's "group of
+    * user-agent lines followed by rules"), and rules attach to their
+    * group. Group selection per the RFC: if any group names `agent`
+    * exactly (case-insensitive), ALL such groups' rules apply and `*`
+    * groups are ignored; otherwise the `*` groups apply. Empty-pattern
+    * rules are dropped (an empty Disallow means no restriction).
+    *
+    * Emits one row per applicable rule: (`domainCol`, `rule_allow`,
+    * `pattern`, `pattern_len`, `pattern_regex`) — the regex is the RFC
+    * pattern compiled in-plan (`*` → `.*`, trailing `$` → end anchor,
+    * every other metacharacter escaped), anchored at the path start, in
+    * the Java∩RE2 portable subset.
+    *
+    * Scale shape: everything is per-domain; the only window partitions by
+    * domain over a robots file's own lines (robots.txt is capped at 500 KB
+    * by the RFC — per-key state is bounded by spec).
+    */
+  def robotsRules(
+      robots: DataFrame,
+      domainCol: String,
+      robotsTextCol: String,
+      agent: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = robots
+      .where(col(robotsTextCol).isNotNull)
+      .select(
+        col(domainCol),
+        posexplode(split(col(robotsTextCol), "\n")).as(Seq("dj_pos", "dj_raw")))
+      .withColumn("dj_line", trim(regexp_replace(col("dj_raw"), "#.*$", "")))
+      .withColumn("dj_lc", lower(col("dj_line")))
+      .withColumn("dj_is_ua", col("dj_lc").rlike("^user-agent[ \\t]*:"))
+      .withColumn("dj_is_allow", col("dj_lc").rlike("^allow[ \\t]*:"))
+      .withColumn("dj_is_dis", col("dj_lc").rlike("^disallow[ \\t]*:"))
+      .where(col("dj_is_ua") || col("dj_is_allow") || col("dj_is_dis"))
+      .withColumn("dj_value",
+        trim(regexp_extract(col("dj_line"), "^[^:]*:[ \\t]*(.*)$", 1)))
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("dj_pos"))
+    val grouped = lines
+      .withColumn("dj_prev_ua",
+        coalesce(lag(col("dj_is_ua"), 1).over(w), lit(false)))
+      .withColumn("dj_start",
+        (col("dj_is_ua") && !col("dj_prev_ua")).cast("int"))
+      .withColumn("dj_group",
+        sum(col("dj_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("dj_group") > 0) // rules before any User-agent line: ignored
+    // per-group agent applicability; then per-domain exact-beats-star
+    val groupAgents = grouped
+      .where(col("dj_is_ua"))
+      .groupBy(col(domainCol), col("dj_group"))
+      .agg(
+        max(when(lower(col("dj_value")) === agentLc, lit(1)).otherwise(lit(0)))
+          .as("dj_exact"),
+        max(when(col("dj_value") === "*", lit(1)).otherwise(lit(0)))
+          .as("dj_star"))
+    val domainHasExact = groupAgents
+      .groupBy(col(domainCol))
+      .agg(max(col("dj_exact")).as("dj_has_exact"))
+    val applicable = groupAgents
+      .join(domainHasExact, Seq(domainCol))
+      .where(
+        (col("dj_has_exact") === 1 && col("dj_exact") === 1) ||
+          (col("dj_has_exact") === 0 && col("dj_star") === 1))
+      .select(col(domainCol), col("dj_group"))
+    val pat = col("dj_value")
+    val endsAnchor = pat.rlike("[$]$")
+    val body = when(endsAnchor, expr("substring(dj_value, 1, length(dj_value) - 1)"))
+      .otherwise(pat)
+    val escaped = regexp_replace(body, "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    val wild = regexp_replace(escaped, "[*]", ".*")
+    grouped
+      .where(col("dj_is_allow") || col("dj_is_dis"))
+      .where(length(col("dj_value")) > 0)
+      .join(applicable, Seq(domainCol, "dj_group"), "left_semi")
+      .select(
+        col(domainCol),
+        col("dj_is_allow").as("rule_allow"),
+        col("dj_value").as("pattern"),
+        length(col("dj_value")).cast("long").as("pattern_len"),
+        concat(lit("^"), wild, when(endsAnchor, lit("$")).otherwise(lit("")))
+          .as("pattern_regex"))
+      .distinct()
+  }
+
+  /** Evaluate [[robotsRules]] over a URL table: for each row of `urls`
+    * (identified by `idCol`, with `domainCol` and a `pathCol` starting
+    * with '/'), RFC 9309 precedence — among matching rules the LONGEST
+    * pattern wins, Allow beats Disallow on equal length, and no matching
+    * rule (or no robots entry for the domain) means allowed.
+    *
+    * Scale shape: one equi-join on domain (rules-per-domain is a small
+    * spec-bounded constant, so join output is linear in the URL count; the
+    * rules side broadcasts when small), one per-id regroup. Returns
+    * (`idCol`, `domainCol`, `pathCol`, `allowed`, `matched_pattern`).
+    */
+  def robotsAllowed(
+      urls: DataFrame,
+      robots: DataFrame,
+      idCol: String,
+      urlDomainCol: String,
+      pathCol: String,
+      robotsDomainCol: String,
+      robotsTextCol: String,
+      agent: String = "*"): DataFrame = {
+    val rules = robotsRules(robots, robotsDomainCol, robotsTextCol, agent)
+      .withColumnRenamed(robotsDomainCol, "dj_rdomain")
+    urls
+      .join(rules, urls(urlDomainCol) === rules("dj_rdomain"), "left")
+      .withColumn("dj_hit",
+        col("pattern").isNotNull &&
+          regexp_like(col(pathCol), col("pattern_regex")))
+      .groupBy(col(idCol), col(urlDomainCol), col(pathCol))
+      .agg(max(when(col("dj_hit"),
+        struct(col("pattern_len"), col("rule_allow"), col("pattern"))))
+        .as("dj_best"))
+      .select(
+        col(idCol), col(urlDomainCol), col(pathCol),
+        coalesce(col("dj_best.rule_allow"), lit(true)).as("allowed"),
+        col("dj_best.pattern").as("matched_pattern"))
+  }
+
   def domainStats(df: DataFrame, urlCol: String): DataFrame = {
     val parts = df
       .select(

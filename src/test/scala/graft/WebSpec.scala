@@ -97,4 +97,53 @@ class WebSpec extends AnyFunSuite {
       .select(Web.extractHtmlText(col("h"))).head().getString(0)
     assert(empty == "")
   }
+
+  private val robotsTxt =
+    """# corpus crawl policy
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/ok
+      |Disallow: /tmp*.log$
+      |Disallow:
+      |
+      |User-agent: GraftBot
+      |User-agent: otherbot
+      |Disallow: /bot-only/
+      |""".stripMargin
+
+  test("robotsRules: group structure, agent selection, pattern compilation") {
+    val robots = Seq(("example.com", robotsTxt)).toDF("domain", "robots")
+    val star = Web.robotsRules(robots, "domain", "robots", agent = "somebody")
+      .collect().map(r => (r.getString(2), r.getBoolean(1))).toSet
+    // '*' group only; the empty Disallow is dropped
+    assert(star === Set(
+      ("/private/", false), ("/private/ok", true), ("/tmp*.log$", false)))
+    // exact agent (case-insensitive, shared group via stacked ua lines)
+    // suppresses the '*' group entirely
+    val bot = Web.robotsRules(robots, "domain", "robots", agent = "graftbot")
+      .collect().map(r => (r.getString(2), r.getBoolean(1))).toSet
+    assert(bot === Set(("/bot-only/", false)))
+    // compiled regexes: '*' -> '.*', trailing '$' anchors, '.' escaped
+    val rx = Web.robotsRules(robots, "domain", "robots", "x")
+      .collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(rx("/tmp*.log$") === "^/tmp.*\\.log$")
+  }
+
+  test("robotsAllowed: longest match wins, allow breaks ties, default allow") {
+    val robots = Seq(("example.com", robotsTxt)).toDF("domain", "robots")
+    val urls = Seq(
+      (1L, "example.com", "/private/secret"),
+      (2L, "example.com", "/private/ok/page"),
+      (3L, "example.com", "/public/x"),
+      (4L, "example.com", "/tmp123.log"),
+      (5L, "example.com", "/tmp123.logs"), // '$' anchor must reject
+      (6L, "other.org", "/private/secret") // no robots -> allowed
+    ).toDF("id", "domain", "path")
+    val out = Web
+      .robotsAllowed(urls, robots, "id", "domain", "path",
+        "domain", "robots", agent = "*")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === Map(
+      1L -> false, 2L -> true, 3L -> true, 4L -> false, 5L -> true, 6L -> true))
+  }
 }
