@@ -1921,6 +1921,20 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // Z-order (Morton) layout key: linear min-max buckets + bit
+    // interleave over (l_partkey, l_suppkey) — the write-path clustering
+    // key; the oracle re-derives bucket and interleave arithmetic exactly
+    "q_zorder" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+        .where(col("l_orderkey") % 199 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      graft.ops.Layout.zorderKey(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("zorder_key"))
+    },
+
     // robots.txt (RFC 9309): REAL group parsing + longest-match evaluation
     // over synthesized per-domain policies at two agents; the oracle
     // recomputes every verdict in closed form from the template arithmetic
@@ -3278,6 +3292,29 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_zorder" -> {
+      def bucket(v: String, lo: String, hi: String) =
+        s"""CASE WHEN $hi - $lo <= 0 OR $v IS NULL THEN 0
+                 ELSE least(255, greatest(0,
+                   floor(($v::DOUBLE - $lo) / ($hi - $lo) * 256)::BIGINT)) END"""
+      val interleave = (0 until 8).flatMap { i =>
+        Seq(s"(((b0 >> $i) & 1) << ${2 * i})",
+          s"(((b1 >> $i) & 1) << ${2 * i + 1})")
+      }.mkString("\n                  + ")
+      s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey
+                      FROM lineitem WHERE l_orderkey % 199 = 0),
+             b AS (SELECT min(l_partkey)::DOUBLE AS min0,
+                          max(l_partkey)::DOUBLE AS max0,
+                          min(l_suppkey)::DOUBLE AS min1,
+                          max(l_suppkey)::DOUBLE AS max1 FROM li),
+             bk AS (SELECT l_orderkey, l_linenumber,
+                      ${bucket("l_partkey", "min0", "max0")} AS b0,
+                      ${bucket("l_suppkey", "min1", "max1")} AS b1
+                    FROM li, b)
+         SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                ($interleave)::BIGINT AS zorder_key
+         FROM bk"""
+    },
     "q_robots" ->
       """WITH ids AS (SELECT doc_id, (doc_id % 3)::VARCHAR AS k,
                         (doc_id % 2)::VARCHAR AS m
