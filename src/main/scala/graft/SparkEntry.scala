@@ -1921,6 +1921,20 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // character-distribution profile: one CharHistogram kernel scan per
+    // document -> Shannon entropy (exact-decimal term sum), distinct
+    // count, top-character share — the random-text / repetition signal
+    "q_char_entropy" -> { (s, dir) =>
+      s.read.parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.ops.TextAnalysis.charProfile(col("text")).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("doc_id"), col("p.n_chars"), col("p.n_distinct"),
+          round(col("p.top_frac"), 6).as("top_frac"),
+          round(col("p.entropy"), 6).as("entropy"))
+    },
+
     // Z-order (Morton) layout key: linear min-max buckets + bit
     // interleave over (l_partkey, l_suppkey) — the write-path clustering
     // key; the oracle re-derives bucket and interleave arithmetic exactly
@@ -3292,6 +3306,24 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_char_entropy" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
+                     WHERE text IS NOT NULL),
+             pos AS (SELECT doc_id, norm,
+                       unnest(range(1, length(norm) + 1)) AS p FROM d),
+             cnt AS (SELECT doc_id, substring(norm, p, 1) AS c, count(*) AS n
+                     FROM pos GROUP BY 1, 2),
+             tot AS (SELECT doc_id, sum(n) AS nn, count(*) AS nd,
+                       max(n) AS topn FROM cnt GROUP BY 1),
+             ent AS (SELECT cnt.doc_id,
+                       sum(CAST(-(n::DOUBLE / nn) * ln(n::DOUBLE / nn)
+                           AS DECIMAL(28, 18))) AS h
+                     FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+                     GROUP BY 1)
+         SELECT t.doc_id, t.nn::BIGINT AS n_chars, t.nd::BIGINT AS n_distinct,
+                round(t.topn::DOUBLE / t.nn, 6) AS top_frac,
+                round(h::DOUBLE, 6) AS entropy
+         FROM tot t JOIN ent e ON t.doc_id = e.doc_id""",
     "q_zorder" -> {
       def bucket(v: String, lo: String, hi: String) =
         s"""CASE WHEN $hi - $lo <= 0 OR $v IS NULL THEN 0

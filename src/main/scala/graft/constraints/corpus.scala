@@ -157,6 +157,45 @@ final case class MaxEncodingArtifactFraction(
         s"$targetPrefix$target were allowed."))
 }
 
+/** Character-entropy budget: the fraction of documents whose normalized
+  * character-distribution Shannon entropy falls below `minEntropy` nats
+  * ([[graft.ops.TextAnalysis.charProfile]] — one kernel scan per row) must
+  * stay ≤ the target. Low entropy means degenerate repetition (key-mash,
+  * single-char runs, template spam) — the signal Gopher's word-level
+  * rules can miss when the junk happens to form word-shaped runs. Empty
+  * documents count as low-entropy.
+  */
+final case class MaxLowEntropyFraction(
+    ref: DataRef,
+    textColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    minEntropy: Double = 1.5,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_low_entropy_fraction must lie within [0, 1] but is $refValue.")
+  require(minEntropy >= 0, s"minEntropy must be non-negative: $minEntropy")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val p = graft.ops.TextAnalysis.charProfile(col(textColumn))
+    val low = p.isNull || p.getField("entropy") < minEntropy
+    val row = r.selection(spark)
+      .where(col(textColumn).isNotNull)
+      .agg(count(lit(1)).as("n"), count(when(low, 1)).as("low"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0 else row.getLong(1).toDouble / total
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} documents have character entropy " +
+        s"below $minEntropy nats while at most $targetPrefix$target " +
+        "were allowed."))
+}
+
 /** Document-quality budget: the fraction of documents passing the Gopher
   * rule set ([[graft.ops.TextAnalysis.gopherRules]] — word-count bounds,
   * mean word length, symbol/bullet/ellipsis ratios, alpha fraction,

@@ -130,6 +130,42 @@ object TextAnalysis {
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.WinnowHashes.winnowHashes(normalize(text), k, w)
 
+  /** Character-distribution profile of the normalized text from ONE
+    * [[graft.functions.CharHistogram]] scan: struct(`n_chars`,
+    * `n_distinct`, `top_frac`, `entropy`). `entropy` is the Shannon
+    * entropy in nats over the character distribution — the
+    * random-vs-natural-text quality signal (natural language sits near
+    * 2.5–3.2 nats on this alphabet; key-mash / base64 / binary spill
+    * pushes toward ln(36) ≈ 3.58, single-char runs toward 0) — computed
+    * as an exact-decimal sum of per-character double terms so the value
+    * never depends on fold order. `top_frac` (most common character's
+    * share) flags degenerate repetition the entropy alone can blur. NULL
+    * struct when the normalized text is empty.
+    */
+  def charProfile(text: Column): Column =
+    Hof.bound(graft.functions.CharHistogram.charHistogram(normalize(text))) { hist =>
+      Hof.bound(
+        aggregate(hist, lit(0L), (a, s) => a + s.getField("n"))) { n =>
+        val nd = n.cast("double")
+        val entropy = aggregate(
+          hist,
+          lit(0).cast("decimal(28,18)"),
+          (acc, s) => {
+            val p = s.getField("n").cast("double") / nd
+            (acc + (-p * log(p)).cast("decimal(28,18)")).cast("decimal(28,18)")
+          },
+          acc => acc.cast("double"))
+        val topN = aggregate(hist, lit(0L),
+          (a, s) => greatest(a, s.getField("n")))
+        when(n <= 0, lit(null))
+          .otherwise(struct(
+            n.as("n_chars"),
+            size(hist).cast("long").as("n_distinct"),
+            (topN.cast("double") / nd).as("top_frac"),
+            entropy.as("entropy")))
+      }
+    }
+
   /** PII patterns for corpus scrubbing, written in the regex subset Java
     * and RE2 evaluate identically (no lookaround, no escape-sequence
     * classes like `\s` whose spellings differ across SQL string literals):

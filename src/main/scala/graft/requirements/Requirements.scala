@@ -187,6 +187,23 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at most `maxFraction` of documents may have
+    * character-distribution entropy below `minEntropy` nats (degenerate
+    * repetition / key-mash / template spam).
+    */
+  def addMaxLowEntropyFractionConstraint(
+      textColumn: String,
+      maxFraction: Double,
+      minEntropy: Double = 1.5,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxLowEntropyFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn,
+      refValue = Some(maxFraction), minEntropy = minEntropy,
+      nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of delimiter-separated units
     * may be cross-document boilerplate (present in ≥ `minDocFraction` of
     * the documents of their `groupColumn` slice).

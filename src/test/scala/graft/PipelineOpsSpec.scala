@@ -575,6 +575,78 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Multimodal.resizeImage(null, 3, 2).isEmpty)
   }
 
+  test("charProfile: hand-computed entropy, degenerate and empty inputs") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val rows = Seq("aabb", "zzzz", "Punct!!! only  ", "", "abcd")
+      .toDF("text")
+      .select(TextAnalysis.charProfile(col("text")).as("p"))
+      .select(col("p.n_chars"), col("p.n_distinct"), col("p.top_frac"),
+        col("p.entropy"))
+      .collect()
+    // "aabb": two chars at p=1/2 -> H = ln 2
+    assert(rows(0).getLong(0) === 4L && rows(0).getLong(1) === 2L)
+    assert(math.abs(rows(0).getDouble(3) - math.log(2)) < 1e-12)
+    assert(rows(0).getDouble(2) === 0.5)
+    // uniform single char -> zero entropy, top_frac 1
+    assert(rows(1).getDouble(3) === 0.0 && rows(1).getDouble(2) === 1.0)
+    // normalization first: "punct only" (10 chars incl space)
+    assert(rows(2).getLong(0) === 10L)
+    // empty normalized text -> NULL struct
+    assert(rows(3).isNullAt(0) || rows(3).getAs[Any]("n_chars") == null)
+    // 4 distinct at p=1/4 -> H = ln 4
+    assert(math.abs(rows(4).getDouble(3) - math.log(4)) < 1e-12)
+  }
+
+  test("MaxLowEntropyFraction constraint pass / fail / empty-doc counting") {
+    val d = docs(
+      1L -> "a perfectly ordinary sentence with many different words inside",
+      2L -> "aaaa aaaa aaaa aaaa", // entropy well below 1.5 nats
+      3L -> "!!! ...") // normalizes to empty -> NULL profile -> low
+    val req = graft.requirements.WithinRequirement.fromDataFrame(d, "docs")
+    req.addMaxLowEntropyFractionConstraint("text", maxFraction = 0.7)
+    req.addMaxLowEntropyFractionConstraint("text", maxFraction = 0.5,
+      name = Some("tight"))
+    val rs = req.test(spark)
+    assert(rs(0).outcome, rs(0).failureMessage.toString)
+    assert(!rs(1).outcome)
+    assert(rs(1).failureMessage.exists(_.contains("entropy")))
+  }
+
+  test("charProfile matches a declarative explode recomputation (fuzz)") {
+    import graft.ops.TextAnalysis
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val alphabet = "aabbbc d"
+    val docs = (1 to 40).map { i =>
+      (i.toLong,
+        (1 to (1 + rnd.nextInt(60)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "text")
+    val fast = docs
+      .select(col("id"), TextAnalysis.charProfile(col("text")).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("id"), col("p.n_chars"), col("p.entropy"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val slow = docs
+      .select(col("id"),
+        explode(split(TextAnalysis.normalize(col("text")), "")).as("c"))
+      .where(col("c") =!= "")
+      .groupBy("id", "c").agg(count(lit(1)).as("n"))
+      .groupBy("id").agg(sum("n").as("total"),
+        collect_list(col("n")).as("ns"))
+      .select(col("id"), col("total"),
+        aggregate(col("ns"), lit(0.0), (acc, n) =>
+          acc - (n.cast("double") / col("total")) *
+            log(n.cast("double") / col("total"))).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(fast.keySet === slow.keySet)
+    fast.foreach { case (id, (n, h)) =>
+      assert(n === slow(id)._1)
+      assert(math.abs(h - slow(id)._2) < 1e-9, s"doc $id: $h vs ${slow(id)._2}")
+    }
+  }
+
   test("multimodal: dHash bits follow the pooled gradient; invariances hold") {
     // 9x8 image, one pixel per cell: gray rises left-to-right -> every
     // right-of-left comparison is true -> all 64 bits set
