@@ -1921,6 +1921,17 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // robust MAD outliers over order totals: exact doubled-order-statistic
+    // medians via the distinct-agg + prefix-sum rank selection, integer
+    // threshold compare (K = round(k·1.4826·10^4))
+    "q_mad_outliers" -> { (s, dir) =>
+      graft.ops.Integrity.madOutliers(
+        s.read.parquet(pq(dir, "orders"))
+          .select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", k = 2.0, scale = 100)
+        .select(col("o_orderkey"), col("is_outlier"))
+    },
+
     // character-distribution profile: one CharHistogram kernel scan per
     // document -> Shannon entropy (exact-decimal term sum), distinct
     // count, top-character share — the random-text / repetition signal
@@ -3306,6 +3317,22 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT o_orderkey, round(o_totalprice * 100)::HUGEINT AS v
+                    FROM orders WHERE o_totalprice IS NOT NULL),
+             n AS (SELECT count(*) AS n FROM v),
+             ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM v),
+             m2 AS (SELECT
+                      (SELECT v FROM ranked, n WHERE r = (n + 1) // 2)
+                      + (SELECT v FROM ranked, n WHERE r = (n + 2) // 2) AS m2),
+             devs AS (SELECT o_orderkey, abs(2 * v - m2) AS dev FROM v, m2),
+             dr AS (SELECT dev, row_number() OVER (ORDER BY dev) AS r FROM devs),
+             d2 AS (SELECT
+                      (SELECT dev FROM dr, n WHERE r = (n + 1) // 2)
+                      + (SELECT dev FROM dr, n WHERE r = (n + 2) // 2) AS d2)
+         SELECT o_orderkey,
+                (2 * dev * 10000 > 29652 * d2) AS is_outlier
+         FROM devs, d2""",
     "q_char_entropy" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
                      WHERE text IS NOT NULL),

@@ -282,3 +282,44 @@ final case class MaxOutlierFraction(
           "allowed to.")
   }
 }
+
+/** Robust outlier budget: at most `refValue` of rows may deviate more
+  * than `k` robust sigmas (`k · 1.4826 · MAD`) from the column MEDIAN
+  * ([[Integrity.madOutliers]] — exact doubled-order-statistic medians,
+  * integer comparisons). Unlike [[MaxOutlierFraction]]'s z-scores, heavy
+  * contamination cannot mask itself by inflating the spread estimate.
+  */
+final case class MaxRobustOutlierFraction(
+    ref: DataRef,
+    column: String,
+    k: Double,
+    scale: Long,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_robust_outlier_fraction must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+   graft.core.Blocks.scoped {
+    val row = Integrity
+      .madOutliers(ref.selection(spark), column, k, scale)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("is_outlier"), 1)).as("out"))
+      .head()
+    val total = row.getLong(0)
+    val factual = if (total == 0L) 0.0 else row.getLong(1).toDouble / total
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe}.$column values lie more than $k " +
+          s"robust sigmas (MAD) from the median while only $target were " +
+          "allowed to.")
+   }
+  }
+}

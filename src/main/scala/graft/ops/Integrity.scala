@@ -119,4 +119,82 @@ object Integrity {
       .withColumn("is_outlier", lhs > rhs)
       .drop("dj_v", "dj_n", "dj_s", "dj_q")
   }
+
+  /** Exact order statistic at 1-based ranks `r1` and `r2` of `valueCol`
+    * (decimal), via the engine's distinct-aggregate + distributed prefix
+    * sum (no global sort, no unpartitioned window): value at rank r is the
+    * least v whose running duplicate-count reaches r. One action.
+    */
+  private def valuesAtRanks(
+      df: DataFrame,
+      valueCol: String,
+      r1: Long,
+      r2: Long): (java.math.BigDecimal, java.math.BigDecimal) = {
+    val counts = graft.core.Blocks.checkpoint(
+      df.groupBy(col(valueCol).as("dj_ov")).agg(count(lit(1)).as("dj_cnt")))
+    try {
+      val (running, _) =
+        graft.ops.CumSum.withRunningSums(counts, "dj_ov", Seq("dj_cnt"), Seq("dj_cum"))
+      val row = running.agg(
+        min(when(col("dj_cum") >= r1, col("dj_ov"))).as("v1"),
+        min(when(col("dj_cum") >= r2, col("dj_ov"))).as("v2")).head()
+      (row.getDecimal(0), row.getDecimal(1))
+    } finally graft.core.Blocks.release(counts)
+  }
+
+  /** Robust MAD outliers: flag rows with `|v − median| > k · c · MAD`
+    * where `MAD = median(|v − median|)` and `c = 1.4826` (the normal
+    * consistency constant, so `k` is in robust-σ units like [[zOutliers]]'
+    * k — but immune to the outliers' own pull on mean/variance, the
+    * classic masking failure of z-scores).
+    *
+    * EXACT arithmetic, no float boundary flips: values scale to integers
+    * (`round(v·scale)`), both medians use doubled order statistics
+    * (`M2 = v_(⌈n/2⌉) + v_(⌈(n+1)/2⌉)`, so even-count averaging never
+    * divides), deviations are the exact integers `|2v − M2|`, and the
+    * flag compares `2 · dev · 10⁴ > K · D2` with
+    * `K = round(k · c · 10⁴)` — the threshold is quantized to 10⁻⁴
+    * robust-σ, everything else is exact. Degenerate spread (MAD = 0)
+    * flags every v ≠ median, matching the definition's limit.
+    *
+    * Scale shape: two distinct-aggregate + prefix-sum rank selections
+    * (the [[graft.ops.CumSum]] machinery — no global sort) and one final
+    * broadcast compare; nothing collects beyond four scalars.
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      k: Double = 3.5,
+      scale: Long = 1L,
+      consistency: Double = 1.4826): DataFrame = {
+    require(k > 0 && scale >= 1, s"bad MAD params: k=$k scale=$scale")
+    val kQ = Math.round(k * consistency * 10000)
+    // EAGER materialization contract (as the dedup pipelines): the scaled
+    // frame is checkpointed and re-read by both rank selections AND the
+    // returned lazy frame — release the tracked block via
+    // `Blocks.releaseAll()` (or a `Blocks.scoped`) after consuming.
+    val base = graft.core.Blocks.checkpoint(
+      df.where(col(valueCol).isNotNull)
+        .withColumn("dj_v", round(col(valueCol) * scale).cast("decimal(38,0)")))
+    val n = base.count()
+    if (n == 0L) {
+      base.withColumn("is_outlier", lit(false)).drop("dj_v")
+    } else {
+      val r1 = (n + 1) / 2
+      val r2 = (n + 2) / 2
+      val (m1, m2) = valuesAtRanks(base, "dj_v", r1, r2)
+      val mm2 = m1.add(m2) // 2 x median, exact
+      val devs = base.withColumn(
+        "dj_dev",
+        abs(col("dj_v") * 2 - lit(mm2).cast("decimal(38,0)")))
+      val (d1, d2) = valuesAtRanks(devs, "dj_dev", r1, r2)
+      val dd2 = d1.add(d2) // 4 x MAD, exact
+      devs
+        .withColumn(
+          "is_outlier",
+          col("dj_dev") * lit(2L) * lit(10000L) >
+            lit(kQ).cast("decimal(38,0)") * lit(dd2).cast("decimal(38,0)"))
+        .drop("dj_v", "dj_dev")
+    }
+  }
 }

@@ -292,6 +292,22 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: robust (median/MAD) outlier budget — immune to the
+    * masking that inflated variance causes for the z-score flavor.
+    */
+  def addMaxRobustOutlierFractionConstraint(
+      column: String,
+      maxFraction: Double,
+      k: Double = 3.5,
+      scale: Long = 1L,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxRobustOutlierFraction(
+      ref(Some(Seq(column)), condition), column, k, scale,
+      refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: bound the longest gap-delimited session per entity —
     * events of one `keyColumn` value closer than `gapSeconds` chain into a
     * session, and no session may span more than `maxDurationSeconds`

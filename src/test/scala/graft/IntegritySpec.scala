@@ -132,4 +132,51 @@ class IntegritySpec extends AnyFunSuite {
     bad.addMaxOutlierFractionConstraint("x", maxFraction = 0.1, k = 1)
     assert(!bad.test(spark).head.outcome)
   }
+
+  test("madOutliers: hand-computed medians, threshold quantization, masking immunity") {
+    // [1..9, 1000]: median 5.5 (M2=11), devs |2v-11| = [9,7,5,3,1,1,3,5,7,1989],
+    // median(dev) 5 (D2=10) -> MAD 2.5. k=3.5: only the 1000 flags.
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 1000L)).toDF("x")
+    val out35 = Integrity.madOutliers(df, "x", k = 3.5)
+      .where($"is_outlier").select("x").as[Long].collect().toSeq
+    assert(out35 === Seq(1000L))
+    // k=1: K=14826, rhs=148260; dev=9 (v=1) -> 180000 flags, dev=7 doesn't
+    val out1 = Integrity.madOutliers(df, "x", k = 1.0)
+      .where($"is_outlier").select("x").as[Long].collect().toSeq.sorted
+    assert(out1 === Seq(1L, 1000L))
+    // masking immunity: the same data defeats z-scores at k=1.5 (the
+    // outlier inflates sigma) but not the MAD flavor
+    val z = Integrity.zOutliers(df, "x", k = 3)
+      .where($"is_outlier").select("x").as[Long].collect().toSeq
+    val m = Integrity.madOutliers(df, "x", k = 3.0)
+      .where($"is_outlier").select("x").as[Long].collect().toSeq
+    assert(m === Seq(1000L))
+    graft.core.Blocks.releaseAll()
+  }
+
+  test("madOutliers: MAD=0 degeneracy flags any deviation; nulls drop") {
+    val df = Seq(Some(5L), Some(5L), Some(5L), Some(5L), Some(9L), None)
+      .toDF("x")
+    val out = Integrity.madOutliers(df, "x", k = 3.5)
+      .collect().map(r => Option(r.get(0)) -> r.getBoolean(1)).toMap
+    assert(out(Some(5L)) === false)
+    assert(out(Some(9L)) === true)
+    assert(!out.contains(None)) // null rows filtered
+    // empty input: no rows, no crash
+    assert(Integrity.madOutliers(
+      Seq.empty[Long].toDF("x"), "x").count() === 0L)
+    graft.core.Blocks.releaseAll()
+  }
+
+  test("MaxRobustOutlierFraction pass / fail") {
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 1000L)).toDF("x")
+    val ok = WithinRequirement.fromDataFrame(df, "t")
+    ok.addMaxRobustOutlierFractionConstraint("x", maxFraction = 0.15)
+    assert(ok.test(spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(df, "t")
+    bad.addMaxRobustOutlierFractionConstraint("x", maxFraction = 0.05)
+    val r = bad.test(spark).head
+    assert(!r.outcome)
+    assert(r.failureMessage.exists(_.contains("robust sigmas")))
+  }
 }
