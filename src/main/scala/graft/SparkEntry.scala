@@ -1921,6 +1921,19 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // per-group HLL distinct estimates: geometry-bounded register shuffle
+    // (<= 2^b rows per key) instead of countDistinct's per-pair shuffle;
+    // estimator arithmetic re-derived exactly by the oracle
+    "q_hll_grouped" -> { (s, dir) =>
+      graft.ops.Sketches.hllGroupedEstimate(
+        s.read.parquet(pq(dir, "lineitem"))
+          .select(col("l_returnflag"),
+            col("l_partkey").cast("string").as("v")),
+        "l_returnflag", "v", b = 6)
+        .select(col("l_returnflag"), col("n_hit"),
+          round(col("estimate"), 6).as("estimate"))
+    },
+
     // robust MAD outliers over order totals: exact doubled-order-statistic
     // medians via the distinct-agg + prefix-sum rank selection, integer
     // threshold compare (K = round(k·1.4826·10^4))
@@ -3317,6 +3330,30 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_hll_grouped" ->
+      """WITH h AS (SELECT l_returnflag AS k,
+                      ('0x' || substring(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM lineitem
+                    WHERE l_partkey IS NOT NULL AND l_returnflag IS NOT NULL),
+             r AS (SELECT k, h % 64 AS b,
+                     max(CASE WHEN h // 64 = 0 THEN 55
+                              ELSE 54 - length(bin(h // 64)) + 1 END) AS r
+                   FROM h GROUP BY 1, 2),
+             e AS (SELECT k, count(*) AS n_hit, 64 - count(*) AS nz,
+                     CAST(sum(CAST(pow(2, 54 - r) AS DECIMAL(38, 0)))
+                          AS DOUBLE) AS hs
+                   FROM r GROUP BY 1),
+             est AS (SELECT k, n_hit, nz,
+                       (((0.7213 / (1 + 1.079 / 64.0)) * 64.0) * 64.0)
+                         * pow(2, 54)
+                         / (hs + CAST(64 - n_hit AS DOUBLE) * pow(2, 54))
+                         AS raw
+                     FROM e)
+         SELECT k AS l_returnflag, n_hit,
+                round(CASE WHEN raw <= 160.0 AND nz > 0
+                           THEN 64.0 * ln(64.0 / nz) ELSE raw END, 6)
+                  AS estimate
+         FROM est""",
     "q_mad_outliers" ->
       """WITH v AS (SELECT o_orderkey, round(o_totalprice * 100)::HUGEINT AS v
                     FROM orders WHERE o_totalprice IS NOT NULL),

@@ -137,6 +137,59 @@ object Sketches {
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("hll_bucket").agg(max("hll_register").as("hll_register"))
 
+  /** Per-GROUP HLL distinct-count estimates: one register table per
+    * `keyCol` value (≤ 2^b rows each), folded straight to the estimate —
+    * the scalable spelling of `groupBy(key).agg(countDistinct(v))` when
+    * the per-key distinct sets are large (countDistinct shuffles every
+    * distinct (key, value) pair; this shuffles at most 2^b register rows
+    * per key, a geometry bound independent of the data). Same estimator
+    * arithmetic as [[hllEstimate]] (exact integer-scaled decimal harmonic
+    * sum, linear-counting branch below 2.5·m). Returns one row per key:
+    * (`keyCol`, `n_hit`, `estimate`).
+    */
+  def hllGroupedEstimate(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      b: Int = 8): DataFrame = {
+    require(b >= 4 && b <= 16, s"bucket bits out of range: $b")
+    val m = 1 << b
+    val sb = hllSuffixBits(b)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val suffix = shiftright(h, b)
+    val rank = when(suffix === 0, lit(sb + 1))
+      .otherwise(lit(sb) - length(bin(suffix)) + 1)
+    val registers = df
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), (h % m).as("hll_bucket"), rank.cast("int").as("dj_rank"))
+      .groupBy(col(keyCol), col("hll_bucket"))
+      .agg(max(col("dj_rank")).as("hll_register"))
+    registers
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_hit"),
+        sum(pow(lit(2.0), lit(sb) - col("hll_register")).cast("decimal(38,0)"))
+          .as("dj_hitsum"))
+      .select(
+        col(keyCol),
+        col("n_hit"),
+        (lit(m) - col("n_hit")).as("dj_zero"),
+        ((lit(alpha * m.toDouble * m) * math.pow(2.0, sb)) /
+          (col("dj_hitsum").cast("double") +
+            (lit(m) - col("n_hit")).cast("double") * math.pow(2.0, sb)))
+          .as("dj_raw"))
+      .select(
+        col(keyCol),
+        col("n_hit"),
+        when(
+          col("dj_raw") <= lit(2.5 * m) && col("dj_zero") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("dj_zero")))
+          .otherwise(col("dj_raw"))
+          .as("estimate"))
+  }
+
   /** Cardinality estimate from a register table: one row —
     * (n_buckets_hit, n_zero_buckets, estimate). The harmonic-mean sum
     * `Σ 2^-reg` is computed EXACTLY as an integer-scaled decimal

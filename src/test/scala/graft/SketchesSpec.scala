@@ -141,6 +141,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - 20000) / 20000 < 0.25, s"kmv estimate $est")
   }
 
+  test("hll grouped: per-key estimates equal the per-key global pipeline") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"v${i % (100 * (1 + i % 3))}"))
+    val df = rows.toDF("k", "v")
+    val grouped = Sketches.hllGroupedEstimate(df, "k", "v", b = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val single = Sketches.hllEstimate(
+        Sketches.hllSketch(df.where(col("k") === g), "v", 8), 8).head()
+      assert(grouped(g)._1 === single.getLong(0), s"$g n_hit")
+      assert(grouped(g)._2 === single.getDouble(2), s"$g estimate")
+    }
+    // sanity: estimates land near the true per-key distinct counts
+    val truth = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).toSet.size }
+    truth.foreach { case (g, n) =>
+      assert(math.abs(grouped(g)._2 - n) / n < 0.25, s"$g: ${grouped(g)._2} vs $n")
+    }
+  }
+
   test("kmv: quantiles with k >= n distinct are the exact distinct quantiles") {
     val df = (1 to 100).map(i => i.toString).toDF("v")
     val sk = Sketches.kmvSketch(df, "v", k = 200) // under-full: all values
