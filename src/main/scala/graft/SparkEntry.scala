@@ -1921,6 +1921,24 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // fuzzy title join: SymSpell deletion-neighborhood candidates + exact
+    // levenshtein verify on synthesized titles (odd ids carry one typo);
+    // the oracle IS the brute-force all-pairs edit-distance join
+    "q_fuzzy_pairs" -> { (s, dir) =>
+      val base = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"),
+          concat(col("source"), lit("-"), col("doc_id") % 40).as("t0"))
+      val titles = base.withColumn(
+        "title",
+        when(col("doc_id") % 2 === 1,
+          concat(substring(col("t0"), 1, 3), lit("x"),
+            col("t0").substr(lit(4), length(col("t0")))))
+          .otherwise(col("t0")))
+        .select(col("doc_id"), col("title"))
+      graft.ops.Dedup
+        .fuzzyPairsLevenshtein(titles, "title", "doc_id", maxDist = 1)
+    },
+
     // per-group HLL distinct estimates: geometry-bounded register shuffle
     // (<= 2^b rows per key) instead of countDistinct's per-pair shuffle;
     // estimator arithmetic re-derived exactly by the oracle
@@ -3330,6 +3348,19 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_fuzzy_pairs" ->
+      """WITH t AS (SELECT doc_id,
+                      source || '-' || (doc_id % 40)::VARCHAR AS t0
+                    FROM documents),
+             titles AS (SELECT doc_id,
+                          CASE WHEN doc_id % 2 = 1
+                               THEN substring(t0, 1, 3) || 'x' || substring(t0, 4)
+                               ELSE t0 END AS title
+                        FROM t)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                levenshtein(a.title, b.title)::BIGINT AS dist
+         FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.title, b.title) <= 1""",
     "q_hll_grouped" ->
       """WITH h AS (SELECT l_returnflag AS k,
                       ('0x' || substring(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h

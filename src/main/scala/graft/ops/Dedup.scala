@@ -1147,6 +1147,84 @@ object Dedup {
             s => s.getField("dj_tok"))).as(textCol))
   }
 
+  /** All strings reachable from `s` by deleting up to `depth` characters
+    * (including `s` itself), distinct — the SymSpell deletion neighborhood
+    * (Garbe's public symmetric-delete algorithm). Two strings within
+    * Levenshtein distance `depth` ALWAYS share a neighborhood member
+    * (delete the edited positions on each side), so an equi-join on the
+    * neighborhood is a recall-1 candidate generator for edit distance —
+    * no similarity-join nested loop at any scale.
+    */
+  def deletionVariants(s: Column, depth: Int): Column = {
+    require(depth >= 1 && depth <= 2, s"deletion depth must be 1 or 2: $depth")
+    val del1 = Hof.bound(s) { t =>
+      transform(
+        sequence(lit(0), greatest(length(t) - 1, lit(0))),
+        i => concat(t.substr(lit(1), i), t.substr(i + 2, length(t))))
+    }
+    val withSelf = array_union(array(s), del1)
+    if (depth == 1) array_distinct(withSelf)
+    else {
+      val second = Hof.bound(withSelf) { vs =>
+        flatten(transform(vs, v =>
+          array_union(
+            array(v),
+            transform(
+              sequence(lit(0), greatest(length(v) - 1, lit(0))),
+              i => concat(v.substr(lit(1), i), v.substr(i + 2, length(v)))))))
+      }
+      array_distinct(second)
+    }
+  }
+
+  /** Fuzzy near-duplicate pairs under Levenshtein distance ≤ `maxDist`
+    * (1 or 2): candidates share a deletion-neighborhood member
+    * ([[deletionVariants]] — recall 1 by the symmetric-delete pigeonhole),
+    * hot variants are COUNT-FIRST capped (the empty/very-short-variant
+    * guard, same discipline as the LSH buckets), and every candidate is
+    * verified with the exact codegen'd `levenshtein` (+ a cheap length
+    * prefilter). Emits (id1, id2, dist ≤ maxDist), id1 < id2.
+    *
+    * Intended for SHORT keys (titles, names, normalized URLs): the
+    * neighborhood is O(len^maxDist) variants per row — the classic
+    * SymSpell trade (explode volume for equi-join candidates) that works
+    * precisely because join keys are short.
+    */
+  def fuzzyPairsLevenshtein(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist must be 1 or 2: $maxDist")
+    val base = graft.core.Blocks.checkpoint(
+      df.where(col(textCol).isNotNull && col(idCol).isNotNull)
+        .select(col(idCol).as("dj_id"), col(textCol).as("dj_t"))
+        .withColumn("dj_len", length(col("dj_t"))))
+    val exploded = graft.core.Blocks.checkpoint(
+      base.select(col("dj_id"), col("dj_t"), col("dj_len"),
+        explode(deletionVariants(col("dj_t"), maxDist)).as("dj_var")))
+    val capped = exploded.join(
+      exploded.groupBy("dj_var").agg(count(lit(1)).as("dj_vn"))
+        .where(col("dj_vn") <= maxBucketSize)
+        .select("dj_var"),
+      Seq("dj_var"))
+    val candidates = capped.select(col("dj_var"), col("dj_id").as("id1"),
+        col("dj_t").as("dj_t1"), col("dj_len").as("dj_l1"))
+      .join(
+        capped.select(col("dj_var"), col("dj_id").as("id2"),
+          col("dj_t").as("dj_t2"), col("dj_len").as("dj_l2")),
+        Seq("dj_var"))
+      .where(col("id1") < col("id2") &&
+        abs(col("dj_l1") - col("dj_l2")) <= maxDist)
+      .select("id1", "id2", "dj_t1", "dj_t2")
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col("dj_t1"), col("dj_t2")))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+  }
+
   /** Cross-corpus SUBSTRING contamination via winnowing fingerprints
     * ([[graft.ops.TextAnalysis.winnowFingerprints]]): for every corpus
     * document, the fraction of its fingerprints that also occur anywhere in

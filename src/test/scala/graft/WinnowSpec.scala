@@ -148,6 +148,51 @@ class WinnowSpec extends AnyFunSuite {
     assert(results(1).failureMessage.exists(_.contains("containment")))
   }
 
+  test("deletionVariants: exact depth-1 set; empty and single-char inputs") {
+    val r = Seq("abc", "a", "").toDF("t")
+      .select(Dedup.deletionVariants(col("t"), 1))
+      .collect().map(_.getSeq[String](0).toSet)
+    assert(r(0) === Set("abc", "bc", "ac", "ab"))
+    assert(r(1) === Set("a", ""))
+    assert(r(2) === Set(""))
+  }
+
+  test("fuzzyPairsLevenshtein: recall 1 vs brute force (fuzz, d=1 and d=2)") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val base = (1 to 25).map(_ =>
+      (1 to (3 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    val rows = base.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.fuzzyPairsLevenshtein(df, "text", "id", maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        dist = levenshteinRef(ta, tb) if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      assert(got === brute, s"d=$d: ${got.diff(brute)} extra, ${brute.diff(got)} missing")
+    }
+    graft.core.Blocks.releaseAll()
+  }
+
+  /** Textbook DP Levenshtein for the oracle side of the fuzz test. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0)
+      dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(
+          math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
   test("winnow_hashes is callable from SQL via the extension registry") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql(
