@@ -1921,6 +1921,47 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // WARC DataSource V2: REALLY writes deterministic .warc/.warc.gz
+    // files, reads them back through format("warc"), and checks geometry /
+    // content / partitioning closed-form (constant all-green oracle — the
+    // streaming-gate precedent for surfaces DuckDB cannot execute)
+    "q_warc_source" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ops.Warc
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id")).where(col("doc_id") % 29 === 0)
+        .as[Long].collect().sorted
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_gate")
+      def record(id: Long) = Warc.WarcRecord(
+        "response",
+        Seq("WARC-Target-URI" -> s"https://g.example/$id"),
+        ("B" * (10 + (id % 7)).toInt).getBytes("US-ASCII"))
+      ids.groupBy(_ % 3).foreach { case (part, group) =>
+        java.nio.file.Files.write(
+          tmp.resolve(s"part$part.warc.gz"),
+          Warc.encodeWarc(group.map(record).toSeq, gzip = true))
+      }
+      val src = s.read.format("warc").load(tmp.toString)
+        .select(col("path"), col("target_uri"), col("content_length"),
+          col("warc_valid"))
+      val rows = src.collect()
+      val uriOk = rows.map(_.getString(1)).toSet ==
+        ids.map(i => s"https://g.example/$i").toSet &&
+        rows.length == ids.length
+      val lenOk = rows.forall { r =>
+        val id = r.getString(1).split('/').last.toLong
+        r.getLong(2) == 10 + (id % 7)
+      }
+      val checks = Seq(
+        ("n_records", rows.length.toLong == ids.length.toLong),
+        ("n_files", rows.map(_.getString(0)).distinct.length.toLong == 3L),
+        ("one_partition_per_file", src.rdd.getNumPartitions == 3),
+        ("uri_roundtrip", uriOk),
+        ("length_closed_form", lenOk),
+        ("all_valid", rows.forall(_.getBoolean(3))))
+      checks.toDF("probe", "ok")
+    },
+
     // fuzzy title join: SymSpell deletion-neighborhood candidates + exact
     // levenshtein verify on synthesized titles (odd ids carry one typo);
     // the oracle IS the brute-force all-pairs edit-distance join
@@ -3348,6 +3389,12 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_warc_source" ->
+      """SELECT * FROM (VALUES
+           ('n_records', TRUE), ('n_files', TRUE),
+           ('one_partition_per_file', TRUE), ('uri_roundtrip', TRUE),
+           ('length_closed_form', TRUE), ('all_valid', TRUE))
+         AS t(probe, ok)""",
     "q_fuzzy_pairs" ->
       """WITH t AS (SELECT doc_id,
                       source || '-' || (doc_id % 40)::VARCHAR AS t0
