@@ -1921,6 +1921,18 @@ object SparkEntry {
         .select(col("word"), col("cms_count"))
     },
 
+    // PageRank over a synthesized 50-node link graph (doc_id residue
+    // edges): 5 decimal-deterministic power iterations; the oracle
+    // replays the identical cast-for-cast arithmetic
+    "q_pagerank" -> { (s, dir) =>
+      val edges = s.read.parquet(pq(dir, "documents"))
+        .select((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7 + 3) % 50).as("dst"))
+      graft.ops.Web.pageRank(edges, "src", "dst", iterations = 5)
+        .select(col("node"),
+          round(col("pagerank").cast("double"), 9).as("pagerank"))
+    },
+
     // WARC DataSource V2: REALLY writes deterministic .warc/.warc.gz
     // files, reads them back through format("warc"), and checks geometry /
     // content / partitioning closed-form (constant all-green oracle — the
@@ -3389,6 +3401,37 @@ object SparkEntry {
       s"""WITH RECURSIVE
             ${winnowFpSqlWith("doc_id % 3 = 0")}
          SELECT doc_id, fp FROM fps""",
+    "q_pagerank" -> {
+      val iters = 5
+      def contrib(prev: String) =
+        s"""(SELECT e.dst AS node,
+               CAST(sum(CAST((CAST(p.pr AS DOUBLE) * CAST(0.85 AS DOUBLE))
+                             / CAST(od.deg AS DOUBLE) AS DECIMAL(28, 18)))
+                 AS DECIMAL(28, 18)) AS contrib
+             FROM e JOIN $prev p ON e.src = p.node
+             JOIN od ON od.src = e.src
+             GROUP BY 1)"""
+      val rounds = (1 to iters).map { k =>
+        s"""pr$k AS (SELECT n2.node,
+               CAST(CAST((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                      AS DECIMAL(28, 18))
+                    + coalesce(s.contrib, CAST(0 AS DECIMAL(28, 18)))
+                 AS DECIMAL(28, 18)) AS pr
+             FROM nodes n2 CROSS JOIN nn
+             LEFT JOIN ${contrib(s"pr${k - 1}")} s ON n2.node = s.node)"""
+      }.mkString(",\n             ")
+      s"""WITH e AS (SELECT doc_id % 50 AS src,
+                       (doc_id * 7 + 3) % 50 AS dst FROM documents),
+             nodes AS (SELECT DISTINCT node FROM
+                         (SELECT src AS node FROM e
+                          UNION ALL SELECT dst FROM e)),
+             nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+             od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+             pr0 AS (SELECT node, CAST(CAST(1 AS DOUBLE) / nn.n
+                       AS DECIMAL(28, 18)) AS pr FROM nodes, nn),
+             $rounds
+         SELECT node, round(CAST(pr AS DOUBLE), 9) AS pagerank FROM pr$iters"""
+    },
     "q_warc_source" ->
       """SELECT * FROM (VALUES
            ('n_records', TRUE), ('n_files', TRUE),

@@ -255,6 +255,76 @@ object Web {
         col("dj_best.pattern").as("matched_pattern"))
   }
 
+  /** PageRank over a link graph (Brin/Page 1998; the non-redistributing
+    * simplified form — dangling mass is not recycled, matching the common
+    * within-crawl authority-signal spelling): `iterations` rounds of
+    * `pr'(v) = (1-d)/N + Σ_{(u,v)∈E} d · pr(u) / outdeg(u)` from the
+    * uniform start. The domain-authority signal a crawl-curation pipeline
+    * ranks sources with, next to [[domainStats]]' volume counts.
+    *
+    * Determinism contract: per-edge contributions are doubles computed
+    * from the previous round's exact decimal rank (`(pr·d)/outdeg`), cast
+    * to `DECIMAL(28,18)` BEFORE the per-target sum — decimal addition is
+    * associative, so ranks are bit-identical across partitionings and
+    * engines; every round re-casts to `DECIMAL(28,18)` at the same points
+    * the oracle does. Multi-edges contribute once per edge row (outdeg
+    * counts edge rows).
+    *
+    * Scale shape: per round, ONE join of the rank table with the edge
+    * list on source (shuffle on src) + one per-target aggregate; rank and
+    * degree tables are node-sized. Rounds are checkpoint-bounded (each
+    * round's table is eagerly materialized and its predecessor released —
+    * the connected-components loop discipline), so the plan never grows
+    * with iteration count. Returns (`node`, `pagerank` DECIMAL(28,18)).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, s"bad iterations: $iterations")
+    require(damping > 0 && damping < 1, s"damping must lie in (0,1): $damping")
+    val dec = "decimal(28,18)"
+    val e = graft.core.Blocks.checkpoint(
+      edges
+        .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
+        .select(col(srcCol).as("dj_src"), col(dstCol).as("dj_dst")))
+    val nodes = graft.core.Blocks.checkpoint(
+      e.select(col("dj_src").as("node"))
+        .union(e.select(col("dj_dst")))
+        .distinct())
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("pagerank", lit(null).cast(dec))
+    val outdeg = graft.core.Blocks.checkpoint(
+      e.groupBy(col("dj_src")).agg(count(lit(1)).as("dj_deg")))
+    val base = (1.0 - damping) / n
+    var pr = graft.core.Blocks.checkpoint(
+      nodes.withColumn("pagerank", lit(1.0 / n).cast(dec)))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(pr, e("dj_src") === pr("node"))
+        .join(outdeg, Seq("dj_src"))
+        .select(
+          col("dj_dst").as("node"),
+          ((col("pagerank").cast("double") * damping) /
+            col("dj_deg").cast("double")).cast(dec).as("dj_term"))
+        .groupBy(col("node"))
+        .agg(sum(col("dj_term")).cast(dec).as("dj_contrib"))
+      val next = graft.core.Blocks.checkpoint(
+        nodes
+          .join(contrib, Seq("node"), "left")
+          .select(
+            col("node"),
+            (lit(base).cast(dec) +
+              coalesce(col("dj_contrib"), lit(0).cast(dec)))
+              .cast(dec).as("pagerank")))
+      graft.core.Blocks.release(pr)
+      pr = next
+    }
+    pr
+  }
+
   def domainStats(df: DataFrame, urlCol: String): DataFrame = {
     val parts = df
       .select(

@@ -129,6 +129,35 @@ class WebSpec extends AnyFunSuite {
     assert(rx("/tmp*.log$") === "^/tmp.*\\.log$")
   }
 
+  test("pageRank: fixed point, authority ordering, mass conservation, determinism") {
+    // symmetric 2-cycle is a fixed point at 0.5 each
+    val cyc = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val c = Web.pageRank(cyc, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(math.abs(c("a") - 0.5) < 1e-15 && math.abs(c("b") - 0.5) < 1e-15)
+    // star + backlinks: the hub out-ranks every leaf; no dangling nodes ->
+    // total mass stays 1
+    val star = Seq(("l1", "hub"), ("l2", "hub"), ("l3", "hub"),
+      ("hub", "l1"), ("hub", "l2"), ("hub", "l3")).toDF("src", "dst")
+    val s = Web.pageRank(star, "src", "dst", iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(s("hub") > s("l1") * 2, s"hub must dominate: $s")
+    assert(math.abs(s.values.sum - 1.0) < 1e-12, s"mass: ${s.values.sum}")
+    // partitioning independence: bit-identical decimals
+    val p1 = Web.pageRank(star.repartition(7), "src", "dst", iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val p2 = Web.pageRank(star.coalesce(1), "src", "dst", iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(p1 === p2)
+    // dangling sink leaks mass (documented non-redistributing form)
+    val dang = Seq(("a", "sink"), ("b", "sink"), ("a", "b")).toDF("src", "dst")
+    val d = Web.pageRank(dang, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(d.values.sum < 1.0)
+    assert(d("sink") > d("b"))
+    graft.core.Blocks.releaseAll()
+  }
+
   test("robotsAllowed: longest match wins, allow breaks ties, default allow") {
     val robots = Seq(("example.com", robotsTxt)).toDF("domain", "robots")
     val urls = Seq(
