@@ -111,4 +111,40 @@ class FormatterRunnerSpec extends AnyFunSuite {
     val results = tests.map(_._2(spark))
     assert(results.map(_.outcome) == Seq(true, false))
   }
+
+  test("writeJunitXml emits valid XML with per-constraint cases and escapes") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    val req = graft.requirements.WithinRequirement.fromDataFrame(df, "t<&>")
+    req.addNRowsEqualityConstraint(3)
+    req.addNRowsMaxConstraint(1) // fails: message carries numbers + markup
+    val results = Runner.runAll(spark, Seq(req))
+    val path = java.nio.file.Files.createTempFile("graft_junit", ".xml")
+    Runner.writeJunitXml(results, path.toString, suiteName = "graft-suite")
+    // parse with the JDK's XML parser: structural validity is the test
+    val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder().parse(path.toFile)
+    val suite = doc.getDocumentElement
+    assert(suite.getTagName === "testsuite")
+    assert(suite.getAttribute("tests") === "2")
+    assert(suite.getAttribute("failures") === "1")
+    val cases = doc.getElementsByTagName("testcase")
+    assert(cases.getLength === 2)
+    val failures = doc.getElementsByTagName("failure")
+    assert(failures.getLength === 1)
+    assert(failures.item(0).getTextContent.contains("FAIL"))
+  }
+
+  test("resultsToDf round-trips outcomes as data") {
+    import spark.implicits._
+    val df = Seq(1, 2).toDF("x")
+    val req = graft.requirements.WithinRequirement.fromDataFrame(df, "t")
+    req.addNRowsEqualityConstraint(2)
+    req.addNRowsMinConstraint(5)
+    val out = Runner.resultsToDf(spark, Runner.runAll(spark, Seq(req)))
+    assert(out.count() === 2L)
+    val rows = out.orderBy("constraint").collect()
+    assert(rows.map(_.getBoolean(1)).toSeq.sorted === Seq(false, true))
+    assert(rows.exists(r => !r.getBoolean(1) && r.getString(2) != null))
+  }
 }
