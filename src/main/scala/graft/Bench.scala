@@ -109,6 +109,9 @@ object Bench {
     // token-explode aggregates + vocabulary joins + per-doc ranking — the
     // text-statistics plans whose explode volume scales with token count
     "q_tfidf_topk", "q_lm_score",
+    // trigram count-table joins: the position explode scored against three
+    // vocabulary-bounded model tables — stopword skew lands on the joins
+    "q_backoff_score",
     // bucketed non-equi rewrite: explode volume tracks interval lengths,
     // join is the (bucket) equi-shuffle — the plan that replaces Spark's
     // nested-loop range join

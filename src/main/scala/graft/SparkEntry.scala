@@ -1703,6 +1703,21 @@ object SparkEntry {
           round(col("cross_entropy"), 6).cast("double").as("cross_entropy"))
     },
 
+    // trigram stupid-backoff LM scoring (Brants 2007): train on the 2/3
+    // slice, score everything — the 1/3 held-out docs exercise OOV and
+    // unseen-context backoff paths; decimal-summed log terms as in
+    // q_lm_score
+    "q_backoff_score" -> { (s, dir) =>
+      val docs =
+        s.read.parquet(pq(dir, "documents")).select(col("doc_id"), col("text"))
+      graft.ops.Corpus
+        .stupidBackoffScore(
+          docs.where(col("doc_id") % 3 =!= 0), docs, "text", "doc_id")
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("backoff_xent"), 6).cast("double").as("backoff_xent"))
+    },
+
     // DSIR importance weights: hashed unigram+bigram buckets (md5 flavor so
     // the oracle recomputes identical buckets), smoothed target/raw
     // log-ratios over the full bucket spine, exact decimal per-doc sums
@@ -4738,6 +4753,52 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_bigrams,
                 round(-avg(lp), 6) AS cross_entropy
          FROM terms GROUP BY doc_id""",
+    "q_backoff_score" -> {
+      val lnA = math.log(0.4) // JVM literal injected so both engines
+      s"""WITH d AS (SELECT doc_id,
+                       list_filter(string_split($normSql, ' '),
+                                   w -> w <> '') AS toks
+                     FROM documents WHERE text IS NOT NULL),
+              dd AS (SELECT * FROM d WHERE len(toks) > 0),
+              pos AS (SELECT doc_id, toks,
+                        unnest(range(1, len(toks) + 1)) AS i FROM dd),
+              p AS (SELECT doc_id, toks[i] AS w,
+                      CASE WHEN i >= 2 THEN toks[i - 1] END AS b,
+                      CASE WHEN i >= 3 THEN toks[i - 2] END AS a
+                    FROM pos),
+              tp AS (SELECT * FROM p WHERE doc_id % 3 <> 0),
+              tv AS (SELECT count(*) AS t, count(DISTINCT w) AS v FROM tp),
+              c1 AS (SELECT w, count(*) AS c1 FROM tp GROUP BY 1),
+              c2 AS (SELECT b, w, count(*) AS c2 FROM tp
+                     WHERE b IS NOT NULL GROUP BY 1, 2),
+              c3 AS (SELECT a, b, w, count(*) AS c3 FROM tp
+                     WHERE a IS NOT NULL GROUP BY 1, 2, 3),
+              sc AS (SELECT p.doc_id, c3.c3, c2.c2, cab.c2 AS cab,
+                       c1.c1 AS c1w, cb.c1 AS cb,
+                       CASE WHEN p.a IS NOT NULL THEN 3
+                            WHEN p.b IS NOT NULL THEN 2 ELSE 1 END AS s
+                     FROM p
+                     LEFT JOIN c3 ON c3.a = p.a AND c3.b = p.b AND c3.w = p.w
+                     LEFT JOIN c2 ON c2.b = p.b AND c2.w = p.w
+                     LEFT JOIN c2 cab ON cab.b = p.a AND cab.w = p.b
+                     LEFT JOIN c1 ON c1.w = p.w
+                     LEFT JOIN c1 cb ON cb.w = p.b),
+              terms AS (SELECT doc_id,
+                          CAST(CASE
+                            WHEN c3 IS NOT NULL THEN ln(CAST(c3 AS DOUBLE) / cab)
+                            WHEN c2 IS NOT NULL THEN (s - 2) * ($lnA) +
+                              ln(CAST(c2 AS DOUBLE) / cb)
+                            WHEN c1w IS NOT NULL THEN (s - 1) * ($lnA) +
+                              ln(CAST(c1w AS DOUBLE) / t)
+                            ELSE s * ($lnA) + ln(1.0 / (t + v + 1))
+                          END AS DECIMAL(28,12)) AS lp,
+                          CASE WHEN c1w IS NULL THEN 1 ELSE 0 END AS oov
+                        FROM sc CROSS JOIN tv)
+         SELECT doc_id, count(*) AS n_tokens,
+                CAST(sum(oov) AS BIGINT) AS n_oov,
+                round(-avg(lp), 6) AS backoff_xent
+         FROM terms GROUP BY doc_id"""
+    },
     "q_tfidf_topk" ->
       s"""WITH d AS (SELECT doc_id, $normSql AS norm FROM documents
                      WHERE text IS NOT NULL),

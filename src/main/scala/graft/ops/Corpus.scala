@@ -384,6 +384,114 @@ object Corpus {
         (-avg(col("dj_lp"))).as("cross_entropy"))
   }
 
+  /** Trigram stupid-backoff language-model scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the published
+    * web-scale recipe: unnormalized backoff scores from raw counts, no
+    * discounting pass, so the model is nothing but mergeable count
+    * tables): train on `train`, score every document of `docs` with the
+    * mean negative log-score of its tokens. The CCNet-style perplexity
+    * filter with a model that builds in two aggregations.
+    *
+    * Score of token `w` at position `i` (1-based, over empty-filtered
+    * normalized tokens; `b` = previous token, `a` = the one before):
+    * start at the longest context the position HAS (trigram for i ≥ 3,
+    * bigram for i = 2, unigram for i = 1) and back off while the count is
+    * zero, each step multiplying `alpha`:
+    *   - trigram level: c₃(a,b,w) / c₂(a,b)
+    *   - bigram level:  c₂(b,w) / c₁(b)
+    *   - unigram level: c₁(w) / T
+    *   - OOV floor (one step below unigram): 1 / (T + V + 1)
+    * where T = train token count, V = train vocabulary size.
+    *
+    * Determinism contract: every count is an exact integer, each
+    * log-score term is a double computed from exact integers then cast to
+    * `DECIMAL(28,12)` before the per-document mean — the score never
+    * depends on partitioning or engine fold order (same discipline as
+    * [[bigramCrossEntropy]] / [[bm25TopK]]).
+    *
+    * Scale shape: the model IS three count tables (vocabulary-bounded
+    * rows — V, V², V³ worst case but Zipf-bounded in practice) built from
+    * ONE train-side position explode; T and V are the one bounded driver
+    * scalar read. Scoring is the position explode of `docs` LEFT-joined
+    * against the count tables on their keys — equi-joins, not windows, so
+    * AQE broadcasts small models and splits stopword skew. Documents whose
+    * filtered token array is empty carry no positions and are absent from
+    * the result.
+    */
+  def stupidBackoffScore(
+      train: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    def toks(d: DataFrame): DataFrame = d
+      .where(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        filter(TextAnalysis.tokens(col(textCol)), t => t =!= "").as("dj_toks"))
+      .where(size(col("dj_toks")) > 0)
+    def positions(d: DataFrame): DataFrame = toks(d)
+      .select(
+        col(idCol),
+        col("dj_toks"),
+        explode(sequence(lit(1), size(col("dj_toks")))).as("dj_i"))
+      .select(
+        col(idCol),
+        element_at(col("dj_toks"), col("dj_i")).as("dj_w"),
+        when(col("dj_i") >= 2, element_at(col("dj_toks"), col("dj_i") - 1))
+          .as("dj_b"),
+        when(col("dj_i") >= 3, element_at(col("dj_toks"), col("dj_i") - 2))
+          .as("dj_a"))
+
+    val trainPos = positions(train)
+    // T and V: one scan, one bounded driver read
+    val tv = trainPos
+      .agg(count(lit(1)).as("t"), count_distinct(col("dj_w")).as("v"))
+      .head()
+    val (bigT, bigV) = (tv.getLong(0), tv.getLong(1))
+    val c1 = trainPos.groupBy(col("dj_w")).agg(count(lit(1)).as("dj_c1"))
+    val c2 = trainPos.where(col("dj_b").isNotNull)
+      .groupBy(col("dj_b"), col("dj_w")).agg(count(lit(1)).as("dj_c2"))
+    val c3 = trainPos.where(col("dj_a").isNotNull)
+      .groupBy(col("dj_a"), col("dj_b"), col("dj_w"))
+      .agg(count(lit(1)).as("dj_c3"))
+
+    val scored = positions(docs)
+      .join(c3, Seq("dj_a", "dj_b", "dj_w"), "left")
+      .join(c2, Seq("dj_b", "dj_w"), "left")
+      .join(
+        c2.select(
+          col("dj_b").as("dj_a"), col("dj_w").as("dj_b"),
+          col("dj_c2").as("dj_cab")),
+        Seq("dj_a", "dj_b"), "left")
+      .join(c1, Seq("dj_w"), "left")
+      .join(
+        c1.select(col("dj_w").as("dj_b"), col("dj_c1").as("dj_cb")),
+        Seq("dj_b"), "left")
+    // longest context the position has: 3 / 2 / 1
+    val start = when(col("dj_a").isNotNull, 3)
+      .when(col("dj_b").isNotNull, 2).otherwise(1)
+    val lnA = math.log(alpha)
+    // ln(α^(start−used) · p_used) = (start−used)·ln α + ln p_used; a
+    // trigram hit implies its context count is positive (c₃ ≤ c₂(a,b))
+    val lp = when(col("dj_c3").isNotNull,
+        log(col("dj_c3").cast("double") / col("dj_cab")))
+      .when(col("dj_c2").isNotNull,
+        (start - 2) * lnA + log(col("dj_c2").cast("double") / col("dj_cb")))
+      .when(col("dj_c1").isNotNull,
+        (start - 1) * lnA + log(col("dj_c1").cast("double") / lit(bigT.toDouble)))
+      .otherwise(start * lnA + math.log(1.0 / (bigT.toDouble + bigV + 1)))
+    scored
+      .withColumn("dj_lp", lp.cast("decimal(28,12)"))
+      .withColumn("dj_oov", when(col("dj_c1").isNull, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("dj_oov")).as("n_oov"),
+        (-avg(col("dj_lp"))).as("backoff_xent"))
+  }
+
   /** TF-IDF keyword extraction: the `k` highest-scoring normalized tokens
     * per document, score = tf · ln((N+1)/(df+1)) (add-one smoothed IDF,
     * N = documents with text). The corpus-curation "what is this document

@@ -513,4 +513,72 @@ class CorpusSpec extends AnyFunSuite {
     assert(m1("a").contains(7L) ==
       (md5Hex("7:graft:a") < Corpus.rateBoundHex(0.5)))
   }
+
+  test("stupidBackoffScore: matches an in-memory backoff reference, OOV counted") {
+    val train = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ate the fish",
+      3L -> "a dog sat on a log")
+    val scoreDocs = docs(
+      10L -> "the cat sat on the mat", // trigram hits throughout
+      11L -> "the dog ate a fish",     // mixed backoff levels
+      12L -> "zebra quux zebra",       // all OOV
+      13L -> null,                     // no tokens → absent
+      14L -> "  ,,  ")                 // normalizes to empty → absent
+    val alpha = 0.4
+
+    // direct reference: same tokenization, counts as Maps
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ")
+        .trim.split(" ").filter(_.nonEmpty).toSeq
+    val tt = Seq("the cat sat on the mat", "the cat ate the fish",
+      "a dog sat on a log").map(toks)
+    val t = tt.map(_.size).sum.toDouble
+    val v = tt.flatten.distinct.size
+    def cnt[K](ks: Seq[K]): Map[K, Int] =
+      ks.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = cnt(tt.flatten)
+    val c2 = cnt(tt.flatMap(ws => ws.sliding(2).filter(_.size == 2).map(x => (x(0), x(1))).toSeq))
+    val c3 = cnt(tt.flatMap(ws => ws.sliding(3).filter(_.size == 3).map(x => (x(0), x(1), x(2))).toSeq))
+    def refDoc(text: String): (Long, Long, Double) = {
+      val ws = toks(text)
+      val lps = ws.zipWithIndex.map { case (w, i0) =>
+        val i = i0 + 1
+        val b = if (i >= 2) Some(ws(i0 - 1)) else None
+        val a = if (i >= 3) Some(ws(i0 - 2)) else None
+        val start = if (a.isDefined) 3 else if (b.isDefined) 2 else 1
+        val lp: Double =
+          if (a.isDefined && c3.contains((a.get, b.get, w)))
+            math.log(c3((a.get, b.get, w)).toDouble / c2((a.get, b.get)))
+          else if (b.isDefined && c2.contains((b.get, w)))
+            (start - 2) * math.log(alpha) +
+              math.log(c2((b.get, w)).toDouble / c1(b.get))
+          else if (c1.contains(w))
+            (start - 1) * math.log(alpha) + math.log(c1(w) / t)
+          else start * math.log(alpha) + math.log(1.0 / (t + v + 1))
+        BigDecimal(lp).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+          .doubleValue
+      }
+      (ws.size.toLong, ws.count(w => !c1.contains(w)).toLong,
+        -lps.sum / ws.size)
+    }
+
+    val got = Corpus.stupidBackoffScore(train, scoreDocs, "text", "doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          BigDecimal(r.getDecimal(3)).doubleValue)))
+      .toMap
+    assert(got.keySet == Set(10L, 11L, 12L))
+    for ((id, text) <- Seq(10L -> "the cat sat on the mat",
+        11L -> "the dog ate a fish", 12L -> "zebra quux zebra")) {
+      val (n, oov, xent) = refDoc(text)
+      assert(got(id)._1 == n, s"doc $id n_tokens")
+      assert(got(id)._2 == oov, s"doc $id n_oov")
+      assert(math.abs(got(id)._3 - xent) < 1e-9,
+        s"doc $id xent ${got(id)._3} vs $xent")
+    }
+    // a trained token scores strictly better than the OOV floor
+    assert(got(10L)._3 < got(12L)._3)
+  }
 }
