@@ -800,6 +800,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster_id").cast("bigint").as("cluster_id"))
     },
 
+    // survivorship: canonical doc per near-dup cluster — argmax text
+    // length, ties to smallest id, via the associative min(struct) argmax
+    // (no per-cluster window); oracled by the CC closure + a DuckDB window
+    "q_cluster_reps" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val pairs = graft.ops.Dedup.ngramJaccardPairs(
+        docs, "text", "doc_id", shingleK = 5, threshold = 0.6)
+      val clusters = graft.ops.Dedup.connectedComponents(pairs)
+        .select(
+          col("id").as("doc_id"),
+          col("cluster_id").cast("bigint").as("cluster_id"))
+      val members = clusters.join(
+        docs.select(
+          col("doc_id"), length(col("text")).cast("bigint").as("pref")),
+        Seq("doc_id"))
+      graft.ops.Dedup
+        .clusterRepresentatives(members, "doc_id", "cluster_id", "pref")
+        .select(
+          col("cluster_id"), col("rep_id"), col("n_members"),
+          col("rep_pref").cast("bigint").as("rep_pref"))
+    },
+
     // MinHash+LSH near-dups, verified by exact Jaccard — with 64 hashes /
     // 16 bands recall at j>=0.9 is ~1, so the output equals brute force on
     // this corpus and shares its oracle.
@@ -4351,6 +4373,25 @@ object SparkEntry {
                         SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
          SELECT id AS doc_id, least(id, min(r)) AS cluster_id
          FROM reach GROUP BY id""",
+    "q_cluster_reps" ->
+      s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ($jaccardSql)),
+              edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                        UNION SELECT id2, id1 FROM pairs),
+              reach AS (SELECT a AS id, b AS r FROM edges
+                        UNION
+                        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+              cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+                     FROM reach GROUP BY id),
+              m AS (SELECT cl.cluster_id, cl.doc_id,
+                      CAST(length(d.text) AS BIGINT) AS pref
+                    FROM cl JOIN documents d USING (doc_id)),
+              r AS (SELECT cluster_id, doc_id, pref,
+                      row_number() OVER (PARTITION BY cluster_id
+                                         ORDER BY pref DESC, doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY cluster_id) AS n_members
+                    FROM m)
+         SELECT cluster_id, doc_id AS rep_id, n_members, pref AS rep_pref
+         FROM r WHERE rn = 1""",
     "q_events_profile" ->
       """SELECT cast(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
                 event_type, count(*) AS n_events,

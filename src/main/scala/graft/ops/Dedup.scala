@@ -986,6 +986,71 @@ object Dedup {
     result
   }
 
+  /** Canonical-document selection after clustering (the survivorship step
+    * every near-dup pipeline needs between [[connectedComponents]] and the
+    * corpus write): given one row per cluster member carrying a numeric
+    * preference (quality score, length, authority — higher is better),
+    * return each cluster's representative. Deterministic tie rule: highest
+    * preference wins, exact ties break to the SMALLEST id (the same
+    * convention as the min-id cluster label).
+    *
+    * Scale shape: ONE hash aggregate with map-side partials —
+    * `min(struct(−pref, id))` is an associative argmax, so a hot cluster
+    * (the boilerplate cluster with 10⁷ members at 100 TB) combines
+    * per-partition instead of sorting through one reducer the way a
+    * `row_number` window would. Emits (`clusterCol`, `rep_id`,
+    * `n_members`, `rep_pref`).
+    *
+    * `prefCol` must be non-NaN (NaN breaks struct ordering); NULL
+    * preferences sort below every value (the representative of an all-NULL
+    * cluster is its min id).
+    */
+  def clusterRepresentatives(
+      members: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      prefCol: String): DataFrame =
+    members
+      .groupBy(col(clusterCol))
+      .agg(
+        min(struct(
+          (-col(prefCol)).as("dj_np"),
+          col(idCol).as("dj_id"))).as("dj_m"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col(clusterCol),
+        col("dj_m.dj_id").as("rep_id"),
+        col("n_members"),
+        (-col("dj_m.dj_np")).as("rep_pref"))
+
+  /** End-to-end near-dup dedup with survivorship: cluster the pair set,
+    * keep each cluster's best document (per `prefCol`, ties to smallest
+    * id), pass unclustered documents through untouched. The one-call
+    * spelling of pairs → [[connectedComponents]] →
+    * [[clusterRepresentatives]] → filter.
+    *
+    * Scale: the docs side is touched by one broadcast-or-shuffle left join
+    * against the (cluster-count-sized) representative set and one against
+    * the member set — no window over the corpus.
+    */
+  def dedupKeepBest(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      prefCol: String,
+      id1: String = "id1",
+      id2: String = "id2"): DataFrame = {
+    val clusters = connectedComponents(pairs, id1, id2)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val reps = clusterRepresentatives(
+      docs.join(clusters, Seq(idCol)), idCol, "cluster_id", prefCol)
+      .select(col("rep_id").as(idCol))
+    val clustered = clusters.select(col(idCol))
+    docs
+      .join(clustered, Seq(idCol), "left_anti")
+      .unionByName(docs.join(reps, Seq(idCol), "left_semi"))
+  }
+
   /** Exact-substring duplication stats per document (the window-fingerprint
     * approximation of suffix-array exact-substring dedup — Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better", public

@@ -91,6 +91,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cc.forall(_._2 == 0L), "every chain vertex must settle on the min label")
   }
 
+  test("clusterRepresentatives: argmax preference, ties to smallest id, null pref last") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val members = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 100L, 5.0), Row(2L, 100L, 9.0), Row(3L, 100L, 9.0), // tie 2 vs 3
+        Row(7L, 200L, 1.0),
+        Row(8L, 300L, null), Row(9L, 300L, null)), 3),              // all-null cluster
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster_id", LongType),
+        StructField("pref", DoubleType))))
+    val got = Dedup
+      .clusterRepresentatives(members, "doc_id", "cluster_id", "pref")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(100L) == ((2L, 3L)), "max pref 9.0, tie 2 vs 3 -> smallest id 2")
+    assert(got(200L) == ((7L, 1L)))
+    assert(got(300L) == ((8L, 2L)), "all-NULL preferences -> min id")
+  }
+
+  test("dedupKeepBest: best doc per cluster survives, unclustered pass through") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 3.0), Row(2L, 8.0), Row(3L, 8.0), // cluster {1,2,3}
+        Row(5L, 1.0), Row(6L, 2.0),               // cluster {5,6}
+        Row(9L, 0.0))),                           // unclustered
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("quality", DoubleType))))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+    val kept = Dedup.dedupKeepBest(docs, pairs, "doc_id", "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 6L, 9L))
+  }
+
   test("dedupParagraphs: first corpus occurrence survives, docs reassemble in order") {
     val df = docs(
       (1L, "alpha\nshared boilerplate\nbeta"),
