@@ -2364,6 +2364,22 @@ object SparkEntry {
         .select(col("n"), round(col("pearson_r"), 6).as("pearson_r"))
     },
 
+    // exact grouped moments: skewness / excess kurtosis per return flag
+    // from exact decimal power sums — the closed-form double formulas run
+    // in a fixed expression shape both engines evaluate identically
+    "q_moments" -> { (s, dir) =>
+      graft.ops.Stats
+        .momentsExact(
+          s.read.parquet(pq(dir, "lineitem")),
+          "l_quantity", groupCols = Seq("l_returnflag"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("variance_pop"), 6).as("variance_pop"),
+          round(col("skewness"), 6).as("skewness"),
+          round(col("kurtosis_excess"), 6).as("kurtosis_excess"))
+    },
+
     // exact per-group percentiles (ops.Stats.groupPercentiles): discrete
     // quantiles per return flag — one per-group sort carries both windows,
     // integer cross-product rank comparison, no unpartitioned window
@@ -4251,6 +4267,38 @@ object SparkEntry {
                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
                   AS pearson_r
          FROM s""",
+    // grouped moments: exact HUGEINT power sums, then the identical fixed
+    // double expression shape as Stats.momentsExact (left-associative
+    // products — IEEE ops on identical inputs give identical doubles)
+    "q_moments" ->
+      """WITH e AS (SELECT l_returnflag,
+                      CAST(round(l_quantity * 1) AS HUGEINT) AS ev
+                    FROM lineitem WHERE l_quantity IS NOT NULL),
+              a AS (SELECT l_returnflag, count(*) AS nl,
+                      sum(ev) AS rs1, sum(ev * ev) AS rs2,
+                      sum(ev * ev * ev) AS rs3, sum(ev * ev * ev * ev) AS rs4
+                    FROM e GROUP BY 1),
+              d AS (SELECT l_returnflag, nl,
+                      CAST(nl AS DOUBLE) AS n, CAST(rs1 AS DOUBLE) AS s1,
+                      CAST(rs2 AS DOUBLE) AS s2, CAST(rs3 AS DOUBLE) AS s3,
+                      CAST(rs4 AS DOUBLE) AS s4
+                    FROM a),
+              m AS (SELECT l_returnflag, nl, n, s1,
+                      (n * s2 - s1 * s1) / (n * n) AS m2,
+                      (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1)
+                        / (n * n * n) AS m3,
+                      (n * n * n * s4 - 4.0 * n * n * s1 * s3
+                         + 6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1)
+                        / (n * n * n * n) AS m4
+                    FROM d)
+         SELECT l_returnflag, nl AS n,
+                round(s1 / n / 1.0, 6) AS mean,
+                round(m2 / (1.0 * 1.0), 6) AS variance_pop,
+                round(CASE WHEN nl >= 2 AND m2 > 0.0
+                           THEN m3 / (m2 * sqrt(m2)) END, 6) AS skewness,
+                round(CASE WHEN nl >= 2 AND m2 > 0.0
+                           THEN m4 / (m2 * m2) - 3.0 END, 6) AS kurtosis_excess
+         FROM m""",
     // group percentiles: same discrete-rank selection per group
     "q_group_percentile" ->
       """WITH c AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS cnt

@@ -265,6 +265,68 @@ object Stats {
           .as("pearson_r"))
   }
 
+  /** Exact distributed moments profile — count, mean, population
+    * variance, skewness (g₁ = m₃/m₂^{3/2}) and excess kurtosis
+    * (g₂ = m₄/m₂² − 3) per group (pass `groupCols = Nil` for the global
+    * row), from EXACT integer power sums like [[pearsonExact]]: values are
+    * scaled (`round(x·scale)`), summed as `DECIMAL(38,0)` (associative —
+    * partitioning-independent), and only the FINAL closed-form central-
+    * moment formulas run in double, in a fixed expression shape both
+    * engines evaluate identically on identical inputs. No two-pass
+    * mean-then-deviations scan, no fold-order-dependent float sums.
+    *
+    * Central moments from raw sums (scaled units; scale cancels in g₁/g₂):
+    * m₂ = (n·S₂ − S₁²)/n², m₃ = (n²·S₃ − 3n·S₁·S₂ + 2S₁³)/n³,
+    * m₄ = (n³·S₄ − 4n²·S₁·S₃ + 6n·S₁²·S₂ − 3S₁⁴)/n⁴.
+    *
+    * Sizing: with e = round(x·scale), Σe⁴ must fit the caller's accuracy
+    * budget — exact to 2⁵³ after the decimal→double cast, which covers
+    * |e| ≤ 50 up to ~10⁹ rows; larger domains trade ulps, never
+    * correctness of the exact decimal sums themselves. One hash aggregate,
+    * map-side partials; degenerate groups (n < 2 or zero variance) emit
+    * NULL skewness/kurtosis rather than NaN.
+    */
+  def momentsExact(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      scale: Long = 1L): DataFrame = {
+    val e = round(col(valueCol) * scale).cast("decimal(38,0)")
+    val base = df.where(col(valueCol).isNotNull).withColumn("dj_e", e)
+    val grouped =
+      if (groupCols.isEmpty) base.groupBy()
+      else base.groupBy(groupCols.map(col): _*)
+    val agged = grouped.agg(
+      count(lit(1)).as("dj_nl"),
+      sum(col("dj_e")).as("dj_s1"),
+      sum(col("dj_e") * col("dj_e")).as("dj_s2d"),
+      sum((col("dj_e") * col("dj_e")).cast("decimal(38,0)") * col("dj_e"))
+        .as("dj_s3d"),
+      sum(((col("dj_e") * col("dj_e")).cast("decimal(38,0)") *
+        (col("dj_e") * col("dj_e")).cast("decimal(38,0)")).cast("decimal(38,0)"))
+        .as("dj_s4d"))
+    val n = col("dj_nl").cast("double")
+    val s1 = col("dj_s1").cast("double")
+    val s2 = col("dj_s2d").cast("double")
+    val s3 = col("dj_s3d").cast("double")
+    val s4 = col("dj_s4d").cast("double")
+    val sc = lit(scale.toDouble)
+    val m2 = (n * s2 - s1 * s1) / (n * n)
+    val m3 = (n * n * s3 - lit(3.0) * n * s1 * s2 + lit(2.0) * s1 * s1 * s1) /
+      (n * n * n)
+    val m4 = (n * n * n * s4 - lit(4.0) * n * n * s1 * s3 +
+      lit(6.0) * n * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) /
+      (n * n * n * n)
+    val ok = col("dj_nl") >= 2 && m2 > 0.0
+    agged.select(
+      groupCols.map(col) ++ Seq(
+        col("dj_nl").as("n"),
+        (s1 / n / sc).as("mean"),
+        (m2 / (sc * sc)).as("variance_pop"),
+        when(ok, m3 / (m2 * sqrt(m2))).as("skewness"),
+        when(ok, m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess")): _*)
+  }
+
   /** Approximate p-value (Fachinetti 2009; reference
     * `constraints/stats.py:25-54`'s no-scipy fallback): 2·exp(−(D·√min(n,m))²),
     * clamped to [0,1]; None below 35 samples (approximation inaccurate).

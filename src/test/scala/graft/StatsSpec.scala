@@ -260,4 +260,40 @@ class StatsSpec extends AnyFunSuite {
     assert("partitionSpec".r.findAllIn(plan).isEmpty ||
       !plan.contains("SinglePartition"), s"global funnel in:\n$plan")
   }
+
+  test("momentsExact: hand-computed grouped moments, degenerate groups NULL") {
+    import spark.implicits._
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0)) ++
+      Seq(("b", 7.0)) ++                       // n = 1 → NULL skew/kurt
+      Seq(("c", 2.0), ("c", 2.0)))             // zero variance → NULL
+      .toDF("g", "v")
+    val got = Stats.momentsExact(df, "v", groupCols = Seq("g"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // group a: 1..5 → mean 3, m2 = 2, m3 = 0 → skew 0; m4 = 34/5 = 6.8 →
+    // kurtosis 6.8/4 − 3 = −1.3
+    val (n, mean, v, sk, ku) = got("a")
+    assert(n == 5L && mean == 3.0 && v == 2.0)
+    assert(sk.contains(0.0))
+    assert(ku.exists(k => math.abs(k - (-1.3)) < 1e-12))
+    assert(got("b")._1 == 1L && got("b")._4.isEmpty && got("b")._5.isEmpty)
+    assert(got("c")._3 == 0.0 && got("c")._4.isEmpty)
+  }
+
+  test("momentsExact: scale handles fractional values; global row; skew sign") {
+    import spark.implicits._
+    // right-skewed: long upper tail
+    val df = Seq(1.25, 1.25, 1.25, 1.50, 9.75).toDF("v")
+    val r = Stats.momentsExact(df, "v", scale = 100L).head()
+    assert(r.getLong(0) == 5L)
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-12) // mean = 15.0/5
+    assert(r.getDouble(3) > 1.0, "long upper tail → strongly positive skewness")
+    // partitioning independence: identical result at different parallelism
+    val r2 = Stats.momentsExact(df.repartition(7), "v", scale = 100L).head()
+    assert(r2 == r)
+  }
 }
