@@ -2143,6 +2143,23 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinctEstimate(sk, k = 128)
     },
 
+    // theta-style KMV set operations: distinct Jaccard / union /
+    // intersection estimates of the even- vs odd-order customer
+    // populations from two 256-row sketches (oracle rebuilds both)
+    "q_kmv_intersect" -> { (s, dir) =>
+      val orders = s.read.parquet(pq(dir, "orders"))
+      val a = graft.ops.Sketches.kmvSketch(
+        orders.where(col("o_orderkey") % 2 === 0), "o_custkey", k = 256)
+      val b = graft.ops.Sketches.kmvSketch(
+        orders.where(col("o_orderkey") % 2 === 1), "o_custkey", k = 256)
+      graft.ops.Sketches.kmvSetEstimates(a, b, k = 256)
+        .select(
+          col("n_union_sketch"), col("n_common"),
+          round(col("jaccard_est"), 6).as("jaccard_est"),
+          col("union_est"),
+          round(col("intersect_est"), 6).as("intersect_est"))
+    },
+
     // KMV quantiles of the distinct o_custkey population (discrete-rank
     // selection over the ≤ 256-row uniform sample)
     "q_kmv_quantiles" -> { (s, dir) =>
@@ -3673,6 +3690,31 @@ object SparkEntry {
                      ELSE round(127.0 * 1152921504606846976
                                 / max(kmv_hash)::DOUBLE) END AS estimate
          FROM sk""",
+    "q_kmv_intersect" ->
+      """WITH da AS (SELECT DISTINCT o_custkey::VARCHAR AS v FROM orders
+                     WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL),
+             skA AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+                     FROM da ORDER BY 1 LIMIT 256),
+             db AS (SELECT DISTINCT o_custkey::VARCHAR AS v FROM orders
+                    WHERE o_orderkey % 2 = 1 AND o_custkey IS NOT NULL),
+             skB AS (SELECT ('0x' || substring(md5(v), 1, 15))::BIGINT AS h
+                     FROM db ORDER BY 1 LIMIT 256),
+             u AS (SELECT h FROM (SELECT h FROM skA UNION SELECT h FROM skB)
+                   ORDER BY h LIMIT 256),
+             st AS (SELECT count(*) AS nl, max(h) AS hmax FROM u),
+             cm AS (SELECT count(*) AS nc FROM u
+                    WHERE h IN (SELECT h FROM skA)
+                      AND h IN (SELECT h FROM skB)),
+             est AS (SELECT nl, nc,
+                       CASE WHEN nl < 256 THEN nl::DOUBLE
+                            ELSE round(255.0 * 1152921504606846976
+                                       / hmax::DOUBLE) END AS union_est,
+                       CASE WHEN nl > 0 THEN nc::DOUBLE / nl END AS jac
+                     FROM st CROSS JOIN cm)
+         SELECT nl::BIGINT AS n_union_sketch, nc::BIGINT AS n_common,
+                round(jac, 6) AS jaccard_est, union_est,
+                round(jac * union_est, 6) AS intersect_est
+         FROM est""",
     "q_kmv_quantiles" ->
       """WITH d AS (SELECT DISTINCT o_custkey::VARCHAR AS v FROM orders
                     WHERE o_custkey IS NOT NULL),

@@ -309,6 +309,45 @@ object Sketches {
               col("dj_hmax").cast("double")))
           .as("estimate"))
 
+  /** Theta-style set-operation estimates from two KMV sketches built with
+    * the same `k` (Beyer et al. 2007, "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations"): the union's bottom-k hash set
+    * `L` is a uniform sample of the union's distinct values, so
+    * `ρ = |L ∩ A ∩ B| / |L|` estimates the distinct Jaccard and
+    * `ρ · |A ∪ B|` the distinct intersection — the cross-corpus overlap
+    * number ("how much of corpus B is already in A") from two k-row
+    * tables, never a scan of either corpus. Under-full union sketches saw
+    * every distinct value, so all three outputs are exact.
+    *
+    * One row: (`n_union_sketch`, `n_common`, `jaccard_est`, `union_est`,
+    * `intersect_est`). Every frame involved is ≤ k rows — sketch-geometry
+    * bounded, broadcast-sized by construction.
+    */
+  def kmvSetEstimates(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val merged = kmvMerge(a, b, k).select(col("kmv_hash"))
+    val common = merged
+      .join(a.select(col("kmv_hash")), Seq("kmv_hash"), "left_semi")
+      .join(b.select(col("kmv_hash")), Seq("kmv_hash"), "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    val stats = merged.agg(
+      count(lit(1)).as("n_union_sketch"), max(col("kmv_hash")).as("dj_hmax"))
+    val unionEst =
+      when(col("n_union_sketch") < k, col("n_union_sketch").cast("double"))
+        .otherwise(
+          round(lit((k - 1).toDouble) * math.pow(2.0, 60) /
+            col("dj_hmax").cast("double")))
+    val jaccard =
+      when(col("n_union_sketch") > 0,
+        col("n_common").cast("double") / col("n_union_sketch"))
+    stats
+      .crossJoin(common)
+      .select(
+        col("n_union_sketch"), col("n_common"),
+        jaccard.as("jaccard_est"),
+        unionEst.as("union_est"),
+        (jaccard * unionEst).as("intersect_est"))
+  }
+
   /** Quantile estimates over the DISTINCT-value population from a KMV
     * sketch: the sketch rows are a uniform sample of the distinct values,
     * so the empirical quantiles of `kmv_value` (cast numeric) estimate the

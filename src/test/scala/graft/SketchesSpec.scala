@@ -166,4 +166,29 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(qs(0.25) === 25.0 && qs(0.5) === 50.0 && qs(1.0) === 100.0)
   }
+
+  test("kmv set estimates: under-full union is exact jaccard/union/intersection") {
+    val a = (1 to 30).map(i => s"s$i").toDF("v")   // {1..30}
+    val b = (20 to 50).map(i => s"s$i").toDF("v")  // {20..50}
+    val r = Sketches.kmvSetEstimates(
+      Sketches.kmvSketch(a, "v", 256), Sketches.kmvSketch(b, "v", 256), 256)
+      .head()
+    assert(r.getLong(0) == 50L, "union has 50 distincts, sketch under-full")
+    assert(r.getLong(1) == 11L, "common = {20..30}")
+    assert(r.getDouble(2) == 11.0 / 50)
+    assert(r.getDouble(3) == 50.0)
+    assert(math.abs(r.getDouble(4) - 11.0) < 1e-9)
+  }
+
+  test("kmv set estimates: full sketches land near the true overlap") {
+    val a = (1 to 3000).map(i => s"e$i").toDF("v")
+    val b = (2001 to 5000).map(i => s"e$i").toDF("v") // true ∩ = 1000, ∪ = 5000
+    val r = Sketches.kmvSetEstimates(
+      Sketches.kmvSketch(a, "v", 256), Sketches.kmvSketch(b, "v", 256), 256)
+      .head()
+    assert(r.getLong(0) == 256L)
+    assert(math.abs(r.getDouble(2) - 0.2) < 0.1, s"jaccard ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 5000) / 5000 < 0.25, s"union ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 1000) / 1000 < 0.5, s"intersect ${r.getDouble(4)}")
+  }
 }
