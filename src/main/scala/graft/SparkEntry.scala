@@ -2340,6 +2340,56 @@ object SparkEntry {
           round(col("chi2"), 6).as("chi2"))
     },
 
+    // Wasserstein-1 drift (ops.Drift.wasserstein1): earth-mover distance
+    // of l_extendedprice across the parity split, exact on the cent-
+    // scaled integer axis — integer area sum (|r1·m − r2·n|·Δv as
+    // decimals vs the oracle's HUGEINTs), one double division at the end
+    "q_wasserstein" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Drift
+        .wasserstein1(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", scale = 100L)
+        .select(col("n_a"), col("n_b"), round(col("w1"), 6).as("w1"))
+    },
+
+    // Cramér–von Mises drift (ops.Stats.cvm2Sample): the L² CDF-gap
+    // integral over the same parity split on l_quantity — exact integer
+    // term sum (cnt·(r1·m − r2·n)²), fixed-shape double division
+    "q_cvm_2sample" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Stats
+        .cvm2Sample(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_quantity", scale = 1L)
+        .select(col("n_a"), col("n_b"), round(col("cvm_t"), 6).as("cvm_t"))
+    },
+
+    // mutual information (ops.Drift.mutualInformation): order status ×
+    // priority dependence in nats — per-cell c·ln(c·N/(cx·cy)) terms
+    // decimal-cast before the sum, the PSI arithmetic posture
+    "q_mutual_info" -> { (s, dir) =>
+      val o = s.read.parquet(pq(dir, "orders"))
+      graft.ops.Drift
+        .mutualInformation(o, "o_orderstatus", "o_orderpriority")
+        .select(
+          col("n"), col("n_x_categories"), col("n_y_categories"),
+          round(col("mi_nats"), 6).as("mi_nats"))
+    },
+
+    // deterministic epoch shuffle (ops.Corpus.epochShuffle): the full
+    // md5-lattice permutation of the documents table for (seed=gate,
+    // epoch=3) — bucketed global rank vs the oracle's row_number over the
+    // identical 52-bit dyadic key, id tie-break pinning determinism
+    "q_epoch_shuffle" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents")).select(col("doc_id"))
+      graft.ops.Corpus
+        .epochShuffle(docs, "doc_id", "gate", 3)
+        .select(col("doc_id"), col("shuffle_rank"))
+    },
+
     // BPE vocabulary induction, round-1 statistics (ops.Bpe): weighted
     // adjacent character-pair counts over the distinct-word table — the
     // aggregate every merge round re-runs; top-20 fully tie-broken. (The
@@ -4268,6 +4318,102 @@ object SparkEntry {
                 CAST(max(k) AS INT) AS n_categories,
                 round(CAST(sum(term) AS DOUBLE), 6) AS chi2
          FROM t""",
+    // Wasserstein-1: identical scaled-integer axis, running counts and
+    // successor gaps over the union value axis, HUGEINT area sum mirrors
+    // the engine's exact decimal sum, identical double division shape
+    "q_wasserstein" ->
+      """WITH a AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+              b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+              u AS (SELECT v, 1 AS w1, 0 AS w2 FROM a
+                    UNION ALL SELECT v, 0 AS w1, 1 AS w2 FROM b),
+              c AS (SELECT v, sum(w1) AS c1, sum(w2) AS c2 FROM u GROUP BY v),
+              r AS (SELECT v,
+                      sum(c1) OVER (ORDER BY v) AS r1,
+                      sum(c2) OVER (ORDER BY v) AS r2,
+                      lead(v) OVER (ORDER BY v) AS nv
+                    FROM c),
+              n AS (SELECT (SELECT count(*) FROM a) AS na,
+                           (SELECT count(*) FROM b) AS nb),
+              t AS (SELECT abs(CAST(r1 AS HUGEINT) * CAST(nb AS HUGEINT)
+                               - CAST(r2 AS HUGEINT) * CAST(na AS HUGEINT))
+                            * CAST(coalesce(nv - v, 0) AS HUGEINT) AS term,
+                           na, nb
+                    FROM r, n)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(sum(term) AS DOUBLE)
+                      / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)
+                         * 100.0), 6) AS w1
+         FROM t""",
+    // Cramér–von Mises: identical running-count axis, integer
+    // cnt·(r1·m − r2·n)² terms, identical fixed-shape double division
+    "q_cvm_2sample" ->
+      """WITH a AS (SELECT CAST(round(l_quantity * 1) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 0 AND l_quantity IS NOT NULL),
+              b AS (SELECT CAST(round(l_quantity * 1) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 1 AND l_quantity IS NOT NULL),
+              u AS (SELECT v, 1 AS w1, 0 AS w2 FROM a
+                    UNION ALL SELECT v, 0 AS w1, 1 AS w2 FROM b),
+              c AS (SELECT v, sum(w1) AS c1, sum(w2) AS c2 FROM u GROUP BY v),
+              r AS (SELECT v, c1, c2,
+                      sum(c1) OVER (ORDER BY v) AS r1,
+                      sum(c2) OVER (ORDER BY v) AS r2
+                    FROM c),
+              n AS (SELECT (SELECT count(*) FROM a) AS na,
+                           (SELECT count(*) FROM b) AS nb),
+              t AS (SELECT CAST(c1 + c2 AS HUGEINT)
+                            * ((CAST(r1 AS HUGEINT) * CAST(nb AS HUGEINT)
+                                - CAST(r2 AS HUGEINT) * CAST(na AS HUGEINT))
+                               * (CAST(r1 AS HUGEINT) * CAST(nb AS HUGEINT)
+                                  - CAST(r2 AS HUGEINT) * CAST(na AS HUGEINT)))
+                           AS term, na, nb
+                    FROM r, n)
+         SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(sum(term) AS DOUBLE)
+                      / (CAST(max(na) + max(nb) AS DOUBLE)
+                         * CAST(max(na) + max(nb) AS DOUBLE)
+                         * CAST(max(na) AS DOUBLE)
+                         * CAST(max(nb) AS DOUBLE)), 6) AS cvm_t
+         FROM t""",
+    // mutual information: identical joint/marginal counts, identical
+    // per-cell double ln terms decimal-cast before the sum
+    "q_mutual_info" ->
+      """WITH j AS (SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '<null>')
+                      AS x,
+                      coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+                      AS y,
+                      count(*) AS cxy
+                    FROM orders GROUP BY 1, 2),
+              mx AS (SELECT x, sum(cxy) AS cx FROM j GROUP BY x),
+              my AS (SELECT y, sum(cxy) AS cy FROM j GROUP BY y),
+              tot AS (SELECT sum(cxy) AS n, count(DISTINCT x) AS kx,
+                             count(DISTINCT y) AS ky FROM j),
+              t AS (SELECT n, kx, ky,
+                      CAST(CAST(cxy AS DOUBLE)
+                           * ln((CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE))
+                                / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))
+                           AS DECIMAL(28, 12)) AS term
+                    FROM j JOIN mx USING (x) JOIN my USING (y), tot)
+         SELECT CAST(max(n) AS BIGINT) AS n,
+                CAST(max(kx) AS INT) AS n_x_categories,
+                CAST(max(ky) AS INT) AS n_y_categories,
+                round(CAST(sum(term) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+                  AS mi_nats
+         FROM t""",
+    // epoch shuffle: row_number over the identical 52-bit md5-lattice
+    // dyadic key with the id tie-break
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+                CAST(row_number() OVER (
+                  ORDER BY (('0x' || substring(md5(doc_id::VARCHAR || ':gate:3'), 1, 13))::BIGINT
+                            + 0.5) / 4503599627370496.0, doc_id) AS BIGINT)
+                  AS shuffle_rank
+         FROM documents WHERE doc_id IS NOT NULL""",
     // BPE round-1 pairs: per-char split + zipped-index pair explode,
     // weighted by distinct-word counts, same total order
     "q_bpe_pairs" ->

@@ -204,6 +204,119 @@ final case class ChiSquareDrift(
   }
 }
 
+/** Wasserstein-1 drift budget (between-table): the earth-mover distance
+  * of `column` between the two snapshots — in the column's OWN units, via
+  * `scale` fixed-point digits — must stay ≤ the target. The
+  * histogram-free companion of [[MaxPsiDrift]]: no bucket choices, and a
+  * small shift everywhere registers as exactly its mean displacement.
+  * Vacuous when either snapshot has no non-NULL values (the distance to
+  * an empty distribution is undefined).
+  */
+final case class MaxWassersteinDrift(
+    ref: DataRef,
+    ref2Required: DataRef,
+    column: String,
+    scale: Long,
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(_ >= 0), s"max_w1 must be non-negative: $refValue")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val r = graft.ops.Drift
+      .wasserstein1(ref.selection(spark), ref2Required.selection(spark),
+        column, scale)
+      .head()
+    if (r.isNullAt(2)) graft.core.TestResult.success(description)
+    else {
+      val factual = r.getDouble(2)
+      val target = refValue.get
+      if (factual <= target) graft.core.TestResult.success(description)
+      else
+        graft.core.TestResult.failure(
+          description,
+          s"Wasserstein-1 distance of $column between ${ref.describe} and " +
+            s"${ref2Required.describe} is $factual while at most $target " +
+            "was allowed (distribution drift).")
+    }
+  }
+}
+
+/** Cramér–von Mises drift budget (between-table): the two-sample CvM
+  * statistic of `column` — the L² integral of the CDF gap, which
+  * registers broad small drifts the KS maximum misses — must stay ≤ the
+  * target. Vacuous when either snapshot has no non-NULL values.
+  */
+final case class MaxCvmDrift(
+    ref: DataRef,
+    ref2Required: DataRef,
+    column: String,
+    scale: Long,
+    refValue: Option[Double],
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(_ >= 0), s"max_cvm must be non-negative: $refValue")
+
+  override protected def ref2Option: Option[DataRef] = Some(ref2Required)
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val r = graft.ops.Stats
+      .cvm2Sample(ref.selection(spark), ref2Required.selection(spark),
+        column, scale)
+      .head()
+    if (r.isNullAt(2)) graft.core.TestResult.success(description)
+    else {
+      val factual = r.getDouble(2)
+      val target = refValue.get
+      if (factual <= target) graft.core.TestResult.success(description)
+      else
+        graft.core.TestResult.failure(
+          description,
+          s"Cramér–von Mises statistic of $column between ${ref.describe} " +
+            s"and ${ref2Required.describe} is $factual while at most " +
+            s"$target was allowed (distribution drift).")
+    }
+  }
+}
+
+/** Mutual-information budget (within-table): MI(`xColumn`; `yColumn`) in
+  * nats must stay ≤ the target — the feature-leakage alarm ("this
+  * feature encodes the label", "this metadata column determines the
+  * split") that the exact functional-dependency check only catches at
+  * its deterministic extreme. Vacuous on an empty table.
+  */
+final case class MaxMutualInformation(
+    ref: DataRef,
+    xColumn: String,
+    yColumn: String,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(_ >= 0), s"max_mi must be non-negative: $refValue")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    graft.ops.Drift
+      .mutualInformation(ref.selection(spark), xColumn, yColumn)
+      .head(1)
+      .headOption match {
+      case None => graft.core.TestResult.success(description)
+      case Some(r) =>
+        val factual = r.getDouble(3)
+        val target = refValue.get
+        if (factual <= target) graft.core.TestResult.success(description)
+        else
+          graft.core.TestResult.failure(
+            description,
+            s"mutual information between $xColumn and $yColumn of " +
+              s"${ref.describe} is $factual nats while at most $target was " +
+              "allowed (column dependence / leakage).")
+    }
+  }
+}
+
 /** Within-key monotonicity: `valueColumn` must never decrease (strictly
   * increase when `strict`) along `orderColumn` within each `keyColumn`
   * group — "timestamps must not run backwards per session". At most

@@ -755,4 +755,34 @@ object Corpus {
           .otherwise(lit((nShards - 1).toLong) - col("dj_pos")))
       .drop("dj_shard_key", "dj_pass", "dj_pos")
   }
+
+  /** Deterministic epoch shuffle: a reproducible pseudo-random global
+    * ORDER over the corpus, one permutation per (seed, epoch) — the
+    * training-loader primitive that makes "epoch 3 of run X" the same
+    * document sequence on every engine, every partitioning, every rerun
+    * (contrast `orderBy(rand())`, which is none of those). Key =
+    * [[Dsir.hashUniform]]'s 52-bit md5-lattice uniform of `id:seed:epoch`
+    * (exactly a double's mantissa — the dyadic fraction is exact in every
+    * engine), rank = [[CumSum.withGlobalRank]]'s bucketed scheme with the
+    * id as tie-break (52-bit key collisions are rare but WOULD flip ranks
+    * nondeterministically at corpus scale without it) — no unpartitioned
+    * window, no single-reducer sort. NULL-id rows are excluded (no
+    * deterministic identity). Returns the input plus `shuffle_rank`
+    * (1-based BIGINT); writers sort-within-partitions by it after
+    * range-repartitioning on it.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      epoch: Int,
+      numBuckets: Int = 256): DataFrame = {
+    val keyed = df
+      .where(col(idCol).isNotNull)
+      .withColumn("dj_shuf_key", Dsir.hashUniform(col(idCol), s"$seed:$epoch"))
+    CumSum
+      .withGlobalRank(
+        keyed, "dj_shuf_key", "shuffle_rank", numBuckets, tieCols = Seq(idCol))
+      .drop("dj_shuf_key")
+  }
 }

@@ -46,18 +46,25 @@ object CumSum {
     }
 
   /** Add `rankCol` = global 1-based rank of rows ordered by `orderCol`
-    * (ties receive distinct consecutive ranks in arbitrary order — the same
-    * contract as `row_number` over an unpartitioned window, without the
-    * single-partition sort: per-bucket `row_number` + driver-side bucket
-    * offsets, exactly the `withRunningSum` scheme with a constant weight).
+    * (ties receive distinct consecutive ranks — in arbitrary order unless
+    * `tieCols` pins them; the same contract as `row_number` over an
+    * unpartitioned window, without the single-partition sort: per-bucket
+    * `row_number` + driver-side bucket offsets, exactly the
+    * `withRunningSum` scheme with a constant weight). `tieCols` only ever
+    * reorder WITHIN a bucket — equal order keys land in one bucket by
+    * construction — so a (orderCol, tieCols) total order makes the rank
+    * fully deterministic.
     */
   def withGlobalRank(
       df: DataFrame,
       orderCol: String,
       rankCol: String,
-      numBuckets: Int = 256): DataFrame = {
+      numBuckets: Int = 256,
+      tieCols: Seq[String] = Nil): DataFrame = {
     val tmp = "dj_one"
-    withRunningSum(df.withColumn(tmp, lit(1L)), orderCol, tmp, rankCol, numBuckets)
+    withRunningSums(
+      df.withColumn(tmp, lit(1L)), orderCol, Seq(tmp), Seq(rankCol),
+      numBuckets, tieCols)._1
       .drop(tmp)
   }
 
@@ -91,7 +98,8 @@ object CumSum {
       orderCol: String,
       valueCols: Seq[String],
       runningCols: Seq[String],
-      numBuckets: Int = 256): (DataFrame, Seq[Long]) = {
+      numBuckets: Int = 256,
+      tieCols: Seq[String] = Nil): (DataFrame, Seq[Long]) = {
     require(valueCols.length == runningCols.length && valueCols.nonEmpty)
     val key = orderProxy(df, orderCol)
     // 1. one job: approximate range boundaries + every grand total
@@ -135,10 +143,12 @@ object CumSum {
       "dj_bucket",
       graft.functions.BucketIndex.bucketIndex(
         coalesce(key, lit(Double.NegativeInfinity)), boundaries))
-    // 3. per-bucket local running sums (parallel windows, one WindowExec)
+    // 3. per-bucket local running sums (parallel windows, one WindowExec);
+    //    tieCols refine the within-bucket order only — equal order keys
+    //    share a bucket, so the refinement is globally consistent
     val wLocal = Window
       .partitionBy("dj_bucket")
-      .orderBy(col(orderCol))
+      .orderBy(col(orderCol) +: tieCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = valueCols.zip(runningCols).foldLeft(bucketed) {
       case (acc, (v, r)) => acc.withColumn(r, sum(col(v)).over(wLocal))
@@ -232,6 +242,68 @@ object CumSum {
       .withColumn(
         outCol,
         greatest(col(outCol), element_at(carryArr, col("dj_bucket") + 1)))
+      .drop("dj_bucket")
+  }
+
+  /** Add `outCol` = the NEXT row's `orderCol` value in ascending
+    * `orderCol` order — the distributed version of
+    * `lead(o).over(Window.orderBy(o))`, for callers with DISTINCT order
+    * keys (every caller here pre-aggregates by the order column; with
+    * duplicate keys the within-tie successor would be arbitrary). Same
+    * bucket scheme as `withRunningSum`: per-bucket `lead`, then each
+    * bucket's LAST row takes the minimum order key of any LATER non-empty
+    * bucket (a tiny per-bucket-min collect + driver-side suffix scan). The
+    * global maximum's successor is NULL. NULL order keys land in bucket 0
+    * and sort first, same contract as the other kernels here.
+    */
+  def withNextValue(
+      df: DataFrame,
+      orderCol: String,
+      outCol: String,
+      numBuckets: Int = 256): DataFrame = {
+    val dt  = df.schema(orderCol).dataType
+    val key = orderProxy(df, orderCol)
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val head = df
+      .agg(percentile_approx(key, array(probs.map(lit): _*), lit(1000)), count(lit(1)))
+      .head()
+    if (head.getLong(1) == 0L)
+      return df.withColumn(outCol, lit(null).cast(dt)).where(lit(false))
+    val boundaries =
+      if (head.isNullAt(0)) Seq.empty[Double]
+      else head.getSeq[Double](0).distinct.sorted
+    val bucketed = df.withColumn(
+      "dj_bucket",
+      graft.functions.BucketIndex.bucketIndex(
+        coalesce(key, lit(Double.NegativeInfinity)), boundaries))
+    val wLocal = Window.partitionBy("dj_bucket").orderBy(col(orderCol))
+    // carry(b) = min order key over buckets > b — the successor of each
+    // bucket's last row; suffix scan over the ≤numBuckets per-bucket minima
+    val minima: Map[Int, Any] = bucketed
+      .groupBy("dj_bucket")
+      .agg(min(col(orderCol)))
+      .collect()
+      .collect { case r if !r.isNullAt(1) => r.getInt(0) -> r.get(1) }
+      .toMap
+    val maxBucket = boundaries.size
+    def cmpMin(a: Any, b: Any): Any =
+      if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+    val carries: Seq[Option[Any]] = (0 to maxBucket)
+      .map(minima.get)
+      .scanRight(Option.empty[Any]) { (v, acc) =>
+        (v, acc) match {
+          case (Some(x), Some(y)) => Some(cmpMin(x, y))
+          case (x, y)             => x.orElse(y)
+        }
+      }
+      .drop(1)
+    val carryArr = array(carries.map(v => lit(v.orNull).cast(dt)): _*)
+    bucketed
+      .withColumn(
+        outCol,
+        coalesce(
+          lead(col(orderCol), 1).over(wLocal),
+          element_at(carryArr, col("dj_bucket") + 1)))
       .drop("dj_bucket")
   }
 

@@ -60,6 +60,99 @@ object Drift {
         sum(col("dj_term")).cast("double").as("psi"))
   }
 
+  /** 1-D Wasserstein-1 distance (earth mover's distance) between the two
+    * snapshots' empirical distributions of `valueCol` — the drift number
+    * with UNITS (unlike PSI/KS it reads in the column's own scale: "the
+    * price distribution moved $2.10 on average"), and the standard
+    * histogram-free alternative to PSI's arbitrary bucketing.
+    *
+    * W₁ = ∫|F₁(x) − F₂(x)| dx, computed EXACTLY on the scaled-integer
+    * axis e = round(x·scale):
+    * W₁ = Σᵢ |r₁(vᵢ)·m − r₂(vᵢ)·n| · (vᵢ₊₁ − vᵢ) / (n·m·scale)
+    * over sorted distinct values vᵢ with integer running counts r — an
+    * integer sum (decimal-exact, partitioning-independent) divided once
+    * in a fixed double shape. Headroom: n·m·maxGap ≲ 10³⁸.
+    *
+    * Plan: one union-tag shuffle to the distinct-value frame, bucketed
+    * prefix sums ([[Stats.crossRunningCounts]]), then the cross-bucket
+    * successor kernel ([[CumSum.withNextValue]]) — no unpartitioned
+    * window, no join. Out: one row (n_a, n_b, w1), NULL when either
+    * sample is empty (the distance to an empty distribution is
+    * undefined).
+    */
+  def wasserstein1(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      scale: Long = 1L): DataFrame = {
+    val (running, n, m) = Stats.crossRunningCounts(a, b, valueCol, scale)
+    val spark = a.sparkSession
+    if (n == 0L || m == 0L)
+      return spark.range(1).select(
+        lit(n).as("n_a"), lit(m).as("n_b"),
+        lit(null).cast("double").as("w1"))
+    val stepped = CumSum.withNextValue(running, "dj_v", "dj_next")
+    val d = col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -
+      col("dj_run2").cast("decimal(19,0)") * lit(n).cast("decimal(19,0)")
+    // the global maximum has no successor → gap 0 (F₁ = F₂ = 1 beyond it)
+    val gap = coalesce(col("dj_next") - col("dj_v"), lit(0L)).cast("decimal(19,0)")
+    // fixed left-associated double denominator the oracle spells
+    // identically: (n·m)·scale
+    val denom = n.toDouble * m.toDouble * scale.toDouble
+    stepped
+      .agg(sum(abs(d) * gap).as("dj_area"))
+      .select(
+        lit(n).as("n_a"),
+        lit(m).as("n_b"),
+        (col("dj_area").cast("double") / lit(denom)).as("w1"))
+  }
+
+  /** Mutual information (nats) between two CATEGORICAL columns — the
+    * feature-leakage / redundancy check an ML pipeline runs next to the
+    * drift family: MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) is 0 iff
+    * the columns are independent and min(H(X), H(Y)) when one determines
+    * the other (the soft sibling of the exact functional-dependency
+    * check). NULL is a real category ("<null>", as in [[chiSquareDrift]]).
+    *
+    * Plan: ONE base-table aggregate to the joint (x, y, count) table;
+    * marginals and totals re-aggregate the joint (cells ≤ k_x·k_y rows —
+    * never the base table again); per-cell terms
+    * c_xy·ln((c_xy·N)/(c_x·c_y)) in a fixed double shape, decimal-cast
+    * before the sum ([[psi]] posture), divided by N once at the end.
+    * Out: one row (n, n_x_categories, n_y_categories, mi_nats).
+    */
+  def mutualInformation(
+      df: DataFrame,
+      xCol: String,
+      yCol: String): DataFrame = {
+    def cat(c: String) = coalesce(col(c).cast("string"), lit("<null>"))
+    val joint = df
+      .select(cat(xCol).as("dj_x"), cat(yCol).as("dj_y"))
+      .groupBy("dj_x", "dj_y")
+      .agg(count(lit(1)).as("dj_cxy"))
+    val mx = joint.groupBy("dj_x").agg(sum(col("dj_cxy")).as("dj_cx"))
+    val my = joint.groupBy("dj_y").agg(sum(col("dj_cxy")).as("dj_cy"))
+    val totals = joint.agg(
+      sum(col("dj_cxy")).as("dj_n"),
+      countDistinct(col("dj_x")).as("dj_kx"),
+      countDistinct(col("dj_y")).as("dj_ky"))
+    val term = (col("dj_cxy").cast("double") *
+      log((col("dj_cxy").cast("double") * col("dj_n").cast("double")) /
+        (col("dj_cx").cast("double") * col("dj_cy").cast("double"))))
+      .cast("decimal(28,12)")
+    joint
+      .join(mx, Seq("dj_x"))
+      .join(my, Seq("dj_y"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("dj_n"), col("dj_kx"), col("dj_ky"))
+      .agg(sum(term).as("dj_t"))
+      .select(
+        col("dj_n").as("n"),
+        col("dj_kx").cast("int").as("n_x_categories"),
+        col("dj_ky").cast("int").as("n_y_categories"),
+        (col("dj_t").cast("double") / col("dj_n").cast("double")).as("mi_nats"))
+  }
+
   /** Chi-square homogeneity statistic for a CATEGORICAL column across the
     * two snapshots: Σ over the 2×k contingency cells of (O − E)²/E with
     * E = rowTotal·colTotal/grand. Output one row:

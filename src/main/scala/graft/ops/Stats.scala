@@ -168,6 +168,82 @@ object Stats {
     }
   }
 
+  /** Shared kernel for the integral two-sample statistics (Cramér–von
+    * Mises here, Wasserstein-1 in [[Drift]]): both samples reduced to one
+    * distinct-value frame on the SCALED-INTEGER axis
+    * `dj_v = round(value·scale)` with per-sample counts and running counts
+    * — (dj_v, dj_cnt1, dj_cnt2, dj_run1, dj_run2) — plus both sample
+    * sizes. Same fused union-tag plan as [[crossCdfWithCounts]] (one
+    * shuffle, bucketed prefix sums, no unpartitioned window), but the
+    * running counts stay EXACT integers: the statistics built on top
+    * multiply them with integer sample sizes and sum as decimals, so the
+    * results are partitioning-independent and bit-reproducible
+    * cross-engine. NULL values are excluded (these are drift statistics
+    * over observed values, not the reference's cume_dist parity path —
+    * that one keeps NULLs and lives in [[crossCdfWithCounts]]).
+    */
+  private[graft] def crossRunningCounts(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      scale: Long): (DataFrame, Long, Long) = {
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    def side(df: DataFrame, first: Boolean) = df
+      .where(col(valueCol).isNotNull)
+      .select(
+        round(col(valueCol) * scale).cast("long").as("dj_v"),
+        lit(if (first) 1L else 0L).as("dj_w1"),
+        lit(if (first) 0L else 1L).as("dj_w2"))
+    val counts = side(a, first = true)
+      .unionAll(side(b, first = false))
+      .groupBy("dj_v")
+      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+    val (running, totals) = CumSum.withRunningSums(
+      counts, "dj_v", Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
+    (running, totals(0), totals(1))
+  }
+
+  /** Two-sample Cramér–von Mises statistic — the L² companion of the KS
+    * D (KS sees only the single worst CDF gap; CvM integrates every gap,
+    * so a distribution that drifts a little everywhere registers):
+    * T = nm/(n+m)² · Σ_z (F₁(z) − F₂(z))² over the pooled observations z
+    * (with multiplicity). Computed EXACTLY over the distinct-value frame:
+    * (F₁−F₂) at value v is (r₁·m − r₂·n)/(n·m) with integer running
+    * counts r, so
+    * T = Σ (cnt₁+cnt₂)·(r₁·m − r₂·n)² / ((n+m)²·n·m),
+    * an integer sum divided once in a fixed double shape. Decimal
+    * headroom: |r₁·m − r₂·n| ≤ n·m, so the summed term needs
+    * (n·m)²·(n+m) ≲ 10³⁸ — holds to ~10¹¹-row samples, far past any
+    * single statistic's useful range. One shuffle + bucketed prefix sums;
+    * out: one row (n_a, n_b, cvm_t), NULL statistic when either sample is
+    * empty.
+    */
+  def cvm2Sample(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      scale: Long = 1L): DataFrame = {
+    val (running, n, m) = crossRunningCounts(a, b, valueCol, scale)
+    val spark = a.sparkSession
+    if (n == 0L || m == 0L)
+      return spark.range(1).select(
+        lit(n).as("n_a"), lit(m).as("n_b"),
+        lit(null).cast("double").as("cvm_t"))
+    val d = col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -
+      col("dj_run2").cast("decimal(19,0)") * lit(n).cast("decimal(19,0)")
+    val term = (col("dj_cnt1") + col("dj_cnt2")).cast("decimal(19,0)") * (d * d)
+    // denominator in a FIXED left-associated double shape the oracle
+    // spells identically: ((n+m)·(n+m))·n·m
+    val denom =
+      (n + m).toDouble * (n + m).toDouble * n.toDouble * m.toDouble
+    running
+      .agg(sum(term).as("dj_u"))
+      .select(
+        lit(n).as("n_a"),
+        lit(m).as("n_b"),
+        (col("dj_u").cast("double") / lit(denom)).as("cvm_t"))
+  }
+
   /** Exact per-group discrete percentiles (the group-wise flavor of
     * `Ops.getPercentile`): for each `groupCol` value and each integer
     * percent p, the smallest value whose within-group cumulative count

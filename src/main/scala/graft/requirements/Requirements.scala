@@ -645,6 +645,23 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: mutual information (nats) between two categorical
+    * columns must stay ≤ `maxMi` — the feature-leakage alarm
+    * ([[graft.ops.Drift.mutualInformation]]), the soft sibling of the
+    * functional-dependency check.
+    */
+  def addMaxMutualInformationConstraint(
+      xColumn: String,
+      yColumn: String,
+      maxMi: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxMutualInformation(
+      ref(Some(Seq(xColumn, yColumn)), condition), xColumn, yColumn,
+      refValue = Some(maxMi), nameOverride = name)
+    this
+  }
+
   def addNumericNoGapConstraint(
       startColumn: String,
       endColumn: String,
@@ -1322,6 +1339,41 @@ final class BetweenRequirement private (
     constraintsBuffer += MaxPsiDrift(
       ref(Some(Seq(column)), condition1), ref2(Some(Seq(column)), condition2),
       column, lo, hi, nBuckets, refValue = Some(maxPsi), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: Wasserstein-1 (earth mover's) drift budget in the
+    * column's own units via `scale` fixed-point digits — the
+    * histogram-free companion of the PSI budget
+    * ([[graft.ops.Drift.wasserstein1]]).
+    */
+  def addMaxWassersteinDriftConstraint(
+      column: String,
+      maxW1: Double,
+      scale: Long = 1L,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxWassersteinDrift(
+      ref(Some(Seq(column)), condition1), ref2(Some(Seq(column)), condition2),
+      column, scale, refValue = Some(maxW1), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: Cramér–von Mises drift budget — the L² CDF-gap
+    * integral that registers broad small drifts the KS maximum misses
+    * ([[graft.ops.Stats.cvm2Sample]]).
+    */
+  def addMaxCvmDriftConstraint(
+      column: String,
+      maxCvm: Double,
+      scale: Long = 1L,
+      condition1: Option[Condition] = None,
+      condition2: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxCvmDrift(
+      ref(Some(Seq(column)), condition1), ref2(Some(Seq(column)), condition2),
+      column, scale, refValue = Some(maxCvm), nameOverride = name)
     this
   }
 

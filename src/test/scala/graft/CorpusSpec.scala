@@ -581,4 +581,36 @@ class CorpusSpec extends AnyFunSuite {
     // a trained token scores strictly better than the OOV floor
     assert(got(10L)._3 < got(12L)._3)
   }
+
+  test("epochShuffle: reproducible permutation, epoch-distinct, md5-derived order") {
+    import spark.implicits._
+    val ids = (1L to 40L).toDF("doc_id")
+    val r1 = Corpus.epochShuffle(ids, "doc_id", "run7", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation of 1..n
+    assert(r1.values.toSeq.sorted === (1L to 40L))
+    // identical across partitionings and reruns (the whole point)
+    val r2 = Corpus.epochShuffle(ids.repartition(7), "doc_id", "run7", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === r2)
+    // a different epoch is a different permutation
+    val r3 = Corpus.epochShuffle(ids, "doc_id", "run7", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3 !== r1)
+    assert(r3.values.toSeq.sorted === (1L to 40L))
+    // order matches the driver-side md5-lattice reference exactly
+    val expected = (1L to 40L)
+      .sortBy { id =>
+        val h = md5Hex(s"$id:run7:2").take(13)
+        (java.lang.Long.parseLong(h, 16), id)
+      }
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(r1 === expected)
+    // NULL ids are excluded
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L), Row(null), Row(2L)), 2),
+      StructType(Seq(StructField("doc_id", LongType))))
+    assert(Corpus.epochShuffle(withNull, "doc_id", "s", 1).count() === 2L)
+  }
 }

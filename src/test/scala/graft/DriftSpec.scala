@@ -112,4 +112,93 @@ class DriftSpec extends AnyFunSuite {
     // monotone in the statistic
     assert(Drift.chiSquarePValue(2.0, 3) > Drift.chiSquarePValue(3.0, 3))
   }
+
+  test("wasserstein1: hand-computed transport, shift equivariance, null on empty") {
+    val a = Seq(0.0, 0.0).toDF("v")
+    val b = Seq(1.0, 1.0).toDF("v")
+    val r = Drift.wasserstein1(a, b, "v").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 1.0)
+    // optimal transport of {0,1} → {0,3}: move 1→3, mean displacement 1
+    val mixed = Drift
+      .wasserstein1(Seq(0.0, 1.0).toDF("v"), Seq(0.0, 3.0).toDF("v"), "v")
+      .head().getDouble(2)
+    assert(mixed === 1.0)
+    // a constant shift of the whole sample IS the distance (PSI can't say
+    // this — its value depends on the bucket grid)
+    val base = (1 to 50).map(_.toDouble).toDF("v")
+    val shifted = (1 to 50).map(_ + 7.25).toDF("v")
+    val w = Drift.wasserstein1(base, shifted, "v", scale = 100L).head().getDouble(2)
+    assert(math.abs(w - 7.25) < 1e-9, s"shift distance $w")
+    assert(Drift.wasserstein1(base, base, "v").head().getDouble(2) === 0.0)
+    assert(Drift
+      .wasserstein1(base, Seq.empty[Double].toDF("v"), "v").head().isNullAt(2))
+  }
+
+  test("wasserstein1: partitioning-independent; unequal sizes") {
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 4.0, 4.0, 6.0, 8.0, 10.0).toDF("v")
+    val r1 = Drift.wasserstein1(a, b, "v").head().getDouble(2)
+    val r2 = Drift
+      .wasserstein1(a.repartition(5), b.repartition(4), "v").head().getDouble(2)
+    assert(r1 === r2)
+    // CDF areas: |F1−F2| piecewise over [1,10]
+    assert(r1 > 0.0)
+  }
+
+  test("mutualInformation: 0 for independence, ln 2 for determination, nulls as category") {
+    // 2×2 uniform independent
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val ri = Drift.mutualInformation(ind, "x", "y").head()
+    assert(ri.getLong(0) === 20L)
+    assert(ri.getInt(1) === 2 && ri.getInt(2) === 2)
+    assert(math.abs(ri.getDouble(3)) < 1e-12)
+    // y determined by x, uniform binary → MI = H = ln 2
+    val det = (1 to 40).map(i => (s"c${i % 2}", s"d${i % 2}")).toDF("x", "y")
+    val rd = Drift.mutualInformation(det, "x", "y").head()
+    assert(math.abs(rd.getDouble(3) - math.log(2.0)) < 1e-12)
+    // NULL is a category: x null for half the rows, y tracks nullness
+    val withNulls = (1 to 20)
+      .map(i => (if (i % 2 == 0) "v" else null, s"w${i % 2}"))
+      .toDF("x", "y")
+    val rn = Drift.mutualInformation(withNulls, "x", "y").head()
+    assert(rn.getInt(1) === 2)
+    assert(math.abs(rn.getDouble(3) - math.log(2.0)) < 1e-12)
+  }
+
+  test("drift constraints: W1 budget, CvM vacuous-on-empty, MI budget") {
+    import graft.core.{DataRef, FrameSource}
+    import graft.requirements.{BetweenRequirement, WithinRequirement}
+    val base = (1 to 50).map(_.toDouble).toDF("v")
+    val shifted = (1 to 50).map(_ + 3.0).toDF("v")
+    val okW = BetweenRequirement.fromDataFrames(base, shifted, "old", "new")
+    okW.addMaxWassersteinDriftConstraint("v", maxW1 = 3.5)
+    assert(okW.test(spark).head.outcome)
+    val badW = BetweenRequirement.fromDataFrames(base, shifted, "old", "new")
+    badW.addMaxWassersteinDriftConstraint("v", maxW1 = 2.9)
+    val res = badW.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("Wasserstein")))
+    // CvM: small-drift pass, and an empty side is vacuous
+    val okC = BetweenRequirement.fromDataFrames(base, shifted, "old", "new")
+    okC.addMaxCvmDriftConstraint("v", maxCvm = 1.0)
+    assert(okC.test(spark).head.outcome)
+    val empty = Seq.empty[Double].toDF("v")
+    val vac = BetweenRequirement.fromDataFrames(base, empty, "old", "new")
+    vac.addMaxCvmDriftConstraint("v", maxCvm = 0.0)
+    assert(vac.test(spark).head.outcome)
+    // MI: the determined pair fails a tight budget, independence passes
+    val det = (1 to 40).map(i => (s"c${i % 2}", s"d${i % 2}")).toDF("x", "y")
+    val badM = WithinRequirement.fromDataFrame(det, "t")
+    badM.addMaxMutualInformationConstraint("x", "y", maxMi = 0.1)
+    val mres = badM.test(spark).head
+    assert(!mres.outcome)
+    assert(mres.failureMessage.exists(_.contains("mutual information")))
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val okM = WithinRequirement.fromDataFrame(ind, "t")
+    okM.addMaxMutualInformationConstraint("x", "y", maxMi = 1e-9)
+    assert(okM.test(spark).head.outcome)
+  }
 }

@@ -296,4 +296,56 @@ class StatsSpec extends AnyFunSuite {
     val r2 = Stats.momentsExact(df.repartition(7), "v", scale = 100L).head()
     assert(r2 == r)
   }
+
+  test("CumSum.withNextValue: sorted successor across bucket boundaries") {
+    import spark.implicits._
+    // few buckets force cross-bucket carries; values deliberately unsorted
+    val vals = Seq(50L, 10L, 90L, 30L, 70L, 20L, 80L, 40L, 60L, 100L)
+    val out = graft.ops.CumSum
+      .withNextValue(vals.toDF("v").repartition(5), "v", "nxt", numBuckets = 3)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    val sorted = vals.sorted
+    sorted.zip(sorted.tail).foreach { case (v, n) =>
+      assert(out(v).contains(n), s"next($v) = ${out(v)}, want $n")
+    }
+    assert(out(sorted.last).isEmpty, "global max has no successor")
+  }
+
+  test("CumSum.withNextValue: empty input yields empty output with the column") {
+    import spark.implicits._
+    val out = graft.ops.CumSum
+      .withNextValue(Seq.empty[Long].toDF("v"), "v", "nxt")
+    assert(out.columns.contains("nxt") && out.count() === 0L)
+  }
+
+  test("cvm2Sample: hand-computed value, zero on identical, null on empty") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(3.0, 4.0).toDF("v")
+    // pooled values 1..4; F1 = .5,1,1,1; F2 = 0,0,.5,1
+    // T = nm/(n+m)² · Σ cnt·(F1−F2)² = (4/16)·(.25 + 1 + .25 + 0) = 0.375
+    val r = Stats.cvm2Sample(a, b, "v").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(math.abs(r.getDouble(2) - 0.375) < 1e-12)
+    // symmetric in the samples
+    val rSwap = Stats.cvm2Sample(b, a, "v").head()
+    assert(math.abs(rSwap.getDouble(2) - 0.375) < 1e-12)
+    assert(Stats.cvm2Sample(a, a, "v").head().getDouble(2) === 0.0)
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Stats.cvm2Sample(a, empty, "v").head().isNullAt(2))
+  }
+
+  test("cvm2Sample: scale lifts fractional values; partitioning-independent") {
+    import spark.implicits._
+    val a = Seq(0.25, 0.50, 0.75, 1.25).toDF("v")
+    val b = Seq(0.50, 1.00, 1.50, 1.75).toDF("v")
+    val r1 = Stats.cvm2Sample(a, b, "v", scale = 100L).head().getDouble(2)
+    val r2 = Stats
+      .cvm2Sample(a.repartition(7), b.repartition(3), "v", scale = 100L)
+      .head().getDouble(2)
+    assert(r1 === r2)
+    assert(r1 > 0.0 && r1 < 1.0)
+  }
 }
