@@ -2390,6 +2390,29 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_rank"))
     },
 
+    // exact ROC AUC (ops.Stats.aucExact): does document length rank
+    // English-ness — Mann–Whitney 2U as an exact integer sum
+    // (c⁺·(2r⁻ − c⁻) vs the oracle's HUGEINTs), midrank ties, one
+    // fixed-shape double division
+    "q_auc" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Stats
+        .aucExact(docs, "n_chars", col("lang") === "en")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))
+    },
+
+    // per-group top-k frequent values (ops.Profile.groupTopK): each order
+    // status's top-3 priorities — salted two-phase exact top-k, fully
+    // tie-broken (count desc, value asc), "<null>" as a real category
+    "q_group_topk" -> { (s, dir) =>
+      val o = s.read.parquet(pq(dir, "orders"))
+      graft.ops.Profile
+        .groupTopK(o, "o_orderstatus", "o_orderpriority", k = 3)
+        .select(
+          col("o_orderstatus"), col("value"), col("cnt"),
+          col("rank").cast("int").as("rank"))
+    },
+
     // BPE vocabulary induction, round-1 statistics (ops.Bpe): weighted
     // adjacent character-pair counts over the distinct-word table — the
     // aggregate every merge round re-runs; top-20 fully tie-broken. (The
@@ -4414,6 +4437,43 @@ object SparkEntry {
                             + 0.5) / 4503599627370496.0, doc_id) AS BIGINT)
                   AS shuffle_rank
          FROM documents WHERE doc_id IS NOT NULL""",
+    // exact AUC: identical class counts per distinct score, HUGEINT
+    // 2U sum, identical (2·n⁺)·n⁻ double division shape
+    "q_auc" ->
+      """WITH d AS (SELECT CAST(round(n_chars * 1) AS BIGINT) AS v,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS w1,
+                      CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS w2
+                    FROM documents WHERE n_chars IS NOT NULL),
+              c AS (SELECT v, sum(w1) AS c1, sum(w2) AS c2 FROM d GROUP BY v),
+              r AS (SELECT c1, c2,
+                      sum(c2) OVER (ORDER BY v) AS r2
+                    FROM c),
+              n AS (SELECT sum(c1) AS np, sum(c2) AS nn FROM c),
+              t AS (SELECT CAST(c1 AS HUGEINT)
+                            * CAST(2 * r2 - c2 AS HUGEINT) AS term, np, nn
+                    FROM r, n)
+         SELECT CAST(max(np) AS BIGINT) AS n_pos,
+                CAST(max(nn) AS BIGINT) AS n_neg,
+                round(CAST(sum(term) AS DOUBLE)
+                      / (2.0 * CAST(max(np) AS DOUBLE)
+                         * CAST(max(nn) AS DOUBLE)), 6) AS auc
+         FROM t""",
+    // per-group top-k: identical counts, identical (cnt desc, value asc)
+    // total order
+    "q_group_topk" ->
+      """WITH c AS (SELECT o_orderstatus,
+                      coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+                        AS value,
+                      count(*) AS cnt
+                    FROM orders GROUP BY 1, 2),
+              r AS (SELECT o_orderstatus, value, cnt,
+                      row_number() OVER (PARTITION BY o_orderstatus
+                                         ORDER BY cnt DESC, value ASC)
+                        AS rank
+                    FROM c)
+         SELECT o_orderstatus, value, CAST(cnt AS BIGINT) AS cnt,
+                CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3""",
     // BPE round-1 pairs: per-char split + zipped-index pair explode,
     // weighted by distinct-word counts, same total order
     "q_bpe_pairs" ->

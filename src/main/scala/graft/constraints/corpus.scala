@@ -570,6 +570,48 @@ final case class MinClassifierScoreFraction(
         s"$targetPrefix$target must."))
 }
 
+/** Ranking-quality gate: the exact ROC AUC of `scoreColumn` against the
+  * binary outcome "`labelColumn` equals `positiveValue`" must be ≥ the
+  * target — "the quality score must actually separate good documents
+  * from bad ones before anyone filters on it"
+  * ([[graft.ops.Stats.aucExact]], Mann–Whitney with midrank ties).
+  * Vacuous when either class is empty (no ranking to measure).
+  */
+final case class MinAuc(
+    ref: DataRef,
+    scoreColumn: String,
+    labelColumn: String,
+    positiveValue: String,
+    scale: Long,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"min_auc must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val r = graft.ops.Stats
+      .aucExact(
+        ref.selection(spark), scoreColumn,
+        col(labelColumn).cast("string") === positiveValue, scale)
+      .head()
+    if (r.isNullAt(2)) graft.core.TestResult.success(description)
+    else {
+      val factual = r.getDouble(2)
+      val target = refValue.get
+      if (factual >= target) graft.core.TestResult.success(description)
+      else
+        graft.core.TestResult.failure(
+          description,
+          s"AUC of $scoreColumn against $labelColumn == '$positiveValue' " +
+            s"on ${ref.describe} is $factual while at least $target was " +
+            "required (the score does not rank the outcome).")
+    }
+  }
+}
+
 /** Script-purity budget: the fraction of profiled-script characters
   * belonging to scripts OUTSIDE `allowedScripts` must stay ≤ the target —
   * the wrong-language-contamination alarm for a corpus that is supposed to

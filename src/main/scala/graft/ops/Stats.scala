@@ -244,6 +244,60 @@ object Stats {
         (col("dj_u").cast("double") / lit(denom)).as("cvm_t"))
   }
 
+  /** Exact ROC AUC of a score column against a binary outcome — the
+    * Mann–Whitney U form with midrank tie handling:
+    * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻). The number a model-based curation
+    * pipeline must report next to its classifier ([[Classifier]]) scores:
+    * "the quality score separates good from bad documents with AUC x".
+    *
+    * Computed EXACTLY on the scaled-integer score axis: per distinct
+    * value v with c⁺/c⁻ class counts and running negative count r⁻,
+    * 2U = Σ c⁺·(2·r⁻ − c⁻) (each positive at v beats the r⁻ − c⁻
+    * negatives strictly below and half-ties the c⁻ at v), an integer sum
+    * divided once as 2U / (2·n⁺·n⁻) in a fixed double shape. Same
+    * union-free one-shuffle plan as [[crossRunningCounts]]: distinct-
+    * value class counts, bucketed prefix sums, no unpartitioned window.
+    *
+    * `positive` must evaluate non-NULL true/false; NULL evaluates to the
+    * negative class (when/otherwise semantics). NULL scores are excluded.
+    * Out: one row (n_pos, n_neg, auc); auc NULL when either class is
+    * empty (no ranking to measure).
+    */
+  def aucExact(
+      df: DataFrame,
+      scoreCol: String,
+      positive: org.apache.spark.sql.Column,
+      scale: Long = 1L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    val counts = df
+      .where(col(scoreCol).isNotNull)
+      .select(
+        round(col(scoreCol) * scale).cast("long").as("dj_v"),
+        when(positive, 1L).otherwise(0L).as("dj_w1"),
+        when(positive, 0L).otherwise(1L).as("dj_w2"))
+      .groupBy("dj_v")
+      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+    val (running, totals) = CumSum.withRunningSums(
+      counts, "dj_v", Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
+    val (nPos, nNeg) = (totals(0), totals(1))
+    val spark = df.sparkSession
+    if (nPos == 0L || nNeg == 0L)
+      return spark.range(1).select(
+        lit(nPos).as("n_pos"), lit(nNeg).as("n_neg"),
+        lit(null).cast("double").as("auc"))
+    val term = col("dj_cnt1").cast("decimal(19,0)") *
+      (col("dj_run2") * 2 - col("dj_cnt2")).cast("decimal(19,0)")
+    // fixed left-associated double denominator the oracle spells
+    // identically: (2·n⁺)·n⁻
+    val denom = 2.0 * nPos.toDouble * nNeg.toDouble
+    running
+      .agg(sum(term).as("dj_u2"))
+      .select(
+        lit(nPos).as("n_pos"),
+        lit(nNeg).as("n_neg"),
+        (col("dj_u2").cast("double") / lit(denom)).as("auc"))
+  }
+
   /** Exact per-group discrete percentiles (the group-wise flavor of
     * `Ops.getPercentile`): for each `groupCol` value and each integer
     * percent p, the smallest value whose within-group cumulative count

@@ -172,6 +172,26 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the exact ROC AUC of `scoreColumn` against the
+    * binary outcome "`labelColumn` = `positiveValue`" must be ≥ `minAuc`
+    * ([[graft.ops.Stats.aucExact]]) — the score must actually rank the
+    * outcome before anyone filters on it.
+    */
+  def addMinAucConstraint(
+      scoreColumn: String,
+      labelColumn: String,
+      positiveValue: String,
+      minAuc: Double,
+      scale: Long = 1L,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinAuc(
+      ref(Some(Seq(scoreColumn, labelColumn)), condition), scoreColumn,
+      labelColumn, positiveValue, scale, refValue = Some(minAuc),
+      nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).

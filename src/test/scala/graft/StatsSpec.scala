@@ -337,6 +337,94 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.cvm2Sample(a, empty, "v").head().isNullAt(2))
   }
 
+  test("aucExact: hand-computed separations, midrank ties, null on one-class") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfect separation
+    val perfect = Seq((3.0, true), (4.0, true), (1.0, false), (2.0, false))
+      .toDF("s", "y")
+    val rp = Stats.aucExact(perfect, "s", col("y")).head()
+    assert(rp.getLong(0) === 2L && rp.getLong(1) === 2L)
+    assert(rp.getDouble(2) === 1.0)
+    // identical distributions → exactly 0.5 (midranks make this exact)
+    val coin = Seq((1.0, true), (2.0, true), (3.0, true),
+      (1.0, false), (2.0, false), (3.0, false)).toDF("s", "y")
+    assert(Stats.aucExact(coin, "s", col("y")).head().getDouble(2) === 0.5)
+    // mixed: pos {2,3} vs neg {1,3} → (1 + 0 + 1 + ½)/4 = 0.625
+    val mixed = Seq((2.0, true), (3.0, true), (1.0, false), (3.0, false))
+      .toDF("s", "y")
+    assert(Stats.aucExact(mixed, "s", col("y")).head().getDouble(2) === 0.625)
+    // reversed labels complement: AUC' = 1 − AUC
+    assert(Stats.aucExact(mixed, "s", !col("y")).head().getDouble(2) === 0.375)
+    // one-class input → NULL statistic
+    val onecls = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Stats.aucExact(onecls, "s", col("y")).head().isNullAt(2))
+    // partitioning independence
+    val big = (1 to 200)
+      .map(i => (i % 17 / 2.0, i % 3 == 0)).toDF("s", "y")
+    val a1 = Stats.aucExact(big, "s", col("y"), scale = 10L).head().getDouble(2)
+    val a2 = Stats.aucExact(big.repartition(7), "s", col("y"), scale = 10L)
+      .head().getDouble(2)
+    assert(a1 === a2)
+  }
+
+  test("MinAuc constraint: ranking gate passes/fails; one-class vacuous") {
+    import spark.implicits._
+    import graft.core.{DataRef, FrameSource}
+    val df = Seq((10.0, "en"), (9.0, "en"), (2.0, "de"), (1.0, "fr"))
+      .toDF("score", "lang")
+    def req(frame: org.apache.spark.sql.DataFrame) =
+      graft.requirements.WithinRequirement.fromDataFrame(frame, "t")
+    val ok = req(df)
+    ok.addMinAucConstraint("score", "lang", "en", minAuc = 0.99)
+    assert(ok.test(spark).head.outcome)
+    val shuffled = Seq((1.0, "en"), (9.0, "en"), (2.0, "de"), (10.0, "fr"))
+      .toDF("score", "lang")
+    val bad = req(shuffled)
+    bad.addMinAucConstraint("score", "lang", "en", minAuc = 0.9)
+    val res = bad.test(spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("AUC")))
+    val onecls = Seq((1.0, "en"), (2.0, "en")).toDF("score", "lang")
+    val vac = req(onecls)
+    vac.addMinAucConstraint("score", "lang", "en", minAuc = 1.0)
+    assert(vac.test(spark).head.outcome)
+  }
+
+  test("groupTopK: deterministic ranks, null category, salted == naive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq.fill(3)(("a", "x")) ++ Seq.fill(2)(("a", "y")) ++
+      Seq.fill(2)(("a", "z")) ++ Seq(("a", "w")) ++
+      Seq.fill(2)(("b", null: String)) ++ Seq(("b", "p"))
+    val df = rows.toDF("g", "v").repartition(5)
+    val got = graft.ops.Profile.groupTopK(df, "g", "v", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // group a: x(3) then the y/z tie breaks value-ascending → y
+    // group b: "<null>"(2) then p(1)
+    assert(got === Set(
+      ("a", "x", 3L, 1), ("a", "y", 2L, 2),
+      ("b", "<null>", 2L, 1), ("b", "p", 1L, 2)))
+    // salted two-phase is exact: equal to the naive single-window top-k
+    // on a wider value domain, at a salt count that forces real pruning
+    val wide = (1 to 500).map(i => ("g", s"v${i % 97}")).toDF("g", "v")
+    val salted = graft.ops.Profile.groupTopK(wide, "g", "v", k = 5, nSalts = 8)
+      .select("value", "cnt", "rank").collect().toSet
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      wide.groupBy(col("g"), col("v").as("value"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("g").orderBy(col("cnt").desc, col("value").asc)))
+        .where(col("rank") <= 5)
+        .select("value", "cnt", "rank").collect().toSet
+    }
+    assert(salted === naive)
+  }
+
   test("cvm2Sample: scale lifts fractional values; partitioning-independent") {
     import spark.implicits._
     val a = Seq(0.25, 0.50, 0.75, 1.25).toDF("v")
