@@ -142,6 +142,13 @@ object Bench {
     "q_shard_assign",
     // dim-1 sweep + flag-early linear scan (N>=3-D overlap)
     "q_interval_overlap_3d",
+    // bucketed global rank over the md5-lattice key — the full-corpus
+    // permutation whose sort must stay per-bucket at 10×
+    "q_epoch_shuffle",
+    // per-key running-count windows (one Exchange+Sort) + exact D max
+    "q_ks_by_group",
+    // union-tag shuffle + bucketed prefix sums + cross-bucket lead
+    "q_wasserstein",
     // 2 GD rounds: per-doc margin joins + per-bucket gradient aggregates
     // over the checkpointed feature frame
     "q_classifier_score",

@@ -2390,6 +2390,38 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_rank"))
     },
 
+    // per-group KS drift (ops.Stats.ksByGroup): which return-flag
+    // segments' price distributions drifted across the parity split —
+    // per-key exact integer D numerators, one per-key sort carrying both
+    // windows
+    "q_ks_by_group" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Stats
+        .ksByGroup(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", "l_returnflag", scale = 100L)
+        .select(
+          col("l_returnflag"), col("n_a"), col("n_b"),
+          round(col("ks_d"), 6).as("ks_d"))
+    },
+
+    // pairwise correlation matrix (ops.Stats.correlationMatrix): all six
+    // lineitem numeric pairs from ONE aggregate pass — exact pairwise-
+    // complete power sums, the q_correlation double shape per pair
+    "q_corr_matrix" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Stats
+        .correlationMatrix(
+          li,
+          Seq(
+            ("l_quantity", 1L), ("l_extendedprice", 100L),
+            ("l_discount", 100L), ("l_tax", 100L)))
+        .select(
+          col("col_x"), col("col_y"), col("n"),
+          round(col("pearson_r"), 6).as("pearson_r"))
+    },
+
     // exact ROC AUC (ops.Stats.aucExact): does document length rank
     // English-ness — Mann–Whitney 2U as an exact integer sum
     // (c⁺·(2r⁻ − c⁻) vs the oracle's HUGEINTs), midrank ties, one
@@ -4437,6 +4469,69 @@ object SparkEntry {
                             + 0.5) / 4503599627370496.0, doc_id) AS BIGINT)
                   AS shuffle_rank
          FROM documents WHERE doc_id IS NOT NULL""",
+    // per-group KS: identical per-key running counts, HUGEINT D
+    // numerators, identical per-key double division
+    "q_ks_by_group" ->
+      """WITH a AS (SELECT l_returnflag AS k,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 0
+                      AND l_extendedprice IS NOT NULL
+                      AND l_returnflag IS NOT NULL),
+              b AS (SELECT l_returnflag AS k,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 1
+                      AND l_extendedprice IS NOT NULL
+                      AND l_returnflag IS NOT NULL),
+              u AS (SELECT k, v, 1 AS w1, 0 AS w2 FROM a
+                    UNION ALL SELECT k, v, 0 AS w1, 1 AS w2 FROM b),
+              c AS (SELECT k, v, sum(w1) AS c1, sum(w2) AS c2
+                    FROM u GROUP BY k, v),
+              r AS (SELECT k,
+                      sum(c1) OVER (PARTITION BY k ORDER BY v) AS r1,
+                      sum(c2) OVER (PARTITION BY k ORDER BY v) AS r2,
+                      sum(c1) OVER (PARTITION BY k) AS n,
+                      sum(c2) OVER (PARTITION BY k) AS m
+                    FROM c),
+              g AS (SELECT k, max(n) AS na, max(m) AS nb,
+                      max(abs(CAST(r1 AS HUGEINT) * CAST(m AS HUGEINT)
+                              - CAST(r2 AS HUGEINT) * CAST(n AS HUGEINT)))
+                        AS num
+                    FROM r GROUP BY k)
+         SELECT k AS l_returnflag, CAST(na AS BIGINT) AS n_a,
+                CAST(nb AS BIGINT) AS n_b,
+                round(CASE WHEN na > 0 AND nb > 0
+                           THEN CAST(num AS DOUBLE)
+                                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                      END, 6) AS ks_d
+         FROM g""",
+    // correlation matrix: the q_correlation per-pair recipe unioned over
+    // all six pairs, pairwise-complete filters
+    "q_corr_matrix" -> {
+      val cols = Seq(
+        ("l_quantity", 1L), ("l_extendedprice", 100L),
+        ("l_discount", 100L), ("l_tax", 100L))
+      val pairSql = for {
+        i <- cols.indices
+        j <- cols.indices if j > i
+      } yield {
+        val (cx, sx) = cols(i); val (cy, sy) = cols(j)
+        s"""SELECT '$cx' AS col_x, '$cy' AS col_y, CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 AS pearson_r
+             FROM (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+                   FROM (SELECT CAST(round($cx * $sx) AS HUGEINT) AS x,
+                           CAST(round($cy * $sy) AS HUGEINT) AS y
+                         FROM lineitem
+                         WHERE $cx IS NOT NULL AND $cy IS NOT NULL) b) s"""
+      }
+      pairSql.mkString("", "\n         UNION ALL\n         ", "")
+    },
     // exact AUC: identical class counts per distinct score, HUGEINT
     // 2U sum, identical (2·n⁺)·n⁻ double division shape
     "q_auc" ->

@@ -244,6 +244,140 @@ object Stats {
         (col("dj_u").cast("double") / lit(denom)).as("cvm_t"))
   }
 
+  /** Per-group two-sample KS drift — "which sources/segments drifted":
+    * the D statistic of `valueCol` between the two snapshots computed
+    * independently WITHIN each `keyCol` group, in one pass. The
+    * production shape of drift monitoring (a whole-table KS averages a
+    * localized drift away; per-domain/per-day keys surface it).
+    *
+    * Exact arithmetic: per key with sample sizes n, m and integer
+    * running counts r₁/r₂ over the scaled value axis,
+    * D = max|r₁·m − r₂·n| / (n·m) — the max over exact integers, one
+    * double division per key. Plan: one union-tag shuffle to
+    * (key, value) class counts, then ONE per-key sort carrying the
+    * running-sum and group-total windows (same partitioning → one
+    * Exchange+Sort, the [[groupPercentiles]] posture; keys distribute
+    * across the cluster, a hot key costs its own d log d sort). NULL
+    * values and NULL keys are excluded. Out: one row per key
+    * (keyCol, n_a, n_b, ks_d); ks_d NULL when the key is absent from
+    * either snapshot.
+    */
+  def ksByGroup(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      keyCol: String,
+      scale: Long = 1L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    def side(df: DataFrame, first: Boolean) = df
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(
+        col(keyCol).as("dj_k"),
+        round(col(valueCol) * scale).cast("long").as("dj_v"),
+        lit(if (first) 1L else 0L).as("dj_w1"),
+        lit(if (first) 0L else 1L).as("dj_w2"))
+    val counts = side(a, first = true)
+      .unionAll(side(b, first = false))
+      .groupBy("dj_k", "dj_v")
+      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+    val wRun = Window.partitionBy(col("dj_k")).orderBy(col("dj_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("dj_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = counts
+      .withColumn("dj_r1", sum(col("dj_cnt1")).over(wRun))
+      .withColumn("dj_r2", sum(col("dj_cnt2")).over(wRun))
+      .withColumn("dj_n", sum(col("dj_cnt1")).over(wAll))
+      .withColumn("dj_m", sum(col("dj_cnt2")).over(wAll))
+    val num = abs(
+      col("dj_r1").cast("decimal(19,0)") * col("dj_m").cast("decimal(19,0)") -
+        col("dj_r2").cast("decimal(19,0)") * col("dj_n").cast("decimal(19,0)"))
+    ranked
+      .groupBy(col("dj_k"))
+      .agg(
+        max(col("dj_n")).as("dj_na"),
+        max(col("dj_m")).as("dj_nb"),
+        max(num).as("dj_num"))
+      .select(
+        col("dj_k").as(keyCol),
+        col("dj_na").as("n_a"),
+        col("dj_nb").as("n_b"),
+        when(col("dj_na") > 0 && col("dj_nb") > 0,
+          col("dj_num").cast("double") /
+            (col("dj_na").cast("double") * col("dj_nb").cast("double")))
+          .as("ks_d"))
+  }
+
+  /** Pairwise Pearson correlation matrix over several numeric columns in
+    * ONE aggregate pass — the profiling step before anyone trusts a
+    * score: per pair, pairwise-complete (rows where BOTH are non-NULL)
+    * exact integer power sums ([[pearsonExact]] arithmetic, each column
+    * lifted by its own fixed-point `scale`), with the final closed form
+    * evaluated in the identical double shape. k columns cost one scan
+    * with 6·k(k−1)/2 partial-aggregated expressions; the result pivot is
+    * driver-side over a single row. Out: one row per unordered pair
+    * (col_x, col_y, n, pearson_r), NULL r when a pair has < 2 complete
+    * rows or a degenerate variance.
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      columns: Seq[(String, Long)]): DataFrame = {
+    require(columns.size >= 2, "need at least two columns")
+    require(columns.map(_._1).distinct.size == columns.size,
+      s"duplicate columns: ${columns.map(_._1)}")
+    val scaled = columns.map { case (c, sc) =>
+      round(col(c) * sc).cast("decimal(38,0)").as(s"dj_$c")
+    }
+    val base = df.select(scaled: _*)
+    val pairs = for {
+      i <- columns.indices
+      j <- columns.indices if j > i
+    } yield (columns(i)._1, columns(j)._1)
+    val aggs = pairs.zipWithIndex.flatMap { case ((cx, cy), p) =>
+      val x = col(s"dj_$cx"); val y = col(s"dj_$cy")
+      val both = x.isNotNull && y.isNotNull
+      Seq(
+        count(when(both, 1)).as(s"dj_n_$p"),
+        sum(when(both, x)).as(s"dj_sx_$p"),
+        sum(when(both, y)).as(s"dj_sy_$p"),
+        sum(when(both, x * x)).as(s"dj_sxx_$p"),
+        sum(when(both, y * y)).as(s"dj_syy_$p"),
+        sum(when(both, x * y)).as(s"dj_sxy_$p"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    val out = pairs.zipWithIndex.map { case ((cx, cy), p) =>
+      val n = row.getAs[Long](s"dj_n_$p")
+      val r: java.lang.Double =
+        if (n < 2) null
+        else {
+          def dec(name: String) =
+            BigDecimal(row.getAs[java.math.BigDecimal](name))
+          val nd = BigDecimal(n)
+          val (sx, sy) = (dec(s"dj_sx_$p"), dec(s"dj_sy_$p"))
+          // exact decimal products cast to double LAST — the same shape
+          // as pearsonExact's in-plan expression and the SQL oracle
+          val num = (nd * dec(s"dj_sxy_$p") - sx * sy).toDouble
+          val dx = (nd * dec(s"dj_sxx_$p") - sx * sx).toDouble
+          val dy = (nd * dec(s"dj_syy_$p") - sy * sy).toDouble
+          if (dx <= 0.0 || dy <= 0.0) null
+          else java.lang.Double.valueOf(num / (math.sqrt(dx) * math.sqrt(dy)))
+        }
+      org.apache.spark.sql.Row(cx, cy, n, r)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "col_x", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "col_y", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "pearson_r", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Exact ROC AUC of a score column against a binary outcome — the
     * Mann–Whitney U form with midrank tie handling:
     * AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻). The number a model-based curation

@@ -337,6 +337,59 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.cvm2Sample(a, empty, "v").head().isNullAt(2))
   }
 
+  test("ksByGroup: per-key D matches the global KS on single-key slices") {
+    import spark.implicits._
+    // key g1: disjoint supports → D = 1; key g2: identical → D = 0;
+    // key g3: present only on side a → NULL statistic
+    val a = (Seq(("g1", 1.0), ("g1", 2.0)) ++
+      Seq(("g2", 5.0), ("g2", 6.0)) ++ Seq(("g3", 9.0))).toDF("k", "v")
+    val b = (Seq(("g1", 3.0), ("g1", 4.0)) ++
+      Seq(("g2", 5.0), ("g2", 6.0))).toDF("k", "v")
+    val got = Stats.ksByGroup(a, b, "v", "k")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got("g1") === ((2L, 2L, Some(1.0))))
+    assert(got("g2") === ((2L, 2L, Some(0.0))))
+    assert(got("g3") === ((1L, 0L, None)))
+    // a shifted key agrees with the whole-table two-sample D on its slice
+    val a2 = (1 to 40).map(i => ("s", i.toDouble)).toDF("k", "v")
+    val b2 = (1 to 40).map(i => ("s", i + 10.0)).toDF("k", "v")
+    val dGrouped = Stats.ksByGroup(a2, b2, "v", "k").head().getDouble(3)
+    // D of uniform[1,40] vs uniform[11,50] = 10/40
+    assert(math.abs(dGrouped - 0.25) < 1e-12)
+  }
+
+  test("correlationMatrix: matches pearsonExact per pair; degenerate pairs NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, 6.0, 5.0), (4.0, 7.0, 5.0))
+      .toDF("x", "y", "z")
+    val got = Stats
+      .correlationMatrix(df, Seq(("x", 10L), ("y", 10L), ("z", 10L)))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got.size === 3)
+    val single = Stats.pearsonExact(df, "x", "y", 10L, 10L).head().getDouble(1)
+    assert(got(("x", "y"))._2.contains(single))
+    // constant column → zero variance → NULL r, n still reported
+    assert(got(("x", "z")) === ((4L, None)))
+    // pairwise-complete: nulls in one column shrink only its pairs
+    val withNull = Seq(
+      (Some(1.0), Some(2.0), Some(1.0)), (Some(2.0), None, Some(2.0)),
+      (Some(3.0), Some(5.0), Some(2.0)), (Some(4.0), Some(9.0), Some(5.0)))
+      .toDF("x", "y", "z")
+    val g2 = Stats
+      .correlationMatrix(withNull, Seq(("x", 1L), ("y", 1L), ("z", 1L)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(g2(("x", "y")) === 3L && g2(("x", "z")) === 4L && g2(("y", "z")) === 3L)
+  }
+
   test("aucExact: hand-computed separations, midrank ties, null on one-class") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
