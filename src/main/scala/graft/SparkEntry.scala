@@ -2390,6 +2390,31 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_rank"))
     },
 
+    // corpus diversity (ops.Corpus.corpusDiversity): token entropy +
+    // distinct-trigram ratio — the mode-collapse profile; decimal-cast
+    // entropy terms, exact distinct counts
+    "q_diversity" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Corpus
+        .corpusDiversity(docs, "text", n = 3)
+        .select(
+          col("n_tokens"), col("vocab_size"),
+          round(col("token_entropy"), 6).as("token_entropy"),
+          col("n_ngrams"), col("n_distinct_ngrams"),
+          round(col("distinct_ngram_ratio"), 6).as("distinct_ngram_ratio"))
+    },
+
+    // Zipf slope (ops.Corpus.zipfSlope): OLS of ln(freq) on ln(rank)
+    // over the top vocabulary — decimal-cast regression terms, one
+    // fixed-shape double division
+    "q_zipf" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Corpus
+        .zipfSlope(docs, "text", topK = 10000)
+        .select(
+          col("n_terms"), round(col("zipf_slope"), 6).as("zipf_slope"))
+    },
+
     // per-group KS drift (ops.Stats.ksByGroup): which return-flag
     // segments' price distributions drifted across the parity split —
     // per-key exact integer D numerators, one per-key sort carrying both
@@ -4469,6 +4494,68 @@ object SparkEntry {
                             + 0.5) / 4503599627370496.0, doc_id) AS BIGINT)
                   AS shuffle_rank
          FROM documents WHERE doc_id IS NOT NULL""",
+    // diversity: identical token stream, decimal-cast entropy terms,
+    // exact distinct-trigram counts
+    "q_diversity" ->
+      s"""WITH toks AS (SELECT string_split($normSql, ' ') AS t
+                        FROM documents WHERE text IS NOT NULL),
+              uni AS (SELECT unnest(t) AS w FROM toks),
+              uc AS (SELECT w, count(*) AS c FROM uni
+                     WHERE w <> '' GROUP BY w),
+              tot AS (SELECT sum(c) AS nt, count(*) AS vs FROM uc),
+              ent AS (SELECT max(nt) AS nt, max(vs) AS vs,
+                        sum(CAST(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                                 * ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                                 AS DECIMAL(28, 18))) AS e
+                      FROM uc, tot),
+              gr AS (SELECT unnest(list_filter(
+                       list_transform(range(0, greatest(len(t)-3, 0)+1),
+                                      i -> array_to_string(t[i+1:i+3], ' ')),
+                       g -> len(string_split(g, ' ')) = 3)) AS gram
+                     FROM toks),
+              gc AS (SELECT count(*) AS ng, count(DISTINCT gram) AS nd FROM gr)
+         SELECT CAST(nt AS BIGINT) AS n_tokens, CAST(vs AS BIGINT)
+                  AS vocab_size,
+                round(CAST(e AS DOUBLE), 6) AS token_entropy,
+                CAST(ng AS BIGINT) AS n_ngrams,
+                CAST(nd AS BIGINT) AS n_distinct_ngrams,
+                round(CASE WHEN ng > 0
+                           THEN CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE)
+                      END, 6) AS distinct_ngram_ratio
+         FROM ent, gc""",
+    // Zipf slope: identical top-K vocabulary ranks, decimal-cast ln
+    // terms, identical OLS double shape
+    "q_zipf" ->
+      s"""WITH toks AS (SELECT string_split($normSql, ' ') AS t
+                        FROM documents WHERE text IS NOT NULL),
+              uni AS (SELECT unnest(t) AS w FROM toks),
+              uc AS (SELECT w, count(*) AS c FROM uni
+                     WHERE w <> '' GROUP BY w),
+              top AS (SELECT w, c FROM uc
+                      ORDER BY c DESC, w ASC LIMIT 10000),
+              rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC)
+                       AS rank
+                     FROM top),
+              s AS (SELECT count(*) AS n,
+                      sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,18)))
+                        AS sx,
+                      sum(CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(28,18)))
+                        AS sy,
+                      sum(CAST(ln(CAST(rank AS DOUBLE))
+                               * ln(CAST(c AS DOUBLE)) AS DECIMAL(28,18)))
+                        AS sxy,
+                      sum(CAST(ln(CAST(rank AS DOUBLE))
+                               * ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,18)))
+                        AS sxx
+                    FROM rk)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+                round(CASE WHEN n >= 2 THEN
+                        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      END, 6) AS zipf_slope
+         FROM s""",
     // per-group KS: identical per-key running counts, HUGEINT D
     // numerators, identical per-key double division
     "q_ks_by_group" ->

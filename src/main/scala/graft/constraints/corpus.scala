@@ -570,6 +570,46 @@ final case class MinClassifierScoreFraction(
         s"$targetPrefix$target must."))
 }
 
+/** Lexical-diversity floor: the corpus-wide distinct-n-gram ratio
+  * (distinct / total word n-grams, [[graft.ops.Corpus.corpusDiversity]])
+  * must be ≥ the target — the mode-collapse alarm for synthetic or
+  * template-heavy corpora whose individual documents look clean while
+  * the corpus keeps repeating the same phrases. Vacuous when the corpus
+  * has no n-grams.
+  */
+final case class MinDistinctNgramRatio(
+    ref: DataRef,
+    textColumn: String,
+    n: Int,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"min_distinct_ngram_ratio must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    graft.ops.Corpus
+      .corpusDiversity(ref.selection(spark), textColumn, n)
+      .head(1)
+      .headOption match {
+      case None => graft.core.TestResult.success(description)
+      case Some(r) if r.isNullAt(5) => graft.core.TestResult.success(description)
+      case Some(r) =>
+        val factual = r.getDouble(5)
+        val target = refValue.get
+        if (factual >= target) graft.core.TestResult.success(description)
+        else
+          graft.core.TestResult.failure(
+            description,
+            s"distinct $n-gram ratio of ${ref.describe}.$textColumn is " +
+              s"$factual while at least $target was required (lexical " +
+              "diversity / mode collapse).")
+    }
+  }
+}
+
 /** Ranking-quality gate: the exact ROC AUC of `scoreColumn` against the
   * binary outcome "`labelColumn` equals `positiveValue`" must be ≥ the
   * target — "the quality score must actually separate good documents

@@ -756,6 +756,112 @@ object Corpus {
       .drop("dj_shard_key", "dj_pass", "dj_pos")
   }
 
+  /** Corpus-level lexical diversity — the mode-collapse / template-spam
+    * check a synthetic-data pipeline runs before training on its own
+    * output: token-distribution Shannon entropy (nats) and the
+    * distinct-n-gram ratio (distinct / total n-grams, the "distinct-n"
+    * diversity metric). Low entropy = few tokens dominate; low ratio =
+    * the corpus keeps repeating the same phrases even when individual
+    * documents look clean (the corpus-wide signal per-document
+    * [[repetitionSignals]] cannot see).
+    *
+    * Plan: one token explode to vocabulary counts (map-side partials
+    * shrink to one row per distinct token), entropy as the usual
+    * decimal-cast per-term double sum (fold-order independent,
+    * [[TextAnalysis.charProfile]] posture) with the total riding a
+    * broadcast; one n-gram explode to (total, distinct) counts. Out: one
+    * row (n_tokens, vocab_size, token_entropy, n_ngrams,
+    * n_distinct_ngrams, distinct_ngram_ratio); empty when the corpus has
+    * no tokens.
+    */
+  def corpusDiversity(
+      df: DataFrame,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val base = df
+      .where(col(textCol).isNotNull)
+      .select(TextAnalysis.tokens(col(textCol)).as("dj_toks"))
+    val uc = base
+      .select(explode(col("dj_toks")).as("dj_w"))
+      .where(col("dj_w") =!= "")
+      .groupBy("dj_w")
+      .agg(count(lit(1)).as("dj_c"))
+    val tot = uc.agg(sum(col("dj_c")).as("dj_nt"), count(lit(1)).as("dj_vs"))
+    val p = col("dj_c").cast("double") / col("dj_nt").cast("double")
+    val ent = uc
+      .crossJoin(broadcast(tot))
+      .select(
+        col("dj_nt"), col("dj_vs"),
+        (-p * log(p)).cast("decimal(28,18)").as("dj_term"))
+      .groupBy(col("dj_nt"), col("dj_vs"))
+      .agg(sum(col("dj_term")).cast("double").as("dj_ent"))
+    val gc = base
+      .select(explode(ngramsWithMultiplicity(col("dj_toks"), n)).as("dj_g"))
+      .agg(count(lit(1)).as("dj_ng"), countDistinct(col("dj_g")).as("dj_nd"))
+    ent.crossJoin(gc).select(
+      col("dj_nt").as("n_tokens"),
+      col("dj_vs").as("vocab_size"),
+      col("dj_ent").as("token_entropy"),
+      col("dj_ng").as("n_ngrams"),
+      col("dj_nd").as("n_distinct_ngrams"),
+      when(col("dj_ng") > 0,
+        col("dj_nd").cast("double") / col("dj_ng").cast("double"))
+        .as("distinct_ngram_ratio"))
+  }
+
+  /** Zipf rank-frequency slope — the other corpus-law profile next to
+    * [[corpusDiversity]]: natural text follows freq ∝ rank^s with
+    * s ≈ −1; template spam and synthetic loops bend the curve (shallow
+    * head = unnaturally uniform, steep head = a few phrases dominate).
+    * Reported as the OLS slope of ln(freq) on ln(rank) over the top-K
+    * vocabulary.
+    *
+    * Plan: vocabulary counts (one token-explode aggregate), distributed
+    * top-K via orderBy+limit (TakeOrderedAndProject — per-partition
+    * heaps, the [[Dsir.resample]] posture), ranks from a K-bounded
+    * window, and the regression sums as decimal-cast per-term doubles
+    * (fold-order independent) with the closed form evaluated once in a
+    * fixed double shape. Ties rank count-descending then
+    * token-ascending, so the result is deterministic cross-engine. Out:
+    * one row (n_terms, zipf_slope); slope NULL below 2 distinct terms.
+    */
+  def zipfSlope(
+      df: DataFrame,
+      textCol: String,
+      topK: Int = 10000): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2: $topK")
+    val uc = df
+      .where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("dj_w"))
+      .where(col("dj_w") =!= "")
+      .groupBy("dj_w")
+      .agg(count(lit(1)).as("dj_c"))
+    val top = uc.orderBy(col("dj_c").desc, col("dj_w").asc).limit(topK)
+    val ranked = top.withColumn(
+      "dj_rank",
+      row_number().over(
+        Window.orderBy(col("dj_c").desc, col("dj_w").asc)))
+    val x = log(col("dj_rank").cast("double"))
+    val y = log(col("dj_c").cast("double"))
+    def dterm(c: Column) = c.cast("decimal(28,18)")
+    val agged = ranked.agg(
+      count(lit(1)).as("dj_n"),
+      sum(dterm(x)).as("dj_sx"),
+      sum(dterm(y)).as("dj_sy"),
+      sum(dterm(x * y)).as("dj_sxy"),
+      sum(dterm(x * x)).as("dj_sxx"))
+    val n = col("dj_n").cast("double")
+    val sx = col("dj_sx").cast("double")
+    val sy = col("dj_sy").cast("double")
+    val sxy = col("dj_sxy").cast("double")
+    val sxx = col("dj_sxx").cast("double")
+    agged.select(
+      col("dj_n").as("n_terms"),
+      when(col("dj_n") >= 2,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx)).as("zipf_slope"))
+  }
+
   /** Deterministic epoch shuffle: a reproducible pseudo-random global
     * ORDER over the corpus, one permutation per (seed, epoch) — the
     * training-loader primitive that makes "epoch 3 of run X" the same

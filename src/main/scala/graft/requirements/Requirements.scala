@@ -172,6 +172,22 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the corpus-wide distinct-n-gram ratio must be ≥
+    * `minRatio` ([[graft.ops.Corpus.corpusDiversity]]) — the
+    * mode-collapse alarm for synthetic or template-heavy corpora.
+    */
+  def addMinDistinctNgramRatioConstraint(
+      textColumn: String,
+      minRatio: Double,
+      n: Int = 3,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinDistinctNgramRatio(
+      ref(Some(Seq(textColumn)), condition), textColumn, n,
+      refValue = Some(minRatio), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: the exact ROC AUC of `scoreColumn` against the
     * binary outcome "`labelColumn` = `positiveValue`" must be ≥ `minAuc`
     * ([[graft.ops.Stats.aucExact]]) — the score must actually rank the

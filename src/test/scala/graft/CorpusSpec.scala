@@ -582,6 +582,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(10L)._3 < got(12L)._3)
   }
 
+  test("corpusDiversity: hand-computed entropy and distinct-ngram ratio") {
+    // corpus: "a b a b" + "a b c" → tokens a:3 b:3 c:1 (N=7);
+    // trigrams: "a b a","b a b" + "a b c" → 3 total, 3 distinct
+    val df = docs(1L -> "a b a b", 2L -> "a b c")
+    val r = Corpus.corpusDiversity(df, "text", n = 3).head()
+    assert(r.getLong(0) === 7L && r.getLong(1) === 3L)
+    val expEnt = -(3.0 / 7) * math.log(3.0 / 7) * 2 +
+      -(1.0 / 7) * math.log(1.0 / 7)
+    assert(math.abs(r.getDouble(2) - expEnt) < 1e-12)
+    assert(r.getLong(3) === 3L && r.getLong(4) === 3L)
+    assert(r.getDouble(5) === 1.0)
+    // a template-spam corpus collapses the ratio
+    val spam = docs((1L to 20L).map(i => i -> "the same exact phrase"): _*)
+    val rs = Corpus.corpusDiversity(spam, "text", n = 3).head()
+    assert(rs.getLong(4) === 2L && rs.getDouble(5) === 2.0 / 40.0)
+    // constraint: diverse passes, spam fails
+    import graft.requirements.WithinRequirement
+    val ok = WithinRequirement.fromDataFrame(df, "t")
+    ok.addMinDistinctNgramRatioConstraint("text", minRatio = 0.9)
+    assert(ok.test(TestSpark.spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(spam, "t")
+    bad.addMinDistinctNgramRatioConstraint("text", minRatio = 0.5)
+    val res = bad.test(TestSpark.spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("diversity")))
+  }
+
+  test("zipfSlope: exact -1 on a perfect Zipf vocabulary; topK caps terms") {
+    // counts 6, 3, 2 = 6/rank exactly → ln(freq) = ln 6 − ln(rank),
+    // a perfect OLS fit with slope −1
+    val df = docs(1L -> "a a a a a a b b b c c")
+    val r = Corpus.zipfSlope(df, "text").head()
+    assert(r.getLong(0) === 3L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-9)
+    // topK bounds the regression support
+    val capped = Corpus.zipfSlope(df, "text", topK = 2).head()
+    assert(capped.getLong(0) === 2L)
+    // single-term vocabulary → NULL slope
+    val one = Corpus.zipfSlope(docs(1L -> "x x x"), "text").head()
+    assert(one.getLong(0) === 1L && one.isNullAt(1))
+  }
+
   test("epochShuffle: reproducible permutation, epoch-distinct, md5-derived order") {
     import spark.implicits._
     val ids = (1L to 40L).toDF("doc_id")
