@@ -2404,6 +2404,20 @@ object SparkEntry {
           round(col("distinct_ngram_ratio"), 6).as("distinct_ngram_ratio"))
     },
 
+    // blocklist filter (ops.TextAnalysis.blocklistHits): token-exact
+    // whole-word hits per document against a fixed 3-word list — one
+    // codegen'd projection, no substring false positives
+    "q_blocklist" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val hits = graft.ops.TextAnalysis
+        .blocklistHits(col("text"), Seq("network", "data", "system"))
+      docs.where(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          hits.cast("bigint").as("n_hits"),
+          (hits >= 1).as("flagged"))
+    },
+
     // Zipf slope (ops.Corpus.zipfSlope): OLS of ln(freq) on ln(rank)
     // over the top vocabulary — decimal-cast regression terms, one
     // fixed-shape double division
@@ -4523,6 +4537,15 @@ object SparkEntry {
                            THEN CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE)
                       END, 6) AS distinct_ngram_ratio
          FROM ent, gc""",
+    // blocklist: identical normalized token stream, list_contains hits
+    "q_blocklist" ->
+      s"""WITH d AS (SELECT doc_id,
+                       len(list_filter(string_split($normSql, ' '),
+                         t -> list_contains(['network', 'data', 'system'], t)))
+                         AS h
+                     FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, CAST(h AS BIGINT) AS n_hits, h >= 1 AS flagged
+         FROM d""",
     // Zipf slope: identical top-K vocabulary ranks, decimal-cast ln
     // terms, identical OLS double shape
     "q_zipf" ->

@@ -570,6 +570,46 @@ final case class MinClassifierScoreFraction(
         s"$targetPrefix$target must."))
 }
 
+/** Blocklist budget: at most `refValue` of documents may contain ≥
+  * `minHits` blocklisted tokens ([[graft.ops.TextAnalysis.blocklistHits]]
+  * — token-exact whole-word matching on the normalized text, so "assess"
+  * never trips "ass"). The keyword safety/policy gate; callers supply
+  * their own list.
+  */
+final case class MaxBlocklistFraction(
+    ref: DataRef,
+    textColumn: String,
+    blocklist: Seq[String],
+    minHits: Int,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_blocklist_fraction must lie within [0, 1] but is $refValue.")
+  require(minHits >= 1, s"min_hits must be >= 1: $minHits")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val row = r.selection(spark)
+      .where(col(textColumn).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(
+          graft.ops.TextAnalysis.blocklistHits(col(textColumn), blocklist)
+            >= minHits, 1)).as("flagged"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0 else row.getLong(1).toDouble / total
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe}.$textColumn documents contain >= " +
+        s"$minHits blocklisted tokens while only $targetPrefix$target were " +
+        "allowed."))
+}
+
 /** Lexical-diversity floor: the corpus-wide distinct-n-gram ratio
   * (distinct / total word n-grams, [[graft.ops.Corpus.corpusDiversity]])
   * must be ≥ the target — the mode-collapse alarm for synthetic or

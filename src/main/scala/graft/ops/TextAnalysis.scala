@@ -68,6 +68,18 @@ object TextAnalysis {
     stopwordHits(text, stopwords(lang)).cast("double") /
       greatest(tokenCount(text), lit(1))
 
+  /** Token-level blocklist hits — the keyword safety/policy gate every
+    * curation pipeline runs before the model-based ones: how many
+    * normalized whole-word tokens of `text` appear in `words`.
+    * Token-exact (no substring false positives: "assess" never hits
+    * "ass"), one codegen'd projection — a corpus scrub is a filter, not
+    * a shuffle. Callers bring their own list; the engine ships none.
+    */
+  def blocklistHits(text: Column, words: Seq[String]): Column = {
+    require(words.nonEmpty, "blocklist must be non-empty")
+    stopwordHits(text, words)
+  }
+
   /** Composite quality score in [0,1]: favors texts of reasonable length,
     * low punctuation/digit noise, and some stopword mass. Deterministic and
     * SQL-expressible (same formula runs on the DuckDB oracle side).

@@ -172,6 +172,24 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at most `maxFraction` of documents may contain ≥
+    * `minHits` blocklisted tokens
+    * ([[graft.ops.TextAnalysis.blocklistHits]] — token-exact whole-word
+    * matching; callers supply their own list).
+    */
+  def addMaxBlocklistFractionConstraint(
+      textColumn: String,
+      blocklist: Seq[String],
+      maxFraction: Double,
+      minHits: Int = 1,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxBlocklistFraction(
+      ref(Some(Seq(textColumn)), condition), textColumn, blocklist, minHits,
+      refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: the corpus-wide distinct-n-gram ratio must be ≥
     * `minRatio` ([[graft.ops.Corpus.corpusDiversity]]) — the
     * mode-collapse alarm for synthetic or template-heavy corpora.

@@ -609,6 +609,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(res.failureMessage.exists(_.contains("diversity")))
   }
 
+  test("blocklistHits: token-exact whole-word matching and the fraction budget") {
+    import org.apache.spark.sql.functions.col
+    val df = docs(
+      1L -> "the spam word appears here",
+      2L -> "clean text with no flagged tokens",
+      3L -> "spamming is not spam-free but SPAM is caught normalized",
+      4L -> "assess does not contain the three-letter word")
+    val hits = df
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.blocklistHits(col("text"), Seq("spam", "ass"))
+          .as("h"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // doc 3: "spamming" is NOT a hit; "spam-free" normalizes to
+    // "spam free" → hit; "SPAM" lowercases → hit
+    assert(hits === Map(1L -> 1, 2L -> 0, 3L -> 2, 4L -> 0))
+    import graft.requirements.WithinRequirement
+    val ok = WithinRequirement.fromDataFrame(df, "t")
+    ok.addMaxBlocklistFractionConstraint("text", Seq("spam", "ass"), 0.5)
+    assert(ok.test(TestSpark.spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(df, "t")
+    bad.addMaxBlocklistFractionConstraint("text", Seq("spam", "ass"), 0.25)
+    val res = bad.test(TestSpark.spark).head
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("blocklisted")))
+  }
+
   test("zipfSlope: exact -1 on a perfect Zipf vocabulary; topK caps terms") {
     // counts 6, 3, 2 = 6/rank exactly → ln(freq) = ln 6 − ln(rank),
     // a perfect OLS fit with slope −1
