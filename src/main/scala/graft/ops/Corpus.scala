@@ -782,11 +782,14 @@ object Corpus {
     val base = df
       .where(col(textCol).isNotNull)
       .select(TextAnalysis.tokens(col(textCol)).as("dj_toks"))
-    val uc = base
-      .select(explode(col("dj_toks")).as("dj_w"))
-      .where(col("dj_w") =!= "")
-      .groupBy("dj_w")
-      .agg(count(lit(1)).as("dj_c"))
+    // eager checkpoint: the totals row AND the entropy aggregate both
+    // consume the vocabulary frame — one explode+shuffle, not two
+    val uc = graft.core.Blocks.checkpoint(
+      base
+        .select(explode(col("dj_toks")).as("dj_w"))
+        .where(col("dj_w") =!= "")
+        .groupBy("dj_w")
+        .agg(count(lit(1)).as("dj_c")))
     val tot = uc.agg(sum(col("dj_c")).as("dj_nt"), count(lit(1)).as("dj_vs"))
     val p = col("dj_c").cast("double") / col("dj_nt").cast("double")
     val ent = uc

@@ -194,10 +194,15 @@ object Stats {
         round(col(valueCol) * scale).cast("long").as("dj_v"),
         lit(if (first) 1L else 0L).as("dj_w1"),
         lit(if (first) 0L else 1L).as("dj_w2"))
-    val counts = side(a, first = true)
-      .unionAll(side(b, first = false))
-      .groupBy("dj_v")
-      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+    // eager registry-tracked checkpoint (the cdfSelection posture): the
+    // bucket scheme's boundary job, per-bucket-totals collect, and the
+    // caller's final aggregate would otherwise each re-run the base scans
+    // + union + shuffle
+    val counts = graft.core.Blocks.checkpoint(
+      side(a, first = true)
+        .unionAll(side(b, first = false))
+        .groupBy("dj_v")
+        .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2")))
     val (running, totals) = CumSum.withRunningSums(
       counts, "dj_v", Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
     (running, totals(0), totals(1))
@@ -403,14 +408,18 @@ object Stats {
       positive: org.apache.spark.sql.Column,
       scale: Long = 1L): DataFrame = {
     require(scale >= 1L, s"scale must be >= 1: $scale")
-    val counts = df
-      .where(col(scoreCol).isNotNull)
-      .select(
-        round(col(scoreCol) * scale).cast("long").as("dj_v"),
-        when(positive, 1L).otherwise(0L).as("dj_w1"),
-        when(positive, 0L).otherwise(1L).as("dj_w2"))
-      .groupBy("dj_v")
-      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+    // eager checkpoint for the same reason as crossRunningCounts: three
+    // downstream jobs over the distinct-score frame must not re-scan the
+    // base table
+    val counts = graft.core.Blocks.checkpoint(
+      df
+        .where(col(scoreCol).isNotNull)
+        .select(
+          round(col(scoreCol) * scale).cast("long").as("dj_v"),
+          when(positive, 1L).otherwise(0L).as("dj_w1"),
+          when(positive, 0L).otherwise(1L).as("dj_w2"))
+        .groupBy("dj_v")
+        .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2")))
     val (running, totals) = CumSum.withRunningSums(
       counts, "dj_v", Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"))
     val (nPos, nNeg) = (totals(0), totals(1))

@@ -481,4 +481,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!physical.contains("BatchEvalPython") && !physical.contains("SQLUDF"),
       s"UDF crept in:\n$physical")
   }
+
+  test("drift/rank additions plan no unpartitioned windows; zipf ranks after a top-k") {
+    import graft.ops.{Corpus, Drift, Profile}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def noGlobalWindow(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val g = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(g.isEmpty,
+        s"$name plans ${g.size} unpartitioned window(s) — single-partition sort at scale")
+    }
+    val even = li.where(col("l_orderkey") % 2 === 0)
+    val odd = li.where(col("l_orderkey") % 2 === 1)
+    noGlobalWindow(
+      Drift.wasserstein1(even, odd, "l_extendedprice", 100L), "wasserstein1")
+    noGlobalWindow(Stats.cvm2Sample(even, odd, "l_quantity"), "cvm2Sample")
+    noGlobalWindow(
+      Stats.aucExact(docs, "n_chars", col("lang") === "en"), "aucExact")
+    noGlobalWindow(
+      Corpus.epochShuffle(docs.select(col("doc_id")), "doc_id", "s", 1),
+      "epochShuffle")
+    noGlobalWindow(
+      Stats.ksByGroup(even, odd, "l_extendedprice", "l_returnflag", 100L),
+      "ksByGroup")
+    noGlobalWindow(
+      Profile.groupTopK(docs, "lang", "source", k = 2), "groupTopK")
+    // zipf's rank window is k-bounded BECAUSE a distributed top-k feeds it
+    // (the DSIR resample posture) — pin the TakeOrderedAndProject
+    val zp = Corpus.zipfSlope(docs, "text", topK = 100)
+      .queryExecution.executedPlan.toString
+    assert(zp.contains("TakeOrderedAndProject"),
+      s"zipf top-k did not collapse to TakeOrderedAndProject:\n$zp")
+  }
 }
