@@ -2404,6 +2404,34 @@ object SparkEntry {
           round(col("distinct_ngram_ratio"), 6).as("distinct_ngram_ratio"))
     },
 
+    // quantile-shift drift report (ops.Drift.quantileShift): which
+    // percentiles of the price distribution moved, from ONE shared
+    // distinct-value frame — exact integer rank selection per side
+    "q_quantile_shift" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Drift
+        .quantileShift(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", Seq(25, 50, 75, 90, 99), scale = 100L)
+        .select(col("percent"), col("q_a"), col("q_b"), col("shift"))
+    },
+
+    // per-group Wasserstein-1 (ops.Drift.wassersteinByGroup): by how
+    // much each return-flag segment's prices drifted — per-key windows
+    // carry running counts, totals, and the successor in one sort
+    "q_w1_by_group" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Drift
+        .wassersteinByGroup(
+          li.where(col("l_orderkey") % 2 === 0),
+          li.where(col("l_orderkey") % 2 === 1),
+          "l_extendedprice", "l_returnflag", scale = 100L)
+        .select(
+          col("l_returnflag"), col("n_a"), col("n_b"),
+          round(col("w1"), 6).as("w1"))
+    },
+
     // blocklist filter (ops.TextAnalysis.blocklistHits): token-exact
     // whole-word hits per document against a fixed 3-word list — one
     // codegen'd projection, no substring false positives
@@ -4537,6 +4565,76 @@ object SparkEntry {
                            THEN CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE)
                       END, 6) AS distinct_ngram_ratio
          FROM ent, gc""",
+    // quantile shift: identical running counts, integer cross-product
+    // rank selection, identical double division
+    "q_quantile_shift" ->
+      """WITH a AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 0 AND l_extendedprice IS NOT NULL),
+              b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 1 AND l_extendedprice IS NOT NULL),
+              u AS (SELECT v, 1 AS w1, 0 AS w2 FROM a
+                    UNION ALL SELECT v, 0 AS w1, 1 AS w2 FROM b),
+              c AS (SELECT v, sum(w1) AS c1, sum(w2) AS c2 FROM u GROUP BY v),
+              r AS (SELECT v,
+                      sum(c1) OVER (ORDER BY v) AS r1,
+                      sum(c2) OVER (ORDER BY v) AS r2
+                    FROM c),
+              n AS (SELECT (SELECT count(*) FROM a) AS na,
+                           (SELECT count(*) FROM b) AS nb),
+              p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pc),
+              sel AS (SELECT pc,
+                        min(CASE WHEN r1 * 100 >= na * pc THEN v END) AS qa,
+                        min(CASE WHEN r2 * 100 >= nb * pc THEN v END) AS qb
+                      FROM r, n, p GROUP BY pc)
+         SELECT CAST(pc AS INT) AS percent,
+                CAST(qa AS DOUBLE) / 100.0 AS q_a,
+                CAST(qb AS DOUBLE) / 100.0 AS q_b,
+                CAST(qb - qa AS DOUBLE) / 100.0 AS shift
+         FROM sel""",
+    // per-group W1: identical per-key running counts, successor gaps,
+    // HUGEINT area sums, identical double division
+    "q_w1_by_group" ->
+      """WITH a AS (SELECT l_returnflag AS k,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 0
+                      AND l_extendedprice IS NOT NULL
+                      AND l_returnflag IS NOT NULL),
+              b AS (SELECT l_returnflag AS k,
+                      CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 1
+                      AND l_extendedprice IS NOT NULL
+                      AND l_returnflag IS NOT NULL),
+              u AS (SELECT k, v, 1 AS w1, 0 AS w2 FROM a
+                    UNION ALL SELECT k, v, 0 AS w1, 1 AS w2 FROM b),
+              c AS (SELECT k, v, sum(w1) AS c1, sum(w2) AS c2
+                    FROM u GROUP BY k, v),
+              r AS (SELECT k, v,
+                      sum(c1) OVER (PARTITION BY k ORDER BY v) AS r1,
+                      sum(c2) OVER (PARTITION BY k ORDER BY v) AS r2,
+                      sum(c1) OVER (PARTITION BY k) AS n,
+                      sum(c2) OVER (PARTITION BY k) AS m,
+                      lead(v) OVER (PARTITION BY k ORDER BY v) AS nv
+                    FROM c),
+              t AS (SELECT k, n, m,
+                      abs(CAST(r1 AS HUGEINT) * CAST(m AS HUGEINT)
+                          - CAST(r2 AS HUGEINT) * CAST(n AS HUGEINT))
+                       * CAST(coalesce(nv - v, 0) AS HUGEINT) AS term
+                    FROM r),
+              g AS (SELECT k, max(n) AS na, max(m) AS nb,
+                      sum(term) AS area
+                    FROM t GROUP BY k)
+         SELECT k AS l_returnflag, CAST(na AS BIGINT) AS n_a,
+                CAST(nb AS BIGINT) AS n_b,
+                round(CASE WHEN na > 0 AND nb > 0
+                           THEN CAST(area AS DOUBLE)
+                                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                                   * 100.0)
+                      END, 6) AS w1
+         FROM g""",
     // blocklist: identical normalized token stream, list_contains hits
     "q_blocklist" ->
       s"""WITH d AS (SELECT doc_id,

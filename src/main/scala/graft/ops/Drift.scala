@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift monitoring between two table snapshots (the "did
@@ -107,6 +108,125 @@ object Drift {
         (col("dj_area").cast("double") / lit(denom)).as("w1"))
   }
 
+  /** Per-percentile drift report — WHERE in the distribution the shift
+    * happened (W₁ says "prices moved $2.10 on average"; this says "the
+    * median moved $1 but p99 moved $40"). For each integer percent p,
+    * both snapshots' discrete percentiles (`quantile_disc` semantics —
+    * values FROM the data, the [[Stats.groupPercentiles]] convention:
+    * smallest value whose cumulative count reaches ⌈p%·n⌉ via the
+    * integer cross-product comparison) and their difference, all from
+    * the ONE shared distinct-value frame ([[Stats.crossRunningCounts]]
+    * — no second scan for the second snapshot). Out: one row per
+    * percent (percent, q_a, q_b, shift), values in the scaled-integer
+    * axis divided back by `scale` as doubles. Empty when either
+    * snapshot is empty.
+    */
+  def quantileShift(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      percents: Seq[Int],
+      scale: Long = 1L): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be integers in [1,100]: $percents")
+    val (running, n, m) = Stats.crossRunningCounts(a, b, valueCol, scale)
+    val spark = a.sparkSession
+    if (n == 0L || m == 0L)
+      return spark.range(0).select(
+        lit(0).as("percent"),
+        lit(null).cast("double").as("q_a"),
+        lit(null).cast("double").as("q_b"),
+        lit(null).cast("double").as("shift"))
+    val aggs = percents.flatMap { p =>
+      Seq(
+        min(when(col("dj_run1") * 100 >= lit(n) * p, col("dj_v")))
+          .as(s"dj_qa_$p"),
+        min(when(col("dj_run2") * 100 >= lit(m) * p, col("dj_v")))
+          .as(s"dj_qb_$p"))
+    }
+    // ONE aggregate over the (checkpointed) running frame; the
+    // per-percent pivot is a driver-side constant — a union of selects
+    // would re-run the windows once per percent
+    val row = running.agg(aggs.head, aggs.tail: _*).head()
+    val out = percents.map { p =>
+      val qa = row.getAs[Long](s"dj_qa_$p")
+      val qb = row.getAs[Long](s"dj_qb_$p")
+      org.apache.spark.sql.Row(
+        p, qa.toDouble / scale.toDouble, qb.toDouble / scale.toDouble,
+        (qb - qa).toDouble / scale.toDouble)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "percent", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(
+          "q_a", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(
+          "q_b", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(
+          "shift", org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** Per-group Wasserstein-1 — by HOW MUCH each key segment drifted, in
+    * the column's own units (the [[Stats.ksByGroup]] companion: D says a
+    * segment moved, this prices the move). Same exact integer area sum
+    * as [[wasserstein1]], but the running counts, totals, AND the
+    * successor value all ride per-key windows over ONE per-key sort —
+    * no bucket scheme needed, keys distribute across the cluster. NULL
+    * values/keys excluded. Out: one row per key
+    * (keyCol, n_a, n_b, w1); w1 NULL when the key is absent from either
+    * snapshot.
+    */
+  def wassersteinByGroup(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      keyCol: String,
+      scale: Long = 1L): DataFrame = {
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    def side(df: DataFrame, first: Boolean) = df
+      .where(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(
+        col(keyCol).as("dj_k"),
+        round(col(valueCol) * scale).cast("long").as("dj_v"),
+        lit(if (first) 1L else 0L).as("dj_w1"),
+        lit(if (first) 0L else 1L).as("dj_w2"))
+    val counts = side(a, first = true)
+      .unionAll(side(b, first = false))
+      .groupBy("dj_k", "dj_v")
+      .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2"))
+    val wRun = Window.partitionBy(col("dj_k")).orderBy(col("dj_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("dj_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLead = Window.partitionBy(col("dj_k")).orderBy(col("dj_v"))
+    val ranked = counts
+      .withColumn("dj_r1", sum(col("dj_cnt1")).over(wRun))
+      .withColumn("dj_r2", sum(col("dj_cnt2")).over(wRun))
+      .withColumn("dj_n", sum(col("dj_cnt1")).over(wAll))
+      .withColumn("dj_m", sum(col("dj_cnt2")).over(wAll))
+      .withColumn("dj_next", lead(col("dj_v"), 1).over(wLead))
+    val d = col("dj_r1").cast("decimal(19,0)") * col("dj_m").cast("decimal(19,0)") -
+      col("dj_r2").cast("decimal(19,0)") * col("dj_n").cast("decimal(19,0)")
+    val gap = coalesce(col("dj_next") - col("dj_v"), lit(0L)).cast("decimal(19,0)")
+    ranked
+      .groupBy(col("dj_k"))
+      .agg(
+        max(col("dj_n")).as("dj_na"),
+        max(col("dj_m")).as("dj_nb"),
+        sum(abs(d) * gap).as("dj_area"))
+      .select(
+        col("dj_k").as(keyCol),
+        col("dj_na").as("n_a"),
+        col("dj_nb").as("n_b"),
+        when(col("dj_na") > 0 && col("dj_nb") > 0,
+          col("dj_area").cast("double") /
+            (col("dj_na").cast("double") * col("dj_nb").cast("double")
+              * lit(scale.toDouble)))
+          .as("w1"))
+  }
+
   /** Mutual information (nats) between two CATEGORICAL columns — the
     * feature-leakage / redundancy check an ML pipeline runs next to the
     * drift family: MI(X;Y) = Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))) is 0 iff
@@ -126,31 +246,54 @@ object Drift {
       xCol: String,
       yCol: String): DataFrame = {
     def cat(c: String) = coalesce(col(c).cast("string"), lit("<null>"))
-    val joint = df
-      .select(cat(xCol).as("dj_x"), cat(yCol).as("dj_y"))
-      .groupBy("dj_x", "dj_y")
-      .agg(count(lit(1)).as("dj_cxy"))
+    // the joint table feeds marginals, totals, entropies AND the MI sum —
+    // checkpoint it so the base table scans once
+    val joint = graft.core.Blocks.checkpoint(
+      df
+        .select(cat(xCol).as("dj_x"), cat(yCol).as("dj_y"))
+        .groupBy("dj_x", "dj_y")
+        .agg(count(lit(1)).as("dj_cxy")))
     val mx = joint.groupBy("dj_x").agg(sum(col("dj_cxy")).as("dj_cx"))
     val my = joint.groupBy("dj_y").agg(sum(col("dj_cxy")).as("dj_cy"))
     val totals = joint.agg(
       sum(col("dj_cxy")).as("dj_n"),
       countDistinct(col("dj_x")).as("dj_kx"),
       countDistinct(col("dj_y")).as("dj_ky"))
+    // marginal entropies (nats) with the same decimal-cast term posture —
+    // H(X), H(Y) normalize MI into the symmetric uncertainty
+    // u_sym = 2·MI/(H(X)+H(Y)) ∈ [0,1] (NULL when both entropies are 0,
+    // i.e. both columns constant)
+    def entropy(marginal: DataFrame, cntCol: String, out: String) = {
+      val p = col(cntCol).cast("double") / col("dj_n").cast("double")
+      marginal.crossJoin(broadcast(totals))
+        .select((-p * log(p)).cast("decimal(28,18)").as("dj_e"))
+        .agg(coalesce(sum(col("dj_e")), lit(0).cast("decimal(28,18)"))
+          .cast("double").as(out))
+    }
+    val hx = entropy(mx, "dj_cx", "dj_hx")
+    val hy = entropy(my, "dj_cy", "dj_hy")
     val term = (col("dj_cxy").cast("double") *
       log((col("dj_cxy").cast("double") * col("dj_n").cast("double")) /
         (col("dj_cx").cast("double") * col("dj_cy").cast("double"))))
       .cast("decimal(28,12)")
+    val mi = (col("dj_t").cast("double") / col("dj_n").cast("double"))
     joint
       .join(mx, Seq("dj_x"))
       .join(my, Seq("dj_y"))
       .crossJoin(broadcast(totals))
       .groupBy(col("dj_n"), col("dj_kx"), col("dj_ky"))
       .agg(sum(term).as("dj_t"))
+      .crossJoin(broadcast(hx))
+      .crossJoin(broadcast(hy))
       .select(
         col("dj_n").as("n"),
         col("dj_kx").cast("int").as("n_x_categories"),
         col("dj_ky").cast("int").as("n_y_categories"),
-        (col("dj_t").cast("double") / col("dj_n").cast("double")).as("mi_nats"))
+        mi.as("mi_nats"),
+        col("dj_hx").as("h_x"),
+        col("dj_hy").as("h_y"),
+        when(col("dj_hx") + col("dj_hy") > 0.0,
+          lit(2.0) * mi / (col("dj_hx") + col("dj_hy"))).as("u_sym"))
   }
 
   /** Chi-square homogeneity statistic for a CATEGORICAL column across the

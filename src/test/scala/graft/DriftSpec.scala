@@ -167,6 +167,74 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(rn.getDouble(3) - math.log(2.0)) < 1e-12)
   }
 
+  test("quantileShift: discrete ranks per side, shift in real units") {
+    import org.apache.spark.sql.functions.lit
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val b = (1 to 100).map(_ + 10.0).toDF("v")
+    val got = Drift.quantileShift(a, b, "v", Seq(25, 50, 99))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // quantile_disc on 1..100: p25 → 25, p50 → 50, p99 → 99
+    assert(got(25) === ((25.0, 35.0, 10.0)))
+    assert(got(50) === ((50.0, 60.0, 10.0)))
+    assert(got(99) === ((99.0, 109.0, 10.0)))
+    // scale path: cents stay exact
+    val sa = Seq(1.25, 2.50).toDF("v")
+    val sb = Seq(2.25, 3.50).toDF("v")
+    val s50 = Drift.quantileShift(sa, sb, "v", Seq(50), scale = 100L).head()
+    assert(s50.getDouble(1) === 1.25 && s50.getDouble(2) === 2.25)
+    assert(s50.getDouble(3) === 1.0)
+    // empty side → empty report
+    assert(Drift
+      .quantileShift(a, spark.emptyDataFrame.select(lit(1.0).as("v"))
+        .where(lit(false)), "v", Seq(50)).count() === 0L)
+  }
+
+  test("wassersteinByGroup: per-key W1 matches the global W1 on single-key slices") {
+    import org.apache.spark.sql.functions.col
+    val a = (Seq(("g1", 0.0), ("g1", 0.0)) ++ Seq(("g2", 5.0)) ++
+      Seq(("g3", 1.0))).toDF("k", "v")
+    val b = (Seq(("g1", 1.0), ("g1", 1.0)) ++ Seq(("g2", 9.0))).toDF("k", "v")
+    val got = Drift.wassersteinByGroup(a, b, "v", "k")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got("g1") === ((2L, 2L, Some(1.0))))
+    assert(got("g2") === ((1L, 1L, Some(4.0))))
+    assert(got("g3") === ((1L, 0L, None)))
+    // agrees with the whole-table operator on a single-key slice
+    val base = (1 to 30).map(_.toDouble).map(("s", _)).toDF("k", "v")
+    val shifted = (1 to 30).map(_ + 2.5).map(("s", _)).toDF("k", "v")
+    val grouped = Drift
+      .wassersteinByGroup(base, shifted, "v", "k", scale = 10L)
+      .head().getDouble(3)
+    val global = Drift
+      .wasserstein1(base.select(col("v")), shifted.select(col("v")), "v",
+        scale = 10L)
+      .head().getDouble(2)
+    assert(grouped === global)
+  }
+
+  test("mutualInformation: entropies and symmetric uncertainty") {
+    // y determined by x, uniform binary: MI = H(X) = H(Y) = ln 2 → u_sym 1
+    val det = (1 to 40).map(i => (s"c${i % 2}", s"d${i % 2}")).toDF("x", "y")
+    val rd = Drift.mutualInformation(det, "x", "y").head()
+    assert(math.abs(rd.getDouble(4) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(5) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(6) - 1.0) < 1e-12)
+    // independent: u_sym 0
+    val ind = (for { x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (x, y)).toDF("x", "y")
+    val ri = Drift.mutualInformation(ind, "x", "y").head()
+    assert(math.abs(ri.getDouble(6)) < 1e-12)
+    // both columns constant: entropies 0 → u_sym NULL
+    val const = (1 to 10).map(_ => ("k", "w")).toDF("x", "y")
+    assert(Drift.mutualInformation(const, "x", "y").head().isNullAt(6))
+  }
+
   test("drift constraints: W1 budget, CvM vacuous-on-empty, MI budget") {
     import graft.core.{DataRef, FrameSource}
     import graft.requirements.{BetweenRequirement, WithinRequirement}
