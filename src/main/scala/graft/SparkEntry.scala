@@ -2404,6 +2404,29 @@ object SparkEntry {
           round(col("distinct_ngram_ratio"), 6).as("distinct_ngram_ratio"))
     },
 
+    // source mixing weights (ops.Corpus.sourceMixWeights): α=0.7
+    // temperature sampling over the documents sources — n^α terms
+    // decimal-cast before the normalizing sum
+    "q_source_mix" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Corpus
+        .sourceMixWeights(docs, "source", alpha = 0.7)
+        .select(
+          col("source"), col("n_docs"),
+          round(col("weight"), 6).as("weight"),
+          round(col("share"), 6).as("share"),
+          round(col("boost"), 6).as("boost"))
+    },
+
+    // volume anomalies (ops.Events.volumeAnomalies): daily event counts
+    // through the exact-integer MAD rule — the ingestion-feed monitor
+    "q_volume_anomaly" -> { (s, dir) =>
+      val ev = s.read.parquet(pq(dir, "events"))
+      graft.ops.Events
+        .volumeAnomalies(ev, "ts", "day", k = 3.5)
+        .select(col("bucket_start"), col("n_events"), col("is_outlier"))
+    },
+
     // quantile-shift drift report (ops.Drift.quantileShift): which
     // percentiles of the price distribution moved, from ONE shared
     // distinct-value frame — exact integer rank selection per side
@@ -4565,6 +4588,50 @@ object SparkEntry {
                            THEN CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE)
                       END, 6) AS distinct_ngram_ratio
          FROM ent, gc""",
+    // source mix: identical counts, pow terms decimal-cast before the
+    // sum, identical division shapes
+    "q_source_mix" ->
+      """WITH c AS (SELECT coalesce(CAST(source AS VARCHAR), '<null>')
+                      AS source, count(*) AS n_docs
+                    FROM documents GROUP BY 1),
+              t AS (SELECT sum(n_docs) AS n,
+                      sum(CAST(pow(CAST(n_docs AS DOUBLE), 0.7)
+                          AS DECIMAL(28, 12))) AS pt
+                    FROM c)
+         SELECT source, n_docs,
+                round(pow(CAST(n_docs AS DOUBLE), 0.7)
+                      / CAST(pt AS DOUBLE), 6) AS weight,
+                round(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+                round((pow(CAST(n_docs AS DOUBLE), 0.7) / CAST(pt AS DOUBLE))
+                      / (CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS boost
+         FROM c, t""",
+    // volume anomalies: identical daily counts through the identical
+    // doubled-order-statistic MAD arithmetic (k=3.5 → kQ=51891)
+    "q_volume_anomaly" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS bucket_start,
+                      count(*) AS n_events
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+              v AS (SELECT bucket_start, n_events,
+                      n_events::HUGEINT AS v FROM c),
+              n AS (SELECT count(*) AS n FROM v),
+              ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS r
+                         FROM v),
+              m2 AS (SELECT
+                       (SELECT v FROM ranked, n WHERE r = (n + 1) // 2)
+                       + (SELECT v FROM ranked, n WHERE r = (n + 2) // 2)
+                       AS m2),
+              devs AS (SELECT bucket_start, n_events, abs(2 * v - m2) AS dev
+                       FROM v, m2),
+              dr AS (SELECT dev, row_number() OVER (ORDER BY dev) AS r
+                     FROM devs),
+              d2 AS (SELECT
+                       (SELECT dev FROM dr, n WHERE r = (n + 1) // 2)
+                       + (SELECT dev FROM dr, n WHERE r = (n + 2) // 2)
+                       AS d2)
+         SELECT bucket_start, n_events,
+                (2 * dev * 10000 > 51891 * d2) AS is_outlier
+         FROM devs, d2""",
     // quantile shift: identical running counts, integer cross-product
     // rank selection, identical double division
     "q_quantile_shift" ->

@@ -813,6 +813,44 @@ object Corpus {
         .as("distinct_ngram_ratio"))
   }
 
+  /** Temperature-scaled source mixing weights — the standard sampling
+    * schedule for imbalanced sources (multilingual corpora, domain
+    * mixes): w_s ∝ n_s^α with α ∈ (0, 1] flattening the head so
+    * low-resource sources are seen more than their share
+    * (α = 1 is proportional sampling, α → 0 uniform). Returns per
+    * source: document count, normalized sampling weight, the raw
+    * proportional share, and the boost ratio weight/share (> 1 =
+    * upsampled). One counting aggregate; everything after is arithmetic
+    * on a sources-sized frame, n_s^α terms decimal-cast before the
+    * normalizing sum so the total is fold-order independent. NULL
+    * sources are a real source ("<null>").
+    */
+  def sourceMixWeights(
+      df: DataFrame,
+      sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must lie in (0, 1]: $alpha")
+    val counts = df
+      .groupBy(coalesce(col(sourceCol).cast("string"), lit("<null>"))
+        .as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val pw = pow(col("n_docs").cast("double"), lit(alpha))
+    val tot = counts.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("dj_n"),
+      sum(pw.cast("decimal(28,12)")).as("dj_pt"))
+    counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("source"),
+        col("n_docs"),
+        (pw / col("dj_pt").cast("double")).as("weight"),
+        (col("n_docs").cast("double") / col("dj_n").cast("double"))
+          .as("share"),
+        ((pw / col("dj_pt").cast("double")) /
+          (col("n_docs").cast("double") / col("dj_n").cast("double")))
+          .as("boost"))
+  }
+
   /** Zipf rank-frequency slope — the other corpus-law profile next to
     * [[corpusDiversity]]: natural text follows freq ∝ rank^s with
     * s ≈ −1; template spam and synthetic loops bend the curve (shallow

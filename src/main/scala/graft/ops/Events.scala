@@ -165,4 +165,31 @@ object Events {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         avg(col(valueCol)).as("avg_value"))
+
+  /** Ingestion-volume anomaly detection — "did Tuesday's feed drop or
+    * double": per-`bucket` event counts (date_trunc buckets) flagged by
+    * the robust MAD rule ([[Integrity.madOutliers]] — doubled-order-
+    * statistic medians, exact integer flag, masking-immune where a
+    * z-score over the same series is not). The time series is
+    * bucket-count sized, so the rank selections are trivial; the only
+    * corpus-scaled work is the one counting aggregate. Out: one row per
+    * bucket (bucket_start, n_events, is_outlier). NULL timestamps are
+    * excluded. Callers release the MAD checkpoint via `Blocks`
+    * scope/releaseAll, as with `madOutliers` itself.
+    */
+  def volumeAnomalies(
+      df: DataFrame,
+      tsCol: String,
+      bucket: String = "day",
+      k: Double = 3.5): DataFrame = {
+    require(Set("hour", "day", "week", "month").contains(bucket),
+      s"bucket must be hour/day/week/month: $bucket")
+    val counts = df
+      .where(col(tsCol).isNotNull)
+      .groupBy(date_trunc(bucket, col(tsCol)).as("bucket_start"))
+      .agg(count(lit(1)).as("n_events"))
+    Integrity
+      .madOutliers(counts, "n_events", k)
+      .select(col("bucket_start"), col("n_events"), col("is_outlier"))
+  }
 }

@@ -635,6 +635,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(res.failureMessage.exists(_.contains("blocklisted")))
   }
 
+  test("sourceMixWeights: temperature flattens the head, α=1 is proportional") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("source")
+    def weights(alpha: Double) = Corpus.sourceMixWeights(df, "source", alpha)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4)))
+      .toMap
+    val w1 = weights(1.0)
+    assert(w1("big")._1 === 90L && w1("small")._1 === 10L)
+    // α = 1: weight == share, boost == 1
+    assert(math.abs(w1("big")._2 - 0.9) < 1e-12)
+    assert(math.abs(w1("big")._3 - 1.0) < 1e-12)
+    // α = 0.5: small gets upsampled (boost > 1), big down (< 1);
+    // weights still sum to 1
+    val w5 = weights(0.5)
+    assert(w5("small")._3 > 1.0 && w5("big")._3 < 1.0)
+    val total = w5.values.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-12)
+    // hand value: w_small = sqrt(10)/(sqrt(90)+sqrt(10))
+    val exp = math.sqrt(10.0) / (math.sqrt(90.0) + math.sqrt(10.0))
+    assert(math.abs(w5("small")._2 - exp) < 1e-12)
+    // NULL source is a real source
+    val withNull = (Seq("a", null, null): Seq[String]).toDF("source")
+    val wn = Corpus.sourceMixWeights(withNull, "source", 0.7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wn("<null>") === 2L)
+  }
+
   test("zipfSlope: exact -1 on a perfect Zipf vocabulary; topK caps terms") {
     // counts 6, 3, 2 = 6/rank exactly → ln(freq) = ln 6 − ln(rank),
     // a perfect OLS fit with slope −1

@@ -198,4 +198,30 @@ class EventsSpec extends AnyFunSuite {
     assert(prof(0).getLong(prof(0).fieldIndex("n_events")) == 2L)
     assert(prof(1).getLong(prof(1).fieldIndex("n_events")) == 1L)
   }
+
+  test("volumeAnomalies: a planted spike day flags, steady days don't") {
+    import spark.implicits._
+    // 11 days at ~100 events, day 5 at 1000 — MAD flags only the spike
+    val rows = (0 until 11).flatMap { d =>
+      val n = if (d == 5) 1000 else 100 + d % 3
+      (0 until n).map(i => s"2024-03-${"%02d".format(d + 1)} 10:${"%02d".format(i % 60)}:00")
+    }
+    val ev = rows.toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val got = Events.volumeAnomalies(ev, "ts", "day")
+      .collect()
+      .map(r => r.getAs[Any]("bucket_start").toString.take(10) ->
+        (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    graft.core.Blocks.releaseAll()
+    assert(got.size === 11)
+    assert(got("2024-03-06") === ((1000L, true)))
+    got.filterNot(_._1 == "2024-03-06").foreach { case (day, (n, flag)) =>
+      assert(!flag, s"$day n=$n should not flag")
+      assert(n >= 100L && n <= 102L)
+    }
+    // bad bucket rejected
+    intercept[IllegalArgumentException] {
+      Events.volumeAnomalies(ev, "ts", "fortnight")
+    }
+  }
 }
