@@ -120,11 +120,38 @@ object CorpusPipeline {
       if (shardTotals.isEmpty || shardTotals.min == 0L) 0.0
       else shardTotals.max.toDouble / shardTotals.min
 
+    // 6. sign-off health report — the numbers a team reads before
+    // training on the output: lexical diversity + Zipf slope (mode
+    // collapse), the classifier's AUC against its weak label (did the
+    // model actually rank quality), and a deterministic epoch order
+    // (same permutation on every rerun)
+    val div = Corpus.corpusDiversity(redacted, "text", n = 3).head()
+    val zipf = Corpus.zipfSlope(redacted, "text").head()
+    // AUC on the FULL corpus (the post-gate slice is one-class by
+    // construction — the gate already removed most negatives)
+    val auc = graft.ops.Stats
+      .aucExact(
+        Classifier.score(model, docs, "text", "doc_id")
+          .join(
+            TextAnalysis.gopherRules(docs, "text", minWords = 10)
+              .select(col("doc_id"), col("gopher_keep")),
+            "doc_id"),
+        "score", col("gopher_keep"), scale = 1000000L)
+      .head()
+    val epoch1 = Corpus.epochShuffle(redacted, "doc_id", "run0", epoch = 1)
+    val maxRank = epoch1.agg(max(col("shuffle_rank"))).head().getLong(0)
+
     println(s"[corpus] raw=$n0 gated=$n1 deduped=$n2 span-trimmed=$n2b " +
       s"decontaminated=$n3 dsir-selected=$n4 train packs=$nPacks " +
       f"shard spread=$shardSpread%.3f")
+    println(f"[health] distinct-trigram ratio=${div.getDouble(5)}%.3f " +
+      f"token entropy=${div.getDouble(2)}%.2f nats " +
+      f"zipf slope=${zipf.getDouble(1)}%.2f " +
+      f"classifier AUC=${auc.getDouble(2)}%.3f " +
+      s"epoch-1 permutation covers $maxRank/$n4 docs")
     require(n3 > 0, "pipeline must keep documents")
     require(n4 > 0, "selection must keep documents")
+    require(maxRank == n4, "epoch shuffle must be a full permutation")
     spark.stop()
   }
 }
