@@ -235,6 +235,48 @@ class DriftSpec extends AnyFunSuite {
     assert(Drift.mutualInformation(const, "x", "y").head().isNullAt(6))
   }
 
+  test("EDF statistics fuzz parity: W1, CvM, AUC vs in-memory brute force") {
+    import graft.ops.Stats
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // small integer domain forces heavy ties — the hard case
+      val xs = Seq.fill(30 + rnd.nextInt(50))(rnd.nextInt(20).toDouble)
+      val ys = Seq.fill(30 + rnd.nextInt(50))(rnd.nextInt(20).toDouble)
+      val (a, b) = (xs.toDF("v"), ys.toDF("v"))
+      val n = xs.size.toDouble
+      val m = ys.size.toDouble
+
+      // reference W1: integrate |F1 − F2| over the sorted union axis
+      val union = (xs ++ ys).distinct.sorted
+      val refW1 = union.zip(union.tail).map { case (v, nx) =>
+        val f1 = xs.count(_ <= v) / n
+        val f2 = ys.count(_ <= v) / m
+        math.abs(f1 - f2) * (nx - v)
+      }.sum
+      val gotW1 = Drift.wasserstein1(a, b, "v").head().getDouble(2)
+      assert(math.abs(gotW1 - refW1) < 1e-9, s"seed $seed W1 $gotW1 vs $refW1")
+
+      // reference CvM: nm/(n+m)² · Σ over pooled points (F1 − F2)²
+      val refCvm = (xs ++ ys).map { z =>
+        val d = xs.count(_ <= z) / n - ys.count(_ <= z) / m
+        d * d
+      }.sum * (n * m) / math.pow(n + m, 2)
+      val gotCvm = Stats.cvm2Sample(a, b, "v").head().getDouble(2)
+      assert(math.abs(gotCvm - refCvm) < 1e-9, s"seed $seed CvM $gotCvm vs $refCvm")
+
+      // reference AUC: pairwise wins + half-ties
+      val labeled = xs.map((_, true)) ++ ys.map((_, false))
+      val refAuc = (for { x <- xs; y <- ys } yield
+        if (x > y) 1.0 else if (x == y) 0.5 else 0.0).sum / (n * m)
+      val gotAuc = Stats
+        .aucExact(labeled.toDF("s", "y"), "s", col("y"))
+        .head().getDouble(2)
+      assert(math.abs(gotAuc - refAuc) < 1e-12, s"seed $seed AUC $gotAuc vs $refAuc")
+      graft.core.Blocks.releaseAll()
+    }
+  }
+
   test("drift constraints: W1 budget, CvM vacuous-on-empty, MI budget") {
     import graft.core.{DataRef, FrameSource}
     import graft.requirements.{BetweenRequirement, WithinRequirement}
