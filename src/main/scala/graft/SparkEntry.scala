@@ -2404,6 +2404,19 @@ object SparkEntry {
           round(col("distinct_ngram_ratio"), 6).as("distinct_ngram_ratio"))
     },
 
+    // per-source diversity (ops.Corpus.corpusDiversityByGroup): which
+    // source collapsed — per-group entropy + distinct-trigram ratio
+    "q_diversity_by_source" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      graft.ops.Corpus
+        .corpusDiversityByGroup(docs, "text", "source", n = 3)
+        .select(
+          col("source"), col("n_tokens"), col("vocab_size"),
+          round(col("token_entropy"), 6).as("token_entropy"),
+          col("n_ngrams"), col("n_distinct_ngrams"),
+          round(col("distinct_ngram_ratio"), 6).as("distinct_ngram_ratio"))
+    },
+
     // source mixing weights (ops.Corpus.sourceMixWeights): α=0.7
     // temperature sampling over the documents sources — n^α terms
     // decimal-cast before the normalizing sum
@@ -4588,6 +4601,38 @@ object SparkEntry {
                            THEN CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE)
                       END, 6) AS distinct_ngram_ratio
          FROM ent, gc""",
+    // per-source diversity: identical grouped token stream, per-group
+    // decimal-cast entropy terms, exact distinct-trigram counts
+    "q_diversity_by_source" ->
+      s"""WITH toks AS (SELECT coalesce(CAST(source AS VARCHAR), '<null>')
+                          AS g, string_split($normSql, ' ') AS t
+                        FROM documents WHERE text IS NOT NULL),
+              uni AS (SELECT g, unnest(t) AS w FROM toks),
+              uc AS (SELECT g, w, count(*) AS c FROM uni
+                     WHERE w <> '' GROUP BY g, w),
+              tot AS (SELECT g, sum(c) AS nt, count(*) AS vs
+                      FROM uc GROUP BY g),
+              ent AS (SELECT uc.g, max(nt) AS nt, max(vs) AS vs,
+                        sum(CAST(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                                 * ln(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                                 AS DECIMAL(28, 18))) AS e
+                      FROM uc JOIN tot ON uc.g = tot.g GROUP BY uc.g),
+              gr AS (SELECT g, unnest(list_filter(
+                       list_transform(range(0, greatest(len(t)-3, 0)+1),
+                                      i -> array_to_string(t[i+1:i+3], ' ')),
+                       x -> len(string_split(x, ' ')) = 3)) AS gram
+                     FROM toks),
+              gc AS (SELECT g, count(*) AS ng, count(DISTINCT gram) AS nd
+                     FROM gr GROUP BY g)
+         SELECT ent.g AS source, CAST(nt AS BIGINT) AS n_tokens,
+                CAST(vs AS BIGINT) AS vocab_size,
+                round(CAST(e AS DOUBLE), 6) AS token_entropy,
+                CAST(coalesce(ng, 0) AS BIGINT) AS n_ngrams,
+                CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct_ngrams,
+                round(CASE WHEN coalesce(ng, 0) > 0
+                           THEN CAST(nd AS DOUBLE) / CAST(ng AS DOUBLE)
+                      END, 6) AS distinct_ngram_ratio
+         FROM ent LEFT JOIN gc ON ent.g = gc.g""",
     // source mix: identical counts, pow terms decimal-cast before the
     // sum, identical division shapes
     "q_source_mix" ->

@@ -851,6 +851,65 @@ object Corpus {
           .as("boost"))
   }
 
+  /** Per-group lexical diversity — [[corpusDiversity]] keyed by a
+    * source/domain/shard column: WHICH slice of the corpus collapsed
+    * ("the synthetic-v2 source keeps repeating itself; the web crawl is
+    * fine" — the whole-corpus number averages that away). Same
+    * signals per group: token entropy (per-group decimal-cast term
+    * sums over per-group totals) and the distinct-n-gram ratio. Plan:
+    * one token explode to (group, token) counts joined to group totals
+    * (both sides of the join are vocabulary-sized), one n-gram explode
+    * to per-group (total, distinct) counts — everything partial-
+    * aggregated, no windows at all. NULL groups are a real group
+    * ("<null>"); groups with no tokens are absent. Out: one row per
+    * group (groupCol, n_tokens, vocab_size, token_entropy, n_ngrams,
+    * n_distinct_ngrams, distinct_ngram_ratio).
+    */
+  def corpusDiversityByGroup(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val base = df
+      .where(col(textCol).isNotNull)
+      .select(
+        coalesce(col(groupCol).cast("string"), lit("<null>")).as("dj_grp"),
+        TextAnalysis.tokens(col(textCol)).as("dj_toks"))
+    val uc = graft.core.Blocks.checkpoint(
+      base
+        .select(col("dj_grp"), explode(col("dj_toks")).as("dj_w"))
+        .where(col("dj_w") =!= "")
+        .groupBy("dj_grp", "dj_w")
+        .agg(count(lit(1)).as("dj_c")))
+    val tot = uc.groupBy("dj_grp")
+      .agg(sum(col("dj_c")).as("dj_nt"), count(lit(1)).as("dj_vs"))
+    val p = col("dj_c").cast("double") / col("dj_nt").cast("double")
+    val ent = uc
+      .join(tot, Seq("dj_grp"))
+      .select(
+        col("dj_grp"), col("dj_nt"), col("dj_vs"),
+        (-p * log(p)).cast("decimal(28,18)").as("dj_term"))
+      .groupBy(col("dj_grp"), col("dj_nt"), col("dj_vs"))
+      .agg(sum(col("dj_term")).cast("double").as("dj_ent"))
+    val gc = base
+      .select(
+        col("dj_grp"),
+        explode(ngramsWithMultiplicity(col("dj_toks"), n)).as("dj_g"))
+      .groupBy("dj_grp")
+      .agg(count(lit(1)).as("dj_ng"), countDistinct(col("dj_g")).as("dj_nd"))
+    ent.join(gc, Seq("dj_grp"), "left").select(
+      col("dj_grp").as(groupCol),
+      col("dj_nt").as("n_tokens"),
+      col("dj_vs").as("vocab_size"),
+      col("dj_ent").as("token_entropy"),
+      coalesce(col("dj_ng"), lit(0L)).as("n_ngrams"),
+      coalesce(col("dj_nd"), lit(0L)).as("n_distinct_ngrams"),
+      when(coalesce(col("dj_ng"), lit(0L)) > 0,
+        col("dj_nd").cast("double") / col("dj_ng").cast("double"))
+        .as("distinct_ngram_ratio"))
+  }
+
   /** Zipf rank-frequency slope — the other corpus-law profile next to
     * [[corpusDiversity]]: natural text follows freq ∝ rank^s with
     * s ≈ −1; template spam and synthetic loops bend the curve (shallow

@@ -664,6 +664,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(wn("<null>") === 2L)
   }
 
+  test("corpusDiversityByGroup: per-group signals match single-group runs") {
+    import org.apache.spark.sql.functions.col
+    // group A diverse, group B template spam
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "a b a b", "A"), Row(2L, "a b c", "A"),
+        Row(3L, "the same exact phrase", "B"),
+        Row(4L, "the same exact phrase", "B")), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("src", StringType))))
+    val got = Corpus.corpusDiversityByGroup(df, "text", "src", n = 3)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))
+      .toMap
+    // each group equals the whole-corpus operator on its slice
+    for (g <- Seq("A", "B")) {
+      val solo = Corpus
+        .corpusDiversity(df.where(col("src") === g), "text", n = 3).head()
+      assert(got(g) === ((solo.getLong(0), solo.getLong(1), solo.getDouble(2),
+        solo.getLong(3), solo.getLong(4), solo.getDouble(5))), s"group $g")
+    }
+    assert(got("A")._6 === 1.0)
+    assert(got("B")._6 === 0.5)
+    graft.core.Blocks.releaseAll()
+  }
+
   test("zipfSlope: exact -1 on a perfect Zipf vocabulary; topK caps terms") {
     // counts 6, 3, 2 = 6/rank exactly → ln(freq) = ln 6 − ln(rank),
     // a perfect OLS fit with slope −1
