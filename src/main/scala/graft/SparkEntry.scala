@@ -966,6 +966,61 @@ object SparkEntry {
           round(col("asof_value"), 6).as("purchase_value"))
     },
 
+    // forward as-of (ops.Events.asofJoin direction=forward): the NEXT
+    // purchase at or after each click — the same sweep traversed
+    // coordinate-descending, vs DuckDB's native ASOF with c.ts <= pd.ts
+    "q_asof_forward" -> { (s, dir) =>
+      val events = readEvents(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      graft.ops.Events
+        .asofJoin(
+          events.where(col("event_type") === "click"),
+          events.where(col("event_type") === "purchase"),
+          keys = Seq("user_id"),
+          leftTs = "ts",
+          rightTs = "ts",
+          payloadCols = Seq("event_id", "value"),
+          tieBreak = Some("event_id"),
+          direction = "forward")
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), fmt).as("ts"),
+          date_format(col("asof_ts"), fmt).as("next_ts"),
+          col("asof_event_id").as("next_id"),
+          round(col("asof_value"), 6).as("next_value"))
+    },
+
+    // nearest as-of (ops.Events.asofJoinNearest): whichever purchase is
+    // closer in exact microseconds, ties to backward — two slim sweeps
+    // merged by rowid vs the oracle's two native ASOF joins + CASE
+    "q_asof_nearest" -> { (s, dir) =>
+      val events = readEvents(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      graft.ops.Events
+        .asofJoinNearest(
+          events.where(col("event_type") === "click"),
+          events.where(col("event_type") === "purchase"),
+          keys = Seq("user_id"),
+          leftTs = "ts",
+          rightTs = "ts",
+          payloadCols = Seq("event_id", "value"),
+          tieBreak = Some("event_id"),
+          // ts reads as TIMESTAMP_NTZ; the cast shifts both operands by
+          // the same session-tz offset, so the DIFFERENCE stays exact
+          // microseconds and matches the oracle's epoch_us arithmetic
+          distance = Some((l, r) =>
+            abs(unix_micros(l.cast("timestamp")) -
+              unix_micros(r.cast("timestamp")))))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), fmt).as("ts"),
+          date_format(col("asof_ts"), fmt).as("near_ts"),
+          col("asof_event_id").as("near_id"),
+          round(col("asof_value"), 6).as("near_value"))
+    },
+
     // gap-based sessionization (ops.Events.sessionize + sessionProfile):
     // per-user 6-hour-gap sessions, profiled — two stacked windows on one
     // per-key sort, one shuffle; decimal-cast avg for cross-engine
@@ -5124,6 +5179,53 @@ object SparkEntry {
                 round(pd.value, 6) AS purchase_value
          FROM c ASOF LEFT JOIN pd
            ON c.user_id = pd.user_id AND c.ts >= pd.ts""",
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, event_id, value,
+                      row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase'),
+              pd AS (SELECT user_id, ts, event_id, value FROM p WHERE rn = 1)
+         SELECT c.event_id, c.user_id,
+                strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                strftime(pd.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_ts,
+                pd.event_id AS next_id,
+                round(pd.value, 6) AS next_value
+         FROM c ASOF LEFT JOIN pd
+           ON c.user_id = pd.user_id AND c.ts <= pd.ts""",
+    "q_asof_nearest" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+              p AS (SELECT user_id, ts, event_id, value,
+                      row_number() OVER (PARTITION BY user_id, ts
+                                         ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'purchase'),
+              pd AS (SELECT user_id, ts, event_id, value FROM p WHERE rn = 1),
+              bwd AS (SELECT c.event_id, pd.ts AS bts, pd.event_id AS bid,
+                        pd.value AS bval
+                      FROM c ASOF LEFT JOIN pd
+                        ON c.user_id = pd.user_id AND c.ts >= pd.ts),
+              fwd AS (SELECT c.event_id, pd.ts AS fts, pd.event_id AS fid,
+                        pd.value AS fval
+                      FROM c ASOF LEFT JOIN pd
+                        ON c.user_id = pd.user_id AND c.ts <= pd.ts),
+              j AS (SELECT c.event_id, c.user_id, c.ts,
+                      bts, bid, bval, fts, fid, fval
+                    FROM c JOIN bwd USING (event_id)
+                           JOIN fwd USING (event_id)),
+              pick AS (SELECT *,
+                         (bts IS NULL OR (fts IS NOT NULL
+                            AND abs(epoch_us(ts) - epoch_us(fts))
+                                < abs(epoch_us(ts) - epoch_us(bts)))) AS cf
+                       FROM j)
+         SELECT event_id, user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                strftime(CASE WHEN cf THEN fts ELSE bts END,
+                         '%Y-%m-%d %H:%M:%S.%f') AS near_ts,
+                CASE WHEN cf THEN fid ELSE bid END AS near_id,
+                round(CASE WHEN cf THEN fval ELSE bval END, 6) AS near_value
+         FROM pick""",
     "q_sessionize" ->
       """WITH o AS (SELECT user_id, ts, value,
                       CASE WHEN lag(ts) OVER w IS NULL

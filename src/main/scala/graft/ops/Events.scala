@@ -68,8 +68,11 @@ object Events {
       tieBreak: Option[String] = None,
       strict: Boolean = false,
       withinTolerance: Option[(Column, Column) => Column] = None,
-      slimProbes: Boolean = false): DataFrame = {
+      slimProbes: Boolean = false,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward: $direction")
     if (slimProbes) {
       // rowids must be STABLE across the two plan branches that read them
       // (probe sweep + payload join-back) — monotonically_increasing_id is
@@ -80,7 +83,7 @@ object Events {
         (keys :+ leftTs :+ "dj_rowid").map(col): _*)
       val matched = asofJoin(
         slim, right, keys, leftTs, rightTs, payloadCols,
-        tieBreak, strict, withinTolerance, slimProbes = false)
+        tieBreak, strict, withinTolerance, slimProbes = false, direction)
       val asofCols = s"asof_$rightTs" +: payloadCols.map(c => s"asof_$c")
       return withId
         .join(matched.select(("dj_rowid" +: asofCols).map(col): _*), Seq("dj_rowid"))
@@ -103,9 +106,18 @@ object Events {
       .withColumn("dj_coord", col(leftTs))
       .withColumn("dj_tie", lit(null).cast(carriers.schema("dj_tie").dataType))
       .withColumn("dj_tag", lit(probeTag))
+    // forward = the SAME sweep traversed coordinate-DESCENDING: the last
+    // carrier seen before a probe is then the EARLIEST rightTs ≥ leftTs.
+    // Tag/tie semantics carry over unchanged (carriers still sort before
+    // probes at equal coord for inclusive, max tieBreak still wins);
+    // nulls_first keeps NULL probe coords filling nothing, mirroring the
+    // ascending default
+    val coordOrd =
+      if (direction == "forward") col("dj_coord").desc_nulls_first
+      else col("dj_coord").asc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("dj_coord"), col("dj_tag"), col("dj_tie"))
+      .orderBy(coordOrd, col("dj_tag"), col("dj_tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = probes
       .unionByName(carriers, allowMissingColumns = true)
@@ -122,6 +134,50 @@ object Events {
       left.columns.map(col) ++
         Seq(col("dj_fill.dj_rts").as(s"asof_$rightTs")) ++
         payloadCols.map(c => col(s"dj_fill.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Nearest as-of join: per left row, whichever of the backward and
+    * forward matches is CLOSER by `distance` (default: absolute
+    * difference of the double-cast coordinates — exact for numerics,
+    * second-resolution for timestamps; pass e.g.
+    * `(l, r) => abs(unix_micros(l) - unix_micros(r))` for exact
+    * microsecond timestamps). Ties and a missing forward match choose
+    * backward. Two sweeps over SLIM probes (keys, ts, rowid — the rowid
+    * pinned by one eager checkpoint) merged by rowid, payload joined
+    * back once. Output schema matches [[asofJoin]].
+    */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      tieBreak: Option[String] = None,
+      distance: Option[(Column, Column) => Column] = None): DataFrame = {
+    val dist = distance.getOrElse(
+      (l: Column, r: Column) => abs(l.cast("double") - r.cast("double")))
+    val withId = graft.core.Blocks.checkpoint(
+      left.withColumn("dj_rowid", monotonically_increasing_id()))
+    val slim = withId.select((keys :+ leftTs :+ "dj_rowid").map(col): _*)
+    val asofCols = s"asof_$rightTs" +: payloadCols.map(c => s"asof_$c")
+    def sweep(dir: String, prefix: String) = asofJoin(
+      slim, right, keys, leftTs, rightTs, payloadCols, tieBreak,
+      strict = false, withinTolerance = None, slimProbes = false,
+      direction = dir)
+      .select(col("dj_rowid") +:
+        asofCols.map(c => col(c).as(s"$prefix$c")): _*)
+    val merged = withId
+      .join(sweep("backward", "b_"), Seq("dj_rowid"))
+      .join(sweep("forward", "f_"), Seq("dj_rowid"))
+    val bTs = col(s"b_asof_$rightTs")
+    val fTs = col(s"f_asof_$rightTs")
+    val chooseFwd = bTs.isNull ||
+      (fTs.isNotNull && dist(col(leftTs), fTs) < dist(col(leftTs), bTs))
+    merged.select(
+      left.columns.map(col) ++
+        asofCols.map(c =>
+          when(chooseFwd, col(s"f_$c")).otherwise(col(s"b_$c")).as(c)): _*)
   }
 
   /** Gap-based sessionization: per key, a new session starts whenever the

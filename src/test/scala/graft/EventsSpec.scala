@@ -199,6 +199,60 @@ class EventsSpec extends AnyFunSuite {
     assert(prof(1).getLong(prof(1).fieldIndex("n_events")) == 1L)
   }
 
+  test("asofJoin forward: earliest at-or-after match; strict excludes equality") {
+    val left = df(Seq(("a", 10L, null), ("a", 20L, null), ("b", 50L, null)))
+    val right = df(Seq(("a", 10L, 100L), ("a", 15L, 150L), ("b", 9L, 900L)))
+    val out = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+        direction = "forward")
+      .orderBy("k", "t")
+      .collect()
+    // a@10 matches a@10 (inclusive), a@20 has nothing after → null
+    assert(out(0).getLong(out(0).fieldIndex("asof_t")) == 10L)
+    assert(out(1).isNullAt(out(1).fieldIndex("asof_t")))
+    // b@50 is past the only b carrier → null
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_t")))
+    val strictOut = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+        strict = true, direction = "forward")
+      .orderBy("k", "t")
+      .collect()
+    // strict: a@10 skips the equal carrier, takes a@15
+    assert(strictOut(0).getLong(strictOut(0).fieldIndex("asof_t")) == 15L)
+  }
+
+  test("asofJoin forward: max tieBreak wins among equal-timestamp carriers") {
+    val left = df(Seq(("a", 5L, null)))
+    val right = df(Seq(("a", 10L, 1L), ("a", 10L, 9L), ("a", 10L, 4L)))
+    val out = Events
+      .asofJoin(left, right, Seq("k"), "t", "t", Seq("v"),
+        tieBreak = Some("v"), direction = "forward")
+      .head()
+    assert(out.getLong(out.fieldIndex("asof_v")) == 9L)
+  }
+
+  test("asofJoinNearest: picks the closer side, ties go backward") {
+    val left = df(Seq(
+      ("a", 10L, null), // backward @8 (d=2) beats forward @15 (d=5)
+      ("a", 14L, null), // forward @15 (d=1) beats backward @8 (d=6)
+      ("a", 9L, null), // tie: backward @8 vs forward @10 → d=1 both? no: 9-8=1, 10-9=1 → tie → backward
+      ("b", 3L, null))) // only forward exists
+    val right = df(Seq(
+      ("a", 8L, 80L), ("a", 15L, 150L), ("a", 10L, 100L), ("b", 7L, 700L)))
+    val got = Events
+      .asofJoinNearest(left, right, Seq("k"), "t", "t", Seq("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(r.fieldIndex("asof_t"))) None
+         else Some(r.getLong(r.fieldIndex("asof_t")))))
+      .toMap
+    graft.core.Blocks.releaseAll()
+    assert(got(("a", 10L)).contains(10L)) // exact hit: backward inclusive d=0
+    assert(got(("a", 14L)).contains(15L))
+    assert(got(("a", 9L)).contains(8L)) // distance tie → backward
+    assert(got(("b", 3L)).contains(7L)) // no backward → forward
+  }
+
   test("volumeAnomalies: a planted spike day flags, steady days don't") {
     import spark.implicits._
     // 11 days at ~100 events, day 5 at 1000 — MAD flags only the spike
