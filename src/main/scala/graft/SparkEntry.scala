@@ -2259,6 +2259,32 @@ object SparkEntry {
           col("cnt").cast("bigint").as("cnt"))
     },
 
+    // streaming histogram over the replayed event stream: clamped-bucket
+    // grouped-count state (≤ nBuckets rows), complete-mode snapshot
+    // hash-compared to the batch rebuild — the drift-monitor state shape
+    // joins the two sketches in the streaming driver gate
+    "q_streaming_histogram" -> { (s, dir) =>
+      import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+      val schema = s.read.parquet(pq(dir, "events")).schema
+      val stream = s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val viewName = "graft_stream_hist"
+      s.catalog.dropTempView(viewName): Unit
+      val q = graft.streaming.StreamingChecks
+        .streamingHistogram(stream, "value", lo = 0.0, hi = 500.0,
+          nBuckets = 20)
+        .writeStream
+        .format("memory")
+        .queryName(viewName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(viewName).select(col("bucket"), col("cnt"))
+    },
+
     // streaming HyperLogLog registers over the replayed document stream:
     // grouped-MAX state (≤ 2^b rows), complete-mode snapshot hash-compared
     // to the full DuckDB register rebuild — with q_streaming_cms this
@@ -4967,6 +4993,14 @@ object SparkEntry {
                   AS bucket,
                 count(*) AS cnt
          FROM lineitem WHERE l_quantity IS NOT NULL
+         GROUP BY 1""",
+    // streaming histogram: the batch bucket rebuild over events.value
+    "q_streaming_histogram" ->
+      """SELECT CAST(least(greatest(
+                  floor((value - 0.0) * 20 / 500.0), 0), 19) AS BIGINT)
+                  AS bucket,
+                count(*) AS cnt
+         FROM events WHERE value IS NOT NULL
          GROUP BY 1""",
     // correlation: the same exact-moment formula in HUGEINT
     "q_correlation" ->

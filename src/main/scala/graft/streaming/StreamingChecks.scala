@@ -139,6 +139,23 @@ object StreamingChecks {
       .agg(max(col("dj_rank")).as("hll_register"))
   }
 
+  /** Streaming equi-width histogram — the drift-monitor state for a live
+    * stream: the batch histogram ([[graft.ops.Stats.histogram]]) is a
+    * grouped count over clamped bucket indices, so it is ALSO a legal
+    * streaming aggregation with ≤ `nBuckets` state rows regardless of
+    * stream volume. Snapshot the complete-mode output and feed it
+    * straight into [[graft.ops.Drift.psi]]'s bucket-table side (or eye
+    * the shape) — continuous "is today's feed distributed like the
+    * reference" monitoring at fixed memory.
+    */
+  def streamingHistogram(
+      stream: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame =
+    graft.ops.Stats.histogram(stream, valueCol, lo, hi, nBuckets)
+
   /** Streaming exact deduplication on a fingerprint key with bounded state:
     * `dropDuplicatesWithinWatermark` keeps one row per key while the
     * watermark bounds how long a key's state lives — the streaming flavor of
