@@ -966,6 +966,23 @@ object SparkEntry {
           round(col("asof_value"), 6).as("purchase_value"))
     },
 
+    // trailing-window features (ops.Events.trailingAggregate): per-user
+    // 1-hour rolling count + exact-decimal sum at each event — one
+    // per-key RANGE window on the microsecond coordinate
+    "q_trailing_window" -> { (s, dir) =>
+      val events = readEvents(s, dir)
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      graft.ops.Events
+        .trailingAggregate(
+          events, "user_id", "ts", "value", trailing = 3600000000L)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), fmt).as("ts"),
+          col("trailing_count"),
+          round(col("trailing_sum"), 6).as("trailing_sum"))
+    },
+
     // forward as-of (ops.Events.asofJoin direction=forward): the NEXT
     // purchase at or after each click — the same sweep traversed
     // coordinate-descending, vs DuckDB's native ASOF with c.ts <= pd.ts
@@ -5213,6 +5230,25 @@ object SparkEntry {
                 round(pd.value, 6) AS purchase_value
          FROM c ASOF LEFT JOIN pd
            ON c.user_id = pd.user_id AND c.ts >= pd.ts""",
+    // trailing window: identical microsecond coordinate, RANGE frame,
+    // exact decimal sums descaled in the identical double shape
+    "q_trailing_window" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+                      epoch_us(ts) AS c,
+                      CAST(round(value * 1000000) AS HUGEINT) AS sv
+                    FROM events WHERE ts IS NOT NULL),
+              w AS (SELECT event_id, user_id, ts,
+                      count(*) OVER win AS tc,
+                      coalesce(sum(sv) OVER win, 0) AS tsum
+                    FROM e
+                    WINDOW win AS (PARTITION BY user_id ORDER BY c
+                                   RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW))
+         SELECT event_id, user_id,
+                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                CAST(tc AS BIGINT) AS trailing_count,
+                round(CAST(tsum AS DOUBLE) / 1000000.0, 6) AS trailing_sum
+         FROM w""",
     "q_asof_forward" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
                     WHERE event_type = 'click'),

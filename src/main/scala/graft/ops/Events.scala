@@ -222,6 +222,50 @@ object Events {
         count(lit(1)).as("n_events"),
         avg(col(valueCol)).as("avg_value"))
 
+  /** Trailing-window features per event — "this user's count/sum over
+    * the previous hour, AT each event": the per-row rolling aggregate a
+    * feature-engineering pipeline computes before training (velocity /
+    * burst signals). One per-key RANGE window over the event-time
+    * coordinate: a timestamp column rides as exact integer microseconds
+    * (`trailing` is then microseconds too), a numeric column as itself
+    * (`trailing` in its own units); rows with EQUAL coordinates are
+    * range-frame peers and see each other, the deterministic SQL
+    * convention on both engines. Sums accumulate as scaled decimals
+    * (`valueScale` fixed-point digits), so the trailing sum is exact —
+    * a double rolling sum would drift with partial order. One shuffle,
+    * windows partitioned by key. Adds `trailing_count` and
+    * `trailing_sum` (double, descaled); NULL timestamps are excluded,
+    * NULL values count toward nothing but keep their row.
+    */
+  def trailingAggregate(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      trailing: Long,
+      valueScale: Long = 1000000L): DataFrame = {
+    require(trailing > 0, s"trailing must be positive: $trailing")
+    import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
+    val coord = df.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(tsCol).cast("timestamp"))
+      case _: NumericType => col(tsCol).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"trailingAggregate needs a timestamp or numeric coordinate, got $other")
+    }
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(coord)
+      .rangeBetween(-trailing, Window.currentRow)
+    val scaled = round(col(valueCol) * valueScale).cast("decimal(38,0)")
+    df.where(col(tsCol).isNotNull)
+      .withColumn("trailing_count", count(lit(1)).over(w))
+      .withColumn(
+        "trailing_sum",
+        (coalesce(sum(scaled).over(w), lit(0).cast("decimal(38,0)"))
+          .cast("double") / lit(valueScale.toDouble)))
+  }
+
   /** Ingestion-volume anomaly detection — "did Tuesday's feed drop or
     * double": per-`bucket` event counts (date_trunc buckets) flagged by
     * the robust MAD rule ([[Integrity.madOutliers]] — doubled-order-

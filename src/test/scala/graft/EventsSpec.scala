@@ -253,6 +253,28 @@ class EventsSpec extends AnyFunSuite {
     assert(got(("b", 3L)).contains(7L)) // no backward → forward
   }
 
+  test("trailingAggregate: range frame includes the boundary and peers, exact sums") {
+    // numeric coordinate: trailing 10 units
+    val ev = df(Seq(
+      ("u", 0L, 5L), ("u", 10L, 7L), // 10−10=0 → boundary INCLUDED
+      ("u", 11L, 2L), // window [1,11] → 10,11 only
+      ("u", 11L, 3L), // peer of t=11 → range frame sees BOTH t=11 rows
+      ("v", 100L, 1L)))
+    val got = Events
+      .trailingAggregate(ev, "k", "t", "v", trailing = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(r.fieldIndex("v"))) ->
+        (r.getLong(r.fieldIndex("trailing_count")),
+          r.getDouble(r.fieldIndex("trailing_sum"))))
+      .toMap
+    assert(got(("u", 0L, 5L)) === ((1L, 5.0)))
+    assert(got(("u", 10L, 7L)) === ((2L, 12.0)))
+    // both t=11 rows are peers: each sees {10, 11a, 11b}
+    assert(got(("u", 11L, 2L)) === ((3L, 12.0)))
+    assert(got(("u", 11L, 3L)) === ((3L, 12.0)))
+    assert(got(("v", 100L, 1L)) === ((1L, 1.0)))
+  }
+
   test("volumeAnomalies: a planted spike day flags, steady days don't") {
     import spark.implicits._
     // 11 days at ~100 events, day 5 at 1000 — MAD flags only the spike
