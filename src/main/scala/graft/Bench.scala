@@ -242,25 +242,33 @@ object Bench {
           .where(S.cosineF(col("e1"), col("e2")) >= thr)
           .select(col("pid1"), col("pid2")))
       val nPairs = truthPairs.count().toDouble
-      val sem = S.semanticNearDups(
+      def semPairs(probes: Int) = S.semanticNearDups(
         sub, "vec_id", "embedding", thr,
         // size clusters to the SUBSAMPLE (the 256-cluster default over a
         // ~2000-vector sample would put each vector alone in its cell and
         // zero the recall by construction)
         nClusters = S.semanticClusters(subCount),
-        corpusSize = Some(subCount))
+        corpusSize = Some(subCount),
+        probes = probes)
         .select(
           least(col("id1"), col("id2")).as("pid1"),
           greatest(col("id1"), col("id2")).as("pid2"))
-      val semRecall =
+      def semRecallOf(probes: Int): Double =
         if (nPairs == 0) 0.0
-        else truthPairs.join(sem, Seq("pid1", "pid2"), "left_semi").count() / nPairs
+        else truthPairs
+          .join(semPairs(probes), Seq("pid1", "pid2"), "left_semi")
+          .count() / nPairs
+      val semRecall = semRecallOf(1)
+      // the multi-probe recall lever, reported next to the single-cell
+      // number so the artifact shows what probes = 2 buys
+      val semRecall2 = semRecallOf(2)
       def r3(x: Double) = math.round(x * 1000) / 1000.0
       Some(
         s"""{"k":$k,"n_queries":${queries.count()},"n_truth":${nTruth.toLong},""" +
           s""""lsh_recall":${r3(lsh)},"lsh4_recall":${r3(lsh4)},""" +
           s""""ivf_recall":${r3(ivf)},"ivf8_recall":${r3(ivf8)},""" +
-          s""""semantic_pair_recall":${r3(semRecall)},"n_truth_pairs":${nPairs.toLong}}""")
+          s""""semantic_pair_recall":${r3(semRecall)},""" +
+          s""""semantic2_pair_recall":${r3(semRecall2)},"n_truth_pairs":${nPairs.toLong}}""")
     } catch {
       case e: Throwable =>
         System.err.println(s"bench: ann recall eval failed on $dir: $e")

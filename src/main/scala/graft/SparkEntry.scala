@@ -2923,6 +2923,24 @@ object SparkEntry {
         .drop("dj_member")
     },
 
+    // multi-probe SemDeDup: each vector joins its TWO nearest cells, pairs
+    // recovered from ANY shared probe cell, canonical cell = smallest
+    // shared id — the recall lever over q_semantic_neardup (whose output
+    // is a subset of this one by construction)
+    "q_semantic_mp" -> { (s, dir) =>
+      graft.ops.Similarity
+        .semanticNearDups(
+          s.read.parquet(pq(dir, "embeddings")),
+          "vec_id", "embedding", threshold = 0.3495,
+          nClusters = 64, lloydIters = 0, corpusSize = Some(1), probes = 2)
+        .select(
+          col("id1"), col("id2"), col("cluster"),
+          round(col("cosine"), 6).as("cosine"),
+          round(col("cosine"), 3).as("dj_member"))
+        .where(col("dj_member") >= 0.35)
+        .drop("dj_member")
+    },
+
     // GPT-style sequence packing: concat docs in deterministic md5 order
     // within hash buckets, cut every 2048 tokens; each doc gets the pack
     // window its first token falls in
@@ -4077,6 +4095,36 @@ object SparkEntry {
              pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster
                        FROM ok a JOIN ok b ON a.cluster = b.cluster
                          AND a.vec_id < b.vec_id)
+         SELECT p.id1, p.id2, p.cluster,
+                round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
+         FROM pairs p JOIN v va ON p.id1 = va.vec_id
+                      JOIN v vb ON p.id2 = vb.vec_id
+         WHERE round(list_cosine_similarity(va.e, vb.e), 3) >= 0.35""",
+    // multi-probe flavor: rn <= 2 probe cells per vector, size cap per
+    // probe cell, pairs from any shared cell deduplicated to min(cell)
+    "q_semantic_mp" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings
+                 WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+             cent AS (SELECT vec_id AS cid, e AS cvec FROM v
+                      ORDER BY vec_id LIMIT 64),
+             scored AS (SELECT vec_id, cid,
+                          round(list_cosine_similarity(e, cvec), 6) AS sim
+                        FROM v, cent),
+             assigned AS (SELECT vec_id, cid AS cluster FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cid) AS rn
+                 FROM scored) t WHERE rn <= 2),
+             sizes AS (SELECT cluster, count(*) AS n FROM assigned GROUP BY 1),
+             ok AS (SELECT a.vec_id, a.cluster FROM assigned a
+                    JOIN sizes s ON a.cluster = s.cluster
+                      AND s.n BETWEEN 2 AND 1000),
+             pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                              min(a.cluster) AS cluster
+                       FROM ok a JOIN ok b ON a.cluster = b.cluster
+                         AND a.vec_id < b.vec_id
+                       GROUP BY 1, 2)
          SELECT p.id1, p.id2, p.cluster,
                 round(list_cosine_similarity(va.e, vb.e), 6) AS cosine
          FROM pairs p JOIN v va ON p.id1 = va.vec_id

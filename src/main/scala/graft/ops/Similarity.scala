@@ -607,6 +607,19 @@ object Similarity {
     * candidate-volume-sized (`Dedup.verifyPairs`). Scale `nClusters` with
     * the corpus (SemDeDup used 50k clusters at web scale) so the EXPECTED
     * cell stays small and the cap only trims pathological mass.
+    *
+    * `probes` > 1 is the recall lever: each vector joins its `probes`
+    * nearest cells (not just the argmax), so a pair straddling a cell
+    * boundary is recovered whenever the two land in ANY shared probe cell
+    * — the multi-probe trick from IVF search applied to the SemDeDup
+    * pairing. Candidate volume scales ~×probes²/2 in the worst case (in
+    * practice far less — probe cells overlap); pairs surfacing from
+    * several shared cells are deduplicated to their smallest shared cell
+    * id BEFORE verification, so the exact-cosine work and the output see
+    * each pair once. `probes = 1` keeps the original single-cell plan
+    * byte-for-byte (the correctness gate's flavor). The probes = 1 output
+    * is always a subset of the probes = p output for p > 1 (rank-1 cells
+    * are among the p probe cells) — `SemanticProbeSpec` pins this.
     */
   /** Cluster count for [[semanticNearDups]] scaled to the corpus: the
     * EXPECTED cluster size tracks `targetClusterSize`, so within-cluster
@@ -629,9 +642,11 @@ object Similarity {
       lloydIters: Int = 0,
       maxClusterSize: Int = 1000,
       corpusSize: Option[Long] = None,
-      maxLiteralCentroids: Int = 512): DataFrame = {
+      maxLiteralCentroids: Int = 512,
+      probes: Int = 1): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive: $nClusters")
     require(maxClusterSize >= 2, s"maxClusterSize must be at least 2: $maxClusterSize")
+    require(probes >= 1, s"probes must be positive: $probes")
     val base = vectors
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("vec"))
@@ -657,6 +672,7 @@ object Similarity {
     val withNorms = centroids.map { case (cid, v) =>
       (cid, v, math.sqrt(v.map(x => x * x).sum))
     }
+    val nProbes = math.min(probes, centroids.size)
     val assignedPlan =
       if (centroids.size <= maxLiteralCentroids) {
         // small k: centroids as plan literals, per-row argmax — one corpus
@@ -667,22 +683,29 @@ object Similarity {
             array(v.map(lit): _*).as("cvec"),
             lit(nrm).as("cnorm"))
         }: _*)
-        base
-          .withColumn("dj_nrm", norm(col("vec")))
-          .select(
-            col(idCol),
-            col("vec"),
-            element_at(
-              transform(
-                array_sort(
-                  transform(centroidArrN, c => struct(
-                    (-round(
-                      dot(col("vec"), c.getField("cvec")) /
-                        (col("dj_nrm") * c.getField("cnorm")),
-                      6)).as("neg"),
-                    c.getField("cid").as("cid")))),
-                s => s.getField("cid")),
-              1).as("cluster"))
+        val sortedCids =
+          transform(
+            array_sort(
+              transform(centroidArrN, c => struct(
+                (-round(
+                  dot(col("vec"), c.getField("cvec")) /
+                    (col("dj_nrm") * c.getField("cnorm")),
+                  6)).as("neg"),
+                c.getField("cid").as("cid")))),
+            s => s.getField("cid"))
+        if (nProbes == 1)
+          base
+            .withColumn("dj_nrm", norm(col("vec")))
+            .select(col(idCol), col("vec"), element_at(sortedCids, 1).as("cluster"))
+        else
+          // multi-probe: the row fans out to its nProbes best cells — still
+          // one corpus scan, no join; the explode multiplies rows, not scans
+          base
+            .withColumn("dj_nrm", norm(col("vec")))
+            .select(
+              col(idCol),
+              col("vec"),
+              explode(slice(sortedCids, 1, nProbes)).as("cluster"))
       } else {
         // large k (SemDeDup's web-scale regime): a plan-literal array this
         // wide would bloat every task's codegen, so the centroid table is
@@ -695,7 +718,7 @@ object Similarity {
         val spark = vectors.sparkSession
         import spark.implicits._
         val centDf = broadcast(withNorms.toDF("dj_cid", "dj_cvec", "dj_cnorm"))
-        val best = base
+        val scoredRows = base
           .withColumn("dj_nrm", norm(col("vec")))
           .crossJoin(centDf)
           .select(
@@ -706,9 +729,25 @@ object Similarity {
                   (col("dj_nrm") * col("dj_cnorm")),
                 6)).as("neg"),
               col("dj_cid").as("cid")).as("dj_score"))
-          .groupBy(idCol)
-          .agg(min(col("dj_score")).as("dj_best"))
-          .select(col(idCol), col("dj_best.cid").as("cluster"))
+        val best =
+          if (nProbes == 1)
+            scoredRows
+              .groupBy(idCol)
+              .agg(min(col("dj_score")).as("dj_best"))
+              .select(col(idCol), col("dj_best.cid").as("cluster"))
+          else
+            // top-p per id: a per-id window over the n·k scored rows — the
+            // partial-agg min(struct) trick can't keep p winners, and a
+            // p-sized collect state per id would not partial-aggregate
+            // either; each window partition holds exactly k rows (bounded
+            // by the centroid count, no data skew possible)
+            scoredRows
+              .withColumn(
+                "dj_rk",
+                row_number().over(
+                  Window.partitionBy(idCol).orderBy(col("dj_score"))))
+              .where(col("dj_rk") <= nProbes)
+              .select(col(idCol), col("dj_score.cid").as("cluster"))
         base.join(best, Seq(idCol))
           .select(col(idCol), col("vec"), col("cluster"))
       }
@@ -723,14 +762,25 @@ object Similarity {
       .where(col("dj_cn").between(2, maxClusterSize))
       .select("cluster")
     val members = assigned.join(sizes, Seq("cluster"))
-    val candidates = members
+    val rawCandidates = members
       .select(col("cluster"), col(idCol).as("id1"))
       .join(members.select(col("cluster"), col(idCol).as("id2")), Seq("cluster"))
       .where(col("id1") < col("id2"))
       .select("id1", "id2", "cluster")
+    // multi-probe: a pair sharing several probe cells must be scored and
+    // reported ONCE — canonical cell = smallest shared cell id (for
+    // probes = 1 each pair arises in exactly one cell; skip the shuffle)
+    val candidates =
+      if (nProbes == 1) rawCandidates
+      else rawCandidates.groupBy("id1", "id2").agg(min("cluster").as("cluster"))
     val checkpointed = graft.core.Blocks.checkpoint(candidates)
     val nCand = checkpointed.count()
-    val sides = assigned.select(col(idCol), col("vec"))
+    // probes > 1 leaves p rows per id in `assigned`; the verify side needs
+    // one vector per id (values identical across probe rows, so the
+    // subset-dedup is value-deterministic)
+    val sides =
+      if (nProbes == 1) assigned.select(col(idCol), col("vec"))
+      else assigned.select(col(idCol), col("vec")).dropDuplicates(idCol)
     graft.ops.Dedup
       // "cluster" rides along on the candidate frame through the joins
       .verifyPairs(checkpointed, nCand, sides, sides, idCol, Seq("vec" -> "v"))
