@@ -2802,6 +2802,42 @@ object SparkEntry {
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
     },
 
+    // near-dup leakage across splits: val/test docs whose CC near-dup
+    // cluster also holds a train doc — the contamination exact
+    // decontamination misses; composes the q_dedup_clusters closure with
+    // the q_split_assign lattice assignment
+    "q_split_leakage" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val clusters = graft.ops.Dedup
+        .connectedComponents(graft.ops.Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id", shingleK = 5, threshold = 0.6))
+        .select(col("id").as("doc_id"), col("cluster_id").cast("bigint").as("cluster_id"))
+      val splits = graft.ops.Corpus.assignSplits(
+        docs.select(col("doc_id")), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      graft.ops.Corpus
+        .splitLeakage(clusters, "doc_id", "cluster_id", splits, "split")
+    },
+
+    // n-gram novelty: fraction of a doc's DISTINCT 8-token window
+    // fingerprints found in no other document — the "new text" score;
+    // short docs (< 8 tokens) report n_fp = 0, novelty NULL
+    "q_novelty" -> { (s, dir) =>
+      graft.ops.Dedup.ngramNovelty(
+        s.read.parquet(pq(dir, "documents")), "text", "doc_id",
+        windowTokens = 8)
+    },
+
+    // per-group Wilson score interval on a keep-rate: the honest
+    // small-n/extreme-p interval for monitoring per-source filter rates;
+    // double arithmetic over exact (k, n) in a fixed operand order
+    "q_wilson_ci" -> { (s, dir) =>
+      graft.ops.Stats.proportionCI(
+        s.read.parquet(pq(dir, "lineitem"))
+          .select(col("l_returnflag"), (col("l_quantity") > 25).as("keep")),
+        "keep", Seq("l_returnflag"))
+    },
+
     // deterministic stratified sample: k smallest md5(id:seed) per stratum
     // via the salted two-phase top-k (no per-stratum reducer funnel)
     "q_stratified_sample" -> { (s, dir) =>
@@ -5802,6 +5838,75 @@ object SparkEntry {
                       ELSE 'test' END AS split
           FROM documents"""
     },
+    // near-dup split leakage: CC closure (q_dedup_clusters) ⋈ lattice
+    // splits (q_split_assign) → non-train members of clusters with >= 1
+    // train doc
+    "q_split_leakage" -> {
+      val bounds = graft.ops.Corpus.splitBoundsHex(
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ($jaccardSql)),
+              edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                        UNION SELECT id2, id1 FROM pairs),
+              reach AS (SELECT a AS id, b AS r FROM edges
+                        UNION
+                        SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+              cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster_id
+                     FROM reach GROUP BY id),
+              sp AS (SELECT doc_id,
+                       CASE WHEN md5(doc_id || ':graft') < '${bounds(0)}' THEN 'train'
+                            WHEN md5(doc_id || ':graft') < '${bounds(1)}' THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM documents),
+              m AS (SELECT cl.doc_id, cl.cluster_id, sp.split
+                    FROM cl JOIN sp USING (doc_id)),
+              agg AS (SELECT cluster_id,
+                        sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+                        count(*)::BIGINT AS n_docs
+                      FROM m GROUP BY 1)
+         SELECT m.doc_id, m.cluster_id, m.split, a.n_train, a.n_docs
+         FROM m JOIN agg a USING (cluster_id)
+         WHERE m.split <> 'train' AND a.n_train > 0"""
+    },
+    // n-gram novelty: distinct 8-token window fps per doc, document
+    // frequency over the distinct sets, novel = df == 1
+    "q_novelty" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normSql, ' ') AS toks
+                  FROM documents WHERE text IS NOT NULL),
+             t AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM d),
+             w0 AS (SELECT doc_id,
+                      list_distinct(list_transform(range(1, n - 6),
+                        i -> md5(array_to_string(list_slice(toks, i, i + 7), ' ')))) AS fps
+                    FROM t WHERE n >= 8),
+             w AS (SELECT doc_id, unnest(fps) AS fp FROM w0),
+             dfreq AS (SELECT fp, count(*) AS nd FROM w GROUP BY 1),
+             per AS (SELECT w.doc_id, count(*)::BIGINT AS n_fp,
+                       sum(CASE WHEN nd = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel
+                     FROM w JOIN dfreq USING (fp) GROUP BY 1)
+         SELECT t.doc_id, coalesce(per.n_fp, 0)::BIGINT AS n_fp,
+                coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+                round(per.n_novel::DOUBLE / nullif(per.n_fp, 0), 6) AS novelty
+         FROM t LEFT JOIN per USING (doc_id)""",
+    // Wilson interval: identical double operand order as Stats.proportionCI
+    // (z and z² as the exact double literals the Scala side uses)
+    "q_wilson_ci" ->
+      """WITH a AS (SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+                      sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS n_true
+                    FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n_rows, n_true,
+                round(n_true::DOUBLE / n_rows, 6) AS p_hat,
+                round((n_true::DOUBLE / n_rows
+                         + 3.8414588206941254 / (2.0 * n_rows)
+                       - 1.959963984540054 * sqrt(
+                           (n_true::DOUBLE / n_rows) * (1.0 - n_true::DOUBLE / n_rows) / n_rows
+                             + 3.8414588206941254 / (4.0 * n_rows * n_rows)))
+                      / (1.0 + 3.8414588206941254 / n_rows), 6) AS ci_lo,
+                round((n_true::DOUBLE / n_rows
+                         + 3.8414588206941254 / (2.0 * n_rows)
+                       + 1.959963984540054 * sqrt(
+                           (n_true::DOUBLE / n_rows) * (1.0 - n_true::DOUBLE / n_rows) / n_rows
+                             + 3.8414588206941254 / (4.0 * n_rows * n_rows)))
+                      / (1.0 + 3.8414588206941254 / n_rows), 6) AS ci_hi
+         FROM a""",
     "q_stratified_sample" ->
       """WITH s AS (SELECT doc_id, doc_id % 7 AS stratum,
                            md5(doc_id || ':graft:sample') AS u FROM documents),

@@ -216,6 +216,44 @@ object Corpus {
       seed: String = "graft"): DataFrame =
     df.withColumn("split", splitColumn(col(idCol), weights, seed))
 
+  /** Near-dup leakage across train/eval splits: given cluster assignments
+    * (`idCol`, `clusterCol` — e.g. `Dedup.connectedComponents` output) and
+    * per-document split labels (`idCol`, `splitCol` — e.g. [[assignSplits]]
+    * output), report every document OUTSIDE the reference split whose
+    * cluster also contains at least one reference-split document — the
+    * eval/test rows whose content leaks into training through a
+    * near-duplicate that exact decontamination misses. Emits
+    * (`idCol`, `clusterCol`, `splitCol`, n_train, n_docs) per leaked
+    * document; empty result = clean separation.
+    *
+    * 100 TB posture: one id-keyed equi-join (clusters ⋈ splits), one
+    * cluster-keyed aggregate (map-side partial count), one join back on
+    * cluster id — all AQE-managed equi-shuffles; nothing driver-side, no
+    * windows. A pathological giant cluster only inflates its own join
+    * group (and is exactly the cluster the report should surface).
+    */
+  def splitLeakage(
+      clusters: DataFrame,
+      idCol: String,
+      clusterCol: String,
+      splits: DataFrame,
+      splitCol: String,
+      trainSplit: String = "train"): DataFrame = {
+    val members =
+      clusters.join(splits.select(col(idCol), col(splitCol)), Seq(idCol))
+    val perCluster = members
+      .groupBy(col(clusterCol))
+      .agg(
+        sum(when(col(splitCol) === trainSplit, 1L).otherwise(0L)).as("n_train"),
+        count(lit(1)).as("n_docs"))
+    members
+      .join(perCluster, Seq(clusterCol))
+      .where(col(splitCol) =!= trainSplit && col("n_train") > 0)
+      .select(
+        col(idCol), col(clusterCol), col(splitCol),
+        col("n_train"), col("n_docs"))
+  }
+
   private def hashU(idCol: Column, seed: String): Column =
     md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary"))
 

@@ -1165,6 +1165,63 @@ object Dedup {
           6).as("dup_frac"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * `windowTokens`-token window fingerprints that appear in NO other
+    * document — the inverse view of span/contamination overlap, and the
+    * usual "how much genuinely new text does this source add" score when
+    * deciding whether a crawl snapshot is worth ingesting. Emits
+    * (`idCol`, n_fp, n_novel, novelty ∈ [0,1]); documents shorter than one
+    * window get n_fp = 0 and a NULL novelty (no evidence either way).
+    *
+    * Scale shape: one token explode per document reduced to DISTINCT
+    * fingerprints in-array (within-doc repetition is not cross-doc
+    * overlap, and the explode volume drops before the shuffle), one
+    * vocabulary-keyed document-frequency aggregate (map-side partials),
+    * one fp-keyed join back (AQE-managed; a boilerplate fingerprint skews
+    * only its own join group), one id-keyed count. The fingerprint frame
+    * is checkpointed — frequency aggregate and join-back read it once.
+    */
+  def ngramNovelty(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
+    val l = windowTokens
+    val toksDf = spread(df
+      .where(col(textCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
+      .select(col(idCol), size(col("dj_toks")).cast("long").as("dj_n"), col("dj_toks"))
+    val fps = toksDf
+      .where(col("dj_n") >= l)
+      .select(
+        col(idCol),
+        explode(array_distinct(graft.ops.Hof.bound(col("dj_toks")) { t =>
+          transform(
+            sequence(lit(1), (size(t) - l + 1).cast("int")),
+            i => md5(concat_ws(" ", slice(t, i, lit(l))).cast("binary")))
+        })).as("dj_fp"))
+    val fpsCk = graft.core.Blocks.checkpoint(fps)
+    val docFreq = fpsCk.groupBy("dj_fp").agg(count(lit(1)).as("dj_nd"))
+    val per = fpsCk
+      .join(docFreq, Seq("dj_fp"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("dj_nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+    toksDf
+      .select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(
+          col("n_novel") / when(col("n_fp") > 0, col("n_fp")),
+          6).as("novelty"))
+  }
+
   /** The rewrite flavor of [[duplicatedSpans]] (the reference behavior of
     * exact-substring dedup — arXiv:2107.06499 REMOVES the cloned spans):
     * every token covered by a flagged (non-first-occurrence) window is

@@ -600,6 +600,50 @@ object Stats {
         when(ok, m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess")): _*)
   }
 
+  /** Per-group proportion with a Wilson score interval (Wilson 1927 — the
+    * interval that stays honest at small n and extreme p, unlike the Wald
+    * ±z·√(p(1−p)/n)): for a boolean `valueCol`, each group's
+    * p̂ = k/n and [ci_lo, ci_hi] at confidence z. The monitoring primitive
+    * for filter/keep rates — "did source X's Gopher pass-rate move outside
+    * its interval" is a Wilson comparison, not a raw-share comparison,
+    * when per-group row counts differ by orders of magnitude.
+    *
+    * NULL values carry no evidence and are excluded from n. All arithmetic
+    * downstream of the exact integer (k, n) aggregate is plain double with
+    * a fixed operand order, so results are engine-reproducible (the gate
+    * oracle re-derives them in SQL); one map-side-partial aggregate, no
+    * shuffle beyond it.
+    */
+  def proportionCI(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive: $z")
+    val base = df.where(col(valueCol).isNotNull)
+    val grouped =
+      if (groupCols.isEmpty) base.groupBy()
+      else base.groupBy(groupCols.map(col): _*)
+    val agged = grouped.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col(valueCol).cast("boolean"), 1L).otherwise(0L)).as("n_true"))
+    val n = col("n_rows").cast("double")
+    val k = col("n_true").cast("double")
+    val z2 = lit(z * z)
+    val phat = k / n
+    val denom = lit(1.0) + z2 / n
+    val center = phat + z2 / (lit(2.0) * n)
+    val half = lit(z) * sqrt(
+      phat * (lit(1.0) - phat) / n + z2 / (lit(4.0) * n * n))
+    agged.select(
+      groupCols.map(col) ++ Seq(
+        col("n_rows"),
+        col("n_true"),
+        round(phat, 6).as("p_hat"),
+        round((center - half) / denom, 6).as("ci_lo"),
+        round((center + half) / denom, 6).as("ci_hi")): _*)
+  }
+
   /** Approximate p-value (Fachinetti 2009; reference
     * `constraints/stats.py:25-54`'s no-scipy fallback): 2·exp(−(D·√min(n,m))²),
     * clamped to [0,1]; None below 35 samples (approximation inaccurate).

@@ -740,4 +740,46 @@ class CorpusSpec extends AnyFunSuite {
       StructType(Seq(StructField("doc_id", LongType))))
     assert(Corpus.epochShuffle(withNull, "doc_id", "s", 1).count() === 2L)
   }
+
+  test("splitLeakage: non-train members of train-touching clusters only") {
+    import spark.implicits._
+    // cluster 10: train + val + test (both non-train rows leak)
+    // cluster 20: val + test only (no train — clean, nothing reported)
+    // cluster 30: train only (nothing to leak)
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L),
+      (6L, 30L)).toDF("doc_id", "cluster_id")
+    val splits = Seq(
+      (1L, "train"), (2L, "val"), (3L, "test"),
+      (4L, "val"), (5L, "test"),
+      (6L, "train")).toDF("doc_id", "split")
+    val out = Corpus
+      .splitLeakage(clusters, "doc_id", "cluster_id", splits, "split")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out === Set(
+      (10L, 2L, "val", 1L, 3L),
+      (10L, 3L, "test", 1L, 3L)))
+  }
+
+  test("ngramNovelty: shared windows are not novel; short docs get NULL") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta" // one 4-token window, in both docs
+    val df = Seq(
+      (1L, s"$shared unique one two three"),
+      (2L, s"$shared other words here now"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val r = graft.ops.Dedup.ngramNovelty(df, "text", "doc_id", windowTokens = 4)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1: 5 windows (8 tokens, w=4), only the first is shared
+    assert(r(1L).getLong(1) === 5L)
+    assert(r(1L).getLong(2) === 4L)
+    assert(r(1L).getDouble(3) === 0.8)
+    assert(r(2L).getLong(2) === 4L)
+    // doc 3 is shorter than one window: no fingerprints, NULL novelty
+    assert(r(3L).getLong(1) === 0L)
+    assert(r(3L).isNullAt(3))
+  }
 }

@@ -478,6 +478,30 @@ class StatsSpec extends AnyFunSuite {
     assert(salted === naive)
   }
 
+  test("proportionCI: Wilson interval matches the closed form; nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", java.lang.Boolean.TRUE), ("a", java.lang.Boolean.TRUE),
+      ("a", java.lang.Boolean.FALSE), ("a", null.asInstanceOf[java.lang.Boolean]),
+      ("b", java.lang.Boolean.FALSE)).toDF("g", "keep")
+    val r = Stats.proportionCI(df, "keep", Seq("g"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    val a = r("a")
+    assert(a.getLong(1) === 3L) // null excluded from n
+    assert(a.getLong(2) === 2L)
+    assert(a.getDouble(3) === 0.666667)
+    // closed-form Wilson at k=2, n=3, z=1.959963984540054
+    val z = 1.959963984540054; val z2 = z * z
+    val n = 3.0; val p = 2.0 / n
+    val lo = (p + z2 / (2 * n) - z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+    val hi = (p + z2 / (2 * n) + z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))) / (1 + z2 / n)
+    assert(a.getDouble(4) === math.round(lo * 1e6) / 1e6)
+    assert(a.getDouble(5) === math.round(hi * 1e6) / 1e6)
+    // degenerate group: p̂ = 0 keeps 0 <= ci_lo <= ci_hi <= 1
+    val b = r("b")
+    assert(b.getDouble(4) >= 0.0 && b.getDouble(5) <= 1.0 && b.getDouble(4) <= b.getDouble(5))
+  }
+
   test("cvm2Sample: scale lifts fractional values; partitioning-independent") {
     import spark.implicits._
     val a = Seq(0.25, 0.50, 0.75, 1.25).toDF("v")
