@@ -737,3 +737,141 @@ final case class MaxForeignScriptFraction(
       Some(s"$factual of ${ref.describe} script characters fall outside " +
         s"$allowedScripts while at most $targetPrefix$target may."))
 }
+
+/** Near-dup cross-split leakage budget: the fraction of NON-`trainSplit`
+  * documents whose n-gram-Jaccard near-dup cluster also contains at least
+  * one `trainSplit` document must stay ≤ the target — the eval
+  * contamination exact decontamination misses
+  * ([[graft.ops.Corpus.splitLeakage]] over
+  * [[graft.ops.Dedup.ngramJaccardPairs]] +
+  * [[graft.ops.Dedup.connectedComponents]]; the split label is a column
+  * the caller already carries, e.g. [[graft.ops.Corpus.assignSplits]]
+  * output). Vacuous (0) when no non-train documents exist.
+  */
+final case class MaxSplitLeakageFraction(
+    ref: DataRef,
+    textColumn: String,
+    idColumn: String,
+    splitColumn: String,
+    trainSplit: String,
+    shingleK: Int,
+    jaccardThreshold: Double,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends ValueConstraint[Double] {
+  require(
+    refValue.forall(v => v >= 0 && v <= 1),
+    s"max_split_leakage_fraction must lie within [0, 1] but is $refValue.")
+
+  override protected def retrieve(spark: SparkSession, r: DataRef): Double = {
+    val docs = r.selection(spark)
+    val clusters = Dedup
+      .connectedComponents(Dedup.ngramJaccardPairs(
+        docs, textColumn, idColumn, shingleK, jaccardThreshold))
+      .select(col("id").as(idColumn), col("cluster_id"))
+    val splits = docs.select(col(idColumn), col(splitColumn))
+    val leaked = graft.ops.Corpus
+      .splitLeakage(clusters, idColumn, "cluster_id", splits, splitColumn, trainSplit)
+      .count()
+    val nonTrain = docs
+      .where(col(splitColumn) =!= trainSplit && col(idColumn).isNotNull)
+      .count()
+    if (nonTrain == 0L) 0.0 else leaked.toDouble / nonTrain
+  }
+
+  override protected def compare(factual: Double, target: Double): (Boolean, Option[String]) =
+    (factual <= target,
+      Some(s"$factual of ${ref.describe} non-'$trainSplit' documents share " +
+        s"a near-dup cluster with a '$trainSplit' document while at most " +
+        s"$targetPrefix$target may (cross-split leakage)."))
+}
+
+/** Corpus-freshness floor: the mean n-gram novelty
+  * ([[graft.ops.Dedup.ngramNovelty]] — fraction of a document's distinct
+  * window fingerprints appearing in no other document) over documents long
+  * enough to fingerprint must be ≥ the target — "is this source still
+  * adding new text, or re-serving what the corpus already has". Vacuous
+  * when no document reaches one window.
+  */
+final case class MinMeanNovelty(
+    ref: DataRef,
+    textColumn: String,
+    idColumn: String,
+    windowTokens: Int,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"min_mean_novelty must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val r = Dedup
+      .ngramNovelty(ref.selection(spark), textColumn, idColumn, windowTokens)
+      .where(col("n_fp") > 0)
+      .agg(avg(col("novelty")).as("dj_mean"))
+      .head()
+    if (r.isNullAt(0)) graft.core.TestResult.success(description)
+    else {
+      val factual = r.getDouble(0)
+      val target = refValue.get
+      if (factual >= target) graft.core.TestResult.success(description)
+      else
+        graft.core.TestResult.failure(
+          description,
+          s"mean $windowTokens-token n-gram novelty of " +
+            s"${ref.describe}.$textColumn is $factual while at least " +
+            s"$target was required (the source mostly re-serves existing text).")
+    }
+  }
+}
+
+/** Statistically-honest keep-rate floor: for EVERY group, the Wilson
+  * lower confidence bound of the boolean `valueColumn`'s true-rate must be
+  * ≥ the target ([[graft.ops.Stats.proportionCI]]) — unlike a raw-share
+  * floor, a small group can only fail when its evidence actually supports
+  * a rate below the floor. Groups with no non-null rows are skipped.
+  */
+final case class MinProportionLowerBound(
+    ref: DataRef,
+    valueColumn: String,
+    groupColumns: Seq[String],
+    z: Double,
+    refValue: Option[Double],
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"min_proportion_lower_bound must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val target = refValue.get
+    val ci = graft.ops.Stats
+      .proportionCI(ref.selection(spark), valueColumn, groupColumns, z)
+    val loCol = col("ci_lo")
+    val bad = ci
+      .where(loCol < target)
+      .orderBy(groupColumns.map(col) :+ col("ci_lo"): _*)
+      .limit(11)
+      .collect()
+    if (bad.isEmpty) graft.core.TestResult.success(description)
+    else {
+      val shown = bad.take(10).map { row =>
+        val key =
+          if (groupColumns.isEmpty) "(all rows)"
+          else groupColumns.indices.map(i => String.valueOf(row.get(i))).mkString("/")
+        val off = groupColumns.size
+        s"$key: ci_lo=${row.getDouble(off + 3)} " +
+          s"(k=${row.getLong(off + 1)}, n=${row.getLong(off)})"
+      }
+      val more = if (bad.length > 10) ", ..." else ""
+      graft.core.TestResult.failure(
+        description,
+        s"Wilson lower bound of $valueColumn on ${ref.describe} falls " +
+          s"below $target for: ${shown.mkString("; ")}$more.")
+    }
+  }
+}

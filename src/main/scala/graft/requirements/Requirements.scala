@@ -206,6 +206,64 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: at most `maxFraction` of non-`trainSplit` documents
+    * may share an n-gram-Jaccard near-dup cluster with a `trainSplit`
+    * document ([[graft.ops.Corpus.splitLeakage]]) — the eval contamination
+    * exact decontamination misses.
+    */
+  def addMaxSplitLeakageFractionConstraint(
+      textColumn: String,
+      idColumn: String,
+      splitColumn: String,
+      maxFraction: Double,
+      trainSplit: String = "train",
+      shingleK: Int = 5,
+      jaccardThreshold: Double = 0.6,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxSplitLeakageFraction(
+      ref(Some(Seq(idColumn, textColumn, splitColumn)), condition),
+      textColumn, idColumn, splitColumn, trainSplit, shingleK,
+      jaccardThreshold, refValue = Some(maxFraction), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: the mean n-gram novelty over fingerprintable
+    * documents must be ≥ `minMean` ([[graft.ops.Dedup.ngramNovelty]]) —
+    * "is this source still adding new text".
+    */
+  def addMinMeanNoveltyConstraint(
+      textColumn: String,
+      idColumn: String,
+      minMean: Double,
+      windowTokens: Int = 8,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinMeanNovelty(
+      ref(Some(Seq(idColumn, textColumn)), condition), textColumn, idColumn,
+      windowTokens, refValue = Some(minMean), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: every group's Wilson lower confidence bound of the
+    * boolean `valueColumn` must be ≥ `minLower`
+    * ([[graft.ops.Stats.proportionCI]]) — the statistically honest
+    * keep-rate floor (small groups only fail on real evidence).
+    */
+  def addMinProportionLowerBoundConstraint(
+      valueColumn: String,
+      minLower: Double,
+      groupColumns: Seq[String] = Nil,
+      z: Double = 1.959963984540054,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinProportionLowerBound(
+      ref(Some((groupColumns :+ valueColumn).distinct), condition),
+      valueColumn, groupColumns, z, refValue = Some(minLower),
+      nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: the exact ROC AUC of `scoreColumn` against the
     * binary outcome "`labelColumn` = `positiveValue`" must be ≥ `minAuc`
     * ([[graft.ops.Stats.aucExact]]) — the score must actually rank the

@@ -764,6 +764,44 @@ class CorpusSpec extends AnyFunSuite {
       (10L, 3L, "test", 1L, 3L)))
   }
 
+  test("split-leakage, novelty, and Wilson floor constraints") {
+    import spark.implicits._
+    import graft.requirements.WithinRequirement
+    // docs 1/2 near-identical across train/val -> doc 2 leaks; doc 3 clean
+    val body = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, body + " one", "train"),
+      (2L, body + " two", "val"),
+      (3L, "completely different content about distributed query engines", "val"))
+      .toDF("doc_id", "text", "split")
+    val ok = WithinRequirement.fromDataFrame(df, "t")
+    ok.addMaxSplitLeakageFractionConstraint("text", "doc_id", "split", maxFraction = 0.6)
+    assert(ok.test(TestSpark.spark).head.outcome)
+    val bad = WithinRequirement.fromDataFrame(df, "t")
+    bad.addMaxSplitLeakageFractionConstraint("text", "doc_id", "split", maxFraction = 0.4)
+    val res = bad.test(TestSpark.spark).head
+    assert(!res.outcome && res.failureMessage.exists(_.contains("leakage")))
+
+    // novelty: docs 1/2 share most windows -> low novelty; constraint
+    // passes at a floor below the factual mean, fails above it
+    val nOk = WithinRequirement.fromDataFrame(df, "t")
+    nOk.addMinMeanNoveltyConstraint("text", "doc_id", minMean = 0.1, windowTokens = 4)
+    assert(nOk.test(TestSpark.spark).head.outcome)
+    val nBad = WithinRequirement.fromDataFrame(df, "t")
+    nBad.addMinMeanNoveltyConstraint("text", "doc_id", minMean = 0.99, windowTokens = 4)
+    assert(!nBad.test(TestSpark.spark).head.outcome)
+
+    // Wilson floor: k=2, n=3 -> ci_lo ~ 0.2077
+    val wdf = Seq(("a", true), ("a", true), ("a", false)).toDF("g", "keep")
+    val wOk = WithinRequirement.fromDataFrame(wdf, "t")
+    wOk.addMinProportionLowerBoundConstraint("keep", 0.2, Seq("g"))
+    assert(wOk.test(TestSpark.spark).head.outcome)
+    val wBad = WithinRequirement.fromDataFrame(wdf, "t")
+    wBad.addMinProportionLowerBoundConstraint("keep", 0.3, Seq("g"))
+    val wres = wBad.test(TestSpark.spark).head
+    assert(!wres.outcome && wres.failureMessage.exists(_.contains("Wilson")))
+  }
+
   test("ngramNovelty: shared windows are not novel; short docs get NULL") {
     import spark.implicits._
     val shared = "alpha beta gamma delta" // one 4-token window, in both docs
