@@ -128,6 +128,9 @@ object Bench {
     "q_bpe_pairs",
     // per-group sort carrying two windows + rank aggregate
     "q_group_percentile",
+    // salted two-phase per-domain cap — the hot-domain top-k whose
+    // single-window spelling would ship one site's pages to one reducer
+    "q_domain_cap",
     // anti hash join over the full fact table
     "q_fk_orphans",
     // multi-countDistinct Expand over every profiled column

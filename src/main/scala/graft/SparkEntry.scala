@@ -621,6 +621,30 @@ object SparkEntry {
           (Encoding.fixMojibake(corrupted) =!= corrupted).cast("string").as("enc_changed"))
     },
 
+    // Unicode NFC normalization (functions.UnicodeNormalize): deterministic
+    // DECOMPOSED suffixes (e+U+0301, A+U+030A, o+U+0308) plus an
+    // NFC-invariant katakana run and a precomposed é are appended in-plan,
+    // normalized, and measured — the codepoint counts shrink exactly where
+    // composition happened, and the oracle is DuckDB's native nfc_normalize
+    // over the identical construction
+    "q_nfc_normalize" -> { (s, dir) =>
+      // the literal below is DECOMPOSED on purpose: cafe+U+0301,
+      // A+U+030A, o+U+0308, then NFC-invariant katakana and a
+      // precomposed U+00E9 (already-normalized path)
+      val suffix = lit(
+        " café Ångström カタ café")
+      val raw = concat(substring(col("text"), 1, 40), suffix)
+      val normed = graft.ops.TextAnalysis.unicodeNormalize(raw, "NFC")
+      s.read
+        .parquet(pq(dir, "documents"))
+        .where(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          normed.as("nfc_text"),
+          length(raw).cast("bigint").as("raw_chars"),
+          length(normed).cast("bigint").as("nfc_chars"))
+    },
+
     // composite quality score
     "q_quality_score" -> { (s, dir) =>
       s.read.parquet(pq(dir, "documents")).select(
@@ -2646,6 +2670,17 @@ object SparkEntry {
           col("rank").cast("int").as("rank"))
     },
 
+    // per-domain document cap (ops.Corpus.capPerGroup): at most 5 docs per
+    // source, highest n_chars first, doc_id tie-break — the salted
+    // two-phase exact top-k vs DuckDB's single-window spelling
+    "q_domain_cap" -> { (s, dir) =>
+      graft.ops.Corpus
+        .capPerGroup(
+          s.read.parquet(pq(dir, "documents")),
+          "source", "n_chars", "doc_id", cap = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("keep_rank"))
+    },
+
     // BPE vocabulary induction, round-1 statistics (ops.Bpe): weighted
     // adjacent character-pair counts over the distinct-word table — the
     // aggregate every merge round re-runs; top-20 fully tie-broken. (The
@@ -4276,6 +4311,19 @@ object SparkEntry {
                 'true' AS enc_changed
          FROM c JOIN documents USING (doc_id)"""
     },
+    // NFC normalization: DuckDB's native nfc_normalize over the identical
+    // decomposed suffix construction (escapes spell the SAME codepoints the
+    // Spark literal carries: e+U+0301, A+U+030A, o+U+0308, katakana, U+00E9)
+    "q_nfc_normalize" -> {
+      val suffix = " café Ångström カタ café"
+      s"""SELECT doc_id,
+                nfc_normalize(substring(text, 1, 40) || '$suffix') AS nfc_text,
+                CAST(length(substring(text, 1, 40) || '$suffix') AS BIGINT)
+                  AS raw_chars,
+                CAST(length(nfc_normalize(substring(text, 1, 40) || '$suffix'))
+                  AS BIGINT) AS nfc_chars
+         FROM documents WHERE text IS NOT NULL"""
+    },
     "q_quality_score" ->
       s"""WITH m AS (SELECT doc_id,
                  len(string_split($normSql, ' ')) AS n_tokens,
@@ -5071,6 +5119,16 @@ object SparkEntry {
          SELECT o_orderstatus, value, CAST(cnt AS BIGINT) AS cnt,
                 CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 3""",
+    // per-domain cap: single-window spelling of the salted two-phase plan
+    "q_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id ASC)
+                        AS keep_rank
+                    FROM documents)
+         SELECT doc_id, source, n_chars,
+                CAST(keep_rank AS BIGINT) AS keep_rank
+         FROM r WHERE keep_rank <= 5""",
     // BPE round-1 pairs: per-char split + zipped-index pair explode,
     // weighted by distinct-word counts, same total order
     "q_bpe_pairs" ->

@@ -1029,4 +1029,43 @@ object Corpus {
         keyed, "dj_shuf_key", "shuffle_rank", numBuckets, tieCols = Seq(idCol))
       .drop("dj_shuf_key")
   }
+
+  /** Per-group document cap — the "at most `cap` pages per domain, keep the
+    * best" step every web-corpus recipe applies so no single site dominates
+    * the training mix (frequency capping): keep the `cap` highest-`scoreCol`
+    * rows of each `groupCol` group, ties broken `idCol`-ascending so the
+    * verdict is deterministic cross-engine and cross-run.
+    *
+    * Exact salted two-phase top-k (the [[Profile.groupTopK]] argument):
+    * a LOCAL row_number per (group, salt-of-id) keeps `cap` survivors —
+    * every globally-kept row necessarily ranks ≤ cap within its salt's
+    * subset, so no candidate is lost — then the final per-group window
+    * ranks ≤ cap·nSalts survivor rows by construction. A domain holding
+    * millions of pages never sorts in one partition; the hot-key sort the
+    * naive single-window spelling would ship to one reducer is gone.
+    * NULL groups cap as their own group; NULL scores order last (both
+    * engines' DESC default). Out: the surviving input rows plus
+    * `keep_rank` (1-based BIGINT, ≤ cap).
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      cap: Int,
+      nSalts: Int = 32): DataFrame = {
+    require(cap >= 1 && nSalts >= 1, s"bad capPerGroup: cap=$cap nSalts=$nSalts")
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val wLocal = Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col(idCol)), lit(nSalts)))
+      .orderBy(order: _*)
+    val survivors = df
+      .withColumn("dj_lr", row_number().over(wLocal))
+      .where(col("dj_lr") <= cap)
+      .drop("dj_lr")
+    val wFinal = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    survivors
+      .withColumn("keep_rank", row_number().over(wFinal).cast("bigint"))
+      .where(col("keep_rank") <= cap)
+  }
 }

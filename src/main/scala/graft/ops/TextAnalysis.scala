@@ -26,6 +26,15 @@ object TextAnalysis {
   def normalizeDeclarative(text: Column): Column =
     trim(regexp_replace(lower(regexp_replace(text, "[^a-zA-Z0-9 ]", " ")), " +", " "))
 
+  /** Unicode normalization (UAX #15) to `form` — the canonicalization pass
+    * that makes precomposed (U+00E9) and decomposed (e + U+0301) spellings
+    * of the same text equal BEFORE any fingerprint/shingle/token equality
+    * sees them ([[graft.functions.UnicodeNormalize]]; codegen'd, with
+    * ASCII and already-normalized fast paths).
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormalize.unicodeNormalize(text, form)
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

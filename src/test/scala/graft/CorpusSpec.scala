@@ -802,6 +802,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(!wres.outcome && wres.failureMessage.exists(_.contains("Wilson")))
   }
 
+  test("capPerGroup: exact vs single-window reference, ties deterministic") {
+    import spark.implicits._
+    import graft.ops.Corpus
+    // 3 groups, one hot (60 rows incl. score ties), caps below/at/above size
+    val rows = (1 to 60).map(i => (i.toLong, "hot", (i % 7).toLong)) ++
+      Seq((100L, "small", 5L), (101L, "small", 5L), (102L, "tiny", 1L))
+    val df = rows.toDF("id", "grp", "score")
+    for (cap <- Seq(1, 5, 80); salts <- Seq(1, 4)) {
+      val got = Corpus.capPerGroup(df, "grp", "score", "id", cap, nSalts = salts)
+        .select("id", "grp", "score", "keep_rank").as[(Long, String, Long, Long)]
+        .collect().toSet
+      val want = df
+        .withColumn("keep_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("grp"))
+            .orderBy(col("score").desc, col("id").asc)).cast("bigint"))
+        .where(col("keep_rank") <= cap)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === want, s"cap=$cap salts=$salts")
+      assert(got.groupBy(_._2).forall(_._2.size <= cap))
+    }
+    // deterministic across reruns (ties broken by id, not arrival order)
+    val a = Corpus.capPerGroup(df.repartition(7), "grp", "score", "id", 3)
+      .select("id").as[Long].collect().sorted
+    val b = Corpus.capPerGroup(df.repartition(3), "grp", "score", "id", 3)
+      .select("id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("ngramNovelty: shared windows are not novel; short docs get NULL") {
     import spark.implicits._
     val shared = "alpha beta gamma delta" // one 4-token window, in both docs

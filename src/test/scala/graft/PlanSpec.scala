@@ -508,6 +508,9 @@ class PlanSpec extends AnyFunSuite {
       "ksByGroup")
     noGlobalWindow(
       Profile.groupTopK(docs, "lang", "source", k = 2), "groupTopK")
+    noGlobalWindow(
+      Corpus.capPerGroup(docs, "source", "n_chars", "doc_id", cap = 5),
+      "capPerGroup")
     // zipf's rank window is k-bounded BECAUSE a distributed top-k feeds it
     // (the DSIR resample posture) — pin the TakeOrderedAndProject
     val zp = Corpus.zipfSlope(docs, "text", topK = 100)
