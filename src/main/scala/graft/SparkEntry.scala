@@ -1047,12 +1047,12 @@ object SparkEntry {
           rightTs = "ts",
           payloadCols = Seq("event_id", "value"),
           tieBreak = Some("event_id"),
-          // ts reads as TIMESTAMP_NTZ; the cast shifts both operands by
-          // the same session-tz offset, so the DIFFERENCE stays exact
-          // microseconds and matches the oracle's epoch_us arithmetic
+          // ts reads as TIMESTAMP_NTZ; timestamp_diff is wall-clock exact
+          // on NTZ operands regardless of session tz (a session-tz cast
+          // would give the two operands DIFFERENT offsets across a DST
+          // transition and diverge from the oracle's epoch_us arithmetic)
           distance = Some((l, r) =>
-            abs(unix_micros(l.cast("timestamp")) -
-              unix_micros(r.cast("timestamp")))))
+            abs(timestamp_diff("MICROSECOND", r, l))))
         .select(
           col("event_id"),
           col("user_id"),

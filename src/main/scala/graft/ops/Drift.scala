@@ -239,7 +239,10 @@ object Drift {
     * never the base table again); per-cell terms
     * c_xy·ln((c_xy·N)/(c_x·c_y)) in a fixed double shape, decimal-cast
     * before the sum ([[psi]] posture), divided by N once at the end.
-    * Out: one row (n, n_x_categories, n_y_categories, mi_nats).
+    * Out: EXACTLY one row (n, n_x_categories, n_y_categories, mi_nats,
+    * h_x, h_y, u_sym) — on an empty input n = 0, the category counts are
+    * 0, the entropies 0.0, and mi_nats/u_sym are NULL (matching a SQL
+    * aggregate's one-NULL-row shape, so .head() callers never throw).
     */
   def mutualInformation(
       df: DataFrame,
@@ -276,17 +279,23 @@ object Drift {
       log((col("dj_cxy").cast("double") * col("dj_n").cast("double")) /
         (col("dj_cx").cast("double") * col("dj_cy").cast("double"))))
       .cast("decimal(28,12)")
-    val mi = (col("dj_t").cast("double") / col("dj_n").cast("double"))
-    joint
+    // the term sum is a GLOBAL aggregate (no grouping keys): an empty
+    // input must still yield the promised single row — a groupBy over the
+    // empty joint frame would yield ZERO rows and break .head() callers
+    // and empty-table oracle parity (one NULL row in SQL aggregates).
+    // totals always has exactly one row, so it anchors the assembly.
+    val termSum = joint
       .join(mx, Seq("dj_x"))
       .join(my, Seq("dj_y"))
-      .crossJoin(broadcast(totals))
-      .groupBy(col("dj_n"), col("dj_kx"), col("dj_ky"))
+      .crossJoin(broadcast(totals.select("dj_n")))
       .agg(sum(term).as("dj_t"))
+    val mi = (col("dj_t").cast("double") / col("dj_n").cast("double"))
+    totals
+      .crossJoin(broadcast(termSum))
       .crossJoin(broadcast(hx))
       .crossJoin(broadcast(hy))
       .select(
-        col("dj_n").as("n"),
+        coalesce(col("dj_n"), lit(0L)).as("n"),
         col("dj_kx").cast("int").as("n_x_categories"),
         col("dj_ky").cast("int").as("n_y_categories"),
         mi.as("mi_nats"),

@@ -247,8 +247,16 @@ object Events {
     require(trailing > 0, s"trailing must be positive: $trailing")
     import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
     val coord = df.schema(tsCol).dataType match {
-      case TimestampType | TimestampNTZType =>
-        unix_micros(col(tsCol).cast("timestamp"))
+      case TimestampType => unix_micros(col(tsCol))
+      case TimestampNTZType =>
+        // wall-clock micros via timestamp_diff against the NTZ epoch — NOT
+        // a session-tz cast, which across a DST transition would shift the
+        // two sides of a trailing window by DIFFERENT offsets and grow or
+        // shrink the range frame by the DST hour
+        timestamp_diff(
+          "MICROSECOND",
+          lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+          col(tsCol))
       case _: NumericType => col(tsCol).cast("long")
       case other => throw new IllegalArgumentException(
         s"trailingAggregate needs a timestamp or numeric coordinate, got $other")

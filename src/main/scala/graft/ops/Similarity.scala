@@ -617,9 +617,21 @@ object Similarity {
     * several shared cells are deduplicated to their smallest shared cell
     * id BEFORE verification, so the exact-cosine work and the output see
     * each pair once. `probes = 1` keeps the original single-cell plan
-    * byte-for-byte (the correctness gate's flavor). The probes = 1 output
-    * is always a subset of the probes = p output for p > 1 (rank-1 cells
-    * are among the p probe cells) — `SemanticProbeSpec` pins this.
+    * byte-for-byte (the correctness gate's flavor).
+    *
+    * The `maxClusterSize` cap binds on each cell's PRIMARY (rank-1)
+    * membership — which is independent of `probes` — not on the
+    * probe-inflated total, so a cell that emitted pairs at probes = 1 is
+    * never dropped merely because probes = p visitors pushed its total
+    * over the cap. A separate volume guard (total membership ≤
+    * probes·maxClusterSize) bounds the within-cell self-join against
+    * pathological probe-visitor mass; ONLY when that guard binds (all
+    * probe-2+ traffic concentrating on one cell — degenerate geometry)
+    * can raising `probes` lose a previously-found pair. With that
+    * qualification, the probes = 1 output is a subset of the probes = p
+    * output for p > 1 (rank-1 cells are among the p probe cells) —
+    * `SemanticProbeSpec` pins both the subset law and the
+    * cap-independence case.
     */
   /** Cluster count for [[semanticNearDups]] scaled to the corpus: the
     * EXPECTED cluster size tracks `targetClusterSize`, so within-cluster
@@ -696,16 +708,28 @@ object Similarity {
         if (nProbes == 1)
           base
             .withColumn("dj_nrm", norm(col("vec")))
-            .select(col(idCol), col("vec"), element_at(sortedCids, 1).as("cluster"))
+            .select(
+              col(idCol),
+              col("vec"),
+              element_at(sortedCids, 1).as("cluster"),
+              lit(true).as("dj_primary"))
         else
           // multi-probe: the row fans out to its nProbes best cells — still
-          // one corpus scan, no join; the explode multiplies rows, not scans
+          // one corpus scan, no join; the explode multiplies rows, not
+          // scans. posexplode marks the rank-1 (primary) cell: the size cap
+          // below must count primaries only, so it binds identically at
+          // every `probes`
           base
             .withColumn("dj_nrm", norm(col("vec")))
             .select(
               col(idCol),
               col("vec"),
-              explode(slice(sortedCids, 1, nProbes)).as("cluster"))
+              posexplode(slice(sortedCids, 1, nProbes)))
+            .select(
+              col(idCol),
+              col("vec"),
+              col("col").as("cluster"),
+              (col("pos") === 0).as("dj_primary"))
       } else {
         // large k (SemDeDup's web-scale regime): a plan-literal array this
         // wide would bloat every task's codegen, so the centroid table is
@@ -734,7 +758,10 @@ object Similarity {
             scoredRows
               .groupBy(idCol)
               .agg(min(col("dj_score")).as("dj_best"))
-              .select(col(idCol), col("dj_best.cid").as("cluster"))
+              .select(
+                col(idCol),
+                col("dj_best.cid").as("cluster"),
+                lit(true).as("dj_primary"))
           else
             // top-p per id: a per-id window over the n·k scored rows — the
             // partial-agg min(struct) trick can't keep p winners, and a
@@ -747,19 +774,30 @@ object Similarity {
                 row_number().over(
                   Window.partitionBy(idCol).orderBy(col("dj_score"))))
               .where(col("dj_rk") <= nProbes)
-              .select(col(idCol), col("dj_score.cid").as("cluster"))
+              .select(
+                col(idCol),
+                col("dj_score.cid").as("cluster"),
+                (col("dj_rk") === 1).as("dj_primary"))
         base.join(best, Seq(idCol))
-          .select(col(idCol), col("vec"), col("cluster"))
+          .select(col(idCol), col("vec"), col("cluster"), col("dj_primary"))
       }
     // read three times below (sizes, two join sides) — the argmax kernel
     // over the corpus must run once, not per branch; registry-tracked so a
     // harness/constraint scope can release it the moment the pairs are
     // consumed
     val assigned = graft.core.Blocks.checkpoint(assignedPlan)
+    // the cap counts PRIMARY members (probes-independent — at probes = 1
+    // this is exactly the old between(2, maxClusterSize) on totals); the
+    // probes·maxClusterSize total guard is the pathological-visitor bound
+    // documented above
     val sizes = assigned
       .groupBy("cluster")
-      .agg(count(lit(1)).as("dj_cn"))
-      .where(col("dj_cn").between(2, maxClusterSize))
+      .agg(
+        count(lit(1)).as("dj_cn"),
+        sum(when(col("dj_primary"), 1L).otherwise(0L)).as("dj_cp"))
+      .where(
+        col("dj_cn") >= 2 && col("dj_cp") <= maxClusterSize &&
+          col("dj_cn") <= lit(maxClusterSize.toLong) * nProbes)
       .select("cluster")
     val members = assigned.join(sizes, Seq("cluster"))
     val rawCandidates = members

@@ -217,11 +217,15 @@ object Stats {
     * counts r, so
     * T = Σ (cnt₁+cnt₂)·(r₁·m − r₂·n)² / ((n+m)²·n·m),
     * an integer sum divided once in a fixed double shape. Decimal
-    * headroom: |r₁·m − r₂·n| ≤ n·m, so the summed term needs
-    * (n·m)²·(n+m) ≲ 10³⁸ — holds to ~10¹¹-row samples, far past any
-    * single statistic's useful range. One shuffle + bucketed prefix sums;
-    * out: one row (n_a, n_b, cvm_t), NULL statistic when either sample is
-    * empty.
+    * headroom: |r₁·m − r₂·n| ≤ n·m in the worst case, so the SUMMED
+    * statistic needs (n·m)²·(n+m) ≤ 10³⁸ — that fails near ~3·10⁷ rows
+    * per side, and past it a decimal overflow under non-ANSI arithmetic
+    * becomes NULL and `sum()` silently DROPS the term (understating T
+    * instead of erroring). The sizes are known on the driver before the
+    * statistic runs, so the guard below fails loudly at the boundary;
+    * samples that big should be subsampled or scaled down first. One
+    * shuffle + bucketed prefix sums; out: one row (n_a, n_b, cvm_t),
+    * NULL statistic when either sample is empty.
     */
   def cvm2Sample(
       a: DataFrame,
@@ -229,6 +233,11 @@ object Stats {
       valueCol: String,
       scale: Long = 1L): DataFrame = {
     val (running, n, m) = crossRunningCounts(a, b, valueCol, scale)
+    require(
+      (BigInt(n) * BigInt(m)).pow(2) * BigInt(n + m) <= BigInt(10).pow(38),
+      s"cvm2Sample decimal headroom exceeded at n=$n, m=$m " +
+        "((n*m)^2*(n+m) > 1e38): a silent decimal overflow would understate " +
+        "the statistic — subsample either side below ~3e7 rows")
     val spark = a.sparkSession
     if (n == 0L || m == 0L)
       return spark.range(1).select(
@@ -635,13 +644,19 @@ object Stats {
     val center = phat + z2 / (lit(2.0) * n)
     val half = lit(z) * sqrt(
       phat * (lit(1.0) - phat) / n + z2 / (lit(4.0) * n * n))
+    // zero-evidence guard: with groupCols empty an empty (or all-NULL)
+    // input still aggregates to ONE row with n_rows = 0, and 0/0 would
+    // emit NaN — which Spark orders ABOVE every real number, so a
+    // min-lower-bound comparison passes vacuously by accident and NaN
+    // leaks to downstream consumers. No evidence → NULL, loudly.
+    val hasRows = col("n_rows") > 0
     agged.select(
       groupCols.map(col) ++ Seq(
         col("n_rows"),
         col("n_true"),
-        round(phat, 6).as("p_hat"),
-        round((center - half) / denom, 6).as("ci_lo"),
-        round((center + half) / denom, 6).as("ci_hi")): _*)
+        when(hasRows, round(phat, 6)).as("p_hat"),
+        when(hasRows, round((center - half) / denom, 6)).as("ci_lo"),
+        when(hasRows, round((center + half) / denom, 6)).as("ci_hi")): _*)
   }
 
   /** Approximate p-value (Fachinetti 2009; reference

@@ -167,6 +167,18 @@ class DriftSpec extends AnyFunSuite {
     assert(math.abs(rn.getDouble(3) - math.log(2.0)) < 1e-12)
   }
 
+  test("mutualInformation: empty input yields exactly one NULL-statistic row") {
+    val empty = Seq.empty[(String, String)].toDF("x", "y")
+    val rows = Drift.mutualInformation(empty, "x", "y").collect()
+    assert(rows.length === 1) // .head() callers must not throw
+    val r = rows.head
+    assert(r.getLong(0) === 0L)
+    assert(r.getInt(1) === 0 && r.getInt(2) === 0)
+    assert(r.isNullAt(3)) // mi_nats
+    assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0) // h_x, h_y
+    assert(r.isNullAt(6)) // u_sym
+  }
+
   test("quantileShift: discrete ranks per side, shift in real units") {
     import org.apache.spark.sql.functions.lit
     val a = (1 to 100).map(_.toDouble).toDF("v")

@@ -13,12 +13,16 @@ class SemanticProbeSpec extends AnyFunSuite {
 
   private val Thr = 0.3495
 
-  private def pairsOf(probes: Int, maxLiteralCentroids: Int = 512): Set[(Long, Long)] =
+  private def pairsOf(
+      probes: Int,
+      maxLiteralCentroids: Int = 512,
+      maxClusterSize: Int = 1000): Set[(Long, Long)] =
     Similarity
       .semanticNearDups(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
         "vec_id", "embedding", Thr,
         nClusters = 64, lloydIters = 0, corpusSize = Some(1),
+        maxClusterSize = maxClusterSize,
         maxLiteralCentroids = maxLiteralCentroids, probes = probes)
       .select(col("id1").cast("long"), col("id2").cast("long"))
       .collect()
@@ -52,6 +56,21 @@ class SemanticProbeSpec extends AnyFunSuite {
     val r1 = p1.size.toDouble / truth.size
     val r2 = p2.size.toDouble / truth.size
     assert(r2 >= r1)
+  }
+
+  test("subset law survives a binding size cap: the cap counts primaries") {
+    // With ~500 vectors over 64 cells the primary occupancy is ~8; a cap
+    // of 12 binds on several cells once probes = 2 doubles the membership
+    // (totals ~16). The old total-count cap dropped those cells' pairs at
+    // probes = 2 — pairs the probes = 1 run HAD found. The primary-count
+    // cap is probes-independent, so the subset law must hold.
+    val p1 = pairsOf(1, maxClusterSize = 12)
+    val p2 = pairsOf(2, maxClusterSize = 12)
+    assert(p1.nonEmpty)
+    assert(p1.subsetOf(p2), s"probe-2 lost: ${(p1 -- p2).take(5)}")
+    // and the broadcast path applies the identical cap semantics
+    val p2b = pairsOf(2, maxLiteralCentroids = 0, maxClusterSize = 12)
+    assert(p2 === p2b)
   }
 
   test("broadcast-join assignment path agrees with the literal path") {

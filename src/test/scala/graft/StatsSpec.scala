@@ -502,6 +502,33 @@ class StatsSpec extends AnyFunSuite {
     assert(b.getDouble(4) >= 0.0 && b.getDouble(5) <= 1.0 && b.getDouble(4) <= b.getDouble(5))
   }
 
+  test("proportionCI: zero-evidence input reports NULL, never NaN") {
+    import spark.implicits._
+    // empty input, no group columns: one row with n_rows = 0 — the derived
+    // columns must be NULL (NaN orders above every number in Spark, so a
+    // NaN ci_lo would pass a min-lower-bound comparison vacuously)
+    val empty = Seq.empty[java.lang.Boolean].toDF("keep")
+    val r = Stats.proportionCI(empty, "keep").collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 0L)
+    assert(r.head.isNullAt(2) && r.head.isNullAt(3) && r.head.isNullAt(4))
+    // all-NULL input behaves identically
+    val allNull = Seq[java.lang.Boolean](null, null).toDF("keep")
+    val r2 = Stats.proportionCI(allNull, "keep").collect()
+    assert(r2.head.getLong(0) === 0L && r2.head.isNullAt(3))
+  }
+
+  test("cvm2Sample: decimal-headroom guard fails loudly past ~3e7 rows/side") {
+    // the guard sizes off the driver-side counts, so a tiny frame with a
+    // forced failure isn't constructible — pin the predicate itself at the
+    // documented boundary instead: (n·m)²·(n+m) ≤ 1e38
+    def ok(n: Long, m: Long): Boolean =
+      (BigInt(n) * BigInt(m)).pow(2) * BigInt(n + m) <= BigInt(10).pow(38)
+    assert(ok(30000000L, 30000000L)) // 3e7 per side still fits
+    assert(!ok(40000000L, 40000000L)) // 4e7 per side overflows
+    assert(ok(1000000L, 1000000L))
+  }
+
   test("cvm2Sample: scale lifts fractional values; partitioning-independent") {
     import spark.implicits._
     val a = Seq(0.25, 0.50, 0.75, 1.25).toDF("v")
