@@ -231,6 +231,17 @@ object Bench {
         S.ivfTopK(v, queries, "vec_id", "embedding", k, corpusSize = Some(n)))
       val ivf8 = recall(S.ivfTopK(
         v, queries, "vec_id", "embedding", k, nProbe = 8, corpusSize = Some(n)))
+      // the corpus-aware DEFAULT paths (auto-sized bits/tables/probes) —
+      // the numbers a user gets without hand-tuning, reported WITH the
+      // examined-fraction bound they were bought at
+      val (autoBits, autoTables) = S.lshAutoParams(n, k)
+      val lshAutoFrac = math.min(
+        1.0, autoTables.toDouble * (autoBits + 1) / (1L << autoBits))
+      val lshAuto = recall(
+        S.lshTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
+      val (autoCents, autoProbe) = S.ivfAutoParams(n, k)
+      val ivfAuto = recall(
+        S.ivfTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
       // pair recall on the stride subsample, gate threshold (0.3495);
       // ~2000 vectors bounds the brute-force pair baseline at ~2M pairs
       // regardless of leg size
@@ -265,13 +276,22 @@ object Bench {
       // the multi-probe recall lever, reported next to the single-cell
       // number so the artifact shows what probes = 2 buys
       val semRecall2 = semRecallOf(2)
+      // the auto default: probes from the cell count
+      val semAuto =
+        semRecallOf(S.semanticProbesAuto(S.semanticClusters(subCount)))
       def r3(x: Double) = math.round(x * 1000) / 1000.0
       Some(
         s"""{"k":$k,"n_queries":${queries.count()},"n_truth":${nTruth.toLong},""" +
           s""""lsh_recall":${r3(lsh)},"lsh4_recall":${r3(lsh4)},""" +
           s""""ivf_recall":${r3(ivf)},"ivf8_recall":${r3(ivf8)},""" +
+          s""""lsh_auto_recall":${r3(lshAuto)},"lsh_auto_bits":$autoBits,""" +
+          s""""lsh_auto_tables":$autoTables,"lsh_auto_frac":${r3(lshAutoFrac)},""" +
+          s""""ivf_auto_recall":${r3(ivfAuto)},"ivf_auto_cells":$autoCents,""" +
+          s""""ivf_auto_probe":$autoProbe,""" +
           s""""semantic_pair_recall":${r3(semRecall)},""" +
-          s""""semantic2_pair_recall":${r3(semRecall2)},"n_truth_pairs":${nPairs.toLong}}""")
+          s""""semantic2_pair_recall":${r3(semRecall2)},""" +
+          s""""semantic_auto_pair_recall":${r3(semAuto)},""" +
+          s""""n_truth_pairs":${nPairs.toLong}}""")
     } catch {
       case e: Throwable =>
         System.err.println(s"bench: ann recall eval failed on $dir: $e")
@@ -422,9 +442,17 @@ object Bench {
       else None
     val sf10 = legJson("sf10", sf10Dir, sf10Results, sf10Gen)
 
-    // ANN recall legs: sf1 as the standing number, sf10 as the 100× spot
-    // check (the toy-scale IvfSpec pin is NOT a substitute — recall is the
-    // number a user must see next to the ANN speed at scale)
+    // ANN recall legs: the PRIMARY (unreplicated, driver-generated) leg is
+    // the honest number — ScaleData replicas are exact near-neighbors and
+    // flatter every approximate path; sf1 stays for continuity, sf10 as
+    // the 100× spot check (the toy-scale IvfSpec pin is NOT a
+    // substitute — recall is the number a user must see next to the ANN
+    // speed at scale)
+    val annPrimary =
+      if (!skipLegs)
+        annRecall(spark, sfDir)
+          .map(j => s""","ann_recall_primary":$j""").getOrElse("")
+      else ""
     val annSf1 =
       if (!skipLegs && new java.io.File(sf1Dir).isDirectory)
         annRecall(spark, sf1Dir).map(j => s""","ann_recall_sf1":$j""").getOrElse("")
@@ -435,7 +463,7 @@ object Bench {
       else ""
 
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$sf1$sf10$annSf1$annSf10,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$sf1$sf10$annPrimary$annSf1$annSf10,"sf":"$sfDir"}"""
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
     // bounded 2000-char TAIL of it. The FILE gets the full artifact; stdout
     // gets (a) a compact per-query line for humans, then (b) a MINIMAL

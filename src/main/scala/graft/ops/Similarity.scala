@@ -102,6 +102,108 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** Per-query candidate budget behind the auto-sized ANN paths: enough
+    * rows that the k-selection has real signal (128·k), floored at 2048 so
+    * tiny k doesn't starve recall. The budget → examined-fraction mapping
+    * is where corpus size enters: small corpora get (near-)exhaustive
+    * scoring — exact AND cheap — while big corpora converge to a bounded
+    * per-query fraction.
+    */
+  private def candidateBudget(k: Int): Long = math.max(2048L, 128L * k)
+
+  /** Target examined fraction of the corpus per query for the auto-sized
+    * paths: budget/n, clamped to [0.1, 1] — the floor keeps recall honest
+    * on moderate corpora (measured on the unreplicated near-random bench
+    * embeddings, recall tracks examined fraction), the ceiling is
+    * exhaustive scoring.
+    */
+  private def targetFraction(corpusSize: Long, k: Int): Double =
+    math.min(1.0, math.max(0.1, candidateBudget(k).toDouble / math.max(1L, corpusSize)))
+
+  /** Corpus-aware LSH sizing (the `semanticClusters` precedent applied to
+    * the sign-bit index): returns (bits, nTables) such that the
+    * multi-probe examined fraction per query —
+    * nTables·(bits+1)/2^bits with Hamming-1 probing — covers
+    * ~1.6× [[targetFraction]] (the 1.6 oversample compensates probe-set
+    * overlap between tables; swept on the unreplicated bench embeddings,
+    * where (bits=2, tables=3) ≈ recall 0.98 at n=2000 and the fraction-
+    * to-recall curve is concave). Buckets hold ~256 expected members
+    * (bits = log2(n/256), clamped to [2, 20]); tables are capped at 8 —
+    * past the cap the examined fraction (and with it worst-case random-
+    * data recall) degrades rather than the cost exploding, the standard
+    * ANN contract. The bench artifact reports measured recall + the
+    * fraction bound next to each leg so the tradeoff is visible.
+    */
+  def lshAutoParams(corpusSize: Long, k: Int = 10): (Int, Int) = {
+    require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
+    val n = math.max(2L, corpusSize)
+    val bits = math.min(20, math.max(2,
+      (math.log(math.max(2.0, n / 256.0)) / math.log(2.0)).floor.toInt))
+    val perTable = (bits + 1).toDouble / (1L << bits)
+    val want = 1.6 * targetFraction(n, k)
+    val tables = math.min(8, math.max(1, math.ceil(want / perTable).toInt))
+    (bits, tables)
+  }
+
+  /** [[lshTopK]] with corpus-aware defaults: bits and table count from
+    * [[lshAutoParams]], multi-probe and multi-table ON — the path a caller
+    * who knows only their corpus size should use.
+    */
+  def lshTopKAuto(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      corpusSize: Long,
+      dim: Int = 64): DataFrame = {
+    val (bits, tables) = lshAutoParams(corpusSize, k)
+    lshTopK(vectors, queries, idCol, vecCol, k,
+      bits = bits, dim = dim, multiProbe = true, nTables = tables)
+  }
+
+  /** Corpus-aware IVF sizing: (nCentroids, nProbe). Cells hold ~200
+    * expected members ([[semanticClusters]]); the probe count covers
+    * ~[[targetFraction]]·nCentroids cells with a 0.75 exhaustive-side
+    * ceiling (swept: probe 12 of 16 cells ≈ recall 0.93 on the
+    * unreplicated bench embeddings — probing ALL cells would just be
+    * brute force with extra steps).
+    */
+  def ivfAutoParams(corpusSize: Long, k: Int = 10): (Int, Int) = {
+    require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
+    val n = math.max(2L, corpusSize)
+    val cents = semanticClusters(n)
+    val frac = math.min(0.75, math.max(targetFraction(n, k) * 0.75, 0.1))
+    val probe = math.min(cents, math.max(1, math.ceil(frac * cents).toInt))
+    (cents, probe)
+  }
+
+  /** [[ivfTopK]] with corpus-aware defaults from [[ivfAutoParams]]. */
+  def ivfTopKAuto(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      corpusSize: Long): DataFrame = {
+    val (cents, probe) = ivfAutoParams(corpusSize, k)
+    ivfTopK(vectors, queries, idCol, vecCol, k,
+      nCentroids = cents, nProbe = probe, kmeansIters = 2,
+      corpusSize = Some(corpusSize))
+  }
+
+  /** Corpus-aware probe count for [[semanticNearDups]]: a quarter of the
+    * cells, capped at 8 (swept: probes 4 of 16 cells ≈ pair recall 0.91 at
+    * the gate threshold on the unreplicated bench embeddings; the paper's
+    * single-cell default recalls 0.31 there). Cost scales ~probes² per
+    * cell in the worst case, so the cap keeps the within-cell self-join
+    * bounded while big corpora (many cells) keep a small probed fraction.
+    */
+  def semanticProbesAuto(nClusters: Int): Int = {
+    require(nClusters > 0, s"nClusters must be positive: $nClusters")
+    math.min(8, math.max(1, math.ceil(nClusters / 4.0).toInt))
+  }
+
   /** LSH-bucketed approximate top-k: bucket corpus and queries on the
     * sign-bit key (optionally probing neighbor buckets at Hamming distance 1
     * for recall), score only same-bucket pairs, rank per query.
