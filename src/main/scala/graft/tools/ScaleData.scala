@@ -26,10 +26,16 @@ import org.apache.spark.sql.functions._
   *    token-order-invariant, so a mere word shuffle would not work either;
   *  - `embeddings.embedding` gets ±0.01 deterministic per-component noise —
   *    replicas stay in nearby LSH buckets (realistic occupancy growth)
-  *    without being bit-equal;
+  *    without being bit-equal. With `freshEmbeddings = true` the replicas
+  *    are instead fully FRESH hash-derived unit vectors (independent
+  *    directions): the replicated flavor measures bucket-occupancy growth,
+  *    but it makes every replica an exact near-duplicate of its source —
+  *    near-dup pair volume and ANN recall measured on it are replication
+  *    artifacts (the r8 sf10 leg emitted 10.4M verified pairs and recall
+  *    1.0 this way). The fresh flavor is the honest leg for both;
   *  - tiny dims (`region`, `nation`) are copied, keeping FK values valid.
   *
-  * Run: `sbt "runMain graft.tools.ScaleData [src] [dst] [replicas]"`.
+  * Run: `sbt "runMain graft.tools.ScaleData [src] [dst] [replicas] [fresh]"`.
   */
 object ScaleData {
 
@@ -39,6 +45,7 @@ object ScaleData {
     val src  = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst  = args.lift(1).getOrElse("/root/repo/benchdata/sf1")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val fresh = args.lift(3).contains("fresh")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -46,7 +53,7 @@ object ScaleData {
       .appName("graft-scaledata")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    scale(spark, src, dst, reps)
+    scale(spark, src, dst, reps, freshEmbeddings = fresh)
     spark.stop()
   }
 
@@ -56,7 +63,12 @@ object ScaleData {
     * shifted, so both the int64-nanos and native-timestamp generations of
     * the driver testdata pass through unchanged.
     */
-  def scale(spark: SparkSession, src: String, dst: String, reps: Int): Unit = {
+  def scale(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      reps: Int,
+      freshEmbeddings: Boolean = false): Unit = {
 
     def shift(df: DataFrame, r: Int, keys: String*): DataFrame =
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Stride)))
@@ -106,7 +118,33 @@ object ScaleData {
     replicate("embeddings") { (df, r) =>
       val shifted = shift(df, r, "vec_id")
       if (r == 0) shifted
-      else
+      else if (freshEmbeddings) {
+        // FRESH unit vectors per replica (the r3 token-replacement trick,
+        // embedding flavor): every component is hash-derived, so a replica
+        // row is an independent random direction — replicas are NOT
+        // near-duplicates of their source rows, and an sf10 near-dup or
+        // recall number measured on this leg reflects the plan, not
+        // replication artifacts. Components uniform in [-1, 1] then
+        // normalized — isotropic enough at 64-dim for bucket-occupancy and
+        // recall purposes (the source is unit-norm gaussian-ish).
+        val rawArr = transform(
+          col("embedding"),
+          (_, j) =>
+            (pmod(xxhash64(col("vec_id"), j, lit(r)), lit(2001)).cast("double")
+              - 1000.0) / 1000.0)
+        shifted
+          .withColumn("dj_raw", rawArr)
+          .withColumn(
+            "dj_nrm",
+            sqrt(aggregate(
+              col("dj_raw"), lit(0.0), (acc, x) => acc + x * x)))
+          .withColumn(
+            "embedding",
+            when(col("dj_nrm") > 0.0,
+              transform(col("dj_raw"), x => (x / col("dj_nrm")).cast("float")))
+              .otherwise(col("embedding")))
+          .drop("dj_raw", "dj_nrm")
+      } else
         shifted.withColumn(
           "embedding",
           transform(
