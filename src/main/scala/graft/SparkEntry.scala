@@ -1677,6 +1677,42 @@ object SparkEntry {
           round(col("mean_luma"), 6).cast("long").as("mean_gray"))
     },
 
+    // MJPEG-in-AVI round-trip: a REAL perceptual-codec decode (ImageIO
+    // JPEG — DCT + dequantization) inside a real RIFF container. Constant
+    // 16x16 frames at gray 4+8m: JPEG's DC quantization shifts the decoded
+    // mean by <3 levels (PipelineOpsSpec pins the bound), so
+    // floor(mean_luma/8) recovers m EXACTLY and the oracle re-derives it
+    // closed-form — a lossy codec behind a lossless gate.
+    "q_avi_frames" -> { (s, dir) =>
+      import graft.ops.Multimodal
+      val ids = s.read.parquet(pq(dir, "documents"))
+        .select(col("doc_id"))
+        .where(col("doc_id") % 59 === 0)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "payload", org.apache.spark.sql.types.BinaryType)))
+      val avis = s.createDataFrame(
+        ids.rdd.map { r =>
+          val id = r.getLong(0)
+          val grays = (0 until (2 + (id % 3).toInt))
+            .map(f => 4 + 8 * (((id * 7 + 13L * f) % 31).toInt))
+          org.apache.spark.sql.Row(
+            id, Multimodal.encodeMjpegAvi(width = 16, height = 16, grays = grays))
+        },
+        schema)
+      Multimodal
+        .aviFrames(avis, "doc_id", "payload", frameStride = 2)
+        .select(
+          col("doc_id"),
+          col("n_frames"),
+          col("frame_idx"),
+          col("width"),
+          col("height"),
+          floor(col("mean_luma") / 8).cast("long").as("luma_bucket"))
+    },
+
     // FLAC STREAMINFO round-trip (REAL bit-packed header parse, public FLAC
     // spec): synthesize a minimal header (magic + STREAMINFO) whose
     // rate/channels/bps/total-samples are functions of doc_id — total spans
@@ -5685,6 +5721,21 @@ object SparkEntry {
                 CAST(2 + doc_id % 3 AS INT) AS height,
                 CAST((doc_id * 11 + 29 * fi) % 256 AS BIGINT) AS mean_gray
          FROM f WHERE fi % 2 = 0""",
+    // MJPEG-in-AVI: the JPEG DC-quantization error is < 3 luma levels on a
+    // constant frame, so floor(mean/8) of gray 4+8m is exactly m — the
+    // oracle recomputes m from the synthesis closed form
+    "q_avi_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+                    WHERE doc_id % 59 = 0),
+              f AS (SELECT doc_id, n, unnest(range(0, n)) AS fi FROM d)
+         SELECT doc_id,
+                CAST(n AS INT) AS n_frames,
+                CAST(fi AS INT) AS frame_idx,
+                CAST(16 AS INT) AS width,
+                CAST(16 AS INT) AS height,
+                CAST((doc_id * 7 + 13 * fi) % 31 AS BIGINT) AS luma_bucket
+         FROM f WHERE fi % 2 = 0""",
+
     // FLAC metadata round-trip: closed forms of the synthesized STREAMINFO;
     // total_samples exercises the 36-bit field past the 32-bit line
     "q_flac_meta" ->

@@ -36,6 +36,19 @@ abstract class Constraint {
 
   protected final def cachingDisabled: Boolean = cacheSize.contains(0)
 
+  // retrieval memo for constraints that override `test` directly (the
+  // ValueConstraint memo below covers the factual/target shape; a
+  // multi-retrieval constraint like Uniqueness keys each retrieval by
+  // name) — same semantics as the reference's per-instance lru_cache:
+  // keyed per SparkSession, bypassed entirely at cacheSize = 0
+  private val customMemo = TrieMap.empty[(Int, String), Any]
+
+  protected final def memoized[T](spark: SparkSession, key: String)(run: => T): T =
+    if (cachingDisabled) run
+    else customMemo
+      .getOrElseUpdate((System.identityHashCode(spark), key), run)
+      .asInstanceOf[T]
+
   def name: String = nameOverride.getOrElse(getClass.getSimpleName.stripSuffix("$"))
 
   /** Run a custom `test` body under plan capture and attach the retrieval

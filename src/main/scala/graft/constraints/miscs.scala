@@ -46,6 +46,7 @@ final case class Uniqueness(
     maxDuplicateFraction: Double = 0.0,
     maxAbsoluteNDuplicates: Long = 0L,
     inferPkColumns: Boolean = false,
+    override val cacheSize: Option[Int] = None,
     override val nameOverride: Option[String] = None)
     extends Constraint {
   require(
@@ -60,8 +61,13 @@ final case class Uniqueness(
           case _                         => ref
         }
       else ref
-    val uniqueCount = Ops.getUniqueCount(spark, effectiveRef)
-    val rowCount    = Ops.rowCount(spark, effectiveRef)
+    // both retrievals memoize per instance+session (reference base.py's
+    // lru_cache posture); cacheSize = 0 re-queries every test — CachingSpec
+    // pins the job counts both ways
+    val uniqueCount =
+      memoized(spark, "uniqueCount")(Ops.getUniqueCount(spark, effectiveRef))
+    val rowCount =
+      memoized(spark, "rowCount")(Ops.rowCount(spark, effectiveRef))
     if (rowCount == 0) return TestResult.success(description)
     val ok =
       if (maxAbsoluteNDuplicates != 0) uniqueCount >= rowCount - maxAbsoluteNDuplicates

@@ -51,10 +51,11 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
       condition: Option[Condition] = None,
       maxAbsoluteNDuplicates: Long = 0,
       inferPkColumns: Boolean = false,
+      cacheSize: Option[Int] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += Uniqueness(
       ref(columns, condition), maxDuplicateFraction, maxAbsoluteNDuplicates,
-      inferPkColumns, nameOverride = name)
+      inferPkColumns, cacheSize = cacheSize, nameOverride = name)
     this
   }
 

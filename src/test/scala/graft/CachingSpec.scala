@@ -64,6 +64,44 @@ class CachingSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("Uniqueness multi-retrieval: exact job-count parity, default vs cacheSize=0") {
+    // the reference pins caching by COUNTING queries
+    // (test_integration.py:1082-1168); here the analogue counts Spark jobs
+    // for a constraint whose test() issues TWO retrievals (unique count +
+    // row count) — the shape where a missing memo silently doubles cost
+    import graft.constraints.Uniqueness
+    val df = intDf("uniq_jobs_t", (1 to 40).map(i => Integer.valueOf(i % 25)))
+    val r = DataRef(FrameSource(df, "uniq_jobs_t"), Some(Seq("col_int")))
+
+    def countJobs(body: => Unit): Int = {
+      val jobs = new AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500); jobs.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val cached = Uniqueness(r, maxDuplicateFraction = 0.9)
+    val uncached = Uniqueness(r, maxDuplicateFraction = 0.9, cacheSize = Some(0))
+
+    val firstCached = countJobs(assert(cached.test(spark).outcome))
+    val firstUncached = countJobs(assert(uncached.test(spark).outcome))
+    // first evaluation does identical work both ways
+    assert(firstCached === firstUncached,
+      s"first-run parity: cached=$firstCached uncached=$firstUncached")
+    assert(firstCached >= 2, "two retrievals must launch at least two jobs")
+    // memoized: repeats are free
+    val repeatsCached = countJobs((1 to 3).foreach(_ => cached.test(spark)))
+    assert(repeatsCached === 0, s"cached repeats launched $repeatsCached job(s)")
+    // cache off: every repeat re-pays exactly the first run's job count
+    val perRepeat = (1 to 3).map(_ => countJobs(uncached.test(spark)))
+    assert(perRepeat.forall(_ === firstUncached),
+      s"cache-off repeats should each cost $firstUncached jobs: $perRepeat")
+  }
+
   test("a fresh constraint instance re-queries (cache is per instance)") {
     val df = intDf("cache_t2", (1 to 19).map(Integer.valueOf))
     val jobs = new AtomicInteger(0)

@@ -571,6 +571,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(collected == again)
   }
 
+  test("multimodal: MJPEG-in-AVI is a REAL perceptual decode (DCT round-trip)") {
+    // constant-gray frames: JPEG's DC quantization may shift the value by
+    // a level or two, never more — the round-trip error bound the gate's
+    // /8 bucketing relies on
+    for (g <- 4 to 252 by 24) {
+      val jpeg = Multimodal.jpegEncodeGrayPixels(16, 16, Array.fill(256)(g))
+      // a JPEG payload takes the real ImageIO decode path directly
+      val d = Multimodal.decodeImage(jpeg).get
+      assert(math.abs(d.meanLuma - g) < 3.0, s"gray $g decoded ${d.meanLuma}")
+    }
+    // container round-trip: 3 frames, every-2nd sampled
+    val avi = Multimodal.encodeMjpegAvi(16, 16, Seq(60, 124, 212))
+    val (n, frames) = Multimodal.decodeAviFrames(avi, frameStride = 2).get
+    assert(n === 3)
+    assert(frames.map(_._1) === Seq(0, 2))
+    assert(frames.forall { case (_, w, h, _) => w == 16 && h == 16 })
+    assert(math.abs(frames(0)._4 - 60) < 3.0)
+    assert(math.abs(frames(1)._4 - 212) < 3.0)
+    // non-AVI payloads refuse; truncation degrades, never throws
+    assert(Multimodal.decodeAviFrames("not an avi".getBytes).isEmpty)
+    val cut = java.util.Arrays.copyOf(avi, avi.length - 40)
+    assert(Multimodal.decodeAviFrames(cut).isDefined)
+  }
+
+  test("multimodal: dHash survives the JPEG perceptual round-trip") {
+    // a monotone 9x8 gradient keeps its difference structure through DCT
+    // quantization — the perceptual-hash property dHash exists for
+    val pix = Array.tabulate(72)(i => 20 + (i % 9) * 25)
+    val jpegHash = Multimodal.imageDHash(
+      Multimodal.jpegEncodeGrayPixels(9, 8, pix)).get
+    val pngHash = Multimodal.imageDHash(
+      Multimodal.encodeGrayPngPixels(9, 8, pix)).get
+    assert(jpegHash === pngHash)
+  }
+
+  test("multimodal: aviFrames dataframe op samples frames; non-AVI rows null") {
+    val avi = Multimodal.encodeMjpegAvi(16, 16, Seq(36, 100))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, avi), Row(2L, "junk".getBytes)), 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("payload", BinaryType))))
+    val rows = Multimodal.aviFrames(df, "doc_id", "payload")
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getInt(1) === 2 && rows(0).getInt(2) === 0)
+    assert(math.abs(rows(0).getDouble(5) - 36) < 3.0)
+    assert(math.abs(rows(1).getDouble(5) - 100) < 3.0)
+    assert(rows(2).isNullAt(1))
+  }
+
   test("multimodal: REAL PNG encode -> decode round-trip via javax.imageio") {
     val png = Multimodal.encodeGrayPng(width = 6, height = 4, gray = 77)
     // header-level metadata parses width/height straight from the IHDR bytes
