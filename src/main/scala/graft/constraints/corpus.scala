@@ -331,8 +331,9 @@ final case class MaxSemanticDupFraction(
     refValue: Option[Double] = None,
     ref2: Option[DataRef] = None,
     cosineThreshold: Double = 0.9,
-    nClusters: Int = 256,
+    nClusters: Int = 0,
     lloydIters: Int = 2,
+    probes: Int = 0,
     override val nameOverride: Option[String] = None)
     extends ValueConstraint[Double] {
   require(
@@ -341,6 +342,8 @@ final case class MaxSemanticDupFraction(
   require(
     cosineThreshold >= -1 && cosineThreshold <= 1,
     s"cosineThreshold must lie in [-1, 1]: $cosineThreshold")
+  require(nClusters >= 0, s"nClusters must be >= 0 (0 = auto): $nClusters")
+  require(probes >= 0, s"probes must be >= 0 (0 = auto): $probes")
 
   // scalar evaluation — scope releases every checkpoint on return (see
   // MaxNearDupFraction)
@@ -355,10 +358,19 @@ final case class MaxSemanticDupFraction(
       val total = base.count()
       if (total == 0L) 0.0
       else {
+        // corpus-aware defaults (r8 verdict item 2): 0 = auto — cells from
+        // corpus/200, probes from cells/4 — the recall-tuned posture a
+        // caller who knows only their data gets without hand-picking
+        val cells =
+          if (nClusters > 0) nClusters
+          else graft.ops.Similarity.semanticClusters(total)
+        val p =
+          if (probes > 0) probes
+          else graft.ops.Similarity.semanticProbesAuto(cells)
         val pairs = graft.ops.Similarity.semanticNearDups(
           base, "dj_nid", embeddingColumn, cosineThreshold,
-          nClusters = nClusters, lloydIters = lloydIters,
-          corpusSize = Some(total))
+          nClusters = cells, lloydIters = lloydIters,
+          corpusSize = Some(total), probes = p)
         val involved = pairs
           .select(explode(array(col("id1"), col("id2"))).as("dj_nid"))
           .distinct()

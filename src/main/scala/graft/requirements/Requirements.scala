@@ -341,14 +341,16 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
       embeddingColumn: String,
       maxFraction: Double,
       cosineThreshold: Double = 0.9,
-      nClusters: Int = 256,
+      nClusters: Int = 0,
       lloydIters: Int = 2,
+      probes: Int = 0,
       condition: Option[Condition] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += MaxSemanticDupFraction(
       ref(Some(Seq(embeddingColumn)), condition), embeddingColumn,
       refValue = Some(maxFraction), cosineThreshold = cosineThreshold,
-      nClusters = nClusters, lloydIters = lloydIters, nameOverride = name)
+      nClusters = nClusters, lloydIters = lloydIters, probes = probes,
+      nameOverride = name)
     this
   }
 

@@ -460,6 +460,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(results.head.outcome, results.head.message)
     assert(!results(1).outcome)
     assert(results(1).failureMessage.exists(_.contains("semantic")))
+
+    // auto sizing (nClusters = 0, probes = 0): cells/probes derived from
+    // the corpus — the near-dup pair must still be found (fraction 0.5)
+    val auto = WithinRequirement.fromDataFrame(df, "vectors_auto")
+    auto.addMaxSemanticDupFractionConstraint(
+      "vec", maxFraction = 0.5, cosineThreshold = 0.99)
+    auto.addMaxSemanticDupFractionConstraint(
+      "vec", maxFraction = 0.25, cosineThreshold = 0.99)
+    val autoResults = auto.test(spark)
+    assert(autoResults.head.outcome, autoResults.head.message)
+    assert(!autoResults(1).outcome)
   }
 
   test("crossNearDups: pairs cross the tables only; contamination budget constraint") {
