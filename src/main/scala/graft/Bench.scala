@@ -158,6 +158,9 @@ object Bench {
     // per-partition WARC synthesis + parse (gzip on half the blobs) —
     // the binary-ingestion pass whose cost tracks corpus bytes
     "q_warc_parse",
+    // 100-replicate Poisson-bootstrap explode + map-side partial aggs —
+    // the error-bar pass whose explode volume is nResamples x row count
+    "q_bootstrap_ci",
     // the 14-regex extraction projection over every document
     "q_html_extract")
 

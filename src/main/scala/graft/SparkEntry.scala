@@ -2909,6 +2909,39 @@ object SparkEntry {
         "keep", Seq("l_returnflag"))
     },
 
+    // Cohen's kappa: chance-corrected agreement between two derived labels
+    // (b equals a only where l_quantity > 25 — partial, skewed agreement);
+    // exact integer joint/marginals, fixed double shapes (ops.Stats)
+    "q_cohen_kappa" -> { (s, dir) =>
+      graft.ops.Stats.cohensKappa(
+        s.read.parquet(pq(dir, "lineitem"))
+          .select(
+            col("l_returnflag").as("label_a"),
+            when(col("l_quantity") > 25, col("l_returnflag"))
+              .otherwise(col("l_linestatus")).as("label_b")),
+        "label_a", "label_b")
+        .select(
+          col("n"), col("n_categories_a"), col("n_categories_b"),
+          round(col("p_o"), 6).as("p_o"),
+          round(col("p_e"), 6).as("p_e"),
+          round(col("kappa"), 6).as("kappa"))
+    },
+
+    // Poisson-bootstrap mean CI (one-pass map-reduce bootstrap): 100
+    // deterministic Poisson(1)-weighted replicates from md5-lattice
+    // uniforms, exact scaled-decimal sums, discrete rank CI — the oracle
+    // re-derives every replicate mean bit-for-bit
+    "q_bootstrap_ci" -> { (s, dir) =>
+      graft.ops.Stats.bootstrapMeanCI(
+        s.read.parquet(pq(dir, "events")), "event_id", "value",
+        nResamples = 100, alpha = 0.05, seed = "gate")
+        .select(
+          col("n"), col("n_resamples"),
+          round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    },
+
     // deterministic stratified sample: k smallest md5(id:seed) per stratum
     // via the salted two-phase top-k (no per-stratum reducer funnel)
     "q_stratified_sample" -> { (s, dir) =>
@@ -6016,6 +6049,70 @@ object SparkEntry {
                              + 3.8414588206941254 / (4.0 * n_rows * n_rows)))
                       / (1.0 + 3.8414588206941254 / n_rows), 6) AS ci_hi
          FROM a""",
+    // Cohen's kappa: exact joint/marginal integers; p_o, p_e, kappa in the
+    // identical double shapes (HUGEINT marginal products before division)
+    "q_cohen_kappa" ->
+      """WITH l AS (SELECT l_returnflag AS a,
+                      CASE WHEN l_quantity > 25 THEN l_returnflag
+                           ELSE l_linestatus END AS b
+                    FROM lineitem),
+              j AS (SELECT a, b, count(*)::BIGINT AS c FROM l GROUP BY 1, 2),
+              ma AS (SELECT a, sum(c)::BIGINT AS ca FROM j GROUP BY 1),
+              mb AS (SELECT b, sum(c)::BIGINT AS cb FROM j GROUP BY 1),
+              t AS (SELECT sum(c)::BIGINT AS n,
+                           sum(CASE WHEN a = b THEN c ELSE 0 END)::BIGINT AS agree,
+                           count(DISTINCT a)::INT AS ka,
+                           count(DISTINCT b)::INT AS kb
+                    FROM j),
+              pe AS (SELECT coalesce(sum(ca::HUGEINT * cb::HUGEINT), 0) AS pe_num
+                     FROM ma JOIN mb ON ma.a = mb.b)
+         SELECT t.n AS n, t.ka AS n_categories_a, t.kb AS n_categories_b,
+                round(agree::DOUBLE / n::DOUBLE, 6) AS p_o,
+                round(pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS p_e,
+                round((agree::DOUBLE / n::DOUBLE
+                         - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE))
+                      / (1.0 - pe_num::DOUBLE / (n::DOUBLE * n::DOUBLE)), 6) AS kappa
+         FROM t, pe""",
+
+    // Poisson bootstrap: identical md5-lattice uniforms, the identical
+    // hardcoded Poisson(1) CDF ladder, HUGEINT-exact weighted sums, the
+    // same (sx/sw)/scale double shape and rank-3/rank-98 CI selection
+    "q_bootstrap_ci" ->
+      """WITH e AS (SELECT event_id, CAST(round(value * 1000000) AS HUGEINT) AS x
+                    FROM events WHERE value IS NOT NULL),
+              t AS (SELECT count(*)::BIGINT AS n, sum(x) AS tsx FROM e),
+              b AS (SELECT unnest(range(1, 101)) AS bb),
+              u AS (SELECT e.event_id, e.x, b.bb,
+                      (('0x' || substring(md5(e.event_id::VARCHAR || ':gate:' || b.bb::VARCHAR), 1, 13))::BIGINT + 0.5)
+                        / 4503599627370496.0 AS uu
+                    FROM e CROSS JOIN b),
+              w AS (SELECT bb, x,
+                      CASE WHEN uu < 0.36787944117144233 THEN 0
+                           WHEN uu < 0.7357588823428847 THEN 1
+                           WHEN uu < 0.9196986029286058 THEN 2
+                           WHEN uu < 0.9810118431238463 THEN 3
+                           WHEN uu < 0.9963401531726563 THEN 4
+                           WHEN uu < 0.9994058151824183 THEN 5
+                           WHEN uu < 0.999916758850712 THEN 6
+                           WHEN uu < 0.9999897508033253 THEN 7
+                           ELSE 8 END AS w
+                    FROM u),
+              m AS (SELECT bb, sum(w::HUGEINT * x) AS sx, sum(w)::BIGINT AS sw
+                    FROM w GROUP BY 1 HAVING sum(w) > 0),
+              r AS (SELECT bb, (sx::DOUBLE / sw::DOUBLE) / 1000000.0 AS mean,
+                      row_number() OVER (
+                        ORDER BY (sx::DOUBLE / sw::DOUBLE) / 1000000.0, bb) AS rk
+                    FROM m),
+              ci AS (SELECT min(CASE WHEN rk = 3 THEN mean END) AS lo,
+                            min(CASE WHEN rk = 98 THEN mean END) AS hi,
+                            count(*)::BIGINT AS nb
+                     FROM r)
+         SELECT t.n AS n, CAST(100 AS INT) AS n_resamples,
+                round((t.tsx::DOUBLE / t.n::DOUBLE) / 1000000.0, 6) AS mean,
+                round(CASE WHEN ci.nb >= 98 THEN ci.lo END, 6) AS ci_lo,
+                round(CASE WHEN ci.nb >= 98 THEN ci.hi END, 6) AS ci_hi
+         FROM t, ci""",
+
     "q_stratified_sample" ->
       """WITH s AS (SELECT doc_id, doc_id % 7 AS stratum,
                            md5(doc_id || ':graft:sample') AS u FROM documents),

@@ -40,3 +40,77 @@ final case class KolmogorovSmirnov2Sample(
     }
   }
 }
+
+/** Chance-corrected label agreement floor: Cohen's κ between two
+  * categorical columns (two annotators, a new model version vs the
+  * incumbent, a heuristic rule vs a classifier) must be ≥ the target —
+  * raw agreement flatters skewed label distributions, κ does not
+  * ([[graft.ops.Stats.cohensKappa]]). Vacuous on empty input or when
+  * chance agreement is 1 (both sides constant — no information).
+  */
+final case class MinCohensKappa(
+    ref: DataRef,
+    columnA: String,
+    columnB: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= -1 && v <= 1),
+    s"min_cohens_kappa must lie within [-1, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): TestResult = withPlans {
+    val target = refValue.get
+    val row = Stats.cohensKappa(ref.selection(spark), columnA, columnB).head()
+    if (row.isNullAt(5)) TestResult.success(description) // no evidence
+    else {
+      val kappa = row.getDouble(5)
+      if (kappa >= target) TestResult.success(description)
+      else TestResult.failure(
+        description,
+        s"Cohen's kappa between $columnA and $columnB on ${ref.describe} is " +
+          s"$kappa (observed agreement ${row.getDouble(3)}, chance " +
+          s"${row.getDouble(4)}) while at least $target was required.")
+    }
+  }
+}
+
+/** Bootstrap-evidence mean floor: the Poisson-bootstrap lower confidence
+  * bound of `valueColumn`'s mean must be ≥ the target
+  * ([[graft.ops.Stats.bootstrapMeanCI]]) — unlike a raw-mean floor, a
+  * noisy small sample only fails when its evidence actually supports a
+  * mean below the floor (the numeric sibling of the Wilson keep-rate
+  * gate). Vacuous when the input is empty.
+  */
+final case class MinBootstrapMeanLowerBound(
+    ref: DataRef,
+    idColumn: String,
+    valueColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    nResamples: Int = 200,
+    alpha: Double = 0.05,
+    seed: String = "boot",
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.isDefined, "min_bootstrap_mean_lower_bound requires a target.")
+
+  override def test(spark: SparkSession): TestResult = withPlans {
+    val target = refValue.get
+    val row = Stats
+      .bootstrapMeanCI(
+        ref.selection(spark), idColumn, valueColumn, nResamples, alpha, seed)
+      .head()
+    if (row.isNullAt(3)) TestResult.success(description) // no evidence
+    else {
+      val lo = row.getDouble(3)
+      if (lo >= target) TestResult.success(description)
+      else TestResult.failure(
+        description,
+        s"Bootstrap ${100 * (1 - alpha)}% lower bound of $valueColumn's mean " +
+          s"on ${ref.describe} is $lo (point estimate ${row.getDouble(2)}, " +
+          s"n=${row.getLong(0)}) while at least $target was required.")
+    }
+  }
+}

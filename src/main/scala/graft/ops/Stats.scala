@@ -672,4 +672,162 @@ object Stats {
       Some(math.max(0.0, math.min(1.0, p)))
     }
   }
+
+  /** Cohen's kappa (Cohen 1960) between two CATEGORICAL columns — the
+    * chance-corrected agreement a labeling pipeline gates on when two
+    * annotators / model versions / heuristic rules label the same rows:
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement and p_e the
+    * marginal-product chance agreement. Raw agreement flatters skewed
+    * label distributions (two constant labelers "agree" 100%); κ is 0 at
+    * chance, 1 at perfect, NULL when p_e = 1 (both sides constant on the
+    * same label — agreement carries no information) or the input is
+    * empty. NULL is a real category ("<null>", the [[Drift.chiSquareDrift]]
+    * convention).
+    *
+    * Plan: ONE base aggregate to the joint (a, b, count) table; marginals
+    * and totals re-aggregate the joint; p_e's numerator is an exact
+    * decimal Σ rowmarg·colmarg over the shared categories. All divisions
+    * happen once, in fixed double shapes the SQL oracle spells
+    * identically. Out: EXACTLY one row
+    * (n, n_categories_a, n_categories_b, p_o, p_e, kappa).
+    */
+  def cohensKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    def cat(c: String) = coalesce(col(c).cast("string"), lit("<null>"))
+    val joint = graft.core.Blocks.checkpoint(
+      df.select(cat(colA).as("dj_a"), cat(colB).as("dj_b"))
+        .groupBy("dj_a", "dj_b")
+        .agg(count(lit(1)).as("dj_c")))
+    val ma = joint.groupBy("dj_a").agg(sum(col("dj_c")).as("dj_ca"))
+    val mb = joint.groupBy("dj_b").agg(sum(col("dj_c")).as("dj_cb"))
+    val totals = joint.agg(
+      sum(col("dj_c")).as("dj_n"),
+      sum(when(col("dj_a") === col("dj_b"), col("dj_c")).otherwise(0L))
+        .as("dj_agree"),
+      countDistinct(col("dj_a")).as("dj_ka"),
+      countDistinct(col("dj_b")).as("dj_kb"))
+    // chance-agreement numerator over categories present on BOTH sides
+    // (absent-on-one-side categories contribute marginal 0) — exact
+    // (19,0)·(19,0) decimal products, never a double before the division
+    val peNum = ma
+      .join(mb, col("dj_a") === col("dj_b"))
+      .agg(coalesce(
+        sum(col("dj_ca").cast("decimal(19,0)") * col("dj_cb").cast("decimal(19,0)")),
+        lit(0).cast("decimal(38,0)")).as("dj_pe_num"))
+    val n = col("dj_n").cast("double")
+    val po = col("dj_agree").cast("double") / n
+    val pe = col("dj_pe_num").cast("double") / (n * n)
+    totals
+      .crossJoin(broadcast(peNum))
+      .select(
+        coalesce(col("dj_n"), lit(0L)).as("n"),
+        col("dj_ka").cast("int").as("n_categories_a"),
+        col("dj_kb").cast("int").as("n_categories_b"),
+        when(col("dj_n") > 0, po).as("p_o"),
+        when(col("dj_n") > 0, pe).as("p_e"),
+        when(col("dj_n") > 0 && pe < 1.0, (po - pe) / (lit(1.0) - pe))
+          .as("kappa"))
+  }
+
+  // Poisson(1) inverse-CDF thresholds e^{-1}·Σ_{j<=k} 1/j! for k = 0..7,
+  // HARDCODED as the shortest-repr double literals so the SQL oracle can
+  // spell the identical constants (math.exp is only 1-ulp-accurate and
+  // need not agree with another engine's libm); a hash-uniform is a 52-bit
+  // dyadic fraction, so every `u < t` comparison is exact in both engines
+  private[graft] val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  /** Poisson-bootstrap confidence interval for a column mean (public:
+    * the one-pass bootstrap of Chamandy et al. / Owen, standard at
+    * map-reduce scale): resample `b` draws per row with deterministic
+    * Poisson(1) weights w = F⁻¹(u(id, seed, b)) — the md5-lattice uniform
+    * convention of [[Dsir]] — so each of `nResamples` pseudo-resamples is
+    * a with-replacement bootstrap replicate WITHOUT shuffling or
+    * materializing the data more than once. Per-replicate means use exact
+    * scaled-decimal sums (fold-order independent, engine-reproducible);
+    * the CI is a discrete rank selection over the `nResamples` replicate
+    * means (rank window bounded at nResamples rows by construction —
+    * never a data-sized sort).
+    *
+    * The error bar every corpus statistic should ship with at 100 TB:
+    * one extra groupBy(b) aggregate — explode volume is nResamples× the
+    * row count but collapses map-side into nResamples partial sums.
+    * Out: EXACTLY one row (n, n_resamples, mean, ci_lo, ci_hi) — NULLs
+    * (never NaN) on an empty input; `mean` is the full-sample point
+    * estimate.
+    *
+    * Decimal headroom: |scaled value| ≤ 1e30 per row and ≤ 8× that per
+    * weighted term; the (38,0) sum overflows loudly under ANSI only past
+    * ~1e7 rows × 1e24-scaled magnitudes — far past any mean worth
+    * bootstrapping at `valueScale` = 1e6.
+    */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      nResamples: Int = 200,
+      alpha: Double = 0.05,
+      seed: String = "boot",
+      valueScale: Long = 1000000L): DataFrame = {
+    require(nResamples >= 4 && nResamples <= 10000,
+      s"nResamples must be in [4, 10000]: $nResamples")
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    require(valueScale >= 1, s"valueScale must be >= 1: $valueScale")
+    val base = df.where(col(valueCol).isNotNull)
+    val x = round(col(valueCol) * valueScale).cast("decimal(30,0)")
+    val totals = base.agg(
+      count(lit(1)).as("dj_n"),
+      sum(x).as("dj_sx"))
+    // u(id, seed, b): first 13 md5 hex digits of "id:seed:b" + half-step,
+    // over 2^52 (the Dsir.hashUniform lattice, extended with the replicate
+    // index); w = Poisson(1) inverse CDF, capped at 8 (P ≈ 1e-5)
+    val u = (conv(
+      substring(
+        md5(concat(
+          col(idCol).cast("string"), lit(":" + seed + ":"),
+          col("dj_b").cast("string")).cast("binary")),
+        1, 13),
+      16, 10).cast("long") + 0.5) / lit(4503599627370496.0)
+    // CASE ladder lowest-threshold-first: the first matching arm wins, so
+    // folding from the highest k downward keeps each `when` outermost-last
+    val wLadder = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(8).cast("decimal(1,0)")) { case (acc, (t, k)) =>
+        when(u < t, lit(k).cast("decimal(1,0)")).otherwise(acc)
+      }
+    val perReplicate = base
+      .select(col(idCol), x.as("dj_x"),
+        explode(sequence(lit(1), lit(nResamples))).as("dj_b"))
+      .groupBy("dj_b")
+      .agg(
+        sum((wLadder * col("dj_x")).cast("decimal(38,0)")).as("dj_sx"),
+        sum(wLadder.cast("long")).as("dj_sw"))
+      .where(col("dj_sw") > 0)
+      .select(
+        col("dj_b"),
+        (col("dj_sx").cast("double") / col("dj_sw").cast("double")
+          / lit(valueScale.toDouble)).as("dj_mean"))
+    // discrete percentile ranks over the (bounded) replicate means
+    val ranked = perReplicate.withColumn(
+      "dj_rk",
+      row_number().over(Window.orderBy(col("dj_mean"), col("dj_b"))))
+    val loRank = (alpha / 2 * nResamples).toInt + 1
+    val hiRank = nResamples - (alpha / 2 * nResamples).toInt
+    val ci = ranked.agg(
+      min(when(col("dj_rk") === loRank, col("dj_mean"))).as("dj_lo"),
+      min(when(col("dj_rk") === hiRank, col("dj_mean"))).as("dj_hi"),
+      count(lit(1)).as("dj_nb"))
+    totals
+      .crossJoin(broadcast(ci))
+      .select(
+        col("dj_n").as("n"),
+        lit(nResamples).as("n_resamples"),
+        when(col("dj_n") > 0,
+          col("dj_sx").cast("double") / col("dj_n").cast("double")
+            / lit(valueScale.toDouble)).as("mean"),
+        // a replicate can drop out only on a degenerate tiny sample whose
+        // every weight is 0 — the rank indices then miss; NULL, not NaN
+        when(col("dj_nb") >= hiRank, col("dj_lo")).as("ci_lo"),
+        when(col("dj_nb") >= hiRank, col("dj_hi")).as("ci_hi"))
+  }
 }

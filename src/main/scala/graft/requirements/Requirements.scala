@@ -285,6 +285,43 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: Cohen's κ between two categorical label columns
+    * must be ≥ `minKappa` — the chance-corrected agreement gate for
+    * annotator/model-version label parity ([[graft.ops.Stats.cohensKappa]]).
+    */
+  def addMinCohensKappaConstraint(
+      columnA: String,
+      columnB: String,
+      minKappa: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinCohensKappa(
+      ref(Some(Seq(columnA, columnB)), condition), columnA, columnB,
+      refValue = Some(minKappa), nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: the Poisson-bootstrap lower confidence bound of
+    * `valueColumn`'s mean must be ≥ `minMean` — evidence-honest error
+    * bars on any corpus statistic in one extra aggregate pass
+    * ([[graft.ops.Stats.bootstrapMeanCI]]).
+    */
+  def addMinBootstrapMeanLowerBoundConstraint(
+      idColumn: String,
+      valueColumn: String,
+      minMean: Double,
+      nResamples: Int = 200,
+      alpha: Double = 0.05,
+      seed: String = "boot",
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinBootstrapMeanLowerBound(
+      ref(Some(Seq(idColumn, valueColumn)), condition), idColumn, valueColumn,
+      refValue = Some(minMean), nResamples = nResamples, alpha = alpha,
+      seed = seed, nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).

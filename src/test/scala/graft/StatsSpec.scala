@@ -529,6 +529,87 @@ class StatsSpec extends AnyFunSuite {
     assert(ok(1000000L, 1000000L))
   }
 
+  test("cohensKappa: hand-computed agreement, degenerate and empty inputs") {
+    import spark.implicits._
+    // n=4, agree=3 -> p_o = 0.75; marginals a:(a=3,b=1), b:(a=2,b=2) ->
+    // p_e = (3*2 + 1*2)/16 = 0.5; kappa = (0.75-0.5)/(1-0.5) = 0.5
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b")).toDF("x", "y")
+    val r = Stats.cohensKappa(df, "x", "y").head()
+    assert(r.getLong(0) === 4L)
+    assert(r.getInt(1) === 2 && r.getInt(2) === 2)
+    assert(r.getDouble(3) === 0.75)
+    assert(r.getDouble(4) === 0.5)
+    assert(r.getDouble(5) === 0.5)
+    // perfect agreement -> 1
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("x", "y")
+    assert(Stats.cohensKappa(perfect, "x", "y").head().getDouble(5) === 1.0)
+    // both constant on the same label: p_e = 1 -> kappa NULL (no info)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("x", "y")
+    assert(Stats.cohensKappa(const, "x", "y").head().isNullAt(5))
+    // NULL is a category: null==null counts as agreement
+    val withNull = Seq(("a", "a"), (null, null), ("a", "b")).toDF("x", "y")
+    val rn = Stats.cohensKappa(withNull, "x", "y").head()
+    assert(rn.getLong(0) === 3L && rn.getInt(1) === 2)
+    // empty input: exactly one row, NULL statistic
+    val empty = Seq.empty[(String, String)].toDF("x", "y")
+    val re = Stats.cohensKappa(empty, "x", "y").collect()
+    assert(re.length === 1 && re.head.getLong(0) === 0L && re.head.isNullAt(5))
+  }
+
+  test("MinCohensKappa constraint: agreement gate passes/fails; constant vacuous") {
+    import spark.implicits._
+    import graft.core.{DataRef, FrameSource}
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b")).toDF("x", "y")
+    val ref = DataRef(FrameSource(df, "kappa_t"))
+    val ok = graft.constraints.MinCohensKappa(ref, "x", "y", refValue = Some(0.4))
+    assert(ok.test(spark).outcome)
+    val bad = graft.constraints.MinCohensKappa(ref, "x", "y", refValue = Some(0.6))
+    val res = bad.test(spark)
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("kappa")))
+    val const = Seq(("a", "a")).toDF("x", "y")
+    val vac = graft.constraints.MinCohensKappa(
+      DataRef(FrameSource(const, "kappa_c")), "x", "y", refValue = Some(0.9))
+    assert(vac.test(spark).outcome)
+  }
+
+  test("bootstrapMeanCI: brackets the mean, partitioning-independent, empty-safe") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, (i % 40).toDouble)).toDF("id", "v")
+    val r = Stats.bootstrapMeanCI(df, "id", "v", nResamples = 100).head()
+    assert(r.getLong(0) === 500L)
+    assert(r.getInt(1) === 100)
+    val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] must bracket mean $mean")
+    assert(hi - lo > 0, "interval must have width on a noisy sample")
+    assert(hi - lo < 4.0, s"interval implausibly wide: [$lo, $hi]")
+    // exact decimals + deterministic weights -> identical under repartition
+    val r2 = Stats.bootstrapMeanCI(df.repartition(7), "id", "v", nResamples = 100).head()
+    assert(r2.getDouble(3) === lo && r2.getDouble(4) === hi)
+    // empty input: one row, NULLs (never NaN)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val re = Stats.bootstrapMeanCI(empty, "id", "v").collect()
+    assert(re.length === 1 && re.head.getLong(0) === 0L && re.head.isNullAt(2)
+      && re.head.isNullAt(3))
+  }
+
+  test("MinBootstrapMeanLowerBound constraint: evidence gate; empty vacuous") {
+    import spark.implicits._
+    import graft.core.{DataRef, FrameSource}
+    val df = (1 to 400).map(i => (i.toLong, 10.0 + (i % 5))).toDF("id", "v")
+    val ref = DataRef(FrameSource(df, "boot_t"))
+    assert(graft.constraints.MinBootstrapMeanLowerBound(
+      ref, "id", "v", refValue = Some(11.0)).test(spark).outcome)
+    val res = graft.constraints.MinBootstrapMeanLowerBound(
+      ref, "id", "v", refValue = Some(12.5)).test(spark)
+    assert(!res.outcome)
+    assert(res.failureMessage.exists(_.contains("Bootstrap")))
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(graft.constraints.MinBootstrapMeanLowerBound(
+      DataRef(FrameSource(empty, "boot_e")), "id", "v",
+      refValue = Some(99.0)).test(spark).outcome)
+  }
+
   test("cvm2Sample: scale lifts fractional values; partitioning-independent") {
     import spark.implicits._
     val a = Seq(0.25, 0.50, 0.75, 1.25).toDF("v")
