@@ -2909,6 +2909,34 @@ object SparkEntry {
         "keep", Seq("l_returnflag"))
     },
 
+    // robust trimmed + winsorized mean: exact-rank tail handling on the
+    // distinct-value prefix-sum scheme — no global sort (ops.Stats)
+    "q_trimmed_mean" -> { (s, dir) =>
+      graft.ops.Stats.trimmedMean(
+        s.read.parquet(pq(dir, "lineitem")), "l_extendedprice",
+        trimFraction = 0.1, scale = 100L)
+        .select(
+          col("n"), col("n_trimmed_each_side"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          round(col("winsorized_mean"), 6).as("winsorized_mean"),
+          round(col("lo_cut"), 6).as("lo_cut"),
+          round(col("hi_cut"), 6).as("hi_cut"))
+    },
+
+    // corpus concentration: exact Gini + HHI + top share of per-source
+    // character mass — bucketed global rank, decimal-exact rank*w sums
+    "q_concentration" -> { (s, dir) =>
+      graft.ops.Stats.concentrationProfile(
+        s.read.parquet(pq(dir, "documents")), "source", "n_chars")
+        .select(
+          col("n_groups"),
+          round(col("total_weight"), 6).as("total_weight"),
+          round(col("gini"), 6).as("gini"),
+          round(col("hhi"), 6).as("hhi"),
+          round(col("top_share"), 6).as("top_share"),
+          col("n_negative"))
+    },
+
     // Cohen's kappa: chance-corrected agreement between two derived labels
     // (b equals a only where l_quantity > 25 — partial, skewed agreement);
     // exact integer joint/marginals, fixed double shapes (ops.Stats)
@@ -6049,6 +6077,51 @@ object SparkEntry {
                              + 3.8414588206941254 / (4.0 * n_rows * n_rows)))
                       / (1.0 + 3.8414588206941254 / n_rows), 6) AS ci_hi
          FROM a""",
+    // trimmed/winsorized mean: running counts over distinct scaled values,
+    // exact kept-multiplicity overlap, identical double shapes
+    "q_trimmed_mean" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                           count(*)::BIGINT AS cnt
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+              r AS (SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS run FROM c),
+              t AS (SELECT sum(cnt)::BIGINT AS n FROM c),
+              p AS (SELECT n, CAST(floor(0.1 * n) AS BIGINT) AS k FROM t),
+              a AS (SELECT any_value(n) AS n, any_value(k) AS k,
+                           sum(greatest(0, least(run, n - k)
+                                 - greatest(run - cnt, k))::HUGEINT * v::HUGEINT) AS s,
+                           min(CASE WHEN run >= k + 1 THEN v END) AS lo,
+                           min(CASE WHEN run >= n - k THEN v END) AS hi
+                    FROM r, p)
+         SELECT n, k AS n_trimmed_each_side,
+                round(s::DOUBLE / (n - 2 * k)::DOUBLE / 100.0, 6) AS trimmed_mean,
+                round((s::DOUBLE + k::DOUBLE * lo::DOUBLE + k::DOUBLE * hi::DOUBLE)
+                      / n::DOUBLE / 100.0, 6) AS winsorized_mean,
+                round(lo::DOUBLE / 100.0, 6) AS lo_cut,
+                round(hi::DOUBLE / 100.0, 6) AS hi_cut
+         FROM a""",
+
+    // concentration: ranks ascending by (weight, key), exact HUGEINT
+    // rank*w and w^2 sums, single divisions in the identical shapes
+    "q_concentration" ->
+      """WITH w AS (SELECT source AS k, sum(n_chars)::BIGINT AS w
+                    FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+              r AS (SELECT k, w,
+                      row_number() OVER (ORDER BY w::DOUBLE, k) AS rk FROM w),
+              a AS (SELECT count(*)::BIGINT AS g, sum(w) AS tw,
+                           sum(rk::HUGEINT * w::HUGEINT) AS rw,
+                           sum(w::HUGEINT * w::HUGEINT) AS w2,
+                           max(w) AS mx,
+                           sum(CASE WHEN w < 0 THEN 1 ELSE 0 END)::BIGINT AS neg
+                    FROM r)
+         SELECT g AS n_groups,
+                round(tw::DOUBLE, 6) AS total_weight,
+                round(2.0 * rw::DOUBLE / (g::DOUBLE * tw::DOUBLE)
+                      - (g::DOUBLE + 1.0) / g::DOUBLE, 6) AS gini,
+                round(w2::DOUBLE / (tw::DOUBLE * tw::DOUBLE), 6) AS hhi,
+                round(mx::DOUBLE / tw::DOUBLE, 6) AS top_share,
+                neg AS n_negative
+         FROM a""",
+
     // Cohen's kappa: exact joint/marginal integers; p_o, p_e, kappa in the
     // identical double shapes (HUGEINT marginal products before division)
     "q_cohen_kappa" ->

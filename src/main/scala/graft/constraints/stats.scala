@@ -114,3 +114,84 @@ final case class MinBootstrapMeanLowerBound(
     }
   }
 }
+
+/** Robust location window: the TRIMMED mean of `valueColumn` (exact-rank
+  * tails dropped, [[graft.ops.Stats.trimmedMean]]) must lie within
+  * [minValue, maxValue] — the mean gate that a handful of pathological
+  * rows cannot move. Vacuous when trimming swallows the sample.
+  */
+final case class TrimmedMeanBetween(
+    ref: DataRef,
+    valueColumn: String,
+    minValue: Double,
+    maxValue: Double,
+    trimFraction: Double = 0.05,
+    scale: Long = 1000000L,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(minValue <= maxValue, s"empty interval [$minValue, $maxValue]")
+
+  override def test(spark: SparkSession): TestResult = withPlans {
+    val row = Stats
+      .trimmedMean(ref.selection(spark), valueColumn, trimFraction, scale)
+      .head()
+    if (row.isNullAt(2)) TestResult.success(description) // no evidence
+    else {
+      val m = row.getDouble(2)
+      if (m >= minValue && m <= maxValue) TestResult.success(description)
+      else TestResult.failure(
+        description,
+        s"${trimFraction * 100}%-trimmed mean of $valueColumn on " +
+          s"${ref.describe} is $m (n=${row.getLong(0)}, cuts " +
+          s"[${row.getDouble(4)}, ${row.getDouble(5)}]) while " +
+          s"[$minValue, $maxValue] was required.")
+    }
+  }
+}
+
+/** Corpus-balance ceiling: the Gini coefficient and/or the top group's
+  * share of `weightColumn` mass across `keyColumn` groups must stay ≤ the
+  * given ceilings ([[graft.ops.Stats.concentrationProfile]]) — "no single
+  * domain may dominate the training mix" as a declarable budget. Fails
+  * loudly when negative weights make the profile meaningless.
+  */
+final case class MaxConcentration(
+    ref: DataRef,
+    keyColumn: String,
+    weightColumn: String,
+    maxGini: Option[Double] = None,
+    maxTopShare: Option[Double] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(maxGini.isDefined || maxTopShare.isDefined,
+    "at least one of maxGini / maxTopShare must be given")
+  require(maxGini.forall(v => v >= 0 && v <= 1), s"maxGini out of [0,1]: $maxGini")
+  require(maxTopShare.forall(v => v >= 0 && v <= 1),
+    s"maxTopShare out of [0,1]: $maxTopShare")
+
+  override def test(spark: SparkSession): TestResult = withPlans {
+    val row = Stats
+      .concentrationProfile(ref.selection(spark), keyColumn, weightColumn)
+      .head()
+    if (row.getLong(5) > 0)
+      TestResult.failure(
+        description,
+        s"${row.getLong(5)} group(s) of ${ref.describe} carry NEGATIVE " +
+          s"$weightColumn mass — the concentration profile is undefined.")
+    else if (row.getLong(0) == 0L || row.isNullAt(2))
+      TestResult.success(description) // no evidence
+    else {
+      val gini = row.getDouble(2)
+      val top = row.getDouble(4)
+      val giniBad = maxGini.exists(gini > _)
+      val topBad = maxTopShare.exists(top > _)
+      if (!giniBad && !topBad) TestResult.success(description)
+      else TestResult.failure(
+        description,
+        s"$weightColumn concentration across $keyColumn on ${ref.describe}: " +
+          s"gini=$gini${maxGini.map(v => s" (max $v)").getOrElse("")}, " +
+          s"top_share=$top${maxTopShare.map(v => s" (max $v)").getOrElse("")} " +
+          s"over ${row.getLong(0)} groups.")
+    }
+  }
+}

@@ -673,6 +673,118 @@ object Stats {
     }
   }
 
+  /** Robust trimmed and winsorized mean — the location estimate a corpus
+    * metric should gate on when heavy tails are expected (a handful of
+    * 100 MB documents must not move "mean document length"): drop (trim)
+    * or clamp (winsorize) the bottom/top ⌊trimFraction·n⌋ observations by
+    * EXACT rank and average the rest.
+    *
+    * Plan: the distinct-value + bucketed-prefix-sum scheme ([[CumSum]]) —
+    * per distinct scaled value v with count c and running count r, the
+    * kept multiplicity is the overlap of (r−c, r] with (k, n−k], an exact
+    * integer; kept·v sums as decimals, ONE division at the end. No
+    * unpartitioned window, no data-sized sort — the same posture as
+    * [[graft.ops.Ops.getPercentile]]. Out: EXACTLY one row (n,
+    * n_trimmed_each_side, trimmed_mean, winsorized_mean, lo_cut, hi_cut);
+    * NULL means when the trim swallows everything or the input is empty.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      valueCol: String,
+      trimFraction: Double = 0.05,
+      scale: Long = 1000000L): DataFrame = {
+    require(trimFraction >= 0 && trimFraction < 0.5,
+      s"trimFraction must be in [0, 0.5): $trimFraction")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val spark = df.sparkSession
+    val counts = graft.core.Blocks.checkpoint(
+      df.where(col(valueCol).isNotNull)
+        .select(round(col(valueCol) * scale).cast("long").as("dj_v"))
+        .groupBy("dj_v")
+        .agg(count(lit(1)).as("dj_cnt")))
+    val (running, totals) =
+      CumSum.withRunningSums(counts, "dj_v", Seq("dj_cnt"), Seq("dj_run"))
+    val n = totals.head
+    val k = (trimFraction * n).toLong
+    if (n == 0L || n - 2 * k <= 0L)
+      return spark.range(1).select(
+        lit(n).as("n"),
+        lit(k).as("n_trimmed_each_side"),
+        lit(null).cast("double").as("trimmed_mean"),
+        lit(null).cast("double").as("winsorized_mean"),
+        lit(null).cast("double").as("lo_cut"),
+        lit(null).cast("double").as("hi_cut"))
+    val hi = n - k
+    val kept = greatest(
+      lit(0L),
+      least(col("dj_run"), lit(hi)) - greatest(col("dj_run") - col("dj_cnt"), lit(k)))
+    val agged = running.agg(
+      sum(kept.cast("decimal(19,0)") * col("dj_v").cast("decimal(19,0)"))
+        .as("dj_s"),
+      // cut values by exact rank: lowest kept rank k+1, highest kept rank n-k
+      min(when(col("dj_run") >= k + 1, col("dj_v"))).as("dj_lo"),
+      min(when(col("dj_run") >= hi, col("dj_v"))).as("dj_hi"))
+    agged.select(
+      lit(n).as("n"),
+      lit(k).as("n_trimmed_each_side"),
+      (col("dj_s").cast("double") / lit((n - 2 * k).toDouble) / lit(scale.toDouble))
+        .as("trimmed_mean"),
+      // winsorize: the trimmed tails re-enter CLAMPED to the cut values
+      ((col("dj_s").cast("double")
+        + lit(k.toDouble) * col("dj_lo").cast("double")
+        + lit(k.toDouble) * col("dj_hi").cast("double"))
+        / lit(n.toDouble) / lit(scale.toDouble)).as("winsorized_mean"),
+      (col("dj_lo").cast("double") / lit(scale.toDouble)).as("lo_cut"),
+      (col("dj_hi").cast("double") / lit(scale.toDouble)).as("hi_cut"))
+  }
+
+  /** Corpus concentration profile over a weight per group — "is the
+    * training mix dominated by a few domains": exact Gini coefficient
+    * (rank-weighted form G = 2·Σᵢ i·wᵢ/(g·Σw) − (g+1)/g over weights
+    * sorted ascending), Herfindahl–Hirschman index Σ(wᵢ/Σw)², and the
+    * top group's share, in one pass.
+    *
+    * Plan: per-key totals (map-side combined), a BUCKETED global rank
+    * ([[CumSum.withGlobalRank]] — no unpartitioned window even at many
+    * millions of groups), exact decimal rank·w and w² sums, divisions
+    * once at the end. Negative weights make Gini meaningless — they are
+    * counted out loudly in `n_negative` and the statistics are NULL when
+    * any exist. Out: EXACTLY one row (n_groups, total_weight, gini, hhi,
+    * top_share, n_negative); NULL statistics on empty input.
+    */
+  def concentrationProfile(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String): DataFrame = {
+    val perKey = graft.core.Blocks.checkpoint(
+      df.where(col(weightCol).isNotNull)
+        .groupBy(col(keyCol).as("dj_k"))
+        .agg(sum(col(weightCol).cast("decimal(19,0)")).as("dj_w")))
+    val ranked = CumSum.withGlobalRank(
+      perKey.withColumn("dj_wd", col("dj_w").cast("double")),
+      "dj_wd", "dj_rank", tieCols = Seq("dj_k"))
+    val agged = ranked.agg(
+      count(lit(1)).as("dj_g"),
+      sum(col("dj_w")).as("dj_tw"),
+      sum(col("dj_rank").cast("decimal(10,0)") * col("dj_w").cast("decimal(19,0)"))
+        .as("dj_rw"),
+      sum(col("dj_w") * col("dj_w")).as("dj_w2"),
+      max(col("dj_w")).as("dj_max"),
+      sum(when(col("dj_w") < 0, 1L).otherwise(0L)).as("dj_neg"))
+    val g = col("dj_g").cast("double")
+    val tw = col("dj_tw").cast("double")
+    val okStats = col("dj_g") > 0 && col("dj_neg") === 0 && col("dj_tw") > 0
+    agged.select(
+      col("dj_g").as("n_groups"),
+      tw.as("total_weight"),
+      when(okStats,
+        lit(2.0) * col("dj_rw").cast("double") / (g * tw) - (g + lit(1.0)) / g)
+        .as("gini"),
+      when(okStats, col("dj_w2").cast("double") / (tw * tw)).as("hhi"),
+      when(okStats, col("dj_max").cast("double") / tw).as("top_share"),
+      coalesce(col("dj_neg"), lit(0L)).as("n_negative"))
+  }
+
   /** Cohen's kappa (Cohen 1960) between two CATEGORICAL columns — the
     * chance-corrected agreement a labeling pipeline gates on when two
     * annotators / model versions / heuristic rules label the same rows:

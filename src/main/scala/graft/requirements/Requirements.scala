@@ -322,6 +322,41 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the trimmed mean of `valueColumn` must lie within
+    * [minValue, maxValue] — the outlier-immune mean gate
+    * ([[graft.ops.Stats.trimmedMean]]).
+    */
+  def addTrimmedMeanBetweenConstraint(
+      valueColumn: String,
+      minValue: Double,
+      maxValue: Double,
+      trimFraction: Double = 0.05,
+      scale: Long = 1000000L,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += TrimmedMeanBetween(
+      ref(Some(Seq(valueColumn)), condition), valueColumn, minValue, maxValue,
+      trimFraction, scale, nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: `weightColumn` mass across `keyColumn` groups must
+    * not concentrate past the Gini / top-share ceilings — the
+    * corpus-balance budget ([[graft.ops.Stats.concentrationProfile]]).
+    */
+  def addMaxConcentrationConstraint(
+      keyColumn: String,
+      weightColumn: String,
+      maxGini: Option[Double] = None,
+      maxTopShare: Option[Double] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxConcentration(
+      ref(Some(Seq(keyColumn, weightColumn)), condition), keyColumn,
+      weightColumn, maxGini, maxTopShare, nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).

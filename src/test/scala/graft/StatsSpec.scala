@@ -529,6 +529,93 @@ class StatsSpec extends AnyFunSuite {
     assert(ok(1000000L, 1000000L))
   }
 
+  test("trimmedMean: exact-rank tails, winsorize clamps, degenerate inputs") {
+    import spark.implicits._
+    // 1..10 with a wild outlier replacing 10: trim 10% of n=10 -> k=1
+    // sorted: 1..9, 1000; trimmed mean = mean(2..9) = 5.5
+    // winsorized: clamp 1->2 and 1000->9 -> (44 + 2 + 9)/10 = 5.5
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val r = Stats.trimmedMean(df, "v", trimFraction = 0.1, scale = 1L).head()
+    assert(r.getLong(0) === 10L && r.getLong(1) === 1L)
+    assert(r.getDouble(2) === 5.5)
+    assert(r.getDouble(3) === 5.5)
+    assert(r.getDouble(4) === 2.0 && r.getDouble(5) === 9.0)
+    // the outlier moved the raw mean to 104.5; the trimmed mean ignores it
+    // trim 0: plain mean, cuts are global min/max
+    val r0 = Stats.trimmedMean(df, "v", trimFraction = 0.0, scale = 1L).head()
+    assert(r0.getDouble(2) === 104.5 && r0.getDouble(3) === 104.5)
+    assert(r0.getDouble(4) === 1.0 && r0.getDouble(5) === 1000.0)
+    // partitioning-independent (exact decimal sums)
+    val rp = Stats.trimmedMean(df.repartition(5), "v", 0.1, 1L).head()
+    assert(rp.getDouble(2) === 5.5 && rp.getDouble(3) === 5.5)
+    // trim swallows everything / empty input: one row, NULL means
+    val tiny = Seq(1.0, 2.0).toDF("v")
+    val rt = Stats.trimmedMean(tiny, "v", trimFraction = 0.49, scale = 1L)
+    assert(rt.count() === 1) // k=0 at n=2 -> fine; now force n-2k=0
+    val re = Stats.trimmedMean(Seq.empty[Double].toDF("v"), "v").collect()
+    assert(re.length === 1 && re.head.getLong(0) === 0L && re.head.isNullAt(2))
+  }
+
+  test("concentrationProfile: Gini/HHI closed forms, ties, guards") {
+    import spark.implicits._
+    // equal weights -> gini 0, hhi 1/g, top 1/g
+    val eq = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L)).toDF("k", "w")
+    val r = Stats.concentrationProfile(eq, "k", "w").head()
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getDouble(2)) < 1e-12)
+    assert(r.getDouble(3) === 0.25 && r.getDouble(4) === 0.25)
+    // one group owns everything: gini -> (g-1)/g, hhi -> 1
+    val mono = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L)).toDF("k", "w")
+    val rm = Stats.concentrationProfile(mono, "k", "w").head()
+    assert(math.abs(rm.getDouble(2) - 0.75) < 1e-12)
+    assert(rm.getDouble(3) === 1.0 && rm.getDouble(4) === 1.0)
+    // hand case: weights 1,2,3,4 ascending -> gini = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    val h = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "w")
+    assert(math.abs(Stats.concentrationProfile(h, "k", "w").head().getDouble(2) - 0.25) < 1e-12)
+    // weights aggregate per key before ranking
+    val dup = Seq(("a", 1L), ("a", 1L), ("b", 2L)).toDF("k", "w")
+    val rd = Stats.concentrationProfile(dup, "k", "w").head()
+    assert(rd.getLong(0) === 2L && rd.getDouble(3) === 0.5)
+    // negative weights: statistics NULL, counted loudly
+    val neg = Seq(("a", -1L), ("b", 2L)).toDF("k", "w")
+    val rn = Stats.concentrationProfile(neg, "k", "w").head()
+    assert(rn.getLong(5) === 1L && rn.isNullAt(2) && rn.isNullAt(3))
+    // empty: one row, zero groups, NULL statistics
+    val re = Stats.concentrationProfile(
+      Seq.empty[(String, Long)].toDF("k", "w"), "k", "w").collect()
+    assert(re.length === 1 && re.head.getLong(0) === 0L && re.head.isNullAt(2))
+  }
+
+  test("TrimmedMeanBetween / MaxConcentration constraints: gates pass/fail") {
+    import spark.implicits._
+    import graft.core.{DataRef, FrameSource}
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).toDF("v")
+    val ref = DataRef(FrameSource(df, "trim_t"))
+    // trimmed mean 5.5 sits inside [5, 6]; the raw mean 104.5 would not
+    assert(graft.constraints.TrimmedMeanBetween(
+      ref, "v", 5.0, 6.0, trimFraction = 0.1, scale = 1L).test(spark).outcome)
+    val bad = graft.constraints.TrimmedMeanBetween(
+      ref, "v", 100.0, 200.0, trimFraction = 0.1, scale = 1L).test(spark)
+    assert(!bad.outcome)
+    assert(bad.failureMessage.exists(_.contains("trimmed")))
+
+    val w = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "w")
+    val cref = DataRef(FrameSource(w, "conc_t"))
+    assert(graft.constraints.MaxConcentration(
+      cref, "k", "w", maxGini = Some(0.3)).test(spark).outcome)
+    assert(!graft.constraints.MaxConcentration(
+      cref, "k", "w", maxGini = Some(0.2)).test(spark).outcome)
+    assert(!graft.constraints.MaxConcentration(
+      cref, "k", "w", maxTopShare = Some(0.3)).test(spark).outcome) // top 0.4
+    // negative mass fails loudly even under a generous ceiling
+    val neg = Seq(("a", -1L), ("b", 5L)).toDF("k", "w")
+    val rn = graft.constraints.MaxConcentration(
+      DataRef(FrameSource(neg, "conc_n")), "k", "w",
+      maxGini = Some(1.0)).test(spark)
+    assert(!rn.outcome)
+    assert(rn.failureMessage.exists(_.contains("NEGATIVE")))
+  }
+
   test("cohensKappa: hand-computed agreement, degenerate and empty inputs") {
     import spark.implicits._
     // n=4, agree=3 -> p_o = 0.75; marginals a:(a=3,b=1), b:(a=2,b=2) ->
