@@ -47,6 +47,28 @@ class PlanSpec extends AnyFunSuite {
       s"found ${globalWindows.size} unpartitioned window(s) — single-partition sort at scale")
   }
 
+  test("trimmed mean / concentration / bootstrap plans stay partition-safe") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    // trimmed mean rides the bucketed prefix-sum scheme — per-bucket
+    // windows only, the plan the exact-percentile path pins too
+    val tm = Stats.trimmedMean(li, "l_extendedprice", 0.1, 100L)
+    assert(tm.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "trimmedMean planned an unpartitioned window")
+    // concentration ranks via the bucketed global rank — same guarantee
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val conc = Stats.concentrationProfile(docs, "source", "n_chars")
+    assert(conc.queryExecution.executedPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "concentrationProfile planned an unpartitioned window")
+    // bootstrap: the ONLY window ranks the nResamples replicate means —
+    // bounded rows by construction; the data-sized path is pure aggregate
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val boot = Stats.bootstrapMeanCI(ev, "event_id", "value", nResamples = 20)
+    val wins = boot.queryExecution.executedPlan.collect { case w: WindowExec => w }
+    assert(wins.size <= 1, s"bootstrap planned ${wins.size} windows")
+  }
+
   test("corpus-prep plans: broadcast decontamination, shuffle-free mix, salted sample") {
     import graft.ops.Corpus
     val docs = spark.read.parquet(s"$dir/documents.parquet")
