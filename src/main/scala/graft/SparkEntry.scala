@@ -2909,6 +2909,19 @@ object SparkEntry {
         "keep", Seq("l_returnflag"))
     },
 
+    // Benford first-digit audit: exact string-arithmetic digit extraction
+    // (no cross-engine float log), hardcoded expectation literals
+    "q_benford" -> { (s, dir) =>
+      graft.ops.Integrity.benfordProfile(
+        s.read.parquet(pq(dir, "lineitem")), "l_extendedprice")
+        .select(
+          col("digit"),
+          col("n_digit"),
+          round(col("observed_share"), 6).as("observed_share"),
+          round(col("expected_share"), 6).as("expected_share"),
+          col("n_excluded"))
+    },
+
     // robust trimmed + winsorized mean: exact-rank tail handling on the
     // distinct-value prefix-sum scheme — no global sort (ops.Stats)
     "q_trimmed_mean" -> { (s, dir) =>
@@ -6077,6 +6090,37 @@ object SparkEntry {
                              + 3.8414588206941254 / (4.0 * n_rows * n_rows)))
                       / (1.0 + 3.8414588206941254 / n_rows), 6) AS ci_hi
          FROM a""",
+    // Benford: identical digit string-arithmetic, the identical hardcoded
+    // log10(1+1/d) literals, coalesced zero-count digits on a 1..9 spine
+    "q_benford" ->
+      """WITH e AS (SELECT CASE WHEN l_extendedprice IS NOT NULL
+                                 AND abs(l_extendedprice) >= 1
+                             THEN CAST(substring(CAST(CAST(floor(abs(l_extendedprice)) AS HUGEINT) AS VARCHAR), 1, 1) AS INT)
+                           END AS d
+                    FROM lineitem),
+              c AS (SELECT d, count(*)::BIGINT AS n FROM e WHERE d IS NOT NULL GROUP BY 1),
+              t AS (SELECT sum(n)::BIGINT AS tot FROM c),
+              x AS (SELECT count(*)::BIGINT AS nex FROM e WHERE d IS NULL),
+              s AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit),
+              ex AS (SELECT digit,
+                       CASE digit
+                         WHEN 1 THEN 0.3010299956639812
+                         WHEN 2 THEN 0.17609125905568124
+                         WHEN 3 THEN 0.12493873660829992
+                         WHEN 4 THEN 0.09691001300805642
+                         WHEN 5 THEN 0.07918124604762482
+                         WHEN 6 THEN 0.06694678963061322
+                         WHEN 7 THEN 0.05799194697768673
+                         WHEN 8 THEN 0.05115252244738129
+                         ELSE 0.04575749056067514 END AS es
+                     FROM s)
+         SELECT ex.digit AS digit,
+                coalesce(c.n, 0)::BIGINT AS n_digit,
+                round(coalesce(c.n, 0)::DOUBLE / tot::DOUBLE, 6) AS observed_share,
+                round(es, 6) AS expected_share,
+                nex AS n_excluded
+         FROM ex LEFT JOIN c ON ex.digit = c.d, t, x""",
+
     // trimmed/winsorized mean: running counts over distinct scaled values,
     // exact kept-multiplicity overlap, identical double shapes
     "q_trimmed_mean" ->

@@ -436,3 +436,45 @@ final case class MaxRobustOutlierFraction(
    }
   }
 }
+
+/** Benford conformity ceiling: the mean absolute deviation (MAD, Nigrini's
+  * conformity metric) of the first-significant-digit distribution from
+  * Benford's law must stay ≤ the target
+  * ([[graft.ops.Integrity.benfordProfile]]) — the fabricated/corrupted-
+  * numbers alarm for naturally multi-magnitude columns (amounts, counts,
+  * populations). Nigrini's bands: ≤ 0.006 close, ≤ 0.012 acceptable,
+  * ≤ 0.015 marginal. Vacuous when no eligible (|v| ≥ 1) values exist.
+  */
+final case class MaxBenfordDeviation(
+    ref: DataRef,
+    valueColumn: String,
+    refValue: Option[Double] = None,
+    ref2: Option[DataRef] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_benford_deviation must lie within [0, 1] but is $refValue.")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+    val target = refValue.get
+    val rows = graft.ops.Integrity
+      .benfordProfile(ref.selection(spark), valueColumn)
+      .collect() // exactly nine rows by construction
+    if (rows.isEmpty || rows.head.isNullAt(2))
+      graft.core.TestResult.success(description) // no eligible values
+    else {
+      val mad = rows.map(r => math.abs(r.getDouble(2) - r.getDouble(3))).sum / 9.0
+      if (mad <= target) graft.core.TestResult.success(description)
+      else {
+        val worst = rows.maxBy(r => math.abs(r.getDouble(2) - r.getDouble(3)))
+        graft.core.TestResult.failure(
+          description,
+          s"First-digit distribution of $valueColumn on ${ref.describe} " +
+            s"deviates from Benford's law: MAD=$mad (max $target); worst " +
+            s"digit ${worst.getInt(0)} observed ${worst.getDouble(2)} vs " +
+            s"expected ${worst.getDouble(3)}.")
+      }
+    }
+  }
+}

@@ -197,4 +197,60 @@ object Integrity {
         .drop("dj_v", "dj_dev")
     }
   }
+
+  /** Benford first-significant-digit profile — the classic fabricated- or
+    * corrupted-numbers audit (Nigrini 2012; Benford 1938): for naturally
+    * occurring multi-order-of-magnitude positive values, the first digit d
+    * appears with probability log10(1 + 1/d); synthetic, truncated, or
+    * copy-pasted columns deviate sharply. Values with |v| >= 1 contribute
+    * (their integer part's first digit — exact string arithmetic, no
+    * float log that two engines could round differently); NULLs and
+    * |v| < 1 are excluded and reported via `n_excluded`.
+    *
+    * The expectations are HARDCODED shortest-repr double literals shared
+    * verbatim with the SQL oracle (log10 is 1-ulp engine-dependent — the
+    * PoissonCdf lesson). One aggregate + a 9-row spine join; out: nine
+    * rows (digit, n_digit, observed_share, expected_share) — zero-count
+    * digits included, shares NULL on an empty eligible set.
+    */
+  val BenfordExpected: Seq[Double] = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val v = abs(col(valueCol))
+    val eligible = col(valueCol).isNotNull && v >= 1
+    // first digit of the integer part: decimal(38,0) renders without
+    // scientific notation in both engines, so substring(1,1) is exact
+    val digit = substring(
+      floor(v).cast("decimal(38,0)").cast("string"), 1, 1).cast("int")
+    val counts = df
+      .select(
+        when(eligible, digit).as("dj_d"),
+        when(eligible, 0L).otherwise(1L).as("dj_ex"))
+      .groupBy("dj_d")
+      .agg(count(lit(1)).as("dj_n"), sum(col("dj_ex")).as("dj_nex"))
+    val byDigit = graft.core.Blocks.checkpoint(counts)
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val expected = spine.withColumn(
+      "expected_share",
+      element_at(array(BenfordExpected.map(lit): _*), col("digit")))
+    val totals = byDigit.agg(
+      sum(when(col("dj_d").isNotNull, col("dj_n")).otherwise(0L)).as("dj_tot"),
+      sum(col("dj_nex")).as("dj_ex"))
+    expected
+      .join(byDigit.where(col("dj_d").isNotNull)
+        .select(col("dj_d").as("digit"), col("dj_n")), Seq("digit"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("digit"),
+        coalesce(col("dj_n"), lit(0L)).as("n_digit"),
+        when(col("dj_tot") > 0,
+          coalesce(col("dj_n"), lit(0L)).cast("double") / col("dj_tot").cast("double"))
+          .as("observed_share"),
+        col("expected_share"),
+        coalesce(col("dj_ex"), lit(0L)).as("n_excluded"))
+  }
 }

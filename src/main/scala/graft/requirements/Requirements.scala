@@ -322,6 +322,22 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the first-significant-digit distribution of
+    * `valueColumn` must conform to Benford's law within a MAD ceiling —
+    * the fabricated/corrupted-numbers audit
+    * ([[graft.ops.Integrity.benfordProfile]]).
+    */
+  def addMaxBenfordDeviationConstraint(
+      valueColumn: String,
+      maxMad: Double,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxBenfordDeviation(
+      ref(Some(Seq(valueColumn)), condition), valueColumn,
+      refValue = Some(maxMad), nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: the trimmed mean of `valueColumn` must lie within
     * [minValue, maxValue] — the outlier-immune mean gate
     * ([[graft.ops.Stats.trimmedMean]]).

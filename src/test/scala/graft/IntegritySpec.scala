@@ -179,4 +179,47 @@ class IntegritySpec extends AnyFunSuite {
     assert(!r.outcome)
     assert(r.failureMessage.exists(_.contains("robust sigmas")))
   }
+
+  test("benfordProfile: exact digit shares, exclusions, zero-count spine") {
+    // counts by first digit: 1 -> 3 (1, 12, 150), 2 -> 1, 9 -> 2;
+    // excluded: null, 0.5, -0.3 (|v| < 1); negatives count by |v|
+    val df = Seq[java.lang.Double](1.0, 12.0, 150.0, 2.5, 9.0, -90.0,
+      0.5, -0.3, null).toDF("v")
+    val rows = graft.ops.Integrity.benfordProfile(df, "v")
+      .orderBy("digit").collect()
+    assert(rows.length === 9)
+    val byDigit = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byDigit(1).getLong(1) === 3L)
+    assert(byDigit(2).getLong(1) === 1L)
+    assert(byDigit(9).getLong(1) === 2L)
+    assert(byDigit(3).getLong(1) === 0L) // spine keeps zero-count digits
+    assert(byDigit(1).getDouble(2) === 0.5) // 3 of 6 eligible
+    assert(rows.forall(_.getLong(4) === 3L)) // null + two sub-1 magnitudes
+    // expectations are the hardcoded literals, summing to ~1
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    // empty eligible set: shares NULL, spine intact
+    val none = Seq[java.lang.Double](0.1, null).toDF("v")
+    val re = graft.ops.Integrity.benfordProfile(none, "v").collect()
+    assert(re.length === 9 && re.forall(_.isNullAt(2)))
+  }
+
+  test("MaxBenfordDeviation: conforming passes, fabricated fails, empty vacuous") {
+    // geometric values conform closely; constant-leading-digit data fails
+    val conforming = (1 to 2000)
+      .map(i => math.pow(10.0, (i * 0.618033988749895) % 3.0))
+      .toDF("v")
+    val ok = WithinRequirement.fromDataFrame(conforming, "benford_ok")
+    ok.addMaxBenfordDeviationConstraint("v", maxMad = 0.02)
+    assert(ok.test(spark).head.outcome)
+    val fabricated = (1 to 500).map(i => 500.0 + i % 10).toDF("v")
+    val bad = WithinRequirement.fromDataFrame(fabricated, "benford_bad")
+    bad.addMaxBenfordDeviationConstraint("v", maxMad = 0.02)
+    val r = bad.test(spark).head
+    assert(!r.outcome)
+    assert(r.failureMessage.exists(_.contains("Benford")))
+    val empty = Seq.empty[Double].toDF("v")
+    val vac = WithinRequirement.fromDataFrame(empty, "benford_e")
+    vac.addMaxBenfordDeviationConstraint("v", maxMad = 0.0)
+    assert(vac.test(spark).head.outcome)
+  }
 }
