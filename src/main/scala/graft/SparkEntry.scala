@@ -2909,6 +2909,25 @@ object SparkEntry {
         "keep", Seq("l_returnflag"))
     },
 
+    // one-call snapshot drift report: per-column rows — numeric columns
+    // get exact KS D + W1 from ONE fused running-count pass, categorical
+    // ones the chi-square statistic (ops.Drift.driftReport)
+    "q_drift_report" -> { (s, dir) =>
+      val li = s.read.parquet(pq(dir, "lineitem"))
+      graft.ops.Drift.driftReport(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        numericCols = Seq("l_extendedprice", "l_quantity"),
+        categoricalCols = Seq("l_returnflag"),
+        scale = 100L)
+        .select(
+          col("column"), col("kind"), col("n_a"), col("n_b"),
+          round(col("ks_d"), 6).as("ks_d"),
+          round(col("w1"), 6).as("w1"),
+          round(col("chi2"), 6).as("chi2"),
+          col("n_categories"))
+    },
+
     // Benford first-digit audit: exact string-arithmetic digit extraction
     // (no cross-engine float log), hardcoded expectation literals
     "q_benford" -> { (s, dir) =>
@@ -3141,6 +3160,46 @@ object SparkEntry {
   // ---------------------------------------------------------------------
   // DuckDB oracles — same column names, same rounding, BIGINT for counts.
   // ---------------------------------------------------------------------
+  /** Numeric fragment of the q_drift_report oracle: exact KS D and W1
+    * from one running-count frame per column (the q_wasserstein shape
+    * plus the D max), identical double shapes as `Drift.driftReport`.
+    */
+  private def driftNumSql(c: String): String =
+    s"""(WITH a AS (SELECT CAST(round($c * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 0 AND $c IS NOT NULL),
+              b AS (SELECT CAST(round($c * 100) AS BIGINT) AS v
+                    FROM lineitem
+                    WHERE l_orderkey % 2 = 1 AND $c IS NOT NULL),
+              u AS (SELECT v, 1 AS w1, 0 AS w2 FROM a
+                    UNION ALL SELECT v, 0 AS w1, 1 AS w2 FROM b),
+              cc AS (SELECT v, sum(w1) AS c1, sum(w2) AS c2 FROM u GROUP BY v),
+              r AS (SELECT v,
+                      sum(c1) OVER (ORDER BY v) AS r1,
+                      sum(c2) OVER (ORDER BY v) AS r2,
+                      lead(v) OVER (ORDER BY v) AS nv
+                    FROM cc),
+              n AS (SELECT (SELECT count(*) FROM a) AS na,
+                           (SELECT count(*) FROM b) AS nb),
+              t AS (SELECT abs(CAST(r1 AS HUGEINT) * CAST(nb AS HUGEINT)
+                               - CAST(r2 AS HUGEINT) * CAST(na AS HUGEINT)) AS dabs,
+                           abs(CAST(r1 AS HUGEINT) * CAST(nb AS HUGEINT)
+                               - CAST(r2 AS HUGEINT) * CAST(na AS HUGEINT))
+                             * CAST(coalesce(nv - v, 0) AS HUGEINT) AS term,
+                           na, nb
+                    FROM r, n)
+         SELECT '$c' AS "column", 'numeric' AS kind,
+                CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                round(CAST(max(dabs) AS DOUBLE)
+                      / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
+                  AS ks_d,
+                round(CAST(sum(term) AS DOUBLE)
+                      / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)
+                         * 100.0), 6) AS w1,
+                CAST(NULL AS DOUBLE) AS chi2,
+                CAST(NULL AS INT) AS n_categories
+         FROM t)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_selection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -6090,6 +6149,49 @@ object SparkEntry {
                              + 3.8414588206941254 / (4.0 * n_rows * n_rows)))
                       / (1.0 + 3.8414588206941254 / n_rows), 6) AS ci_hi
          FROM a""",
+    // drift report: numeric rows via the fused KS+W1 fragment (identical
+    // shapes to q_wasserstein plus the D max), categorical row via the
+    // q_chi2 cell arithmetic on l_returnflag
+    "q_drift_report" ->
+      (driftNumSql("l_extendedprice") + "\n UNION ALL \n" +
+        driftNumSql("l_quantity") + "\n UNION ALL \n" +
+        """(WITH a AS (SELECT coalesce(CAST(l_returnflag AS VARCHAR), '<null>')
+                         AS c FROM lineitem WHERE l_orderkey % 2 = 0),
+                b AS (SELECT coalesce(CAST(l_returnflag AS VARCHAR), '<null>')
+                         AS c FROM lineitem WHERE l_orderkey % 2 = 1),
+                ca AS (SELECT c, count(*) AS ca FROM a GROUP BY c),
+                cb AS (SELECT c, count(*) AS cb FROM b GROUP BY c),
+                j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                      FROM ca FULL OUTER JOIN cb USING (c)),
+                tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k
+                        FROM j),
+                t AS (SELECT na, nb, k,
+                        CAST((CAST(ca AS DOUBLE)
+                               - CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                                 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                             * (CAST(ca AS DOUBLE)
+                               - CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                                 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                             / (CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                                / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                             AS DECIMAL(28, 12))
+                        + CAST((CAST(cb AS DOUBLE)
+                               - CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                                 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                             * (CAST(cb AS DOUBLE)
+                               - CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                                 / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                             / (CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                                / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                             AS DECIMAL(28, 12)) AS term
+                      FROM j, tot)
+           SELECT 'l_returnflag' AS "column", 'categorical' AS kind,
+                  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+                  CAST(NULL AS DOUBLE) AS ks_d, CAST(NULL AS DOUBLE) AS w1,
+                  round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+                  CAST(max(k) AS INT) AS n_categories
+           FROM t)"""),
+
     // Benford: identical digit string-arithmetic, the identical hardcoded
     // log10(1+1/d) literals, coalesced zero-count digits on a 1..9 spine
     "q_benford" ->

@@ -140,6 +140,18 @@ object CorpusPipeline {
       .head()
     val epoch1 = Corpus.epochShuffle(redacted, "doc_id", "run0", epoch = 1)
     val maxRank = epoch1.agg(max(col("shuffle_rank"))).head().getLong(0)
+    // source balance (no domain may dominate the kept mix) and an
+    // evidence-honest error bar on the kept documents' length
+    val conc = graft.ops.Stats
+      .concentrationProfile(
+        redacted.withColumn("dj_len", length(col("text")).cast("long")),
+        "source", "dj_len")
+      .head()
+    val lenCi = graft.ops.Stats
+      .bootstrapMeanCI(
+        redacted.withColumn("dj_len", length(col("text")).cast("double")),
+        "doc_id", "dj_len", nResamples = 100, seed = "signoff")
+      .head()
 
     println(s"[corpus] raw=$n0 gated=$n1 deduped=$n2 span-trimmed=$n2b " +
       s"decontaminated=$n3 dsir-selected=$n4 train packs=$nPacks " +
@@ -149,6 +161,10 @@ object CorpusPipeline {
       f"zipf slope=${zipf.getDouble(1)}%.2f " +
       f"classifier AUC=${auc.getDouble(2)}%.3f " +
       s"epoch-1 permutation covers $maxRank/$n4 docs")
+    println(f"[health] source gini=${conc.getDouble(2)}%.3f " +
+      f"top-source share=${conc.getDouble(4)}%.3f " +
+      f"mean doc chars=${lenCi.getDouble(2)}%.1f " +
+      f"95%% CI [${lenCi.getDouble(3)}%.1f, ${lenCi.getDouble(4)}%.1f]")
     require(n3 > 0, "pipeline must keep documents")
     require(n4 > 0, "selection must keep documents")
     require(maxRank == n4, "epoch shuffle must be a full permutation")

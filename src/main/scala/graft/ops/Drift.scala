@@ -312,6 +312,84 @@ object Drift {
     * categories are a real category ("<null>"). Use
     * [[chiSquarePValue]] driver-side for the significance level.
     */
+  /** One-call snapshot drift report — the API a monitoring job runs per
+    * snapshot pair: every shared column gets a row with its applicable
+    * drift statistics. Numeric columns report the EXACT two-sample KS D
+    * and Wasserstein-1 from ONE fused pass (both statistics read the same
+    * [[graft.ops.Stats.crossRunningCounts]] distinct-value frame — the D
+    * max and the W1 area integral come out of a single aggregate);
+    * categorical (string/boolean) columns report the chi-square
+    * homogeneity statistic ([[chiSquareDrift]]) and the category count.
+    * Column lists default to the shared schema split by dtype; other
+    * dtypes are skipped. Out: one row per column
+    * (column, kind, n_a, n_b, ks_d, w1, chi2, n_categories) with NULLs
+    * for the non-applicable metrics; a numeric column empty on either
+    * side reports NULL statistics, a categorical column empty on BOTH
+    * sides yields no row.
+    *
+    * Scale posture: one pass per column (k columns → k passes — drift
+    * statistics need per-column value distributions, there is no shared
+    * shuffle to fuse them into), each pass the bucketed-prefix-sum plan
+    * with no unpartitioned window.
+    */
+  def driftReport(
+      a: DataFrame,
+      b: DataFrame,
+      numericCols: Seq[String] = Nil,
+      categoricalCols: Seq[String] = Nil,
+      scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, NumericType, StringType}
+    val sharedNames = b.schema.fieldNames.toSet
+    val shared = a.schema.fields.filter(f => sharedNames.contains(f.name))
+    val nums =
+      if (numericCols.nonEmpty) numericCols
+      else shared.collect {
+        case f if f.dataType.isInstanceOf[NumericType] => f.name
+      }.toSeq
+    val cats =
+      if (categoricalCols.nonEmpty) categoricalCols
+      else shared.collect {
+        case f if f.dataType == StringType || f.dataType == BooleanType => f.name
+      }.toSeq
+    require(nums.nonEmpty || cats.nonEmpty, "no shared columns to report on")
+    def nullD = lit(null).cast("double")
+    val numRows = nums.map { c =>
+      val (running, n, m) = Stats.crossRunningCounts(a, b, c, scale)
+      if (n == 0L || m == 0L)
+        a.sparkSession.range(1).select(
+          lit(c).as("column"), lit("numeric").as("kind"),
+          lit(n).as("n_a"), lit(m).as("n_b"),
+          nullD.as("ks_d"), nullD.as("w1"),
+          nullD.as("chi2"), lit(null).cast("int").as("n_categories"))
+      else {
+        val stepped = CumSum.withNextValue(running, "dj_v", "dj_next")
+        val d =
+          col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -
+            col("dj_run2").cast("decimal(19,0)") * lit(n).cast("decimal(19,0)")
+        val gap = coalesce(col("dj_next") - col("dj_v"), lit(0L)).cast("decimal(19,0)")
+        // fixed left-associated double shapes the oracle spells identically
+        val denomD = n.toDouble * m.toDouble
+        val denomW = n.toDouble * m.toDouble * scale.toDouble
+        stepped
+          .agg(max(abs(d)).as("dj_dmax"), sum(abs(d) * gap).as("dj_area"))
+          .select(
+            lit(c).as("column"), lit("numeric").as("kind"),
+            lit(n).as("n_a"), lit(m).as("n_b"),
+            (col("dj_dmax").cast("double") / lit(denomD)).as("ks_d"),
+            (col("dj_area").cast("double") / lit(denomW)).as("w1"),
+            nullD.as("chi2"), lit(null).cast("int").as("n_categories"))
+      }
+    }
+    val catRows = cats.map { c =>
+      chiSquareDrift(a, b, c).select(
+        lit(c).as("column"), lit("categorical").as("kind"),
+        col("n_a"), col("n_b"),
+        nullD.as("ks_d"), nullD.as("w1"),
+        col("chi2"), col("n_categories"))
+    }
+    (numRows ++ catRows).reduce(_ unionAll _)
+  }
+
   def chiSquareDrift(
       a: DataFrame,
       b: DataFrame,

@@ -179,6 +179,37 @@ class DriftSpec extends AnyFunSuite {
     assert(r.isNullAt(6)) // u_sym
   }
 
+  test("driftReport: one row per column, agrees with the individual ops") {
+    val a = Seq((1.0, "x"), (2.0, "x"), (3.0, "y"), (4.0, "y"))
+      .toDF("v", "c")
+    val b = Seq((2.0, "x"), (4.0, "y"), (6.0, "y"), (8.0, "y"))
+      .toDF("v", "c")
+    // auto column selection from the shared schema
+    val rows = Drift.driftReport(a, b, scale = 1L)
+      .collect().map(r => (r.getString(0), r)).toMap
+    assert(rows.size === 2)
+    val num = rows("v")
+    assert(num.getString(1) === "numeric")
+    assert(num.getLong(2) === 4L && num.getLong(3) === 4L)
+    // KS D and W1 must equal the standalone operators' values
+    val w1 = Drift.wasserstein1(a, b, "v", scale = 1L).head().getDouble(2)
+    assert(num.getDouble(5) === w1)
+    assert(num.getDouble(4) > 0 && num.getDouble(4) <= 1)
+    assert(num.isNullAt(6) && num.isNullAt(7))
+    val cat = rows("c")
+    assert(cat.getString(1) === "categorical")
+    val chi2 = Drift.chiSquareDrift(a, b, "c").head().getDouble(3)
+    assert(cat.getDouble(6) === chi2)
+    assert(cat.getInt(7) === 2)
+    assert(cat.isNullAt(4) && cat.isNullAt(5))
+    // a numeric column empty on one side reports NULL statistics
+    val empty = Seq.empty[(Double, String)].toDF("v", "c")
+    val er = Drift.driftReport(a, empty, numericCols = Seq("v"),
+      categoricalCols = Seq("c"), scale = 1L).collect()
+    val ev = er.find(_.getString(0) == "v").get
+    assert(ev.isNullAt(4) && ev.isNullAt(5))
+  }
+
   test("quantileShift: discrete ranks per side, shift in real units") {
     import org.apache.spark.sql.functions.lit
     val a = (1 to 100).map(_.toDouble).toDF("v")
