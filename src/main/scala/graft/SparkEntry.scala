@@ -2987,14 +2987,16 @@ object SparkEntry {
           round(col("kappa"), 6).as("kappa"))
     },
 
-    // Poisson-bootstrap mean CI (one-pass map-reduce bootstrap): 100
+    // Poisson-bootstrap mean CI (one-pass map-reduce bootstrap): 50
     // deterministic Poisson(1)-weighted replicates from md5-lattice
-    // uniforms, exact scaled-decimal sums, discrete rank CI — the oracle
-    // re-derives every replicate mean bit-for-bit
+    // uniforms (the oracle-recomputable flavor; production defaults to
+    // the xxhash64 flavor — PipelineOpsSpec/StatsSpec pin it), exact
+    // scaled-decimal sums, discrete rank CI — the oracle re-derives every
+    // replicate mean bit-for-bit
     "q_bootstrap_ci" -> { (s, dir) =>
       graft.ops.Stats.bootstrapMeanCI(
         s.read.parquet(pq(dir, "events")), "event_id", "value",
-        nResamples = 100, alpha = 0.05, seed = "gate")
+        nResamples = 50, alpha = 0.05, seed = "gate", md5Flavor = true)
         .select(
           col("n"), col("n_resamples"),
           round(col("mean"), 6).as("mean"),
@@ -6300,7 +6302,7 @@ object SparkEntry {
       """WITH e AS (SELECT event_id, CAST(round(value * 1000000) AS HUGEINT) AS x
                     FROM events WHERE value IS NOT NULL),
               t AS (SELECT count(*)::BIGINT AS n, sum(x) AS tsx FROM e),
-              b AS (SELECT unnest(range(1, 101)) AS bb),
+              b AS (SELECT unnest(range(1, 51)) AS bb),
               u AS (SELECT e.event_id, e.x, b.bb,
                       (('0x' || substring(md5(e.event_id::VARCHAR || ':gate:' || b.bb::VARCHAR), 1, 13))::BIGINT + 0.5)
                         / 4503599627370496.0 AS uu
@@ -6322,14 +6324,14 @@ object SparkEntry {
                       row_number() OVER (
                         ORDER BY (sx::DOUBLE / sw::DOUBLE) / 1000000.0, bb) AS rk
                     FROM m),
-              ci AS (SELECT min(CASE WHEN rk = 3 THEN mean END) AS lo,
-                            min(CASE WHEN rk = 98 THEN mean END) AS hi,
+              ci AS (SELECT min(CASE WHEN rk = 2 THEN mean END) AS lo,
+                            min(CASE WHEN rk = 49 THEN mean END) AS hi,
                             count(*)::BIGINT AS nb
                      FROM r)
-         SELECT t.n AS n, CAST(100 AS INT) AS n_resamples,
+         SELECT t.n AS n, CAST(50 AS INT) AS n_resamples,
                 round((t.tsx::DOUBLE / t.n::DOUBLE) / 1000000.0, 6) AS mean,
-                round(CASE WHEN ci.nb >= 98 THEN ci.lo END, 6) AS ci_lo,
-                round(CASE WHEN ci.nb >= 98 THEN ci.hi END, 6) AS ci_hi
+                round(CASE WHEN ci.nb >= 49 THEN ci.lo END, 6) AS ci_lo,
+                round(CASE WHEN ci.nb >= 49 THEN ci.hi END, 6) AS ci_hi
          FROM t, ci""",
 
     "q_stratified_sample" ->

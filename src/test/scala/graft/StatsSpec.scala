@@ -673,6 +673,14 @@ class StatsSpec extends AnyFunSuite {
     // exact decimals + deterministic weights -> identical under repartition
     val r2 = Stats.bootstrapMeanCI(df.repartition(7), "id", "v", nResamples = 100).head()
     assert(r2.getDouble(3) === lo && r2.getDouble(4) === hi)
+    // the md5 (oracle) flavor is an equally valid bootstrap: brackets the
+    // mean, deterministic — only the lattice-uniform source differs
+    val rm = Stats.bootstrapMeanCI(
+      df, "id", "v", nResamples = 100, md5Flavor = true).head()
+    assert(rm.getDouble(3) <= rm.getDouble(2) && rm.getDouble(2) <= rm.getDouble(4))
+    val rm2 = Stats.bootstrapMeanCI(
+      df.repartition(3), "id", "v", nResamples = 100, md5Flavor = true).head()
+    assert(rm2.getDouble(3) === rm.getDouble(3) && rm2.getDouble(4) === rm.getDouble(4))
     // empty input: one row, NULLs (never NaN)
     val empty = Seq.empty[(Long, Double)].toDF("id", "v")
     val re = Stats.bootstrapMeanCI(empty, "id", "v").collect()
