@@ -746,14 +746,18 @@ object Dedup {
       textCol: String,
       idCol: String,
       delimiter: String = "\n",
-      minParagraphChars: Int = 1): DataFrame = {
+      minParagraphChars: Int = 1,
+      md5Flavor: Boolean = false): DataFrame = {
     val parts = spread(df.where(col(textCol).isNotNull).select(col(idCol), col(textCol)))
       .select(
         col(idCol),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
       .toDF(idCol, "dj_pos", "dj_para")
+    // fingerprint is a grouping key only (never output): fast flavor is the
+    // codegen'd xxhash64; md5 stays behind the flag for plain-SQL re-derivation
     val keyed = parts
-      .withColumn("dj_fp", md5(col("dj_para").cast("binary")))
+      .withColumn("dj_fp",
+        if (md5Flavor) md5(col("dj_para").cast("binary")) else xxhash64(col("dj_para")))
       .withColumn("dj_dedupable", length(col("dj_para")) >= minParagraphChars)
     val firsts = keyed
       .where(col("dj_dedupable"))
@@ -798,7 +802,8 @@ object Dedup {
       delimiter: String = "\n",
       minDocFraction: Double = 0.5,
       minDocs: Long = 2,
-      groupCol: Option[String] = None): DataFrame = {
+      groupCol: Option[String] = None,
+      md5Flavor: Boolean = false): DataFrame = {
     require(minDocFraction > 0 && minDocFraction <= 1,
       s"minDocFraction must lie in (0, 1]: $minDocFraction")
     require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
@@ -806,13 +811,16 @@ object Dedup {
     val g = groupCol.map(col).getOrElse(lit(""))
     val base = spread(
       df.where(col(textCol).isNotNull).select(keep :+ col(textCol): _*))
+    // fingerprint is a grouping key only (never output): fast flavor is the
+    // codegen'd xxhash64; md5 stays behind the flag for plain-SQL re-derivation
     val units = base
       .select(
         col(idCol),
         g.as("dj_grp"),
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
       .toDF(idCol, "dj_grp", "dj_pos", "dj_unit")
-      .withColumn("dj_fp", md5(col("dj_unit").cast("binary")))
+      .withColumn("dj_fp",
+        if (md5Flavor) md5(col("dj_unit").cast("binary")) else xxhash64(col("dj_unit")))
     // tiny: one row per group (one row total when ungrouped) — broadcast
     val groupDocs = broadcast(
       base.groupBy(g.as("dj_grp")).agg(count(lit(1)).as("dj_group_docs")))
@@ -1083,7 +1091,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      l: Int): (DataFrame, DataFrame) = {
+      l: Int,
+      md5Flavor: Boolean): (DataFrame, DataFrame) = {
     // NULL ids are dropped (the Corpus-ops policy): a NULL id has no stable
     // identity to anchor the (id, pos) first-occurrence order — min(struct)
     // would otherwise let a null-id occurrence absorb the real first
@@ -1092,21 +1101,39 @@ object Dedup {
       .select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
       .select(col(idCol), col("dj_toks"), size(col("dj_toks")).cast("long").as("dj_n"))
-    // md5 of the space-joined window: cross-engine recomputable (the
-    // correctness oracle re-derives it in SQL), 16 bytes per window key.
+    // Window fingerprints only ever act as GROUPING keys (first-occurrence
+    // agg + join-back); no hash value reaches the output, so any
+    // collision-resistant hash yields the same result. Default (fast)
+    // flavor: hash every token ONCE with xxhash64 per row, then
+    // fingerprint each window as xxhash64 of its 64-bit token-hash slice —
+    // no per-window string build, no cryptographic digest (the
+    // tools.BootProbe-measured 13× pattern, same as Dsir/bootstrapMeanCI).
+    // Tokens are whitespace-split, so the two flavors group identically:
+    // a space-joined window string determines its token list and thus its
+    // token-hash slice. `md5Flavor = true` keeps the md5-of-joined-window
+    // spelling (cross-engine recomputable in plain SQL).
     // sequence() is guarded by the n >= l filter — Spark's sequence(1, 0)
     // would DESCEND ([1, 0]), not return empty.
-    val wins = toksDf
-      .where(col("dj_n") >= l)
-      .select(
-        col(idCol),
-        explode(graft.ops.Hof.bound(col("dj_toks")) { t =>
+    val winArr: Column =
+      if (md5Flavor)
+        graft.ops.Hof.bound(col("dj_toks")) { t =>
           transform(
             sequence(lit(1), (size(t) - l + 1).cast("int")),
             i => struct(
               i.as("dj_pos"),
               md5(concat_ws(" ", slice(t, i, lit(l))).cast("binary")).as("dj_fp")))
-        }).as("dj_w"))
+        }
+      else
+        graft.ops.Hof.bound(transform(col("dj_toks"), tk => xxhash64(tk))) { hs =>
+          transform(
+            sequence(lit(1), (size(hs) - l + 1).cast("int")),
+            i => struct(
+              i.as("dj_pos"),
+              xxhash64(slice(hs, i, lit(l))).as("dj_fp")))
+        }
+    val wins = toksDf
+      .where(col("dj_n") >= l)
+      .select(col(idCol), explode(winArr).as("dj_w"))
       .select(col(idCol), col("dj_w.dj_pos"), col("dj_w.dj_fp"))
     // read twice (first-occurrence aggregate AND the flagged join) — the
     // per-token fingerprint explode must run once, not per branch.
@@ -1130,11 +1157,12 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8,
+      md5Flavor: Boolean = false): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
     val l = windowTokens
     import org.apache.spark.sql.expressions.Window
-    val (toksDf, flagged) = spanFlags(df, textCol, idCol, l)
+    val (toksDf, flagged) = spanFlags(df, textCol, idCol, l, md5Flavor)
     // classic interval-union sweep: each flagged window covers tokens
     // [pos, pos+l); its NEW coverage is what extends past the running max
     // end of strictly-earlier flagged windows. Positions are unique within
@@ -1185,7 +1213,8 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8,
+      md5Flavor: Boolean = false): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
     val l = windowTokens
     val toksDf = spread(df
@@ -1193,15 +1222,25 @@ object Dedup {
       .select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
       .select(col(idCol), size(col("dj_toks")).cast("long").as("dj_n"), col("dj_toks"))
-    val fps = toksDf
-      .where(col("dj_n") >= l)
-      .select(
-        col(idCol),
-        explode(array_distinct(graft.ops.Hof.bound(col("dj_toks")) { t =>
+    // hash-flavor contract identical to [[duplicatedSpans]]: fingerprints
+    // are grouping keys only, fast flavor = xxhash64 over the per-row
+    // token-hash slice, md5 flavor = md5 of the space-joined window
+    val fpArr: Column =
+      if (md5Flavor)
+        graft.ops.Hof.bound(col("dj_toks")) { t =>
           transform(
             sequence(lit(1), (size(t) - l + 1).cast("int")),
             i => md5(concat_ws(" ", slice(t, i, lit(l))).cast("binary")))
-        })).as("dj_fp"))
+        }
+      else
+        graft.ops.Hof.bound(transform(col("dj_toks"), tk => xxhash64(tk))) { hs =>
+          transform(
+            sequence(lit(1), (size(hs) - l + 1).cast("int")),
+            i => xxhash64(slice(hs, i, lit(l))))
+        }
+    val fps = toksDf
+      .where(col("dj_n") >= l)
+      .select(col(idCol), explode(array_distinct(fpArr)).as("dj_fp"))
     val fpsCk = graft.core.Blocks.checkpoint(fps)
     val docFreq = fpsCk.groupBy("dj_fp").agg(count(lit(1)).as("dj_nd"))
     val per = fpsCk
@@ -1244,11 +1283,12 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8,
+      md5Flavor: Boolean = false): DataFrame = {
     require(windowTokens > 0, s"windowTokens must be positive: $windowTokens")
     val l = windowTokens
     import org.apache.spark.sql.expressions.Window
-    val (toksDf, flagged) = spanFlags(df, textCol, idCol, l)
+    val (toksDf, flagged) = spanFlags(df, textCol, idCol, l, md5Flavor)
     val tokens = toksDf
       .select(col(idCol), posexplode(col("dj_toks")))
       .toDF(idCol, "dj_pos0", "dj_tok")

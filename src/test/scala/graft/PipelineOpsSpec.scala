@@ -291,6 +291,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == "one two")
   }
 
+  test("span family: xxhash64 fast flavor matches the md5 flavor bit-for-bit") {
+    // fingerprints are grouping keys only — both flavors must produce the
+    // SAME output frame on data with genuine cross-doc window collisions
+    val rnd = new scala.util.Random(7)
+    val docsList = (1L to 16L).map { id =>
+      val n = 1 + rnd.nextInt(16)
+      id -> (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString).mkString(" ")
+    }
+    val df = docs(docsList: _*)
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(Dedup.duplicatedSpans(df, "text", "doc_id", windowTokens = 3)) ==
+      rows(Dedup.duplicatedSpans(df, "text", "doc_id", windowTokens = 3, md5Flavor = true)))
+    assert(rows(Dedup.removeDuplicatedSpans(df, "text", "doc_id", windowTokens = 3)) ==
+      rows(Dedup.removeDuplicatedSpans(df, "text", "doc_id", windowTokens = 3, md5Flavor = true)))
+    assert(rows(Dedup.ngramNovelty(df, "text", "doc_id", windowTokens = 3)) ==
+      rows(Dedup.ngramNovelty(df, "text", "doc_id", windowTokens = 3, md5Flavor = true)))
+    val paraDf = docs(docsList.map { case (id, t) => id -> t.replace(" ", "\n") }: _*)
+    assert(rows(Dedup.dedupParagraphs(paraDf, "text", "doc_id")) ==
+      rows(Dedup.dedupParagraphs(paraDf, "text", "doc_id", md5Flavor = true)))
+    assert(rows(Dedup.removeBoilerplate(paraDf, "text", "doc_id")) ==
+      rows(Dedup.removeBoilerplate(paraDf, "text", "doc_id", md5Flavor = true)))
+  }
+
   test("duplicatedSpans / removeDuplicatedSpans: randomized parity vs brute force") {
     val L = 3
     (1 to 4).foreach { seed =>
