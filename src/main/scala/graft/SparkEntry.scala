@@ -6199,6 +6199,7 @@ object SparkEntry {
     "q_benford" ->
       """WITH e AS (SELECT CASE WHEN l_extendedprice IS NOT NULL
                                  AND abs(l_extendedprice) >= 1
+                                 AND abs(l_extendedprice) < 1e38
                              THEN CAST(substring(CAST(CAST(floor(abs(l_extendedprice)) AS HUGEINT) AS VARCHAR), 1, 1) AS INT)
                            END AS d
                     FROM lineitem),

@@ -102,7 +102,20 @@ final case class MinBootstrapMeanLowerBound(
       .bootstrapMeanCI(
         ref.selection(spark), idColumn, valueColumn, nResamples, alpha, seed)
       .head()
-    if (row.isNullAt(3)) TestResult.success(description) // no evidence
+    if (row.getLong(0) == 0L) TestResult.success(description) // no evidence
+    else if (row.isNullAt(3))
+      // NON-empty sample but no lower bound: replicate means dropped out
+      // (a degenerate tiny sample can zero every Poisson weight of a
+      // replicate, so fewer than the hi-rank replicates survive). That is
+      // INSUFFICIENT evidence, not an empty input — passing the floor
+      // silently here would gate on nothing.
+      TestResult.failure(
+        description,
+        s"Bootstrap of $valueColumn's mean on ${ref.describe} produced no " +
+          s"${100 * (1 - alpha)}% lower bound despite n=${row.getLong(0)} " +
+          s"rows: replicate means dropped out (fewer than the required " +
+          s"rank of $nResamples resamples survived) — the sample is too " +
+          s"degenerate to certify the floor $target.")
     else {
       val lo = row.getDouble(3)
       if (lo >= target) TestResult.success(description)
@@ -161,6 +174,7 @@ final case class MaxConcentration(
     weightColumn: String,
     maxGini: Option[Double] = None,
     maxTopShare: Option[Double] = None,
+    weightScale: Long = 1L,
     override val nameOverride: Option[String] = None)
     extends Constraint {
   require(maxGini.isDefined || maxTopShare.isDefined,
@@ -171,15 +185,27 @@ final case class MaxConcentration(
 
   override def test(spark: SparkSession): TestResult = withPlans {
     val row = Stats
-      .concentrationProfile(ref.selection(spark), keyColumn, weightColumn)
+      .concentrationProfile(
+        ref.selection(spark), keyColumn, weightColumn, weightScale)
       .head()
     if (row.getLong(5) > 0)
       TestResult.failure(
         description,
         s"${row.getLong(5)} group(s) of ${ref.describe} carry NEGATIVE " +
           s"$weightColumn mass — the concentration profile is undefined.")
-    else if (row.getLong(0) == 0L || row.isNullAt(2))
+    else if (row.getLong(0) == 0L)
       TestResult.success(description) // no evidence
+    else if (row.isNullAt(2))
+      // groups EXIST but the profile degenerated (total scaled weight 0)
+      // — e.g. a fractional weight column at weightScale = 1 rounding
+      // every row to 0. Vacuous success here would pass the ceiling on
+      // zero evidence; fail loudly with the remedy instead.
+      TestResult.failure(
+        description,
+        s"${row.getLong(0)} $keyColumn group(s) of ${ref.describe} carry " +
+          s"zero total scaled $weightColumn mass — the concentration " +
+          s"profile is undefined. Fractional weights need a weightScale " +
+          s"(current: $weightScale).")
     else {
       val gini = row.getDouble(2)
       val top = row.getDouble(4)

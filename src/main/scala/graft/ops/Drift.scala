@@ -81,6 +81,24 @@ object Drift {
     * sample is empty (the distance to an empty distribution is
     * undefined).
     */
+  /** Loud decimal-headroom guard for the W1 area sum (the cvm2Sample
+    * posture): each term |d|·gap is ≤ n·m·span on the scaled axis, and
+    * past 10³⁸ a non-ANSI decimal overflow goes NULL and `sum()` silently
+    * DROPS the term, understating W1. Sizes and the value span are known
+    * before the aggregate runs (one tiny min/max over the already-
+    * checkpointed distinct-value frame), so fail at the boundary instead.
+    */
+  private[graft] def requireW1Headroom(
+      running: DataFrame, n: Long, m: Long, what: String): Unit = {
+    if (n == 0L || m == 0L) return
+    val row = running.agg(min(col("dj_v")), max(col("dj_v"))).head()
+    val span = (BigInt(row.getLong(1)) - BigInt(row.getLong(0))).max(BigInt(1))
+    require(BigInt(n) * BigInt(m) * span <= BigInt(10).pow(38),
+      s"$what decimal headroom exceeded at n=$n, m=$m, scaled span=$span " +
+        "(n*m*span > 1e38): a silent decimal overflow would understate the " +
+        "W1 area — subsample either side or reduce `scale`")
+  }
+
   def wasserstein1(
       a: DataFrame,
       b: DataFrame,
@@ -92,6 +110,7 @@ object Drift {
       return spark.range(1).select(
         lit(n).as("n_a"), lit(m).as("n_b"),
         lit(null).cast("double").as("w1"))
+    requireW1Headroom(running, n, m, "wasserstein1")
     val stepped = CumSum.withNextValue(running, "dj_v", "dj_next")
     val d = col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -
       col("dj_run2").cast("decimal(19,0)") * lit(n).cast("decimal(19,0)")
@@ -362,6 +381,7 @@ object Drift {
           nullD.as("ks_d"), nullD.as("w1"),
           nullD.as("chi2"), lit(null).cast("int").as("n_categories"))
       else {
+        requireW1Headroom(running, n, m, s"driftReport($c)")
         val stepped = CumSum.withNextValue(running, "dj_v", "dj_next")
         val d =
           col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -

@@ -221,7 +221,13 @@ object Integrity {
   def benfordProfile(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val v = abs(col(valueCol))
-    val eligible = col(valueCol).isNotNull && v >= 1
+    // |v| >= 1e38 is EXCLUDED explicitly (counted into n_excluded): the
+    // decimal(38,0) rendering below would overflow to NULL under non-ANSI
+    // arithmetic and the row would silently vanish from BOTH n_digit and
+    // n_excluded (and DuckDB's HUGEINT oracle errors near 1.7e38) — the
+    // exclusion keeps the row accounting exhaustive and engine-parity
+    // exact. Doubles that large are not Benford-auditable business values.
+    val eligible = col(valueCol).isNotNull && v >= 1 && v < lit(1e38)
     // first digit of the integer part: decimal(38,0) renders without
     // scientific notation in both engines, so substring(1,1) is exact
     val digit = substring(

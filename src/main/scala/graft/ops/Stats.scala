@@ -755,11 +755,20 @@ object Stats {
   def concentrationProfile(
       df: DataFrame,
       keyCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String,
+      weightScale: Long = 1L): DataFrame = {
+    require(weightScale >= 1, s"weightScale must be >= 1: $weightScale")
+    // weights enter the exact-decimal rank/HHI sums as integers: a
+    // FRACTIONAL weight column (probabilities, fractions of a corpus)
+    // must be scaled up (`weightScale`, the trimmedMean `scale`
+    // convention) or every sub-0.5 row rounds to 0 and the profile
+    // degenerates silently — total_weight is reported back in the
+    // column's own units (divided by the scale)
     val perKey = graft.core.Blocks.checkpoint(
       df.where(col(weightCol).isNotNull)
         .groupBy(col(keyCol).as("dj_k"))
-        .agg(sum(col(weightCol).cast("decimal(19,0)")).as("dj_w")))
+        .agg(sum(round(col(weightCol) * weightScale, 0).cast("decimal(19,0)"))
+          .as("dj_w")))
     val ranked = CumSum.withGlobalRank(
       perKey.withColumn("dj_wd", col("dj_w").cast("double")),
       "dj_wd", "dj_rank", tieCols = Seq("dj_k"))
@@ -776,7 +785,9 @@ object Stats {
     val okStats = col("dj_g") > 0 && col("dj_neg") === 0 && col("dj_tw") > 0
     agged.select(
       col("dj_g").as("n_groups"),
-      tw.as("total_weight"),
+      // back in the weight column's own units; gini/hhi/top_share are
+      // scale-free ratios — the scale cancels exactly
+      (tw / lit(weightScale.toDouble)).as("total_weight"),
       when(okStats,
         lit(2.0) * col("dj_rw").cast("double") / (g * tw) - (g + lit(1.0)) / g)
         .as("gini"),

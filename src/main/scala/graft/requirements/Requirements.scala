@@ -365,11 +365,12 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
       weightColumn: String,
       maxGini: Option[Double] = None,
       maxTopShare: Option[Double] = None,
+      weightScale: Long = 1L,
       condition: Option[Condition] = None,
       name: Option[String] = None): this.type = {
     constraintsBuffer += MaxConcentration(
       ref(Some(Seq(keyColumn, weightColumn)), condition), keyColumn,
-      weightColumn, maxGini, maxTopShare, nameOverride = name)
+      weightColumn, maxGini, maxTopShare, weightScale, nameOverride = name)
     this
   }
 

@@ -135,6 +135,20 @@ class DriftSpec extends AnyFunSuite {
       .wasserstein1(base, Seq.empty[Double].toDF("v"), "v").head().isNullAt(2))
   }
 
+  test("wasserstein1: decimal-headroom guard trips loudly before a silent overflow") {
+    // the guard reads (n, m, scaled span); past n*m*span > 1e38 the area
+    // sum would overflow decimal(38,0) to NULL and sum() would DROP terms
+    val running = Seq(0L, 4000000000000000000L).toDF("dj_v")
+    val e = intercept[IllegalArgumentException] {
+      Drift.requireW1Headroom(running, 10000000000L, 10000000000L, "w1test")
+    }
+    assert(e.getMessage.contains("headroom"))
+    Drift.requireW1Headroom(running, 1000L, 1000L, "w1test") // fits: no throw
+    // end-to-end small inputs stay untouched by the guard
+    assert(Drift.wasserstein1(
+      Seq(0.0, 1.0).toDF("v"), Seq(2.0).toDF("v"), "v").head().getDouble(2) === 1.5)
+  }
+
   test("wasserstein1: partitioning-independent; unequal sizes") {
     val a = Seq(1.0, 2.0, 3.0).toDF("v")
     val b = Seq(2.0, 4.0, 4.0, 6.0, 8.0, 10.0).toDF("v")

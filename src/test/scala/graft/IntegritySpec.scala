@@ -203,6 +203,21 @@ class IntegritySpec extends AnyFunSuite {
     assert(re.length === 9 && re.forall(_.isNullAt(2)))
   }
 
+  test("benfordProfile: |v| >= 1e38 and NaN are excluded, accounting stays exhaustive") {
+    // pre-fix these rows overflowed the decimal(38,0) render to NULL and
+    // vanished from BOTH n_digit and n_excluded (and DuckDB's HUGEINT
+    // oracle errors near 1.7e38); now they land in n_excluded
+    val df = Seq[java.lang.Double](1.0, 25.0, 1e300, -3e38, 1e38, 0.5,
+      Double.NaN, null).toDF("v")
+    val rows = graft.ops.Integrity.benfordProfile(df, "v").collect()
+    assert(rows.map(_.getLong(1)).sum === 2L) // only 1.0 and 25.0 count
+    assert(rows.forall(_.getLong(4) === 6L)) // 1e300, -3e38, 1e38, 0.5, NaN, null
+    // boundary stays IN: the largest double below 1e38
+    val edge = Seq(math.nextDown(1e38)).toDF("v")
+    val er = graft.ops.Integrity.benfordProfile(edge, "v").collect()
+    assert(er.map(_.getLong(1)).sum === 1L && er.forall(_.getLong(4) === 0L))
+  }
+
   test("MaxBenfordDeviation: conforming passes, fabricated fails, empty vacuous") {
     // geometric values conform closely; constant-leading-digit data fails
     val conforming = (1 to 2000)

@@ -586,6 +586,48 @@ class StatsSpec extends AnyFunSuite {
     assert(re.length === 1 && re.head.getLong(0) === 0L && re.head.isNullAt(2))
   }
 
+  test("concentrationProfile: fractional weights need weightScale; the gate fails loudly at scale 1") {
+    import spark.implicits._
+    import graft.core.{DataRef, FrameSource}
+    val frac = Seq(("a", 0.1), ("b", 0.2), ("c", 0.3), ("d", 0.4)).toDF("k", "w")
+    // at weightScale 1 every sub-0.5 row rounds to 0 -> stats NULL, not wrong
+    val r1 = Stats.concentrationProfile(frac, "k", "w").head()
+    assert(r1.getLong(0) === 4L && r1.isNullAt(2) && r1.getDouble(1) === 0.0)
+    // scaled: weights 1,2,3,4 -> gini 0.25 exactly; total back in column units
+    val r2 = Stats.concentrationProfile(frac, "k", "w", weightScale = 10L).head()
+    assert(math.abs(r2.getDouble(2) - 0.25) < 1e-12)
+    assert(math.abs(r2.getDouble(1) - 1.0) < 1e-12)
+    assert(r2.getDouble(4) === 0.4)
+    // the constraint: a zero-mass degenerate profile FAILS with the remedy...
+    val cref = DataRef(FrameSource(frac, "conc_f"))
+    val rf = graft.constraints.MaxConcentration(
+      cref, "k", "w", maxGini = Some(1.0)).test(spark)
+    assert(!rf.outcome)
+    assert(rf.failureMessage.exists(_.contains("weightScale")))
+    // ...and gates normally once the scale is given
+    assert(graft.constraints.MaxConcentration(
+      cref, "k", "w", maxGini = Some(0.3), weightScale = 10L).test(spark).outcome)
+    assert(!graft.constraints.MaxConcentration(
+      cref, "k", "w", maxGini = Some(0.2), weightScale = 10L).test(spark).outcome)
+  }
+
+  test("MinBootstrapMeanLowerBound: degenerate non-empty sample fails, empty stays vacuous") {
+    import spark.implicits._
+    import graft.core.{DataRef, FrameSource}
+    // one row: ~37% of Poisson(1) replicate weights are 0, so far fewer
+    // than the hi-rank resamples survive -> ci_lo NULL on NON-empty input
+    val one = Seq((1L, 5.0)).toDF("id", "v")
+    val r = graft.constraints.MinBootstrapMeanLowerBound(
+      DataRef(FrameSource(one, "boot_d")), "id", "v",
+      refValue = Some(0.0)).test(spark)
+    assert(!r.outcome)
+    assert(r.failureMessage.exists(_.contains("degenerate")))
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(graft.constraints.MinBootstrapMeanLowerBound(
+      DataRef(FrameSource(empty, "boot_e")), "id", "v",
+      refValue = Some(0.0)).test(spark).outcome)
+  }
+
   test("TrimmedMeanBetween / MaxConcentration constraints: gates pass/fail") {
     import spark.implicits._
     import graft.core.{DataRef, FrameSource}
