@@ -328,16 +328,31 @@ object Dedup {
       shingleK: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      // per-stage instrumentation hook (seconds per eager stage, plus the
+      // "n_candidates" count) — zero-cost when left at the default; the
+      // bench uses it to carry a stage decomposition in the artifact
+      // instead of prose (only the stages this method runs EAGERLY are
+      // reported; the exact-Jaccard verify stays lazy and its cost is the
+      // caller's count minus these)
+      stageHook: (String, Double) => Unit = (_, _) => ()): DataFrame = {
+    def staged[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageHook(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
     // signatures-only checkpoint (8·numHashes B/doc): the corpus-wide
     // shingle arrays never materialize — exact-verification payloads are
     // recomputed below for candidate docs only
-    val signed = minhashSignatures(df, textCol, idCol, shingleK, numHashes)
-    val buckets = graft.core.Blocks.checkpoint(
-      lshBuckets(signed, idCol, bands).where(col(idCol).isNotNull))
-    val candidates =
-      graft.core.Blocks.checkpoint(pairsFromBuckets(buckets, idCol, 1000))
-    val nCand = candidates.count()
+    val signed = staged("shingle_sig_s")(
+      minhashSignatures(df, textCol, idCol, shingleK, numHashes))
+    val buckets = staged("buckets_s")(graft.core.Blocks.checkpoint(
+      lshBuckets(signed, idCol, bands).where(col(idCol).isNotNull)))
+    val candidates = staged("candidates_s")(
+      graft.core.Blocks.checkpoint(pairsFromBuckets(buckets, idCol, 1000)))
+    val nCand = staged("candidates_count_s")(candidates.count())
+    stageHook("n_candidates", nCand.toDouble)
     // candidates are materialized — the banded bucket AND signature blocks
     // are dead NOW, not at the next driver GC (verification carries its own
     // candidate-subset signatures)
@@ -353,7 +368,7 @@ object Dedup {
     //     checkpoint serves both join sides — a per-candidate recompute here
     //     would re-shingle and re-shuffle the whole corpus a second time for
     //     no reduction (measured 2.5× slower on the 100× bench leg).
-    val sides =
+    val sides = staged("verify_payload_s")(
       if (small) {
         val candIds = candidates.select(col("id1").as(idCol))
           .union(candidates.select(col("id2").as(idCol)))
@@ -363,7 +378,7 @@ object Dedup {
       } else {
         minhashed(df, textCol, idCol, shingleK, numHashes)
           .select(col(idCol), col("shingle_hashes"), col("signature"))
-      }
+      })
     // Signature-agreement prefilter: E[matching fraction] = Jaccard with
     // σ = sqrt(j(1-j)/numHashes) ≈ 0.06 at 64 hashes, so a 0.25 margin below
     // the threshold keeps true pairs with ~4σ headroom while discarding the
@@ -616,6 +631,74 @@ object Dedup {
         graft.functions.LongArraySim.jaccardSorted(col("sh1"), col("sh2")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Candidate-volume accounting for [[ngramJaccardPairs]] — the numbers
+    * that decide whether `maxShingleDf` / `coarseStride` / `coarseK`
+    * defaults leave time on the table at scale (r9 verdict task: three
+    * rounds of flat sf10 cost with no volume attribution in the
+    * artifact). Runs the SAME plan shapes with count actions at each
+    * stage; returns an insertion-ordered map of
+    * (n_docs, n_coarse_rows, n_keys, n_hot_keys, n_dropped_rows,
+    * n_candidates, n_pairs, plus per-stage seconds). Intended for the
+    * bench artifact, not production — the counts are extra jobs.
+    */
+  private[graft] def ngramJaccardProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleK: Int = 5,
+      threshold: Double = 0.6,
+      coarseK: Int = 24,
+      coarseStride: Int = 4,
+      maxShingleDf: Int = 20): scala.collection.mutable.LinkedHashMap[String, Double] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      out.update(name, math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0)
+      r
+    }
+    val sh0 = spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), TextAnalysis.normalize(col(textCol)).as("dj_norm"))
+      .withColumn(
+        "shingle_hashes",
+        graft.functions.ShingleHashes.shingleHashes(col("dj_norm"), shingleK))
+    val shCk = timed("shingle_s")(graft.core.Blocks.checkpoint(sh0))
+      .where(size(col("shingle_hashes")) > 0)
+    out.update("n_docs", shCk.count().toDouble)
+    val coarse = graft.core.Blocks.checkpoint(shCk.select(
+      col(idCol),
+      explode(
+        graft.functions.StridedHashes
+          .stridedHashes(col("dj_norm"), coarseK, coarseStride)).as("ckey")))
+    out.update("n_coarse_rows", timed("coarse_s")(coarse.count()).toDouble)
+    val keyDf = graft.core.Blocks.checkpoint(
+      coarse.groupBy("ckey").agg(count(lit(1)).as("dj_df")))
+    out.update("n_keys", timed("df_s")(keyDf.count()).toDouble)
+    val hot = keyDf.where(col("dj_df") > maxShingleDf)
+      .agg(count(lit(1)).as("k"), sum(col("dj_df")).as("r")).head()
+    out.update("n_hot_keys", hot.getLong(0).toDouble)
+    out.update("n_dropped_rows",
+      (if (hot.isNullAt(1)) 0L else hot.getLong(1)).toDouble)
+    val rare = coarse.join(
+      keyDf.where(col("dj_df") <= maxShingleDf).select("ckey"), Seq("ckey"))
+    val candidates = graft.core.Blocks.checkpoint(rare.as("a")
+      .join(rare.as("b"), col("a.ckey") === col("b.ckey") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct())
+    out.update("n_candidates", timed("candidates_s")(candidates.count()).toDouble)
+    val s1 = shCk.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"))
+    val s2 = shCk.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"))
+    val nPairs = timed("verify_s")(candidates
+      .join(s1, "id1")
+      .join(s2, "id2")
+      .where(graft.functions.LongArraySim
+        .jaccardSorted(col("sh1"), col("sh2")) >= threshold)
+      .count())
+    out.update("n_pairs", nPairs.toDouble)
+    out
   }
 
   /** 64-bit SimHash of the token multiset: per bit, sum +1/−1 over token
