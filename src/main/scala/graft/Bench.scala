@@ -237,9 +237,9 @@ object Bench {
       // the corpus-aware DEFAULT paths (auto-sized bits/tables/probes) —
       // the numbers a user gets without hand-tuning, reported WITH the
       // examined-fraction bound they were bought at
-      val (autoBits, autoTables) = S.lshAutoParams(n, k)
+      val (autoBits, autoTables, autoBudget) = S.lshAutoParamsRanked(n, k)
       val lshAutoFrac = math.min(
-        1.0, autoTables.toDouble * (autoBits + 1) / (1L << autoBits))
+        1.0, autoTables.toDouble * autoBudget / (1L << autoBits))
       val lshAuto = recall(
         S.lshTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
       val (autoCents, autoProbe) = S.ivfAutoParams(n, k)
@@ -288,7 +288,8 @@ object Bench {
           s""""lsh_recall":${r3(lsh)},"lsh4_recall":${r3(lsh4)},""" +
           s""""ivf_recall":${r3(ivf)},"ivf8_recall":${r3(ivf8)},""" +
           s""""lsh_auto_recall":${r3(lshAuto)},"lsh_auto_bits":$autoBits,""" +
-          s""""lsh_auto_tables":$autoTables,"lsh_auto_frac":${r3(lshAutoFrac)},""" +
+          s""""lsh_auto_tables":$autoTables,"lsh_auto_budget":$autoBudget,""" +
+          s""""lsh_auto_frac":${r3(lshAutoFrac)},""" +
           s""""ivf_auto_recall":${r3(ivfAuto)},"ivf_auto_cells":$autoCents,""" +
           s""""ivf_auto_probe":$autoProbe,""" +
           s""""semantic_pair_recall":${r3(semRecall)},""" +

@@ -145,9 +145,45 @@ object Similarity {
     (bits, tables)
   }
 
-  /** [[lshTopK]] with corpus-aware defaults: bits and table count from
-    * [[lshAutoParams]], multi-probe and multi-table ON — the path a caller
-    * who knows only their corpus size should use.
+  /** Corpus-aware sizing for the MARGIN-RANKED multi-probe path
+    * ([[lshTopK]] with `probeBudget`): (bits, nTables, probeBudget) such
+    * that nTables·probeBudget/2^bits ≈ 1.5·[[targetFraction]] — the same
+    * examined-fraction envelope as [[lshAutoParams]], spent better.
+    * The r10 fixed-fraction sweep on the fresh-content 100× leg
+    * (tools.AnnFrontier) showed, all at fraction 0.156: blind Hamming-1
+    * (r9 auto) recall 0.692; ranked probing at the r9 shape 0.752; FINER
+    * buckets + MORE tables + deeper ranked probing 0.862
+    * (bits 12, 12 tables, budget 53). The shape that wins: buckets of
+    * ~32 expected members (bits = log2(n/32)), as many tables as a
+    * per-table budget of ~48 ranked probes allows (cap 12), budget
+    * filling the remaining envelope (capped at the Hamming ≤ 2
+    * candidate-set size).
+    */
+  def lshAutoParamsRanked(corpusSize: Long, k: Int = 10): (Int, Int, Int) = {
+    require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
+    val n = math.max(2L, corpusSize)
+    val bits = math.min(20, math.max(2,
+      (math.log(math.max(2.0, n / 32.0)) / math.log(2.0)).floor.toInt))
+    val maxProbes = 1 + bits + bits * (bits - 1) / 2
+    val wantBuckets = 1.5 * targetFraction(n, k) * (1L << bits)
+    val tables0 = math.min(12, math.max(1, math.ceil(wantBuckets / 48.0).toInt))
+    val budget = math.min(maxProbes,
+      math.max(1, math.ceil(wantBuckets / tables0).toInt))
+    // when the per-table budget saturates the Hamming <= 2 candidate set
+    // (small corpora), spend the rest of the envelope on MORE tables —
+    // otherwise the near-exhaustive small-corpus regime would quietly
+    // shrink to one table's H<=2 ball
+    val tables =
+      if (budget == maxProbes)
+        math.min(12, math.max(tables0,
+          math.ceil(wantBuckets / budget).toInt))
+      else tables0
+    (bits, tables, budget)
+  }
+
+  /** [[lshTopK]] with corpus-aware defaults: margin-ranked multi-probe
+    * sized by [[lshAutoParamsRanked]] — the path a caller who knows only
+    * their corpus size should use.
     */
   def lshTopKAuto(
       vectors: DataFrame,
@@ -157,9 +193,10 @@ object Similarity {
       k: Int,
       corpusSize: Long,
       dim: Int = 64): DataFrame = {
-    val (bits, tables) = lshAutoParams(corpusSize, k)
+    val (bits, tables, budget) = lshAutoParamsRanked(corpusSize, k)
     lshTopK(vectors, queries, idCol, vecCol, k,
-      bits = bits, dim = dim, multiProbe = true, nTables = tables)
+      bits = bits, dim = dim, multiProbe = true, nTables = tables,
+      probeBudget = budget)
   }
 
   /** Corpus-aware IVF sizing: (nCentroids, nProbe). Cells hold ~200
@@ -172,7 +209,15 @@ object Similarity {
   def ivfAutoParams(corpusSize: Long, k: Int = 10): (Int, Int) = {
     require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
     val n = math.max(2L, corpusSize)
-    val cents = semanticClusters(n)
+    // FINE cells are the recall lever at a fixed examined fraction — the
+    // r10 sweep on the fresh-content 100× leg (tools.AnnFrontier, all at
+    // exact-scored fraction 0.1, n = 200k): 200-member cells (the r9
+    // sizing) recall 0.654; 100-member 0.705; 50-member 0.769; 25-member
+    // 0.828. Cell count is capped at 8192 because FLAT IVF assignment
+    // costs n·cells native dots (the honest scale boundary: past ~10M
+    // vectors the cap makes cells grow again, and the next rung is a
+    // hierarchical coarse quantizer, not a bigger flat one).
+    val cents = math.max(16L, math.min(8192L, n / 25L)).toInt
     val frac = math.min(0.75, math.max(targetFraction(n, k) * 0.75, 0.1))
     val probe = math.min(cents, math.max(1, math.ceil(frac * cents).toInt))
     (cents, probe)
@@ -187,8 +232,10 @@ object Similarity {
       k: Int,
       corpusSize: Long): DataFrame = {
     val (cents, probe) = ivfAutoParams(corpusSize, k)
+    // one Lloyd iteration: the r10 sweep measured a second iteration
+    // buying +0.005 recall for a full n·cells assignment pass
     ivfTopK(vectors, queries, idCol, vecCol, k,
-      nCentroids = cents, nProbe = probe, kmeansIters = 2,
+      nCentroids = cents, nProbe = probe, kmeansIters = 1,
       corpusSize = Some(corpusSize))
   }
 
@@ -217,8 +264,19 @@ object Similarity {
       bits: Int = 8,
       dim: Int = 64,
       multiProbe: Boolean = true,
-      nTables: Int = 1): DataFrame = {
+      nTables: Int = 1,
+      probeBudget: Int = 0): DataFrame = {
     require(nTables >= 1, s"nTables must be positive: $nTables")
+    if (probeBudget > 0)
+      // margin-ranked multi-probe (Lv et al. 2007, "Multi-Probe LSH"):
+      // probe the `probeBudget` buckets per table most likely to hold the
+      // neighbor — ranked by the summed |hyperplane margin| of the flipped
+      // bits over the Hamming ≤ 2 flip set — instead of ALL Hamming-1
+      // flips. At the same probes-per-table budget this strictly dominates
+      // blind Hamming-1 probing: a neighbor differing in two LOW-margin
+      // bits is found, a flip of a high-margin bit is not wasted.
+      return lshTopKRanked(
+        vectors, queries, idCol, vecCol, k, bits, dim, nTables, probeBudget)
     if (nTables > 1)
       // multiple independent hash tables — the standard recall lever when
       // one sign-bucket table misses true neighbors (recall scales with
@@ -310,6 +368,82 @@ object Similarity {
         col(idCol).as("query_id"),
         col(vecCol).as("query_vec"),
         explode(flatten(array(qCells: _*))).as("dj_cell"))
+    val candidates = corpus
+      .join(broadcast(q), Seq("dj_cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("query_vec"), col("neighbor_id"), col("vec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    candidates
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Margin-ranked multi-probe flavor of [[lshTopK]] (Lv et al. 2007):
+    * per table, the query's probe set is the `probeBudget` best buckets by
+    * estimated success — the base bucket plus the Hamming ≤ 2 flips with
+    * the smallest summed |margin| (|v·plane| of each flipped bit). The
+    * margin array is evaluated ONCE per query row in a first projection;
+    * the probe selection is a bounded in-row sort of
+    * 1 + bits + bits·(bits−1)/2 (score, bucket) structs (≤ 211 at the
+    * bits = 20 cap) — driver-free, explode-bounded by
+    * nTables·probeBudget per query. Corpus side and the join/dedup/score
+    * pipeline are identical to [[lshTopKMultiTable]].
+    */
+  private def lshTopKRanked(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int,
+      dim: Int,
+      nTables: Int,
+      probeBudget: Int): DataFrame = {
+    require(bits >= 2 && bits <= 20, s"bits must be in [2, 20]: $bits")
+    val tables = (0 until nTables).map(t => hyperplanes(bits, dim, 42L + 1000L * t))
+    def cell(t: Int, bucket: Column): Column =
+      struct(lit(t).as("tbl"), bucket.as("bkt"))
+    val corpus = vectors
+      .select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"),
+        explode(array(tables.zipWithIndex.map { case (p, t) =>
+          cell(t, lshKey(col(vecCol), p))
+        }: _*)).as("dj_cell"))
+    // stage 1: per table, base key + per-plane |margin| array — one
+    // evaluation per query row (probe structs below reference these by
+    // column, never recompute the dots)
+    val qStage = queries.select(
+      col(idCol).as("query_id") +: col(vecCol).as("query_vec") +:
+        tables.zipWithIndex.flatMap { case (p, t) =>
+          Seq(
+            lshKey(col(vecCol), p).as(s"dj_base_$t"),
+            array(p.map(pl =>
+              abs(dot(col(vecCol), array(pl.map(lit): _*)))): _*).as(s"dj_m_$t"))
+        }: _*)
+    def probesFor(t: Int): Column = {
+      val base = col(s"dj_base_$t")
+      def m(i: Int) = element_at(col(s"dj_m_$t"), i + 1)
+      def flip(b: Column, i: Int) = b.bitwiseXOR(lit(1L << i))
+      val cands: Seq[Column] =
+        struct(lit(0.0).as("s"), base.as("b")) +:
+          ((0 until bits).map(i =>
+            struct(m(i).as("s"), flip(base, i).as("b"))) ++
+            (for { i <- 0 until bits; j <- i + 1 until bits }
+              yield struct((m(i) + m(j)).as("s"), flip(flip(base, i), j).as("b"))))
+      transform(
+        slice(array_sort(array(cands: _*)), 1, probeBudget),
+        p => cell(t, p.getField("b")))
+    }
+    val q = qStage.select(
+      col("query_id"),
+      col("query_vec"),
+      explode(flatten(array((0 until nTables).map(probesFor): _*))).as("dj_cell"))
     val candidates = corpus
       .join(broadcast(q), Seq("dj_cell"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -430,18 +564,70 @@ object Similarity {
     if (centroids.isEmpty) return Nil
     val dim = centroids.head._2.length
     for (_ <- 0 until lloydIters) {
-      val arr = centroidArrOf(centroids)
-      val assigned = nonNull.select(
-        col(vecCol).as("dj_vec"),
-        element_at(nearestClustersIn(arr)(col(vecCol), 1), 1).as("dj_cluster"))
-      val aggs = count(lit(1)).as("dj_n") +:
-        (0 until dim).map(d =>
-          sum(element_at(col("dj_vec"), d + 1).cast("double")).as(s"dj_s$d"))
-      val rows = assigned.groupBy("dj_cluster").agg(aggs.head, aggs.tail: _*).collect()
-      val updated: Map[Long, Seq[Double]] = rows.map { r =>
-        val cnt = r.getLong(1).toDouble
-        r.getLong(0) -> (0 until dim).map(d => r.getDouble(d + 2) / cnt)
-      }.toMap
+      val assigned =
+        if (centroids.size <= 256) {
+          // small k: literal-array interpreted argmax — bit-identical to
+          // the original spelling (spec-pinned small-k behavior)
+          val arr = centroidArrOf(centroids)
+          nonNull.select(
+            col(vecCol).as("dj_vec"),
+            element_at(nearestClustersIn(arr)(col(vecCol), 1), 1).as("dj_cluster"))
+        } else {
+          // large k: the literal path evaluates k interpreted dots per
+          // corpus row PER ITERATION (a 1000-cell fit measured minutes at
+          // 200k rows) — broadcast the float centroid table, score with
+          // the native dot kernel, argmin via a map-side-combined
+          // min(struct). Same argmax-by-dot / ties-by-cid semantics;
+          // float-cast centroids only perturb ties, and Lloyd refinement
+          // is already deterministic only up to summation order.
+          val spark = vectors.sparkSession
+          import spark.implicits._
+          import graft.functions.DotProductFloat.dotF
+          val centDf = broadcast(centroids.map { case (cid, v) =>
+            (cid, v.map(_.toFloat).toArray)
+          }.toDF("dj_cid", "dj_cvec"))
+          // argmin keyed by the (unique-by-contract) id; the vector joins
+          // BACK by id afterwards. Carrying the array through the n·k-row
+          // aggregate as first(vec) instead deopts the hash aggregate
+          // (measured ~165 s/iteration at 200k×1000 vs ~2 s this way);
+          // null-id rows can't key an argmin and sit out the refinement.
+          val rows = nonNull
+            .where(col(idCol).isNotNull)
+            .select(col(idCol).as("dj_id"), col(vecCol).as("dj_vec"))
+          val bestCid = rows
+            .crossJoin(centDf)
+            .select(
+              col("dj_id"),
+              struct(
+                (-dotF(col("dj_vec"), col("dj_cvec"))).as("neg"),
+                col("dj_cid").as("cid")).as("dj_score"))
+            .groupBy("dj_id")
+            .agg(min(col("dj_score")).as("dj_best"))
+            .select(col("dj_id"), col("dj_best.cid").as("dj_cluster"))
+          rows
+            .join(bestCid, Seq("dj_id"))
+            .select(col("dj_vec"), col("dj_cluster"))
+        }
+      // per-dimension sums via ONE (cluster, dim)-keyed aggregate over the
+      // exploded vectors (≤ nCentroids·dim result rows): the previous
+      // spelling — `dim` separate sum(element_at(...)) aggregate
+      // expressions in one groupBy — planned a 64-wide aggregate whose
+      // update path fell out of codegen and measured 238 s per iteration
+      // at 200k×64 (the silent dominator of every auto-sized IVF fit)
+      val rows = assigned
+        .select(col("dj_cluster"), posexplode(col("dj_vec")))
+        .groupBy(col("dj_cluster"), col("pos"))
+        .agg(count(lit(1)).as("dj_n"), sum(col("col").cast("double")).as("dj_s"))
+        .collect()
+      val updated: Map[Long, Seq[Double]] = rows
+        .groupBy(_.getLong(0))
+        .map { case (cid, rs) =>
+          val byDim = rs.map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
+          cid -> (0 until dim).map { d =>
+            val (cnt, s) = byDim(d)
+            s / cnt.toDouble
+          }
+        }
       // empty clusters keep their previous centroid
       centroids = centroids.map { case (cid, v) => cid -> updated.getOrElse(cid, v) }
     }
@@ -470,22 +656,207 @@ object Similarity {
           lit(0).as("rank"))
         .where(lit(false))
 
-    val centroidArr = centroidArrOf(centroids)
-
-    def nearestClusters(vec: Column, howMany: Int): Column =
-      nearestClustersIn(centroidArr)(vec, howMany)
-
-    val corpus = vectors.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("vec"),
-      element_at(nearestClusters(col(vecCol), 1), 1).as("cluster"))
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      col(vecCol).as("query_vec"),
-      explode(nearestClusters(col(vecCol), nProbe)).as("cluster"))
+    val corpus = ivfCorpusClusters(vectors, idCol, vecCol, centroids)
+    val q = ivfQueryProbes(queries, idCol, vecCol, centroids, nProbe)
     corpus
       .join(broadcast(q), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Corpus side of the IVF index: (neighbor_id, vec, cluster) — cluster =
+    * nearest centroid by dot product, ties to the smallest centroid id.
+    * Small centroid sets ride the plan-literal interpreted argmax
+    * (bit-identical to the original spelling, spec-pinned); large sets
+    * (the fine-cell regime the r10 recall work runs at) BROADCAST the
+    * float centroid table, score with the native dot kernel, argmin with a
+    * map-side-combined min(struct) keyed by the id, and join the winning
+    * cell back — the literal path measured 254 s for a 1000-cell argmax
+    * over 200k vectors vs ~2 s this way. Null-id rows keep the literal
+    * path's behavior only below the threshold; above it they are dropped
+    * (they cannot key the argmin join).
+    */
+  private def ivfCorpusClusters(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    if (centroids.size <= 256) {
+      val centroidArr = centroidArrOf(centroids)
+      vectors.select(
+        col(idCol).as("neighbor_id"),
+        col(vecCol).as("vec"),
+        element_at(nearestClustersIn(centroidArr)(col(vecCol), 1), 1).as("cluster"))
+    } else {
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      import graft.functions.DotProductFloat.dotF
+      val centDf = broadcast(centroids.map { case (cid, v) =>
+        (cid, v.map(_.toFloat).toArray)
+      }.toDF("dj_cid", "dj_cvec"))
+      val base = vectors
+        .where(col(idCol).isNotNull)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+      val best = base
+        .crossJoin(centDf)
+        .select(
+          col("neighbor_id"),
+          struct(
+            (-dotF(col("vec"), col("dj_cvec"))).as("neg"),
+            col("dj_cid").as("cid")).as("dj_score"))
+        .groupBy("neighbor_id")
+        .agg(min(col("dj_score")).as("dj_best"))
+        .select(col("neighbor_id"), col("dj_best.cid").as("cluster"))
+      base.join(best, Seq("neighbor_id"))
+    }
+
+  /** Query side of the IVF index: one row per (query, probed cluster),
+    * nProbe nearest cells by dot product. Same small/large split as
+    * [[ivfCorpusClusters]]; the large path ranks cells with a per-query
+    * window (queries are few by contract).
+    */
+  private def ivfQueryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])],
+      nProbe: Int): DataFrame =
+    if (centroids.size <= 256) {
+      val centroidArr = centroidArrOf(centroids)
+      queries.select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"),
+        explode(nearestClustersIn(centroidArr)(col(vecCol), nProbe)).as("cluster"))
+    } else {
+      val spark = queries.sparkSession
+      import spark.implicits._
+      import graft.functions.DotProductFloat.dotF
+      val centDf = broadcast(centroids.map { case (cid, v) =>
+        (cid, v.map(_.toFloat).toArray)
+      }.toDF("dj_cid", "dj_cvec"))
+      queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+        .crossJoin(centDf)
+        .withColumn("dj_neg", -dotF(col("query_vec"), col("dj_cvec")))
+        .withColumn(
+          "dj_crank",
+          row_number().over(
+            Window.partitionBy("query_id").orderBy(col("dj_neg"), col("dj_cid"))))
+        .where(col("dj_crank") <= nProbe)
+        .select(col("query_id"), col("query_vec"), col("dj_cid").as("cluster"))
+    }
+
+  /** IVF with a SKETCH-PREFILTER + EXACT-RERANK stage (the IVFADC
+    * re-rank posture, public standard — Jégou et al. 2011 re-rank
+    * approximate scores with exact ones): probe `nProbe` cells per query,
+    * but score candidates FIRST with a 63-bit sign-sketch Hamming distance
+    * (xor + popcount on one long — ~30× cheaper than the 64-float exact
+    * cosine in both bytes and ops), keep only the `poolFactor`·k best per
+    * query, and exact-cosine-rerank that short pool. At a fixed full-
+    * vector scoring budget this lets the probe set cover ~3× the cells of
+    * the plain [[ivfTopK]]: the expensive stage touches poolFactor·k rows
+    * per query instead of every row of every probed cell, so recall lost
+    * to "true neighbor in an unprobed cell" is bought back at sketch cost.
+    *
+    * Plan: same broadcast centroid argmax + cluster equi-join as
+    * [[ivfTopK]]; the sketch rank and the exact rank are both per-query
+    * windows (partitioned by query id, never global). Cost accounting for
+    * the artifact: sketch-scanned fraction ≈ nProbe/nCentroids, exact-
+    * scored fraction ≈ poolFactor·k/corpus.
+    */
+  def ivfTopKRerank(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      kmeansIters: Int = 2,
+      corpusSize: Option[Long] = None,
+      dim: Int = 64,
+      poolFactor: Int = 16): DataFrame = {
+    require(poolFactor >= 1, s"poolFactor must be positive: $poolFactor")
+    val centroids =
+      fitCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
+    if (centroids.isEmpty)
+      return queries
+        .select(
+          col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"),
+          lit(0.0).as("cosine"),
+          lit(0).as("rank"))
+        .where(lit(false))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import graft.functions.DotProductFloat.dotF
+    // the re-rank regime wants MANY cells (coverage is the recall lever),
+    // so assignment must not be the literal-array interpreted path that
+    // made a 1000-centroid argmax the pipeline's cost: BROADCAST the
+    // (tiny) float centroid table, score with the native codegen'd dot
+    // kernel, argmin via a map-side-combined min(struct) aggregate, join
+    // the winning cell back by id (the semanticNearDups large-k posture)
+    val centDf = broadcast(
+      centroids.map { case (cid, v) =>
+        (cid, v.map(_.toFloat).toArray, math.sqrt(v.map(x => x * x).sum))
+      }.toDF("dj_cid", "dj_cvec", "dj_cnorm"))
+    // 63 sign bits under a fixed hyperplane set disjoint from the bucket
+    // tables' seeds (the sign-bit kernel packs into one long, max 63):
+    // hamming(sketch_a, sketch_b)/63 estimates the angle
+    val sketchPlanes = hyperplanes(63, dim, 777L)
+    val base = vectors.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("vec"),
+      lshKey(col(vecCol), sketchPlanes).as("dj_sk"))
+    def negCos(vec: Column, nrm: Column): Column =
+      -(dotF(vec, col("dj_cvec")) / (nrm * col("dj_cnorm")))
+    val best = base
+      .withColumn("dj_nrm", sqrt(dotF(col("vec"), col("vec"))))
+      .crossJoin(centDf)
+      .select(
+        col("neighbor_id"),
+        struct(
+          negCos(col("vec"), col("dj_nrm")).as("neg"),
+          col("dj_cid").as("cid")).as("dj_score"))
+      .groupBy("neighbor_id")
+      .agg(min(col("dj_score")).as("dj_best"))
+      .select(col("neighbor_id"), col("dj_best.cid").as("cluster"))
+    val corpus = base.join(best, Seq("neighbor_id"))
+    // query probes: same broadcast-scored shape, top-nProbe cells per
+    // query via a per-query window (queries are few by contract)
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        col(vecCol).as("query_vec"),
+        lshKey(col(vecCol), sketchPlanes).as("dj_qsk"))
+      .withColumn("dj_nrm", sqrt(dotF(col("query_vec"), col("query_vec"))))
+      .crossJoin(centDf)
+      .withColumn("dj_neg", negCos(col("query_vec"), col("dj_nrm")))
+      .withColumn(
+        "dj_crank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dj_neg"), col("dj_cid"))))
+      .where(col("dj_crank") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("dj_qsk"),
+        col("dj_cid").as("cluster"))
+    val pool = corpus
+      .join(broadcast(q), Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn(
+        "dj_ham",
+        expr("bit_count(dj_sk ^ dj_qsk)"))
+      .withColumn(
+        "dj_skrank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dj_ham"), col("neighbor_id"))))
+      .where(col("dj_skrank") <= poolFactor * k)
+    pool
       .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
       .withColumn(
         "rank",

@@ -31,14 +31,33 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(b0 >= 2 && t0 >= 1)
   }
 
-  test("ivfAutoParams: cells track corpus/200, probe fraction 0.75 -> 0.1") {
-    // honest leg: 16 cells, probe 12 (recall 0.932 measured)
-    assert(Similarity.ivfAutoParams(2000, 10) === ((16, 12)))
-    // big corpus: cells grow linearly, probed FRACTION decays to the floor
+  test("lshAutoParamsRanked: fine buckets, ranked budget, envelope within the blind bound") {
+    // sf10f shape (r10 sweep: recall 0.862 vs the blind path's 0.692 at
+    // the same fraction): 12 bits, 12 tables, budget 52 -> fraction 0.152
+    val (b, t, bud) = Similarity.lshAutoParamsRanked(200000, 10)
+    assert(b === 12 && t === 12 && bud === 52)
+    assert(t.toDouble * bud / (1 << b) <= 0.157) // <= the r9 envelope
+    // small corpus: budget saturates the Hamming<=2 candidate set and the
+    // envelope re-raises tables (near-exhaustive regime preserved)
+    val (b2, t2, bud2) = Similarity.lshAutoParamsRanked(2000, 10)
+    assert(bud2 === 1 + b2 + b2 * (b2 - 1) / 2)
+    assert(t2 >= 2)
+    val (b0, t0, bud0) = Similarity.lshAutoParamsRanked(0, 10)
+    assert(b0 >= 2 && t0 >= 1 && bud0 >= 1)
+  }
+
+  test("ivfAutoParams: ~25-member cells capped at 8192, probe fraction 0.75 -> 0.1") {
+    // honest leg: 80 fine cells, probe 60 (0.75 exhaustive-side fraction)
+    assert(Similarity.ivfAutoParams(2000, 10) === ((80, 60)))
+    // big corpus: cells grow to the cap, probed FRACTION decays to the
+    // floor (r10 sweep: 25-member cells recall 0.828 at fraction 0.1 on
+    // the fresh-content 100x leg vs 0.654 at the r9 200-member sizing)
     val (cents, probe) = Similarity.ivfAutoParams(200000, 10)
-    assert(cents === 1000)
-    assert(probe === 100) // 0.1 floor of 1000 cells
+    assert(cents === 8000)
+    assert(probe === 800) // 0.1 floor of 8000 cells
     assert(probe.toDouble / cents <= 0.11)
+    // flat-IVF assignment cost boundary: the cap binds past ~205k vectors
+    assert(Similarity.ivfAutoParams(10000000L, 10)._1 === 8192)
   }
 
   test("semanticProbesAuto: quarter of the cells, capped at 8") {
