@@ -663,6 +663,28 @@ object Bench {
         ngramStats(sf10Dir).map(j => s""","ngram_stats_sf10":$j""").getOrElse("")
       else ""
 
+    // distinct-value cardinality behind q_percentile on the 100× legs
+    // (r9 verdict task 6: the fresh-content leg has ~10× the distincts —
+    // record the denominator so any cardinality-sensitive drift is
+    // attributable from the artifact)
+    def percentileDistincts(dir: String): Option[Long] =
+      if (skipLegs || !new java.io.File(s"$dir/lineitem.parquet").exists()) None
+      else try {
+        Some(spark.read.parquet(s"$dir/lineitem.parquet")
+          .where(org.apache.spark.sql.functions.col("l_extendedprice").isNotNull)
+          .select("l_extendedprice").distinct().count())
+      } catch { case _: Throwable => None }
+      finally { spark.catalog.clearCache() }
+    val pctlDistincts =
+      Seq("sf10" -> sf10Dir, "sf10f" -> sf10fDir).flatMap { case (tag, d) =>
+        if (new java.io.File(d).isDirectory)
+          percentileDistincts(d).map(n => s""""$tag":$n""")
+        else None
+      } match {
+        case Nil => ""
+        case xs => xs.mkString(""","percentile_distincts":{""", ",", "}")
+      }
+
     // ANN recall legs: the PRIMARY (unreplicated, driver-generated) leg is
     // the honest number — ScaleData replicas are exact near-neighbors and
     // flatter every approximate path; sf1 stays for continuity, sf10 as
@@ -695,7 +717,7 @@ object Bench {
       s""","cold_io_s":$coldIo,"heap_high_water_mb":$heapHw""" +
         rerunJson("outlier_", primaryRerun) + ratioJson("outlier_", primaryRatios)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras$sf1$sf10$sf10f$minhashSf10$minhashSf10f$ngramSf10$annPrimary$annSf1$annSf10$annSf10f,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras$sf1$sf10$sf10f$minhashSf10$minhashSf10f$ngramSf10$pctlDistincts$annPrimary$annSf1$annSf10$annSf10f,"sf":"$sfDir"}"""
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
     // bounded 2000-char TAIL of it. The FILE gets the full artifact; stdout
     // gets (a) a compact per-query line for humans, then (b) a MINIMAL

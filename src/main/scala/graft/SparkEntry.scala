@@ -2996,7 +2996,7 @@ object SparkEntry {
     "q_bootstrap_ci" -> { (s, dir) =>
       graft.ops.Stats.bootstrapMeanCI(
         s.read.parquet(pq(dir, "events")), "event_id", "value",
-        nResamples = 50, alpha = 0.05, seed = "gate", md5Flavor = true)
+        nResamples = 20, alpha = 0.05, seed = "gate", md5Flavor = true)
         .select(
           col("n"), col("n_resamples"),
           round(col("mean"), 6).as("mean"),
@@ -6298,12 +6298,12 @@ object SparkEntry {
 
     // Poisson bootstrap: identical md5-lattice uniforms, the identical
     // hardcoded Poisson(1) CDF ladder, HUGEINT-exact weighted sums, the
-    // same (sx/sw)/scale double shape and rank-3/rank-98 CI selection
+    // same (sx/sw)/scale double shape and rank-1/rank-20 CI selection (20 replicates keep the gate cheap; both flavors are spec-pinned at higher counts)
     "q_bootstrap_ci" ->
       """WITH e AS (SELECT event_id, CAST(round(value * 1000000) AS HUGEINT) AS x
                     FROM events WHERE value IS NOT NULL),
               t AS (SELECT count(*)::BIGINT AS n, sum(x) AS tsx FROM e),
-              b AS (SELECT unnest(range(1, 51)) AS bb),
+              b AS (SELECT unnest(range(1, 21)) AS bb),
               u AS (SELECT e.event_id, e.x, b.bb,
                       (('0x' || substring(md5(e.event_id::VARCHAR || ':gate:' || b.bb::VARCHAR), 1, 13))::BIGINT + 0.5)
                         / 4503599627370496.0 AS uu
@@ -6325,14 +6325,14 @@ object SparkEntry {
                       row_number() OVER (
                         ORDER BY (sx::DOUBLE / sw::DOUBLE) / 1000000.0, bb) AS rk
                     FROM m),
-              ci AS (SELECT min(CASE WHEN rk = 2 THEN mean END) AS lo,
-                            min(CASE WHEN rk = 49 THEN mean END) AS hi,
+              ci AS (SELECT min(CASE WHEN rk = 1 THEN mean END) AS lo,
+                            min(CASE WHEN rk = 20 THEN mean END) AS hi,
                             count(*)::BIGINT AS nb
                      FROM r)
-         SELECT t.n AS n, CAST(50 AS INT) AS n_resamples,
+         SELECT t.n AS n, CAST(20 AS INT) AS n_resamples,
                 round((t.tsx::DOUBLE / t.n::DOUBLE) / 1000000.0, 6) AS mean,
-                round(CASE WHEN ci.nb >= 49 THEN ci.lo END, 6) AS ci_lo,
-                round(CASE WHEN ci.nb >= 49 THEN ci.hi END, 6) AS ci_hi
+                round(CASE WHEN ci.nb >= 20 THEN ci.lo END, 6) AS ci_lo,
+                round(CASE WHEN ci.nb >= 20 THEN ci.hi END, 6) AS ci_hi
          FROM t, ci""",
 
     "q_stratified_sample" ->

@@ -96,8 +96,43 @@ object StreamingCuration {
       .trigger(Trigger.AvailableNow())
       .start()
 
+    // --- sink 3: distribution monitoring -----------------------------------
+    // a live text-length histogram (bounded state: <= nBuckets rows,
+    // complete mode) whose snapshot feeds Drift.psiFromHistograms against
+    // the reference corpus — "is today's feed distributed like the
+    // reference", continuously, without ever re-scanning raw history
+    val histQuery = StreamingChecks.streamingHistogram(
+      fileStream.select(length(col("text")).cast("double").as("len")),
+      "len", lo = 0.0, hi = 2000.0, nBuckets = 20)
+      .writeStream
+      .format("memory").queryName("ingest_len_hist").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
     checks.awaitTermination()
     dupQuery.awaitTermination()
+    histQuery.awaitTermination()
+
+    // monitoring verdicts off the live snapshot: PSI vs the reference
+    // histogram, and the one-call drift report on the ingested columns
+    val refHist = graft.ops.Stats.histogram(
+      docs.select(length(col("text")).cast("double").as("len")),
+      "len", 0.0, 2000.0, 20)
+    val psiRow = graft.ops.Drift.psiFromHistograms(
+      spark.table("ingest_len_hist"), refHist, 20).head()
+    println(f"[stream] ingest-vs-reference length PSI=${psiRow.getDouble(2)}%.4f " +
+      s"(n_stream=${psiRow.getLong(0)}, n_ref=${psiRow.getLong(1)})")
+    val report = graft.ops.Drift.driftReport(
+      spark.read.schema(schema).json(dropDir)
+        .select(col("doc_id"), length(col("text")).cast("double").as("len")),
+      docs.select(col("doc_id"), length(col("text")).cast("double").as("len")),
+      numericCols = Seq("len"))
+      .collect()
+    report.foreach(r =>
+      println(s"[stream] driftReport ${r.getString(0)}: ks_d=${r.get(4)} w1=${r.get(5)}"))
+    // the planted near-dup is one extra doc: the feed matches the reference
+    require(psiRow.getDouble(2) < 0.1,
+      s"ingest length distribution drifted: psi=${psiRow.getDouble(2)}")
 
     val pairs = spark.table("ingest_near_dups")
       .select("id1", "id2").distinct().collect()

@@ -35,16 +35,34 @@ object Drift {
       valueCol: String,
       lo: Double,
       hi: Double,
+      nBuckets: Int): DataFrame =
+    psiFromHistograms(
+      Stats.histogram(a, valueCol, lo, hi, nBuckets),
+      Stats.histogram(b, valueCol, lo, hi, nBuckets),
+      nBuckets)
+
+  /** [[psi]] over two ALREADY-BUCKETED (bucket, cnt) histogram tables —
+    * the monitoring entry point for bucket tables that exist without raw
+    * rows: a streaming-state snapshot
+    * ([[graft.streaming.StreamingChecks.streamingHistogram]]'s
+    * complete-mode output) against a reference histogram, at ≤ nBuckets
+    * rows per side. Totals are the histogram sums (the histogram clamps
+    * out-of-range values rather than dropping them, so Σcnt equals the
+    * raw non-null count and the result is IDENTICAL to [[psi]] on the
+    * underlying rows — spec-pinned). Same smoothing, same full-spine sum,
+    * same decimal-folded bit-reproducible arithmetic.
+    */
+  def psiFromHistograms(
+      histA: DataFrame,
+      histB: DataFrame,
       nBuckets: Int): DataFrame = {
-    val ha = Stats.histogram(a, valueCol, lo, hi, nBuckets)
-      .withColumnRenamed("cnt", "dj_ca")
-    val hb = Stats.histogram(b, valueCol, lo, hi, nBuckets)
-      .withColumnRenamed("cnt", "dj_cb")
-    val na = a.where(col(valueCol).isNotNull).count().toDouble
-    val nb = b.where(col(valueCol).isNotNull).count().toDouble
+    val ha = histA.select(col("bucket"), col("cnt").as("dj_ca"))
+    val hb = histB.select(col("bucket"), col("cnt").as("dj_cb"))
+    val na = ha.agg(coalesce(sum("dj_ca"), lit(0L))).head().getLong(0).toDouble
+    val nb = hb.agg(coalesce(sum("dj_cb"), lit(0L))).head().getLong(0).toDouble
     // full bucket spine: nBuckets rows, broadcast-joined against the two
     // (≤ nBuckets-row) histograms
-    val spine = a.sparkSession.range(nBuckets).select(col("id").as("bucket"))
+    val spine = histA.sparkSession.range(nBuckets).select(col("id").as("bucket"))
     val joined = spine
       .join(ha, Seq("bucket"), "left")
       .join(hb, Seq("bucket"), "left")

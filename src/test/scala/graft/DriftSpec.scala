@@ -22,6 +22,24 @@ class DriftSpec extends AnyFunSuite {
     assert(psi > 0.25, s"shifted psi=$psi")
   }
 
+  test("psiFromHistograms: identical to psi on the underlying rows") {
+    val a = (1 to 100).map(i => (i % 10) + 1.0).toDF("v")
+    val b = (1 to 80).map(i => (i % 7) / 2 + 4.0).toDF("v")
+    val direct = Drift.psi(a, b, "v", 1.0, 11.0, 10).head()
+    val fromHists = Drift.psiFromHistograms(
+      graft.ops.Stats.histogram(a, "v", 1.0, 11.0, 10),
+      graft.ops.Stats.histogram(b, "v", 1.0, 11.0, 10), 10).head()
+    assert(direct.getLong(0) === fromHists.getLong(0))
+    assert(direct.getLong(1) === fromHists.getLong(1))
+    assert(direct.getDouble(2) === fromHists.getDouble(2))
+    // empty side: totals 0, psi finite (smoothing is part of the definition)
+    val empty = graft.ops.Stats.histogram(
+      Seq.empty[Double].toDF("v"), "v", 1.0, 11.0, 10)
+    val re = Drift.psiFromHistograms(
+      graft.ops.Stats.histogram(a, "v", 1.0, 11.0, 10), empty, 10).head()
+    assert(re.getLong(1) === 0L && !re.getDouble(2).isNaN)
+  }
+
   test("chiSquareDrift: hand-computed 2x2 contingency") {
     val a = (Seq.fill(10)("x") ++ Seq.fill(10)("y")).toDF("c")
     val b = (Seq.fill(5)("x") ++ Seq.fill(15)("y")).toDF("c")
