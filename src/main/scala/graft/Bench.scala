@@ -602,9 +602,20 @@ object Bench {
     // stage breakdown, not prose): one fresh timed run with the op's own
     // stage hook — shingle+signature, banding, candidate generation+count,
     // verification payload, and the residual exact-Jaccard verify.
+    // the stage/volume profiles and the recall harness run in a FRESH
+    // session: they arrive at the tail of a long leg sequence, and an r10
+    // run lost its ngram profile + all four recall legs to a late-session
+    // executor OOM (accumulated state, not the profile's own volume)
+    def freshSession(dir: String): SparkSession = {
+      spark.stop()
+      spark = newSession(graft.core.Tuning.wideStart(dir, cpus))
+      sinceRecycle = 1
+      spark
+    }
     def minhashStages(dir: String): Option[String] =
       if (skipLegs || !new java.io.File(s"$dir/documents.parquet").exists()) None
       else try {
+        freshSession(dir)
         val stages = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         def r3(v: Double) = math.round(v * 1000) / 1000.0
         val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -646,8 +657,9 @@ object Bench {
     def ngramStats(dir: String): Option[String] =
       if (skipLegs || !new java.io.File(s"$dir/documents.parquet").exists()) None
       else try {
+        val s = freshSession(dir)
         val m = graft.ops.Dedup.ngramJaccardProfile(
-          spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+          s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
         Some(m.map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString("{", ",", "}"))
       } catch {
@@ -693,22 +705,22 @@ object Bench {
     // speed at scale)
     val annPrimary =
       if (!skipLegs)
-        annRecall(spark, sfDir)
+        annRecall(freshSession(sfDir), sfDir)
           .map(j => s""","ann_recall_primary":$j""").getOrElse("")
       else ""
     val annSf1 =
       if (!skipLegs && new java.io.File(sf1Dir).isDirectory)
-        annRecall(spark, sf1Dir).map(j => s""","ann_recall_sf1":$j""").getOrElse("")
+        annRecall(freshSession(sf1Dir), sf1Dir).map(j => s""","ann_recall_sf1":$j""").getOrElse("")
       else ""
     val annSf10 =
       if (!skipLegs && new java.io.File(sf10Dir).isDirectory)
-        annRecall(spark, sf10Dir).map(j => s""","ann_recall_sf10":$j""").getOrElse("")
+        annRecall(freshSession(sf10Dir), sf10Dir).map(j => s""","ann_recall_sf10":$j""").getOrElse("")
       else ""
     // the at-scale HONEST recall: 100× unreplicated vectors — the number
     // that anchors any claim about the ANN defaults at corpus scale
     val annSf10f =
       if (!skipLegs && new java.io.File(sf10fDir).isDirectory)
-        annRecall(spark, sf10fDir).map(j => s""","ann_recall_sf10f":$j""").getOrElse("")
+        annRecall(freshSession(sf10fDir), sf10fDir).map(j => s""","ann_recall_sf10f":$j""").getOrElse("")
       else ""
 
     val primaryRatios = rerunRatios(results, primaryRerun)

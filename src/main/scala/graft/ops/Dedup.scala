@@ -689,6 +689,11 @@ object Dedup {
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct())
     out.update("n_candidates", timed("candidates_s")(candidates.count()).toDouble)
+    // candidates are materialized: the coarse-key and df frames are dead —
+    // release NOW (the profile's verify stage otherwise runs with ~2 GB of
+    // dead blocks pinned, which OOM'd a late-session bench run)
+    graft.core.Blocks.release(coarse)
+    graft.core.Blocks.release(keyDf)
     val s1 = shCk.select(col(idCol).as("id1"), col("shingle_hashes").as("sh1"))
     val s2 = shCk.select(col(idCol).as("id2"), col("shingle_hashes").as("sh2"))
     val nPairs = timed("verify_s")(candidates

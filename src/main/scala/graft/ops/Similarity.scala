@@ -866,6 +866,129 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Inverted multi-index top-k (IMI — Babenko & Lempitsky 2012, public):
+    * the scale rung past flat IVF. Two independent coarse quantizers over
+    * the vector's two HALVES give cellsPerHalf² product cells for
+    * 2·cellsPerHalf half-dimension dots of assignment cost per vector —
+    * e.g. 65 536 cells for the assignment budget a 512-cell flat index
+    * pays. Flat IVF's assignment is n·cells full-dimension dots, so its
+    * cell count (= recall at a fixed probed fraction) is capped by
+    * assignment cost (see [[ivfAutoParams]]'s 8192 cap); IMI breaks that
+    * coupling at the price of axis-aligned product-cell geometry.
+    *
+    * Query side: each half ranks its `halfShortlist` nearest
+    * sub-centroids (a per-query window over queries·cellsPerHalf broadcast-
+    * scored rows), the shortlist pair grid is ranked by summed half
+    * similarity (the multi-sequence traversal collapsed to a bounded
+    * grid — shortlist² pairs per query), and the best `nProbeCells`
+    * product cells are probed with exact cosine + per-query top-k, the
+    * same tail as [[ivfTopK]].
+    *
+    * Plan: two broadcast half-centroid tables (native dot kernel), two
+    * map-side-combined argmins joined by id for the corpus, per-query
+    * windows only (never global), one cluster-keyed equi-join. Candidate
+    * volume ≈ corpus · nProbeCells / cellsPerHalf².
+    */
+  def imiTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cellsPerHalf: Int = 128,
+      nProbeCells: Int = 1024,
+      halfShortlist: Int = 64,
+      kmeansIters: Int = 1,
+      corpusSize: Option[Long] = None,
+      dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim % 2 == 0, s"dim must be even: $dim")
+    require(halfShortlist >= 1 && nProbeCells >= 1 && cellsPerHalf >= 1,
+      "imiTopK sizes must be positive")
+    val half = dim / 2
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    import graft.functions.DotProductFloat.dotF
+    def halfCol(v: Column, which: Int): Column =
+      if (which == 0) slice(v, 1, half) else slice(v, half + 1, half)
+    // one quantizer per half, fit on the half-vectors
+    val cents: Seq[Seq[(Long, Seq[Double])]] = (0 to 1).map { h =>
+      fitCentroids(
+        vectors.select(col(idCol), halfCol(col(vecCol), h).as("dj_h")),
+        idCol, "dj_h", cellsPerHalf, kmeansIters, corpusSize)
+    }
+    if (cents.exists(_.isEmpty))
+      return queries
+        .select(
+          col(idCol).as("query_id"),
+          col(idCol).as("neighbor_id"),
+          lit(0.0).as("cosine"),
+          lit(0).as("rank"))
+        .where(lit(false))
+    def centDfOf(h: Int) = broadcast(cents(h).map { case (cid, v) =>
+      (cid, v.map(_.toFloat).toArray)
+    }.toDF(s"dj_cid$h", s"dj_cvec$h"))
+    // corpus: argmin per half (map-side combined), joined by id
+    val base = vectors
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
+    def corpusHalf(h: Int) = base
+      .select(col("neighbor_id"), halfCol(col("vec"), h).as("dj_h"))
+      .crossJoin(centDfOf(h))
+      .select(
+        col("neighbor_id"),
+        struct(
+          (-dotF(col("dj_h"), col(s"dj_cvec$h"))).as("neg"),
+          col(s"dj_cid$h").as("cid")).as("dj_score"))
+      .groupBy("neighbor_id")
+      .agg(min(col("dj_score")).as("dj_best"))
+      .select(col("neighbor_id"), col(s"dj_best.cid").as(s"dj_c$h"))
+    val corpus = base
+      .join(corpusHalf(0), Seq("neighbor_id"))
+      .join(corpusHalf(1), Seq("neighbor_id"))
+      .select(
+        col("neighbor_id"), col("vec"),
+        struct(col("dj_c0"), col("dj_c1")).as("cluster"))
+    // queries: per-half shortlist, pair grid ranked by summed similarity
+    def queryHalf(h: Int) = queries
+      .select(col(idCol).as("query_id"), halfCol(col(vecCol), h).as("dj_h"))
+      .crossJoin(centDfOf(h))
+      .withColumn(s"dj_neg$h", -dotF(col("dj_h"), col(s"dj_cvec$h")))
+      .withColumn(
+        "dj_hrank",
+        row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col(s"dj_neg$h"), col(s"dj_cid$h"))))
+      .where(col("dj_hrank") <= halfShortlist)
+      .select(col("query_id"), col(s"dj_cid$h"), col(s"dj_neg$h"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+      .join(queryHalf(0), Seq("query_id"))
+      .join(queryHalf(1), Seq("query_id"))
+      .withColumn(
+        "dj_prank",
+        row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(
+              col("dj_neg0") + col("dj_neg1"),
+              col("dj_cid0"), col("dj_cid1"))))
+      .where(col("dj_prank") <= nProbeCells)
+      .select(
+        col("query_id"), col("query_vec"),
+        struct(
+          col("dj_cid0").as("dj_c0"),
+          col("dj_cid1").as("dj_c1")).as("cluster"))
+    corpus
+      .join(broadcast(q), Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Sign-bit width for `embeddingNearDups` scaled to the corpus: per-band
     * bucket count tracks corpusSize/32 so the EXPECTED bucket holds ~32
     * members as the corpus grows (the `maxBucketSize` cap handles the

@@ -54,7 +54,7 @@ object AnnFrontier {
           S.lshTopK(v, queries, "vec_id", "embedding", k, b, 64, true, tb,
             probeBudget = budget))
       }
-    } else {
+    } else if (mode == "ivf") {
       // finer cells at the SAME exact-scored fraction: geometry is the
       // recall lever once assignment is codegen'd
       for ((cents, probe, iters) <- Seq(
@@ -62,6 +62,17 @@ object AnnFrontier {
         t0ed(s"ivf(c=$cents,p=$probe,it=$iters)", probe.toDouble / cents)(
           S.ivfTopK(v, queries, "vec_id", "embedding", k, cents, probe,
             kmeansIters = iters, corpusSize = Some(n)))
+      }
+    } else {
+      // IMI: product cells — assignment cost 2·cellsPerHalf HALF-dots per
+      // vector (vs `cells` full dots flat), cells = cellsPerHalf²
+      for ((cph, probe, shortlist) <- Seq(
+          (128, 1638, 96), (128, 819, 64), (256, 6554, 192))) {
+        t0ed(s"imi(cph=$cph,p=$probe,sl=$shortlist)",
+          probe.toDouble / (cph.toDouble * cph))(
+          S.imiTopK(v, queries, "vec_id", "embedding", k,
+            cellsPerHalf = cph, nProbeCells = probe, halfShortlist = shortlist,
+            corpusSize = Some(n)))
       }
     }
     spark.stop()

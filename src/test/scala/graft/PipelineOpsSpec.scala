@@ -1164,6 +1164,33 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     // every returned neighbor must be ranked correctly within its candidates
     assert(ivf.nonEmpty)
   }
+
+  test("IMI: exhaustive product-cell probing equals brute force; empty corpus typed") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = df.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 cells/half -> 16 product cells; probing all 16 with a full
+    // shortlist covers every corpus vector -> recall must be exactly 1
+    val imi = Similarity.imiTopK(df, queries, "vec_id", "embedding", 3,
+        cellsPerHalf = 4, nProbeCells = 16, halfShortlist = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(imi == exact, s"exhaustive IMI must equal brute force")
+    // bounded probing still returns k rows per query and real neighbors
+    val bounded = Similarity.imiTopK(df, queries, "vec_id", "embedding", 3,
+        cellsPerHalf = 4, nProbeCells = 4, halfShortlist = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & bounded).size.toDouble / exact.size
+    info(s"IMI top-3 recall at 4 of 16 cells: $recall")
+    assert(bounded.nonEmpty && recall > 0.0)
+    val empty = df.where(lit(false))
+    val res = Similarity.imiTopK(empty, queries, "vec_id", "embedding", 3)
+    assert(res.columns.toSeq == Seq("query_id", "neighbor_id", "cosine", "rank"))
+    assert(res.count() == 0)
+  }
 }
 
 /** SemDeDup-style within-cluster semantic near-dup tests. */
