@@ -765,9 +765,11 @@ object Bench {
         sf10fLeg.map(l => s""","sf10f_total":${round3(l.results.map(_.t).sum)}""").getOrElse("")
     // any rerun that came back >1.5x SLOWER than its in-leg time — the
     // reported min is then the flattering number and the reader must know
-    val flagsJson = rerunFlags
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString(""","rerun_flags":{""", ",", "}")
+    val flagsJson =
+      if (rerunFlags.isEmpty) ""
+      else rerunFlags
+        .map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","rerun_flags":{""", ",", "}")
     val minimal =
       s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors$legTotals$flagsJson,"sf":"$sfDir","full":"$outPath"}"""
     println(minimal)

@@ -112,7 +112,7 @@ final case class MinBootstrapMeanLowerBound(
       TestResult.failure(
         description,
         s"Bootstrap of $valueColumn's mean on ${ref.describe} produced no " +
-          s"${100 * (1 - alpha)}% lower bound despite n=${row.getLong(0)} " +
+          s"${math.round(1000 * (1 - alpha)) / 10.0}% lower bound despite n=${row.getLong(0)} " +
           s"rows: replicate means dropped out (fewer than the required " +
           s"rank of $nResamples resamples survived) — the sample is too " +
           s"degenerate to certify the floor $target.")
@@ -121,7 +121,7 @@ final case class MinBootstrapMeanLowerBound(
       if (lo >= target) TestResult.success(description)
       else TestResult.failure(
         description,
-        s"Bootstrap ${100 * (1 - alpha)}% lower bound of $valueColumn's mean " +
+        s"Bootstrap ${math.round(1000 * (1 - alpha)) / 10.0}% lower bound of $valueColumn's mean " +
           s"on ${ref.describe} is $lo (point estimate ${row.getDouble(2)}, " +
           s"n=${row.getLong(0)}) while at least $target was required.")
     }

@@ -58,6 +58,17 @@ object Drift {
       nBuckets: Int): DataFrame = {
     val ha = histA.select(col("bucket"), col("cnt").as("dj_ca"))
     val hb = histB.select(col("bucket"), col("cnt").as("dj_cb"))
+    // loud bounds check: a bucket id outside [0, nBuckets) would fall off
+    // the range spine below — counted in the totals but missing from the
+    // terms, silently UNDERSTATING the PSI (the overflow-drop class). The
+    // inputs are ≤ nBuckets-row frames, so the check is a tiny aggregate.
+    Seq(("histA", ha), ("histB", hb)).foreach { case (side, h) =>
+      val bad = h.where(col("bucket") < 0 || col("bucket") >= nBuckets)
+        .head(1)
+      require(bad.isEmpty,
+        s"psiFromHistograms: $side has bucket id ${bad.head.get(0)} outside " +
+          s"[0, $nBuckets) — rebucket the histogram or pass the matching nBuckets")
+    }
     val na = ha.agg(coalesce(sum("dj_ca"), lit(0L))).head().getLong(0).toDouble
     val nb = hb.agg(coalesce(sum("dj_cb"), lit(0L))).head().getLong(0).toDouble
     // full bucket spine: nBuckets rows, broadcast-joined against the two

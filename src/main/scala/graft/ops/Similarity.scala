@@ -614,6 +614,13 @@ object Similarity {
       // expressions in one groupBy — planned a 64-wide aggregate whose
       // update path fell out of codegen and measured 238 s per iteration
       // at 200k×64 (the silent dominator of every auto-sized IVF fit)
+      // ONE aggregate: per-dimension sums via posexplode plus the cluster
+      // ROW count (max of per-position counts — position 0 exists for
+      // every non-empty member). The mean divides by the cluster row
+      // count, exactly like the previous wide-aggregate spelling, so a
+      // ragged corpus (vectors shorter than the seed dimension) treats a
+      // missing position as contributing 0 — and can never throw on a
+      // position no member reaches.
       val rows = assigned
         .select(col("dj_cluster"), posexplode(col("dj_vec")))
         .groupBy(col("dj_cluster"), col("pos"))
@@ -622,11 +629,9 @@ object Similarity {
       val updated: Map[Long, Seq[Double]] = rows
         .groupBy(_.getLong(0))
         .map { case (cid, rs) =>
-          val byDim = rs.map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3))).toMap
-          cid -> (0 until dim).map { d =>
-            val (cnt, s) = byDim(d)
-            s / cnt.toDouble
-          }
+          val byDim = rs.map(r => r.getInt(1) -> r.getDouble(3)).toMap
+          val clusterRows = rs.map(_.getLong(2)).max.toDouble
+          cid -> (0 until dim).map(d => byDim.getOrElse(d, 0.0) / clusterRows)
         }
       // empty clusters keep their previous centroid
       centroids = centroids.map { case (cid, v) => cid -> updated.getOrElse(cid, v) }
@@ -814,15 +819,18 @@ object Similarity {
       col(idCol).as("neighbor_id"),
       col(vecCol).as("vec"),
       lshKey(col(vecCol), sketchPlanes).as("dj_sk"))
-    def negCos(vec: Column, nrm: Column): Column =
-      -(dotF(vec, col("dj_cvec")) / (nrm * col("dj_cnorm")))
+    // ranking score: -dot/|centroid|. The row's own norm is CONSTANT
+    // across centroids, so dividing by it cannot change the argmin/rank —
+    // dropping it saves corpus·nCentroids divisions and removes the 0/0
+    // NaN path a zero vector would otherwise hit.
+    def negCos(vec: Column): Column =
+      -(dotF(vec, col("dj_cvec")) / col("dj_cnorm"))
     val best = base
-      .withColumn("dj_nrm", sqrt(dotF(col("vec"), col("vec"))))
       .crossJoin(centDf)
       .select(
         col("neighbor_id"),
         struct(
-          negCos(col("vec"), col("dj_nrm")).as("neg"),
+          negCos(col("vec")).as("neg"),
           col("dj_cid").as("cid")).as("dj_score"))
       .groupBy("neighbor_id")
       .agg(min(col("dj_score")).as("dj_best"))
@@ -835,9 +843,8 @@ object Similarity {
         col(idCol).as("query_id"),
         col(vecCol).as("query_vec"),
         lshKey(col(vecCol), sketchPlanes).as("dj_qsk"))
-      .withColumn("dj_nrm", sqrt(dotF(col("query_vec"), col("query_vec"))))
       .crossJoin(centDf)
-      .withColumn("dj_neg", negCos(col("query_vec"), col("dj_nrm")))
+      .withColumn("dj_neg", negCos(col("query_vec")))
       .withColumn(
         "dj_crank",
         row_number().over(

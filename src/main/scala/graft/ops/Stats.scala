@@ -764,6 +764,19 @@ object Stats {
     // convention) or every sub-0.5 row rounds to 0 and the profile
     // degenerates silently — total_weight is reported back in the
     // column's own units (divided by the scale)
+    // loud magnitude guard (the requireW1Headroom posture): a scaled
+    // weight past decimal(19,0) would go NULL under non-ANSI arithmetic
+    // and sum() would silently DROP the row — partial mass, no error.
+    // 9e18 is conservatively inside the 19-digit range.
+    val tooBig = df
+      .where(col(weightCol).isNotNull &&
+        abs(col(weightCol)) * weightScale >= lit(9.0e18))
+      .head(1)
+    require(tooBig.isEmpty,
+      s"concentrationProfile: |$weightCol|·weightScale ≥ 9e18 (e.g. " +
+        s"${tooBig.headOption.map(_.getAs[Any](weightCol)).getOrElse("")}) — " +
+        s"past decimal(19,0) a silent overflow would drop mass; reduce " +
+        s"weightScale (current: $weightScale) or rescale the column")
     val perKey = graft.core.Blocks.checkpoint(
       df.where(col(weightCol).isNotNull)
         .groupBy(col(keyCol).as("dj_k"))

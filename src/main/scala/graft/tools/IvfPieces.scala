@@ -11,8 +11,6 @@ object IvfPieces {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    import graft.functions.DotProductFloat.dotF
     val S = graft.ops.Similarity
     val v = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = v.count()
