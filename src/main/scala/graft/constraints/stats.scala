@@ -221,3 +221,81 @@ final case class MaxConcentration(
     }
   }
 }
+
+/** ANN index-quality floor: recall@`k` of the corpus-aware approximate
+  * similarity path (`method` ∈ lsh — [[graft.ops.Similarity.lshTopKAuto]],
+  * the margin-ranked multi-probe index — or ivf —
+  * [[graft.ops.Similarity.ivfTopKAuto]], the fine-cell coarse quantizer)
+  * against exact brute-force ground truth over a deterministic
+  * hash-sampled query set must be ≥ the target — "the similarity index a
+  * downstream dedup/search pipeline relies on must actually find its
+  * neighbors" as a declarable budget, the same posture as any drift gate.
+  *
+  * Cost: ground truth is `nQueries` brute-force scans of the corpus
+  * (broadcast query set, one corpus scan, per-query top-k windows) — the
+  * audit's price; bound `nQueries`, not the corpus. Vacuous when fewer
+  * than two vectors or no truth neighbors exist. `corpusSizeHint` feeds
+  * the auto-sizing and seed-sampling stride (a count job otherwise).
+  */
+final case class MinAnnRecall(
+    ref: DataRef,
+    idColumn: String,
+    vectorColumn: String,
+    refValue: Option[Double] = None,
+    k: Int = 10,
+    nQueries: Int = 200,
+    method: String = "lsh",
+    corpusSizeHint: Option[Long] = None,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(v => v > 0 && v <= 1),
+    s"min_ann_recall requires a target in (0, 1]: $refValue")
+  require(method == "lsh" || method == "ivf",
+    s"min_ann_recall method must be lsh or ivf: $method")
+  require(k >= 1 && nQueries >= 1, "k and nQueries must be positive")
+
+  override def test(spark: SparkSession): TestResult = withPlans {
+    import org.apache.spark.sql.functions._
+    val S = graft.ops.Similarity
+    val base = ref.selection(spark)
+      .where(col(idColumn).isNotNull && col(vectorColumn).isNotNull)
+    val n = corpusSizeHint.getOrElse(base.count())
+    if (n < 2) TestResult.success(description) // no evidence
+    else {
+      // deterministic hash-stride query sample, capped at nQueries by id
+      val step = math.max(1L, n / nQueries)
+      val queries = base
+        .where(pmod(xxhash64(col(idColumn)), lit(step)) === 0)
+        .sort(col(idColumn))
+        .limit(nQueries)
+      val truth = graft.core.Blocks.checkpoint(
+        S.bruteForceTopK(base, queries, idColumn, vectorColumn, k)
+          .select(col("query_id"), col("neighbor_id")))
+      try {
+        val nTruth = truth.count()
+        if (nTruth == 0L) TestResult.success(description) // no evidence
+        else {
+          val approx =
+            if (method == "lsh")
+              S.lshTopKAuto(base, queries, idColumn, vectorColumn, k,
+                corpusSize = n)
+            else
+              S.ivfTopKAuto(base, queries, idColumn, vectorColumn, k,
+                corpusSize = n)
+          val hit = truth.join(
+            approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi").count()
+          val recall = hit.toDouble / nTruth
+          val target = refValue.get
+          if (recall >= target) TestResult.success(description)
+          else TestResult.failure(
+            description,
+            s"$method ANN recall@$k of $vectorColumn on ${ref.describe} is " +
+              s"$recall ($hit of $nTruth true neighbors over " +
+              s"${math.min(nQueries, nTruth / math.max(1, k)).max(1)} sampled " +
+              s"queries) while at least $target was required.")
+        }
+      } finally graft.core.Blocks.release(truth)
+    }
+  }
+}

@@ -374,6 +374,29 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the corpus-aware approximate-similarity index
+    * (`method` lsh or ivf) must reach at least `minRecall` recall@`k`
+    * against exact brute-force ground truth over a deterministic sampled
+    * query set ([[graft.constraints.MinAnnRecall]]) — index quality as a
+    * declarable budget.
+    */
+  def addMinAnnRecallConstraint(
+      idColumn: String,
+      vectorColumn: String,
+      minRecall: Double,
+      k: Int = 10,
+      nQueries: Int = 200,
+      method: String = "lsh",
+      corpusSizeHint: Option[Long] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinAnnRecall(
+      ref(Some(Seq(idColumn, vectorColumn)), condition), idColumn,
+      vectorColumn, Some(minRecall), k, nQueries, method, corpusSizeHint,
+      nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).

@@ -628,6 +628,33 @@ class StatsSpec extends AnyFunSuite {
       refValue = Some(0.0)).test(spark).outcome)
   }
 
+  test("MinAnnRecall: auto paths pass a sane floor; starved index fails; empty vacuous") {
+    import graft.core.{DataRef, FrameSource}
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ref = DataRef(FrameSource(v, "ann_t"))
+    // the honest corpus-size: both autos are near-exhaustive at this scale
+    assert(graft.constraints.MinAnnRecall(
+      ref, "vec_id", "embedding", Some(0.5), k = 3, nQueries = 20).test(spark).outcome)
+    assert(graft.constraints.MinAnnRecall(
+      ref, "vec_id", "embedding", Some(0.5), k = 3, nQueries = 20,
+      method = "ivf").test(spark).outcome)
+    // failure branch: at 2000 vectors the lsh auto is bounded (16 of 32
+    // buckets per table x 3 tables) and measurably misses ~2% of true
+    // neighbors — a 0.999 floor fails deterministically (fixed data,
+    // fixed hashes)
+    val v2 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val starved = graft.constraints.MinAnnRecall(
+      DataRef(FrameSource(v2, "ann_f")), "vec_id", "embedding", Some(0.999),
+      k = 10, nQueries = 200, method = "lsh").test(spark)
+    assert(!starved.outcome)
+    assert(starved.failureMessage.exists(_.contains("ANN recall")))
+    // empty input: vacuous
+    val empty = DataRef(FrameSource(
+      v.where(org.apache.spark.sql.functions.lit(false)), "ann_e"))
+    assert(graft.constraints.MinAnnRecall(
+      empty, "vec_id", "embedding", Some(0.9)).test(spark).outcome)
+  }
+
   test("TrimmedMeanBetween / MaxConcentration constraints: gates pass/fail") {
     import spark.implicits._
     import graft.core.{DataRef, FrameSource}
