@@ -262,18 +262,32 @@ final case class MinAnnRecall(
     val n = corpusSizeHint.getOrElse(base.count())
     if (n < 2) TestResult.success(description) // no evidence
     else {
-      // deterministic hash-stride query sample, capped at nQueries by id
+      // deterministic hash-stride query sample, capped at nQueries by id.
+      // An OVERSIZED corpusSizeHint inflates the stride until the hash
+      // sample comes back empty — without the fallback below that would be
+      // a silent vacuous PASS on a populated corpus (the
+      // MaxConcentration/MinBootstrapMeanLowerBound silent-vacuous class):
+      // when the stride sample yields no truth rows, fall back to the
+      // first nQueries vectors by id, which is non-empty whenever the
+      // corpus is.
       val step = math.max(1L, n / nQueries)
-      val queries = base
+      val strideQueries = base
         .where(pmod(xxhash64(col(idColumn)), lit(step)) === 0)
         .sort(col(idColumn))
         .limit(nQueries)
-      val truth = graft.core.Blocks.checkpoint(
-        S.bruteForceTopK(base, queries, idColumn, vectorColumn, k)
+      def truthFor(qs: org.apache.spark.sql.DataFrame) = graft.core.Blocks.checkpoint(
+        S.bruteForceTopK(base, qs, idColumn, vectorColumn, k)
           .select(col("query_id"), col("neighbor_id")))
+      var queries = strideQueries
+      var truth = truthFor(queries)
+      if (truth.count() == 0L) {
+        graft.core.Blocks.release(truth)
+        queries = base.sort(col(idColumn)).limit(nQueries)
+        truth = truthFor(queries)
+      }
       try {
         val nTruth = truth.count()
-        if (nTruth == 0L) TestResult.success(description) // no evidence
+        if (nTruth == 0L) TestResult.success(description) // genuinely < 2 rows
         else {
           val approx =
             if (method == "lsh")

@@ -50,6 +50,24 @@ object Dedup {
     if (parts < target) df.repartition(target) else df
   }
 
+  /** 128-bit fast fingerprint: two independent xxhash64 evaluations (the
+    * second seeded by an extra constant column) packed in a struct. The
+    * exact-dedup family (dedupParagraphs, removeBoilerplate,
+    * duplicatedSpans/removeDuplicatedSpans, ngramNovelty) DELETES text on
+    * fingerprint equality, so a single 64-bit key is not enough at corpus
+    * scale — birthday collisions become expected around ~5e9 distinct
+    * paragraphs/windows (a realistic 100 TB corpus), silently merging
+    * unrelated text. Two independent 64-bit halves push that to ~1e19
+    * distinct keys while keeping the md5 flavor's 13× cost win: the struct
+    * is 16 bytes on the shuffle (vs md5's 32-char string) and both halves
+    * are the codegen'd xxhash64 kernel. Grouping/joining on the struct is
+    * exactly as cheap as on a long2 key.
+    */
+  private def fp128(parts: Column*): Column =
+    struct(
+      xxhash64(parts: _*).as("h1"),
+      xxhash64((lit(0x9E3779B97F4A7C15L) +: parts): _*).as("h2"))
+
   /** Character k-shingles of `text` as a distinct array. The text expression
     * is lambda-bound (Hof.bound) so expensive inputs (e.g. regex-normalized
     * text) evaluate once per row, not once per shingle position.
@@ -842,10 +860,11 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
       .toDF(idCol, "dj_pos", "dj_para")
     // fingerprint is a grouping key only (never output): fast flavor is the
-    // codegen'd xxhash64; md5 stays behind the flag for plain-SQL re-derivation
+    // 128-bit two-seed xxhash64 struct (collision-safe at corpus scale —
+    // see fp128); md5 stays behind the flag for plain-SQL re-derivation
     val keyed = parts
       .withColumn("dj_fp",
-        if (md5Flavor) md5(col("dj_para").cast("binary")) else xxhash64(col("dj_para")))
+        if (md5Flavor) md5(col("dj_para").cast("binary")) else fp128(col("dj_para")))
       .withColumn("dj_dedupable", length(col("dj_para")) >= minParagraphChars)
     val firsts = keyed
       .where(col("dj_dedupable"))
@@ -900,7 +919,8 @@ object Dedup {
     val base = spread(
       df.where(col(textCol).isNotNull).select(keep :+ col(textCol): _*))
     // fingerprint is a grouping key only (never output): fast flavor is the
-    // codegen'd xxhash64; md5 stays behind the flag for plain-SQL re-derivation
+    // 128-bit two-seed xxhash64 struct (collision-safe at corpus scale —
+    // see fp128); md5 stays behind the flag for plain-SQL re-derivation
     val units = base
       .select(
         col(idCol),
@@ -908,7 +928,7 @@ object Dedup {
         posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter))))
       .toDF(idCol, "dj_grp", "dj_pos", "dj_unit")
       .withColumn("dj_fp",
-        if (md5Flavor) md5(col("dj_unit").cast("binary")) else xxhash64(col("dj_unit")))
+        if (md5Flavor) md5(col("dj_unit").cast("binary")) else fp128(col("dj_unit")))
     // tiny: one row per group (one row total when ungrouped) — broadcast
     val groupDocs = broadcast(
       base.groupBy(g.as("dj_grp")).agg(count(lit(1)).as("dj_group_docs")))
@@ -1193,9 +1213,11 @@ object Dedup {
     // agg + join-back); no hash value reaches the output, so any
     // collision-resistant hash yields the same result. Default (fast)
     // flavor: hash every token ONCE with xxhash64 per row, then
-    // fingerprint each window as xxhash64 of its 64-bit token-hash slice —
-    // no per-window string build, no cryptographic digest (the
-    // tools.BootProbe-measured 13× pattern, same as Dsir/bootstrapMeanCI).
+    // fingerprint each window as the 128-bit fp128 struct over its 64-bit
+    // token-hash slice — no per-window string build, no cryptographic
+    // digest (the tools.BootProbe-measured 13× pattern, same as
+    // Dsir/bootstrapMeanCI), and collision-safe at corpus scale (these
+    // flags DELETE text — see fp128).
     // Tokens are whitespace-split, so the two flavors group identically:
     // a space-joined window string determines its token list and thus its
     // token-hash slice. `md5Flavor = true` keeps the md5-of-joined-window
@@ -1217,7 +1239,7 @@ object Dedup {
             sequence(lit(1), (size(hs) - l + 1).cast("int")),
             i => struct(
               i.as("dj_pos"),
-              xxhash64(slice(hs, i, lit(l))).as("dj_fp")))
+              fp128(slice(hs, i, lit(l))).as("dj_fp")))
         }
     val wins = toksDf
       .where(col("dj_n") >= l)
@@ -1311,8 +1333,10 @@ object Dedup {
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
       .select(col(idCol), size(col("dj_toks")).cast("long").as("dj_n"), col("dj_toks"))
     // hash-flavor contract identical to [[duplicatedSpans]]: fingerprints
-    // are grouping keys only, fast flavor = xxhash64 over the per-row
-    // token-hash slice, md5 flavor = md5 of the space-joined window
+    // are grouping keys only, fast flavor = the 128-bit fp128 struct over
+    // the per-row token-hash slice (collision-safe at corpus scale — a
+    // collision here MISLABELS a window as seen-elsewhere), md5 flavor =
+    // md5 of the space-joined window
     val fpArr: Column =
       if (md5Flavor)
         graft.ops.Hof.bound(col("dj_toks")) { t =>
@@ -1324,7 +1348,7 @@ object Dedup {
         graft.ops.Hof.bound(transform(col("dj_toks"), tk => xxhash64(tk))) { hs =>
           transform(
             sequence(lit(1), (size(hs) - l + 1).cast("int")),
-            i => xxhash64(slice(hs, i, lit(l))))
+            i => fp128(slice(hs, i, lit(l))))
         }
     val fps = toksDf
       .where(col("dj_n") >= l)

@@ -267,6 +267,13 @@ object Similarity {
       nTables: Int = 1,
       probeBudget: Int = 0): DataFrame = {
     require(nTables >= 1, s"nTables must be positive: $nTables")
+    // knob precedence is explicit, not silent: probeBudget > 0 selects the
+    // ranked multi-probe algorithm (which also tightens `bits` to ≤ 20), so
+    // combining it with multiProbe = false would silently hand the caller a
+    // different algorithm than the flag asked for
+    require(probeBudget == 0 || multiProbe,
+      "probeBudget > 0 selects margin-ranked multi-probing and cannot be " +
+        "combined with multiProbe = false; drop one of the two settings")
     if (probeBudget > 0)
       // margin-ranked multi-probe (Lv et al. 2007, "Multi-Probe LSH"):
       // probe the `probeBudget` buckets per table most likely to hold the

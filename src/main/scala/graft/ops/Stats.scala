@@ -768,9 +768,14 @@ object Stats {
     // weight past decimal(19,0) would go NULL under non-ANSI arithmetic
     // and sum() would silently DROP the row — partial mass, no error.
     // 9e18 is conservatively inside the 19-digit range.
+    // the guard product is evaluated in DOUBLE: in the column's native type
+    // a LONG weight would WRAP under non-ANSI semantics (w=1e18·scale=100
+    // goes negative) and a DECIMAL would go NULL — either way the >= 9e18
+    // predicate is false/null and the guard passes on exactly the overflow
+    // it exists to catch
     val tooBig = df
       .where(col(weightCol).isNotNull &&
-        abs(col(weightCol)) * weightScale >= lit(9.0e18))
+        abs(col(weightCol).cast("double")) * weightScale >= lit(9.0e18))
       .head(1)
     require(tooBig.isEmpty,
       s"concentrationProfile: |$weightCol|·weightScale ≥ 9e18 (e.g. " +

@@ -653,6 +653,16 @@ class StatsSpec extends AnyFunSuite {
       v.where(org.apache.spark.sql.functions.lit(false)), "ann_e"))
     assert(graft.constraints.MinAnnRecall(
       empty, "vec_id", "embedding", Some(0.9)).test(spark).outcome)
+    // an OVERSIZED corpusSizeHint (1e12 on ~2k rows) empties the
+    // hash-stride query sample AND starves the auto index sizing — the
+    // silent-vacuous hole was a PASS here; the fallback query sample must
+    // instead measure the (near-zero) recall and fail LOUDLY
+    val oversized = graft.constraints.MinAnnRecall(
+      ref, "vec_id", "embedding", Some(0.5), k = 3, nQueries = 20,
+      corpusSizeHint = Some(1000000000000L)).test(spark)
+    assert(!oversized.outcome,
+      "an oversized corpusSizeHint must not produce a vacuous pass")
+    assert(oversized.failureMessage.exists(_.contains("ANN recall")))
   }
 
   test("TrimmedMeanBetween / MaxConcentration constraints: gates pass/fail") {
