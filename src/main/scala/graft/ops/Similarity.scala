@@ -505,6 +505,85 @@ object Similarity {
       struct(lit(cid).as("cid"), array(v.map(lit): _*).as("cvec"))
     }: _*)
 
+  /** Broadcast-centroid argmin — THE shared kernel behind every
+    * large-centroid-set assignment in this file (corpus cluster
+    * assignment, query probe ranking, Lloyd refinement, IMI half
+    * quantizers, SemDeDup assignment; formerly six near-identical inline
+    * blocks — the r10 review finding). Every row of `rows` is scored
+    * against every row of the (tiny, broadcast) `centDf`; the `howMany`
+    * best cells per id by ascending (negScore, cid) come back as
+    * (idName, dj_cell_cid, dj_cell_neg, dj_cell_rk).
+    *
+    * Plan shape by `howMany`:
+    *   - 1 → map-side-combined `min(struct(neg, cid))` aggregate — the
+    *     partial-agg shape that reduces n·k scored rows to one row per id
+    *     per partition BEFORE the shuffle;
+    *   - >1 → per-id window over the scored rows (each partition holds
+    *     exactly nCentroids rows per id — bounded, no data skew possible).
+    * The two are argmin-identical: `min(struct)` ≡ window row 1 under the
+    * same (neg, cid) order.
+    *
+    * LOUD id contract (the ≤256-switch discontinuity fix): ids must be
+    * unique and non-null. The literal-array small paths score each row
+    * independently, so duplicate ids there cluster per-row; this keyed
+    * argmin would instead silently compute ONE shared argmin over the
+    * union of the duplicates' scores — the same data clustering
+    * differently depending on which side of the centroid-count switch it
+    * lands. Rather than silently diverge, every id is checked at scoring
+    * time: an id whose scored-row count differs from nCentroids (duplicate
+    * id) or a null id raises. The check is a per-group count inside the
+    * aggregate/window the plan already runs — no extra job, no extra
+    * shuffle.
+    */
+  private def bestCellsBroadcast(
+      rows: DataFrame,
+      idName: String,
+      centDf: DataFrame,
+      cidName: String,
+      negScore: Column,
+      howMany: Int,
+      nCentroids: Int): DataFrame = {
+    val scored = rows
+      .crossJoin(broadcast(centDf))
+      .select(
+        col(idName),
+        struct(negScore.as("neg"), col(cidName).as("cid")).as("dj_sc"))
+    def checked(withCount: DataFrame): DataFrame = withCount.where(
+      assert_true(
+        col(idName).isNotNull && col("dj_cc") === lit(nCentroids.toLong),
+        concat(
+          lit(s"broadcast argmin over '$idName': ids must be unique and " +
+            s"non-null by contract; id "),
+          coalesce(col(idName).cast("string"), lit("NULL")),
+          lit(" scored "), col("dj_cc").cast("string"),
+          lit(s" rows against $nCentroids centroids"))).isNull)
+    if (howMany == 1)
+      checked(
+        scored
+          .groupBy(idName)
+          .agg(min(col("dj_sc")).as("dj_best"), count(lit(1)).as("dj_cc")))
+        .select(
+          col(idName),
+          col("dj_best.cid").as("dj_cell_cid"),
+          col("dj_best.neg").as("dj_cell_neg"),
+          lit(1).as("dj_cell_rk"))
+    else {
+      val w = Window.partitionBy(idName)
+      checked(
+        scored
+          .withColumn("dj_cc", count(lit(1)).over(w))
+          .withColumn(
+            "dj_cell_rk",
+            row_number().over(w.orderBy(col("dj_sc")))))
+        .where(col("dj_cell_rk") <= howMany)
+        .select(
+          col(idName),
+          col("dj_sc.cid").as("dj_cell_cid"),
+          col("dj_sc.neg").as("dj_cell_neg"),
+          col("dj_cell_rk"))
+    }
+  }
+
   /** The `howMany` centroid ids nearest to `vec` by dot product, nearest
     * first, ties broken by ascending centroid id.
     */
@@ -582,35 +661,29 @@ object Similarity {
         } else {
           // large k: the literal path evaluates k interpreted dots per
           // corpus row PER ITERATION (a 1000-cell fit measured minutes at
-          // 200k rows) — broadcast the float centroid table, score with
-          // the native dot kernel, argmin via a map-side-combined
-          // min(struct). Same argmax-by-dot / ties-by-cid semantics;
-          // float-cast centroids only perturb ties, and Lloyd refinement
-          // is already deterministic only up to summation order.
+          // 200k rows) — bestCellsBroadcast over the float centroid table
+          // with the native dot kernel. Same argmax-by-dot / ties-by-cid
+          // semantics; float-cast centroids only perturb ties, and Lloyd
+          // refinement is already deterministic only up to summation
+          // order. The vector joins BACK by id (carrying the array
+          // through the n·k-row aggregate as first(vec) deopts the hash
+          // aggregate — measured ~165 s/iteration at 200k×1000 vs ~2 s
+          // this way); null-id rows can't key an argmin and sit out the
+          // refinement, duplicate ids fail loudly in the helper.
           val spark = vectors.sparkSession
           import spark.implicits._
           import graft.functions.DotProductFloat.dotF
           val centDf = broadcast(centroids.map { case (cid, v) =>
             (cid, v.map(_.toFloat).toArray)
           }.toDF("dj_cid", "dj_cvec"))
-          // argmin keyed by the (unique-by-contract) id; the vector joins
-          // BACK by id afterwards. Carrying the array through the n·k-row
-          // aggregate as first(vec) instead deopts the hash aggregate
-          // (measured ~165 s/iteration at 200k×1000 vs ~2 s this way);
-          // null-id rows can't key an argmin and sit out the refinement.
           val rows = nonNull
             .where(col(idCol).isNotNull)
             .select(col(idCol).as("dj_id"), col(vecCol).as("dj_vec"))
-          val bestCid = rows
-            .crossJoin(centDf)
-            .select(
-              col("dj_id"),
-              struct(
-                (-dotF(col("dj_vec"), col("dj_cvec"))).as("neg"),
-                col("dj_cid").as("cid")).as("dj_score"))
-            .groupBy("dj_id")
-            .agg(min(col("dj_score")).as("dj_best"))
-            .select(col("dj_id"), col("dj_best.cid").as("dj_cluster"))
+          val bestCid = bestCellsBroadcast(
+            rows, "dj_id", centDf, "dj_cid",
+            -dotF(col("dj_vec"), col("dj_cvec")),
+            howMany = 1, nCentroids = centroids.size)
+            .select(col("dj_id"), col("dj_cell_cid").as("dj_cluster"))
           rows
             .join(bestCid, Seq("dj_id"))
             .select(col("dj_vec"), col("dj_cluster"))
@@ -715,16 +788,11 @@ object Similarity {
       val base = vectors
         .where(col(idCol).isNotNull)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-      val best = base
-        .crossJoin(centDf)
-        .select(
-          col("neighbor_id"),
-          struct(
-            (-dotF(col("vec"), col("dj_cvec"))).as("neg"),
-            col("dj_cid").as("cid")).as("dj_score"))
-        .groupBy("neighbor_id")
-        .agg(min(col("dj_score")).as("dj_best"))
-        .select(col("neighbor_id"), col("dj_best.cid").as("cluster"))
+      val best = bestCellsBroadcast(
+        base, "neighbor_id", centDf, "dj_cid",
+        -dotF(col("vec"), col("dj_cvec")),
+        howMany = 1, nCentroids = centroids.size)
+        .select(col("neighbor_id"), col("dj_cell_cid").as("cluster"))
       base.join(best, Seq("neighbor_id"))
     }
 
@@ -752,16 +820,16 @@ object Similarity {
       val centDf = broadcast(centroids.map { case (cid, v) =>
         (cid, v.map(_.toFloat).toArray)
       }.toDF("dj_cid", "dj_cvec"))
-      queries
+      val qBase = queries
         .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-        .crossJoin(centDf)
-        .withColumn("dj_neg", -dotF(col("query_vec"), col("dj_cvec")))
-        .withColumn(
-          "dj_crank",
-          row_number().over(
-            Window.partitionBy("query_id").orderBy(col("dj_neg"), col("dj_cid"))))
-        .where(col("dj_crank") <= nProbe)
-        .select(col("query_id"), col("query_vec"), col("dj_cid").as("cluster"))
+      qBase.join(
+        bestCellsBroadcast(
+          qBase, "query_id", centDf, "dj_cid",
+          -dotF(col("query_vec"), col("dj_cvec")),
+          howMany = nProbe, nCentroids = centroids.size)
+          .select(col("query_id"), col("dj_cell_cid").as("cluster")),
+        Seq("query_id"))
+        .select(col("query_id"), col("query_vec"), col("cluster"))
     }
 
   /** IVF with a SKETCH-PREFILTER + EXACT-RERANK stage (the IVFADC
@@ -832,33 +900,26 @@ object Similarity {
     // NaN path a zero vector would otherwise hit.
     def negCos(vec: Column): Column =
       -(dotF(vec, col("dj_cvec")) / col("dj_cnorm"))
-    val best = base
-      .crossJoin(centDf)
-      .select(
-        col("neighbor_id"),
-        struct(
-          negCos(col("vec")).as("neg"),
-          col("dj_cid").as("cid")).as("dj_score"))
-      .groupBy("neighbor_id")
-      .agg(min(col("dj_score")).as("dj_best"))
-      .select(col("neighbor_id"), col("dj_best.cid").as("cluster"))
+    val best = bestCellsBroadcast(
+      base, "neighbor_id", centDf, "dj_cid",
+      negCos(col("vec")), howMany = 1, nCentroids = centroids.size)
+      .select(col("neighbor_id"), col("dj_cell_cid").as("cluster"))
     val corpus = base.join(best, Seq("neighbor_id"))
     // query probes: same broadcast-scored shape, top-nProbe cells per
     // query via a per-query window (queries are few by contract)
-    val q = queries
+    val qBase = queries
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("query_vec"),
         lshKey(col(vecCol), sketchPlanes).as("dj_qsk"))
-      .crossJoin(centDf)
-      .withColumn("dj_neg", negCos(col("query_vec")))
-      .withColumn(
-        "dj_crank",
-        row_number().over(
-          Window.partitionBy("query_id").orderBy(col("dj_neg"), col("dj_cid"))))
-      .where(col("dj_crank") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("dj_qsk"),
-        col("dj_cid").as("cluster"))
+    val q = qBase.join(
+      bestCellsBroadcast(
+        qBase, "query_id", centDf, "dj_cid",
+        negCos(col("query_vec")), howMany = nProbe,
+        nCentroids = centroids.size)
+        .select(col("query_id"), col("dj_cell_cid").as("cluster")),
+      Seq("query_id"))
+      .select(col("query_id"), col("query_vec"), col("dj_qsk"), col("cluster"))
     val pool = corpus
       .join(broadcast(q), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -945,17 +1006,12 @@ object Similarity {
     val base = vectors
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-    def corpusHalf(h: Int) = base
-      .select(col("neighbor_id"), halfCol(col("vec"), h).as("dj_h"))
-      .crossJoin(centDfOf(h))
-      .select(
-        col("neighbor_id"),
-        struct(
-          (-dotF(col("dj_h"), col(s"dj_cvec$h"))).as("neg"),
-          col(s"dj_cid$h").as("cid")).as("dj_score"))
-      .groupBy("neighbor_id")
-      .agg(min(col("dj_score")).as("dj_best"))
-      .select(col("neighbor_id"), col(s"dj_best.cid").as(s"dj_c$h"))
+    def corpusHalf(h: Int) = bestCellsBroadcast(
+      base.select(col("neighbor_id"), halfCol(col("vec"), h).as("dj_h")),
+      "neighbor_id", centDfOf(h), s"dj_cid$h",
+      -dotF(col("dj_h"), col(s"dj_cvec$h")),
+      howMany = 1, nCentroids = cents(h).size)
+      .select(col("neighbor_id"), col("dj_cell_cid").as(s"dj_c$h"))
     val corpus = base
       .join(corpusHalf(0), Seq("neighbor_id"))
       .join(corpusHalf(1), Seq("neighbor_id"))
@@ -963,17 +1019,15 @@ object Similarity {
         col("neighbor_id"), col("vec"),
         struct(col("dj_c0"), col("dj_c1")).as("cluster"))
     // queries: per-half shortlist, pair grid ranked by summed similarity
-    def queryHalf(h: Int) = queries
-      .select(col(idCol).as("query_id"), halfCol(col(vecCol), h).as("dj_h"))
-      .crossJoin(centDfOf(h))
-      .withColumn(s"dj_neg$h", -dotF(col("dj_h"), col(s"dj_cvec$h")))
-      .withColumn(
-        "dj_hrank",
-        row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col(s"dj_neg$h"), col(s"dj_cid$h"))))
-      .where(col("dj_hrank") <= halfShortlist)
-      .select(col("query_id"), col(s"dj_cid$h"), col(s"dj_neg$h"))
+    def queryHalf(h: Int) = bestCellsBroadcast(
+      queries.select(col(idCol).as("query_id"), halfCol(col(vecCol), h).as("dj_h")),
+      "query_id", centDfOf(h), s"dj_cid$h",
+      -dotF(col("dj_h"), col(s"dj_cvec$h")),
+      howMany = halfShortlist, nCentroids = cents(h).size)
+      .select(
+        col("query_id"),
+        col("dj_cell_cid").as(s"dj_cid$h"),
+        col("dj_cell_neg").as(s"dj_neg$h"))
     val q = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
       .join(queryHalf(0), Seq("query_id"))
@@ -1352,42 +1406,21 @@ object Similarity {
         val spark = vectors.sparkSession
         import spark.implicits._
         val centDf = broadcast(withNorms.toDF("dj_cid", "dj_cvec", "dj_cnorm"))
-        val scoredRows = base
-          .withColumn("dj_nrm", norm(col("vec")))
-          .crossJoin(centDf)
+        // top-p per id via the shared broadcast-argmin kernel: p = 1 rides
+        // the partial-agg min(struct) shape, p > 1 the per-id window (each
+        // partition holds exactly nCentroids rows — bounded, no skew)
+        val best = bestCellsBroadcast(
+          base.withColumn("dj_nrm", norm(col("vec"))),
+          idCol, centDf, "dj_cid",
+          -round(
+            dot(col("vec"), col("dj_cvec")) /
+              (col("dj_nrm") * col("dj_cnorm")),
+            6),
+          howMany = nProbes, nCentroids = centroids.size)
           .select(
             col(idCol),
-            struct(
-              (-round(
-                dot(col("vec"), col("dj_cvec")) /
-                  (col("dj_nrm") * col("dj_cnorm")),
-                6)).as("neg"),
-              col("dj_cid").as("cid")).as("dj_score"))
-        val best =
-          if (nProbes == 1)
-            scoredRows
-              .groupBy(idCol)
-              .agg(min(col("dj_score")).as("dj_best"))
-              .select(
-                col(idCol),
-                col("dj_best.cid").as("cluster"),
-                lit(true).as("dj_primary"))
-          else
-            // top-p per id: a per-id window over the n·k scored rows — the
-            // partial-agg min(struct) trick can't keep p winners, and a
-            // p-sized collect state per id would not partial-aggregate
-            // either; each window partition holds exactly k rows (bounded
-            // by the centroid count, no data skew possible)
-            scoredRows
-              .withColumn(
-                "dj_rk",
-                row_number().over(
-                  Window.partitionBy(idCol).orderBy(col("dj_score"))))
-              .where(col("dj_rk") <= nProbes)
-              .select(
-                col(idCol),
-                col("dj_score.cid").as("cluster"),
-                (col("dj_rk") === 1).as("dj_primary"))
+            col("dj_cell_cid").as("cluster"),
+            (col("dj_cell_rk") === 1).as("dj_primary"))
         base.join(best, Seq(idCol))
           .select(col(idCol), col("vec"), col("cluster"), col("dj_primary"))
       }

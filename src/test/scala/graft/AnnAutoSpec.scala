@@ -89,4 +89,24 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(lsh >= 0.9, s"auto LSH recall $lsh")
     assert(ivf >= 0.9, s"auto IVF recall $ivf")
   }
+
+  test("broadcast argmin paths fail LOUDLY on duplicate ids (no silent merge)") {
+    // the >256-centroid keyed argmin computes one shared argmin per id; a
+    // duplicate id would silently cluster differently than the literal
+    // path scores it (the r10 advice finding) — the shared kernel now
+    // raises at scoring time instead
+    import spark.implicits._
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dup = v.limit(400).union(v.limit(1)) // one duplicated vec_id
+    val e = intercept[Exception] {
+      Similarity.semanticNearDups(
+        dup, "vec_id", "embedding", threshold = 0.3,
+        nClusters = 300, corpusSize = Some(400),
+        maxLiteralCentroids = 256).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unique and non-null")),
+      s"expected the loud id-contract error, got: ${msgs(e).mkString(" | ")}")
+  }
 }
