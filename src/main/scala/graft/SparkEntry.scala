@@ -3056,16 +3056,16 @@ object SparkEntry {
     // (both engines round to 6 before comparing, so a last-ulp float/double
     // divergence can't flip a pair in or out)
     "q_embedding_neardup" -> { (s, dir) =>
-      // corpus-scaled key width: nearDupBits stays 32 at every gate scale
-      // (≤ ~65k rows → oracle-identical) and widens beyond, so the bench's
-      // 100× leg runs ~32-member expected cells instead of cap-saturated
-      // ones (the fixed-32-bit spelling produced a ~300M-pair candidate
-      // set there and failed its verification join)
+      // corpus-scaled key width WITHOUT a caller-side count: the auto
+      // flavor sizes nearDupBits off its own compact (id, key) checkpoint
+      // — stays 32 bits at every gate scale (≤ ~8k rows → oracle-
+      // identical) and widens on the bench's 100× legs so cells hold ~32
+      // expected members instead of cap-saturating (the fixed-32-bit
+      // spelling produced a ~300M-pair candidate set there). The r10 gate
+      // paid a full vecs.count() scan per invocation just to size the key.
       val vecs = s.read.parquet(pq(dir, "embeddings"))
       graft.ops.Similarity
-        .embeddingNearDups(
-          vecs, "vec_id", "embedding", threshold = 0.3495,
-          bits = graft.ops.Similarity.nearDupBits(vecs.count()))
+        .embeddingNearDupsAuto(vecs, "vec_id", "embedding", threshold = 0.3495)
         .select(
           col("id1"), col("id2"),
           round(col("cosine"), 6).as("cosine"),

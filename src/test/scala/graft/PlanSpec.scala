@@ -540,4 +540,51 @@ class PlanSpec extends AnyFunSuite {
     assert(zp.contains("TakeOrderedAndProject"),
       s"zipf top-k did not collapse to TakeOrderedAndProject:\n$zp")
   }
+
+  test("embeddingNearDupsAuto: bit-identical to the counted spelling, no extra scan job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val vectors = spark.read.parquet(s"$dir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        body
+        Thread.sleep(500) // listener bus drains asynchronously
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    var auto: Set[(Long, Long)] = null
+    var manual: Set[(Long, Long)] = null
+    // the r10 gate spelling: an external count() scan just to size the key
+    val manualJobs = countJobs {
+      manual = rows(Similarity.embeddingNearDups(
+        vectors, "vec_id", "embedding", threshold = 0.3495,
+        bits = Similarity.nearDupBits(vectors.count())))
+    }
+    val autoJobs = countJobs {
+      auto = rows(Similarity.embeddingNearDupsAuto(
+        vectors, "vec_id", "embedding", threshold = 0.3495))
+    }
+    // prefix property: the wide-key slices select the same planes the
+    // narrow key would compute, so the pair sets match exactly
+    assert(auto === manual, "auto flavor diverged from the counted spelling")
+    assert(autoJobs <= manualJobs,
+      s"auto flavor should not run MORE jobs than count+explicit ($autoJobs vs $manualJobs)")
+    // with the hint supplied, even the compact-checkpoint count disappears
+    val n = vectors.count()
+    val hintedJobs = countJobs {
+      auto = rows(Similarity.embeddingNearDupsAuto(
+        vectors, "vec_id", "embedding", threshold = 0.3495,
+        corpusSize = Some(n)))
+    }
+    assert(auto === manual, "hinted auto flavor diverged")
+    assert(hintedJobs < manualJobs,
+      s"the corpusSize hint must drop a job ($hintedJobs vs $manualJobs)")
+  }
 }
