@@ -803,6 +803,36 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // incremental dedup against a PERSISTED corpus index: the odd half is
+    // the already-ingested corpus (fingerprinted once into a DedupIndex —
+    // bucketed signature/bucket/size tables on disk), the even half is the
+    // arriving shard. Output is bit-identical to the batch
+    // crossNearDups(even, odd) recompute (DedupIndexSpec pins it), so the
+    // same exact-Jaccard oracle serves both. The index is keyed by the
+    // data dir + corpus file bytes and REUSED when present — the
+    // operational contract at 100 TB: build once, dedup every subsequent
+    // shard against it without re-fingerprinting the corpus.
+    "q_incremental_dedup" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val srcBytes = {
+        val f = new java.io.File(pq(dir, "documents"))
+        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
+        kids.map(k => k.length() + k.lastModified()).sum
+      }
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_dedup_index_" +
+          java.lang.Integer.toHexString(dir.hashCode) + "_" +
+          java.lang.Long.toHexString(srcBytes)).getAbsolutePath
+      if (!new java.io.File(path, "meta.json").exists())
+        graft.sources.DedupIndex.build(
+          docs.where(col("doc_id") % 2 === 1), "text", "doc_id", path)
+      graft.sources.DedupIndex
+        .incrementalNearDups(
+          docs.where(col("doc_id") % 2 === 0), "text", path, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ops.Dedup
@@ -5629,6 +5659,10 @@ object SparkEntry {
     "q_minhash_dedup" -> jaccardSql,
     // exact cross inverted-index Jaccard between the even/odd doc_id halves
     "q_cross_neardup" ->
+      jaccardSqlWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"),
+    // the incremental path must reproduce the batch cross recompute, so it
+    // answers to the SAME exact cross-Jaccard oracle
+    "q_incremental_dedup" ->
       jaccardSqlWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"),
     "q_embedding_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

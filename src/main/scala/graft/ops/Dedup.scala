@@ -228,7 +228,7 @@ object Dedup {
     * join's own broadcast decision (candidate set within the session's
     * broadcast budget).
     */
-  private def candidateSides(
+  private[graft] def candidateSides(
       df: DataFrame,
       textCol: String,
       idCol: String,

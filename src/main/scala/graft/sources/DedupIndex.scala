@@ -1,0 +1,346 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Persisted, incremental MinHash-LSH dedup index — the operate-at-100 TB
+  * contract the one-shot pipelines lack: every [[graft.ops.Dedup.crossNearDups]]
+  * call re-fingerprints BOTH corpora from raw text, but a production
+  * pipeline ingests shards incrementally against a corpus that was already
+  * fingerprinted yesterday. [[build]] pays the corpus pass once and
+  * persists the three frames every later shard needs; [[incrementalNearDups]]
+  * then answers "which new-shard docs near-duplicate the corpus" touching
+  * the corpus ONLY through the index — bit-identical to the batch
+  * `crossNearDups(shard, corpus)` recompute (spec-pinned), with the corpus
+  * shingling, banding, and bucket-size passes all amortized away.
+  *
+  * On-disk layout under `path` (a plain directory — portable, no metastore
+  * dependency):
+  *
+  *   - `meta.json` — build parameters (shingleK/numHashes/bands), bucket
+  *     count, id column name/type, format version;
+  *   - `buckets/` — (idCol, band, bucket) parquet, CLUSTERED BY
+  *     (band, bucket) INTO nBuckets — the LSH cells. Bucketed layout means
+  *     the shard-vs-corpus candidate join plans WITHOUT an exchange on the
+  *     corpus side: only the (small) shard's cells shuffle, the
+  *     corpus-sized frame streams straight off disk pre-partitioned;
+  *   - `sizes/` — (band, bucket, dj_bn) parquet, same bucket spec — the
+  *     per-cell membership counts, precomputed so the hot-cell cap filter
+  *     (`dj_bn <= maxBucketSize`) costs a co-bucketed join instead of a
+  *     corpus-wide count aggregate per shard;
+  *   - `payload/` — (idCol, shingle_hashes, signature) parquet, CLUSTERED
+  *     BY (idCol) — the exact-verification payload (sorted distinct
+  *     shingle hashes, 8 B per distinct shingle, parquet-compressed). This
+  *     is what "no re-fingerprinting" costs: candidate verification reads
+  *     only the candidate ids' rows (column-pruned, semi-join-reduced),
+  *     never the corpus text.
+  *
+  * Tables register in the session catalog as EXTERNAL (location-pinned)
+  * bucketed tables on [[open]] — re-registration is idempotent DDL, so the
+  * index outlives the session that built it (the in-memory catalog does
+  * not persist, the files and meta.json do).
+  *
+  * Reference behavior context: the reference caches retrieved results
+  * per-engine run (`base.py:160-171`); at Spark scale the analogue worth
+  * persisting is the INDEX, not the result — repeated validation runs and
+  * rolling ingestion reuse signatures/buckets across sessions.
+  */
+object DedupIndex {
+
+  /** Format version — bump on any layout/semantics change. */
+  private val Version = 1
+
+  final case class Meta(
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      nBuckets: Int,
+      idCol: String,
+      idType: String,
+      version: Int = Version)
+
+  private def metaPath(path: String) = s"$path/meta.json"
+
+  private def writeMeta(path: String, m: Meta): Unit = {
+    val json =
+      s"""{"shingle_k":${m.shingleK},"num_hashes":${m.numHashes},""" +
+        s""""bands":${m.bands},"n_buckets":${m.nBuckets},""" +
+        s""""id_col":"${m.idCol}","id_type":"${m.idType}",""" +
+        s""""version":${m.version}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(metaPath(path)),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Minimal flat-JSON field reader — the meta file is machine-written by
+    * [[writeMeta]] (one flat object, no nesting/escapes), so a regex field
+    * grab is exact here.
+    */
+  private def metaField(json: String, key: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\":(\"([^\"]*)\"|[^,}]*)")
+      .matcher(json)
+    require(m.find(), s"dedup index meta is missing field '$key'")
+    Option(m.group(2)).getOrElse(m.group(1))
+  }
+
+  def readMeta(path: String): Meta = {
+    val p = java.nio.file.Paths.get(metaPath(path))
+    require(java.nio.file.Files.exists(p),
+      s"no dedup index at $path (missing meta.json) — build(...) it first")
+    val json = new String(
+      java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = Meta(
+      shingleK = metaField(json, "shingle_k").toInt,
+      numHashes = metaField(json, "num_hashes").toInt,
+      bands = metaField(json, "bands").toInt,
+      nBuckets = metaField(json, "n_buckets").toInt,
+      idCol = metaField(json, "id_col"),
+      idType = metaField(json, "id_type"),
+      version = metaField(json, "version").toInt)
+    require(m.version == Version,
+      s"dedup index at $path has format version ${m.version}; " +
+        s"this build reads $Version — rebuild the index")
+    m
+  }
+
+  /** Deterministic catalog name for an index table: the path keys it, so
+    * re-opening the same index in any session lands on one name.
+    */
+  private def tableName(path: String, which: String): String = {
+    val h = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(path).getAbsolutePath).toLong & 0xffffffffL)
+    s"graft_dedup_idx_${which}_$h"
+  }
+
+  private def registerBucketed(
+      spark: SparkSession,
+      path: String,
+      which: String,
+      schemaDdl: String,
+      clusterCols: Seq[String],
+      nBuckets: Int): String = {
+    val name = tableName(path, which)
+    val loc = new java.io.File(s"$path/$which").getAbsolutePath
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY (${clusterCols.mkString(", ")})
+         |SORTED BY (${clusterCols.mkString(", ")})
+         |INTO $nBuckets BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    name
+  }
+
+  /** Build the index for `df` under `path` (overwriting any previous
+    * build): one shingling pass over the corpus text, one banding pass,
+    * one cell-count aggregate — the exact passes `crossNearDups` runs on
+    * its corpus side per call, paid once here. `nBuckets` is the storage
+    * bucket count (the unit of read parallelism for every later join —
+    * size it ~2-4× the executor-core count).
+    */
+  def build(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      nBuckets: Int = 32): Meta = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = df.sparkSession
+    new java.io.File(path).mkdirs()
+    graft.core.Blocks.scoped {
+      val idType = df.schema(idCol).dataType.sql
+      val meta = Meta(shingleK, numHashes, bands, nBuckets, idCol, idType)
+      // payload: (id, shingle_hashes, signature) — minhashed() is the
+      // same computation crossNearDups' verification side re-derives, so
+      // persisted values match the live recompute bit for bit
+      val payload = Dedup
+        .minhashed(df, textCol, idCol, shingleK, numHashes)
+        .select(col(idCol), col("shingle_hashes"), col("signature"))
+      payload.write
+        .mode("overwrite")
+        .bucketBy(nBuckets, idCol)
+        .sortBy(idCol)
+        .option("path", new java.io.File(s"$path/payload").getAbsolutePath)
+        .saveAsTable(tableName(path, "payload"))
+      // buckets: exactly crossNearDups' corpus-side cells (null ids can
+      // never pair — dropped before the size count, same boundary)
+      val signed = payload.select(col(idCol), col("signature"))
+      val buckets = Dedup.lshBuckets(signed, idCol, bands)
+        .where(col(idCol).isNotNull)
+      buckets.write
+        .mode("overwrite")
+        .bucketBy(nBuckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", new java.io.File(s"$path/buckets").getAbsolutePath)
+        .saveAsTable(tableName(path, "buckets"))
+      // sizes: per-cell membership counts off the just-written bucket
+      // table (bucketed scan → exchange-free aggregate), co-bucketed so
+      // the query-time cap filter joins without any exchange
+      val bucketsDf = spark.table(tableName(path, "buckets"))
+      bucketsDf
+        .groupBy("band", "bucket")
+        .agg(count(lit(1)).as("dj_bn"))
+        .write
+        .mode("overwrite")
+        .bucketBy(nBuckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", new java.io.File(s"$path/sizes").getAbsolutePath)
+        .saveAsTable(tableName(path, "sizes"))
+      writeMeta(path, meta)
+      meta
+    }
+  }
+
+  /** An opened index: catalog-registered bucketed frames + build meta. */
+  final case class Index(
+      meta: Meta,
+      buckets: DataFrame,
+      sizes: DataFrame,
+      payload: DataFrame)
+
+  /** Open (re-registering the external bucketed tables in this session's
+    * catalog — idempotent) an index previously written by [[build]], in
+    * this session or any earlier one.
+    */
+  def open(spark: SparkSession, path: String): Index = {
+    val m = readMeta(path)
+    val id = s"${m.idCol} ${m.idType}"
+    val bucketsName = registerBucketed(
+      spark, path, "buckets",
+      s"$id, band INT, bucket BIGINT",
+      Seq("band", "bucket"), m.nBuckets)
+    val sizesName = registerBucketed(
+      spark, path, "sizes",
+      "band INT, bucket BIGINT, dj_bn BIGINT",
+      Seq("band", "bucket"), m.nBuckets)
+    val payloadName = registerBucketed(
+      spark, path, "payload",
+      s"$id, shingle_hashes ARRAY<BIGINT>, signature ARRAY<BIGINT>",
+      Seq(m.idCol), m.nBuckets)
+    Index(m,
+      spark.table(bucketsName),
+      spark.table(sizesName),
+      spark.table(payloadName))
+  }
+
+  /** Near-duplicate pairs between a NEW shard and the indexed corpus —
+    * `crossNearDups(newShard, corpus)` with the corpus side served
+    * entirely by the index: (id1 ∈ shard, id2 ∈ corpus, jaccard ≥
+    * threshold), bit-identical to the batch recompute (spec-pinned).
+    *
+    * What the index amortizes per shard: the corpus shingling/signature
+    * pass (read from `payload/` for candidate ids only), the corpus
+    * banding pass (read from `buckets/`), and the corpus cell-count
+    * aggregate (read from `sizes/`). Plan shape: the corpus-side cap
+    * filter is a co-bucketed join (no exchange on either side), the
+    * candidate join shuffles ONLY the shard's cells to the corpus'
+    * bucketing, and verification is the same candidate-volume-sized
+    * strategy switch as the batch op.
+    *
+    * EAGER materialization contract: as [[graft.ops.Dedup.crossNearDups]]
+    * — construction runs the shard's shingling and the candidate join;
+    * only the exact-Jaccard verification is lazy in the returned frame.
+    * Release tracked intermediates with `Blocks.releaseAll()` after
+    * consuming.
+    */
+  def incrementalNearDups(
+      newShard: DataFrame,
+      textCol: String,
+      path: String,
+      threshold: Double = 0.6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = newShard.sparkSession
+    val idx = open(spark, path)
+    val m = idx.meta
+    val idCol = m.idCol
+    // shard side: live, exactly crossNearDups' dfA machinery
+    val signedA = Dedup.minhashSignatures(
+      newShard, textCol, idCol, m.shingleK, m.numHashes)
+    val bucketsA = graft.core.Blocks.checkpoint(
+      Dedup.lshBuckets(signedA, idCol, m.bands).where(col(idCol).isNotNull))
+    val cappedA = bucketsA.join(
+      bucketsA.groupBy("band", "bucket").agg(count(lit(1)).as("dj_bn"))
+        .where(col("dj_bn") <= maxBucketSize)
+        .select("band", "bucket"),
+      Seq("band", "bucket"))
+    // corpus side: the persisted cells, cap filter from the persisted
+    // counts — both co-bucketed, no corpus-side exchange, no count job
+    val cappedB = idx.buckets.join(
+      idx.sizes.where(col("dj_bn") <= maxBucketSize)
+        .select("band", "bucket"),
+      Seq("band", "bucket"))
+    val candidates = graft.core.Blocks.checkpoint(
+      cappedA
+        .select(col("band"), col("bucket"), col(idCol).as("id1"))
+        .join(
+          cappedB.select(col("band"), col("bucket"), col(idCol).as("id2")),
+          Seq("band", "bucket"))
+        .select("id1", "id2")
+        .distinct())
+    val nCand = candidates.count()
+    graft.core.Blocks.release(bucketsA)
+    graft.core.Blocks.release(signedA)
+    // same candidate-volume-sized strategy switch as crossNearDups: the
+    // shard side recomputes candidate payloads from text, the corpus side
+    // reads them from the index (values identical by determinism)
+    val small = nCand <= Dedup.pairBroadcastCap(spark)
+    val sidesA =
+      if (small)
+        Dedup.candidateSides(newShard, textCol, idCol, m.shingleK, m.numHashes,
+          candidates.select(col("id1").as(idCol)).distinct(),
+          broadcastIds = true)
+      else
+        Dedup.minhashed(newShard, textCol, idCol, m.shingleK, m.numHashes)
+          .select(col(idCol), col("shingle_hashes"), col("signature"))
+    val sidesB =
+      if (small)
+        idx.payload.join(
+          broadcast(candidates.select(col("id2").as(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+      else idx.payload
+    val estCutoff = math.max(0.0, threshold - 0.25)
+    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
+    Dedup.verifyPairs(candidates, nCand, sidesA, sidesB, idCol,
+      Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
+      .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
+      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Persist a fitted coarse quantizer (the [[graft.ops.Similarity]]
+    * centroid list) under `path/centroids` — IVF/SemDeDup geometry is the
+    * third thing a rolling pipeline should not re-fit per shard.
+    */
+  def saveCentroids(
+      spark: SparkSession,
+      path: String,
+      centroids: Seq[(Long, Seq[Double])]): Unit = {
+    import spark.implicits._
+    new java.io.File(path).mkdirs()
+    centroids.toDF("centroid_id", "centroid_vec")
+      .repartition(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(s"$path/centroids").getAbsolutePath)
+  }
+
+  /** Load a centroid list saved by [[saveCentroids]] — ascending id, the
+    * order [[graft.ops.Similarity.fitCentroids]] semantics expect.
+    */
+  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Double])] =
+    spark.read
+      .parquet(new java.io.File(s"$path/centroids").getAbsolutePath)
+      .sort(col("centroid_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+      .toSeq
+}
