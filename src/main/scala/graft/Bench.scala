@@ -249,19 +249,17 @@ object Bench {
       val (autoCents, autoProbe) = S.ivfAutoParams(n, k)
       val ivfAuto = recall(
         S.ivfTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
-      // IMI (product-cell) flavor at the same exact-scored fraction as the
-      // flat auto path: cellsPerHalf² cells for 2·cellsPerHalf half-dots
-      // of assignment — the affordable fine-cell path past the flat cap.
-      // Sized so probed/total ≈ autoProbe/autoCents.
-      val imiCph = math.max(4, math.min(128,
-        math.ceil(math.sqrt(autoCents.toDouble * 4)).toInt))
-      val imiCells = imiCph.toLong * imiCph
-      val imiProbe = math.max(1, math.min(imiCells,
-        math.ceil(autoProbe.toDouble / autoCents * imiCells)).toInt)
-      val imiRecall = recall(S.imiTopK(
-        v, queries, "vec_id", "embedding", k,
-        cellsPerHalf = imiCph, nProbeCells = imiProbe,
-        halfShortlist = math.min(imiCph, 96), corpusSize = Some(n)))
+      // IMI (product-cell) flavor, auto-sized with OCCUPANCY-BUDGETED
+      // probing at the same examined-fraction envelope as the flat auto
+      // path — the affordable fine-cell path past the flat assignment cap
+      val (imiCph, imiSl, imiBudget) = S.imiAutoParams(n, k)
+      val imiRecall = recall(
+        S.imiTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
+      // the single-entry-point dispatch: which method annTopKAuto picks
+      // for this corpus, and the recall it delivers
+      val annMethod = S.annAutoMethod(n, k)
+      val annAutoRecall = recall(
+        S.annTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
       // pair recall on the stride subsample, gate threshold (0.3495);
       // ~2000 vectors bounds the brute-force pair baseline at ~2M pairs
       // regardless of leg size
@@ -310,7 +308,10 @@ object Bench {
           s""""ivf_auto_recall":${r3(ivfAuto)},"ivf_auto_cells":$autoCents,""" +
           s""""ivf_auto_probe":$autoProbe,""" +
           s""""imi_recall":${r3(imiRecall)},"imi_cells_per_half":$imiCph,""" +
-          s""""imi_probe_cells":$imiProbe,""" +
+          s""""imi_shortlist":$imiSl,"imi_row_budget":$imiBudget,""" +
+          s""""imi_frac":${r3(imiBudget.toDouble / math.max(1L, n))},""" +
+          s""""ann_auto_method":"$annMethod",""" +
+          s""""ann_auto_recall":${r3(annAutoRecall)},""" +
           s""""semantic_pair_recall":${r3(semRecall)},""" +
           s""""semantic2_pair_recall":${r3(semRecall2)},""" +
           s""""semantic_auto_pair_recall":${r3(semAuto)},""" +

@@ -90,6 +90,51 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(ivf >= 0.9, s"auto IVF recall $ivf")
   }
 
+  test("imiAutoParams: ~2-member product cells, frontier shortlist, fraction budget") {
+    // the r11 sweep point: n = 200k → 512 half-cells (cap), shortlist 256,
+    // row budget = 0.1·n — measured recall 0.828 at sf10f
+    assert(Similarity.imiAutoParams(200000L) === ((512, 256, 20000L)))
+    val (cph, sl, bud) = Similarity.imiAutoParams(10000L)
+    assert(cph === math.ceil(math.sqrt(20000.0)).toInt && sl === cph)
+    assert(bud === 2048L) // candidateBudget floor beats the 0.1 fraction here
+    assert(Similarity.imiAutoParams(0L)._1 === 16)
+  }
+
+  test("annTopKAuto dispatches by corpus size and matches the method it names") {
+    assert(Similarity.annAutoMethod(1000L) === "lsh")
+    assert(Similarity.annAutoMethod(100000L) === "ivf")
+    assert(Similarity.annAutoMethod(1000000L) === "imi")
+    // on the fixture corpus the dispatcher picks lsh; its output must BE
+    // the lsh auto path's output
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = v.count()
+    assert(Similarity.annAutoMethod(n) === "lsh")
+    val queries = v.where(pmod(col("vec_id"), lit(20)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(
+      rows(Similarity.annTopKAuto(v, queries, "vec_id", "embedding", 5, n)) ===
+        rows(Similarity.lshTopKAuto(v, queries, "vec_id", "embedding", 5, n)))
+  }
+
+  test("budgeted IMI clears a 0.9 recall floor on unreplicated embeddings") {
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = v.count()
+    val k = 10
+    val queries = v.where(pmod(col("vec_id"), lit(5)) === 0)
+    val truth = Similarity
+      .bruteForceTopK(v, queries, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity
+      .imiTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Blocks.releaseAll()
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"budgeted IMI recall $recall")
+  }
+
   test("broadcast argmin paths fail LOUDLY on duplicate ids (no silent merge)") {
     // the >256-centroid keyed argmin computes one shared argmin per id; a
     // duplicate id would silently cluster differently than the literal
