@@ -446,6 +446,64 @@ final case class MaxCrossNearDupFraction(
   }
 }
 
+/** Shard-vs-PERSISTED-corpus near-dup budget — [[MaxCrossNearDupFraction]]
+  * against a [[graft.sources.DedupIndex]] instead of a live second table:
+  * the fraction of `ref`'s documents with a near-duplicate (exact Jaccard
+  * ≥ `jaccardThreshold`) in the indexed corpus must stay ≤ the target.
+  * This is the declarable form of the rolling-ingestion gate: the corpus
+  * was fingerprinted once at index-build time, and every shard's check
+  * costs only the shard's own shingling plus the co-bucketed candidate
+  * join — bit-identical to what `MaxCrossNearDupFraction` would report
+  * against the corpus itself (the incremental-vs-batch spec pin).
+  *
+  * `idColumn` must be unique per row (it anchors pair identity); it is
+  * renamed to the index's own id column internally, so shard and index
+  * id columns need not share a name.
+  */
+final case class MaxIndexedNearDupFraction(
+    ref: DataRef,
+    textColumn: String,
+    idColumn: String,
+    indexPath: String,
+    refValue: Option[Double],
+    jaccardThreshold: Double = 0.9,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(
+    refValue.exists(v => v >= 0 && v <= 1),
+    s"max_indexed_near_dup_fraction must lie within [0, 1] but is $refValue.")
+  require(
+    jaccardThreshold > 0 && jaccardThreshold <= 1,
+    s"jaccardThreshold must lie in (0, 1]: $jaccardThreshold")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+   graft.core.Blocks.scoped {
+    val meta = graft.sources.DedupIndex.readMeta(indexPath)
+    val shard = ref.selection(spark)
+      .where(col(textColumn).isNotNull && col(idColumn).isNotNull)
+      .select(col(idColumn).as(meta.idCol), col(textColumn))
+    val total = shard.count()
+    val factual =
+      if (total == 0L) 0.0
+      else {
+        val contaminated = graft.sources.DedupIndex
+          .incrementalNearDups(shard, textColumn, indexPath,
+            threshold = jaccardThreshold)
+          .select(col("id1")).distinct().count()
+        contaminated.toDouble / total
+      }
+    val target = refValue.get
+    if (factual <= target) graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"$factual of ${ref.describe} documents have a near-duplicate " +
+          s"(jaccard >= $jaccardThreshold) in the indexed corpus at " +
+          s"$indexPath while only $target were allowed to.")
+   }
+  }
+}
+
 /** Between-corpus SUBSTRING contamination budget: the fraction of
   * first-table documents whose winnowing-fingerprint containment in the
   * second table reaches `minContainment`

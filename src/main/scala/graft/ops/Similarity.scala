@@ -832,6 +832,20 @@ object Similarity {
         .select(col("query_id"), col("query_vec"), col("cluster"))
     }
 
+  /** Assign every row of `df` to its nearest centroid by dot product (ties
+    * to the smallest centroid id) — the IVF corpus-side assignment exposed
+    * for callers that manage quantizer state themselves (the streaming
+    * mini-batch refiner). Returns (idCol as `neighbor_id`, `vec`,
+    * `cluster`); same small/large plan split and loud id contract as the
+    * internal paths.
+    */
+  private[graft] def assignToCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    ivfCorpusClusters(df, idCol, vecCol, centroids)
+
   /** IVF with a SKETCH-PREFILTER + EXACT-RERANK stage (the IVFADC
     * re-rank posture, public standard — Jégou et al. 2011 re-rank
     * approximate scores with exact ones): probe `nProbe` cells per query,

@@ -109,6 +109,28 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the rolling-ingestion contamination gate — the
+    * fraction of this table's documents with a near-duplicate (exact
+    * Jaccard ≥ `jaccardThreshold`) in a PERSISTED
+    * [[graft.sources.DedupIndex]] corpus must stay ≤ `maxFraction`. The
+    * corpus was fingerprinted once at index-build time; each evaluation
+    * pays only the shard's shingling + the co-bucketed candidate join.
+    */
+  def addMaxIndexedNearDupFractionConstraint(
+      textColumn: String,
+      idColumn: String,
+      indexPath: String,
+      maxFraction: Double,
+      jaccardThreshold: Double = 0.9,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MaxIndexedNearDupFraction(
+      ref(Some(Seq(textColumn, idColumn)), condition), textColumn, idColumn,
+      indexPath, refValue = Some(maxFraction),
+      jaccardThreshold = jaccardThreshold, nameOverride = name)
+    this
+  }
+
   def addMaxDupSpanFractionConstraint(
       textColumn: String,
       maxFraction: Double,

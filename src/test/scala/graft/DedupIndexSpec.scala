@@ -85,6 +85,32 @@ class DedupIndexSpec extends AnyFunSuite {
       s"co-bucketed cap join must not shuffle the corpus cells:\n$plan")
   }
 
+  test("MaxIndexedNearDupFraction: the declarable rolling-ingestion gate") {
+    import graft.core.{DataRef, FrameSource}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 2 === 1)
+    val shard = docs.where(col("doc_id") % 2 === 0)
+    val path = freshPath("constraint")
+    DedupIndex.build(corpus, "text", "doc_id", path, nBuckets = 4)
+    // ground truth from the batch recompute
+    val contaminated = Dedup
+      .crossNearDups(shard, corpus, "text", "doc_id", threshold = 0.6)
+      .select(col("id1")).distinct().count()
+    graft.core.Blocks.releaseAll()
+    val total = shard.count()
+    val trueFrac = contaminated.toDouble / total
+    assert(trueFrac > 0, "fixture should have some contamination")
+    val ref = DataRef(FrameSource(shard, "idx_gate_t"))
+    assert(graft.constraints.MaxIndexedNearDupFraction(
+      ref, "text", "doc_id", path, Some(trueFrac),
+      jaccardThreshold = 0.6).test(spark).outcome)
+    val failing = graft.constraints.MaxIndexedNearDupFraction(
+      ref, "text", "doc_id", path, Some(trueFrac / 2),
+      jaccardThreshold = 0.6).test(spark)
+    assert(!failing.outcome)
+    assert(failing.failureMessage.exists(_.contains("indexed corpus")))
+  }
+
   test("centroid save/load round-trips the fitted quantizer exactly") {
     val path = freshPath("cents")
     val cents = Seq(
