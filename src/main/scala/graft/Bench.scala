@@ -520,17 +520,23 @@ object Bench {
     val CalibContendedRatio = 1.3
     val MaxAttempts = 3
 
-    /** The first pair of attempts agreeing within [[AgreeRatio]], smallest
-      * member returned — None when no two attempts agree.
+    /** The attempt-index pair agreeing within [[AgreeRatio]] whose smaller
+      * member is smallest — None when no two attempts agree. Indices (not
+      * just the value) come back so the verdict can inspect exactly the
+      * SESSIONS that produced the agreeing measurements.
       */
-    def agreedValue(attempts: Seq[Double]): Option[Double] = {
+    def agreedPair(attempts: Seq[Double]): Option[(Int, Int)] = {
       val pairs = for {
         i <- attempts.indices; j <- i + 1 until attempts.size
         a = attempts(i); b = attempts(j)
         if math.max(a, b) <= AgreeRatio * math.max(1e-9, math.min(a, b))
-      } yield math.min(a, b)
-      pairs.sorted.headOption
+      } yield (i, j)
+      pairs.sortBy { case (i, j) => math.min(attempts(i), attempts(j)) }.headOption
     }
+    def agreedValue(attempts: Seq[Double]): Option[Double] =
+      agreedPair(attempts).map { case (i, j) =>
+        math.min(attempts(i), attempts(j))
+      }
 
     /** Verdict for a rerun query (recorded per query in the artifact):
       *   - "settled"    — fresh runs corroborate the reported min (first
@@ -550,10 +556,15 @@ object Bench {
       val reported = math.min(inLeg, attempts.min)
       val firstRatio = attempts.head / math.max(1e-9, math.min(inLeg, attempts.head))
       if (firstRatio <= RerunFlagRatio) "settled"
-      else agreedValue(attempts) match {
-        case Some(v) if v <= RerunFlagRatio * reported => "settled"
-        case Some(_) =>
-          if (calibs.exists(_ > CalibContendedRatio * calib0)) "contended"
+      else agreedPair(attempts) match {
+        case Some((i, j)) if math.min(attempts(i), attempts(j)) <=
+            RerunFlagRatio * reported => "settled"
+        case Some((i, j)) =>
+          // only the sessions that PRODUCED the agreeing slow measurements
+          // can excuse them: a contended stray attempt elsewhere must not
+          // reclassify a slow value two quiet sessions reproduced
+          if (Seq(i, j).exists(x => calibs(x) > CalibContendedRatio * calib0))
+            "contended"
           else "fresh_cost"
         case None => "unmeasured"
       }

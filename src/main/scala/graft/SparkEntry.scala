@@ -814,19 +814,37 @@ object SparkEntry {
     // shard against it without re-fingerprinting the corpus.
     "q_incremental_dedup" -> { (s, dir) =>
       val docs = s.read.parquet(pq(dir, "documents"))
-      val srcBytes = {
-        val f = new java.io.File(pq(dir, "documents"))
-        val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Seq(f))
-        kids.map(k => k.length() + k.lastModified()).sum
-      }
+      // ONE index location per dataset path (no per-content dirs — a data
+      // regeneration rebuilds IN PLACE instead of leaking a corpus-sized
+      // tmpdir per run); freshness is a RECURSIVE content fingerprint
+      // (sorted relative-path:length:mtime tuples, murmur-hashed — a sum
+      // of length+mtime can alias and misses nested parquet layouts)
+      val src = new java.io.File(pq(dir, "documents"))
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+        else Seq(
+          f.getAbsolutePath.stripPrefix(src.getAbsolutePath) +
+            ":" + f.length() + ":" + f.lastModified())
+      val fp = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(walk(src).sorted))
       val path = new java.io.File(
         System.getProperty("java.io.tmpdir"),
-        "graft_dedup_index_" +
-          java.lang.Integer.toHexString(dir.hashCode) + "_" +
-          java.lang.Long.toHexString(srcBytes)).getAbsolutePath
-      if (!new java.io.File(path, "meta.json").exists())
+        "graft_dedup_index_" + java.lang.Integer.toHexString(dir.hashCode))
+        .getAbsolutePath
+      val fpFile = new java.io.File(path, "source.fingerprint")
+      val fresh = fpFile.exists() &&
+        new String(
+          java.nio.file.Files.readAllBytes(fpFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == fp &&
+        new java.io.File(path, "meta.json").exists()
+      if (!fresh) {
         graft.sources.DedupIndex.build(
           docs.where(col("doc_id") % 2 === 1), "text", "doc_id", path)
+        java.nio.file.Files.write(
+          fpFile.toPath,
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
       graft.sources.DedupIndex
         .incrementalNearDups(
           docs.where(col("doc_id") % 2 === 0), "text", path, threshold = 0.6)

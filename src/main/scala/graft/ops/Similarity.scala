@@ -271,6 +271,7 @@ object Similarity {
     // ranked multi-probe algorithm (which also tightens `bits` to ≤ 20), so
     // combining it with multiProbe = false would silently hand the caller a
     // different algorithm than the flag asked for
+    require(probeBudget >= 0, s"probeBudget must be non-negative: $probeBudget")
     require(probeBudget == 0 || multiProbe,
       "probeBudget > 0 selects margin-ranked multi-probing and cannot be " +
         "combined with multiProbe = false; drop one of the two settings")
@@ -568,13 +569,19 @@ object Similarity {
           col("dj_best.neg").as("dj_cell_neg"),
           lit(1).as("dj_cell_rk"))
     else {
-      val w = Window.partitionBy(idName)
+      // both window expressions share ONE (partition, order) spec — the
+      // count takes the full frame — so Catalyst plans a single Window
+      // exec with a single sort over the n·k scored rows; a separate
+      // unordered count window would add a second full sort pass to the
+      // hottest intermediate
+      val w = Window.partitionBy(idName).orderBy(col("dj_sc"))
       checked(
         scored
-          .withColumn("dj_cc", count(lit(1)).over(w))
           .withColumn(
-            "dj_cell_rk",
-            row_number().over(w.orderBy(col("dj_sc")))))
+            "dj_cc",
+            count(lit(1)).over(w.rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("dj_cell_rk", row_number().over(w)))
         .where(col("dj_cell_rk") <= howMany)
         .select(
           col(idName),

@@ -156,6 +156,13 @@ object DedupIndex {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = df.sparkSession
     new java.io.File(path).mkdirs()
+    // meta.json is the COMMIT MARKER and is written LAST: deleting it first
+    // makes a crashed rebuild unreadable (readMeta raises) instead of a
+    // silently-readable mix of stale parameters over half-overwritten
+    // frames — a 64-hash meta over a 128-hash payload would verify pairs
+    // against mismatched signatures with no error
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(metaPath(path))): Unit
     graft.core.Blocks.scoped {
       val idType = df.schema(idCol).dataType.sql
       val meta = Meta(shingleK, numHashes, bands, nBuckets, idCol, idType)
@@ -172,8 +179,13 @@ object DedupIndex {
         .option("path", new java.io.File(s"$path/payload").getAbsolutePath)
         .saveAsTable(tableName(path, "payload"))
       // buckets: exactly crossNearDups' corpus-side cells (null ids can
-      // never pair — dropped before the size count, same boundary)
-      val signed = payload.select(col(idCol), col("signature"))
+      // never pair — dropped before the size count, same boundary).
+      // Read back from the JUST-WRITTEN payload table, not the in-memory
+      // plan: minhashed() checkpoints only the shingled frame, so deriving
+      // from `payload` would re-run the numHashes-per-shingle signature
+      // kernel over the whole corpus a second time
+      val signed = spark.table(tableName(path, "payload"))
+        .select(col(idCol), col("signature"))
       val buckets = Dedup.lshBuckets(signed, idCol, bands)
         .where(col(idCol).isNotNull)
       buckets.write

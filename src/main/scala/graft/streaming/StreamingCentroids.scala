@@ -76,7 +76,10 @@ final class StreamingCentroids(initial: Seq[(Long, Seq[Double])]) {
       .collect()
     rows.groupBy(_.getLong(0)).foreach { case (cid, rs) =>
       sums.get(cid).foreach { acc =>
-        rs.foreach(r => acc(r.getInt(1)) += r.getDouble(3))
+        // positions past the seed dimensionality are ignored, exactly like
+        // the batch fitter's (0 until dim) fold — a single over-long
+        // vector must not kill the sink (and must not diverge the parity)
+        rs.foreach(r => if (r.getInt(1) < dim) acc(r.getInt(1)) += r.getDouble(3))
         counts = counts.updated(cid, counts(cid) + rs.map(_.getLong(2)).max)
       }
     }

@@ -22,54 +22,13 @@ object ImiSweep {
     val k = 10
     val qStep = math.max(1L, n / 200L)
     val queries = v.where(pmod(col("vec_id"), lit(qStep)) === 0)
-    val truth = graft.core.Blocks.checkpoint(
-      S.bruteForceTopK(v, queries, "vec_id", "embedding", k)
-        .select(col("query_id"), col("neighbor_id")))
-    val nTruth = truth.count().toDouble
-    def recall(approx: org.apache.spark.sql.DataFrame): Double =
-      truth.join(
-        approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi").count() / nTruth
     val (cphA, slA, budA) = S.imiAutoParams(n, k)
     println(s"[imi] n=$n auto cph=$cphA shortlist=$slA budget=$budA " +
       s"(fraction=${budA.toDouble / n}) dispatch=${S.annAutoMethod(n, k)}")
-    def run(tag: String, cph: Int, sl: Int, budget: Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = recall(S.imiTopK(
-        v, queries, "vec_id", "embedding", k,
-        cellsPerHalf = cph, nProbeCells = sl * sl, halfShortlist = sl,
-        kmeansIters = 1, corpusSize = Some(n),
-        probeRowBudget = Some(budget)))
-      println(f"[imi] $tag cph=$cph sl=$sl budget=$budget " +
-        f"recall=$r%.3f t=${(System.nanoTime() - t0) / 1e9}%.1fs")
-      graft.core.Blocks.releaseAll()
-      spark.catalog.clearCache()
-      // re-pin the truth frame for the next measurement
-      ()
-    }
-    // releaseAll drops the truth checkpoint too — hold it via re-checkpoint
-    // per run instead: simplest is to measure sequentially with a fresh
-    // truth reference
-    def runFresh(tag: String, cph: Int, sl: Int, budget: Long): Unit = {
-      val tr = graft.core.Blocks.checkpoint(
-        S.bruteForceTopK(v, queries, "vec_id", "embedding", k)
-          .select(col("query_id"), col("neighbor_id")))
-      val nT = tr.count().toDouble
-      val t0 = System.nanoTime()
-      val approx = S.imiTopK(
-        v, queries, "vec_id", "embedding", k,
-        cellsPerHalf = cph, nProbeCells = sl * sl, halfShortlist = sl,
-        kmeansIters = 1, corpusSize = Some(n),
-        probeRowBudget = Some(budget))
-      val r = tr.join(
-        approx.select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_semi").count() / nT
-      println(f"[imi] $tag cph=$cph sl=$sl budget=$budget " +
-        f"recall=$r%.3f t=${(System.nanoTime() - t0) / 1e9}%.1fs")
-      graft.core.Blocks.releaseAll()
-      spark.catalog.clearCache()
-    }
-    def runIters(tag: String, cph: Int, sl: Int, budget: Long, iters: Int): Unit = {
+    // every measurement rebuilds its own truth checkpoint: releaseAll at
+    // the end of each run drops ALL tracked checkpoints, so a shared truth
+    // frame would be dead for the second measurement
+    def run(tag: String, cph: Int, sl: Int, budget: Long, iters: Int = 1): Unit = {
       val tr = graft.core.Blocks.checkpoint(
         S.bruteForceTopK(v, queries, "vec_id", "embedding", k)
           .select(col("query_id"), col("neighbor_id")))
@@ -91,19 +50,19 @@ object ImiSweep {
     args.drop(1).headOption match {
       case Some("sweep") =>
         run("auto", cphA, slA, budA)
-        runFresh("cph128", 128, 128, budA)
-        runFresh("cph256", 256, 192, budA)
-        runFresh("budget-half", cphA, slA, math.max(1L, budA / 2))
+        run("cph128", 128, 128, budA)
+        run("cph256", 256, 192, budA)
+        run("budget-half", cphA, slA, math.max(1L, budA / 2))
       case Some("sweep2") =>
-        runIters("iters2", cphA, slA, budA, 2)
-        runIters("iters3", cphA, slA, budA, 3)
-        runIters("cph320-sl256", 320, 256, budA, 1)
-        runIters("cph224-sl256", 224, 224, budA, 1)
+        run("iters2", cphA, slA, budA, iters = 2)
+        run("iters3", cphA, slA, budA, iters = 3)
+        run("cph320-sl256", 320, 256, budA)
+        run("cph224-sl256", 224, 224, budA)
       case Some("sweep3") =>
-        runIters("cph448-sl256", 448, 256, budA, 1)
-        runIters("cph512-sl256", 512, 256, budA, 1)
-        runIters("cph448-sl320", 448, 320, budA, 1)
-        runIters("cph448-sl256-it2", 448, 256, budA, 2)
+        run("cph448-sl256", 448, 256, budA)
+        run("cph512-sl256", 512, 256, budA)
+        run("cph448-sl320", 448, 320, budA)
+        run("cph448-sl256-it2", 448, 256, budA, iters = 2)
       case _ =>
         run("auto", cphA, slA, budA)
     }
