@@ -519,6 +519,13 @@ object Bench {
     val AgreeRatio = 1.3
     val CalibContendedRatio = 1.3
     val MaxAttempts = 3
+    // a fresh session pays bounded FIXED overhead (codegen compile, DDL,
+    // stream-source setup) that dominates sub-3 s queries and reads as a
+    // 1.5-2× "ratio" at small scale — a REAL fresh-session regression
+    // (the r9 span_dedup class) is tens of seconds. Verdicts treat a
+    // disagreement whose absolute delta is under this floor as settled;
+    // the raw attempts stay in the artifact either way.
+    val FreshCostFloorSec = 2.5
 
     /** The attempt-index pair agreeing within [[AgreeRatio]] whose smaller
       * member is smallest — None when no two attempts agree. Indices (not
@@ -557,8 +564,11 @@ object Bench {
       val firstRatio = attempts.head / math.max(1e-9, math.min(inLeg, attempts.head))
       if (firstRatio <= RerunFlagRatio) "settled"
       else agreedPair(attempts) match {
-        case Some((i, j)) if math.min(attempts(i), attempts(j)) <=
-            RerunFlagRatio * reported => "settled"
+        case Some((i, j)) if {
+          val agreed = math.min(attempts(i), attempts(j))
+          agreed <= RerunFlagRatio * reported ||
+            agreed - reported <= FreshCostFloorSec
+        } => "settled"
         case Some((i, j)) =>
           // only the sessions that PRODUCED the agreeing slow measurements
           // can excuse them: a contended stray attempt elsewhere must not
@@ -566,7 +576,12 @@ object Bench {
           if (Seq(i, j).exists(x => calibs(x) > CalibContendedRatio * calib0))
             "contended"
           else "fresh_cost"
-        case None => "unmeasured"
+        case None =>
+          // no two attempts agree, but if even the WORST attempt sits
+          // within the fixed-overhead floor of the reported min, there is
+          // nothing material left unmeasured
+          if (attempts.max - reported <= FreshCostFloorSec) "settled"
+          else "unmeasured"
       }
     }
 
@@ -608,9 +623,13 @@ object Bench {
         val resolved = scala.collection.mutable.Map(first.toSeq: _*)
         targets.foreach { n =>
           var (attempts, calibs) = resolved(n)
-          def disagreed =
-            attempts.head / math.max(1e-9, math.min(byName(n), attempts.head)) >
-              RerunFlagRatio
+          // a disagreement worth more fresh sessions is both RELATIVE
+          // (>1.5×) and MATERIAL (delta past the fixed-overhead floor)
+          def disagreed = {
+            val reported = math.min(byName(n), attempts.head)
+            attempts.head / math.max(1e-9, reported) > RerunFlagRatio &&
+              attempts.head - reported > FreshCostFloorSec
+          }
           while (disagreed && agreedValue(attempts).isEmpty &&
               attempts.size < MaxAttempts) {
             val s = freshRerunSession()
