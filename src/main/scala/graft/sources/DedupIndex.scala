@@ -212,6 +212,93 @@ object DedupIndex {
     }
   }
 
+  /** Fold a NEW shard into an existing index — the rolling-ingestion
+    * write path: a pipeline dedups each arriving shard against the index
+    * ([[incrementalNearDups]]), keeps the survivors, and appends them here
+    * so the NEXT shard dedups against corpus ∪ shard. Afterward
+    * `incrementalNearDups(next, path)` equals
+    * `crossNearDups(next, corpus ∪ shard)` bit for bit (spec-pinned).
+    *
+    * Cost per append: ONE shingling pass over the shard (checkpointed —
+    * payload write and bucket derivation share it), bucketed appends to
+    * the payload/bucket tables, and a sizes merge (old counts ∪ the
+    * shard's cell counts, one co-bucketed aggregate) swapped in place.
+    * The corpus is never re-read beyond the old sizes table.
+    *
+    * Crash-safe like [[build]]: `meta.json` (the commit marker) is
+    * deleted first and rewritten last — a crashed append leaves the index
+    * unreadable-until-rebuilt, never silently half-appended.
+    *
+    * Shard ids must be DISJOINT from the index's (payload ids are unique
+    * by contract — verification joins key on them); overlap raises before
+    * anything is written.
+    */
+  def append(shard: DataFrame, textCol: String, path: String): Meta = {
+    val spark = shard.sparkSession
+    val idx = open(spark, path)
+    val m = idx.meta
+    graft.core.Blocks.scoped {
+      // one shingling/signature pass, shared by both writes below
+      val payloadNew = graft.core.Blocks.checkpoint(
+        Dedup.minhashed(shard, textCol, m.idCol, m.shingleK, m.numHashes)
+          .select(col(m.idCol), col("shingle_hashes"), col("signature")))
+      val clash = payloadNew
+        .join(idx.payload.select(m.idCol), Seq(m.idCol), "left_semi")
+        .select(m.idCol).head(1)
+      require(clash.isEmpty,
+        s"DedupIndex.append: shard id '${clash.headOption.map(_.get(0)).getOrElse("")}' " +
+          s"already exists in the index at $path — ids must be disjoint " +
+          "(dedup the shard against the index first, append the survivors)")
+      // commit marker down: from here a crash leaves the index unreadable
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(metaPath(path))): Unit
+      payloadNew.write
+        .mode("append")
+        .bucketBy(m.nBuckets, m.idCol)
+        .sortBy(m.idCol)
+        .saveAsTable(tableName(path, "payload"))
+      val bucketsNew = graft.core.Blocks.checkpoint(
+        Dedup.lshBuckets(
+          payloadNew.select(col(m.idCol), col("signature")), m.idCol, m.bands)
+          .where(col(m.idCol).isNotNull))
+      bucketsNew.write
+        .mode("append")
+        .bucketBy(m.nBuckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .saveAsTable(tableName(path, "buckets"))
+      // sizes merge: old counts ∪ shard cell counts → one aggregate,
+      // written beside the old table and swapped in (the old files are
+      // being read by the merge, so no in-place overwrite)
+      val tmpName = tableName(path, "sizes_tmp")
+      val tmpLoc = new java.io.File(s"$path/sizes_tmp")
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      idx.sizes
+        .union(bucketsNew.groupBy("band", "bucket").agg(count(lit(1)).as("dj_bn")))
+        .groupBy("band", "bucket")
+        .agg(sum(col("dj_bn")).as("dj_bn"))
+        .write
+        .mode("overwrite")
+        .bucketBy(m.nBuckets, "band", "bucket")
+        .sortBy("band", "bucket")
+        .option("path", tmpLoc.getAbsolutePath)
+        .saveAsTable(tmpName)
+      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+      spark.sql(s"DROP TABLE IF EXISTS ${tableName(path, "sizes")}")
+      val sizesLoc = new java.io.File(s"$path/sizes")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) {
+          val k = f.listFiles(); if (k != null) k.foreach(rm)
+        }
+        f.delete(): Unit
+      }
+      rm(sizesLoc)
+      require(tmpLoc.renameTo(sizesLoc),
+        s"DedupIndex.append: could not swap $tmpLoc into place")
+      writeMeta(path, m) // commit marker up
+      m
+    }
+  }
+
   /** An opened index: catalog-registered bucketed frames + build meta. */
   final case class Index(
       meta: Meta,

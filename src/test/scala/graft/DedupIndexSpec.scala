@@ -85,6 +85,37 @@ class DedupIndexSpec extends AnyFunSuite {
       s"co-bucketed cap join must not shuffle the corpus cells:\n$plan")
   }
 
+  test("append folds a shard in: next incremental == batch vs corpus ∪ shard") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val a = docs.where(col("doc_id") % 3 === 0) // initial corpus
+    val b = docs.where(col("doc_id") % 3 === 1) // ingested shard
+    val c = docs.where(col("doc_id") % 3 === 2) // the NEXT shard
+    val path = freshPath("append")
+    DedupIndex.build(a, "text", "doc_id", path, nBuckets = 4)
+    DedupIndex.append(b, "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("j"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = rows(Dedup.crossNearDups(
+      c, a.union(b), "text", "doc_id", threshold = 0.6))
+    val incremental = rows(DedupIndex.incrementalNearDups(
+      c, "text", path, threshold = 0.6))
+    graft.core.Blocks.releaseAll()
+    assert(batch.nonEmpty, "fixture should produce at least one cross pair")
+    assert(incremental === batch,
+      s"post-append incremental diverged: only-batch=${batch -- incremental} " +
+        s"only-incremental=${incremental -- batch}")
+    // id-disjointness is loud: re-appending the same shard must raise
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.append(b, "text", path)
+    }
+    assert(e.getMessage.contains("already exists"))
+    // ... and the failed append must not have poisoned the index
+    assert(DedupIndex.readMeta(path).nBuckets === 4)
+  }
+
   test("MaxIndexedNearDupFraction: the declarable rolling-ingestion gate") {
     import graft.core.{DataRef, FrameSource}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -109,6 +140,29 @@ class DedupIndexSpec extends AnyFunSuite {
       jaccardThreshold = 0.6).test(spark)
     assert(!failing.outcome)
     assert(failing.failureMessage.exists(_.contains("indexed corpus")))
+  }
+
+  test("candidate join shuffles only the shard side: one Exchange, corpus bucketed") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(200)
+    val path = freshPath("candplan")
+    DedupIndex.build(docs, "text", "doc_id", path, nBuckets = 4)
+    val idx = DedupIndex.open(spark, path)
+    import spark.implicits._
+    // a stand-in for the shard's capped cells (tiny, NOT bucketed)
+    val shardCells = Seq((0, 1L, 10L), (1, 2L, 20L))
+      .toDF("band", "bucket", "id1")
+    val cappedB = idx.buckets.join(
+      idx.sizes.where(col("dj_bn") <= 1000).select("band", "bucket").hint("merge"),
+      Seq("band", "bucket"))
+    val candidates = shardCells.hint("merge")
+      .join(
+        cappedB.select(col("band"), col("bucket"), col("doc_id").as("id2")),
+        Seq("band", "bucket"))
+    val plan = candidates.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1,
+      s"corpus side must ride its bucketing — expected at most the shard-side " +
+        s"exchange, found $exchanges:\n$plan")
   }
 
   test("centroid save/load round-trips the fitted quantizer exactly") {
