@@ -740,18 +740,38 @@ object Similarity {
       fitCentroids(vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
     if (centroids.isEmpty)
       // empty corpus: no candidates, typed empty result
-      return queries
-        .select(
-          col(idCol).as("query_id"),
-          col(idCol).as("neighbor_id"),
-          lit(0.0).as("cosine"),
-          lit(0).as("rank"))
-        .where(lit(false))
+      return emptyTopK(queries, idCol)
 
     val corpus = ivfCorpusClusters(vectors, idCol, vecCol, centroids)
     val q = ivfQueryProbes(queries, idCol, vecCol, centroids, nProbe)
+    ivfRank(corpus, q, k)
+  }
+
+  /** Typed empty top-k frame (query_id, neighbor_id, cosine, rank) — the
+    * empty-corpus result shared by [[ivfTopK]] and the persisted-index
+    * query path ([[graft.sources.AnnIndex.queryTopK]]).
+    */
+  private[graft] def emptyTopK(queries: DataFrame, idCol: String): DataFrame =
+    queries
+      .select(
+        col(idCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        lit(0.0).as("cosine"),
+        lit(0).as("rank"))
+      .where(lit(false))
+
+  /** The IVF scoring/ranking tail shared by [[ivfTopK]] and the persisted
+    * index: join assigned corpus rows (neighbor_id, vec, cluster) to the
+    * broadcast probe frame (query_id, query_vec, cluster) on the cell,
+    * exact-cosine score, per-query window top-k. Kept as one kernel so the
+    * live and persisted paths are bit-identical by construction.
+    */
+  private[graft] def ivfRank(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int): DataFrame =
     corpus
-      .join(broadcast(q), Seq("cluster"))
+      .join(broadcast(probes), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineF(col("query_vec"), col("vec")))
       .withColumn(
@@ -760,7 +780,6 @@ object Similarity {
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
-  }
 
   /** Corpus side of the IVF index: (neighbor_id, vec, cluster) — cluster =
     * nearest centroid by dot product, ties to the smallest centroid id.
@@ -808,7 +827,7 @@ object Similarity {
     * [[ivfCorpusClusters]]; the large path ranks cells with a per-query
     * window (queries are few by contract).
     */
-  private def ivfQueryProbes(
+  private[graft] def ivfQueryProbes(
       queries: DataFrame,
       idCol: String,
       vecCol: String,

@@ -1,0 +1,306 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Persisted, incremental IVF ANN index — the embedding-side twin of
+  * [[DedupIndex]]. Every live [[graft.ops.Similarity.ivfTopK]] call pays
+  * three corpus-sized costs per invocation: the coarse-quantizer fit
+  * (hash-sampled seeds + Lloyd iterations, each a distributed aggregate
+  * over the corpus), the corpus→cell assignment (a broadcast-argmin pass
+  * over every vector), and a full-corpus scan to feed the probe join. A
+  * production pipeline at 100 TB asks the same queries against a corpus
+  * whose geometry was fitted yesterday; [[build]] pays the fit and the
+  * assignment once and persists the postings CLUSTERED BY cell, so
+  * [[queryTopK]] reads ONLY the probed cells' bytes (the postings files
+  * are sorted by cell — parquet row-group min/max stats skip every
+  * unprobed cell) and never re-fits or re-assigns anything.
+  *
+  * On-disk layout under `path` (a plain directory — portable, no
+  * metastore dependency; same posture as [[DedupIndex]]):
+  *
+  *   - `meta.json` — build parameters (nCentroids, kmeansIters,
+  *     actual fitted cell count), id/vector column names and SQL types,
+  *     storage bucket count, format version. Written LAST (commit
+  *     marker): a crashed build/append is unreadable, never a silent
+  *     mix of stale geometry over half-written postings;
+  *   - `centroids/` — (centroid_id, centroid_vec double[]) parquet, the
+  *     fitted coarse quantizer ([[DedupIndex.saveCentroids]] layout —
+  *     streaming consumers and SemDeDup can share it);
+  *   - `postings/` — (neighbor_id, vec, cluster) parquet, CLUSTERED BY
+  *     (cluster) SORTED BY (cluster) INTO nBuckets — the inverted file.
+  *     Cell-sorted layout is what makes probing cheap: a query touching
+  *     nProbe of nCells cells reads ~nProbe/nCells of the corpus bytes.
+  *
+  * Result contract: [[queryTopK]] is bit-identical to
+  * `ivfTopK(corpus, queries, …)` at the same fitted centroids
+  * (spec-pinned — assignment is deterministic and the scoring/ranking
+  * tail is the shared [[graft.ops.Similarity.ivfRank]] kernel), and with
+  * `nProbe = nCells` it is EXACT top-k (every cell probed ≡ brute force —
+  * the correctness gate's oracle-checked flavor).
+  *
+  * Null-id corpus rows are dropped at build: they can never appear in a
+  * top-k result (the self-match guard `neighbor_id =!= query_id` is null
+  * for them), so dropping them is output-invariant and keeps the id
+  * contract the assignment kernel requires.
+  *
+  * Reference behavior context: the reference caches per-run retrieved
+  * results (`base.py:160-171`); at Spark scale the artifact worth
+  * persisting between runs is the index geometry + assignment, not the
+  * result rows.
+  */
+object AnnIndex {
+
+  /** Format version — bump on any layout/semantics change. */
+  private val Version = 1
+
+  final case class Meta(
+      nCentroids: Int,
+      kmeansIters: Int,
+      nCells: Int,
+      idCol: String,
+      idType: String,
+      vecCol: String,
+      vecType: String,
+      nBuckets: Int,
+      version: Int = Version)
+
+  private def metaPath(path: String) = s"$path/meta.json"
+
+  private def writeMeta(path: String, m: Meta): Unit = {
+    val json =
+      s"""{"n_centroids":${m.nCentroids},"kmeans_iters":${m.kmeansIters},""" +
+        s""""n_cells":${m.nCells},"id_col":"${m.idCol}","id_type":"${m.idType}",""" +
+        s""""vec_col":"${m.vecCol}","vec_type":"${m.vecType}",""" +
+        s""""n_buckets":${m.nBuckets},"version":${m.version}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(metaPath(path)),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  }
+
+  /** Minimal flat-JSON field reader — the meta file is machine-written by
+    * [[writeMeta]] (one flat object, no nesting; the only string values
+    * are column names / SQL type spellings, no quotes or escapes), so a
+    * regex field grab is exact here.
+    */
+  private def metaField(json: String, key: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\":(\"([^\"]*)\"|[^,}]*)")
+      .matcher(json)
+    require(m.find(), s"ann index meta is missing field '$key'")
+    Option(m.group(2)).getOrElse(m.group(1))
+  }
+
+  def readMeta(path: String): Meta = {
+    val p = java.nio.file.Paths.get(metaPath(path))
+    require(java.nio.file.Files.exists(p),
+      s"no ann index at $path (missing meta.json) — build(...) it first")
+    val json = new String(
+      java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = Meta(
+      nCentroids = metaField(json, "n_centroids").toInt,
+      kmeansIters = metaField(json, "kmeans_iters").toInt,
+      nCells = metaField(json, "n_cells").toInt,
+      idCol = metaField(json, "id_col"),
+      idType = metaField(json, "id_type"),
+      vecCol = metaField(json, "vec_col"),
+      vecType = metaField(json, "vec_type"),
+      nBuckets = metaField(json, "n_buckets").toInt,
+      version = metaField(json, "version").toInt)
+    require(m.version == Version,
+      s"ann index at $path has format version ${m.version}; " +
+        s"this build reads $Version — rebuild the index")
+    m
+  }
+
+  /** Deterministic catalog name: the path keys it, so re-opening the same
+    * index in any session lands on one name (the [[DedupIndex]] scheme).
+    */
+  private def tableName(path: String): String = {
+    val h = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        new java.io.File(path).getAbsolutePath).toLong & 0xffffffffL)
+    s"graft_ann_idx_postings_$h"
+  }
+
+  private def registerPostings(spark: SparkSession, path: String, m: Meta): String = {
+    val name = tableName(path)
+    val loc = new java.io.File(s"$path/postings").getAbsolutePath
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name
+         |(neighbor_id ${m.idType}, vec ${m.vecType}, cluster BIGINT)
+         |USING parquet
+         |CLUSTERED BY (cluster)
+         |SORTED BY (cluster)
+         |INTO ${m.nBuckets} BUCKETS
+         |LOCATION '$loc'""".stripMargin)
+    name
+  }
+
+  /** Build the index for `vectors` under `path` (overwriting any previous
+    * build): ONE quantizer fit + ONE corpus assignment pass — exactly the
+    * per-call costs of `ivfTopK`, paid once. `nBuckets` is the storage
+    * bucket count (the unit of read parallelism — size ~2-4× the
+    * executor-core count); cells are range-packed into buckets by the
+    * CLUSTERED BY hash, and each bucket file is cell-sorted so probes
+    * skip unprobed cells via row-group stats.
+    *
+    * `kmeansIters = 0` keeps the centroids bit-reproducible (pure
+    * functions of the seed ids — the correctness-gate flavor); Lloyd
+    * iterations improve cell balance at the cost of summation-order
+    * determinism (fine for recall, not for bit-exact oracles).
+    */
+  def build(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int = 64,
+      kmeansIters: Int = 0,
+      nBuckets: Int = 32,
+      corpusSize: Option[Long] = None): Meta = {
+    require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = vectors.sparkSession
+    new java.io.File(path).mkdirs()
+    // commit-marker discipline (the DedupIndex.build pattern): meta.json
+    // deleted FIRST, rewritten LAST — a crash in between leaves the index
+    // unreadable (readMeta raises), never stale-geometry-over-new-postings
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(metaPath(path))): Unit
+    graft.core.Blocks.scoped {
+      val idType = vectors.schema(idCol).dataType.sql
+      val vecType = vectors.schema(vecCol).dataType.sql
+      val centroids = Similarity.fitCentroids(
+        vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
+      DedupIndex.saveCentroids(spark, path, centroids)
+      val meta = Meta(nCentroids, kmeansIters, centroids.size,
+        idCol, idType, vecCol, vecType, nBuckets)
+      // postings: the same deterministic assignment ivfTopK computes live,
+      // minus null-id rows (output-invariant — see the class doc). An
+      // empty quantizer (empty/all-null corpus) writes a typed empty
+      // frame — the assignment kernel over zero centroids has no cell
+      // type to infer
+      val postings =
+        if (centroids.isEmpty)
+          vectors
+            .select(
+              col(idCol).as("neighbor_id"),
+              col(vecCol).as("vec"),
+              lit(null).cast("bigint").as("cluster"))
+            .where(lit(false))
+        else Similarity.assignToCentroids(
+          vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
+      postings.write
+        .mode("overwrite")
+        .bucketBy(nBuckets, "cluster")
+        .sortBy("cluster")
+        .option("path", new java.io.File(s"$path/postings").getAbsolutePath)
+        .saveAsTable(tableName(path))
+      writeMeta(path, meta)
+      meta
+    }
+  }
+
+  /** An opened index: catalog-registered postings + quantizer + meta. */
+  final case class Index(
+      meta: Meta,
+      postings: DataFrame,
+      centroids: Seq[(Long, Seq[Double])])
+
+  /** Open (re-registering the external bucketed postings table in this
+    * session's catalog — idempotent DDL) an index previously written by
+    * [[build]], in this session or any earlier one.
+    */
+  def open(spark: SparkSession, path: String): Index = {
+    val m = readMeta(path)
+    val name = registerPostings(spark, path, m)
+    Index(m, spark.table(name), DedupIndex.loadCentroids(spark, path))
+  }
+
+  /** Top-k cosine neighbors from the persisted index — `ivfTopK` with the
+    * quantizer fit, the corpus assignment, and the unprobed cells' IO all
+    * amortized away. Per call this costs: one broadcast-argmin over the
+    * QUERY frame (small by contract), a driver-side collect of the probed
+    * cell ids (≤ nQueries·nProbe longs), and a postings scan FILTERED to
+    * the probed cells — the `cluster IN (…)` predicate pushes to the
+    * cell-sorted parquet, so row-group stats skip everything else.
+    *
+    * `nProbe = meta.nCells` probes every cell — EXACT top-k, bit-identical
+    * to [[graft.ops.Similarity.bruteForceTopK]] modulo plan shape (the
+    * scoring/ranking tail is the same kernel; spec-pinned).
+    *
+    * EAGER materialization contract (as [[DedupIndex.incrementalNearDups]]):
+    * construction runs the query-side probe assignment (checkpointed) and
+    * the probed-cell collect; only the scoring/ranking is lazy in the
+    * returned frame. Release tracked intermediates with
+    * `Blocks.releaseAll()` after consuming.
+    */
+  def queryTopK(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val idx = open(spark, path)
+    if (idx.centroids.isEmpty) return Similarity.emptyTopK(queries, idCol)
+    val probes = graft.core.Blocks.checkpoint(
+      Similarity.ivfQueryProbes(
+        queries, idCol, vecCol, idx.centroids, math.min(nProbe, idx.centroids.size)))
+    // the probed cell set is tiny (queries are few by contract) — collect
+    // it and push an isin filter into the postings scan; without this the
+    // broadcast join reads every cell's bytes just to drop them
+    val cells = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    Similarity.ivfRank(
+      idx.postings.where(col("cluster").isin(cells: _*)), probes, k)
+  }
+
+  /** Fold a NEW shard into an existing index — the rolling-ingestion write
+    * path: assign the shard to the PERSISTED quantizer (one broadcast
+    * argmin over the shard only; the corpus is never re-read) and append
+    * the assignments to the postings table. Afterward
+    * `queryTopK(…)` ranks over corpus ∪ shard at the index's geometry —
+    * identical to rebuilding the postings from scratch against the same
+    * centroids (spec-pinned). The quantizer itself is NOT refit (cell
+    * balance drifts as the corpus grows — rebuild, or refine with
+    * [[graft.streaming.StreamingCentroids]], when drift matters).
+    *
+    * Shard ids must be DISJOINT from the index's (neighbor ids key the
+    * dedup of result rows — a duplicate id would rank twice); overlap
+    * raises before anything is written. Crash-safe like [[build]]:
+    * meta.json down first, up last.
+    */
+  def append(shard: DataFrame, path: String): Meta = {
+    val spark = shard.sparkSession
+    val idx = open(spark, path)
+    val m = idx.meta
+    graft.core.Blocks.scoped {
+      val assigned = graft.core.Blocks.checkpoint(
+        Similarity.assignToCentroids(
+          shard.where(col(m.idCol).isNotNull), m.idCol, m.vecCol, idx.centroids))
+      val clash = assigned
+        .join(idx.postings.select("neighbor_id"), Seq("neighbor_id"), "left_semi")
+        .select("neighbor_id").head(1)
+      require(clash.isEmpty,
+        s"AnnIndex.append: shard id '${clash.headOption.map(_.get(0)).getOrElse("")}' " +
+          s"already exists in the index at $path — ids must be disjoint")
+      // commit marker down: from here a crash leaves the index unreadable
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(metaPath(path))): Unit
+      assigned.write
+        .mode("append")
+        .bucketBy(m.nBuckets, "cluster")
+        .sortBy("cluster")
+        .saveAsTable(tableName(path))
+      writeMeta(path, m) // commit marker up
+      m
+    }
+  }
+}

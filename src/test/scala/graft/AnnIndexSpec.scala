@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+import graft.sources.AnnIndex
+
+/** Pins the persisted IVF ANN index contract: `queryTopK` must equal the
+  * live `ivfTopK` bit for bit at the same geometry, `nProbe = nCells` must
+  * be EXACT (≡ brute force), the index must survive catalog loss, the
+  * probed-cell filter must push into the postings scan, `append` must
+  * equal a from-scratch assignment at the persisted geometry, and a
+  * crashed build/append must be unreadable (commit-marker discipline).
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshPath(tag: String): String = {
+    val p = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_ann_index_spec_$tag")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+      f.delete(): Unit
+    }
+    rm(p)
+    p.getAbsolutePath
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    .toSet
+
+  test("nProbe = nCells is exact: queryTopK == bruteForceTopK bit for bit") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = vecs.where(col("vec_id") < 5)
+    val path = freshPath("exact")
+    val meta = AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 4)
+    assert(meta.nCells === 8)
+    val brute = rows(Similarity.bruteForceTopK(
+      vecs, queries, "vec_id", "embedding", k = 3))
+    val indexed = rows(AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", path, k = 3, nProbe = meta.nCells))
+    graft.core.Blocks.releaseAll()
+    assert(brute.nonEmpty)
+    assert(indexed === brute,
+      s"only-brute=${brute -- indexed} only-indexed=${indexed -- brute}")
+  }
+
+  test("queryTopK == live ivfTopK at the same geometry (approximate probes)") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = vecs.where(col("vec_id") < 5)
+    val path = freshPath("livematch")
+    // kmeansIters = 0 keeps the fit a pure function of the seed ids, so
+    // the live call and the build fit IDENTICAL centroids independently
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 4)
+    val live = rows(Similarity.ivfTopK(
+      vecs, queries, "vec_id", "embedding", k = 3,
+      nCentroids = 8, nProbe = 2, kmeansIters = 0))
+    val indexed = rows(AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", path, k = 3, nProbe = 2))
+    graft.core.Blocks.releaseAll()
+    assert(live.nonEmpty)
+    assert(indexed === live,
+      s"only-live=${live -- indexed} only-indexed=${indexed -- live}")
+  }
+
+  test("index survives catalog loss: open() re-registers the external table") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("reopen")
+    val meta = AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2)
+    // simulate a new session's empty catalog: drop every registered table
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_ann_idx_"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    val idx = AnnIndex.open(spark, path)
+    assert(idx.meta === meta)
+    assert(idx.centroids.size === meta.nCells)
+    val n = idx.postings.count()
+    assert(n === vecs.where(col("vec_id").isNotNull).count())
+    // every posting landed in a fitted cell
+    val cells = idx.postings.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(idx.centroids.map(_._1).toSet))
+  }
+
+  test("probed-cell filter pushes into the postings scan") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("pushdown")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 4)
+    val df = AnnIndex.queryTopK(
+      vecs.where(col("vec_id") < 2), "vec_id", "embedding", path,
+      k = 3, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    graft.core.Blocks.releaseAll()
+    assert(plan.contains("PushedFilters: [In(cluster"),
+      s"probed-cell isin must reach the parquet scan:\n$plan")
+    // the cell-sorted bucketed layout must actually prune buckets
+    assert(plan.contains("Bucketed: true"),
+      s"postings must scan as a bucketed table:\n$plan")
+    // the probe join must broadcast the (tiny) probe frame — the only
+    // hash exchange allowed is the per-query ranking window's shuffle of
+    // the already-probed candidate rows, never a cluster-keyed shuffle of
+    // the postings
+    assert(!plan.contains("Exchange hashpartitioning(cluster"),
+      s"queryTopK must not shuffle the postings on the cell key:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [cluster"),
+      s"probe frame must broadcast against the postings scan:\n$plan")
+  }
+
+  test("append == from-scratch assignment at the persisted geometry; clash is loud") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = vecs.where(col("vec_id") % 2 === 0)
+    val shard = vecs.where(col("vec_id") % 2 === 1)
+    val queries = vecs.where(col("vec_id") < 5)
+    val path = freshPath("append")
+    AnnIndex.build(corpus, "vec_id", "embedding", path,
+      nCentroids = 6, kmeansIters = 0, nBuckets = 2)
+    AnnIndex.append(shard, path)
+    val idx = AnnIndex.open(spark, path)
+    // postings now equal assigning corpus ∪ shard to the SAME centroids
+    val expected = Similarity
+      .assignToCentroids(vecs, "vec_id", "embedding", idx.centroids)
+      .select("neighbor_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = idx.postings.select("neighbor_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+    // exact-mode query over the grown index == brute force over the union
+    val brute = rows(Similarity.bruteForceTopK(
+      vecs, queries, "vec_id", "embedding", k = 3))
+    val indexed = rows(AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", path, k = 3, nProbe = idx.meta.nCells))
+    graft.core.Blocks.releaseAll()
+    assert(indexed === brute)
+    // id-disjointness is loud, and the failed append must not poison it
+    val e = intercept[IllegalArgumentException] { AnnIndex.append(shard, path) }
+    assert(e.getMessage.contains("already exists"))
+    assert(AnnIndex.readMeta(path).nCells === 6)
+  }
+
+  test("a crashed build is unreadable, never stale-geometry-over-new-postings") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").limit(50)
+    val path = freshPath("crash")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2)
+    // the commit marker is the FIRST thing build/append removes — a crash
+    // at any later point leaves exactly this state
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$path/meta.json"))
+    val e = intercept[IllegalArgumentException] { AnnIndex.readMeta(path) }
+    assert(e.getMessage.contains("build(...) it first"))
+    intercept[IllegalArgumentException] { AnnIndex.open(spark, path) }
+  }
+
+  test("empty corpus builds an empty-but-typed index; queries return empty") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("empty")
+    val meta = AnnIndex.build(
+      vecs.where(lit(false)), "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2)
+    assert(meta.nCells === 0)
+    val out = AnnIndex.queryTopK(
+      vecs.where(col("vec_id") < 3), "vec_id", "embedding", path,
+      k = 3, nProbe = 2)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("query_id", "neighbor_id", "cosine", "rank"))
+  }
+}
