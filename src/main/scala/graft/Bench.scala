@@ -95,10 +95,11 @@ object Bench {
     "q_paragraph_dedup",
     // cross-table bucket join + candidate-sized verification
     "q_cross_neardup",
-    // the persisted-index flavor: first (warm-up) run builds the on-disk
+    // the persisted-index flavors: first (warm-up) run builds the on-disk
     // index, the timed runs measure the operational steady state — a shard
-    // deduped against an already-fingerprinted corpus
-    "q_incremental_dedup",
+    // deduped (resp. a query set answered) against an already-indexed
+    // corpus
+    "q_incremental_dedup", "q_indexed_ann",
     // window-fingerprint explode + skew-safe first-occurrence agg + per-doc
     // sweep — the token-level dedup whose explode volume scales with corpus
     // token count
@@ -260,6 +261,15 @@ object Bench {
       val annMethod = S.annAutoMethod(n, k)
       val annAutoRecall = recall(
         S.annTopKAuto(v, queries, "vec_id", "embedding", k, corpusSize = n))
+      // IVF-PQ: the compressed-candidate flavor at the flat-auto cell
+      // geometry — ADC prefilter (2m-byte payloads) + exact rerank of a
+      // 4k pool; its recall gap vs ivf_auto is the price of pool
+      // truncation, its win is the candidate-scan byte budget
+      val ivfpqRecall = recall(graft.ops.Pq.ivfpqTopK(
+        v, queries, "vec_id", "embedding", k,
+        nCentroids = autoCents, nProbe = autoProbe,
+        m = 8, ks = 256, poolFactor = 4,
+        kmeansIters = 0, pqIters = 1, corpusSize = Some(n)))
       // pair recall on the stride subsample, gate threshold (0.3495);
       // ~2000 vectors bounds the brute-force pair baseline at ~2M pairs
       // regardless of leg size
@@ -312,6 +322,7 @@ object Bench {
           s""""imi_frac":${r3(imiBudget.toDouble / math.max(1L, n))},""" +
           s""""ann_auto_method":"$annMethod",""" +
           s""""ann_auto_recall":${r3(annAutoRecall)},""" +
+          s""""ivfpq_recall":${r3(ivfpqRecall)},""" +
           s""""semantic_pair_recall":${r3(semRecall)},""" +
           s""""semantic2_pair_recall":${r3(semRecall2)},""" +
           s""""semantic_auto_pair_recall":${r3(semAuto)},""" +
@@ -928,6 +939,79 @@ object Bench {
           .map(j => s""","incremental_dedup_sf10":$j""").getOrElse("")
       else ""
 
+    // Index-reuse economics for ANN (the AnnIndex twin of the dedup
+    // profile): fit + assign + write the persisted IVF index once (timed),
+    // answer the query set from the index (timed), and run the live
+    // ivfTopK recompute of the same answer at the same geometry (timed).
+    // kmeansIters = 0 on both sides keeps the two fits bit-identical, so
+    // results_match is an exact set comparison, not a recall estimate.
+    def indexedAnnProfile(dir: String): Option[String] =
+      if (skipLegs || !new java.io.File(s"$dir/embeddings.parquet").exists()) None
+      else try {
+        val s = freshSession(dir)
+        import org.apache.spark.sql.functions._
+        def r3(v: Double) = math.round(v * 1000) / 1000.0
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = body
+          (r, r3((System.nanoTime() - t0) / 1e9))
+        }
+        val S = graft.ops.Similarity
+        val v = s.read.parquet(s"$dir/embeddings.parquet")
+        val n = v.count()
+        if (n < 20) return None
+        val k = 10
+        val (nCents, nProbe) = S.ivfAutoParams(n, k)
+        val qStep = math.max(1L, n / 200L)
+        val queries = v.where(pmod(col("vec_id"), lit(qStep)) === 0)
+        val path = new java.io.File(
+          System.getProperty("java.io.tmpdir"),
+          "graft_bench_ann_index").getAbsolutePath
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) {
+            val kk = f.listFiles(); if (kk != null) kk.foreach(rm)
+          }
+          f.delete(): Unit
+        }
+        rm(new java.io.File(path))
+        val (_, buildS) = timed(graft.sources.AnnIndex.build(
+          v, "vec_id", "embedding", path,
+          nCentroids = nCents, kmeansIters = 0, corpusSize = Some(n)))
+        def rows(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("query_id"), col("neighbor_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val (fromIndex, indexedS) = timed {
+          val r = rows(graft.sources.AnnIndex.queryTopK(
+            queries, "vec_id", "embedding", path, k, nProbe))
+          graft.core.Blocks.releaseAll()
+          r
+        }
+        val (live, liveS) = timed {
+          val r = rows(S.ivfTopK(
+            v, queries, "vec_id", "embedding", k,
+            nCentroids = nCents, nProbe = nProbe, kmeansIters = 0,
+            corpusSize = Some(n)))
+          graft.core.Blocks.releaseAll()
+          r
+        }
+        rm(new java.io.File(path))
+        Some(s"""{"build_s":$buildS,"indexed_query_s":$indexedS,""" +
+          s""""live_ivf_s":$liveS,"n_centroids":$nCents,"n_probe":$nProbe,""" +
+          s""""n_results":${fromIndex.size},"results_match":${fromIndex == live}}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: indexed-ann profile failed on $dir: $e")
+          None
+      } finally {
+        graft.core.Blocks.releaseAll()
+        spark.catalog.clearCache()
+      }
+    val indexedAnnSf10f =
+      if (new java.io.File(sf10fDir).isDirectory)
+        indexedAnnProfile(sf10fDir)
+          .map(j => s""","indexed_ann_sf10f":$j""").getOrElse("")
+      else ""
+
     // distinct-value cardinality behind q_percentile on the 100× legs
     // (r9 verdict task 6: the fresh-content leg has ~10× the distincts —
     // record the denominator so any cardinality-sensitive drift is
@@ -984,7 +1068,7 @@ object Bench {
         s""","calib_s":{"start":$calibStart,"end":$calibEnd}""" +
         rerunJson("outlier_", primaryRerun) + ratioJson("outlier_", primaryRatios)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras$sf1$sf10$sf10f$minhashSf10$minhashSf10f$ngramSf10$incrementalSf10$pctlDistincts$annPrimary$annSf1$annSf10$annSf10f,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras$sf1$sf10$sf10f$minhashSf10$minhashSf10f$ngramSf10$incrementalSf10$indexedAnnSf10f$pctlDistincts$annPrimary$annSf1$annSf10$annSf10f,"sf":"$sfDir"}"""
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
     // bounded 2000-char TAIL of it. The FILE gets the full artifact; stdout
     // gets (a) a compact per-query line for humans, then (b) a MINIMAL

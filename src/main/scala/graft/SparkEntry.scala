@@ -19,6 +19,47 @@ object SparkEntry {
 
   private def pq(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** ONE cached persisted-index location per (dataset dir, index kind) —
+    * no per-content dirs, so a data regeneration rebuilds IN PLACE instead
+    * of leaking a corpus-sized tmpdir per run. Freshness is a RECURSIVE
+    * content fingerprint of the source table (sorted
+    * relative-path:length:mtime tuples, murmur-hashed — a sum of
+    * length+mtime can alias and misses nested parquet layouts); `buildIt`
+    * runs only when the fingerprint is stale or the index's own commit
+    * marker (`meta.json`) is missing. Shared by the persisted-index gate
+    * queries (`q_incremental_dedup`, `q_indexed_ann`).
+    */
+  private def cachedIndexPath(
+      dir: String, table: String, kind: String)(
+      buildIt: String => Unit): String = {
+    val src = new java.io.File(pq(dir, table))
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
+      else Seq(
+        f.getAbsolutePath.stripPrefix(src.getAbsolutePath) +
+          ":" + f.length() + ":" + f.lastModified())
+    val fp = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(walk(src).sorted))
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_${kind}_" + java.lang.Integer.toHexString(dir.hashCode))
+      .getAbsolutePath
+    val fpFile = new java.io.File(path, "source.fingerprint")
+    val fresh = fpFile.exists() &&
+      new String(
+        java.nio.file.Files.readAllBytes(fpFile.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) == fp &&
+      new java.io.File(path, "meta.json").exists()
+    if (!fresh) {
+      buildIt(path)
+      java.nio.file.Files.write(
+        fpFile.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    }
+    path
+  }
+
   /** Deterministic messy URL per document row (mixed-case scheme/host,
     * default + explicit ports, trailing slash, utm_* params, fragment) —
     * shared by the `q_url_normalize` / `q_domain_stats` gate queries; the
@@ -814,41 +855,72 @@ object SparkEntry {
     // shard against it without re-fingerprinting the corpus.
     "q_incremental_dedup" -> { (s, dir) =>
       val docs = s.read.parquet(pq(dir, "documents"))
-      // ONE index location per dataset path (no per-content dirs — a data
-      // regeneration rebuilds IN PLACE instead of leaking a corpus-sized
-      // tmpdir per run); freshness is a RECURSIVE content fingerprint
-      // (sorted relative-path:length:mtime tuples, murmur-hashed — a sum
-      // of length+mtime can alias and misses nested parquet layouts)
-      val src = new java.io.File(pq(dir, "documents"))
-      def walk(f: java.io.File): Seq[String] =
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.toSeq).getOrElse(Nil).flatMap(walk)
-        else Seq(
-          f.getAbsolutePath.stripPrefix(src.getAbsolutePath) +
-            ":" + f.length() + ":" + f.lastModified())
-      val fp = java.lang.Integer.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(walk(src).sorted))
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_dedup_index_" + java.lang.Integer.toHexString(dir.hashCode))
-        .getAbsolutePath
-      val fpFile = new java.io.File(path, "source.fingerprint")
-      val fresh = fpFile.exists() &&
-        new String(
-          java.nio.file.Files.readAllBytes(fpFile.toPath),
-          java.nio.charset.StandardCharsets.UTF_8) == fp &&
-        new java.io.File(path, "meta.json").exists()
-      if (!fresh) {
+      val path = cachedIndexPath(dir, "documents", "dedup_index") { p =>
         graft.sources.DedupIndex.build(
-          docs.where(col("doc_id") % 2 === 1), "text", "doc_id", path)
-        java.nio.file.Files.write(
-          fpFile.toPath,
-          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+          docs.where(col("doc_id") % 2 === 1), "text", "doc_id", p)
       }
       graft.sources.DedupIndex
         .incrementalNearDups(
           docs.where(col("doc_id") % 2 === 0), "text", path, threshold = 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // top-k ANN from a PERSISTED IVF index: quantizer fit + corpus→cell
+    // assignment paid once into a cell-sorted bucketed postings table
+    // (built/reused via the same content-fingerprint cache as
+    // q_incremental_dedup), queries served by probing cells off the index
+    // — the probed-cell isin pushes into the parquet scan (AnnIndexSpec
+    // pins the plan). nProbe = nCells here, so the result is EXACT top-k:
+    // the same brute-force oracle as q_embedding_topk checks the whole
+    // build/open/query path end-to-end.
+    "q_indexed_ann" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      val path = cachedIndexPath(dir, "embeddings", "ann_index") { p =>
+        graft.sources.AnnIndex.build(
+          vecs, "vec_id", "embedding", p, nCentroids = 8, kmeansIters = 0)
+      }
+      graft.sources.AnnIndex
+        .queryTopK(
+          vecs.where(col("vec_id") < 5), "vec_id", "embedding", path,
+          k = 3, nProbe = 8)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+
+    // product-quantization encode (Jégou 2011): bit-reproducible seed
+    // codebooks (first-16-by-id vectors, 4 subspaces × 16 dims), every
+    // vector → 4 smallint codes via the native argmin kernel
+    // (functions.PqCodes). The oracle re-derives the codebooks and the
+    // per-subspace argmin in SQL — same sequential double arithmetic,
+    // same ties-to-smallest-codeword.
+    "q_pq_encode" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      val cb = graft.ops.Pq.seedCodebooks(vecs, "vec_id", "embedding", m = 4, ks = 16)
+      graft.ops.Pq.withCodes(vecs, "embedding", cb)
+        .select(col("vec_id"), posexplode(col("pq_codes")))
+        .select(
+          col("vec_id"),
+          col("pos").cast("bigint").as("subspace"),
+          col("col").cast("bigint").as("code"))
+    },
+
+    // asymmetric-distance top-k over the PQ codes: per-query LUT of
+    // query-slice·codeword dots, every corpus code scored with 4 lookups,
+    // ranked by the approximate dot. The oracle recomputes codes, then the
+    // per-subspace inner products summed in subspace order (pivoted
+    // left-assoc sum — DuckDB's sum() aggregates in arbitrary order and
+    // drifts 1 ulp otherwise).
+    "q_pq_adc" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      val cb = graft.ops.Pq.seedCodebooks(vecs, "vec_id", "embedding", m = 4, ks = 16)
+      graft.ops.Pq
+        .adcTopK(vecs, vecs.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 3, codebooks = cb)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("adc_dot"), 6).as("adc_dot"),
+          col("rank").cast("bigint").as("rank"))
     },
 
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
@@ -5682,6 +5754,71 @@ object SparkEntry {
     // answers to the SAME exact cross-Jaccard oracle
     "q_incremental_dedup" ->
       jaccardSqlWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"),
+    // the persisted-index query probes every cell (nProbe = nCells), so
+    // exact brute-force top-k is the ground truth — same oracle shape as
+    // q_embedding_topk
+    "q_indexed_ann" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              scored AS (SELECT qid AS query_id, v.vec_id AS neighbor_id,
+                           list_cosine_similarity(qe, e) AS c
+                         FROM v, q WHERE v.vec_id <> qid),
+              ranked AS (SELECT query_id, neighbor_id, c,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY c DESC, neighbor_id) AS r
+                         FROM scored)
+         SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
+         FROM ranked WHERE r <= 3""",
+    // PQ codebooks re-derived in SQL: codeword cw = the cw-th vector by
+    // id; per (vector, subspace) the squared-L2 argmin over codewords —
+    // list_sum(list_transform(...)) is the same sequential double
+    // accumulation as the native kernel, ties break to the smallest cw on
+    // both sides (strict < scan ≡ ORDER BY d2, cw)
+    "q_pq_encode" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, e
+                     FROM v ORDER BY vec_id LIMIT 16),
+              d AS (SELECT v.vec_id, s.s, cb.cw,
+                      list_sum(list_transform(range(16),
+                        j -> (v.e[CAST(s.s*16 + j + 1 AS INT)] - cb.e[CAST(s.s*16 + j + 1 AS INT)])
+                           * (v.e[CAST(s.s*16 + j + 1 AS INT)] - cb.e[CAST(s.s*16 + j + 1 AS INT)]))) AS d2
+                    FROM v CROSS JOIN range(4) s(s) CROSS JOIN cb),
+              r AS (SELECT vec_id, s, cw,
+                      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cw) AS rn
+                    FROM d)
+         SELECT vec_id, s AS subspace, cw AS code FROM r WHERE rn = 1""",
+    // ADC top-k: same code derivation, then per-subspace inner products
+    // pivoted and added LEFT-ASSOCIATIVELY in subspace order — the exact
+    // accumulation order of the native pq_adc loop (an aggregate sum()
+    // would add in arbitrary order and drift 1 ulp on the scores)
+    "q_pq_adc" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, e
+                     FROM v ORDER BY vec_id LIMIT 16),
+              d AS (SELECT v.vec_id, s.s, cb.cw,
+                      list_sum(list_transform(range(16),
+                        j -> (v.e[CAST(s.s*16 + j + 1 AS INT)] - cb.e[CAST(s.s*16 + j + 1 AS INT)])
+                           * (v.e[CAST(s.s*16 + j + 1 AS INT)] - cb.e[CAST(s.s*16 + j + 1 AS INT)]))) AS d2
+                    FROM v CROSS JOIN range(4) s(s) CROSS JOIN cb),
+              codes AS (SELECT vec_id, s, cw FROM (
+                          SELECT vec_id, s, cw,
+                            row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cw) AS rn
+                          FROM d) WHERE rn = 1),
+              q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              ip AS (SELECT q.qid, c.vec_id AS nid, c.s,
+                       list_sum(list_transform(range(16),
+                         j -> q.qe[CAST(c.s*16 + j + 1 AS INT)] * cb.e[CAST(c.s*16 + j + 1 AS INT)])) AS p
+                     FROM codes c JOIN cb ON cb.cw = c.cw CROSS JOIN q
+                     WHERE c.vec_id <> q.qid),
+              adc AS (SELECT qid, nid,
+                        max(CASE WHEN s=0 THEN p END) + max(CASE WHEN s=1 THEN p END)
+                      + max(CASE WHEN s=2 THEN p END) + max(CASE WHEN s=3 THEN p END) AS adc
+                      FROM ip GROUP BY qid, nid),
+              r AS (SELECT qid AS query_id, nid AS neighbor_id, adc,
+                      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+                    FROM adc)
+         SELECT query_id, neighbor_id, round(adc, 6) AS adc_dot, rank
+         FROM r WHERE rank <= 3""",
     "q_embedding_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),

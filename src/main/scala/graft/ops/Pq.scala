@@ -1,0 +1,282 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PqCodes.{pqAdc, pqEncode, pqLut}
+
+/** Product quantization for embedding columns (Jégou, Douze & Schmid 2011)
+  * — the compression tier of the ANN stack. A dim-64 float vector is 256
+  * bytes; its PQ code at m=8 is 16 bytes. At 100 TB of embeddings that is
+  * the difference between "the candidate scan streams codes through the
+  * CPU cache" and "the candidate scan is IO-bound on full vectors" — the
+  * sketch-prefilter idea of `ivfTopKRerank` taken to its standard
+  * conclusion: approximate scores from codes (ADC), exact cosine only on
+  * the short reranked pool.
+  *
+  * Flavors (the established split): [[seedCodebooks]] is bit-reproducible
+  * (codewords = slices of the first-ks-by-id vectors — pure functions of
+  * the data, re-derivable by the DuckDB oracle); [[trainCodebooks]]
+  * hash-stride samples seeds and optionally Lloyd-refines per subspace
+  * (deterministic up to summation order, like
+  * [[Similarity.fitCentroids]] — the recall flavor, not the oracle one).
+  *
+  * Scale shape: codebooks are plan constants inside the native
+  * [[graft.functions.PqCodes]] expressions (no join, no shuffle to score);
+  * the ADC pool rank is a per-query window capped by WindowGroupLimit;
+  * the exact rerank touches poolFactor·k rows per query, joined by
+  * BROADCASTING the (tiny) pool against the corpus — never a corpus
+  * shuffle.
+  */
+object Pq {
+
+  /** Bit-reproducible codebooks: the first `ks` non-null vectors by id,
+    * sliced into `m` contiguous subspaces. Returns m × (≤ks) × (dim/m)
+    * doubles (float→double widening is exact). The gate/oracle flavor —
+    * a DuckDB oracle re-derives it as `ORDER BY id LIMIT ks`.
+    */
+  def seedCodebooks(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ks: Int): Seq[Seq[Seq[Double]]] = {
+    require(m > 0, s"m must be positive: $m")
+    require(ks > 0 && ks <= 256, s"ks must be in 1..256: $ks")
+    val rows = vectors
+      .where(col(vecCol).isNotNull)
+      .sort(col(idCol))
+      .limit(ks)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    require(rows.nonEmpty, "cannot seed PQ codebooks from an empty corpus")
+    val dim = rows.head.length
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+    require(rows.forall(_.length == dim),
+      "cannot seed PQ codebooks from ragged vectors")
+    val sub = dim / m
+    (0 until m).map { s =>
+      rows.toSeq.map(v => (0 until sub).map(j => v(s * sub + j).toDouble))
+    }
+  }
+
+  /** Production codebooks: hash-stride sampled seed vectors (the
+    * [[Similarity.ivfCentroids]] scheme — deterministic, no full sort)
+    * refined with `iters` per-subspace Lloyd rounds. Each round is ONE
+    * distributed aggregate over the posexploded vectors keyed by
+    * (subspace, code, dim-in-subspace) — ≤ m·ks·sub result rows to the
+    * driver — exactly the [[Similarity.fitCentroids]] shape. Refined
+    * values are deterministic up to float summation order; use
+    * `iters = 0` (or [[seedCodebooks]]) where bit-reproducibility
+    * matters more than quantization error.
+    */
+  def trainCodebooks(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ks: Int,
+      iters: Int = 1,
+      corpusSize: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+    require(m > 0, s"m must be positive: $m")
+    require(ks > 0 && ks <= 256, s"ks must be in 1..256: $ks")
+    val nonNull = vectors.where(col(vecCol).isNotNull)
+    val n = corpusSize.getOrElse {
+      val stats = nonNull.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.toLong).getOrElse(
+        math.max(1L, (stats.sizeInBytes / 65536).toLong))
+    }
+    val step = math.max(1L, n / (2L * ks))
+    val sampled = nonNull
+      .where(pmod(xxhash64(col(idCol)), lit(step)) === 0)
+      .sort(col(idCol))
+      .limit(ks)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toIndexedSeq)
+    val seedRows =
+      if (sampled.nonEmpty) sampled.toSeq
+      else nonNull.sort(col(idCol)).limit(ks).select(col(vecCol))
+        .collect().map(_.getSeq[Float](0).toIndexedSeq).toSeq
+    require(seedRows.nonEmpty, "cannot seed PQ codebooks from an empty corpus")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+    val sub = dim / m
+    var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      seedRows.map(v => (0 until sub).map(j => v(s * sub + j).toDouble))
+    }
+    for (_ <- 0 until iters) {
+      // (subspace, code, dim-in-subspace)-keyed count+sum — map-side
+      // partials, ≤ m·ks·sub rows back (the fitCentroids aggregate shape)
+      val enc = nonNull
+        .select(pqEncode(col(vecCol), cb).as("dj_codes"), col(vecCol).as("dj_vec"))
+        .where(col("dj_codes").isNotNull)
+      val rows = enc
+        .select(col("dj_codes"), posexplode(col("dj_vec")))
+        .select(
+          (col("pos") / sub).cast("int").as("dj_s"),
+          element_at(col("dj_codes"), (col("pos") / sub).cast("int") + 1).as("dj_c"),
+          pmod(col("pos"), lit(sub)).as("dj_j"),
+          col("col").cast("double").as("dj_x"))
+        .groupBy("dj_s", "dj_c", "dj_j")
+        .agg(count(lit(1)).as("dj_n"), sum(col("dj_x")).as("dj_sum"))
+        .collect()
+      val updated: Map[(Int, Int, Int), (Long, Double)] = rows.map { r =>
+        (r.getInt(0), r.getShort(1).toInt, r.getInt(2)) ->
+          (r.getLong(3), r.getDouble(4))
+      }.toMap
+      cb = cb.zipWithIndex.map { case (codewords, s) =>
+        codewords.zipWithIndex.map { case (old, c) =>
+          val cells = (0 until sub).map(j => updated.get((s, c, j)))
+          if (cells.forall(_.isEmpty)) old // empty cell keeps its codeword
+          else (0 until sub).map { j =>
+            cells(j).map { case (nn, ss) => ss / nn }.getOrElse(0.0)
+          }
+        }
+      }
+    }
+    cb
+  }
+
+  /** Attach PQ codes: `df` + `outCol array<smallint>` (null for null /
+    * wrong-length vectors — filter or fail upstream as appropriate).
+    */
+  def withCodes(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      outCol: String = "pq_codes"): DataFrame =
+    df.withColumn(outCol, pqEncode(col(vecCol), codebooks))
+
+  /** Pure-ADC top-k (no coarse index, no rerank): every corpus code is
+    * scored with m table lookups against the broadcast per-query LUT and
+    * ranked by the approximate dot product. The building block the gate
+    * oracles directly; for production retrieval compose with a coarse
+    * index and an exact rerank ([[ivfpqTopK]]).
+    *
+    * Output: (query_id, neighbor_id, adc_dot, rank) — `adc_dot` is the
+    * query·reconstruction dot product, NOT a cosine.
+    */
+  def adcTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val corpus = vectors
+      .select(col(idCol).as("neighbor_id"), pqEncode(col(vecCol), codebooks).as("dj_codes"))
+      .where(col("neighbor_id").isNotNull && col("dj_codes").isNotNull)
+    val q = broadcast(
+      queries
+        .select(col(idCol).as("query_id"), pqLut(col(vecCol), codebooks).as("dj_lut"))
+        .where(col("query_id").isNotNull && col("dj_lut").isNotNull))
+    corpus
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dot", pqAdc(col("dj_codes"), col("dj_lut")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc_dot").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dot"), col("rank"))
+  }
+
+  /** IVF-PQ with exact rerank — the standard at-scale retrieval shape
+    * (IVFADC posture; codes on raw vectors, not residuals — documented
+    * simplification, same as ScaNN's non-residual mode): probe `nProbe`
+    * coarse cells per query, score every candidate with m ADC lookups
+    * (codes + broadcast LUT — the probe join carries 2·m bytes per row
+    * instead of 4·dim), keep the `poolFactor·k` best per query, and
+    * exact-cosine-rerank that pool against the full vectors. With
+    * `nProbe ≥ nCentroids` and `poolFactor·k ≥ corpus size` the result
+    * IS brute-force exact top-k (spec-pinned) — approximation enters
+    * only through cell pruning and pool truncation, never the final
+    * scoring.
+    *
+    * Output: (query_id, neighbor_id, cosine, rank) — exact cosines, the
+    * [[Similarity.ivfTopK]] schema.
+    */
+  def ivfpqTopK(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ks: Int = 256,
+      poolFactor: Int = 4,
+      kmeansIters: Int = 2,
+      pqIters: Int = 1,
+      corpusSize: Option[Long] = None): DataFrame = {
+    val centroids = Similarity.fitCentroids(
+      vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
+    if (centroids.isEmpty) return Similarity.emptyTopK(queries, idCol)
+    val cb = trainCodebooks(vectors, idCol, vecCol, m, ks, pqIters, corpusSize)
+    // corpus side: (neighbor_id, cluster, codes) — 2·m bytes of payload
+    // per row through the probe join, never the full vector
+    val corpus = Similarity
+      .assignToCentroids(
+        vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
+      .select(
+        col("neighbor_id"), col("cluster"),
+        pqEncode(col("vec"), cb).as("dj_codes"))
+      .where(col("dj_codes").isNotNull)
+    val probes = Similarity
+      .ivfQueryProbes(queries, idCol, vecCol, centroids, nProbe)
+      .withColumn("dj_lut", pqLut(col("query_vec"), cb))
+      .where(col("dj_lut").isNotNull)
+      .select(col("query_id"), col("cluster"), col("dj_lut"))
+    val pool = corpus
+      .join(broadcast(probes), Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dj_adc", pqAdc(col("dj_codes"), col("dj_lut")))
+      .withColumn(
+        "dj_rk",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dj_adc").desc, col("neighbor_id"))))
+      .where(col("dj_rk") <= poolFactor.toLong * k)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank of the bounded pool: broadcast the (nQueries·poolFactor·k)
+    // pool against the corpus — a column-pruned scan, no corpus shuffle
+    val qvec = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("dj_qvec")))
+    vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("dj_nvec"))
+      .join(broadcast(pool), Seq("neighbor_id"))
+      .join(qvec, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosineF(col("dj_qvec"), col("dj_nvec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Squared reconstruction error `‖vec − decode(encode(vec))‖²` as a
+    * column — the quantization-quality diagnostic (per-subspace sequential
+    * accumulation, same arithmetic as the encode distances). Implemented
+    * as ADC algebra: ‖v−r‖² = v·v − 2·v·r + Σ_s ‖codeword_s‖², with v·r
+    * and the norm term both m-lookup ADC sums — no reconstruction
+    * materialized.
+    */
+  def reconstructionError2(
+      vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    import graft.functions.DotProductFloat.dotF
+    val ks = codebooks.head.size
+    // norms "lut": entry (s, c) = ‖codeword(s)(c)‖² — a plan constant
+    val norms: Seq[Double] = codebooks.flatMap(_.map { cw =>
+      var acc = 0.0; cw.foreach(v => acc += v * v); acc
+    })
+    val normsLut = array(norms.map(lit): _*)
+    val codes = pqEncode(vec, codebooks)
+    dotF(vec, vec) - lit(2.0) * pqAdc(codes, pqLut(vec, codebooks).asInstanceOf[Column]) +
+      pqAdc(codes, normsLut)
+  }
+}
