@@ -974,9 +974,13 @@ object Bench {
           f.delete(): Unit
         }
         rm(new java.io.File(path))
+        // one build serves both read paths: the uncompressed query prunes
+        // the codes column away, the compressed query prunes the vectors
+        // out of its ADC scan — build_s includes the PQ codebook training
         val (_, buildS) = timed(graft.sources.AnnIndex.build(
           v, "vec_id", "embedding", path,
-          nCentroids = nCents, kmeansIters = 0, corpusSize = Some(n)))
+          nCentroids = nCents, kmeansIters = 0, corpusSize = Some(n),
+          pq = Some((8, 256)), pqIters = 1))
         def rows(df: org.apache.spark.sql.DataFrame) = df
           .select(col("query_id"), col("neighbor_id"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -994,9 +998,23 @@ object Bench {
           graft.core.Blocks.releaseAll()
           r
         }
+        // the compressed read path: ADC prefilter over persisted codes +
+        // exact rerank of a 4k pool; its recall vs the exact indexed
+        // answer is the price of PQ at this geometry, its time is what
+        // the 2m-byte candidate payload buys
+        val (fromPq, pqS) = timed {
+          val r = rows(graft.sources.AnnIndex.queryTopKPq(
+            queries, "vec_id", "embedding", path, k, nProbe, poolFactor = 4))
+          graft.core.Blocks.releaseAll()
+          r
+        }
+        val pqRecall =
+          if (live.isEmpty) 0.0
+          else r3(fromPq.count(live.contains).toDouble / live.size)
         rm(new java.io.File(path))
         Some(s"""{"build_s":$buildS,"indexed_query_s":$indexedS,""" +
-          s""""live_ivf_s":$liveS,"n_centroids":$nCents,"n_probe":$nProbe,""" +
+          s""""live_ivf_s":$liveS,"pq_query_s":$pqS,"pq_recall":$pqRecall,""" +
+          s""""n_centroids":$nCents,"n_probe":$nProbe,""" +
           s""""n_results":${fromIndex.size},"results_match":${fromIndex == live}}""")
       } catch {
         case e: Throwable =>

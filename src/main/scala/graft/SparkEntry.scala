@@ -923,6 +923,28 @@ object SparkEntry {
           col("rank").cast("bigint").as("rank"))
     },
 
+    // top-k from the PQ-carrying persisted index: codes round-trip through
+    // the bucketed postings, the ADC prefilter + LUT machinery runs end to
+    // end, and at exhaustive settings (every cell probed, pool covering
+    // the corpus) the exact rerank makes the result brute-force top-k —
+    // the same oracle as q_indexed_ann. ADC VALUE correctness is oracled
+    // separately (q_pq_adc); this gate checks the persisted-codes path.
+    "q_indexed_pq" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      val path = cachedIndexPath(dir, "embeddings", "ann_pq_index") { p =>
+        graft.sources.AnnIndex.build(
+          vecs, "vec_id", "embedding", p,
+          nCentroids = 8, kmeansIters = 0, pq = Some((4, 16)), pqIters = 0)
+      }
+      graft.sources.AnnIndex
+        .queryTopKPq(
+          vecs.where(col("vec_id") < 5), "vec_id", "embedding", path,
+          k = 3, nProbe = 8, poolFactor = Int.MaxValue)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ops.Dedup
@@ -5754,9 +5776,21 @@ object SparkEntry {
     // answers to the SAME exact cross-Jaccard oracle
     "q_incremental_dedup" ->
       jaccardSqlWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"),
-    // the persisted-index query probes every cell (nProbe = nCells), so
-    // exact brute-force top-k is the ground truth — same oracle shape as
-    // q_embedding_topk
+    // the persisted-index queries probe every cell (nProbe = nCells; the
+    // PQ flavor also pools the whole corpus), so exact brute-force top-k
+    // is the ground truth — same oracle shape as q_embedding_topk
+    "q_indexed_pq" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              scored AS (SELECT qid AS query_id, v.vec_id AS neighbor_id,
+                           list_cosine_similarity(qe, e) AS c
+                         FROM v, q WHERE v.vec_id <> qid),
+              ranked AS (SELECT query_id, neighbor_id, c,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY c DESC, neighbor_id) AS r
+                         FROM scored)
+         SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
+         FROM ranked WHERE r <= 3""",
     "q_indexed_ann" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),

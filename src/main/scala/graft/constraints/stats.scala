@@ -246,13 +246,18 @@ final case class MinAnnRecall(
     nQueries: Int = 200,
     method: String = "lsh",
     corpusSizeHint: Option[Long] = None,
+    indexPath: Option[String] = None,
+    nProbe: Int = 4,
     override val nameOverride: Option[String] = None)
     extends Constraint {
   require(refValue.exists(v => v > 0 && v <= 1),
     s"min_ann_recall requires a target in (0, 1]: $refValue")
-  require(method == "lsh" || method == "ivf",
-    s"min_ann_recall method must be lsh or ivf: $method")
-  require(k >= 1 && nQueries >= 1, "k and nQueries must be positive")
+  require(Set("lsh", "ivf", "indexed", "indexed_pq").contains(method),
+    s"min_ann_recall method must be lsh, ivf, indexed, or indexed_pq: $method")
+  require(indexPath.nonEmpty == method.startsWith("indexed"),
+    "indexPath is required for (and only for) the indexed/indexed_pq methods")
+  require(k >= 1 && nQueries >= 1 && nProbe >= 1,
+    "k, nQueries and nProbe must be positive")
 
   override def test(spark: SparkSession): TestResult = withPlans {
     import org.apache.spark.sql.functions._
@@ -289,13 +294,25 @@ final case class MinAnnRecall(
         val nTruth = truth.count()
         if (nTruth == 0L) TestResult.success(description) // genuinely < 2 rows
         else {
-          val approx =
-            if (method == "lsh")
+          val approx = method match {
+            case "lsh" =>
               S.lshTopKAuto(base, queries, idColumn, vectorColumn, k,
                 corpusSize = n)
-            else
+            case "ivf" =>
               S.ivfTopKAuto(base, queries, idColumn, vectorColumn, k,
                 corpusSize = n)
+            // the persisted-index read paths: recall of the index AS
+            // OPERATED (its frozen geometry + this probe budget) vs live
+            // exact truth on the CURRENT data — a stale or under-probed
+            // index fails here even though every per-call query is
+            // individually correct
+            case "indexed" =>
+              graft.sources.AnnIndex.queryTopK(
+                queries, idColumn, vectorColumn, indexPath.get, k, nProbe)
+            case _ =>
+              graft.sources.AnnIndex.queryTopKPq(
+                queries, idColumn, vectorColumn, indexPath.get, k, nProbe)
+          }
           val hit = truth.join(
             approx.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi").count()

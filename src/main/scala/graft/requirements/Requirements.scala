@@ -419,6 +419,35 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: recall of a PERSISTED ANN index
+    * ([[graft.sources.AnnIndex]]) against exact ground truth on the
+    * current data — the operational twin of
+    * [[addMinAnnRecallConstraint]]: a stale (data drifted since build)
+    * or under-probed index fails here even though each query it answers
+    * is individually well-formed. `compressed = true` gates the PQ read
+    * path (`queryTopKPq`) instead of the exact-vector one.
+    */
+  def addMinIndexedAnnRecallConstraint(
+      idColumn: String,
+      vectorColumn: String,
+      indexPath: String,
+      minRecall: Double,
+      k: Int = 10,
+      nQueries: Int = 200,
+      nProbe: Int = 4,
+      compressed: Boolean = false,
+      corpusSizeHint: Option[Long] = None,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += MinAnnRecall(
+      ref(Some(Seq(idColumn, vectorColumn)), condition), idColumn,
+      vectorColumn, Some(minRecall), k, nQueries,
+      method = if (compressed) "indexed_pq" else "indexed",
+      corpusSizeHint, indexPath = Some(indexPath), nProbe = nProbe,
+      nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).

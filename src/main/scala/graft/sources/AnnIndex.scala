@@ -56,6 +56,9 @@ object AnnIndex {
   /** Format version — bump on any layout/semantics change. */
   private val Version = 1
 
+  /** `pqM`/`pqKs` = 0 when the index carries no PQ codes (the fields are
+    * optional on read, so pre-PQ indexes stay readable).
+    */
   final case class Meta(
       nCentroids: Int,
       kmeansIters: Int,
@@ -65,6 +68,8 @@ object AnnIndex {
       vecCol: String,
       vecType: String,
       nBuckets: Int,
+      pqM: Int = 0,
+      pqKs: Int = 0,
       version: Int = Version)
 
   private def metaPath(path: String) = s"$path/meta.json"
@@ -74,7 +79,8 @@ object AnnIndex {
       s"""{"n_centroids":${m.nCentroids},"kmeans_iters":${m.kmeansIters},""" +
         s""""n_cells":${m.nCells},"id_col":"${m.idCol}","id_type":"${m.idType}",""" +
         s""""vec_col":"${m.vecCol}","vec_type":"${m.vecType}",""" +
-        s""""n_buckets":${m.nBuckets},"version":${m.version}}"""
+        s""""n_buckets":${m.nBuckets},"pq_m":${m.pqM},"pq_ks":${m.pqKs},""" +
+        s""""version":${m.version}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(metaPath(path)),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -93,6 +99,16 @@ object AnnIndex {
     Option(m.group(2)).getOrElse(m.group(1))
   }
 
+  /** Optional field with a default — for fields added after version-1
+    * indexes were already on disk (pq_m/pq_ks).
+    */
+  private def metaFieldOr(json: String, key: String, default: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\":(\"([^\"]*)\"|[^,}]*)")
+      .matcher(json)
+    if (m.find()) Option(m.group(2)).getOrElse(m.group(1)) else default
+  }
+
   def readMeta(path: String): Meta = {
     val p = java.nio.file.Paths.get(metaPath(path))
     require(java.nio.file.Files.exists(p),
@@ -109,6 +125,8 @@ object AnnIndex {
       vecCol = metaField(json, "vec_col"),
       vecType = metaField(json, "vec_type"),
       nBuckets = metaField(json, "n_buckets").toInt,
+      pqM = metaFieldOr(json, "pq_m", "0").toInt,
+      pqKs = metaFieldOr(json, "pq_ks", "0").toInt,
       version = metaField(json, "version").toInt)
     require(m.version == Version,
       s"ann index at $path has format version ${m.version}; " +
@@ -129,10 +147,11 @@ object AnnIndex {
   private def registerPostings(spark: SparkSession, path: String, m: Meta): String = {
     val name = tableName(path)
     val loc = new java.io.File(s"$path/postings").getAbsolutePath
+    val pqCol = if (m.pqM > 0) ", pq_codes ARRAY<SMALLINT>" else ""
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
       s"""CREATE TABLE $name
-         |(neighbor_id ${m.idType}, vec ${m.vecType}, cluster BIGINT)
+         |(neighbor_id ${m.idType}, vec ${m.vecType}, cluster BIGINT$pqCol)
          |USING parquet
          |CLUSTERED BY (cluster)
          |SORTED BY (cluster)
@@ -140,6 +159,32 @@ object AnnIndex {
          |LOCATION '$loc'""".stripMargin)
     name
   }
+
+  /** Persist PQ codebooks beside the postings: (subspace, code, cvec). */
+  private def savePqCodebooks(
+      spark: SparkSession,
+      path: String,
+      cb: Seq[Seq[Seq[Double]]]): Unit = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (codewords, s) =>
+      codewords.zipWithIndex.map { case (cw, c) => (s, c, cw) }
+    }.toDF("subspace", "code", "cvec")
+      .repartition(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(s"$path/pq_codebooks").getAbsolutePath)
+  }
+
+  /** Load codebooks saved by [[savePqCodebooks]] — (subspace, code)
+    * ascending, the order the PQ kernels expect.
+    */
+  def loadPqCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] =
+    spark.read
+      .parquet(new java.io.File(s"$path/pq_codebooks").getAbsolutePath)
+      .sort(col("subspace"), col("code"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toSeq)
 
   /** Build the index for `vectors` under `path` (overwriting any previous
     * build): ONE quantizer fit + ONE corpus assignment pass — exactly the
@@ -162,7 +207,9 @@ object AnnIndex {
       nCentroids: Int = 64,
       kmeansIters: Int = 0,
       nBuckets: Int = 32,
-      corpusSize: Option[Long] = None): Meta = {
+      corpusSize: Option[Long] = None,
+      pq: Option[(Int, Int)] = None,
+      pqIters: Int = 0): Meta = {
     require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = vectors.sparkSession
@@ -178,14 +225,28 @@ object AnnIndex {
       val centroids = Similarity.fitCentroids(
         vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
       DedupIndex.saveCentroids(spark, path, centroids)
+      // PQ codebooks (optional): trained once here, persisted beside the
+      // quantizer — queryTopKPq and append re-load them, never re-train.
+      // An empty corpus has nothing to train on (and nothing to answer) —
+      // the index degrades to the uncompressed empty shape
+      val cbOpt =
+        if (centroids.isEmpty) None
+        else pq.map { case (pm, pks) =>
+          val cb = graft.ops.Pq.trainCodebooks(
+            vectors, idCol, vecCol, pm, pks, pqIters, corpusSize)
+          savePqCodebooks(spark, path, cb)
+          cb
+        }
       val meta = Meta(nCentroids, kmeansIters, centroids.size,
-        idCol, idType, vecCol, vecType, nBuckets)
+        idCol, idType, vecCol, vecType, nBuckets,
+        pqM = cbOpt.map(_.size).getOrElse(0),
+        pqKs = cbOpt.map(_.head.size).getOrElse(0))
       // postings: the same deterministic assignment ivfTopK computes live,
       // minus null-id rows (output-invariant — see the class doc). An
       // empty quantizer (empty/all-null corpus) writes a typed empty
       // frame — the assignment kernel over zero centroids has no cell
       // type to infer
-      val postings =
+      val assigned =
         if (centroids.isEmpty)
           vectors
             .select(
@@ -195,6 +256,12 @@ object AnnIndex {
             .where(lit(false))
         else Similarity.assignToCentroids(
           vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
+      val postings = cbOpt match {
+        case Some(cb) =>
+          assigned.withColumn(
+            "pq_codes", graft.functions.PqCodes.pqEncode(col("vec"), cb))
+        case None => assigned
+      }
       postings.write
         .mode("overwrite")
         .bucketBy(nBuckets, "cluster")
@@ -262,6 +329,77 @@ object AnnIndex {
       idx.postings.where(col("cluster").isin(cells: _*)), probes, k)
   }
 
+  /** Compressed top-k from a PQ-carrying index ([[build]] with
+    * `pq = Some((m, ks))`) — the at-scale read path: the candidate scan
+    * reads (neighbor_id, cluster, pq_codes) of the PROBED CELLS ONLY
+    * (2·m bytes of payload per row instead of 4·dim), scores with m ADC
+    * lookups against the broadcast per-query LUT, keeps the
+    * `poolFactor·k` best per query, and exact-cosine-reranks that pool
+    * against the postings' full vectors — a second probed-cells-only
+    * scan, column-pruned to (neighbor_id, vec), joined by broadcasting
+    * the (tiny) pool. Never a corpus shuffle, never an unprobed cell's
+    * bytes.
+    *
+    * Same semantics as [[graft.ops.Pq.ivfpqTopK]] at the index's
+    * persisted geometry (spec-pinned); with `nProbe ≥ nCells` and
+    * `poolFactor·k ≥ corpus size` it is EXACT top-k. EAGER
+    * materialization contract as [[queryTopK]].
+    */
+  def queryTopKPq(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      k: Int,
+      nProbe: Int = 4,
+      poolFactor: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val idx = open(spark, path)
+    if (idx.centroids.isEmpty) return Similarity.emptyTopK(queries, idCol)
+    require(idx.meta.pqM > 0,
+      s"the ann index at $path carries no PQ codes — build(..., pq = Some((m, ks)))")
+    val cb = loadPqCodebooks(spark, path)
+    val probes = graft.core.Blocks.checkpoint(
+      Similarity.ivfQueryProbes(
+        queries, idCol, vecCol, idx.centroids, math.min(nProbe, idx.centroids.size)))
+    val cells = probes.select("cluster").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val probed = idx.postings.where(col("cluster").isin(cells: _*))
+    import graft.functions.PqCodes.{pqAdc, pqLut}
+    val probesLut = probes
+      .withColumn("dj_lut", pqLut(col("query_vec"), cb))
+      .where(col("dj_lut").isNotNull)
+      .select(col("query_id"), col("cluster"), col("dj_lut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    val pool = probed
+      .select(col("neighbor_id"), col("cluster"), col("pq_codes"))
+      .where(col("pq_codes").isNotNull)
+      .join(broadcast(probesLut), Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dj_adc", pqAdc(col("pq_codes"), col("dj_lut")))
+      .withColumn(
+        "dj_rk",
+        row_number().over(w.orderBy(col("dj_adc").desc, col("neighbor_id"))))
+      .where(col("dj_rk") <= poolFactor.toLong * k)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: pool ids (bounded, broadcast) back to the probed
+    // cells' full vectors — a neighbor lives in exactly one cell, so the
+    // id join is 1:1; query vectors rejoin from the (small) query frame
+    val qvec = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("dj_qvec")))
+    probed
+      .select(col("neighbor_id"), col("vec"))
+      .join(broadcast(pool), Seq("neighbor_id"))
+      .join(qvec, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosineF(col("dj_qvec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(w.orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** Fold a NEW shard into an existing index — the rolling-ingestion write
     * path: assign the shard to the PERSISTED quantizer (one broadcast
     * argmin over the shard only; the corpus is never re-read) and append
@@ -282,9 +420,17 @@ object AnnIndex {
     val idx = open(spark, path)
     val m = idx.meta
     graft.core.Blocks.scoped {
+      val assignedBare = Similarity.assignToCentroids(
+        shard.where(col(m.idCol).isNotNull), m.idCol, m.vecCol, idx.centroids)
+      // a PQ-carrying index encodes the shard against the PERSISTED
+      // codebooks (never re-trained — geometry is frozen at build)
       val assigned = graft.core.Blocks.checkpoint(
-        Similarity.assignToCentroids(
-          shard.where(col(m.idCol).isNotNull), m.idCol, m.vecCol, idx.centroids))
+        if (m.pqM > 0)
+          assignedBare.withColumn(
+            "pq_codes",
+            graft.functions.PqCodes.pqEncode(
+              col("vec"), loadPqCodebooks(spark, path)))
+        else assignedBare)
       val clash = assigned
         .join(idx.postings.select("neighbor_id"), Seq("neighbor_id"), "left_semi")
         .select("neighbor_id").head(1)

@@ -159,6 +159,141 @@ class AnnIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AnnIndex.open(spark, path) }
   }
 
+  test("PQ index: exhaustive queryTopKPq == bruteForceTopK; codes survive append") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = vecs.where(col("vec_id") % 2 === 0)
+    val shard = vecs.where(col("vec_id") % 2 === 1)
+    val queries = vecs.where(col("vec_id") < 5)
+    val n = vecs.count()
+    val path = freshPath("pq")
+    val meta = AnnIndex.build(corpus, "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2,
+      pq = Some((4, 8)), pqIters = 0)
+    assert(meta.pqM === 4 && meta.pqKs === 8)
+    AnnIndex.append(shard, path)
+    // every posting (original + appended) carries codes
+    val idx = AnnIndex.open(spark, path)
+    assert(idx.postings.where(col("pq_codes").isNull).count() === 0)
+    assert(idx.postings.count() === n)
+    // exhaustive settings: every cell probed, pool covers the corpus —
+    // the ADC prefilter cannot drop a true neighbor, the rerank is exact
+    val brute = rows(Similarity.bruteForceTopK(
+      vecs, queries, "vec_id", "embedding", k = 3))
+    val indexed = rows(AnnIndex.queryTopKPq(
+      queries, "vec_id", "embedding", path, k = 3,
+      nProbe = meta.nCells, poolFactor = (n / 3 + 1).toInt))
+    graft.core.Blocks.releaseAll()
+    assert(indexed === brute,
+      s"only-brute=${brute -- indexed} only-indexed=${indexed -- brute}")
+  }
+
+  test("PQ index: queryTopKPq == live ivfpqTopK at the same geometry") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = vecs.where(col("vec_id") < 5)
+    val n = vecs.count()
+    val path = freshPath("pqlive")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 6, kmeansIters = 0, nBuckets = 2,
+      pq = Some((4, 8)), pqIters = 0, corpusSize = Some(n))
+    val live = rows(graft.ops.Pq.ivfpqTopK(
+      vecs, queries, "vec_id", "embedding", k = 3,
+      nCentroids = 6, nProbe = 2, m = 4, ks = 8, poolFactor = 3,
+      kmeansIters = 0, pqIters = 0, corpusSize = Some(n)))
+    val indexed = rows(AnnIndex.queryTopKPq(
+      queries, "vec_id", "embedding", path, k = 3,
+      nProbe = 2, poolFactor = 3))
+    graft.core.Blocks.releaseAll()
+    assert(live.nonEmpty)
+    assert(indexed === live,
+      s"only-live=${live -- indexed} only-indexed=${indexed -- live}")
+  }
+
+  test("PQ index: the ADC candidate scan reads codes, never the vectors") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("pqplan")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 4, pq = Some((4, 8)))
+    val df = AnnIndex.queryTopKPq(
+      vecs.where(col("vec_id") < 2), "vec_id", "embedding", path,
+      k = 3, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    graft.core.Blocks.releaseAll()
+    // both scans prune to the probed cells
+    assert("PushedFilters: \\[In\\(cluster".r.findAllIn(plan).size >= 2,
+      s"both the ADC scan and the rerank scan must push the probed-cell filter:\n$plan")
+    // the ADC stage's scan is code-only: some postings scan reads pq_codes
+    // WITHOUT the float vectors
+    val codeOnlyScan = "ReadSchema: [^\\n]*pq_codes[^\\n]*".r
+      .findAllIn(plan)
+      .exists(s => !s.contains("vec:array<float>"))
+    assert(codeOnlyScan,
+      s"the ADC candidate scan must not read the full vectors:\n$plan")
+    // a non-PQ index refuses the compressed path loudly
+    val plainPath = freshPath("pqplain")
+    AnnIndex.build(vecs.limit(50), "vec_id", "embedding", plainPath,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.queryTopKPq(
+        vecs.where(col("vec_id") < 2), "vec_id", "embedding", plainPath, k = 3)
+    }
+    assert(e.getMessage.contains("carries no PQ codes"))
+  }
+
+  test("MinIndexedAnnRecall: the declarable index-operations gate") {
+    import graft.core.{DataRef, FrameSource}
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("constraint")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2, pq = Some((4, 8)))
+    // ground truth at the constraint's own sample: nQueries ≥ corpus size
+    // makes the stride 1, so BOTH sides query every vector (a smaller
+    // nQueries hash-strides a different subset than a naive first-N);
+    // measure the true nProbe = 1 recall, pin pass exactly at it, fail
+    // just above it
+    val nq = 1000
+    val queries = vecs.sort(col("vec_id")).limit(nq)
+    val truth = graft.ops.Similarity
+      .bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnIndex
+      .queryTopK(queries, "vec_id", "embedding", path, 3, nProbe = 1)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.core.Blocks.releaseAll()
+    val r = approx.count(truth.contains).toDouble / truth.size
+    assert(r > 0 && r < 0.999,
+      s"fixture should give a starved single-probe recall strictly inside (0,1): $r")
+    val ref = DataRef(FrameSource(vecs, "ann_recall_gate_t"))
+    def gate(target: Double, compressed: Boolean = false) =
+      graft.constraints.MinAnnRecall(
+        ref, "vec_id", "embedding", Some(target), k = 3, nQueries = nq,
+        method = if (compressed) "indexed_pq" else "indexed",
+        indexPath = Some(path), nProbe = 1)
+    val atR = gate(r).test(spark)
+    assert(atR.outcome, s"manual r=$r truth=${truth.size} " +
+      s"constraint said: ${atR.failureMessage.getOrElse("")}")
+    val failing = gate(math.min(1.0, r + 0.001)).test(spark)
+    assert(!failing.outcome)
+    assert(failing.failureMessage.exists(_.contains("recall")))
+    // the compressed read path gates too (full probes; the default
+    // 4k ADC pool still truncates, so pin a floor, not exactness)
+    assert(graft.constraints.MinAnnRecall(
+      ref, "vec_id", "embedding", Some(0.1), k = 3, nQueries = nq,
+      method = "indexed_pq", indexPath = Some(path), nProbe = 4)
+      .test(spark).outcome)
+    // knob misuse is loud: indexed without a path / a path on lsh
+    intercept[IllegalArgumentException] {
+      graft.constraints.MinAnnRecall(
+        ref, "vec_id", "embedding", Some(0.9), method = "indexed")
+    }
+    intercept[IllegalArgumentException] {
+      graft.constraints.MinAnnRecall(
+        ref, "vec_id", "embedding", Some(0.9), method = "lsh",
+        indexPath = Some(path))
+    }
+  }
+
   test("empty corpus builds an empty-but-typed index; queries return empty") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val path = freshPath("empty")

@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateSpec extends AnyFunSuite {
 
-  private val ExpectedGateSize = 173
+  private val ExpectedGateSize = 174
 
   test("queries and oracleSql cover exactly the pinned gate") {
     assert(SparkEntry.queries.size === ExpectedGateSize,
