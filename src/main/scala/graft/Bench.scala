@@ -270,6 +270,13 @@ object Bench {
         nCentroids = autoCents, nProbe = autoProbe,
         m = 8, ks = 256, poolFactor = 4,
         kmeansIters = 0, pqIters = 1, corpusSize = Some(n)))
+      // the residual (IVFADC) flavor at the same budget — its gap over
+      // ivfpq_recall is what coding offsets-from-centroid buys
+      val ivfpqResRecall = recall(graft.ops.Pq.ivfpqTopK(
+        v, queries, "vec_id", "embedding", k,
+        nCentroids = autoCents, nProbe = autoProbe,
+        m = 8, ks = 256, poolFactor = 4,
+        kmeansIters = 0, pqIters = 1, corpusSize = Some(n), residual = true))
       // pair recall on the stride subsample, gate threshold (0.3495);
       // ~2000 vectors bounds the brute-force pair baseline at ~2M pairs
       // regardless of leg size
@@ -323,6 +330,7 @@ object Bench {
           s""""ann_auto_method":"$annMethod",""" +
           s""""ann_auto_recall":${r3(annAutoRecall)},""" +
           s""""ivfpq_recall":${r3(ivfpqRecall)},""" +
+          s""""ivfpq_residual_recall":${r3(ivfpqResRecall)},""" +
           s""""semantic_pair_recall":${r3(semRecall)},""" +
           s""""semantic2_pair_recall":${r3(semRecall2)},""" +
           s""""semantic_auto_pair_recall":${r3(semAuto)},""" +
@@ -999,9 +1007,10 @@ object Bench {
           r
         }
         // the compressed read path: ADC prefilter over persisted codes +
-        // exact rerank of a 4k pool; its recall vs the exact indexed
-        // answer is the price of PQ at this geometry, its time is what
-        // the 2m-byte candidate payload buys
+        // exact rerank of a 4k pool; its recall vs the UNCOMPRESSED answer
+        // at the same geometry is the price of pool truncation alone (the
+        // cells probed are identical), its time is what the 2m-byte
+        // candidate payload buys
         val (fromPq, pqS) = timed {
           val r = rows(graft.sources.AnnIndex.queryTopKPq(
             queries, "vec_id", "embedding", path, k, nProbe, poolFactor = 4))

@@ -46,6 +46,21 @@ object PqCodes {
     GraftBridge.toColumn(
       PqLut(GraftBridge.toExpression(queryVec), canon(codebooks)))
 
+  /** Column API: residual PQ encode — `pq_encode(vec − center)` with the
+    * subtraction fused into the argmin loop (no residual array
+    * materialized). The IVFADC flavor: codes quantize the offset from the
+    * row's coarse centroid instead of the raw vector.
+    */
+  def pqEncodeResidual(
+      vec: Column,
+      center: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column =
+    GraftBridge.toColumn(
+      PqEncodeResidual(
+        GraftBridge.toExpression(vec),
+        GraftBridge.toExpression(center),
+        canon(codebooks)))
+
   /** Column API: ADC score = Σ_s lut[s·ks + codes[s]] — the approximate
     * query·vector dot product, m array lookups per row.
     */
@@ -186,6 +201,130 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+}
+
+/** Residual PQ encode (the IVFADC flavor — Jégou 2011 §IV encodes the
+  * offset from the coarse centroid, which concentrates the quantized
+  * distribution and buys recall at the same (m, ks)): argmin squared-L2
+  * of `vec − center` per subspace, with the subtraction fused into the
+  * scoring loop — no residual array is ever materialized. `center` is a
+  * per-row `array<float>` column (the row's coarse centroid, float-cast —
+  * PQ error dwarfs the cast). Null for a null / wrong-length /
+  * null-element vector OR center.
+  */
+case class PqEncodeResidual(
+    left: Expression,
+    right: Expression,
+    codebooks: Seq[Seq[Seq[Double]]])
+    extends BinaryExpression {
+
+  PqCodes.checkCodebooks(codebooks)
+
+  private def m: Int = codebooks.size
+  private def ks: Int = codebooks.head.size
+  private def sub: Int = codebooks.head.head.length
+  private def dim: Int = m * sub
+
+  @transient private lazy val flat: Array[Double] = PqCodes.flatten(codebooks)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_residual expects two array<float> arguments, got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(ShortType, containsNull = false)
+  // null also for non-null but wrong-length / null-element inputs
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_residual"
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val cen = c.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim || cen.numElements() != dim) return null
+    var j = 0
+    while (j < dim) {
+      if (arr.isNullAt(j) || cen.isNullAt(j)) return null
+      j += 1
+    }
+    val codes = new Array[Short](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var cc = 0
+      while (cc < ks) {
+        val base = (s * ks + cc) * sub
+        var acc = 0.0
+        var k = 0
+        while (k < sub) {
+          val i = s * sub + k
+          val d = (arr.getFloat(i).toDouble - cen.getFloat(i).toDouble) - flat(base + k)
+          acc += d * d
+          k += 1
+        }
+        if (acc < bestD) { bestD = acc; best = cc }
+        cc += 1
+      }
+      codes(s) = best.toShort
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, cen) => {
+      val ok = ctx.freshName("ok")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val codes = ctx.freshName("codes")
+      val d = ctx.freshName("d")
+      s"""
+         |boolean $ok = $a.numElements() == $dim && $cen.numElements() == $dim;
+         |for (int $j = 0; $ok && $j < $dim; $j++) {
+         |  if ($a.isNullAt($j) || $cen.isNullAt($j)) $ok = false;
+         |}
+         |if (!$ok) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  short[] $codes = new short[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $best = 0;
+         |    double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $ks; $c++) {
+         |      int $base = ($s * $ks + $c) * $sub;
+         |      double $acc = 0.0;
+         |      for (int $k = 0; $k < $sub; $k++) {
+         |        int $i = $s * $sub + $k;
+         |        double $d = (((double) $a.getFloat($i)) - ((double) $cen.getFloat($i))) - $cbRef[$base + $k];
+         |        $acc += $d * $d;
+         |      }
+         |      if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |    }
+         |    $codes[$s] = (short) $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): PqEncodeResidual =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Per-query ADC lookup table: `array<double>` of length m·ks,

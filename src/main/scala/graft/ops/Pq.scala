@@ -103,39 +103,147 @@ object Pq {
     require(seedRows.nonEmpty, "cannot seed PQ codebooks from an empty corpus")
     val dim = seedRows.head.length
     require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+    require(seedRows.forall(_.length == dim),
+      "cannot seed PQ codebooks from ragged vectors")
     val sub = dim / m
     var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
       seedRows.map(v => (0 until sub).map(j => v(s * sub + j).toDouble))
     }
     for (_ <- 0 until iters) {
-      // (subspace, code, dim-in-subspace)-keyed count+sum — map-side
-      // partials, ≤ m·ks·sub rows back (the fitCentroids aggregate shape)
       val enc = nonNull
         .select(pqEncode(col(vecCol), cb).as("dj_codes"), col(vecCol).as("dj_vec"))
         .where(col("dj_codes").isNotNull)
-      val rows = enc
-        .select(col("dj_codes"), posexplode(col("dj_vec")))
         .select(
-          (col("pos") / sub).cast("int").as("dj_s"),
-          element_at(col("dj_codes"), (col("pos") / sub).cast("int") + 1).as("dj_c"),
-          pmod(col("pos"), lit(sub)).as("dj_j"),
-          col("col").cast("double").as("dj_x"))
-        .groupBy("dj_s", "dj_c", "dj_j")
-        .agg(count(lit(1)).as("dj_n"), sum(col("dj_x")).as("dj_sum"))
-        .collect()
-      val updated: Map[(Int, Int, Int), (Long, Double)] = rows.map { r =>
-        (r.getInt(0), r.getShort(1).toInt, r.getInt(2)) ->
-          (r.getLong(3), r.getDouble(4))
-      }.toMap
-      cb = cb.zipWithIndex.map { case (codewords, s) =>
-        codewords.zipWithIndex.map { case (old, c) =>
-          val cells = (0 until sub).map(j => updated.get((s, c, j)))
-          if (cells.forall(_.isEmpty)) old // empty cell keeps its codeword
-          else (0 until sub).map { j =>
-            cells(j).map { case (nn, ss) => ss / nn }.getOrElse(0.0)
-          }
+          col("dj_codes"),
+          posexplode(col("dj_vec")))
+        .select(col("dj_codes"), col("pos"), col("col").cast("double").as("dj_x"))
+      cb = refineOnce(enc, sub, cb)
+    }
+    cb
+  }
+
+  /** One per-subspace Lloyd round over pre-exploded rows
+    * (dj_codes array<smallint>, pos, dj_x double): ONE
+    * (subspace, code, dim-in-subspace)-keyed count+sum aggregate —
+    * map-side partials, ≤ m·ks·sub rows to the driver (the
+    * [[Similarity.fitCentroids]] aggregate shape). Empty cells keep their
+    * previous codeword. Shared by the raw and residual training flavors.
+    */
+  private def refineOnce(
+      exploded: DataFrame,
+      sub: Int,
+      cb: Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val rows = exploded
+      .select(
+        (col("pos") / sub).cast("int").as("dj_s"),
+        element_at(col("dj_codes"), (col("pos") / sub).cast("int") + 1).as("dj_c"),
+        pmod(col("pos"), lit(sub)).as("dj_j"),
+        col("dj_x"))
+      .groupBy("dj_s", "dj_c", "dj_j")
+      .agg(count(lit(1)).as("dj_n"), sum(col("dj_x")).as("dj_sum"))
+      .collect()
+    val updated: Map[(Int, Int, Int), (Long, Double)] = rows.map { r =>
+      (r.getInt(0), r.getShort(1).toInt, r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))
+    }.toMap
+    cb.zipWithIndex.map { case (codewords, s) =>
+      codewords.zipWithIndex.map { case (old, c) =>
+        val cells = (0 until sub).map(j => updated.get((s, c, j)))
+        if (cells.forall(_.isEmpty)) old // empty cell keeps its codeword
+        else (0 until sub).map { j =>
+          cells(j).map { case (nn, ss) => ss / nn }.getOrElse(0.0)
         }
       }
+    }
+  }
+
+  /** Float-cast centroid frame (dj_cc_cid, dj_cc_cvec) for broadcast
+    * joins — the residual paths' per-row centroid lookup.
+    */
+  private[graft] def centDfF(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    centroids.map { case (cid, v) => (cid, v.map(_.toFloat).toArray) }
+      .toDF("dj_cc_cid", "dj_cc_cvec")
+  }
+
+  /** RESIDUAL codebooks (the IVFADC flavor, Jégou 2011 §IV): trained on
+    * `vec − assigned coarse centroid` (float-cast centroid — the PQ
+    * quantization error dwarfs the cast). Residuals concentrate around
+    * zero, so the same (m, ks) budget quantizes them with materially less
+    * error than raw vectors — recall at equal code bytes. `assigned` is
+    * the (neighbor_id, vec, cluster) assignment frame; seeds are
+    * hash-stride sampled residuals, refined with `iters` rounds of the
+    * shared per-subspace Lloyd aggregate (no residual array materialized —
+    * the encode fuses the subtraction, the aggregate subtracts
+    * element-wise in-plan).
+    */
+  def trainResidualCodebooks(
+      assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      m: Int,
+      ks: Int,
+      iters: Int = 1,
+      corpusSize: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+    require(m > 0, s"m must be positive: $m")
+    require(ks > 0 && ks <= 256, s"ks must be in 1..256: $ks")
+    require(centroids.nonEmpty, "residual codebooks need a fitted quantizer")
+    val spark = assigned.sparkSession
+    import graft.functions.PqCodes.pqEncodeResidual
+    val cents = broadcast(centDfF(spark, centroids))
+    val joined = assigned
+      .where(col("vec").isNotNull)
+      .join(cents, col("cluster") === col("dj_cc_cid"))
+      .select(col("neighbor_id"), col("vec"), col("dj_cc_cvec"))
+    val n = corpusSize.getOrElse {
+      val stats = joined.queryExecution.optimizedPlan.stats
+      stats.rowCount.map(_.toLong).getOrElse(
+        math.max(1L, (stats.sizeInBytes / 65536).toLong))
+    }
+    val step = math.max(1L, n / (2L * ks))
+    val sampled = joined
+      .where(pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
+      .sort(col("neighbor_id"))
+      .limit(ks)
+      .select(col("vec"), col("dj_cc_cvec"))
+      .collect()
+    val seedSrc =
+      if (sampled.nonEmpty) sampled.toSeq
+      else joined.sort(col("neighbor_id")).limit(ks)
+        .select(col("vec"), col("dj_cc_cvec")).collect().toSeq
+    require(seedSrc.nonEmpty,
+      "cannot seed residual PQ codebooks from an empty assignment")
+    // residual seeds computed with the kernel's exact arithmetic:
+    // float(vec) widened, float(centroid) widened, subtracted in double
+    val seedRows = seedSrc.map { r =>
+      val v = r.getSeq[Float](0)
+      val c = r.getSeq[Float](1)
+      require(v.length == c.length,
+        "vector and centroid dimensions must agree for residual encoding")
+      v.indices.map(i => v(i).toDouble - c(i).toDouble)
+    }
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"vector dim $dim is not divisible by m=$m subspaces")
+    require(seedRows.forall(_.length == dim),
+      "cannot seed residual PQ codebooks from ragged vectors")
+    val sub = dim / m
+    var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      seedRows.map(r => (0 until sub).map(j => r(s * sub + j)))
+    }
+    for (_ <- 0 until iters) {
+      val enc = joined
+        .select(
+          pqEncodeResidual(col("vec"), col("dj_cc_cvec"), cb).as("dj_codes"),
+          col("vec").as("dj_vec"),
+          col("dj_cc_cvec").as("dj_cen"))
+        .where(col("dj_codes").isNotNull)
+        .select(col("dj_codes"), col("dj_cen"), posexplode(col("dj_vec")))
+        .select(
+          col("dj_codes"), col("pos"),
+          (col("col").cast("double") -
+            element_at(col("dj_cen"), col("pos") + 1).cast("double")).as("dj_x"))
+      cb = refineOnce(enc, sub, cb)
     }
     cb
   }
@@ -185,8 +293,9 @@ object Pq {
   }
 
   /** IVF-PQ with exact rerank — the standard at-scale retrieval shape
-    * (IVFADC posture; codes on raw vectors, not residuals — documented
-    * simplification, same as ScaNN's non-residual mode): probe `nProbe`
+    * (IVFADC posture; `residual = false` codes raw vectors — ScaNN's
+    * non-residual mode; `residual = true` codes `vec − coarse centroid`,
+    * the Jégou 2011 §IV flavor): probe `nProbe`
     * coarse cells per query, score every candidate with m ADC lookups
     * (codes + broadcast LUT — the probe join carries 2·m bytes per row
     * instead of 4·dim), keep the `poolFactor·k` best per query, and
@@ -212,29 +321,64 @@ object Pq {
       poolFactor: Int = 4,
       kmeansIters: Int = 2,
       pqIters: Int = 1,
-      corpusSize: Option[Long] = None): DataFrame = {
+      corpusSize: Option[Long] = None,
+      residual: Boolean = false): DataFrame = {
+    val spark = vectors.sparkSession
+    import graft.functions.PqCodes.pqEncodeResidual
+    import graft.functions.DotProductFloat.dotF
     val centroids = Similarity.fitCentroids(
       vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
     if (centroids.isEmpty) return Similarity.emptyTopK(queries, idCol)
-    val cb = trainCodebooks(vectors, idCol, vecCol, m, ks, pqIters, corpusSize)
+    val assigned = Similarity.assignToCentroids(
+      vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
     // corpus side: (neighbor_id, cluster, codes) — 2·m bytes of payload
-    // per row through the probe join, never the full vector
-    val corpus = Similarity
-      .assignToCentroids(
-        vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
-      .select(
-        col("neighbor_id"), col("cluster"),
-        pqEncode(col("vec"), cb).as("dj_codes"))
-      .where(col("dj_codes").isNotNull)
-    val probes = Similarity
+    // per row through the probe join, never the full vector. Rows whose
+    // vector cannot encode (null / off-dimension) drop here — unlike the
+    // exact paths, where a null-cosine row could still fill a rank past
+    // the non-null candidates; a malformed vector is index garbage, not
+    // a neighbor. The residual flavor codes `vec − centroid` (the IVFADC
+    // posture — residuals concentrate, same bytes buy less error) and
+    // decomposes the approximate dot as q·centroid + q·residual̂: the
+    // first term rides the probe frame per (query, cell), the second is
+    // the same m-lookup ADC sum.
+    val cents =
+      if (residual) broadcast(centDfF(spark, centroids)) else null
+    val cb =
+      if (residual)
+        trainResidualCodebooks(assigned, centroids, m, ks, pqIters, corpusSize)
+      else trainCodebooks(vectors, idCol, vecCol, m, ks, pqIters, corpusSize)
+    val corpus =
+      if (residual)
+        assigned
+          .join(cents, col("cluster") === col("dj_cc_cid"))
+          .select(
+            col("neighbor_id"), col("cluster"),
+            pqEncodeResidual(col("vec"), col("dj_cc_cvec"), cb).as("dj_codes"))
+          .where(col("dj_codes").isNotNull)
+      else
+        assigned
+          .select(
+            col("neighbor_id"), col("cluster"),
+            pqEncode(col("vec"), cb).as("dj_codes"))
+          .where(col("dj_codes").isNotNull)
+    val probesBase = Similarity
       .ivfQueryProbes(queries, idCol, vecCol, centroids, nProbe)
       .withColumn("dj_lut", pqLut(col("query_vec"), cb))
       .where(col("dj_lut").isNotNull)
-      .select(col("query_id"), col("cluster"), col("dj_lut"))
+    val probes =
+      if (residual)
+        probesBase
+          .join(cents, col("cluster") === col("dj_cc_cid"))
+          .withColumn("dj_qc", dotF(col("query_vec"), col("dj_cc_cvec")))
+          .select(col("query_id"), col("cluster"), col("dj_lut"), col("dj_qc"))
+      else
+        probesBase
+          .select(col("query_id"), col("cluster"), col("dj_lut"),
+            lit(0.0).as("dj_qc"))
     val pool = corpus
       .join(broadcast(probes), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dj_adc", pqAdc(col("dj_codes"), col("dj_lut")))
+      .withColumn("dj_adc", col("dj_qc") + pqAdc(col("dj_codes"), col("dj_lut")))
       .withColumn(
         "dj_rk",
         row_number().over(

@@ -544,7 +544,26 @@ object Similarity {
       negScore: Column,
       howMany: Int,
       nCentroids: Int): DataFrame = {
-    val scored = rows
+    // This stage does nCentroids dot products PER INPUT ROW — its real
+    // work is `input rows × nCentroids`, which the scan's partitioning
+    // knows nothing about: a single small-but-dense parquet file plans
+    // ONE task that then grinds 100M+ scored rows on one core (measured
+    // 70 s vs 2 s on a 50k×2000 assignment). When the input is
+    // shuffle-free and narrower than the cluster, spread it by the id
+    // hash first — the rows frame is narrow (id + vector), the blowup
+    // happens after, and the id hash both feeds the keyed argmin and
+    // lets the howMany>1 window reuse the partitioning. Frames that
+    // already contain a shuffle are cluster-parallel by construction
+    // (and probing their partition count would execute their stages).
+    val target = rows.sparkSession.sparkContext.defaultParallelism
+    val spread = {
+      val plan = rows.queryExecution.executedPlan
+      val shuffleFree = !plan.toString.contains("Exchange")
+      if (shuffleFree && rows.rdd.getNumPartitions < target)
+        rows.repartition(target, col(idName))
+      else rows
+    }
+    val scored = spread
       .crossJoin(broadcast(centDf))
       .select(
         col(idName),
@@ -677,23 +696,27 @@ object Similarity {
           // aggregate — measured ~165 s/iteration at 200k×1000 vs ~2 s
           // this way); null-id rows can't key an argmin and sit out the
           // refinement, duplicate ids fail loudly in the helper.
-          val spark = vectors.sparkSession
-          import spark.implicits._
-          import graft.functions.DotProductFloat.dotF
-          val centDf = broadcast(centroids.map { case (cid, v) =>
-            (cid, v.map(_.toFloat).toArray)
-          }.toDF("dj_cid", "dj_cvec"))
-          val rows = nonNull
+          // large k: per-row native argmin over the plan-constant
+          // centroid table ([[graft.functions.NearestCellDot]]) — ONE
+          // projection, no scored-row blowup. The broadcast-argmin kernel
+          // this replaces planned its min(struct) as a SortAggregate
+          // (structs are not hash-aggregable) that sorted AND SPILLED the
+          // n·k scored rows — stack-sampled at 70-100 s on a 50k×2000
+          // assignment whose dot products cost ~2 s. Null-id rows still
+          // sit out the refinement (unchanged); duplicate ids now assign
+          // per row, exactly like the literal path — the keyed kernel's
+          // loud-raise contract existed only because its groupBy would
+          // otherwise merge them.
+          import graft.functions.NearestCellDot.nearestCellDot
+          val cellsF = centroids.map { case (cid, v) =>
+            (cid, v.map(_.toFloat))
+          }
+          nonNull
             .where(col(idCol).isNotNull)
-            .select(col(idCol).as("dj_id"), col(vecCol).as("dj_vec"))
-          val bestCid = bestCellsBroadcast(
-            rows, "dj_id", centDf, "dj_cid",
-            -dotF(col("dj_vec"), col("dj_cvec")),
-            howMany = 1, nCentroids = centroids.size)
-            .select(col("dj_id"), col("dj_cell_cid").as("dj_cluster"))
-          rows
-            .join(bestCid, Seq("dj_id"))
-            .select(col("dj_vec"), col("dj_cluster"))
+            .select(
+              col(vecCol).as("dj_vec"),
+              nearestCellDot(col(vecCol), cellsF)
+                .getField("cid").as("dj_cluster"))
         }
       // per-dimension sums via ONE (cluster, dim)-keyed aggregate over the
       // exploded vectors (≤ nCentroids·dim result rows): the previous
@@ -805,21 +828,19 @@ object Similarity {
         col(vecCol).as("vec"),
         element_at(nearestClustersIn(centroidArr)(col(vecCol), 1), 1).as("cluster"))
     } else {
-      val spark = vectors.sparkSession
-      import spark.implicits._
-      import graft.functions.DotProductFloat.dotF
-      val centDf = broadcast(centroids.map { case (cid, v) =>
-        (cid, v.map(_.toFloat).toArray)
-      }.toDF("dj_cid", "dj_cvec"))
-      val base = vectors
+      // large set: per-row native argmin (see the Lloyd path above for
+      // why the broadcast-argmin kernel is wrong here — its min(struct)
+      // plans a SortAggregate that sorts/spills the n·k scored rows).
+      // One projection: no blowup, no aggregate, no join-back, and the
+      // corpus keeps its scan partitioning end to end.
+      import graft.functions.NearestCellDot.nearestCellDot
+      val cellsF = centroids.map { case (cid, v) => (cid, v.map(_.toFloat)) }
+      vectors
         .where(col(idCol).isNotNull)
-        .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-      val best = bestCellsBroadcast(
-        base, "neighbor_id", centDf, "dj_cid",
-        -dotF(col("vec"), col("dj_cvec")),
-        howMany = 1, nCentroids = centroids.size)
-        .select(col("neighbor_id"), col("dj_cell_cid").as("cluster"))
-      base.join(best, Seq("neighbor_id"))
+        .select(
+          col(idCol).as("neighbor_id"),
+          col(vecCol).as("vec"),
+          nearestCellDot(col(vecCol), cellsF).getField("cid").as("cluster"))
     }
 
   /** Query side of the IVF index: one row per (query, probed cluster),
@@ -1054,22 +1075,25 @@ object Similarity {
     def centDfOf(h: Int) = broadcast(cents(h).map { case (cid, v) =>
       (cid, v.map(_.toFloat).toArray)
     }.toDF(s"dj_cid$h", s"dj_cvec$h"))
-    // corpus: argmin per half (map-side combined), joined by id
+    // corpus: BOTH half-argmins per row via the native plan-constant
+    // expression — one projection, no per-half kernel joins (the keyed
+    // argmin's min(struct) planned a sorting-and-spilling SortAggregate
+    // over the n·k scored rows; see ivfCorpusClusters)
+    import graft.functions.NearestCellDot.nearestCellDot
+    def cellsFOf(h: Int) = cents(h).map { case (cid, v) =>
+      (cid, v.map(_.toFloat))
+    }
     val base = vectors
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("vec"))
-    def corpusHalf(h: Int) = bestCellsBroadcast(
-      base.select(col("neighbor_id"), halfCol(col("vec"), h).as("dj_h")),
-      "neighbor_id", centDfOf(h), s"dj_cid$h",
-      -dotF(col("dj_h"), col(s"dj_cvec$h")),
-      howMany = 1, nCentroids = cents(h).size)
-      .select(col("neighbor_id"), col("dj_cell_cid").as(s"dj_c$h"))
     val corpusPlan = base
-      .join(corpusHalf(0), Seq("neighbor_id"))
-      .join(corpusHalf(1), Seq("neighbor_id"))
       .select(
         col("neighbor_id"), col("vec"),
-        struct(col("dj_c0"), col("dj_c1")).as("cluster"))
+        struct(
+          nearestCellDot(halfCol(col("vec"), 0), cellsFOf(0))
+            .getField("cid").as("dj_c0"),
+          nearestCellDot(halfCol(col("vec"), 1), cellsFOf(1))
+            .getField("cid").as("dj_c1")).as("cluster"))
     // the budgeted flavor reads the assigned corpus TWICE (occupancy
     // aggregate + probe join) — checkpoint so the two half-argmins run
     // once. Registry-tracked; Blocks.releaseAll() reclaims after use.

@@ -70,6 +70,7 @@ object AnnIndex {
       nBuckets: Int,
       pqM: Int = 0,
       pqKs: Int = 0,
+      pqResidual: Boolean = false,
       version: Int = Version)
 
   private def metaPath(path: String) = s"$path/meta.json"
@@ -80,7 +81,7 @@ object AnnIndex {
         s""""n_cells":${m.nCells},"id_col":"${m.idCol}","id_type":"${m.idType}",""" +
         s""""vec_col":"${m.vecCol}","vec_type":"${m.vecType}",""" +
         s""""n_buckets":${m.nBuckets},"pq_m":${m.pqM},"pq_ks":${m.pqKs},""" +
-        s""""version":${m.version}}"""
+        s""""pq_residual":${m.pqResidual},"version":${m.version}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(metaPath(path)),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
@@ -127,6 +128,7 @@ object AnnIndex {
       nBuckets = metaField(json, "n_buckets").toInt,
       pqM = metaFieldOr(json, "pq_m", "0").toInt,
       pqKs = metaFieldOr(json, "pq_ks", "0").toInt,
+      pqResidual = metaFieldOr(json, "pq_residual", "false").toBoolean,
       version = metaField(json, "version").toInt)
     require(m.version == Version,
       s"ann index at $path has format version ${m.version}; " +
@@ -186,6 +188,30 @@ object AnnIndex {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.map(_._2).toSeq)
 
+  /** Attach PQ codes to an assignment frame (neighbor_id, vec, cluster) —
+    * raw or residual flavor; the residual flavor looks the row's coarse
+    * centroid up via a broadcast join and fuses the subtraction into the
+    * encode kernel.
+    */
+  private def withPostingCodes(
+      assigned: DataFrame,
+      centroids: Seq[(Long, Seq[Double])],
+      cb: Seq[Seq[Seq[Double]]],
+      residual: Boolean): DataFrame =
+    if (!residual)
+      assigned.withColumn(
+        "pq_codes", graft.functions.PqCodes.pqEncode(col("vec"), cb))
+    else
+      assigned
+        .join(
+          broadcast(graft.ops.Pq.centDfF(assigned.sparkSession, centroids)),
+          col("cluster") === col("dj_cc_cid"))
+        .withColumn(
+          "pq_codes",
+          graft.functions.PqCodes.pqEncodeResidual(
+            col("vec"), col("dj_cc_cvec"), cb))
+        .select(col("neighbor_id"), col("vec"), col("cluster"), col("pq_codes"))
+
   /** Build the index for `vectors` under `path` (overwriting any previous
     * build): ONE quantizer fit + ONE corpus assignment pass — exactly the
     * per-call costs of `ivfTopK`, paid once. `nBuckets` is the storage
@@ -209,9 +235,12 @@ object AnnIndex {
       nBuckets: Int = 32,
       corpusSize: Option[Long] = None,
       pq: Option[(Int, Int)] = None,
-      pqIters: Int = 0): Meta = {
+      pqIters: Int = 0,
+      pqResidual: Boolean = false): Meta = {
     require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(pq.isDefined || !pqResidual,
+      "pqResidual = true requires pq = Some((m, ks)) — there are no codes to flavor")
     val spark = vectors.sparkSession
     new java.io.File(path).mkdirs()
     // commit-marker discipline (the DedupIndex.build pattern): meta.json
@@ -229,18 +258,6 @@ object AnnIndex {
       // quantizer — queryTopKPq and append re-load them, never re-train.
       // An empty corpus has nothing to train on (and nothing to answer) —
       // the index degrades to the uncompressed empty shape
-      val cbOpt =
-        if (centroids.isEmpty) None
-        else pq.map { case (pm, pks) =>
-          val cb = graft.ops.Pq.trainCodebooks(
-            vectors, idCol, vecCol, pm, pks, pqIters, corpusSize)
-          savePqCodebooks(spark, path, cb)
-          cb
-        }
-      val meta = Meta(nCentroids, kmeansIters, centroids.size,
-        idCol, idType, vecCol, vecType, nBuckets,
-        pqM = cbOpt.map(_.size).getOrElse(0),
-        pqKs = cbOpt.map(_.head.size).getOrElse(0))
       // postings: the same deterministic assignment ivfTopK computes live,
       // minus null-id rows (output-invariant — see the class doc). An
       // empty quantizer (empty/all-null corpus) writes a typed empty
@@ -256,10 +273,25 @@ object AnnIndex {
             .where(lit(false))
         else Similarity.assignToCentroids(
           vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
+      val cbOpt =
+        if (centroids.isEmpty) None
+        else pq.map { case (pm, pks) =>
+          val cb =
+            if (pqResidual)
+              graft.ops.Pq.trainResidualCodebooks(
+                assigned, centroids, pm, pks, pqIters, corpusSize)
+            else graft.ops.Pq.trainCodebooks(
+              vectors, idCol, vecCol, pm, pks, pqIters, corpusSize)
+          savePqCodebooks(spark, path, cb)
+          cb
+        }
+      val meta = Meta(nCentroids, kmeansIters, centroids.size,
+        idCol, idType, vecCol, vecType, nBuckets,
+        pqM = cbOpt.map(_.size).getOrElse(0),
+        pqKs = cbOpt.map(_.head.size).getOrElse(0),
+        pqResidual = cbOpt.isDefined && pqResidual)
       val postings = cbOpt match {
-        case Some(cb) =>
-          assigned.withColumn(
-            "pq_codes", graft.functions.PqCodes.pqEncode(col("vec"), cb))
+        case Some(cb) => withPostingCodes(assigned, centroids, cb, meta.pqResidual)
         case None => assigned
       }
       postings.write
@@ -325,9 +357,21 @@ object AnnIndex {
     // broadcast join reads every cell's bytes just to drop them
     val cells = probes.select("cluster").distinct()
       .collect().map(_.getLong(0)).toSeq
-    Similarity.ivfRank(
-      idx.postings.where(col("cluster").isin(cells: _*)), probes, k)
+    Similarity.ivfRank(prunedPostings(idx, cells), probes, k)
   }
+
+  /** Probed-cell pruning filter — pays only when probes touch a MINORITY
+    * of cells (row-group stats + bucket pruning skip the rest). When the
+    * query set covers most of the index (auto geometry probes ~10% of
+    * cells per query, so a couple hundred queries union to nearly all of
+    * them), a thousands-literal `In()` costs more than the bytes it
+    * saves (measured 4-12 s vs 2-4 s at 2000 cells, all probed) — skip
+    * it past 75% coverage; the cell equi-join drops nothing either way.
+    */
+  private def prunedPostings(idx: Index, cells: Seq[Long]): DataFrame =
+    if (idx.meta.nCells > 0 && cells.size.toLong * 4 >= idx.meta.nCells.toLong * 3)
+      idx.postings
+    else idx.postings.where(col("cluster").isin(cells: _*))
 
   /** Compressed top-k from a PQ-carrying index ([[build]] with
     * `pq = Some((m, ks))`) — the at-scale read path: the candidate scan
@@ -364,12 +408,26 @@ object AnnIndex {
         queries, idCol, vecCol, idx.centroids, math.min(nProbe, idx.centroids.size)))
     val cells = probes.select("cluster").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val probed = idx.postings.where(col("cluster").isin(cells: _*))
+    val probed = prunedPostings(idx, cells)
     import graft.functions.PqCodes.{pqAdc, pqLut}
-    val probesLut = probes
+    import graft.functions.DotProductFloat.dotF
+    // a residual-coded index decomposes the approximate dot as
+    // q·centroid (per probe, from the broadcast centroid frame) plus the
+    // ADC sum over the residual codes — same shape, one extra column
+    val probesBase = probes
       .withColumn("dj_lut", pqLut(col("query_vec"), cb))
       .where(col("dj_lut").isNotNull)
-      .select(col("query_id"), col("cluster"), col("dj_lut"))
+    val probesLut =
+      if (idx.meta.pqResidual)
+        probesBase
+          .join(
+            broadcast(graft.ops.Pq.centDfF(spark, idx.centroids)),
+            col("cluster") === col("dj_cc_cid"))
+          .withColumn("dj_qc", dotF(col("query_vec"), col("dj_cc_cvec")))
+          .select(col("query_id"), col("cluster"), col("dj_lut"), col("dj_qc"))
+      else probesBase
+        .select(col("query_id"), col("cluster"), col("dj_lut"),
+          lit(0.0).as("dj_qc"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
     val pool = probed
@@ -377,7 +435,7 @@ object AnnIndex {
       .where(col("pq_codes").isNotNull)
       .join(broadcast(probesLut), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("dj_adc", pqAdc(col("pq_codes"), col("dj_lut")))
+      .withColumn("dj_adc", col("dj_qc") + pqAdc(col("pq_codes"), col("dj_lut")))
       .withColumn(
         "dj_rk",
         row_number().over(w.orderBy(col("dj_adc").desc, col("neighbor_id"))))
@@ -423,13 +481,13 @@ object AnnIndex {
       val assignedBare = Similarity.assignToCentroids(
         shard.where(col(m.idCol).isNotNull), m.idCol, m.vecCol, idx.centroids)
       // a PQ-carrying index encodes the shard against the PERSISTED
-      // codebooks (never re-trained — geometry is frozen at build)
+      // codebooks (never re-trained — geometry is frozen at build), in
+      // the flavor the index was built with
       val assigned = graft.core.Blocks.checkpoint(
         if (m.pqM > 0)
-          assignedBare.withColumn(
-            "pq_codes",
-            graft.functions.PqCodes.pqEncode(
-              col("vec"), loadPqCodebooks(spark, path)))
+          withPostingCodes(
+            assignedBare, idx.centroids, loadPqCodebooks(spark, path),
+            m.pqResidual)
         else assignedBare)
       val clash = assigned
         .join(idx.postings.select("neighbor_id"), Seq("neighbor_id"), "left_semi")

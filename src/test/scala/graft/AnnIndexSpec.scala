@@ -239,6 +239,29 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("carries no PQ codes"))
   }
 
+  test("residual-PQ index: exhaustive == brute force across append; flavor persists") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = vecs.where(col("vec_id") % 2 === 0)
+    val shard = vecs.where(col("vec_id") % 2 === 1)
+    val queries = vecs.where(col("vec_id") < 5)
+    val n = vecs.count()
+    val path = freshPath("pqres")
+    val meta = AnnIndex.build(corpus, "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 2,
+      pq = Some((4, 8)), pqIters = 1, pqResidual = true)
+    assert(meta.pqResidual)
+    AnnIndex.append(shard, path)
+    assert(AnnIndex.readMeta(path).pqResidual)
+    val brute = rows(Similarity.bruteForceTopK(
+      vecs, queries, "vec_id", "embedding", k = 3))
+    val indexed = rows(AnnIndex.queryTopKPq(
+      queries, "vec_id", "embedding", path, k = 3,
+      nProbe = meta.nCells, poolFactor = (n / 3 + 1).toInt))
+    graft.core.Blocks.releaseAll()
+    assert(indexed === brute,
+      s"only-brute=${brute -- indexed} only-indexed=${indexed -- brute}")
+  }
+
   test("MinIndexedAnnRecall: the declarable index-operations gate") {
     import graft.core.{DataRef, FrameSource}
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")

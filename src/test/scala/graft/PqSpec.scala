@@ -153,6 +153,73 @@ class PqSpec extends AnyFunSuite {
       s"only-brute=${brute -- pq} only-pq=${pq -- brute}")
   }
 
+  test("exhaustive RESIDUAL ivfpqTopK == bruteForceTopK bit for bit") {
+    val queries = vecs.where(col("vec_id") < 5)
+    val n = vecs.count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val brute = rows(Similarity.bruteForceTopK(
+      vecs, queries, "vec_id", "embedding", k = 3))
+    val pq = rows(Pq.ivfpqTopK(
+      vecs, queries, "vec_id", "embedding", k = 3,
+      nCentroids = 4, nProbe = 4, m = m, ks = ks,
+      poolFactor = (n / 3 + 1).toInt, kmeansIters = 0, pqIters = 1,
+      corpusSize = Some(n), residual = true))
+    assert(pq === brute,
+      s"only-brute=${brute -- pq} only-pq=${pq -- brute}")
+  }
+
+  test("residual codebooks quantize residuals tighter than raw codebooks quantize vectors") {
+    import graft.functions.PqCodes.{pqAdc, pqEncodeResidual}
+    // residual coding wins when the corpus is genuinely CLUSTERED (the
+    // coarse quantizer then absorbs the between-cluster spread and PQ
+    // only codes the small within-cluster offsets); on a uniform corpus
+    // the residuals are as wide as the vectors and the claim is not a
+    // theorem. Construct the clustered case deterministically: four
+    // far-apart anchors, tiny per-id offsets.
+    import spark.implicits._
+    val dim = 64
+    val clustered = (0L until 200L).map { id =>
+      val a = (id % 4).toInt
+      val v = Array.tabulate(dim) { j =>
+        val anchor = if (j % 4 == a) 10.0f else 0.0f
+        anchor + 0.01f * (((id * 31 + j * 7) % 11).toInt - 5)
+      }
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    val n = 200L
+    val centroids = Similarity.fitCentroids(
+      clustered, "vec_id", "embedding", 4, 2, Some(n))
+    val assigned = Similarity.assignToCentroids(
+      clustered, "vec_id", "embedding", centroids)
+    val rawCb = Pq.trainCodebooks(
+      clustered, "vec_id", "embedding", m, ks, iters = 1, corpusSize = Some(n))
+    val resCb = Pq.trainResidualCodebooks(
+      assigned, centroids, m, ks, iters = 1, corpusSize = Some(n))
+    // mean squared residual-reconstruction error via the ADC algebra:
+    // ‖r − r̂‖² = r·r − 2·r·r̂ + ‖r̂‖², with r̂ looked up from the codes
+    val cents = graft.ops.Pq.centDfF(spark, centroids)
+    val joined = assigned.join(broadcast(cents), col("cluster") === col("dj_cc_cid"))
+    val res = org.apache.spark.sql.functions.zip_with(
+      col("vec"), col("dj_cc_cvec"), (x, y) => x - y)
+    def meanOf(c: org.apache.spark.sql.Column): Double =
+      joined.agg(avg(c)).head().getDouble(0)
+    val norms: Seq[Double] = resCb.flatMap(_.map { cw =>
+      var acc = 0.0; cw.foreach(v => acc += v * v); acc
+    })
+    import graft.functions.DotProductFloat.dotF
+    val codes = pqEncodeResidual(col("vec"), col("dj_cc_cvec"), resCb)
+    val rDotR = dotF(res, res)
+    val lutOfRes = graft.functions.PqCodes.pqLut(res, resCb)
+    val resErr = meanOf(
+      rDotR - lit(2.0) * pqAdc(codes, lutOfRes) + pqAdc(codes, array(norms.map(lit): _*)))
+    val rawErr = meanOf(Pq.reconstructionError2(col("vec"), rawCb))
+    assert(resErr < rawErr,
+      s"residual coding should beat raw coding at equal (m, ks): $resErr vs $rawErr")
+  }
+
   test("trainCodebooks refinement keeps geometry and shrinks mean error") {
     val n = vecs.count()
     val seeded = Pq.trainCodebooks(
