@@ -934,19 +934,23 @@ object Similarity {
           lit(0.0).as("cosine"),
           lit(0).as("rank"))
         .where(lit(false))
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    import graft.functions.DotProductFloat.dotF
     // the re-rank regime wants MANY cells (coverage is the recall lever),
     // so assignment must not be the literal-array interpreted path that
-    // made a 1000-centroid argmax the pipeline's cost: BROADCAST the
-    // (tiny) float centroid table, score with the native codegen'd dot
-    // kernel, argmin via a map-side-combined min(struct) aggregate, join
-    // the winning cell back by id (the semanticNearDups large-k posture)
-    val centDf = broadcast(
-      centroids.map { case (cid, v) =>
-        (cid, v.map(_.toFloat).toArray, math.sqrt(v.map(x => x * x).sum))
-      }.toDF("dj_cid", "dj_cvec", "dj_cnorm"))
+    // made a 1000-centroid argmax the pipeline's cost — and not the keyed
+    // broadcast-argmin either (its min(struct) plans a sorting/spilling
+    // SortAggregate over the n·k scored rows; see ivfCorpusClusters):
+    // NearestCellsCos ranks cells per row in one codegen'd loop. Scoring
+    // is -dot/|centroid| exactly as before — float-cast centroids widened
+    // back to double, the row's own norm dropped (constant across cells,
+    // cannot change the argmin, and its absence removes the 0/0 NaN path
+    // a zero vector would otherwise hit).
+    import graft.functions.NearestCellsCos.nearestCellsCos
+    val cellsD = centroids.map { case (cid, v) =>
+      (cid, v.map(x => x.toFloat.toDouble))
+    }
+    val cellNorms = centroids.map { case (_, v) =>
+      math.sqrt(v.map(x => x * x).sum)
+    }
     // 63 sign bits under a fixed hyperplane set disjoint from the bucket
     // tables' seeds (the sign-bit kernel packs into one long, max 63):
     // hamming(sketch_a, sketch_b)/63 estimates the angle
@@ -955,32 +959,24 @@ object Similarity {
       col(idCol).as("neighbor_id"),
       col(vecCol).as("vec"),
       lshKey(col(vecCol), sketchPlanes).as("dj_sk"))
-    // ranking score: -dot/|centroid|. The row's own norm is CONSTANT
-    // across centroids, so dividing by it cannot change the argmin/rank —
-    // dropping it saves corpus·nCentroids divisions and removes the 0/0
-    // NaN path a zero vector would otherwise hit.
-    def negCos(vec: Column): Column =
-      -(dotF(vec, col("dj_cvec")) / col("dj_cnorm"))
-    val best = bestCellsBroadcast(
-      base, "neighbor_id", centDf, "dj_cid",
-      negCos(col("vec")), howMany = 1, nCentroids = centroids.size)
-      .select(col("neighbor_id"), col("dj_cell_cid").as("cluster"))
-    val corpus = base.join(best, Seq("neighbor_id"))
-    // query probes: same broadcast-scored shape, top-nProbe cells per
-    // query via a per-query window (queries are few by contract)
+    val corpus = base.withColumn(
+      "cluster",
+      element_at(
+        nearestCellsCos(col("vec"), cellsD, cellNorms, 1,
+          divideByRowNorm = false, round6 = false), 1))
+    // query probes: the same per-row ranking, exploded to one row per
+    // (query, probed cell)
     val qBase = queries
       .select(
         col(idCol).as("query_id"),
         col(vecCol).as("query_vec"),
         lshKey(col(vecCol), sketchPlanes).as("dj_qsk"))
-    val q = qBase.join(
-      bestCellsBroadcast(
-        qBase, "query_id", centDf, "dj_cid",
-        negCos(col("query_vec")), howMany = nProbe,
-        nCentroids = centroids.size)
-        .select(col("query_id"), col("dj_cell_cid").as("cluster")),
-      Seq("query_id"))
-      .select(col("query_id"), col("query_vec"), col("dj_qsk"), col("cluster"))
+    val q = qBase
+      .select(
+        col("query_id"), col("query_vec"), col("dj_qsk"),
+        explode(
+          nearestCellsCos(col("query_vec"), cellsD, cellNorms, nProbe,
+            divideByRowNorm = false, round6 = false)).as("cluster"))
     val pool = corpus
       .join(broadcast(q), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -1651,33 +1647,37 @@ object Similarity {
               (col("pos") === 0).as("dj_primary"))
       } else {
         // large k (SemDeDup's web-scale regime): a plan-literal array this
-        // wide would bloat every task's codegen, so the centroid table is
-        // BROADCAST and the scored rows carry only (id, neg, cid) — 24
-        // bytes × n·k — into a partial-aggregated min(struct) argmin
-        // (map-side combine reduces to one row per id per partition before
-        // the shuffle); the winning cluster joins back to the vectors by
-        // id. Cost is the unavoidable n·k distance evaluations plus one
-        // id-keyed shuffle.
-        val spark = vectors.sparkSession
-        import spark.implicits._
-        val centDf = broadcast(withNorms.toDF("dj_cid", "dj_cvec", "dj_cnorm"))
-        // top-p per id via the shared broadcast-argmin kernel: p = 1 rides
-        // the partial-agg min(struct) shape, p > 1 the per-id window (each
-        // partition holds exactly nCentroids rows — bounded, no skew)
-        val best = bestCellsBroadcast(
-          base.withColumn("dj_nrm", norm(col("vec"))),
-          idCol, centDf, "dj_cid",
-          -round(
-            dot(col("vec"), col("dj_cvec")) /
-              (col("dj_nrm") * col("dj_cnorm")),
-            6),
-          howMany = nProbes, nCentroids = centroids.size)
-          .select(
+        // wide would bloat every task's codegen — but the broadcast-argmin
+        // kernel that replaced it planned its min(struct)/window as a
+        // SORTING (and at n·k volume, spilling) aggregate over every
+        // scored row (see ivfCorpusClusters). NearestCellsCos embeds the
+        // centroid table as a compact plan constant instead and ranks the
+        // nProbes best cells per ROW in one codegen'd loop — identical
+        // rounded-cosine scoring and (−cos, cid) tie order, same
+        // posexplode shape as the literal path, no aggregate, no
+        // join-back, no shuffle. Duplicate ids assign per-row exactly
+        // like the literal path (the keyed kernel raised on them only
+        // because its groupBy would merge the duplicates' scores).
+        import graft.functions.NearestCellsCos.nearestCellsCos
+        val ranked = nearestCellsCos(
+          col("vec"),
+          withNorms.map { case (cid, v, _) => (cid, v) },
+          withNorms.map(_._3),
+          nProbes, divideByRowNorm = true, round6 = true)
+        if (nProbes == 1)
+          base.select(
             col(idCol),
-            col("dj_cell_cid").as("cluster"),
-            (col("dj_cell_rk") === 1).as("dj_primary"))
-        base.join(best, Seq(idCol))
-          .select(col(idCol), col("vec"), col("cluster"), col("dj_primary"))
+            col("vec"),
+            element_at(ranked, 1).as("cluster"),
+            lit(true).as("dj_primary"))
+        else
+          base
+            .select(col(idCol), col("vec"), posexplode(ranked))
+            .select(
+              col(idCol),
+              col("vec"),
+              col("col").as("cluster"),
+              (col("pos") === 0).as("dj_primary"))
       }
     // read three times below (sizes, two join sides) — the argmax kernel
     // over the corpus must run once, not per branch; registry-tracked so a

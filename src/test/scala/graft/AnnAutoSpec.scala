@@ -135,23 +135,30 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"budgeted IMI recall $recall")
   }
 
-  test("broadcast argmin paths fail LOUDLY on duplicate ids (no silent merge)") {
-    // the >256-centroid keyed argmin computes one shared argmin per id; a
-    // duplicate id would silently cluster differently than the literal
-    // path scores it (the r10 advice finding) — the shared kernel now
-    // raises at scoring time instead
-    import spark.implicits._
+  test("large-centroid assignment matches the literal path exactly — duplicate ids and all") {
+    // the r10 advice finding was a silent DISCONTINUITY: the >256-centroid
+    // keyed argmin computed one shared argmin per id, so duplicate ids
+    // clustered differently than the literal path scores them; the keyed
+    // kernel closed it by raising loudly. The per-row native kernel
+    // (NearestCellsCos) removes the discontinuity outright — the large
+    // path now scores each row independently exactly like the literal
+    // path, so the strongest contract is plain equality of outputs on a
+    // corpus WITH a duplicated id.
     val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val dup = v.limit(400).union(v.limit(1)) // one duplicated vec_id
-    val e = intercept[Exception] {
-      Similarity.semanticNearDups(
+    def pairs(maxLiteral: Int) = {
+      val r = Similarity.semanticNearDups(
         dup, "vec_id", "embedding", threshold = 0.3,
         nClusters = 300, corpusSize = Some(400),
-        maxLiteralCentroids = 256).count()
+        maxLiteralCentroids = maxLiteral)
+        .select(col("id1"), col("id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.core.Blocks.releaseAll()
+      r
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("unique and non-null")),
-      s"expected the loud id-contract error, got: ${msgs(e).mkString(" | ")}")
+    val kernel = pairs(256)   // 300 cells > 256 → the native per-row path
+    val literal = pairs(1024) // forced literal-array path
+    assert(kernel === literal,
+      s"only-kernel=${kernel -- literal} only-literal=${literal -- kernel}")
   }
 }
