@@ -135,6 +135,30 @@ class AnnAutoSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"budgeted IMI recall $recall")
   }
 
+  test("exhaustive ivfTopKRerank == bruteForceTopK (pins the rerank assignment paths)") {
+    // every cell probed + a pool covering the corpus → the sketch
+    // prefilter cannot drop a true neighbor and the exact rerank decides —
+    // this is the only executable contract the (documented-negative-
+    // result) rerank flavor has, and it exercises BOTH of its per-row
+    // assignment paths (corpus argmin, query top-nProbe explode)
+    val v = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = v.where(col("vec_id") < 5)
+    val n = v.count()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = rows(Similarity.bruteForceTopK(
+      v, queries, "vec_id", "embedding", k = 3))
+    val rerank = rows(Similarity.ivfTopKRerank(
+      v, queries, "vec_id", "embedding", k = 3,
+      nCentroids = 300, nProbe = 300, kmeansIters = 0,
+      corpusSize = Some(n), poolFactor = (n / 3 + 1).toInt))
+    graft.core.Blocks.releaseAll()
+    assert(brute.nonEmpty)
+    assert(rerank === brute,
+      s"only-brute=${brute -- rerank} only-rerank=${rerank -- brute}")
+  }
+
   test("large-centroid assignment matches the literal path exactly — duplicate ids and all") {
     // the r10 advice finding was a silent DISCONTINUITY: the >256-centroid
     // keyed argmin computed one shared argmin per id, so duplicate ids
