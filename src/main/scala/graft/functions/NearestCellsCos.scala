@@ -116,13 +116,17 @@ case class NearestCellsCos(
       }
       var score =
         if (divideByRowNorm) acc / (rowNorm * norms(i)) else acc / norms(i)
-      if (round6) {
+      if (round6 && !score.isNaN && !score.isInfinite) {
         // exactly Spark's round(x, 6) on doubles — decimal (shortest-repr)
-        // representation, HALF_UP
+        // representation, HALF_UP; Spark's RoundBase passes NaN/Infinity
+        // through unchanged (BigDecimal.valueOf(NaN) would throw).
         score = java.math.BigDecimal.valueOf(score)
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       }
-      val neg = -score
+      // NaN (zero-norm row or centroid) ranks last, matching Spark's double
+      // ordering where NaN > any value — the min(struct)/window spelling
+      // this kernel replaced ranked NaN last too.
+      val neg = if (score.isNaN) Double.PositiveInfinity else -score
       // ascending-cid scan + strict < insertion ≡ rank by (neg, cid)
       if (size < p || neg < bestNeg(size - 1)) {
         var pos = if (size < p) size else p - 1

@@ -44,8 +44,11 @@ object Pq {
       ks: Int): Seq[Seq[Seq[Double]]] = {
     require(m > 0, s"m must be positive: $m")
     require(ks > 0 && ks <= 256, s"ks must be in 1..256: $ks")
+    // null ids excluded: Spark sorts NULLS FIRST ascending while DuckDB's
+    // ORDER BY defaults NULLS LAST, so a null-id row with a non-null vector
+    // would silently seed different codebooks than the oracle derivation
     val rows = vectors
-      .where(col(vecCol).isNotNull)
+      .where(col(vecCol).isNotNull && col(idCol).isNotNull)
       .sort(col(idCol))
       .limit(ks)
       .select(col(vecCol))
@@ -82,7 +85,9 @@ object Pq {
       corpusSize: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
     require(m > 0, s"m must be positive: $m")
     require(ks > 0 && ks <= 256, s"ks must be in 1..256: $ks")
-    val nonNull = vectors.where(col(vecCol).isNotNull)
+    // null ids excluded for the same one-ordering reason as seedCodebooks
+    val nonNull =
+      vectors.where(col(vecCol).isNotNull && col(idCol).isNotNull)
     val n = corpusSize.getOrElse {
       val stats = nonNull.queryExecution.optimizedPlan.stats
       stats.rowCount.map(_.toLong).getOrElse(

@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** True iff the physical plan contains a data-movement shuffle
+    * (ShuffleExchangeLike). Broadcast exchanges don't count — they add no
+    * read parallelism. Unwraps AQE wrappers (AdaptiveSparkPlanExec and
+    * query stages are leaf nodes whose real plan hides in a field, so a
+    * plain `collect` traversal would miss everything inside them).
+    */
+  private[ops] def hasShuffleExchange(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = plan match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      hasShuffleExchange(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      hasShuffleExchange(s.plan)
+    case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+    case other => other.children.exists(hasShuffleExchange)
+  }
+
   /** Σ aᵢ·bᵢ in double precision — generic HOF form (any numeric arrays,
     * e.g. a float vector against double hyperplane literals).
     */
@@ -557,8 +573,12 @@ object Similarity {
     // (and probing their partition count would execute their stages).
     val target = rows.sparkSession.sparkContext.defaultParallelism
     val spread = {
-      val plan = rows.queryExecution.executedPlan
-      val shuffleFree = !plan.toString.contains("Exchange")
+      // Node-typed probe, not a plan-string grep: a BroadcastExchange (a
+      // broadcast join inside an otherwise shuffle-free, single-partition
+      // frame) must NOT count as a shuffle — it contributes no read
+      // parallelism, and misclassifying it skips the spread and brings the
+      // single-task nCentroids-per-row blowup back.
+      val shuffleFree = !hasShuffleExchange(rows.queryExecution.executedPlan)
       if (shuffleFree && rows.rdd.getNumPartitions < target)
         rows.repartition(target, col(idName))
       else rows

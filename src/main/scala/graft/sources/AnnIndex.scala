@@ -239,6 +239,12 @@ object AnnIndex {
       pqResidual: Boolean = false): Meta = {
     require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    // meta.json is written by naive interpolation and registerPostings
+    // single-quotes the LOCATION path — quotes would corrupt both
+    require(!idCol.contains("\"") && !vecCol.contains("\""),
+      s"column names must not contain double quotes: '$idCol', '$vecCol'")
+    require(!path.contains("'"),
+      s"index path must not contain single quotes: $path")
     require(pq.isDefined || !pqResidual,
       "pqResidual = true requires pq = Some((m, ks)) — there are no codes to flavor")
     val spark = vectors.sparkSession

@@ -154,6 +154,12 @@ object DedupIndex {
       bands: Int = 16,
       nBuckets: Int = 32): Meta = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    // meta.json is written by naive interpolation and the postings DDL
+    // single-quotes the LOCATION path — quotes would corrupt both
+    require(!idCol.contains("\"") && !textCol.contains("\""),
+      s"column names must not contain double quotes: '$idCol', '$textCol'")
+    require(!path.contains("'"),
+      s"index path must not contain single quotes: $path")
     val spark = df.sparkSession
     new java.io.File(path).mkdirs()
     // meta.json is the COMMIT MARKER and is written LAST: deleting it first
