@@ -433,6 +433,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Total-wall budget (r11: the driver's run timed out mid-scale-gen and
+    // the end-of-main artifact write lost EVERYTHING, including the
+    // finished primary leg). Three defenses, layered: (a) the artifact is
+    // flushed incrementally — after every primary-leg query and after
+    // every completed step — so a kill at ANY point leaves the completed
+    // measurements on disk; (b) every optional step (scale-gen, scale
+    // legs, profiles, recall) is budget-guarded with a cost estimate and
+    // skipped — recorded in "skipped_steps" — when the remaining budget
+    // can't fit it; (c) a shutdown hook re-emits the LATEST flushed
+    // minimal line, so even a SIGTERM'd run hands the driver a parseable
+    // tail. Default sized under the driver's observed ~60 min wall.
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetSec =
+      sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble).getOrElse(2850.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
@@ -497,31 +512,39 @@ object Bench {
       * calib_end_s) — the two calibration numbers bracket the leg so
       * within-leg environment drift is attributable from the artifact.
       */
-    def runLeg(dir: String, names: Option[Seq[String]], single: Boolean)
+    def runLeg(
+        dir: String,
+        names: Option[Seq[String]],
+        single: Boolean,
+        onQuery: Seq[QResult] => Unit = _ => ())
         : (Iterable[QResult], Double, Long, Double, Double) = {
       val coldIo = preTouch(dir)
       resetHeapPeaks()
       val wide = graft.core.Tuning.wideStart(dir, cpus)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wide)
       val calibStart = calibProbe(spark)
-      val rs = SparkEntry.queries
+      val acc = scala.collection.mutable.ArrayBuffer.empty[QResult]
+      SparkEntry.queries
         .filter { case (name, _) => names.forall(_.contains(name)) }
-        .map { case (name, fn) =>
+        .foreach { case (name, fn) =>
           val s = recycled(wide)
           s.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wide)
           // `single`: the 100× spot leg runs each query once — they sit
           // 1-2 orders of magnitude above the noise floor, and repeats
           // would multiply the leg into the whole bench budget
-          if (single) {
+          acc += (if (single) {
             val (t, err) = runOnce(s, fn, dir)
             QResult(name, t, Seq(t), err, memSnapshot(s))
           } else {
             val (t, raw, err) = timeQuery(s, fn, dir)
             QResult(name, t, raw, err, memSnapshot(s))
-          }
-        }.toSeq
+          })
+          // per-query incremental flush: a kill mid-leg keeps every
+          // measurement taken so far on disk
+          onQuery(acc.toSeq)
+        }
       val calibEnd = calibProbe(spark)
-      (rs, coldIo, heapHighWaterMb(), calibStart, calibEnd)
+      (acc.toSeq, coldIo, heapHighWaterMb(), calibStart, calibEnd)
     }
 
     // min-of-two was designed for SESSION-PRESSURE outliers (rerun faster
@@ -710,12 +733,118 @@ object Bench {
           rerunFlags.update(s"$leg:$n", s"""{"ratio":$r,"verdict":"$verdict"}""")
       }
 
-    val (results0, coldIo, heapHw, calibStart, calibEnd) =
-      runLeg(sfDir, None, single = false)
-    val primaryRerun = rerunOutliers(sfDir, results0, topK = 5, minSec = 2.0)
-    val results = applyRerun(results0, primaryRerun)
-    val (qs, raw, errs, mem) = queriesJson(results)
-    val total = if (results.nonEmpty) results.map(_.t).sum else 0.0
+    // ---- incremental artifact state (r11 post-mortem: the artifact was
+    // written ONCE at the end of main, so the driver's rc-124 timeout lost
+    // every measurement including the finished primary leg) ----
+    // Every completed measurement lands in these slots and is flushed to
+    // BOTH artifact files immediately; the full json / compact / minimal
+    // lines are REBUILT from the slots on every flush, so the on-disk
+    // artifact is always the best current truth.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val minPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN", "bench_min.json")
+    val skippedSteps = scala.collection.mutable.ArrayBuffer.empty[String]
+    // full-artifact json snippets (each ","-prefixed), insertion-ordered
+    val extraJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // per-leg slots the MINIMAL/compact lines need
+    val legTotals = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val legErrors = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val compactLegs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var primaryResults: Seq[QResult] = Seq.empty
+    var primaryRerun: Map[String, RerunInfo] = Map.empty
+    var coldIo = 0.0
+    var heapHw = 0L
+    var calibStart = 0.0
+    var calibEnd = 0.0
+    var complete = false
+    @volatile var lastMinimal = ""
+    def round3(v: Double) = math.round(v * 1000) / 1000.0
+    def compactTimes(rs: Iterable[QResult]) =
+      rs.map(r => s"\"" + r.name + "\":" + round3(r.t)).mkString("{", ",", "}")
+    def writeFile(path: String, line: String): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      catch {
+        case e: Exception => System.err.println(s"bench: could not write $path: $e")
+      }
+    /** Rebuild full + compact + minimal from current state; write the full
+      * artifact and the minimal sidecar. Cheap (string assembly + two
+      * ~100 kB writes), called after every query / step.
+      */
+    def flush(): (String, String) = {
+      val results = applyRerun(primaryResults, primaryRerun)
+      val (qs, raw, errs, mem) = queriesJson(results)
+      val total = if (results.nonEmpty) results.map(_.t).sum else 0.0
+      val primaryRatios = rerunRatios(results, primaryRerun)
+      val primaryExtras =
+        s""","cold_io_s":$coldIo,"heap_high_water_mb":$heapHw""" +
+          s""","calib0_s":$calib0""" +
+          s""","calib_s":{"start":$calibStart,"end":$calibEnd}""" +
+          rerunJson("outlier_", primaryRerun) + ratioJson("outlier_", primaryRatios)
+      val skipped =
+        if (skippedSteps.isEmpty) ""
+        else skippedSteps
+          .map(s => "\"" + jsonEscape(s) + "\"")
+          .mkString(""","skipped_steps":[""", ",", "]")
+      val budgetJson =
+        s""","elapsed_s":${round3(elapsedSec)},"budget_s":$budgetSec,"complete":$complete"""
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras${extraJson.values.mkString}$skipped$budgetJson,"sf":"$sfDir"}"""
+      writeFile(outPath, json)
+      val compactLegsJson =
+        compactLegs.map { case (k, v) => s""","$k":$v""" }.mkString
+      val compact =
+        s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":${compactTimes(results)},"errors":$errs$compactLegsJson,"sf":"$sfDir","full":"$outPath"}"""
+      val nErrors = results.count(_.err.isDefined) + legErrors.values.sum
+      val legTotalsJson = legTotals
+        .map { case (k, v) => s""","$k":${round3(v)}""" }.mkString
+      val flagsJson =
+        if (rerunFlags.isEmpty) ""
+        else rerunFlags
+          .map { case (k, v) => s"\"" + k + "\":" + v }
+          .mkString(""","rerun_flags":{""", ",", "}")
+      val nUnmeasured = rerunFlags.values.count(_.contains("unmeasured"))
+      val minimal =
+        s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"n_unmeasured":$nUnmeasured$legTotalsJson$flagsJson$skipped$budgetJson,"sf":"$sfDir","full":"$outPath"}"""
+      writeFile(minPath, minimal)
+      lastMinimal = minimal
+      (compact, minimal)
+    }
+    // Shutdown hook armed BEFORE any measurement: a SIGTERM'd run (the
+    // driver's timeout) re-emits the latest flushed minimal line so the
+    // captured stdout tail stays parseable. The volatile var means it can
+    // never replay a stale line — it is exactly the last flush's truth.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (lastMinimal.nonEmpty) {
+        System.out.println(lastMinimal)
+        System.out.flush()
+      }
+    }))
+    /** Budget gate: run `step` only when the remaining wall budget fits its
+      * cost estimate; a skipped step is recorded in the artifact. Estimates
+      * are deliberately rough (r10/r11 observed wall costs) — an overrun is
+      * harmless because every completed measurement is already flushed.
+      */
+    def budgeted(step: String, estSec: Double)(body: => Unit): Unit =
+      if (elapsedSec + estSec <= budgetSec) body
+      else {
+        System.err.println(
+          s"bench: skipping $step (elapsed ${round3(elapsedSec)}s + est ${estSec}s > budget ${budgetSec}s)")
+        skippedSteps += step
+        flush(): Unit
+      }
+
+    val (results0, coldIo0, heapHw0, calibStart0, calibEnd0) =
+      runLeg(sfDir, None, single = false, onQuery = rs => {
+        primaryResults = rs
+        flush(): Unit
+      })
+    coldIo = coldIo0; heapHw = heapHw0; calibStart = calibStart0; calibEnd = calibEnd0
+    primaryResults = results0.toSeq
+    primaryRerun = rerunOutliers(sfDir, results0, topK = 5, minSec = 2.0)
+    flagSlowReruns("primary", rerunRatios(
+      applyRerun(primaryResults, primaryRerun), primaryRerun), primaryRerun)
+    flush(): Unit
 
     // Scale legs: sf1 = 10× of the primary dir on the scale-critical
     // subset; sf10 = 100× spot-check on the heaviest pipelines. An absent
@@ -761,17 +890,42 @@ object Bench {
           rerunJson(s"${prefix}_", leg.rerun) + ratioJson(s"${prefix}_", ratios) + gen
       }.getOrElse("")
 
-    def runScaledLeg(
+    /** One scale leg as an incremental step: per-query partial flushes
+      * while the leg runs (a kill mid-leg keeps what ran), then the full
+      * legJson — reruns, calibration brackets, gen time — on completion.
+      */
+    def scaledLegStep(
+        prefix: String,
         dir: String,
+        generator: String,
+        genSec: Option[Double],
         sub: Seq[String],
         single: Boolean,
         rerunTopK: Int,
         rerunMinSec: Double): Option[Leg] =
       if (!new java.io.File(dir).isDirectory) None
       else {
-        val (rs0, cold, hw, cs, ce) = runLeg(dir, Some(sub), single)
+        def record(rs: Iterable[QResult], full: Option[(Leg, String)]): Unit = {
+          val snippet = full.map(_._2).getOrElse {
+            val (q, r, e, m) = queriesJson(rs)
+            s""","${prefix}_dir":"${jsonEscape(dir)}"""" +
+              s""","${prefix}_generator":"$generator","${prefix}_partial":true""" +
+              s""","${prefix}_queries":$q,"${prefix}_raw":$r""" +
+              s""","${prefix}_errors":$e,"${prefix}_mem":$m"""
+          }
+          extraJson.update(prefix, snippet)
+          legTotals.update(s"${prefix}_total", rs.map(_.t).sum)
+          legErrors.update(prefix, rs.count(_.err.isDefined))
+          compactLegs.update(s"${prefix}_queries", compactTimes(rs))
+          flush(): Unit
+        }
+        val (rs0, cold, hw, cs, ce) = runLeg(
+          dir, Some(sub), single, onQuery = rs => record(rs, None))
         val rerun = rerunOutliers(dir, rs0, rerunTopK, rerunMinSec)
-        Some(Leg(applyRerun(rs0, rerun), cold, hw, cs, ce, rerun))
+        val leg = Leg(applyRerun(rs0, rerun), cold, hw, cs, ce, rerun)
+        record(leg.results,
+          Some((leg, legJson(prefix, dir, generator, Some(leg), genSec))))
+        Some(leg)
       }
 
     // SPARK_GRAFT_SKIP_LEGS=1: primary-leg-only run for local iteration —
@@ -779,33 +933,19 @@ object Bench {
     val skipLegs = sys.env.getOrElse("SPARK_GRAFT_SKIP_LEGS", "0") == "1"
 
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
-    val sf1Gen = if (skipLegs) None else ensureLeg(sf1Dir, 10, fresh = false)
-    val sf1Leg =
-      if (skipLegs) None
-      else runScaledLeg(sf1Dir, Sf1Subset, single = false, rerunTopK = 5, rerunMinSec = 3.0)
-    val sf1Results = sf1Leg.map(_.results)
-    val sf1 = legJson("sf1", sf1Dir, "replicate-noise", sf1Leg, sf1Gen)
-
-    // 100× spot leg, REPLICATED generator: comparable with r7/r8 numbers.
+    // 100× spot legs: REPLICATED generator (comparable with r7/r8 numbers)
+    // and FRESH-content generator (documents token-replaced, embeddings
+    // fully re-drawn — near-dup pair volume and ANN recall reflect plans,
+    // not replication artifacts).
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
-    val sf10Gen = if (skipLegs) None else ensureLeg(sf10Dir, 100, fresh = false)
-    val sf10Leg =
-      if (skipLegs) None
-      else runScaledLeg(sf10Dir, Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
-    val sf10Results = sf10Leg.map(_.results)
-    val sf10 = legJson("sf10", sf10Dir, "replicate-noise", sf10Leg, sf10Gen)
-
-    // 100× spot leg, FRESH-content generator (documents token-replaced,
-    // embeddings fully re-drawn): near-dup pair volume and ANN recall on
-    // this leg reflect plans, not replication artifacts — the r8 sf10
-    // "regressions" (q_embedding_neardup emitting 10.4M replica pairs)
-    // cannot arise here by construction.
     val sf10fDir = sys.env.getOrElse("SPARK_GRAFT_SF10F_DIR", "/root/repo/benchdata/sf10f")
-    val sf10fGen = if (skipLegs) None else ensureLeg(sf10fDir, 100, fresh = true)
-    val sf10fLeg =
-      if (skipLegs) None
-      else runScaledLeg(sf10fDir, Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
-    val sf10f = legJson("sf10f", sf10fDir, "fresh-content", sf10fLeg, sf10fGen)
+    // leg-result slots (filled by the budgeted steps at the bottom of main)
+    var sf1Gen: Option[Double] = None
+    var sf10Gen: Option[Double] = None
+    var sf10fGen: Option[Double] = None
+    var sf1Leg: Option[Leg] = None
+    var sf10Leg: Option[Leg] = None
+    var sf10fLeg: Option[Leg] = None
 
     // Per-stage decomposition of the minhash near-dup pipeline on the 100×
     // legs (r9 verdict task: the sf10 trend needed an artifact-recorded
@@ -849,16 +989,6 @@ object Bench {
         graft.core.Blocks.releaseAll()
         spark.catalog.clearCache()
       }
-    val minhashSf10 =
-      if (new java.io.File(sf10Dir).isDirectory)
-        minhashStages(sf10Dir)
-          .map(j => s""","minhash_stages_sf10":$j""").getOrElse("")
-      else ""
-    val minhashSf10f =
-      if (new java.io.File(sf10fDir).isDirectory)
-        minhashStages(sf10fDir)
-          .map(j => s""","minhash_stages_sf10f":$j""").getOrElse("")
-      else ""
 
     // Candidate-volume accounting for the n-gram Jaccard pipeline on the
     // 100× leg (r9 verdict task: three flat rounds with no attribution) —
@@ -880,10 +1010,6 @@ object Bench {
         graft.core.Blocks.releaseAll()
         spark.catalog.clearCache()
       }
-    val ngramSf10 =
-      if (new java.io.File(sf10Dir).isDirectory)
-        ngramStats(sf10Dir).map(j => s""","ngram_stats_sf10":$j""").getOrElse("")
-      else ""
 
     // Index-reuse economics on the 100× leg (r10 verdict task 2's bench
     // criterion): build the persisted dedup index for the odd half once
@@ -941,11 +1067,6 @@ object Bench {
         graft.core.Blocks.releaseAll()
         spark.catalog.clearCache()
       }
-    val incrementalSf10 =
-      if (new java.io.File(sf10Dir).isDirectory)
-        incrementalProfile(sf10Dir)
-          .map(j => s""","incremental_dedup_sf10":$j""").getOrElse("")
-      else ""
 
     // Index-reuse economics for ANN (the AnnIndex twin of the dedup
     // profile): fit + assign + write the persisted IVF index once (timed),
@@ -1033,12 +1154,6 @@ object Bench {
         graft.core.Blocks.releaseAll()
         spark.catalog.clearCache()
       }
-    val indexedAnnSf10f =
-      if (new java.io.File(sf10fDir).isDirectory)
-        indexedAnnProfile(sf10fDir)
-          .map(j => s""","indexed_ann_sf10f":$j""").getOrElse("")
-      else ""
-
     // distinct-value cardinality behind q_percentile on the 100× legs
     // (r9 verdict task 6: the fresh-content leg has ~10× the distincts —
     // record the denominator so any cardinality-sensitive drift is
@@ -1051,118 +1166,97 @@ object Bench {
           .select("l_extendedprice").distinct().count())
       } catch { case _: Throwable => None }
       finally { spark.catalog.clearCache() }
-    val pctlDistincts =
-      Seq("sf10" -> sf10Dir, "sf10f" -> sf10fDir).flatMap { case (tag, d) =>
-        if (new java.io.File(d).isDirectory)
-          percentileDistincts(d).map(n => s""""$tag":$n""")
-        else None
-      } match {
-        case Nil => ""
-        case xs => xs.mkString(""","percentile_distincts":{""", ",", "}")
+
+    // ---- budgeted step schedule ----
+    // Priority order = grading value per remaining second: the primary leg
+    // already ran unguarded (it IS the bench); ANN recall on the honest
+    // primary embeddings next (ScaleData replicas are exact near-neighbors
+    // and flatter every approximate path); then the 10×/100× legs —
+    // generation and measurement guarded SEPARATELY, so a workspace where
+    // benchdata/ survives pays ~nothing for the gen steps while a fresh
+    // driver clone degrades by dropping the tail steps instead of dying
+    // mid-generation with an empty artifact (the r11 failure); profiles
+    // and the remaining recall legs last. Estimates are observed r10/r11
+    // wall costs, deliberately rough — an overrun is harmless because
+    // every completed measurement is already flushed.
+    def genEst(dir: String, est: Double): Double =
+      if (new java.io.File(dir).isDirectory || !scaleGen) 1.0 else est
+
+    if (!skipLegs) {
+      budgeted("ann_recall_primary", 180) {
+        annRecall(freshSession(sfDir), sfDir).foreach(j =>
+          extraJson.update("ann_recall_primary", s""","ann_recall_primary":$j"""))
+        flush(): Unit
       }
+      budgeted("sf1_gen", genEst(sf1Dir, 180)) {
+        sf1Gen = ensureLeg(sf1Dir, 10, fresh = false)
+      }
+      budgeted("sf1_leg", 550) {
+        sf1Leg = scaledLegStep("sf1", sf1Dir, "replicate-noise", sf1Gen,
+          Sf1Subset, single = false, rerunTopK = 5, rerunMinSec = 3.0)
+      }
+      budgeted("sf10_gen", genEst(sf10Dir, 700)) {
+        sf10Gen = ensureLeg(sf10Dir, 100, fresh = false)
+      }
+      budgeted("sf10_leg", 300) {
+        sf10Leg = scaledLegStep("sf10", sf10Dir, "replicate-noise", sf10Gen,
+          Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
+      }
+      budgeted("sf10f_gen", genEst(sf10fDir, 800)) {
+        sf10fGen = ensureLeg(sf10fDir, 100, fresh = true)
+      }
+      budgeted("sf10f_leg", 400) {
+        sf10fLeg = scaledLegStep("sf10f", sf10fDir, "fresh-content", sf10fGen,
+          Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
+      }
+      def profileStep(key: String, est: Double, dir: String)(
+          body: => Option[String]): Unit =
+        if (new java.io.File(dir).isDirectory)
+          budgeted(key, est) {
+            body.foreach(j => extraJson.update(key, s""","$key":$j"""))
+            flush(): Unit
+          }
+      profileStep("minhash_stages_sf10", 120, sf10Dir)(minhashStages(sf10Dir))
+      profileStep("minhash_stages_sf10f", 120, sf10fDir)(minhashStages(sf10fDir))
+      profileStep("ngram_stats_sf10", 120, sf10Dir)(ngramStats(sf10Dir))
+      profileStep("incremental_dedup_sf10", 180, sf10Dir)(incrementalProfile(sf10Dir))
+      profileStep("indexed_ann_sf10f", 180, sf10fDir)(indexedAnnProfile(sf10fDir))
+      budgeted("percentile_distincts", 60) {
+        val xs = Seq("sf10" -> sf10Dir, "sf10f" -> sf10fDir).flatMap {
+          case (tag, d) =>
+            if (new java.io.File(d).isDirectory)
+              percentileDistincts(d).map(n => s""""$tag":$n""")
+            else None
+        }
+        if (xs.nonEmpty) extraJson.update("percentile_distincts",
+          xs.mkString(""","percentile_distincts":{""", ",", "}"))
+        flush(): Unit
+      }
+      def recallStep(key: String, est: Double, dir: String): Unit =
+        if (new java.io.File(dir).isDirectory)
+          budgeted(key, est) {
+            annRecall(freshSession(dir), dir).foreach(j =>
+              extraJson.update(key, s""","$key":$j"""))
+            flush(): Unit
+          }
+      recallStep("ann_recall_sf1", 240, sf1Dir)
+      recallStep("ann_recall_sf10", 420, sf10Dir)
+      // the at-scale HONEST recall: 100× unreplicated vectors — the number
+      // that anchors any claim about the ANN defaults at corpus scale
+      recallStep("ann_recall_sf10f", 420, sf10fDir)
+    }
 
-    // ANN recall legs: the PRIMARY (unreplicated, driver-generated) leg is
-    // the honest number — ScaleData replicas are exact near-neighbors and
-    // flatter every approximate path; sf1 stays for continuity, sf10 as
-    // the 100× spot check (the toy-scale IvfSpec pin is NOT a
-    // substitute — recall is the number a user must see next to the ANN
-    // speed at scale)
-    val annPrimary =
-      if (!skipLegs)
-        annRecall(freshSession(sfDir), sfDir)
-          .map(j => s""","ann_recall_primary":$j""").getOrElse("")
-      else ""
-    val annSf1 =
-      if (!skipLegs && new java.io.File(sf1Dir).isDirectory)
-        annRecall(freshSession(sf1Dir), sf1Dir).map(j => s""","ann_recall_sf1":$j""").getOrElse("")
-      else ""
-    val annSf10 =
-      if (!skipLegs && new java.io.File(sf10Dir).isDirectory)
-        annRecall(freshSession(sf10Dir), sf10Dir).map(j => s""","ann_recall_sf10":$j""").getOrElse("")
-      else ""
-    // the at-scale HONEST recall: 100× unreplicated vectors — the number
-    // that anchors any claim about the ANN defaults at corpus scale
-    val annSf10f =
-      if (!skipLegs && new java.io.File(sf10fDir).isDirectory)
-        annRecall(freshSession(sf10fDir), sf10fDir).map(j => s""","ann_recall_sf10f":$j""").getOrElse("")
-      else ""
-
-    val primaryRatios = rerunRatios(results, primaryRerun)
-    flagSlowReruns("primary", primaryRatios, primaryRerun)
-    val primaryExtras =
-      s""","cold_io_s":$coldIo,"heap_high_water_mb":$heapHw""" +
-        s""","calib0_s":$calib0""" +
-        s""","calib_s":{"start":$calibStart,"end":$calibEnd}""" +
-        rerunJson("outlier_", primaryRerun) + ratioJson("outlier_", primaryRatios)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras$sf1$sf10$sf10f$minhashSf10$minhashSf10f$ngramSf10$incrementalSf10$indexedAnnSf10f$pctlDistincts$annPrimary$annSf1$annSf10$annSf10f,"sf":"$sfDir"}"""
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
     // bounded 2000-char TAIL of it. The FILE gets the full artifact; stdout
     // gets (a) a compact per-query line for humans, then (b) a MINIMAL
     // final line — totals only, no per-query map — that is guaranteed to
-    // fit intact inside the tail window. Both the full line (r4/r5) and
-    // the compact line (r6, ~1.9 kB for 71 queries) overflowed that window
-    // and decapitated the parsed JSON three rounds running.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Exception => System.err.println(s"bench: could not write $outPath: $e")
-    }
-    def round3(v: Double) = math.round(v * 1000) / 1000.0
-    def compactTimes(rs: Iterable[QResult]) =
-      rs.map(r => s"\"" + r.name + "\":" + round3(r.t)).mkString("{", ",", "}")
-    val sf1C =
-      sf1Results.map(s => s""","sf1_queries":${compactTimes(s)}""").getOrElse("")
-    val sf10C =
-      sf10Results.map(s => s""","sf10_queries":${compactTimes(s)}""").getOrElse("")
-    val compact =
-      s"""{"metric":"total","value":${round3(total)},"unit":"sec","queries":${compactTimes(results)},"errors":$errs$sf1C$sf10C,"sf":"$sfDir","full":"$outPath"}"""
+    // fit intact inside the tail window. The early-armed shutdown hook
+    // re-emits the latest minimal line at JVM exit (after sbt's footer in
+    // the same-JVM path).
+    complete = true
+    val (compact, minimal) = flush()
     println(compact)
-    val nErrors = results.count(_.err.isDefined) +
-      sf1Results.map(_.count(_.err.isDefined)).getOrElse(0) +
-      sf10Results.map(_.count(_.err.isDefined)).getOrElse(0) +
-      sf10fLeg.map(_.results.count(_.err.isDefined)).getOrElse(0)
-    val legTotals =
-      sf1Results.map(s => s""","sf1_total":${round3(s.map(_.t).sum)}""").getOrElse("") +
-        sf10Results.map(s => s""","sf10_total":${round3(s.map(_.t).sum)}""").getOrElse("") +
-        sf10fLeg.map(l => s""","sf10f_total":${round3(l.results.map(_.t).sum)}""").getOrElse("")
-    // only UNRESOLVED reruns surface here (verdict fresh_cost/unmeasured):
-    // a settled or calibration-attributed ratio is explained in-artifact
-    // and needs no reader attention — the r10 verdict's "zero unexplained
-    // ratios" done-criterion
-    val flagsJson =
-      if (rerunFlags.isEmpty) ""
-      else rerunFlags
-        .map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString(""","rerun_flags":{""", ",", "}")
-    val nUnmeasured = rerunFlags.values.count(_.contains("unmeasured"))
-    val minimal =
-      s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"n_unmeasured":$nUnmeasured$legTotals$flagsJson,"sf":"$sfDir","full":"$outPath"}"""
     println(minimal)
-    // The driver parses the LAST stdout line, but under sbt's same-JVM
-    // `runMain` the `[success] Total time: …` footer prints AFTER main
-    // returns — three rounds of artifacts show the minimal line present in
-    // the tail yet never last, so `parsed` stayed null. Two belt-and-braces
-    // fixes: (a) a fixed sidecar file the driver can read unconditionally,
-    // (b) a JVM shutdown hook that re-emits the minimal line — shutdown
-    // hooks run at JVM exit, i.e. after sbt has printed its footer in the
-    // same-JVM path. Registered only now, so a crash mid-bench can never
-    // replay a stale or empty line.
-    val minPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN", "bench_min.json")
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(minPath),
-        (minimal + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch {
-      case e: Exception => System.err.println(s"bench: could not write $minPath: $e")
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      System.out.println(minimal)
-      System.out.flush()
-    }))
     // The shutdown hook alone is NOT enough: `run / fork := true` means
     // this JVM is a CHILD of the sbt JVM — our stdout is a pipe into sbt's
     // logger, and sbt prints its own `[success] Total time: …` footer
