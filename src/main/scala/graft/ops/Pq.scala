@@ -327,13 +327,47 @@ object Pq {
       kmeansIters: Int = 2,
       pqIters: Int = 1,
       corpusSize: Option[Long] = None,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false): DataFrame =
+    adcRankedPool(
+      vectors, queries, idCol, vecCol, nCentroids, nProbe, m, ks,
+      kmeansIters, pqIters, corpusSize, residual,
+      rankCap = poolFactor.toLong * k) match {
+      case None => Similarity.emptyTopK(queries, idCol)
+      case Some(poolRk) =>
+        exactRerank(
+          vectors, queries, idCol, vecCol, k,
+          poolRk.select(col("query_id"), col("neighbor_id")))
+    }
+
+  /** The ADC-prefilter pool with its ranks exposed: every probed-cell
+    * candidate scored by the m-lookup ADC sum, ranked per query (desc,
+    * ties to smallest neighbor), capped at `rankCap`. [[ivfpqTopK]] feeds
+    * it to the exact rerank; [[autoPoolFactor]] reads the ranks of the
+    * ground-truth neighbors directly — recall at ANY poolFactor falls out
+    * of ONE pass because the exact rerank can never evict a true top-k
+    * neighbor from the final answer (at most k−1 vectors beat it).
+    * None ⇔ the corpus has no centroids (empty / all-null).
+    */
+  private[ops] def adcRankedPool(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      nProbe: Int,
+      m: Int,
+      ks: Int,
+      kmeansIters: Int,
+      pqIters: Int,
+      corpusSize: Option[Long],
+      residual: Boolean,
+      rankCap: Long): Option[DataFrame] = {
     val spark = vectors.sparkSession
     import graft.functions.PqCodes.pqEncodeResidual
     import graft.functions.DotProductFloat.dotF
     val centroids = Similarity.fitCentroids(
       vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
-    if (centroids.isEmpty) return Similarity.emptyTopK(queries, idCol)
+    if (centroids.isEmpty) return None
     val assigned = Similarity.assignToCentroids(
       vectors.where(col(idCol).isNotNull), idCol, vecCol, centroids)
     // corpus side: (neighbor_id, cluster, codes) — 2·m bytes of payload
@@ -380,7 +414,7 @@ object Pq {
         probesBase
           .select(col("query_id"), col("cluster"), col("dj_lut"),
             lit(0.0).as("dj_qc"))
-    val pool = corpus
+    Some(corpus
       .join(broadcast(probes), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("dj_adc", col("dj_qc") + pqAdc(col("dj_codes"), col("dj_lut")))
@@ -388,10 +422,21 @@ object Pq {
         "dj_rk",
         row_number().over(
           Window.partitionBy("query_id").orderBy(col("dj_adc").desc, col("neighbor_id"))))
-      .where(col("dj_rk") <= poolFactor.toLong * k)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact rerank of the bounded pool: broadcast the (nQueries·poolFactor·k)
-    // pool against the corpus — a column-pruned scan, no corpus shuffle
+      .where(col("dj_rk") <= rankCap)
+      .select(col("query_id"), col("neighbor_id"), col("dj_rk")))
+  }
+
+  /** Exact-cosine rerank of a bounded (query_id, neighbor_id) pool:
+    * broadcast the (nQueries·poolFactor·k) pool against the corpus — a
+    * column-pruned scan, no corpus shuffle.
+    */
+  private def exactRerank(
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      pool: DataFrame): DataFrame = {
     val qvec = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("dj_qvec")))
     vectors
@@ -405,6 +450,96 @@ object Pq {
           Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Candidate poolFactor ladder the auto-sizers walk (geometric — the
+    * recall/cost curve is concave in the pool size, so doubling steps
+    * bracket the knee within 2×).
+    */
+  private[graft] val PoolFactorLadder = Seq(1, 2, 4, 8, 16, 32, 64)
+
+  /** Shared tail of the two auto-sizers (live corpus here, persisted index
+    * in [[graft.sources.AnnIndex.autoPoolFactor]]): given the ground-truth
+    * pairs and an ADC-ranked pool capped at ladder-top·k, pick the smallest
+    * ladder value whose exact recall meets the target. One aggregate job.
+    */
+  private[graft] def pickPoolFactor(
+      truth: DataFrame,
+      pool: Option[DataFrame],
+      k: Int,
+      nTruth: Double,
+      recallTarget: Double): (Int, Double) = {
+    val pfCounts: Map[Int, Long] = pool match {
+      case None => Map.empty
+      case Some(p) =>
+        val aggs = PoolFactorLadder.map(pf =>
+          count(when(col("dj_rk") <= pf.toLong * k, 1)).as(s"pf_$pf"))
+        val row = truth
+          .join(p, Seq("query_id", "neighbor_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .head()
+        PoolFactorLadder.zipWithIndex
+          .map { case (pf, i) => pf -> row.getLong(i) }.toMap
+    }
+    def recallAt(pf: Int) = pfCounts.getOrElse(pf, 0L) / nTruth
+    val chosen = PoolFactorLadder
+      .find(pf => recallAt(pf) >= recallTarget)
+      .getOrElse(PoolFactorLadder.last)
+    (chosen, recallAt(chosen))
+  }
+
+  /** Recall-targeted poolFactor (the r11 verdict's missing PQ lever): the
+    * smallest ladder value whose expected recall@k meets `recallTarget`,
+    * measured on a deterministic stride-sampled probe set against exact
+    * brute-force ground truth — all from ONE ADC-ranking pass: the exact
+    * rerank can never evict a true top-k neighbor from the final answer
+    * (at most k−1 other vectors beat it globally), so
+    * `recall(pf) = |truth ∩ {ADC rank ≤ pf·k}| / |truth|` exactly.
+    *
+    * Returns (poolFactor, measured probe recall at that factor). When even
+    * the ladder top misses the target the top is returned with its recall
+    * — the caller sees the gap instead of an unbounded pool. Cost: one
+    * brute-force pass for ~`nProbeQueries` queries + one ADC pool pass —
+    * about two ivfpqTopK calls, paid once per sizing decision, not per
+    * query batch.
+    */
+  def autoPoolFactor(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int,
+      nProbe: Int,
+      m: Int = 8,
+      ks: Int = 256,
+      recallTarget: Double = 0.85,
+      nProbeQueries: Int = 64,
+      kmeansIters: Int = 0,
+      pqIters: Int = 1,
+      corpusSize: Option[Long] = None,
+      residual: Boolean = false): (Int, Double) = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recallTarget must be in (0, 1]: $recallTarget")
+    val n = corpusSize.getOrElse(vectors.count())
+    if (n == 0) return (PoolFactorLadder.head, 0.0)
+    val step = math.max(1L, n / math.max(1, nProbeQueries))
+    val probes = vectors
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        pmod(xxhash64(col(idCol)), lit(step)) === 0)
+      .sort(col(idCol))
+      .limit(nProbeQueries)
+    val truth = graft.core.Blocks.checkpoint(
+      Similarity.bruteForceTopK(vectors, probes, idCol, vecCol, k)
+        .select(col("query_id"), col("neighbor_id")))
+    try {
+      val nTruth = truth.count().toDouble
+      if (nTruth == 0) return (PoolFactorLadder.head, 0.0)
+      val ranked = adcRankedPool(
+        vectors, probes, idCol, vecCol, nCentroids, nProbe, m, ks,
+        kmeansIters, pqIters, Some(n), residual,
+        rankCap = PoolFactorLadder.last.toLong * k)
+      pickPoolFactor(truth, ranked, k, nTruth, recallTarget)
+    } finally graft.core.Blocks.release(truth)
   }
 
   /** Squared reconstruction error `‖vec − decode(encode(vec))‖²` as a

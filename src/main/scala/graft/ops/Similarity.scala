@@ -1238,10 +1238,40 @@ object Similarity {
     else "imi"
   }
 
+  /** Corpus-row floor past which the persisted index's COMPRESSED read
+    * path (ADC prefilter over 2·m-byte codes) is dispatched by default:
+    * below it the probed cells are small enough that the uncompressed
+    * exact scan wins outright (builder r11 profile: indexed pq 1.1 s vs
+    * uncompressed 0.8 s at sf0.1-scale cells), and the LUT/rerank overhead
+    * buys nothing. Past ~1M rows per probe set the candidate BYTES
+    * dominate and the 16× payload cut pays.
+    */
+  val PqTierMinCorpus: Long = 1000000L
+
+  /** The persisted-index dispatch decision [[annTopKAuto]] takes when an
+    * `indexPath` is supplied — exposed so callers (the bench artifact)
+    * can record it: "indexed_pq" when the index carries codes AND the
+    * corpus is past [[PqTierMinCorpus]], else "indexed".
+    */
+  def annAutoIndexedMethod(
+      pqCarrying: Boolean,
+      corpusSize: Long,
+      pqMinCorpus: Long = PqTierMinCorpus): String =
+    if (pqCarrying && corpusSize >= pqMinCorpus) "indexed_pq" else "indexed"
+
   /** One auto entry point for approximate top-k: picks the method by
     * corpus size ([[annAutoMethod]]) and runs that method's auto-sized
     * flavor. Callers who need the decision recorded (the bench artifact
     * does) read [[annAutoMethod]] with the same arguments.
+    *
+    * With `indexPath` supplied the dispatch reaches the PERSISTED tiers
+    * instead: an absent index is built once from `vectors` at the
+    * flat-auto geometry — carrying PQ codes so the compressed tier stays
+    * available as the corpus grows — and the query answers from the index
+    * ([[graft.sources.AnnIndex.queryTopK]], or the ADC-compressed
+    * [[graft.sources.AnnIndex.queryTopKPq]] at a RECALL-TARGETED
+    * poolFactor once the corpus passes `pqMinCorpus`); `vectors` is
+    * otherwise untouched — repeat queries never re-read the corpus.
     */
   def annTopKAuto(
       vectors: DataFrame,
@@ -1250,14 +1280,38 @@ object Similarity {
       vecCol: String,
       k: Int,
       corpusSize: Long,
-      dim: Int = 64): DataFrame =
-    annAutoMethod(corpusSize, k) match {
-      case "lsh" =>
-        lshTopKAuto(vectors, queries, idCol, vecCol, k, corpusSize, dim)
-      case "ivf" =>
-        ivfTopKAuto(vectors, queries, idCol, vecCol, k, corpusSize)
-      case _ =>
-        imiTopKAuto(vectors, queries, idCol, vecCol, k, corpusSize, dim)
+      dim: Int = 64,
+      indexPath: Option[String] = None,
+      pqMinCorpus: Long = PqTierMinCorpus,
+      recallTarget: Double = 0.85): DataFrame =
+    indexPath match {
+      case Some(path) =>
+        import graft.sources.AnnIndex
+        val spark = vectors.sparkSession
+        val (cents, nProbe) = ivfAutoParams(corpusSize, k)
+        if (!AnnIndex.exists(path))
+          AnnIndex.build(
+            vectors, idCol, vecCol, path, nCentroids = cents,
+            kmeansIters = 0, corpusSize = Some(corpusSize),
+            pq = Some((8, 256)), pqIters = 1): Unit
+        val meta = AnnIndex.readMeta(path)
+        annAutoIndexedMethod(meta.pqM > 0, corpusSize, pqMinCorpus) match {
+          case "indexed_pq" =>
+            val (pf, _) = AnnIndex.autoPoolFactor(
+              spark, path, k, nProbe, recallTarget)
+            AnnIndex.queryTopKPq(queries, idCol, vecCol, path, k, nProbe, pf)
+          case _ =>
+            AnnIndex.queryTopK(queries, idCol, vecCol, path, k, nProbe)
+        }
+      case None =>
+        annAutoMethod(corpusSize, k) match {
+          case "lsh" =>
+            lshTopKAuto(vectors, queries, idCol, vecCol, k, corpusSize, dim)
+          case "ivf" =>
+            ivfTopKAuto(vectors, queries, idCol, vecCol, k, corpusSize)
+          case _ =>
+            imiTopKAuto(vectors, queries, idCol, vecCol, k, corpusSize, dim)
+        }
     }
 
   /** Sign-bit width for `embeddingNearDups` scaled to the corpus: per-band

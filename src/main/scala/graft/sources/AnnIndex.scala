@@ -406,6 +406,45 @@ object AnnIndex {
     val spark = queries.sparkSession
     val idx = open(spark, path)
     if (idx.centroids.isEmpty) return Similarity.emptyTopK(queries, idCol)
+    val (poolRk, probed) = pqPoolRanked(
+      idx, path, queries, idCol, vecCol, nProbe,
+      rankCap = poolFactor.toLong * k)
+    val pool = poolRk.select(col("query_id"), col("neighbor_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+    // exact rerank: pool ids (bounded, broadcast) back to the probed
+    // cells' full vectors — a neighbor lives in exactly one cell, so the
+    // id join is 1:1; query vectors rejoin from the (small) query frame
+    val qvec = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("dj_qvec")))
+    probed
+      .select(col("neighbor_id"), col("vec"))
+      .join(broadcast(pool), Seq("neighbor_id"))
+      .join(qvec, Seq("query_id"))
+      .withColumn("cosine", Similarity.cosineF(col("dj_qvec"), col("vec")))
+      .withColumn(
+        "rank",
+        row_number().over(w.orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** The index-side ADC pool with ranks exposed: probed-cell candidates
+    * scored by the m-lookup ADC sum against the PERSISTED codes, ranked
+    * per query (desc, ties to smallest neighbor), capped at `rankCap` —
+    * plus the probed-postings frame the exact rerank reads. Shared by
+    * [[queryTopKPq]] and [[autoPoolFactor]] (which reads the ranks of
+    * ground-truth neighbors directly — one pass sizes every ladder rung).
+    */
+  private def pqPoolRanked(
+      idx: Index,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int,
+      rankCap: Long): (DataFrame, DataFrame) = {
+    val spark = queries.sparkSession
     require(idx.meta.pqM > 0,
       s"the ann index at $path carries no PQ codes — build(..., pq = Some((m, ks)))")
     val cb = loadPqCodebooks(spark, path)
@@ -445,23 +484,57 @@ object AnnIndex {
       .withColumn(
         "dj_rk",
         row_number().over(w.orderBy(col("dj_adc").desc, col("neighbor_id"))))
-      .where(col("dj_rk") <= poolFactor.toLong * k)
-      .select(col("query_id"), col("neighbor_id"))
-    // exact rerank: pool ids (bounded, broadcast) back to the probed
-    // cells' full vectors — a neighbor lives in exactly one cell, so the
-    // id join is 1:1; query vectors rejoin from the (small) query frame
-    val qvec = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("dj_qvec")))
-    probed
-      .select(col("neighbor_id"), col("vec"))
-      .join(broadcast(pool), Seq("neighbor_id"))
-      .join(qvec, Seq("query_id"))
-      .withColumn("cosine", Similarity.cosineF(col("dj_qvec"), col("vec")))
-      .withColumn(
-        "rank",
-        row_number().over(w.orderBy(col("cosine").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .where(col("dj_rk") <= rankCap)
+      .select(col("query_id"), col("neighbor_id"), col("dj_rk"))
+    (pool, probed)
+  }
+
+  /** True iff a committed (meta.json present) index lives at `path`. */
+  def exists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(metaPath(path)))
+
+  /** Recall-targeted poolFactor for THIS index's compressed read path —
+    * the persisted twin of [[graft.ops.Pq.autoPoolFactor]]: probe queries
+    * stride-sampled from the indexed corpus itself, exact brute-force
+    * ground truth over the postings vectors, and the ladder walked from
+    * ONE ADC-ranking pass (the exact rerank can never evict a true top-k
+    * neighbor, so pool-stage recall IS final recall). Returns (poolFactor,
+    * measured probe recall); the ladder top with its recall when the
+    * target is out of reach — the caller sees the gap, never an unbounded
+    * pool.
+    */
+  def autoPoolFactor(
+      spark: SparkSession,
+      path: String,
+      k: Int,
+      nProbe: Int = 4,
+      recallTarget: Double = 0.85,
+      nProbeQueries: Int = 64): (Int, Double) = {
+    import graft.ops.Pq.{PoolFactorLadder, pickPoolFactor}
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recallTarget must be in (0, 1]: $recallTarget")
+    val idx = open(spark, path)
+    if (idx.centroids.isEmpty) return (PoolFactorLadder.head, 0.0)
+    val corpus = idx.postings.select(col("neighbor_id"), col("vec"))
+    val n = corpus.count()
+    if (n == 0) return (PoolFactorLadder.head, 0.0)
+    val step = math.max(1L, n / math.max(1, nProbeQueries))
+    val probeSample = corpus
+      .where(col("neighbor_id").isNotNull && col("vec").isNotNull &&
+        pmod(xxhash64(col("neighbor_id")), lit(step)) === 0)
+      .sort(col("neighbor_id"))
+      .limit(nProbeQueries)
+    val truth = graft.core.Blocks.checkpoint(
+      Similarity.bruteForceTopK(corpus, probeSample, "neighbor_id", "vec", k)
+        .select(col("query_id"), col("neighbor_id")))
+    try {
+      val nTruth = truth.count().toDouble
+      if (nTruth == 0) return (PoolFactorLadder.head, 0.0)
+      val (pool, _) = pqPoolRanked(
+        idx, path, probeSample, "neighbor_id", "vec", nProbe,
+        rankCap = PoolFactorLadder.last.toLong * k)
+      pickPoolFactor(truth, Some(pool), k, nTruth, recallTarget)
+    } finally graft.core.Blocks.release(truth)
   }
 
   /** Fold a NEW shard into an existing index — the rolling-ingestion write
