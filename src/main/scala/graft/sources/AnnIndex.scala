@@ -493,6 +493,64 @@ object AnnIndex {
   def exists(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(metaPath(path)))
 
+  /** Small-file stats for the postings table ([[DedupIndex.TableStats]]
+    * semantics): every [[append]] layers one file-set per bucket, so
+    * `filesPerBucket` ≈ appends since the last [[compact]]/[[build]].
+    */
+  def fileStats(path: String): DedupIndex.TableStats = {
+    val m = readMeta(path)
+    DedupIndex.dirStats(
+      new java.io.File(s"$path/postings"), "postings", m.nBuckets)
+  }
+
+  /** True when the postings' per-bucket file layering passes `threshold`
+    * (~that many appends' worth of layers) — time to [[compact]].
+    */
+  def compactionAdvised(path: String, threshold: Double = 4.0): Boolean =
+    fileStats(path).filesPerBucket > threshold
+
+  /** Rewrite the postings to ONE fresh file-set (same bucket spec, same
+    * rows — query results unchanged by construction, spec-pinned across
+    * append→append→compact). Crash-safe via the commit-marker discipline:
+    * `meta.json` down first, up last.
+    */
+  def compact(spark: SparkSession, path: String): Meta = {
+    val idx = open(spark, path)
+    val m = idx.meta
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(metaPath(path))): Unit
+    val name = tableName(path)
+    val tmpName = s"${name}_tmp"
+    val tmpLoc = new java.io.File(s"$path/postings_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    // SHUFFLE-FREE (see DedupIndex.compact): the forced bucketed scan
+    // reads each bucket's layered files as one partition, so the writer
+    // emits exactly one file per bucket with no exchange
+    DedupIndex.withForcedBucketedScan(spark) {
+      idx.postings
+        .write
+        .mode("overwrite")
+        .bucketBy(m.nBuckets, "cluster")
+        .sortBy("cluster")
+        .option("path", tmpLoc.getAbsolutePath)
+        .saveAsTable(tmpName)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new java.io.File(s"$path/postings")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val k = f.listFiles(); if (k != null) k.foreach(rm)
+      }
+      f.delete(): Unit
+    }
+    rm(loc)
+    require(tmpLoc.renameTo(loc),
+      s"AnnIndex.compact: could not swap $tmpLoc into place")
+    writeMeta(path, m) // commit marker up
+    m
+  }
+
   /** Recall-targeted poolFactor for THIS index's compressed read path —
     * the persisted twin of [[graft.ops.Pq.autoPoolFactor]]: probe queries
     * stride-sampled from the indexed corpus itself, exact brute-force

@@ -305,6 +305,125 @@ object DedupIndex {
     }
   }
 
+  /** Per-table small-file accounting: every [[append]] adds one file-set
+    * per bucketed table (one file per bucket per writer task), so rolling
+    * ingestion accumulates files until scan parallelism and parquet footer
+    * overhead degrade. `filesPerBucket` ≈ how many appends' worth of
+    * layers a bucketed scan must merge — [[compact]] when it grows past a
+    * handful.
+    */
+  final case class TableStats(
+      table: String, nFiles: Long, bytes: Long, filesPerBucket: Double)
+
+  private[sources] def dirStats(
+      dir: java.io.File, table: String, nBuckets: Int): TableStats = {
+    var files = 0L
+    var bytes = 0L
+    def walk(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(walk)
+      } else if (f.getName.endsWith(".parquet")) {
+        files += 1; bytes += f.length()
+      }
+    walk(dir)
+    TableStats(table, files, bytes, files.toDouble / math.max(1, nBuckets))
+  }
+
+  /** Small-file stats for the index's three bucketed tables — the
+    * operator-facing "is it time to [[compact]]" number.
+    */
+  def fileStats(path: String): Seq[TableStats] = {
+    val m = readMeta(path)
+    Seq("buckets", "sizes", "payload").map(w =>
+      dirStats(new java.io.File(s"$path/$w"), w, m.nBuckets))
+  }
+
+  /** True when any table's per-bucket file layering passes `threshold` —
+    * the default says "more than ~4 appends' worth of layers": past that
+    * the bucketed scans pay footer-and-merge overhead that compaction
+    * recovers (the freshly-built scan shape).
+    */
+  def compactionAdvised(path: String, threshold: Double = 4.0): Boolean =
+    fileStats(path).exists(_.filesPerBucket > threshold)
+
+  /** Rewrite every bucketed table to ONE fresh file-set (same bucket spec,
+    * same rows — query/pair results are unchanged by construction,
+    * spec-pinned across append→append→compact) so a rolling-ingested
+    * index recovers the freshly-built scan shape. Crash-safe via the
+    * commit-marker discipline: `meta.json` down first, up last — a crash
+    * mid-swap leaves the index unreadable-until-rebuilt, never a silent
+    * mix of old and new file-sets.
+    */
+  def compact(spark: SparkSession, path: String): Meta = {
+    val idx = open(spark, path)
+    val m = idx.meta
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(metaPath(path))): Unit
+    // SHUFFLE-FREE by construction: forcing the bucketed scan reads each
+    // bucket's layered files as ONE partition, and the writer then emits
+    // exactly one file per bucket — no exchange anywhere, which is the
+    // shape a 100 TB compaction must have. (Left to its own devices the
+    // planner first elides a repartition-by-bucket-cols as satisfied-by-
+    // bucketing, then auto-DISABLES the bucketed scan as benefiting no
+    // operator, and the write re-layers one file per input split.)
+    withForcedBucketedScan(spark) {
+      rewriteBucketed(spark, path, "payload", idx.payload, Seq(m.idCol), m.nBuckets)
+      rewriteBucketed(spark, path, "buckets", idx.buckets, Seq("band", "bucket"), m.nBuckets)
+      rewriteBucketed(spark, path, "sizes", idx.sizes, Seq("band", "bucket"), m.nBuckets)
+    }
+    writeMeta(path, m) // commit marker up
+    m
+  }
+
+  private[sources] def withForcedBucketedScan[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Write `df` to `<which>_tmp` with the table's bucket spec, then swap
+    * the directory into place (the [[append]] sizes-merge pattern — the
+    * old files are being read by the rewrite, so no in-place overwrite).
+    */
+  private def rewriteBucketed(
+      spark: SparkSession,
+      path: String,
+      which: String,
+      df: DataFrame,
+      clusterCols: Seq[String],
+      nBuckets: Int): Unit = {
+    val tmpName = tableName(path, s"${which}_tmp")
+    val tmpLoc = new java.io.File(s"$path/${which}_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    df
+      // under [[withForcedBucketedScan]] each task holds exactly one
+      // bucket's rows (all its layered files in one partition), so the
+      // rewrite emits ONE file per bucket with no exchange
+      .write
+      .mode("overwrite")
+      .bucketBy(nBuckets, clusterCols.head, clusterCols.tail: _*)
+      .sortBy(clusterCols.head, clusterCols.tail: _*)
+      .option("path", tmpLoc.getAbsolutePath)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE IF EXISTS $tmpName")
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName(path, which)}")
+    val loc = new java.io.File(s"$path/$which")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val k = f.listFiles(); if (k != null) k.foreach(rm)
+      }
+      f.delete(): Unit
+    }
+    rm(loc)
+    require(tmpLoc.renameTo(loc),
+      s"DedupIndex.compact: could not swap $tmpLoc into place")
+  }
+
   /** An opened index: catalog-registered bucketed frames + build meta. */
   final case class Index(
       meta: Meta,
