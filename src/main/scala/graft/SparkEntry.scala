@@ -945,6 +945,77 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
     },
 
+    // the append→compact index lifecycle under the gate: corpus index
+    // built from the %3==1 third, the %3==2 third APPENDED (one more
+    // file-set layered per bucketed table), then COMPACTED back to one
+    // file-set per bucket — the shuffle-free rewrite must leave the
+    // incremental answer bit-identical to the batch crossNearDups
+    // recompute of shard (%3==0) vs corpus (the other two thirds), which
+    // the exact cross-Jaccard oracle checks end to end.
+    "q_compacted_dedup" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val path = cachedIndexPath(dir, "documents", "dedup_compact_index") { p =>
+        graft.sources.DedupIndex.build(
+          docs.where(col("doc_id") % 3 === 1), "text", "doc_id", p)
+        graft.sources.DedupIndex.append(
+          docs.where(col("doc_id") % 3 === 2), "text", p): Unit
+        graft.sources.DedupIndex.compact(s, p): Unit
+      }
+      graft.sources.DedupIndex
+        .incrementalNearDups(
+          docs.where(col("doc_id") % 3 === 0), "text", path, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // the persisted-index tiers of annTopKAuto (r11 verdict task 3): with
+    // an indexPath the auto dispatch must answer from the index —
+    // bit-identical to AnnIndex.queryTopK at the flat-auto geometry — and
+    // the forced compressed tier (pqMinCorpus = 1) must answer through the
+    // ADC prefilter at a RECALL-TARGETED auto pool factor whose measured
+    // recall against the uncompressed answer clears the floor. Dispatch
+    // decisions and arithmetic are deterministic, so the all-green row is
+    // a stable hash target (the q_streaming_sessions gate pattern).
+    "q_indexed_auto" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      val n = vecs.count()
+      val k = 10
+      val (cents, nProbe) = graft.ops.Similarity.ivfAutoParams(n, k)
+      val path = cachedIndexPath(dir, "embeddings", "ann_auto_index") { p =>
+        // annTopKAuto builds absent indexes itself at exactly this
+        // geometry — pre-building through the fingerprint cache keeps
+        // repeat gate runs from re-fitting the quantizer
+        graft.sources.AnnIndex.build(
+          vecs, "vec_id", "embedding", p, nCentroids = cents,
+          kmeansIters = 0, corpusSize = Some(n),
+          pq = Some((8, 256)), pqIters = 1): Unit
+      }
+      def ids(df: DataFrame) = df
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val queries = vecs.where(col("vec_id") < 10)
+      val auto = ids(graft.ops.Similarity.annTopKAuto(
+        vecs, queries, "vec_id", "embedding", k, corpusSize = n,
+        indexPath = Some(path)))
+      val direct = ids(graft.sources.AnnIndex.queryTopK(
+        queries, "vec_id", "embedding", path, k, nProbe))
+      val pqTier = ids(graft.ops.Similarity.annTopKAuto(
+        vecs, queries, "vec_id", "embedding", k, corpusSize = n,
+        indexPath = Some(path), pqMinCorpus = 1))
+      graft.core.Blocks.releaseAll()
+      val directIds = direct.map(t => (t._1, t._2))
+      val pqRecall =
+        if (directIds.isEmpty) 0.0
+        else pqTier.map(t => (t._1, t._2)).count(directIds.contains)
+          .toDouble / directIds.size
+      one(
+        s,
+        Seq("indexed_matches_direct", "index_pq_carrying", "pq_recall_ok"),
+        Seq(
+          String.valueOf(auto == direct),
+          String.valueOf(graft.sources.AnnIndex.readMeta(path).pqM == 8),
+          String.valueOf(pqRecall >= 0.8)))
+    },
+
     // n-gram Jaccard near-dup pairs (exact, inverted-index join)
     "q_ngram_jaccard" -> { (s, dir) =>
       graft.ops.Dedup
@@ -5669,6 +5740,17 @@ object SparkEntry {
     // answers to the SAME exact cross-Jaccard oracle
     "q_incremental_dedup" ->
       jaccardSqlWith("a.doc_id % 2 = 0 AND b.doc_id % 2 = 1"),
+    // build+append+compact must be invisible to results: the same exact
+    // cross-Jaccard ground truth, thirds split (shard = %3==0, corpus =
+    // the appended-then-compacted other two thirds)
+    "q_compacted_dedup" ->
+      jaccardSqlWith("a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0"),
+    // deterministic self-comparison gate (the q_streaming_sessions
+    // pattern): dispatch identity, PQ carriage, and compressed-tier recall
+    // are computed in-engine; the oracle is the constant all-green row
+    "q_indexed_auto" ->
+      """SELECT 'true' AS indexed_matches_direct, 'true' AS index_pq_carrying,
+                'true' AS pq_recall_ok""",
     // the persisted-index queries probe every cell (nProbe = nCells; the
     // PQ flavor also pools the whole corpus), so exact brute-force top-k
     // is the ground truth — same oracle shape as q_embedding_topk
