@@ -1072,10 +1072,41 @@ object Bench {
           graft.core.Blocks.releaseAll()
           n
         }
+        // compaction economics (r12): layer an append onto the index, time
+        // the incremental query against the LAYERED tables, compact (timed,
+        // shuffle-free by construction), re-time the same query — the
+        // artifact shows what append layering costs a reader and that
+        // compact() recovers the freshly-built scan shape (file counts
+        // bracket it)
+        val (_, appendS) = timed {
+          graft.sources.DedupIndex.append(
+            docs.where(col("doc_id") % 2 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000000L),
+            "text", path)
+        }
+        def incQuery(): Long = {
+          val n = graft.sources.DedupIndex.incrementalNearDups(
+            docs.where(col("doc_id") % 2 === 0)
+              .withColumn("doc_id", col("doc_id") + 2000000000L),
+            "text", path, threshold = 0.6).count()
+          graft.core.Blocks.releaseAll()
+          n
+        }
+        val layeredFiles = graft.sources.DedupIndex.fileStats(path)
+          .map(st => st.nFiles).sum
+        val (nLayered, layeredS) = timed(incQuery())
+        val (_, compactS) = timed(graft.sources.DedupIndex.compact(s, path))
+        val compactFiles = graft.sources.DedupIndex.fileStats(path)
+          .map(st => st.nFiles).sum
+        val (nCompacted, compactedS) = timed(incQuery())
         rm(new java.io.File(path))
         Some(s"""{"build_s":$buildS,"incremental_s":$incS,""" +
           s""""batch_cross_s":$batchS,"n_pairs":$nInc,""" +
-          s""""pairs_match":${nInc == nBatch}}""")
+          s""""pairs_match":${nInc == nBatch},""" +
+          s""""append_s":$appendS,"layered_files":$layeredFiles,""" +
+          s""""layered_query_s":$layeredS,"compact_s":$compactS,""" +
+          s""""compact_files":$compactFiles,"compacted_query_s":$compactedS,""" +
+          s""""compacted_match":${nLayered == nCompacted}}""")
       } catch {
         case e: Throwable =>
           System.err.println(s"bench: incremental-dedup profile failed on $dir: $e")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{AnnIndex, DedupIndex}
+import graft.streaming.IndexIngest
+
+/** Streaming → persisted-index ingestion (IndexIngest): a genuinely
+  * multi-micro-batch file-stream replay appended through foreachBatch must
+  * leave the index bit-identical to batch-appending the same rows — the
+  * frozen-geometry append contract makes micro-batch boundaries invisible.
+  */
+class IndexIngestSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshDir(tag: String): java.io.File = {
+    val p = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_index_ingest_$tag")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) { val k = f.listFiles(); if (k != null) k.foreach(rm) }
+      f.delete(): Unit
+    }
+    rm(p)
+    p
+  }
+
+  test("stream-ingested AnnIndex == batch-appended AnnIndex on the same rows") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = vecs.where(col("vec_id") % 2 === 0)
+    val arriving = vecs.where(col("vec_id") % 2 === 1)
+    val streamPath = freshDir("ann_stream").getAbsolutePath
+    val batchPath = freshDir("ann_batch").getAbsolutePath
+    AnnIndex.build(base, "vec_id", "embedding", streamPath,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 2, pq = Some((4, 16)), pqIters = 0)
+    AnnIndex.build(base, "vec_id", "embedding", batchPath,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 2, pq = Some((4, 16)), pqIters = 0)
+    AnnIndex.append(arriving, batchPath)
+    // three files + maxFilesPerTrigger = 1 → a genuine multi-batch stream
+    val feed = freshDir("ann_feed")
+    arriving.repartition(3).write.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed.getAbsolutePath)
+    val q = IndexIngest.annIngest(stream, streamPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val queries = vecs.where(col("vec_id") < 5)
+    def topk(path: String) = {
+      val r = AnnIndex
+        .queryTopK(queries, "vec_id", "embedding", path, k = 3, nProbe = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      graft.core.Blocks.releaseAll()
+      r
+    }
+    assert(topk(streamPath) === topk(batchPath),
+      "micro-batch boundaries changed the ingested index's answers")
+    // PQ codes were carried through each micro-batch append too
+    val pqRows = AnnIndex.open(spark, streamPath).postings
+      .where(col("pq_codes").isNull).count()
+    assert(pqRows == 0, "stream-appended rows missing persisted PQ codes")
+  }
+
+  test("stream-ingested DedupIndex == batch-appended DedupIndex on the same docs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val base = docs.where(col("doc_id") % 2 === 1)
+    val arriving = docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 4 === 0)
+    val probe = docs.where(col("doc_id") % 2 === 0 && col("doc_id") % 4 =!= 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val streamPath = freshDir("dedup_stream").getAbsolutePath
+    val batchPath = freshDir("dedup_batch").getAbsolutePath
+    DedupIndex.build(base, "text", "doc_id", streamPath, nBuckets = 2)
+    DedupIndex.build(base, "text", "doc_id", batchPath, nBuckets = 2)
+    DedupIndex.append(arriving, "text", batchPath)
+    val feed = freshDir("dedup_feed")
+    arriving.repartition(3).write.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed.getAbsolutePath)
+    val q = IndexIngest.dedupIngest(stream, "text", streamPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def pairs(path: String) = {
+      val r = DedupIndex
+        .incrementalNearDups(probe, "text", path, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("j"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      graft.core.Blocks.releaseAll()
+      r
+    }
+    val s = pairs(streamPath)
+    val b = pairs(batchPath)
+    assert(s.nonEmpty, "fixture should produce at least one cross pair")
+    assert(s === b, "micro-batch boundaries changed the ingested index's pairs")
+  }
+}
