@@ -595,6 +595,97 @@ object AnnIndex {
     } finally graft.core.Blocks.release(truth)
   }
 
+  /** Index health snapshot (the rebuild-advisor half of the lifecycle —
+    * r11 verdict stretch: staleness was detectable via `MinAnnRecall` but
+    * nothing SUGGESTED the rebuild).
+    *
+    *   - `recall`: indexed recall@k at the operated probe budget vs exact
+    *     brute-force truth over `corpus` (defaults to the postings
+    *     themselves) — the `MinAnnRecall(indexed)` measurement;
+    *   - `cellsUsedFrac` / `maxCellFrac`: quantizer-fit drift. A corpus
+    *     that drifted away from the frozen centroids concentrates into few
+    *     cells: probing degrades (hot cells) and pruning stops paying
+    *     (dead cells);
+    *   - `filesPerBucket`: append layering ([[fileStats]]).
+    *
+    * Recommendation: "rebuild" when recall misses the target or the
+    * occupancy says the quantizer no longer matches the data (the fix is
+    * refitting geometry — [[compact]] cannot help); "compact" when only
+    * the file layering tripped ([[compactionAdvised]]); "ok" otherwise.
+    */
+  final case class Health(
+      nVectors: Long,
+      nCells: Int,
+      cellsUsedFrac: Double,
+      maxCellFrac: Double,
+      filesPerBucket: Double,
+      recall: Double,
+      recallTarget: Double,
+      recommendation: String)
+
+  def healthReport(
+      spark: SparkSession,
+      path: String,
+      k: Int = 10,
+      recallTarget: Double = 0.8,
+      corpus: Option[DataFrame] = None,
+      nProbe: Int = 4,
+      nProbeQueries: Int = 64,
+      maxCellFracLimit: Double = 0.25,
+      minCellsUsedFrac: Double = 0.25): Health = {
+    val idx = open(spark, path)
+    val m = idx.meta
+    val occupancy = idx.postings
+      .groupBy("cluster").agg(count(lit(1)).as("dj_n"))
+      .agg(
+        count(lit(1)).as("used"),
+        max(col("dj_n")).as("mx"),
+        sum(col("dj_n")).as("total"))
+      .head()
+    val (used, maxCell, nVectors) =
+      if (occupancy.isNullAt(2)) (0L, 0L, 0L)
+      else (occupancy.getLong(0), occupancy.getLong(1), occupancy.getLong(2))
+    val files = fileStats(path)
+    val base = corpus.getOrElse(
+      idx.postings.select(
+        col("neighbor_id").as(m.idCol), col("vec").as(m.vecCol)))
+    val recall =
+      if (nVectors < 2) 1.0
+      else {
+        val step = math.max(1L, nVectors / math.max(1, nProbeQueries))
+        val probes = base
+          .where(col(m.idCol).isNotNull && col(m.vecCol).isNotNull &&
+            pmod(xxhash64(col(m.idCol)), lit(step)) === 0)
+          .sort(col(m.idCol))
+          .limit(nProbeQueries)
+        val truth = graft.core.Blocks.checkpoint(
+          Similarity.bruteForceTopK(base, probes, m.idCol, m.vecCol, k)
+            .select(col("query_id"), col("neighbor_id")))
+        try {
+          val nTruth = truth.count().toDouble
+          if (nTruth == 0) 1.0
+          else {
+            val approx = queryTopK(probes, m.idCol, m.vecCol, path, k, nProbe)
+            truth.join(
+              approx.select(col("query_id"), col("neighbor_id")),
+              Seq("query_id", "neighbor_id"), "left_semi").count() / nTruth
+          }
+        } finally graft.core.Blocks.release(truth)
+      }
+    val cellsUsedFrac =
+      if (m.nCells == 0) 1.0 else used.toDouble / m.nCells
+    val maxCellFrac =
+      if (nVectors == 0) 0.0 else maxCell.toDouble / nVectors
+    val stale = recall < recallTarget ||
+      maxCellFrac > maxCellFracLimit ||
+      (m.nCells > 4 && cellsUsedFrac < minCellsUsedFrac)
+    val layered = files.filesPerBucket > 4.0
+    val recommendation =
+      if (stale) "rebuild" else if (layered) "compact" else "ok"
+    Health(nVectors, m.nCells, cellsUsedFrac, maxCellFrac,
+      files.filesPerBucket, recall, recallTarget, recommendation)
+  }
+
   /** Fold a NEW shard into an existing index — the rolling-ingestion write
     * path: assign the shard to the PERSISTED quantizer (one broadcast
     * argmin over the shard only; the corpus is never re-read) and append

@@ -424,6 +424,50 @@ object DedupIndex {
       s"DedupIndex.compact: could not swap $tmpLoc into place")
   }
 
+  /** Index health snapshot (the rebuild-advisor twin of
+    * [[AnnIndex.healthReport]]). The dedup index has no quantizer to go
+    * stale; what degrades it is HOT-CELL MASS: query time drops every LSH
+    * cell above `maxBucketSize`, so the fraction of cell membership living
+    * in over-cap cells is exactly the candidate mass the index can no
+    * longer see (documents reachable only through hot cells stop matching).
+    * Growing hot mass means the banding geometry no longer discriminates
+    * on this corpus — the fix is a REBUILD with more bands/hashes (or
+    * boilerplate removal upstream), not a compact.
+    */
+  final case class Health(
+      nDocs: Long,
+      nCells: Long,
+      maxCellSize: Long,
+      cappedMassFrac: Double,
+      filesPerBucket: Double,
+      recommendation: String)
+
+  def healthReport(
+      spark: SparkSession,
+      path: String,
+      maxBucketSize: Int = 1000,
+      cappedMassLimit: Double = 0.1): Health = {
+    val idx = open(spark, path)
+    val row = idx.sizes.agg(
+      count(lit(1)).as("cells"),
+      max(col("dj_bn")).as("mx"),
+      sum(col("dj_bn")).as("total"),
+      sum(when(col("dj_bn") > maxBucketSize, col("dj_bn"))
+        .otherwise(lit(0L))).as("capped"))
+      .head()
+    val (cells, maxCell, total, capped) =
+      if (row.isNullAt(2)) (0L, 0L, 0L, 0L)
+      else (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val nDocs = idx.payload.count()
+    val cappedMassFrac = if (total == 0) 0.0 else capped.toDouble / total
+    val layering = fileStats(path).map(_.filesPerBucket).max
+    val recommendation =
+      if (cappedMassFrac > cappedMassLimit) "rebuild"
+      else if (layering > 4.0) "compact"
+      else "ok"
+    Health(nDocs, cells, maxCell, cappedMassFrac, layering, recommendation)
+  }
+
   /** An opened index: catalog-registered bucketed frames + build meta. */
   final case class Index(
       meta: Meta,
