@@ -1297,7 +1297,9 @@ object Similarity {
         val meta = AnnIndex.readMeta(path)
         annAutoIndexedMethod(meta.pqM > 0, corpusSize, pqMinCorpus) match {
           case "indexed_pq" =>
-            val (pf, _) = AnnIndex.autoPoolFactor(
+            // sizing cached beside the index — repeat queries on a stable
+            // index read the decision instead of re-probing
+            val (pf, _) = AnnIndex.autoPoolFactorCached(
               spark, path, k, nProbe, recallTarget)
             AnnIndex.queryTopKPq(queries, idCol, vecCol, path, k, nProbe, pf)
           case _ =>

@@ -595,6 +595,45 @@ object AnnIndex {
     } finally graft.core.Blocks.release(truth)
   }
 
+  /** [[autoPoolFactor]] with a sidecar cache: the sizing decision is a
+    * property of (index content, k, nProbe, target), so it is computed
+    * once and persisted beside the index as
+    * `autopool_k<k>_p<nProbe>_t<target>.json`, stamped with the postings'
+    * file stats — an [[append]]/[[compact]] changes the stamp and
+    * invalidates the entry. Repeat [[graft.ops.Similarity.annTopKAuto]]
+    * calls on a stable index then pay a file read, not a brute-force
+    * probe pass.
+    */
+  def autoPoolFactorCached(
+      spark: SparkSession,
+      path: String,
+      k: Int,
+      nProbe: Int = 4,
+      recallTarget: Double = 0.85,
+      nProbeQueries: Int = 64): (Int, Double) = {
+    val st = fileStats(path)
+    val stamp = s"${st.nFiles}:${st.bytes}"
+    val f = new java.io.File(
+      path,
+      s"autopool_k${k}_p${nProbe}_t${math.round(recallTarget * 1000)}.json")
+    if (f.exists()) {
+      val json = new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (metaFieldOr(json, "stamp", "") == stamp)
+        return (
+          metaField(json, "pool").toInt,
+          metaField(json, "recall").toDouble)
+    }
+    val (pool, recall) =
+      autoPoolFactor(spark, path, k, nProbe, recallTarget, nProbeQueries)
+    java.nio.file.Files.write(
+      f.toPath,
+      s"""{"stamp":"$stamp","pool":$pool,"recall":$recall}
+         |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    (pool, recall)
+  }
+
   /** Index health snapshot (the rebuild-advisor half of the lifecycle —
     * r11 verdict stretch: staleness was detectable via `MinAnnRecall` but
     * nothing SUGGESTED the rebuild).

@@ -36,26 +36,43 @@ object IndexIngest {
 
   /** foreachBatch writer appending each micro-batch of (idCol, vecCol)
     * rows into the ANN index at `path`. Start + awaitTermination (or a
-    * trigger of your choice) like any other writer.
+    * trigger of your choice) like any other writer. With `autoCompact` the
+    * sink runs the maintenance half too: after an append that trips
+    * `compactionAdvised` (file layering past ~4 appends per bucket) the
+    * postings are compacted in-line — between micro-batches, so readers
+    * never see a mid-rewrite index (the commit marker guards crashes).
     */
-  def annIngest(stream: DataFrame, path: String): DataStreamWriter[Row] =
+  def annIngest(
+      stream: DataFrame,
+      path: String,
+      autoCompact: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.head(1).nonEmpty) AnnIndex.append(batch, path): Unit
+        if (batch.head(1).nonEmpty) {
+          AnnIndex.append(batch, path): Unit
+          if (autoCompact && AnnIndex.compactionAdvised(path))
+            AnnIndex.compact(batch.sparkSession, path): Unit
+        }
       }
 
   /** foreachBatch writer appending each micro-batch of documents into the
     * dedup index at `path`; `textCol` names the document text column (the
-    * id column comes from the index's meta).
+    * id column comes from the index's meta). `autoCompact` as
+    * [[annIngest]].
     */
   def dedupIngest(
       stream: DataFrame,
       textCol: String,
-      path: String): DataStreamWriter[Row] =
+      path: String,
+      autoCompact: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.head(1).nonEmpty) DedupIndex.append(batch, textCol, path): Unit
+        if (batch.head(1).nonEmpty) {
+          DedupIndex.append(batch, textCol, path): Unit
+          if (autoCompact && DedupIndex.compactionAdvised(path))
+            DedupIndex.compact(batch.sparkSession, path): Unit
+        }
       }
 }

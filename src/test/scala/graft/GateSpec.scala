@@ -13,7 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GateSpec extends AnyFunSuite {
 
-  private val ExpectedGateSize = 174
+  // r12: +q_compacted_dedup (index lifecycle under the exact oracle),
+  // +q_indexed_auto (persisted annTopKAuto tiers self-check)
+  private val ExpectedGateSize = 176
 
   test("queries and oracleSql cover exactly the pinned gate") {
     assert(SparkEntry.queries.size === ExpectedGateSize,

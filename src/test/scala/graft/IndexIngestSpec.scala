@@ -67,6 +67,41 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(pqRows == 0, "stream-appended rows missing persisted PQ codes")
   }
 
+  test("autoCompact ingestion keeps the layering bounded without changing answers") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = vecs.where(col("vec_id") % 8 === 0)
+    val arriving = vecs.where(col("vec_id") % 8 =!= 0)
+    val path = freshDir("ann_autocompact").getAbsolutePath
+    AnnIndex.build(base, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 1)
+    val feed = freshDir("ann_ac_feed")
+    arriving.repartition(7).write.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed.getAbsolutePath)
+    val q = IndexIngest.annIngest(stream, path, autoCompact = true)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // 7 appends onto 1 bucket would layer ~8 file-sets; auto-compaction
+    // must have kept it bounded by the advice threshold + one batch
+    val layering = AnnIndex.fileStats(path).filesPerBucket
+    assert(layering <= 5.0, s"auto-compaction did not run: $layering files/bucket")
+    // and the ingested content is complete: exhaustive query == brute force
+    val queries = vecs.where(col("vec_id") < 5)
+    val fromIndex = AnnIndex
+      .queryTopK(queries, "vec_id", "embedding", path, k = 3, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    graft.core.Blocks.releaseAll()
+    assert(fromIndex === brute)
+  }
+
   test("stream-ingested DedupIndex == batch-appended DedupIndex on the same docs") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val base = docs.where(col("doc_id") % 2 === 1)

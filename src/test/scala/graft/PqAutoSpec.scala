@@ -102,6 +102,38 @@ class PqAutoSpec extends AnyFunSuite {
     }
   }
 
+  test("autoPoolFactorCached: sidecar round-trip, append invalidates the stamp") {
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_pqauto_cache").getAbsolutePath
+    rm(new java.io.File(path))
+    try {
+      AnnIndex.build(vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        path, nCentroids = 8, kmeansIters = 0, nBuckets = 2,
+        pq = Some((4, 16)), pqIters = 0)
+      val first = AnnIndex.autoPoolFactorCached(spark, path, k, nProbe = 8)
+      val uncached = AnnIndex.autoPoolFactor(spark, path, k, nProbe = 8)
+      assert(first == uncached, "cached first call diverged from the direct sizer")
+      val sidecar = new java.io.File(path)
+        .listFiles().filter(_.getName.startsWith("autopool_"))
+      assert(sidecar.length == 1, "sizing sidecar not written")
+      val t0 = System.nanoTime()
+      val second = AnnIndex.autoPoolFactorCached(spark, path, k, nProbe = 8)
+      val t = (System.nanoTime() - t0) / 1e9
+      assert(second == first)
+      assert(t < 0.5, s"repeat cached call took ${t}s — it re-probed instead of reading")
+      // append changes the postings stamp: the entry must not be served stale
+      val stale = new String(java.nio.file.Files.readAllBytes(sidecar.head.toPath))
+      AnnIndex.append(vecs.where(col("vec_id") % 2 === 1), path)
+      val third = AnnIndex.autoPoolFactorCached(spark, path, k, nProbe = 8)
+      assert(Pq.PoolFactorLadder.contains(third._1))
+      val refreshed = new String(java.nio.file.Files.readAllBytes(sidecar.head.toPath))
+      assert(refreshed != stale, "sidecar not re-stamped after append")
+    } finally {
+      rm(new java.io.File(path))
+      graft.core.Blocks.releaseAll()
+    }
+  }
+
   test("annTopKAuto pq tier: forced via pqMinCorpus, equals queryTopKPq at the auto pool") {
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_pqauto_idx2").getAbsolutePath
