@@ -725,6 +725,54 @@ object AnnIndex {
       files.filesPerBucket, recall, recallTarget, recommendation)
   }
 
+  /** Refit the quantizer over the CURRENT indexed corpus and rewrite the
+    * index in place — the action [[healthReport]]'s "rebuild" verdict
+    * calls for (drifted ingestion concentrated the frozen cells; appends
+    * grew the corpus past the old geometry). The corpus is recovered from
+    * the postings themselves (one column-pruned scan staged to
+    * `rebuild_corpus/` — the index never needs the original table again),
+    * the geometry re-auto-sizes to the CURRENT corpus by default, and PQ
+    * carriage/flavor follow the old meta. Crash-safe like [[build]] (which
+    * this delegates to): meta.json down first, up last.
+    */
+  def rebuild(
+      spark: SparkSession,
+      path: String,
+      nCentroids: Option[Int] = None,
+      kmeansIters: Option[Int] = None,
+      pqIters: Int = 1): Meta = {
+    val idx = open(spark, path)
+    val m = idx.meta
+    val tmp = new java.io.File(s"$path/rebuild_corpus")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val k = f.listFiles(); if (k != null) k.foreach(rm)
+      }
+      f.delete(): Unit
+    }
+    rm(tmp)
+    // stage the corpus OUT of the table being overwritten (build's
+    // saveAsTable would otherwise read the postings while truncating them)
+    idx.postings
+      .select(col("neighbor_id").as(m.idCol), col("vec").as(m.vecCol))
+      .write.parquet(tmp.getAbsolutePath)
+    val corpus = spark.read.parquet(tmp.getAbsolutePath)
+    val n = corpus.count()
+    val cents = nCentroids.getOrElse(
+      Similarity.ivfAutoParams(math.max(2L, n))._1)
+    val meta = build(
+      corpus, m.idCol, m.vecCol, path,
+      nCentroids = cents,
+      kmeansIters = kmeansIters.getOrElse(m.kmeansIters),
+      nBuckets = m.nBuckets,
+      corpusSize = Some(n),
+      pq = if (m.pqM > 0) Some((m.pqM, m.pqKs)) else None,
+      pqIters = pqIters,
+      pqResidual = m.pqResidual)
+    rm(tmp)
+    meta
+  }
+
   /** Fold a NEW shard into an existing index — the rolling-ingestion write
     * path: assign the shard to the PERSISTED quantizer (one broadcast
     * argmin over the shard only; the corpus is never re-read) and append

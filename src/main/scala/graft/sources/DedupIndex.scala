@@ -468,6 +468,48 @@ object DedupIndex {
     Health(nDocs, cells, maxCell, cappedMassFrac, layering, recommendation)
   }
 
+  /** Re-derive the LSH cells at a NEW banding from the persisted payload —
+    * the action [[healthReport]]'s "rebuild" verdict calls for when
+    * hot-cell mass grew: FEWER bands mean more signature rows per band
+    * key, i.e. stricter collisions and smaller cells (at a recall cost the
+    * banding formula `1-(1-s^r)^b` prices). The corpus text is NEVER
+    * re-read — the persisted signatures regroup into any `bands` that
+    * divides `numHashes`, so a 100 TB index re-bands for the cost of one
+    * payload scan. Buckets and sizes rewrite through the tmp-and-swap
+    * discipline; meta (with the new bands) recommits last.
+    */
+  def rebuild(spark: SparkSession, path: String, bands: Int): Meta = {
+    val idx = open(spark, path)
+    val m = idx.meta
+    require(bands > 0 && m.numHashes % bands == 0,
+      s"bands must divide numHashes=${m.numHashes}: $bands")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(metaPath(path))): Unit
+    val meta = m.copy(bands = bands)
+    val buckets = Dedup.lshBuckets(
+      idx.payload.select(col(m.idCol), col("signature")), m.idCol, bands)
+      .where(col(m.idCol).isNotNull)
+    rewriteBucketed(spark, path, "buckets", buckets, Seq("band", "bucket"), m.nBuckets)
+    val sizes = open0Buckets(spark, path, meta)
+      .groupBy("band", "bucket")
+      .agg(count(lit(1)).as("dj_bn"))
+    rewriteBucketed(spark, path, "sizes", sizes, Seq("band", "bucket"), m.nBuckets)
+    writeMeta(path, meta) // commit marker up
+    meta
+  }
+
+  /** The buckets frame alone, registered for `meta` — used mid-[[rebuild]]
+    * where the commit marker is down and a full [[open]] would raise.
+    */
+  private def open0Buckets(
+      spark: SparkSession, path: String, m: Meta): DataFrame = {
+    val name = registerBucketed(
+      spark, path, "buckets",
+      s"${m.idCol} ${m.idType}, band INT, bucket BIGINT",
+      Seq("band", "bucket"), m.nBuckets)
+    spark.table(name)
+  }
+
   /** An opened index: catalog-registered bucketed frames + build meta. */
   final case class Index(
       meta: Meta,

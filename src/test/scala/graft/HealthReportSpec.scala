@@ -69,6 +69,72 @@ class HealthReportSpec extends AnyFunSuite {
       .recommendation == "ok")
   }
 
+  test("AnnIndex.rebuild refits the drifted quantizer and restores health") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("ann_rebuild")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 2, pq = Some((4, 16)), pqIters = 0)
+    val n = vecs.count()
+    val dim = vecs.select(size(col("embedding"))).head().getInt(0)
+    val constVec = Seq.tabulate(dim)(i => if (i == 0) 1.0f else 0.0f)
+    val rows = (0L until 3 * n).map(i => Row(10000000L + i, constVec))
+    val drifted = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType, containsNull = true)))))
+    AnnIndex.append(drifted, path)
+    assert(AnnIndex.healthReport(spark, path, k = 3, nProbe = 8)
+      .recommendation == "rebuild")
+    val meta = AnnIndex.rebuild(spark, path, nCentroids = Some(16),
+      kmeansIters = Some(1))
+    assert(meta.pqM == 4, "rebuild dropped the PQ carriage")
+    val report = AnnIndex.healthReport(
+      spark, path, k = 3, nProbe = 16, maxCellFracLimit = 0.95)
+    // the refit quantizer spreads the corpus again: every original vector
+    // plus the drifted mass is indexed, and exhaustive probing is exact
+    assert(report.nVectors == 4 * n, report.toString)
+    assert(report.recall >= 0.8, report.toString)
+    // content identical to building from scratch over the union
+    val queries = vecs.where(col("vec_id") < 5)
+    val got = AnnIndex
+      .queryTopK(queries, "vec_id", "embedding", path, k = 3, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(
+        vecs.select("vec_id", "embedding").unionByName(drifted),
+        queries, "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    graft.core.Blocks.releaseAll()
+    assert(got === brute, "rebuilt index diverged from brute force at exhaustive probes")
+  }
+
+  test("DedupIndex.rebuild re-bands from the payload == fresh build at that banding") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 2 === 1)
+    val shard = docs.where(col("doc_id") % 2 === 0)
+    val rebuilt = freshPath("dedup_rebuild")
+    val fresh = freshPath("dedup_fresh8")
+    DedupIndex.build(corpus, "text", "doc_id", rebuilt, bands = 16, nBuckets = 2)
+    val meta = DedupIndex.rebuild(spark, rebuilt, bands = 8)
+    assert(meta.bands == 8)
+    DedupIndex.build(corpus, "text", "doc_id", fresh, bands = 8, nBuckets = 2)
+    def pairs(path: String) = {
+      val r = DedupIndex
+        .incrementalNearDups(shard, "text", path, threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("j"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      graft.core.Blocks.releaseAll()
+      r
+    }
+    val a = pairs(rebuilt)
+    assert(a === pairs(fresh),
+      "re-banded-from-payload index diverged from a fresh build at the same banding")
+    assert(a.nonEmpty)
+  }
+
   test("DedupIndex: hot-cell mass from degenerate text recommends rebuild") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val path = freshPath("dedup")
