@@ -513,6 +513,98 @@ final case class MaxIndexedNearDupFraction(
   * fingerprint, so a lifted paragraph is caught even when whole-document
   * Jaccard barely moves.
   */
+/** Declarable index health (the rebuild-advisor as a GATE): the persisted
+  * ANN index at `indexPath` must be healthy AS OPERATED — indexed recall
+  * against exact ground truth on the referenced LIVE corpus meets
+  * `refValue`, the cell occupancy hasn't collapsed (quantizer drift), and
+  * append layering is within the compaction budget
+  * ([[graft.sources.AnnIndex.healthReport]]). The failure message carries
+  * the report's recommendation — "rebuild" (refit geometry) vs "compact"
+  * (merge file-sets) — so a failing nightly run says WHAT maintenance to
+  * schedule, not just that quality slipped.
+  */
+final case class AnnIndexHealthy(
+    ref: DataRef,
+    idColumn: String,
+    vectorColumn: String,
+    indexPath: String,
+    refValue: Option[Double],
+    k: Int = 10,
+    nProbe: Int = 4,
+    nQueries: Int = 64,
+    maxFilesPerBucket: Double = 4.0,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(v => v > 0 && v <= 1),
+    s"ann_index_healthy requires a recall target in (0, 1]: $refValue")
+  require(k >= 1 && nProbe >= 1 && nQueries >= 1,
+    "k, nProbe and nQueries must be positive")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+   graft.core.Blocks.scoped {
+    val A = graft.sources.AnnIndex
+    val m = A.readMeta(indexPath)
+    val corpus = ref.selection(spark)
+      .where(col(idColumn).isNotNull && col(vectorColumn).isNotNull)
+      .select(col(idColumn).as(m.idCol), col(vectorColumn).as(m.vecCol))
+    val report = A.healthReport(
+      spark, indexPath, k, recallTarget = refValue.get,
+      corpus = Some(corpus), nProbe = nProbe, nProbeQueries = nQueries,
+      maxFilesPerBucket = maxFilesPerBucket)
+    if (report.recommendation == "ok")
+      graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"the ann index at $indexPath is unhealthy against ${ref.describe}: " +
+          s"recommendation '${report.recommendation}' (recall@$k " +
+          s"${report.recall} vs target ${refValue.get}; max cell holds " +
+          s"${report.maxCellFrac} of the corpus; ${report.cellsUsedFrac} of " +
+          s"${report.nCells} cells used; ${report.filesPerBucket} files per " +
+          s"bucket vs budget $maxFilesPerBucket).")
+   }
+  }
+}
+
+/** Declarable dedup-index health: the persisted MinHash-LSH index at
+  * `indexPath` must not have accumulated hot-cell candidate mass past
+  * `refValue` (over-cap cells are dropped at query time — that mass is
+  * documents the index can no longer match) nor append layering past the
+  * compaction budget ([[graft.sources.DedupIndex.healthReport]]). The
+  * failure message carries the rebuild-vs-compact recommendation.
+  */
+final case class DedupIndexHealthy(
+    ref: DataRef,
+    indexPath: String,
+    refValue: Option[Double],
+    maxBucketSize: Int = 1000,
+    maxFilesPerBucket: Double = 4.0,
+    override val nameOverride: Option[String] = None)
+    extends Constraint {
+  require(refValue.exists(v => v >= 0 && v <= 1),
+    s"dedup_index_healthy requires a hot-mass budget in [0, 1]: $refValue")
+  require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+
+  override def test(spark: SparkSession): graft.core.TestResult = withPlans {
+   graft.core.Blocks.scoped {
+    val report = graft.sources.DedupIndex.healthReport(
+      spark, indexPath, maxBucketSize,
+      cappedMassLimit = refValue.get, maxFilesPerBucket = maxFilesPerBucket)
+    if (report.recommendation == "ok")
+      graft.core.TestResult.success(description)
+    else
+      graft.core.TestResult.failure(
+        description,
+        s"the dedup index at $indexPath is unhealthy: recommendation " +
+          s"'${report.recommendation}' (${report.cappedMassFrac} of cell " +
+          s"membership sits in cells over $maxBucketSize vs budget " +
+          s"${refValue.get}; largest cell ${report.maxCellSize}; " +
+          s"${report.filesPerBucket} files per bucket vs budget " +
+          s"$maxFilesPerBucket).")
+   }
+  }
+}
+
 final case class MaxSubstringContaminationFraction(
     ref: DataRef,
     ref2Required: DataRef,

@@ -448,6 +448,47 @@ final class WithinRequirement private (val dataSource: DataSource) extends Requi
     this
   }
 
+  /** Beyond-reference: the persisted ANN index must be HEALTHY as operated
+    * against this table's live vectors — recall, quantizer occupancy, and
+    * file layering all within budget; failures carry the
+    * rebuild-vs-compact recommendation
+    * ([[graft.constraints.AnnIndexHealthy]]).
+    */
+  def addAnnIndexHealthyConstraint(
+      idColumn: String,
+      vectorColumn: String,
+      indexPath: String,
+      minRecall: Double,
+      k: Int = 10,
+      nProbe: Int = 4,
+      nQueries: Int = 64,
+      maxFilesPerBucket: Double = 4.0,
+      condition: Option[Condition] = None,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += AnnIndexHealthy(
+      ref(Some(Seq(idColumn, vectorColumn)), condition), idColumn,
+      vectorColumn, indexPath, Some(minRecall), k, nProbe, nQueries,
+      maxFilesPerBucket, nameOverride = name)
+    this
+  }
+
+  /** Beyond-reference: the persisted dedup index must be healthy — hot-cell
+    * (over-cap) candidate mass and file layering within budget; failures
+    * carry the rebuild-vs-compact recommendation
+    * ([[graft.constraints.DedupIndexHealthy]]).
+    */
+  def addDedupIndexHealthyConstraint(
+      indexPath: String,
+      maxHotCellMass: Double = 0.1,
+      maxBucketSize: Int = 1000,
+      maxFilesPerBucket: Double = 4.0,
+      name: Option[String] = None): this.type = {
+    constraintsBuffer += DedupIndexHealthy(
+      ref(None, None), indexPath, Some(maxHotCellMass), maxBucketSize,
+      maxFilesPerBucket, nameOverride = name)
+    this
+  }
+
   /** Beyond-reference: at most `maxFraction` of documents may carry
     * encoding artifacts — mojibake marks, disallowed control characters,
     * or U+FFFD replacement characters ([[graft.ops.Encoding]]).

@@ -671,7 +671,8 @@ object AnnIndex {
       nProbe: Int = 4,
       nProbeQueries: Int = 64,
       maxCellFracLimit: Double = 0.25,
-      minCellsUsedFrac: Double = 0.25): Health = {
+      minCellsUsedFrac: Double = 0.25,
+      maxFilesPerBucket: Double = 4.0): Health = {
     val idx = open(spark, path)
     val m = idx.meta
     val occupancy = idx.postings
@@ -718,7 +719,7 @@ object AnnIndex {
     val stale = recall < recallTarget ||
       maxCellFrac > maxCellFracLimit ||
       (m.nCells > 4 && cellsUsedFrac < minCellsUsedFrac)
-    val layered = files.filesPerBucket > 4.0
+    val layered = files.filesPerBucket > maxFilesPerBucket
     val recommendation =
       if (stale) "rebuild" else if (layered) "compact" else "ok"
     Health(nVectors, m.nCells, cellsUsedFrac, maxCellFrac,

@@ -446,7 +446,8 @@ object DedupIndex {
       spark: SparkSession,
       path: String,
       maxBucketSize: Int = 1000,
-      cappedMassLimit: Double = 0.1): Health = {
+      cappedMassLimit: Double = 0.1,
+      maxFilesPerBucket: Double = 4.0): Health = {
     val idx = open(spark, path)
     val row = idx.sizes.agg(
       count(lit(1)).as("cells"),
@@ -463,7 +464,7 @@ object DedupIndex {
     val layering = fileStats(path).map(_.filesPerBucket).max
     val recommendation =
       if (cappedMassFrac > cappedMassLimit) "rebuild"
-      else if (layering > 4.0) "compact"
+      else if (layering > maxFilesPerBucket) "compact"
       else "ok"
     Health(nDocs, cells, maxCell, cappedMassFrac, layering, recommendation)
   }

@@ -135,6 +135,38 @@ class HealthReportSpec extends AnyFunSuite {
     assert(a.nonEmpty)
   }
 
+  test("index health as declarable constraints: pass when ok, fail with the recommendation") {
+    import graft.requirements.WithinRequirement
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val annPath = freshPath("ann_constraint")
+    AnnIndex.build(vecs, "vec_id", "embedding", annPath,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 2)
+    val reqOk = WithinRequirement.fromDataFrame(vecs, "embeddings")
+      .addAnnIndexHealthyConstraint(
+        "vec_id", "embedding", annPath, minRecall = 0.8, k = 3, nProbe = 8)
+    assert(reqOk.test(spark).forall(_.outcome), "healthy index must pass the gate")
+    // starve the probes: nProbe = 1 over 8 cells tanks the operated recall
+    val reqStarved = WithinRequirement.fromDataFrame(vecs, "embeddings")
+      .addAnnIndexHealthyConstraint(
+        "vec_id", "embedding", annPath, minRecall = 0.95, k = 3, nProbe = 1)
+    val r = reqStarved.test(spark)
+    assert(r.exists(!_.outcome), "starved probes must fail the gate")
+    assert(r.filter(!_.outcome).forall(_.failureMessage.exists(_.contains("rebuild"))),
+      r.flatMap(_.failureMessage).mkString("; "))
+    // dedup flavor
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val dedupPath = freshPath("dedup_constraint")
+    DedupIndex.build(docs, "text", "doc_id", dedupPath, nBuckets = 2)
+    val dOk = WithinRequirement.fromDataFrame(docs, "documents")
+      .addDedupIndexHealthyConstraint(dedupPath)
+    assert(dOk.test(spark).forall(_.outcome))
+    val dTight = WithinRequirement.fromDataFrame(docs, "documents")
+      .addDedupIndexHealthyConstraint(dedupPath, maxHotCellMass = 0.0,
+        maxBucketSize = 1)
+    val dr = dTight.test(spark)
+    assert(dr.exists(!_.outcome), "a 1-member cap must flag hot mass")
+  }
+
   test("DedupIndex: hot-cell mass from degenerate text recommends rebuild") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val path = freshPath("dedup")
