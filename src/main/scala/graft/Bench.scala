@@ -271,25 +271,25 @@ object Bench {
       val (pqPool, pqPoolRecall) = graft.ops.Pq.autoPoolFactor(
         v, "vec_id", "embedding", k,
         nCentroids = autoCents, nProbe = autoProbe, m = 8, ks = 256,
-        recallTarget = 0.85, kmeansIters = 0, pqIters = 1,
+        recallTarget = 0.85, kmeansIters = 1, pqIters = 1,
         corpusSize = Some(n))
       val ivfpqRecall = recall(graft.ops.Pq.ivfpqTopK(
         v, queries, "vec_id", "embedding", k,
         nCentroids = autoCents, nProbe = autoProbe,
         m = 8, ks = 256, poolFactor = pqPool,
-        kmeansIters = 0, pqIters = 1, corpusSize = Some(n)))
+        kmeansIters = 1, pqIters = 1, corpusSize = Some(n)))
       // the residual (IVFADC) flavor at its own auto-sized budget — its
       // gap over ivfpq_recall is what coding offsets-from-centroid buys
       val (pqResPool, pqResPoolRecall) = graft.ops.Pq.autoPoolFactor(
         v, "vec_id", "embedding", k,
         nCentroids = autoCents, nProbe = autoProbe, m = 8, ks = 256,
-        recallTarget = 0.85, kmeansIters = 0, pqIters = 1,
+        recallTarget = 0.85, kmeansIters = 1, pqIters = 1,
         corpusSize = Some(n), residual = true)
       val ivfpqResRecall = recall(graft.ops.Pq.ivfpqTopK(
         v, queries, "vec_id", "embedding", k,
         nCentroids = autoCents, nProbe = autoProbe,
         m = 8, ks = 256, poolFactor = pqResPool,
-        kmeansIters = 0, pqIters = 1, corpusSize = Some(n), residual = true))
+        kmeansIters = 1, pqIters = 1, corpusSize = Some(n), residual = true))
       // pair recall on the stride subsample, gate threshold (0.3495);
       // ~2000 vectors bounds the brute-force pair baseline at ~2M pairs
       // regardless of leg size

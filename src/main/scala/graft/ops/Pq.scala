@@ -400,23 +400,34 @@ object Pq {
             col("neighbor_id"), col("cluster"),
             pqEncode(col("vec"), cb).as("dj_codes"))
           .where(col("dj_codes").isNotNull)
-    val probesBase = Similarity
-      .ivfQueryProbes(queries, idCol, vecCol, centroids, nProbe)
-      .withColumn("dj_lut", pqLut(col("query_vec"), cb))
-      .where(col("dj_lut").isNotNull)
-    val probes =
+    // The LUT is m·ks doubles (~16 KB at 8×256) PER QUERY — it must ride a
+    // per-query broadcast, never the per-(query, cell) probe frame: at the
+    // auto geometry (8k cells, ~10% probed) a LUT-carrying probe frame is
+    // nQueries·nProbe·16 KB ≈ GIGABYTES through the broadcast while the
+    // de-duplicated LUT frame is nQueries·16 KB (measured: the fused
+    // spelling aborted on driver maxResultSize at 200k vectors / 200
+    // queries; this one broadcasts ~3 MB). dj_qc (residual q·centroid) is
+    // one double per (query, cell) and stays on the cell frame.
+    val probesBase =
+      Similarity.ivfQueryProbes(queries, idCol, vecCol, centroids, nProbe)
+    val cellProbes =
       if (residual)
         probesBase
           .join(cents, col("cluster") === col("dj_cc_cid"))
           .withColumn("dj_qc", dotF(col("query_vec"), col("dj_cc_cvec")))
-          .select(col("query_id"), col("cluster"), col("dj_lut"), col("dj_qc"))
+          .select(col("query_id"), col("cluster"), col("dj_qc"))
       else
         probesBase
-          .select(col("query_id"), col("cluster"), col("dj_lut"),
-            lit(0.0).as("dj_qc"))
+          .select(col("query_id"), col("cluster"), lit(0.0).as("dj_qc"))
+    val luts = queries
+      .select(
+        col(idCol).as("query_id"),
+        pqLut(col(vecCol), cb).as("dj_lut"))
+      .where(col("dj_lut").isNotNull)
     Some(corpus
-      .join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(cellProbes), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(luts), Seq("query_id"))
       .withColumn("dj_adc", col("dj_qc") + pqAdc(col("dj_codes"), col("dj_lut")))
       .withColumn(
         "dj_rk",
@@ -454,9 +465,13 @@ object Pq {
 
   /** Candidate poolFactor ladder the auto-sizers walk (geometric — the
     * recall/cost curve is concave in the pool size, so doubling steps
-    * bracket the knee within 2×).
+    * bracket the knee within 2×). The top rung exact-scores 256·k rows
+    * per query — ~1.3% of a 200k-cell probe set, still two orders below
+    * the probed candidate volume, so walking high stays cheap; on
+    * near-uniform embeddings (the hard fresh-content case) the ADC
+    * ordering needs the high rungs.
     */
-  private[graft] val PoolFactorLadder = Seq(1, 2, 4, 8, 16, 32, 64)
+  private[graft] val PoolFactorLadder = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
 
   /** Shared tail of the two auto-sizers (live corpus here, persisted index
     * in [[graft.sources.AnnIndex.autoPoolFactor]]): given the ground-truth

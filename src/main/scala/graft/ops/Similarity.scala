@@ -1289,10 +1289,13 @@ object Similarity {
         import graft.sources.AnnIndex
         val spark = vectors.sparkSession
         val (cents, nProbe) = ivfAutoParams(corpusSize, k)
+        // one Lloyd round, matching ivfTopKAuto: on hard (near-uniform)
+        // corpora the unrefined seed quantizer costs ~0.06 recall that no
+        // probe/pool budget can buy back (r12 frontier probe)
         if (!AnnIndex.exists(path))
           AnnIndex.build(
             vectors, idCol, vecCol, path, nCentroids = cents,
-            kmeansIters = 0, corpusSize = Some(corpusSize),
+            kmeansIters = 1, corpusSize = Some(corpusSize),
             pq = Some((8, 256)), pqIters = 1): Unit
         val meta = AnnIndex.readMeta(path)
         annAutoIndexedMethod(meta.pqM > 0, corpusSize, pqMinCorpus) match {

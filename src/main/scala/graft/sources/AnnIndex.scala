@@ -458,28 +458,34 @@ object AnnIndex {
     import graft.functions.DotProductFloat.dotF
     // a residual-coded index decomposes the approximate dot as
     // q·centroid (per probe, from the broadcast centroid frame) plus the
-    // ADC sum over the residual codes — same shape, one extra column
-    val probesBase = probes
-      .withColumn("dj_lut", pqLut(col("query_vec"), cb))
-      .where(col("dj_lut").isNotNull)
-    val probesLut =
+    // ADC sum over the residual codes — same shape, one extra column.
+    // The LUT (m·ks doubles per QUERY) rides its own per-query broadcast,
+    // never the per-(query, cell) probe frame — see Pq.adcRankedPool: the
+    // fused spelling multiplies ~16 KB by nProbe and aborts on driver
+    // maxResultSize at auto geometry.
+    val cellProbes =
       if (idx.meta.pqResidual)
-        probesBase
+        probes
           .join(
             broadcast(graft.ops.Pq.centDfF(spark, idx.centroids)),
             col("cluster") === col("dj_cc_cid"))
           .withColumn("dj_qc", dotF(col("query_vec"), col("dj_cc_cvec")))
-          .select(col("query_id"), col("cluster"), col("dj_lut"), col("dj_qc"))
-      else probesBase
-        .select(col("query_id"), col("cluster"), col("dj_lut"),
-          lit(0.0).as("dj_qc"))
+          .select(col("query_id"), col("cluster"), col("dj_qc"))
+      else probes
+        .select(col("query_id"), col("cluster"), lit(0.0).as("dj_qc"))
+    val luts = queries
+      .select(
+        col(idCol).as("query_id"),
+        pqLut(col(vecCol), cb).as("dj_lut"))
+      .where(col("dj_lut").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
     val pool = probed
       .select(col("neighbor_id"), col("cluster"), col("pq_codes"))
       .where(col("pq_codes").isNotNull)
-      .join(broadcast(probesLut), Seq("cluster"))
+      .join(broadcast(cellProbes), Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(luts), Seq("query_id"))
       .withColumn("dj_adc", col("dj_qc") + pqAdc(col("pq_codes"), col("dj_lut")))
       .withColumn(
         "dj_rk",

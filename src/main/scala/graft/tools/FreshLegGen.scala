@@ -2,20 +2,19 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** One-off: run the bench's ANN recall harness (incl. the r12 auto-sized
-  * PQ pool wiring) on a small leg and print the JSON line it would embed.
-  * Run: `sbt "runMain graft.tools.RecallProbe [sfDir]"`
+/** One-off: generate a fresh-content scale leg (ScaleData, freshEmbeddings)
+  * for local recall validation. Run:
+  * `sbt "runMain graft.tools.FreshLegGen <src> <dst> <reps>"`
   */
-object RecallProbe {
+object FreshLegGen {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println("RECALL>>> " + graft.Bench.annRecall(spark, dir).getOrElse("NONE"))
+    ScaleData.scale(spark, args(0), args(1), args(2).toInt, freshEmbeddings = true)
     spark.stop()
   }
 }
