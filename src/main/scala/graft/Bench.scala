@@ -1287,11 +1287,11 @@ object Bench {
               extraJson.update(key, s""","$key":$j"""))
             flush(): Unit
           }
-      recallStep("ann_recall_sf1", 240, sf1Dir)
-      recallStep("ann_recall_sf10", 420, sf10Dir)
+      recallStep("ann_recall_sf1", 300, sf1Dir)
+      recallStep("ann_recall_sf10", 700, sf10Dir)
       // the at-scale HONEST recall: 100× unreplicated vectors — the number
       // that anchors any claim about the ANN defaults at corpus scale
-      recallStep("ann_recall_sf10f", 420, sf10fDir)
+      recallStep("ann_recall_sf10f", 700, sf10fDir)
     }
 
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
