@@ -1189,9 +1189,28 @@ object Bench {
         val pqRecall =
           if (live.isEmpty) 0.0
           else r3(fromPq.count(live.contains).toDouble / live.size)
+        // the same compressed read at the RECALL-TARGETED pool (sizing
+        // cached beside the index): pq_recall above shows what the
+        // hand-knob pf=4 truncation costs, these fields show what the
+        // auto-sizer buys back and at what pool/time
+        val ((autoPf, autoPfProbe), autoSizeS) = timed(
+          graft.sources.AnnIndex.autoPoolFactorCached(
+            s, path, k, nProbe, recallTarget = 0.85))
+        val (fromPqAuto, pqAutoS) = timed {
+          val r = rows(graft.sources.AnnIndex.queryTopKPq(
+            queries, "vec_id", "embedding", path, k, nProbe, autoPf))
+          graft.core.Blocks.releaseAll()
+          r
+        }
+        val pqAutoRecall =
+          if (live.isEmpty) 0.0
+          else r3(fromPqAuto.count(live.contains).toDouble / live.size)
         rm(new java.io.File(path))
         Some(s"""{"build_s":$buildS,"indexed_query_s":$indexedS,""" +
           s""""live_ivf_s":$liveS,"pq_query_s":$pqS,"pq_recall":$pqRecall,""" +
+          s""""pq_auto_pool":$autoPf,"pq_auto_pool_probe_recall":${r3(autoPfProbe)},""" +
+          s""""pq_auto_size_s":$autoSizeS,"pq_auto_query_s":$pqAutoS,""" +
+          s""""pq_auto_recall":$pqAutoRecall,""" +
           s""""n_centroids":$nCents,"n_probe":$nProbe,""" +
           s""""n_results":${fromIndex.size},"results_match":${fromIndex == live}}""")
       } catch {
