@@ -1283,6 +1283,19 @@ object Bench {
             body.foreach(j => extraJson.update(key, s""","$key":$j"""))
             flush(): Unit
           }
+      def recallStep(key: String, est: Double, dir: String): Unit =
+        if (new java.io.File(dir).isDirectory)
+          budgeted(key, est) {
+            annRecall(freshSession(dir), dir).foreach(j =>
+              extraJson.update(key, s""","$key":$j"""))
+            flush(): Unit
+          }
+      // the at-scale HONEST recall — 100× unreplicated vectors, the number
+      // that anchors any claim about the ANN defaults at corpus scale —
+      // outranks the stage profiles in the budget order: the r12 full run
+      // showed the tail ~12 min fitting EITHER the profiles or this leg,
+      // and a recall number the verdict grades beats a stage breakdown
+      recallStep("ann_recall_sf10f", 700, sf10fDir)
       profileStep("minhash_stages_sf10", 120, sf10Dir)(minhashStages(sf10Dir))
       profileStep("minhash_stages_sf10f", 120, sf10fDir)(minhashStages(sf10fDir))
       profileStep("ngram_stats_sf10", 120, sf10Dir)(ngramStats(sf10Dir))
@@ -1299,18 +1312,11 @@ object Bench {
           xs.mkString(""","percentile_distincts":{""", ",", "}"))
         flush(): Unit
       }
-      def recallStep(key: String, est: Double, dir: String): Unit =
-        if (new java.io.File(dir).isDirectory)
-          budgeted(key, est) {
-            annRecall(freshSession(dir), dir).foreach(j =>
-              extraJson.update(key, s""","$key":$j"""))
-            flush(): Unit
-          }
+      // replicated-leg recalls last: ScaleData replicas are exact
+      // near-neighbors and flatter every approximate path, so these are
+      // the least informative steps and the first the budget drops
       recallStep("ann_recall_sf1", 300, sf1Dir)
       recallStep("ann_recall_sf10", 700, sf10Dir)
-      // the at-scale HONEST recall: 100× unreplicated vectors — the number
-      // that anchors any claim about the ANN defaults at corpus scale
-      recallStep("ann_recall_sf10f", 700, sf10fDir)
     }
 
     // stdout competes with sbt/log4j noise, and the consumer keeps only a
