@@ -981,9 +981,11 @@ object SparkEntry {
       val k = 10
       val (cents, nProbe) = graft.ops.Similarity.ivfAutoParams(n, k)
       val path = cachedIndexPath(dir, "embeddings", "ann_auto_index") { p =>
-        // annTopKAuto builds absent indexes itself at exactly this
-        // geometry — pre-building through the fingerprint cache keeps
-        // repeat gate runs from re-fitting the quantizer
+        // pre-build at the BIT-REPRODUCIBLE geometry (kmeansIters = 0 —
+        // Lloyd rounds lose summation-order determinism and this gate is
+        // a hash target); the annTopKAuto calls below pass the same
+        // buildKmeansIters = 0, so the geometry the dispatch would build
+        // if the cache were cold is exactly the one validated here
         graft.sources.AnnIndex.build(
           vecs, "vec_id", "embedding", p, nCentroids = cents,
           kmeansIters = 0, corpusSize = Some(n),
@@ -995,12 +997,12 @@ object SparkEntry {
       val queries = vecs.where(col("vec_id") < 10)
       val auto = ids(graft.ops.Similarity.annTopKAuto(
         vecs, queries, "vec_id", "embedding", k, corpusSize = n,
-        indexPath = Some(path)))
+        indexPath = Some(path), buildKmeansIters = 0))
       val direct = ids(graft.sources.AnnIndex.queryTopK(
         queries, "vec_id", "embedding", path, k, nProbe))
       val pqTier = ids(graft.ops.Similarity.annTopKAuto(
         vecs, queries, "vec_id", "embedding", k, corpusSize = n,
-        indexPath = Some(path), pqMinCorpus = 1))
+        indexPath = Some(path), pqMinCorpus = 1, buildKmeansIters = 0))
       graft.core.Blocks.releaseAll()
       val directIds = direct.map(t => (t._1, t._2))
       val pqRecall =

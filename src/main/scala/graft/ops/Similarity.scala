@@ -1283,19 +1283,23 @@ object Similarity {
       dim: Int = 64,
       indexPath: Option[String] = None,
       pqMinCorpus: Long = PqTierMinCorpus,
-      recallTarget: Double = 0.85): DataFrame =
+      recallTarget: Double = 0.85,
+      buildKmeansIters: Int = 1): DataFrame =
     indexPath match {
       case Some(path) =>
         import graft.sources.AnnIndex
         val spark = vectors.sparkSession
         val (cents, nProbe) = ivfAutoParams(corpusSize, k)
-        // one Lloyd round, matching ivfTopKAuto: on hard (near-uniform)
-        // corpora the unrefined seed quantizer costs ~0.06 recall that no
-        // probe/pool budget can buy back (r12 frontier probe)
+        // `buildKmeansIters` defaults to one Lloyd round, matching
+        // ivfTopKAuto: on hard (near-uniform) corpora the unrefined seed
+        // quantizer costs ~0.06 recall that no probe/pool budget can buy
+        // back (r12 frontier probe). Callers that pre-build and need the
+        // bit-reproducible flavor (the correctness gate) pass 0 so the
+        // geometry HERE matches the geometry they pinned.
         if (!AnnIndex.exists(path))
           AnnIndex.build(
             vectors, idCol, vecCol, path, nCentroids = cents,
-            kmeansIters = 1, corpusSize = Some(corpusSize),
+            kmeansIters = buildKmeansIters, corpusSize = Some(corpusSize),
             pq = Some((8, 256)), pqIters = 1): Unit
         val meta = AnnIndex.readMeta(path)
         annAutoIndexedMethod(meta.pqM > 0, corpusSize, pqMinCorpus) match {

@@ -622,21 +622,40 @@ object AnnIndex {
     val f = new java.io.File(
       path,
       s"autopool_k${k}_p${nProbe}_t${math.round(recallTarget * 1000)}.json")
+    // a torn/corrupt sidecar (e.g. a crash mid-write that kept the stamp
+    // but truncated the value fields) must fall through to a recompute
+    // that OVERWRITES it, never wedge every later cached read on a parse
+    // failure
     if (f.exists()) {
-      val json = new String(
-        java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
-      if (metaFieldOr(json, "stamp", "") == stamp)
-        return (
-          metaField(json, "pool").toInt,
-          metaField(json, "recall").toDouble)
+      try {
+        val json = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (metaFieldOr(json, "stamp", "") == stamp)
+          return (
+            metaField(json, "pool").toInt,
+            metaField(json, "recall").toDouble)
+      } catch { case scala.util.control.NonFatal(_) => }
     }
     val (pool, recall) =
       autoPoolFactor(spark, path, k, nProbe, recallTarget, nProbeQueries)
+    // tmp-and-atomic-rename: a crash can leave a stale tmp file, never a
+    // torn sidecar under the real name
+    val tmp = new java.io.File(path, f.getName + ".tmp")
     java.nio.file.Files.write(
-      f.toPath,
+      tmp.toPath,
       s"""{"stamp":"$stamp","pool":$pool,"recall":$recall}
          |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    try java.nio.file.Files.move(
+      tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(
+          tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
     (pool, recall)
   }
 

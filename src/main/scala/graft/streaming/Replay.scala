@@ -32,12 +32,33 @@ object Replay {
   private val AllViews =
     Seq(SessionsView, CmsView, HistogramView, HllView, DedupView)
 
-  /** (session identity, data dir) the current views were built from. A
-    * recycled session or a different leg invalidates the memo; the replay
-    * then re-runs from scratch (fresh-session bench reruns therefore
-    * re-pay — and re-measure — the true replay cost).
+  /** (session identity, data dir, content stamp) the current views were
+    * built from. A recycled session, a different leg, or REGENERATED data
+    * under the same dir (file count/bytes/mtime of the streamed tables
+    * change — the autoPoolFactorCached stamp pattern) invalidates the
+    * memo; the replay then re-runs from scratch (fresh-session bench
+    * reruns therefore re-pay — and re-measure — the true replay cost).
     */
-  private var validFor: Option[(SparkSession, String)] = None
+  private var validFor: Option[(SparkSession, String, String)] = None
+
+  /** Cheap content stamp of the tables the replay streams: per-table file
+    * count, total bytes, and max mtime. In-place regeneration of a leg's
+    * parquet within one session must not serve stale memory-sink views.
+    */
+  private def contentStamp(dir: String): String = {
+    def stat(table: String): String = {
+      var n = 0L; var bytes = 0L; var mtime = 0L
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(walk)
+        } else {
+          n += 1; bytes += f.length(); mtime = math.max(mtime, f.lastModified())
+        }
+      walk(new java.io.File(s"$dir/$table.parquet"))
+      s"$table=$n:$bytes:$mtime"
+    }
+    Seq("events", "documents").map(stat).mkString(";")
+  }
 
   /** Watermarks accept TIMESTAMP only — normalize the NTZ parquet read
     * (and the long-micros flavor) identically on the stream and on any
@@ -55,7 +76,8 @@ object Replay {
     * shared concurrent replay if this (session, dir) hasn't yet.
     */
   def ensure(s: SparkSession, dir: String): Unit = synchronized {
-    if (!validFor.exists { case (ss, d) => (ss eq s) && d == dir }) {
+    val stamp = contentStamp(dir)
+    if (!validFor.exists { case (ss, d, st) => (ss eq s) && d == dir && st == stamp }) {
       AllViews.foreach(v => s.catalog.dropTempView(v): Unit)
       def pq(table: String) = s"$dir/$table.parquet"
       // the file-stream source lists DIRECTORIES — stream the data dir
@@ -104,7 +126,7 @@ object Replay {
           validFor = None
           throw e
       }
-      validFor = Some((s, dir))
+      validFor = Some((s, dir, stamp))
     }
   }
 }
