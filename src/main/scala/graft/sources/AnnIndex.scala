@@ -58,6 +58,14 @@ object AnnIndex {
 
   /** `pqM`/`pqKs` = 0 when the index carries no PQ codes (the fields are
     * optional on read, so pre-PQ indexes stay readable).
+    *
+    * `genPostings`/`genQuant`: GENERATION numbers (the [[DedupIndex.Meta]]
+    * scheme) — which postings file-set, resp. which quantizer+codebook
+    * file-set, the meta pointer currently designates. Generation 0 keeps
+    * the legacy un-suffixed directory names. [[compact]] bumps the
+    * postings generation; [[rebuild]] bumps both (a refit quantizer with
+    * the OLD assignment — or vice versa — would probe the wrong cells
+    * silently, so they flip together in the one atomic meta write).
     */
   final case class Meta(
       nCentroids: Int,
@@ -71,9 +79,14 @@ object AnnIndex {
       pqM: Int = 0,
       pqKs: Int = 0,
       pqResidual: Boolean = false,
-      version: Int = Version)
+      version: Int = Version,
+      genPostings: Int = 0,
+      genQuant: Int = 0)
 
   private def metaPath(path: String) = s"$path/meta.json"
+
+  private def genName(base: String, gen: Int): String =
+    if (gen == 0) base else s"${base}_g$gen"
 
   private def writeMeta(path: String, m: Meta): Unit = {
     val json =
@@ -81,10 +94,12 @@ object AnnIndex {
         s""""n_cells":${m.nCells},"id_col":"${m.idCol}","id_type":"${m.idType}",""" +
         s""""vec_col":"${m.vecCol}","vec_type":"${m.vecType}",""" +
         s""""n_buckets":${m.nBuckets},"pq_m":${m.pqM},"pq_ks":${m.pqKs},""" +
-        s""""pq_residual":${m.pqResidual},"version":${m.version}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(metaPath(path)),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+        s""""pq_residual":${m.pqResidual},""" +
+        s""""gen_postings":${m.genPostings},"gen_quant":${m.genQuant},""" +
+        s""""version":${m.version}}"""
+    // tmp-and-atomic-rename (DedupIndex.atomicWrite): the generation-
+    // pointer flip IS this write — it must be all-or-nothing
+    DedupIndex.atomicWrite(java.nio.file.Paths.get(metaPath(path)), json + "\n")
   }
 
   /** Minimal flat-JSON field reader — the meta file is machine-written by
@@ -129,7 +144,9 @@ object AnnIndex {
       pqM = metaFieldOr(json, "pq_m", "0").toInt,
       pqKs = metaFieldOr(json, "pq_ks", "0").toInt,
       pqResidual = metaFieldOr(json, "pq_residual", "false").toBoolean,
-      version = metaField(json, "version").toInt)
+      version = metaField(json, "version").toInt,
+      genPostings = metaFieldOr(json, "gen_postings", "0").toInt,
+      genQuant = metaFieldOr(json, "gen_quant", "0").toInt)
     require(m.version == Version,
       s"ann index at $path has format version ${m.version}; " +
         s"this build reads $Version — rebuild the index")
@@ -148,7 +165,7 @@ object AnnIndex {
 
   private def registerPostings(spark: SparkSession, path: String, m: Meta): String = {
     val name = tableName(path)
-    val loc = new java.io.File(s"$path/postings").getAbsolutePath
+    val loc = DedupIndex.dataDir(path, "postings", m.genPostings).getAbsolutePath
     val pqCol = if (m.pqM > 0) ", pq_codes ARRAY<SMALLINT>" else ""
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
@@ -166,22 +183,30 @@ object AnnIndex {
   private def savePqCodebooks(
       spark: SparkSession,
       path: String,
-      cb: Seq[Seq[Seq[Double]]]): Unit = {
+      cb: Seq[Seq[Seq[Double]]],
+      gen: Int): Unit = {
     import spark.implicits._
     cb.zipWithIndex.flatMap { case (codewords, s) =>
       codewords.zipWithIndex.map { case (cw, c) => (s, c, cw) }
     }.toDF("subspace", "code", "cvec")
       .repartition(1)
       .write.mode("overwrite")
-      .parquet(new java.io.File(s"$path/pq_codebooks").getAbsolutePath)
+      .parquet(new java.io.File(
+        s"$path/${genName("pq_codebooks", gen)}").getAbsolutePath)
   }
 
   /** Load codebooks saved by [[savePqCodebooks]] — (subspace, code)
-    * ascending, the order the PQ kernels expect.
+    * ascending, the order the PQ kernels expect. Reads the generation the
+    * meta pointer currently designates.
     */
   def loadPqCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] =
+    loadPqCodebooks(spark, path, readMeta(path).genQuant)
+
+  private def loadPqCodebooks(
+      spark: SparkSession, path: String, gen: Int): Seq[Seq[Seq[Double]]] =
     spark.read
-      .parquet(new java.io.File(s"$path/pq_codebooks").getAbsolutePath)
+      .parquet(new java.io.File(
+        s"$path/${genName("pq_codebooks", gen)}").getAbsolutePath)
       .sort(col("subspace"), col("code"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](2).toSeq))
@@ -237,6 +262,38 @@ object AnnIndex {
       pq: Option[(Int, Int)] = None,
       pqIters: Int = 0,
       pqResidual: Boolean = false): Meta = {
+    val meta = buildImpl(
+      vectors, idCol, vecCol, path, nCentroids, kmeansIters, nBuckets,
+      corpusSize, pq, pqIters, pqResidual, gen = 0, markerDown = true)
+    // a full destructive build resets to generation 0: stale higher
+    // generations from a previous compact/rebuild lifecycle are garbage
+    DedupIndex.gcGenerations(path, "postings", keep = Set(0))
+    DedupIndex.gcGenerations(path, "centroids", keep = Set(0))
+    DedupIndex.gcGenerations(path, "pq_codebooks", keep = Set(0))
+    meta
+  }
+
+  /** The build body at an explicit generation. `markerDown = true` is the
+    * destructive [[build]] flavor (meta deleted first — a crashed build
+    * is unreadable, never stale-geometry-over-new-postings);
+    * `markerDown = false` is the [[rebuild]] flavor: the old meta stays
+    * in place until the final atomic pointer flip, so the old index is
+    * readable throughout and a crash anywhere loses nothing.
+    */
+  private def buildImpl(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      nCentroids: Int,
+      kmeansIters: Int,
+      nBuckets: Int,
+      corpusSize: Option[Long],
+      pq: Option[(Int, Int)],
+      pqIters: Int,
+      pqResidual: Boolean,
+      gen: Int,
+      markerDown: Boolean): Meta = {
     require(nCentroids > 0, s"nCentroids must be positive: $nCentroids")
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     // meta.json is written by naive interpolation and registerPostings
@@ -249,17 +306,15 @@ object AnnIndex {
       "pqResidual = true requires pq = Some((m, ks)) — there are no codes to flavor")
     val spark = vectors.sparkSession
     new java.io.File(path).mkdirs()
-    // commit-marker discipline (the DedupIndex.build pattern): meta.json
-    // deleted FIRST, rewritten LAST — a crash in between leaves the index
-    // unreadable (readMeta raises), never stale-geometry-over-new-postings
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(metaPath(path))): Unit
+    if (markerDown)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(metaPath(path))): Unit
     graft.core.Blocks.scoped {
       val idType = vectors.schema(idCol).dataType.sql
       val vecType = vectors.schema(vecCol).dataType.sql
       val centroids = Similarity.fitCentroids(
         vectors, idCol, vecCol, nCentroids, kmeansIters, corpusSize)
-      DedupIndex.saveCentroids(spark, path, centroids)
+      DedupIndex.saveCentroids(spark, path, centroids, genName("centroids", gen))
       // PQ codebooks (optional): trained once here, persisted beside the
       // quantizer — queryTopKPq and append re-load them, never re-train.
       // An empty corpus has nothing to train on (and nothing to answer) —
@@ -288,24 +343,33 @@ object AnnIndex {
                 assigned, centroids, pm, pks, pqIters, corpusSize)
             else graft.ops.Pq.trainCodebooks(
               vectors, idCol, vecCol, pm, pks, pqIters, corpusSize)
-          savePqCodebooks(spark, path, cb)
+          savePqCodebooks(spark, path, cb, gen)
           cb
         }
       val meta = Meta(nCentroids, kmeansIters, centroids.size,
         idCol, idType, vecCol, vecType, nBuckets,
         pqM = cbOpt.map(_.size).getOrElse(0),
         pqKs = cbOpt.map(_.head.size).getOrElse(0),
-        pqResidual = cbOpt.isDefined && pqResidual)
+        pqResidual = cbOpt.isDefined && pqResidual,
+        genPostings = gen,
+        genQuant = gen)
       val postings = cbOpt match {
         case Some(cb) => withPostingCodes(assigned, centroids, cb, meta.pqResidual)
         case None => assigned
       }
+      // a rebuild writes under a throwaway name (the canonical name may be
+      // registered at the OLD generation a concurrent reader still holds);
+      // open() re-registers the canonical name at the flipped pointer
+      val writeName = if (gen == 0) tableName(path) else s"${tableName(path)}_gw"
+      spark.sql(s"DROP TABLE IF EXISTS $writeName")
       postings.write
         .mode("overwrite")
         .bucketBy(nBuckets, "cluster")
         .sortBy("cluster")
-        .option("path", new java.io.File(s"$path/postings").getAbsolutePath)
-        .saveAsTable(tableName(path))
+        .option("path",
+          DedupIndex.dataDir(path, "postings", gen).getAbsolutePath)
+        .saveAsTable(writeName)
+      if (gen != 0) spark.sql(s"DROP TABLE IF EXISTS $writeName")
       writeMeta(path, meta)
       meta
     }
@@ -324,7 +388,8 @@ object AnnIndex {
   def open(spark: SparkSession, path: String): Index = {
     val m = readMeta(path)
     val name = registerPostings(spark, path, m)
-    Index(m, spark.table(name), DedupIndex.loadCentroids(spark, path))
+    Index(m, spark.table(name),
+      DedupIndex.loadCentroids(spark, path, genName("centroids", m.genQuant)))
   }
 
   /** Top-k cosine neighbors from the persisted index — `ivfTopK` with the
@@ -447,7 +512,7 @@ object AnnIndex {
     val spark = queries.sparkSession
     require(idx.meta.pqM > 0,
       s"the ann index at $path carries no PQ codes — build(..., pq = Some((m, ks)))")
-    val cb = loadPqCodebooks(spark, path)
+    val cb = loadPqCodebooks(spark, path, idx.meta.genQuant)
     val probes = graft.core.Blocks.checkpoint(
       Similarity.ivfQueryProbes(
         queries, idCol, vecCol, idx.centroids, math.min(nProbe, idx.centroids.size)))
@@ -506,7 +571,7 @@ object AnnIndex {
   def fileStats(path: String): DedupIndex.TableStats = {
     val m = readMeta(path)
     DedupIndex.dirStats(
-      new java.io.File(s"$path/postings"), "postings", m.nBuckets)
+      DedupIndex.dataDir(path, "postings", m.genPostings), "postings", m.nBuckets)
   }
 
   /** True when the postings' per-bucket file layering passes `threshold`
@@ -515,46 +580,61 @@ object AnnIndex {
   def compactionAdvised(path: String, threshold: Double = 4.0): Boolean =
     fileStats(path).filesPerBucket > threshold
 
-  /** Rewrite the postings to ONE fresh file-set (same bucket spec, same
+  /** Rewrite the postings to a fresh file-set (same bucket spec, same
     * rows — query results unchanged by construction, spec-pinned across
-    * append→append→compact). Crash-safe via the commit-marker discipline:
-    * `meta.json` down first, up last.
+    * append→append→compact). One file per bucket by default;
+    * `maxRowsPerFile` bounds rows per output file within a bucket (rolled
+    * sequentially — each file stays a contiguous cluster-sorted run, so
+    * row-group pruning keeps working), the cap that stops a skewed hot
+    * bucket from becoming one unbounded file.
+    *
+    * Concurrent-reader-safe via GENERATIONS (see [[DedupIndex.compact]]):
+    * the rewrite lands in a fresh `postings_g<N+1>` directory and
+    * `meta.json` flips atomically — never deleted — so a crash at any
+    * point leaves the old index fully readable, and a reader holding an
+    * already-open plan keeps its previous-generation file-set (deleted at
+    * the NEXT compact, or by [[vacuum]]).
     */
-  def compact(spark: SparkSession, path: String): Meta = {
+  def compact(
+      spark: SparkSession,
+      path: String,
+      maxRowsPerFile: Option[Long] = None): Meta = {
     val idx = open(spark, path)
     val m = idx.meta
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(metaPath(path))): Unit
-    val name = tableName(path)
-    val tmpName = s"${name}_tmp"
-    val tmpLoc = new java.io.File(s"$path/postings_tmp")
+    val newMeta = m.copy(genPostings = m.genPostings + 1)
+    val tmpName = s"${tableName(path)}_gw"
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
     // SHUFFLE-FREE (see DedupIndex.compact): the forced bucketed scan
     // reads each bucket's layered files as one partition, so the writer
-    // emits exactly one file per bucket with no exchange
+    // emits one file-set per bucket with no exchange
     DedupIndex.withForcedBucketedScan(spark) {
-      idx.postings
+      val writer = idx.postings
         .write
         .mode("overwrite")
         .bucketBy(m.nBuckets, "cluster")
         .sortBy("cluster")
-        .option("path", tmpLoc.getAbsolutePath)
+        .option("path",
+          DedupIndex.dataDir(path, "postings", newMeta.genPostings).getAbsolutePath)
+      maxRowsPerFile
+        .fold(writer)(n => writer.option("maxRecordsPerFile", n))
         .saveAsTable(tmpName)
     }
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val loc = new java.io.File(s"$path/postings")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) {
-        val k = f.listFiles(); if (k != null) k.foreach(rm)
-      }
-      f.delete(): Unit
-    }
-    rm(loc)
-    require(tmpLoc.renameTo(loc),
-      s"AnnIndex.compact: could not swap $tmpLoc into place")
-    writeMeta(path, m) // commit marker up
-    m
+    writeMeta(path, newMeta) // atomic pointer flip
+    DedupIndex.gcGenerations(
+      path, "postings", keep = Set(newMeta.genPostings, m.genPostings))
+    newMeta
+  }
+
+  /** Drop every non-current generation NOW (postings, centroids, and
+    * codebooks) — the operator-invoked GC for when no long-running
+    * readers hold old file-sets.
+    */
+  def vacuum(path: String): Unit = {
+    val m = readMeta(path)
+    DedupIndex.gcGenerations(path, "postings", keep = Set(m.genPostings))
+    DedupIndex.gcGenerations(path, "centroids", keep = Set(m.genQuant))
+    DedupIndex.gcGenerations(path, "pq_codebooks", keep = Set(m.genQuant))
   }
 
   /** Recall-targeted poolFactor for THIS index's compressed read path —
@@ -687,13 +767,20 @@ object AnnIndex {
       recallTarget: Double,
       recommendation: String)
 
+  /** `nProbe = 0` (the default) probes at the AUTO budget for the indexed
+    * corpus size — `ivfAutoParams(nVectors, k)` — i.e. the budget
+    * `annTopKAuto` actually operates the index at. A fixed literal here
+    * (the pre-r13 `4`) under-probes any index whose auto geometry carries
+    * more cells and reads as a recall failure that is really a
+    * measurement artifact.
+    */
   def healthReport(
       spark: SparkSession,
       path: String,
       k: Int = 10,
       recallTarget: Double = 0.8,
       corpus: Option[DataFrame] = None,
-      nProbe: Int = 4,
+      nProbe: Int = 0,
       nProbeQueries: Int = 64,
       maxCellFracLimit: Double = 0.25,
       minCellsUsedFrac: Double = 0.25,
@@ -714,6 +801,10 @@ object AnnIndex {
     val base = corpus.getOrElse(
       idx.postings.select(
         col("neighbor_id").as(m.idCol), col("vec").as(m.vecCol)))
+    val probeBudget =
+      if (nProbe > 0) nProbe
+      else math.min(math.max(1, m.nCells),
+        Similarity.ivfAutoParams(math.max(2L, nVectors), k)._2)
     val recall =
       if (nVectors < 2) 1.0
       else {
@@ -730,7 +821,7 @@ object AnnIndex {
           val nTruth = truth.count().toDouble
           if (nTruth == 0) 1.0
           else {
-            val approx = queryTopK(probes, m.idCol, m.vecCol, path, k, nProbe)
+            val approx = queryTopK(probes, m.idCol, m.vecCol, path, k, probeBudget)
             truth.join(
               approx.select(col("query_id"), col("neighbor_id")),
               Seq("query_id", "neighbor_id"), "left_semi").count() / nTruth
@@ -751,15 +842,17 @@ object AnnIndex {
       files.filesPerBucket, recall, recallTarget, recommendation)
   }
 
-  /** Refit the quantizer over the CURRENT indexed corpus and rewrite the
-    * index in place — the action [[healthReport]]'s "rebuild" verdict
-    * calls for (drifted ingestion concentrated the frozen cells; appends
-    * grew the corpus past the old geometry). The corpus is recovered from
-    * the postings themselves (one column-pruned scan staged to
-    * `rebuild_corpus/` — the index never needs the original table again),
-    * the geometry re-auto-sizes to the CURRENT corpus by default, and PQ
-    * carriage/flavor follow the old meta. Crash-safe like [[build]] (which
-    * this delegates to): meta.json down first, up last.
+  /** Refit the quantizer over the CURRENT indexed corpus and write the
+    * result as a NEW GENERATION — the action [[healthReport]]'s "rebuild"
+    * verdict calls for (drifted ingestion concentrated the frozen cells;
+    * appends grew the corpus past the old geometry). The corpus is
+    * recovered from the postings themselves (column-pruned scans of the
+    * old generation, which the rebuild never touches — the index never
+    * needs the original table again), the geometry re-auto-sizes to the
+    * CURRENT corpus by default, and PQ carriage/flavor follow the old
+    * meta. Crash-safe via generations: the old meta stays in place until
+    * the final atomic pointer flip, so the OLD index serves queries
+    * throughout the rebuild and a crash anywhere loses nothing.
     */
   def rebuild(
       spark: SparkSession,
@@ -769,24 +862,13 @@ object AnnIndex {
       pqIters: Int = 1): Meta = {
     val idx = open(spark, path)
     val m = idx.meta
-    val tmp = new java.io.File(s"$path/rebuild_corpus")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) {
-        val k = f.listFiles(); if (k != null) k.foreach(rm)
-      }
-      f.delete(): Unit
-    }
-    rm(tmp)
-    // stage the corpus OUT of the table being overwritten (build's
-    // saveAsTable would otherwise read the postings while truncating them)
-    idx.postings
+    val corpus = idx.postings
       .select(col("neighbor_id").as(m.idCol), col("vec").as(m.vecCol))
-      .write.parquet(tmp.getAbsolutePath)
-    val corpus = spark.read.parquet(tmp.getAbsolutePath)
     val n = corpus.count()
     val cents = nCentroids.getOrElse(
       Similarity.ivfAutoParams(math.max(2L, n))._1)
-    val meta = build(
+    val newGen = math.max(m.genPostings, m.genQuant) + 1
+    val meta = buildImpl(
       corpus, m.idCol, m.vecCol, path,
       nCentroids = cents,
       kmeansIters = kmeansIters.getOrElse(m.kmeansIters),
@@ -794,8 +876,12 @@ object AnnIndex {
       corpusSize = Some(n),
       pq = if (m.pqM > 0) Some((m.pqM, m.pqKs)) else None,
       pqIters = pqIters,
-      pqResidual = m.pqResidual)
-    rm(tmp)
+      pqResidual = m.pqResidual,
+      gen = newGen,
+      markerDown = false)
+    DedupIndex.gcGenerations(path, "postings", Set(newGen, m.genPostings))
+    DedupIndex.gcGenerations(path, "centroids", Set(newGen, m.genQuant))
+    DedupIndex.gcGenerations(path, "pq_codebooks", Set(newGen, m.genQuant))
     meta
   }
 

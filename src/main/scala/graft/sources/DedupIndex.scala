@@ -49,9 +49,21 @@ import graft.ops.Dedup
   */
 object DedupIndex {
 
-  /** Format version — bump on any layout/semantics change. */
+  /** Format version — bump on any layout/semantics change. (The
+    * generation fields below are additive with a 0 default, so gen-0
+    * indexes written before them remain readable at version 1.)
+    */
   private val Version = 1
 
+  /** `gen*`: per-table GENERATION numbers — which file-set the meta
+    * pointer currently designates. Generation 0 lives at `<path>/<table>`
+    * (the legacy layout); generation N > 0 at `<path>/<table>_gN`.
+    * [[compact]]/[[rebuild]] write a NEW generation and flip the pointer
+    * atomically instead of swapping directories in place, so a reader
+    * holding an already-open plan on the old file-set survives a
+    * concurrent compact (the old generation is deferred-deleted — kept
+    * until the generation after next, or an explicit [[vacuum]]).
+    */
   final case class Meta(
       shingleK: Int,
       numHashes: Int,
@@ -59,19 +71,54 @@ object DedupIndex {
       nBuckets: Int,
       idCol: String,
       idType: String,
-      version: Int = Version)
+      version: Int = Version,
+      genBuckets: Int = 0,
+      genSizes: Int = 0,
+      genPayload: Int = 0) {
+    def gen(which: String): Int = which match {
+      case "buckets" => genBuckets
+      case "sizes" => genSizes
+      case "payload" => genPayload
+      case other => throw new IllegalArgumentException(s"unknown table: $other")
+    }
+  }
 
   private def metaPath(path: String) = s"$path/meta.json"
+
+  /** The directory a table's generation lives in — gen 0 keeps the legacy
+    * un-suffixed name, so pre-generation indexes open unchanged.
+    */
+  private[sources] def dataDir(path: String, which: String, gen: Int): java.io.File =
+    new java.io.File(if (gen == 0) s"$path/$which" else s"$path/${which}_g$gen")
+
+  /** All meta writes go through tmp-and-atomic-rename: a crash can leave a
+    * stale tmp file, never a torn meta.json under the real name — that is
+    * what makes the [[compact]]/[[rebuild]] generation-pointer flip atomic.
+    */
+  private[sources] def atomicWrite(target: java.nio.file.Path, text: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(
+      tmp, text.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    try java.nio.file.Files.move(
+      tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(
+          tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+  }
 
   private def writeMeta(path: String, m: Meta): Unit = {
     val json =
       s"""{"shingle_k":${m.shingleK},"num_hashes":${m.numHashes},""" +
         s""""bands":${m.bands},"n_buckets":${m.nBuckets},""" +
         s""""id_col":"${m.idCol}","id_type":"${m.idType}",""" +
+        s""""gen_buckets":${m.genBuckets},"gen_sizes":${m.genSizes},""" +
+        s""""gen_payload":${m.genPayload},""" +
         s""""version":${m.version}}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(metaPath(path)),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    atomicWrite(java.nio.file.Paths.get(metaPath(path)), json + "\n")
   }
 
   /** Minimal flat-JSON field reader — the meta file is machine-written by
@@ -84,6 +131,16 @@ object DedupIndex {
       .matcher(json)
     require(m.find(), s"dedup index meta is missing field '$key'")
     Option(m.group(2)).getOrElse(m.group(1))
+  }
+
+  /** Optional field with a default — for fields added after version-1
+    * indexes were already on disk (the generation pointers).
+    */
+  private def metaFieldOr(json: String, key: String, default: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\":(\"([^\"]*)\"|[^,}]*)")
+      .matcher(json)
+    if (m.find()) Option(m.group(2)).getOrElse(m.group(1)) else default
   }
 
   def readMeta(path: String): Meta = {
@@ -100,7 +157,10 @@ object DedupIndex {
       nBuckets = metaField(json, "n_buckets").toInt,
       idCol = metaField(json, "id_col"),
       idType = metaField(json, "id_type"),
-      version = metaField(json, "version").toInt)
+      version = metaField(json, "version").toInt,
+      genBuckets = metaFieldOr(json, "gen_buckets", "0").toInt,
+      genSizes = metaFieldOr(json, "gen_sizes", "0").toInt,
+      genPayload = metaFieldOr(json, "gen_payload", "0").toInt)
     require(m.version == Version,
       s"dedup index at $path has format version ${m.version}; " +
         s"this build reads $Version — rebuild the index")
@@ -123,9 +183,10 @@ object DedupIndex {
       which: String,
       schemaDdl: String,
       clusterCols: Seq[String],
-      nBuckets: Int): String = {
+      nBuckets: Int,
+      gen: Int): String = {
     val name = tableName(path, which)
-    val loc = new java.io.File(s"$path/$which").getAbsolutePath
+    val loc = dataDir(path, which, gen).getAbsolutePath
     spark.sql(s"DROP TABLE IF EXISTS $name")
     spark.sql(
       s"""CREATE TABLE $name ($schemaDdl)
@@ -135,6 +196,34 @@ object DedupIndex {
          |INTO $nBuckets BUCKETS
          |LOCATION '$loc'""".stripMargin)
     name
+  }
+
+  private[sources] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val k = f.listFiles(); if (k != null) k.foreach(rmTree)
+    }
+    f.delete(): Unit
+  }
+
+  /** Delete every generation of `which` under `path` whose number is not
+    * in `keep` — the deferred-GC half of the generation scheme. Callers
+    * keep the current generation plus (except [[vacuum]]) the immediately
+    * previous one, so a reader that opened before the flip keeps its
+    * file-set through one full compact cycle.
+    */
+  private[sources] def gcGenerations(
+      path: String, which: String, keep: Set[Int]): Unit = {
+    val kids = new java.io.File(path).listFiles()
+    if (kids == null) return
+    val re = ("^" + java.util.regex.Pattern.quote(which) + "_g(\\d+)$").r
+    kids.foreach { f =>
+      val genOpt = f.getName match {
+        case re(g) => Some(g.toInt)
+        case n if n == which => Some(0)
+        case _ => None
+      }
+      genOpt.foreach(g => if (!keep.contains(g) && f.isDirectory) rmTree(f))
+    }
   }
 
   /** Build the index for `df` under `path` (overwriting any previous
@@ -214,6 +303,11 @@ object DedupIndex {
         .option("path", new java.io.File(s"$path/sizes").getAbsolutePath)
         .saveAsTable(tableName(path, "sizes"))
       writeMeta(path, meta)
+      // a full (destructive — see the marker discipline above) rebuild
+      // resets every table to generation 0: stale higher generations from
+      // a previous compact lifecycle are garbage now
+      Seq("buckets", "sizes", "payload")
+        .foreach(gcGenerations(path, _, keep = Set(0)))
       meta
     }
   }
@@ -273,35 +367,20 @@ object DedupIndex {
         .sortBy("band", "bucket")
         .saveAsTable(tableName(path, "buckets"))
       // sizes merge: old counts ∪ shard cell counts → one aggregate,
-      // written beside the old table and swapped in (the old files are
-      // being read by the merge, so no in-place overwrite)
-      val tmpName = tableName(path, "sizes_tmp")
-      val tmpLoc = new java.io.File(s"$path/sizes_tmp")
-      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-      idx.sizes
+      // written as a NEW GENERATION of the sizes table (the old files are
+      // being read by the merge, so never an in-place overwrite; the old
+      // generation survives the flip for concurrent readers)
+      val merged = idx.sizes
         .union(bucketsNew.groupBy("band", "bucket").agg(count(lit(1)).as("dj_bn")))
         .groupBy("band", "bucket")
         .agg(sum(col("dj_bn")).as("dj_bn"))
-        .write
-        .mode("overwrite")
-        .bucketBy(m.nBuckets, "band", "bucket")
-        .sortBy("band", "bucket")
-        .option("path", tmpLoc.getAbsolutePath)
-        .saveAsTable(tmpName)
-      spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-      spark.sql(s"DROP TABLE IF EXISTS ${tableName(path, "sizes")}")
-      val sizesLoc = new java.io.File(s"$path/sizes")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) {
-          val k = f.listFiles(); if (k != null) k.foreach(rm)
-        }
-        f.delete(): Unit
-      }
-      rm(sizesLoc)
-      require(tmpLoc.renameTo(sizesLoc),
-        s"DedupIndex.append: could not swap $tmpLoc into place")
-      writeMeta(path, m) // commit marker up
-      m
+      val newMeta = m.copy(genSizes = m.genSizes + 1)
+      writeGenBucketed(
+        spark, path, "sizes", merged, Seq("band", "bucket"), m.nBuckets,
+        newMeta.genSizes, maxRowsPerFile = None)
+      writeMeta(path, newMeta) // commit marker up, sizes pointer flipped
+      gcGenerations(path, "sizes", keep = Set(newMeta.genSizes, m.genSizes))
+      newMeta
     }
   }
 
@@ -313,29 +392,39 @@ object DedupIndex {
     * handful.
     */
   final case class TableStats(
-      table: String, nFiles: Long, bytes: Long, filesPerBucket: Double)
+      table: String,
+      nFiles: Long,
+      bytes: Long,
+      filesPerBucket: Double,
+      maxFileBytes: Long = 0L)
 
   private[sources] def dirStats(
       dir: java.io.File, table: String, nBuckets: Int): TableStats = {
     var files = 0L
     var bytes = 0L
+    var maxBytes = 0L
     def walk(f: java.io.File): Unit =
       if (f.isDirectory) {
         val kids = f.listFiles(); if (kids != null) kids.foreach(walk)
       } else if (f.getName.endsWith(".parquet")) {
         files += 1; bytes += f.length()
+        maxBytes = math.max(maxBytes, f.length())
       }
     walk(dir)
-    TableStats(table, files, bytes, files.toDouble / math.max(1, nBuckets))
+    TableStats(
+      table, files, bytes, files.toDouble / math.max(1, nBuckets), maxBytes)
   }
 
-  /** Small-file stats for the index's three bucketed tables — the
-    * operator-facing "is it time to [[compact]]" number.
+  /** Small-file stats for the index's three bucketed tables (CURRENT
+    * generations only — retired generations awaiting GC are not scan
+    * cost) — the operator-facing "is it time to [[compact]]" number;
+    * `maxFileBytes` is the "is a bucket's file unboundedly large" number
+    * the compaction row cap addresses.
     */
   def fileStats(path: String): Seq[TableStats] = {
     val m = readMeta(path)
     Seq("buckets", "sizes", "payload").map(w =>
-      dirStats(new java.io.File(s"$path/$w"), w, m.nBuckets))
+      dirStats(dataDir(path, w, m.gen(w)), w, m.nBuckets))
   }
 
   /** True when any table's per-bucket file layering passes `threshold` —
@@ -346,33 +435,65 @@ object DedupIndex {
   def compactionAdvised(path: String, threshold: Double = 4.0): Boolean =
     fileStats(path).exists(_.filesPerBucket > threshold)
 
-  /** Rewrite every bucketed table to ONE fresh file-set (same bucket spec,
+  /** Rewrite every bucketed table to a fresh file-set (same bucket spec,
     * same rows — query/pair results are unchanged by construction,
     * spec-pinned across append→append→compact) so a rolling-ingested
-    * index recovers the freshly-built scan shape. Crash-safe via the
-    * commit-marker discipline: `meta.json` down first, up last — a crash
-    * mid-swap leaves the index unreadable-until-rebuilt, never a silent
-    * mix of old and new file-sets.
+    * index recovers the freshly-built scan shape. One file per bucket by
+    * default; `maxRowsPerFile` bounds rows per output file WITHIN a
+    * bucket (rolled sequentially, so each file is still a contiguous
+    * sorted run and row-group pruning keeps working) — the cap that stops
+    * a skewed hot bucket from becoming one unbounded file and one
+    * unbounded task's write.
+    *
+    * Concurrent-reader-safe via GENERATIONS: the rewrite lands in fresh
+    * `<table>_g<N+1>` directories and `meta.json` flips to them in one
+    * atomic rename — never deleted, so a crash at ANY point leaves the
+    * old index fully readable, and a reader holding an already-open plan
+    * keeps its (previous-generation) file-set, which survives until the
+    * NEXT compact or an explicit [[vacuum]].
     */
-  def compact(spark: SparkSession, path: String): Meta = {
+  def compact(
+      spark: SparkSession,
+      path: String,
+      maxRowsPerFile: Option[Long] = None): Meta = {
     val idx = open(spark, path)
     val m = idx.meta
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(metaPath(path))): Unit
+    val newMeta = m.copy(
+      genBuckets = m.genBuckets + 1,
+      genSizes = m.genSizes + 1,
+      genPayload = m.genPayload + 1)
     // SHUFFLE-FREE by construction: forcing the bucketed scan reads each
     // bucket's layered files as ONE partition, and the writer then emits
-    // exactly one file per bucket — no exchange anywhere, which is the
+    // one file-set per bucket — no exchange anywhere, which is the
     // shape a 100 TB compaction must have. (Left to its own devices the
     // planner first elides a repartition-by-bucket-cols as satisfied-by-
     // bucketing, then auto-DISABLES the bucketed scan as benefiting no
     // operator, and the write re-layers one file per input split.)
     withForcedBucketedScan(spark) {
-      rewriteBucketed(spark, path, "payload", idx.payload, Seq(m.idCol), m.nBuckets)
-      rewriteBucketed(spark, path, "buckets", idx.buckets, Seq("band", "bucket"), m.nBuckets)
-      rewriteBucketed(spark, path, "sizes", idx.sizes, Seq("band", "bucket"), m.nBuckets)
+      writeGenBucketed(spark, path, "payload", idx.payload,
+        Seq(m.idCol), m.nBuckets, newMeta.genPayload, maxRowsPerFile)
+      writeGenBucketed(spark, path, "buckets", idx.buckets,
+        Seq("band", "bucket"), m.nBuckets, newMeta.genBuckets, maxRowsPerFile)
+      writeGenBucketed(spark, path, "sizes", idx.sizes,
+        Seq("band", "bucket"), m.nBuckets, newMeta.genSizes, maxRowsPerFile)
     }
-    writeMeta(path, m) // commit marker up
-    m
+    writeMeta(path, newMeta) // atomic pointer flip
+    // deferred GC: keep the generation readers may still hold open;
+    // everything older goes now
+    gcGenerations(path, "payload", Set(newMeta.genPayload, m.genPayload))
+    gcGenerations(path, "buckets", Set(newMeta.genBuckets, m.genBuckets))
+    gcGenerations(path, "sizes", Set(newMeta.genSizes, m.genSizes))
+    newMeta
+  }
+
+  /** Drop every non-current generation NOW — the operator-invoked GC for
+    * when no long-running readers hold old file-sets (deferred deletion
+    * otherwise keeps exactly one previous generation per table).
+    */
+  def vacuum(path: String): Unit = {
+    val m = readMeta(path)
+    Seq("buckets", "sizes", "payload")
+      .foreach(w => gcGenerations(path, w, keep = Set(m.gen(w))))
   }
 
   private[sources] def withForcedBucketedScan[T](spark: SparkSession)(body: => T): T = {
@@ -386,42 +507,39 @@ object DedupIndex {
     }
   }
 
-  /** Write `df` to `<which>_tmp` with the table's bucket spec, then swap
-    * the directory into place (the [[append]] sizes-merge pattern — the
-    * old files are being read by the rewrite, so no in-place overwrite).
+  /** Write `df` as generation `gen` of `which` (a fresh directory — the
+    * old generation's files, which `df` may be reading, are never
+    * touched). A leftover partial directory from a crashed earlier
+    * attempt at the same generation is cleared by the overwrite. The
+    * throwaway catalog name is dropped after the write (the table is
+    * external — files stay); [[open]] re-registers the canonical name at
+    * whatever generation the meta points to.
     */
-  private def rewriteBucketed(
+  private def writeGenBucketed(
       spark: SparkSession,
       path: String,
       which: String,
       df: DataFrame,
       clusterCols: Seq[String],
-      nBuckets: Int): Unit = {
-    val tmpName = tableName(path, s"${which}_tmp")
-    val tmpLoc = new java.io.File(s"$path/${which}_tmp")
+      nBuckets: Int,
+      gen: Int,
+      maxRowsPerFile: Option[Long]): Unit = {
+    val tmpName = tableName(path, s"${which}_gw")
+    val loc = dataDir(path, which, gen)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    df
+    val writer = df
       // under [[withForcedBucketedScan]] each task holds exactly one
       // bucket's rows (all its layered files in one partition), so the
-      // rewrite emits ONE file per bucket with no exchange
+      // rewrite emits one file-set per bucket with no exchange
       .write
       .mode("overwrite")
       .bucketBy(nBuckets, clusterCols.head, clusterCols.tail: _*)
       .sortBy(clusterCols.head, clusterCols.tail: _*)
-      .option("path", tmpLoc.getAbsolutePath)
+      .option("path", loc.getAbsolutePath)
+    maxRowsPerFile
+      .fold(writer)(n => writer.option("maxRecordsPerFile", n))
       .saveAsTable(tmpName)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    spark.sql(s"DROP TABLE IF EXISTS ${tableName(path, which)}")
-    val loc = new java.io.File(s"$path/$which")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) {
-        val k = f.listFiles(); if (k != null) k.foreach(rm)
-      }
-      f.delete(): Unit
-    }
-    rm(loc)
-    require(tmpLoc.renameTo(loc),
-      s"DedupIndex.compact: could not swap $tmpLoc into place")
   }
 
   /** Index health snapshot (the rebuild-advisor twin of
@@ -484,30 +602,39 @@ object DedupIndex {
     val m = idx.meta
     require(bands > 0 && m.numHashes % bands == 0,
       s"bands must divide numHashes=${m.numHashes}: $bands")
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(metaPath(path))): Unit
-    val meta = m.copy(bands = bands)
+    val meta = m.copy(
+      bands = bands,
+      genBuckets = m.genBuckets + 1,
+      genSizes = m.genSizes + 1)
     val buckets = Dedup.lshBuckets(
       idx.payload.select(col(m.idCol), col("signature")), m.idCol, bands)
       .where(col(m.idCol).isNotNull)
-    rewriteBucketed(spark, path, "buckets", buckets, Seq("band", "bucket"), m.nBuckets)
-    val sizes = open0Buckets(spark, path, meta)
+    writeGenBucketed(spark, path, "buckets", buckets,
+      Seq("band", "bucket"), m.nBuckets, meta.genBuckets, None)
+    val sizes = openGenBuckets(spark, path, meta, meta.genBuckets)
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("dj_bn"))
-    rewriteBucketed(spark, path, "sizes", sizes, Seq("band", "bucket"), m.nBuckets)
-    writeMeta(path, meta) // commit marker up
+    writeGenBucketed(spark, path, "sizes", sizes,
+      Seq("band", "bucket"), m.nBuckets, meta.genSizes, None)
+    // atomic pointer flip: bands and the buckets/sizes generations change
+    // together or not at all — a crash anywhere above leaves the OLD
+    // banding fully intact and readable
+    writeMeta(path, meta)
+    gcGenerations(path, "buckets", Set(meta.genBuckets, m.genBuckets))
+    gcGenerations(path, "sizes", Set(meta.genSizes, m.genSizes))
     meta
   }
 
-  /** The buckets frame alone, registered for `meta` — used mid-[[rebuild]]
-    * where the commit marker is down and a full [[open]] would raise.
+  /** The buckets frame alone, registered at an explicit generation — used
+    * mid-[[rebuild]] where the meta pointer still designates the OLD
+    * generation (a full [[open]] would read the wrong banding).
     */
-  private def open0Buckets(
-      spark: SparkSession, path: String, m: Meta): DataFrame = {
+  private def openGenBuckets(
+      spark: SparkSession, path: String, m: Meta, gen: Int): DataFrame = {
     val name = registerBucketed(
       spark, path, "buckets",
       s"${m.idCol} ${m.idType}, band INT, bucket BIGINT",
-      Seq("band", "bucket"), m.nBuckets)
+      Seq("band", "bucket"), m.nBuckets, gen)
     spark.table(name)
   }
 
@@ -528,15 +655,15 @@ object DedupIndex {
     val bucketsName = registerBucketed(
       spark, path, "buckets",
       s"$id, band INT, bucket BIGINT",
-      Seq("band", "bucket"), m.nBuckets)
+      Seq("band", "bucket"), m.nBuckets, m.genBuckets)
     val sizesName = registerBucketed(
       spark, path, "sizes",
       "band INT, bucket BIGINT, dj_bn BIGINT",
-      Seq("band", "bucket"), m.nBuckets)
+      Seq("band", "bucket"), m.nBuckets, m.genSizes)
     val payloadName = registerBucketed(
       spark, path, "payload",
       s"$id, shingle_hashes ARRAY<BIGINT>, signature ARRAY<BIGINT>",
-      Seq(m.idCol), m.nBuckets)
+      Seq(m.idCol), m.nBuckets, m.genPayload)
     Index(m,
       spark.table(bucketsName),
       spark.table(sizesName),
@@ -635,21 +762,25 @@ object DedupIndex {
   def saveCentroids(
       spark: SparkSession,
       path: String,
-      centroids: Seq[(Long, Seq[Double])]): Unit = {
+      centroids: Seq[(Long, Seq[Double])],
+      dirName: String = "centroids"): Unit = {
     import spark.implicits._
     new java.io.File(path).mkdirs()
     centroids.toDF("centroid_id", "centroid_vec")
       .repartition(1)
       .write.mode("overwrite")
-      .parquet(new java.io.File(s"$path/centroids").getAbsolutePath)
+      .parquet(new java.io.File(s"$path/$dirName").getAbsolutePath)
   }
 
   /** Load a centroid list saved by [[saveCentroids]] — ascending id, the
     * order [[graft.ops.Similarity.fitCentroids]] semantics expect.
     */
-  def loadCentroids(spark: SparkSession, path: String): Seq[(Long, Seq[Double])] =
+  def loadCentroids(
+      spark: SparkSession,
+      path: String,
+      dirName: String = "centroids"): Seq[(Long, Seq[Double])] =
     spark.read
-      .parquet(new java.io.File(s"$path/centroids").getAbsolutePath)
+      .parquet(new java.io.File(s"$path/$dirName").getAbsolutePath)
       .sort(col("centroid_id"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)

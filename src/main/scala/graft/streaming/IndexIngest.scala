@@ -24,9 +24,15 @@ import graft.sources.{AnnIndex, DedupIndex}
   *     RAISES on the id clash instead of double-ingesting — dedupe by id
   *     upstream (`dropDuplicatesWithinWatermark`) for exactly-once effect;
   *   - each append layers one file-set per bucketed table; a long-running
-  *     ingestion should `compact(path)` when
-  *     `compactionAdvised(path)` trips (the maintenance half of the
-  *     lifecycle).
+  *     ingestion should `compact(path)` when `compactionAdvised(path)`
+  *     trips, or let `autoCompact` do it in-line.
+  *
+  * Maintenance in-line is CRASH-SAFE since the generation scheme (r13):
+  * compact/rebuild write a NEW generation and flip the meta pointer
+  * atomically — a crash mid-maintenance leaves the previous generation
+  * fully readable, so a restarted stream re-opens the index and resumes
+  * (the pre-generation layout deleted `meta.json` for the whole rewrite
+  * window, and a crash inside it required a manual rebuild).
   *
   * Empty micro-batches (watermark flushes, no-data triggers) are skipped —
   * they would otherwise pay an index open + commit-marker cycle for
@@ -34,45 +40,115 @@ import graft.sources.{AnnIndex, DedupIndex}
   */
 object IndexIngest {
 
+  /** How often the `autoRebuild` health probe runs: every N non-empty
+    * micro-batches. The probe costs a brute-force recall sample over the
+    * postings, so it must not run per batch; N also acts as the rebuild
+    * COOLDOWN — after a rebuild fires, at least N more batches land
+    * before the next probe can fire another.
+    */
+  val DefaultHealthEvery: Int = 4
+
   /** foreachBatch writer appending each micro-batch of (idCol, vecCol)
     * rows into the ANN index at `path`. Start + awaitTermination (or a
-    * trigger of your choice) like any other writer. With `autoCompact` the
-    * sink runs the maintenance half too: after an append that trips
-    * `compactionAdvised` (file layering past ~4 appends per bucket) the
-    * postings are compacted in-line — between micro-batches, so readers
-    * never see a mid-rewrite index (the commit marker guards crashes).
+    * trigger of your choice) like any other writer.
+    *
+    * `autoCompact`: after an append that trips `compactionAdvised` (file
+    * layering past ~4 appends per bucket) the postings are compacted
+    * in-line — between micro-batches, concurrent readers keep their
+    * generation (see the class doc).
+    *
+    * `autoRebuild`: every [[DefaultHealthEvery]] (`healthEvery`)
+    * non-empty batches an [[graft.sources.AnnIndex.healthReport]] runs;
+    * a "rebuild" verdict (recall below `recallTarget`, or ingestion
+    * drifted the corpus away from the frozen quantizer — hot/dead cells)
+    * refits the geometry in-line via [[graft.sources.AnnIndex.rebuild]],
+    * so a drifting ingested index heals without an operator. A "compact"
+    * verdict compacts when `autoCompact` is also set. The batch counter
+    * resets after a rebuild — `healthEvery` is the cooldown.
     */
   def annIngest(
       stream: DataFrame,
       path: String,
-      autoCompact: Boolean = false): DataStreamWriter[Row] =
+      autoCompact: Boolean = false,
+      autoRebuild: Boolean = false,
+      healthEvery: Int = DefaultHealthEvery,
+      recallTarget: Double = 0.8): DataStreamWriter[Row] = {
+    require(healthEvery > 0, s"healthEvery must be positive: $healthEvery")
+    // foreachBatch runs batches sequentially on the stream's single
+    // maintenance thread — a plain var is the counter it needs
+    var sinceHealth = 0
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (batch.head(1).nonEmpty) {
           AnnIndex.append(batch, path): Unit
-          if (autoCompact && AnnIndex.compactionAdvised(path))
+          sinceHealth += 1
+          if (autoRebuild && sinceHealth >= healthEvery) {
+            sinceHealth = 0
+            val health = AnnIndex.healthReport(
+              batch.sparkSession, path, recallTarget = recallTarget)
+            health.recommendation match {
+              case "rebuild" =>
+                AnnIndex.rebuild(batch.sparkSession, path): Unit
+              case "compact" if autoCompact =>
+                AnnIndex.compact(batch.sparkSession, path): Unit
+              case _ => ()
+            }
+          } else if (autoCompact && AnnIndex.compactionAdvised(path))
             AnnIndex.compact(batch.sparkSession, path): Unit
         }
       }
+  }
 
   /** foreachBatch writer appending each micro-batch of documents into the
     * dedup index at `path`; `textCol` names the document text column (the
     * id column comes from the index's meta). `autoCompact` as
     * [[annIngest]].
+    *
+    * `autoRebuild`: every `healthEvery` non-empty batches a
+    * [[graft.sources.DedupIndex.healthReport]] runs; a "rebuild" verdict
+    * (hot-cell mass past the cap — the banding no longer discriminates on
+    * the ingested corpus) re-bands to the next-coarser divisor of
+    * `numHashes` (fewer bands = stricter collisions = smaller cells) via
+    * [[graft.sources.DedupIndex.rebuild]]. Already at 1 band there is
+    * nothing coarser — the verdict is left for the operator.
     */
   def dedupIngest(
       stream: DataFrame,
       textCol: String,
       path: String,
-      autoCompact: Boolean = false): DataStreamWriter[Row] =
+      autoCompact: Boolean = false,
+      autoRebuild: Boolean = false,
+      healthEvery: Int = DefaultHealthEvery): DataStreamWriter[Row] = {
+    require(healthEvery > 0, s"healthEvery must be positive: $healthEvery")
+    var sinceHealth = 0
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (batch.head(1).nonEmpty) {
           DedupIndex.append(batch, textCol, path): Unit
-          if (autoCompact && DedupIndex.compactionAdvised(path))
+          sinceHealth += 1
+          if (autoRebuild && sinceHealth >= healthEvery) {
+            sinceHealth = 0
+            val health = DedupIndex.healthReport(batch.sparkSession, path)
+            health.recommendation match {
+              case "rebuild" =>
+                val m = DedupIndex.readMeta(path)
+                coarserBands(m.numHashes, m.bands).foreach(b =>
+                  DedupIndex.rebuild(batch.sparkSession, path, b): Unit)
+              case "compact" if autoCompact =>
+                DedupIndex.compact(batch.sparkSession, path): Unit
+              case _ => ()
+            }
+          } else if (autoCompact && DedupIndex.compactionAdvised(path))
             DedupIndex.compact(batch.sparkSession, path): Unit
         }
       }
+  }
+
+  /** The next-coarser banding: the largest divisor of `numHashes` strictly
+    * below `bands` (None at 1 — nothing coarser exists).
+    */
+  private[graft] def coarserBands(numHashes: Int, bands: Int): Option[Int] =
+    ((bands - 1) to 1 by -1).find(numHashes % _ == 0)
 }

@@ -99,4 +99,154 @@ class CompactionSpec extends AnyFunSuite {
         .withColumn("vec_id", col("vec_id") + 5000000L), path)
     assert(AnnIndex.readMeta(path).pqM == 4)
   }
+
+  // ---- generation-numbered file-sets (r12 verdict task 4): compact =
+  // write generation N+1 + atomic meta flip + deferred GC, so a reader
+  // holding an already-open plan keeps its file-set through the compact ----
+
+  test("DedupIndex: a reader holding an open plan survives a concurrent compact") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = freshPath("gen_reader")
+    DedupIndex.build(docs.where(col("doc_id") % 2 === 0), "text", "doc_id",
+      path, nBuckets = 2)
+    DedupIndex.append(docs.where(col("doc_id") % 2 === 1), "text", path)
+    // the long-running reader: plans resolved BEFORE the compact
+    val oldIdx = DedupIndex.open(spark, path)
+    val nPayload = oldIdx.payload.count()
+    val nBuckets = oldIdx.buckets.count()
+    val m1 = DedupIndex.compact(spark, path)
+    assert(m1.genPayload == 1 && m1.genBuckets == 1 && m1.genSizes >= 2,
+      s"unexpected generations after compact: $m1") // append already bumped sizes
+    // the old plan's file-set (previous generation) is deferred-deleted:
+    // both counts complete and match, mid-compact and after
+    assert(oldIdx.payload.count() === nPayload,
+      "pre-compact payload plan broke after compact")
+    assert(oldIdx.buckets.count() === nBuckets,
+      "pre-compact buckets plan broke after compact")
+    // a second compact retires the oldest generation, keeps the previous
+    val m2 = DedupIndex.compact(spark, path)
+    assert(m2.genPayload == 2)
+    assert(!new java.io.File(path, "payload").exists(),
+      "generation 0 should be GC'd after the second compact")
+    assert(new java.io.File(path, "payload_g1").exists(),
+      "the immediately-previous generation must survive for open readers")
+    assert(new java.io.File(path, "payload_g2").exists())
+    // vacuum drops everything but the current generation; queries still work
+    DedupIndex.vacuum(path)
+    assert(!new java.io.File(path, "payload_g1").exists())
+    assert(DedupIndex.open(spark, path).payload.count() === nPayload)
+  }
+
+  test("DedupIndex: meta.json survives a compact (never deleted — crash leaves the old index readable)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = freshPath("gen_marker")
+    DedupIndex.build(docs.where(col("doc_id") % 5 === 0), "text", "doc_id",
+      path, nBuckets = 2)
+    // a leftover partial next-generation dir (a crashed earlier compact)
+    // must not break open() or the next compact
+    val junk = new java.io.File(path, "payload_g1")
+    junk.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(junk, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val before = DedupIndex.open(spark, path).payload.count()
+    val meta = DedupIndex.compact(spark, path)
+    assert(meta.genPayload == 1)
+    assert(new java.io.File(path, "meta.json").exists())
+    assert(DedupIndex.open(spark, path).payload.count() === before,
+      "compact over a junk partial generation changed results")
+  }
+
+  test("DedupIndex: compact(maxRowsPerFile) splits a hot bucket at the cap, results unchanged") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = freshPath("gen_cap")
+    // ONE storage bucket: the whole payload is one hot bucket — exactly
+    // the skewed shape the cap bounds. An uncapped compact first: the
+    // forced bucketed scan collapses the build's per-task file-sets to
+    // exactly one file per bucket — the unbounded-file baseline
+    DedupIndex.build(docs, "text", "doc_id", path, nBuckets = 1)
+    DedupIndex.compact(spark, path)
+    val uncapped = DedupIndex.fileStats(path)
+      .find(_.table == "payload").get
+    assert(uncapped.nFiles == 1L, s"fixture not single-file: $uncapped")
+    val shard = docs.where(col("doc_id") % 97 === 0)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    def pairs() = {
+      val r = DedupIndex
+        .incrementalNearDups(shard, "text", path, threshold = 0.6)
+        .select(col("id1"), col("id2")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      graft.core.Blocks.releaseAll()
+      r
+    }
+    val before = pairs()
+    DedupIndex.compact(spark, path, maxRowsPerFile = Some(10L))
+    val capped = DedupIndex.fileStats(path).find(_.table == "payload").get
+    assert(capped.nFiles > 1L,
+      s"hot bucket did not split at the row cap: $capped")
+    assert(capped.maxFileBytes > 0L && capped.maxFileBytes < uncapped.maxFileBytes,
+      s"per-file byte ceiling did not drop: $capped vs $uncapped")
+    assert(pairs() === before, "row-capped compaction changed pair results")
+  }
+
+  test("AnnIndex: reader survives compact; rebuild flips postings+quantizer generations together") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("gen_ann")
+    AnnIndex.build(vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      path, nCentroids = 8, kmeansIters = 0, nBuckets = 2,
+      pq = Some((4, 16)), pqIters = 0)
+    AnnIndex.append(vecs.where(col("vec_id") % 2 === 1), path)
+    val oldIdx = AnnIndex.open(spark, path)
+    val nOld = oldIdx.postings.count()
+    val m1 = AnnIndex.compact(spark, path)
+    assert(m1.genPostings == 1 && m1.genQuant == 0,
+      s"compact must bump postings only: $m1")
+    assert(oldIdx.postings.count() === nOld,
+      "pre-compact postings plan broke after compact")
+    // rebuild: new quantizer + new postings land as one atomic flip; a
+    // reader opened after the compact (the immediately-previous
+    // generation — the one the deferred GC keeps) completes through it.
+    // (The PRE-compact gen-0 reader above is now two generations back
+    // and is legitimately retired — one lifecycle step of grace each.)
+    val postCompactIdx = AnnIndex.open(spark, path)
+    val m2 = AnnIndex.rebuild(spark, path, nCentroids = Some(4))
+    assert(m2.genPostings == 2 && m2.genQuant == 2,
+      s"rebuild must flip both generations together: $m2")
+    assert(m2.nCentroids == 4 && m2.pqM == 4)
+    assert(postCompactIdx.postings.count() === nOld,
+      "pre-rebuild postings plan broke after rebuild")
+    val queries = vecs.where(col("vec_id") < 5)
+    val rebuilt = AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", path, k = 3, nProbe = 4)
+    assert(rebuilt.count() > 0)
+    graft.core.Blocks.releaseAll()
+    AnnIndex.vacuum(path)
+    assert(!new java.io.File(path, "postings_g1").exists())
+    assert(new java.io.File(path, "postings_g2").exists())
+    assert(new java.io.File(path, "centroids_g2").exists())
+    assert(AnnIndex.open(spark, path).postings.count() === nOld)
+  }
+
+  test("AnnIndex: compact(maxRowsPerFile) splits hot buckets; PQ read path unchanged") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("gen_ann_cap")
+    AnnIndex.build(vecs, "vec_id", "embedding", path,
+      nCentroids = 4, kmeansIters = 0, nBuckets = 1,
+      pq = Some((4, 16)), pqIters = 0)
+    val queries = vecs.where(col("vec_id") < 5)
+    def topkPq() = {
+      val r = AnnIndex
+        .queryTopKPq(queries, "vec_id", "embedding", path, k = 3, nProbe = 4,
+          poolFactor = Int.MaxValue)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+      graft.core.Blocks.releaseAll()
+      r
+    }
+    val before = topkPq()
+    AnnIndex.compact(spark, path, maxRowsPerFile = Some(16L))
+    val st = AnnIndex.fileStats(path)
+    assert(st.nFiles > 1L, s"hot bucket did not split at the row cap: $st")
+    assert(topkPq() === before, "row-capped compaction changed PQ top-k")
+  }
 }

@@ -136,4 +136,73 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(s.nonEmpty, "fixture should produce at least one cross pair")
     assert(s === b, "micro-batch boundaries changed the ingested index's pairs")
   }
+
+  test("autoRebuild ingestion heals a drifted AnnIndex without an operator") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the DRIFT is GROWTH: the index is built for a 40-vector corpus
+    // (2 coarse cells — the right geometry at that size), then ingestion
+    // grows it 12×. Under the frozen 2-cell quantizer at least half the
+    // corpus shares one cell (maxCellFrac ≥ 0.5 — the healthReport
+    // "rebuild" trigger); a refit re-auto-sizes the geometry to the
+    // CURRENT corpus and the diverse vectors spread again
+    val base = vecs.where(col("vec_id") < 40)
+    val arriving = vecs.where(col("vec_id") >= 40)
+    def ingest(tag: String, autoRebuild: Boolean): String = {
+      val path = freshDir(s"ann_heal_$tag").getAbsolutePath
+      AnnIndex.build(base, "vec_id", "embedding", path,
+        nCentroids = 2, kmeansIters = 0, nBuckets = 2)
+      val feed = freshDir(s"ann_heal_feed_$tag")
+      arriving.repartition(3).write.parquet(feed.getAbsolutePath)
+      val stream = spark.readStream
+        .schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed.getAbsolutePath)
+      val q = IndexIngest.annIngest(stream, path,
+        autoRebuild = autoRebuild, healthEvery = 3)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      path
+    }
+    val healed = ingest("on", autoRebuild = true)
+    val control = ingest("off", autoRebuild = false)
+    // the control proves the drift: frozen geometry concentrates the
+    // ingested mass into a hot cell past the rebuild trigger
+    val controlHealth = AnnIndex.healthReport(spark, control)
+    assert(controlHealth.recommendation === "rebuild",
+      s"fixture did not drift the control index: $controlHealth")
+    // the healed index rebuilt in-line (both generations flipped) and its
+    // refit geometry no longer calls for a rebuild
+    val m = AnnIndex.readMeta(healed)
+    assert(m.genQuant >= 1 && m.genPostings >= 1,
+      s"autoRebuild never fired: $m")
+    val healedHealth = AnnIndex.healthReport(spark, healed)
+    assert(healedHealth.recommendation !== "rebuild",
+      s"autoRebuild did not heal the drift: $healedHealth")
+    assert(healedHealth.maxCellFrac < controlHealth.maxCellFrac,
+      s"refit geometry did not spread the hot cell: " +
+        s"${healedHealth.maxCellFrac} vs ${controlHealth.maxCellFrac}")
+    // and nothing was lost: exhaustive probing equals brute force over
+    // the full ingested corpus
+    val corpus = base.unionAll(arriving)
+    val queries = corpus.where(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val fromIndex = ids(AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", healed, k = 3,
+      nProbe = AnnIndex.readMeta(healed).nCells))
+    val brute = ids(graft.ops.Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", 3))
+    graft.core.Blocks.releaseAll()
+    assert(fromIndex === brute,
+      "healed index lost rows or changed exhaustive answers")
+  }
+
+  test("coarserBands steps to the next divisor; None below 1") {
+    assert(IndexIngest.coarserBands(64, 16) === Some(8))
+    assert(IndexIngest.coarserBands(64, 8) === Some(4))
+    assert(IndexIngest.coarserBands(60, 6) === Some(5))
+    assert(IndexIngest.coarserBands(64, 1) === None)
+  }
 }
