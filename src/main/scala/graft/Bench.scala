@@ -423,8 +423,70 @@ object Bench {
     spark.range(0L, 1L << 26, 1L, 32)
       .select(xxhash64(col("id")).as("h"))
       .agg(call_function("bit_xor", col("h"))).head(): Unit
-    (System.nanoTime() - t0) / 1e9
+    val t = (System.nanoTime() - t0) / 1e9
+    lastCalibSeen = t
+    t
   }
+
+  /** The most recent calibration probe's wall time — the live "how
+    * contended is this box RIGHT NOW" reading every budget decision scales
+    * by (r12 verdict task 2: static estimates under contention overran the
+    * budget and the tail legs were the casualty).
+    */
+  @volatile private var lastCalibSeen: Double = 0.0
+
+  /** Committed quiet-box per-query profile (r12 verdict task 1): expected
+    * per-leg query times plus the calibration reading of the box that
+    * measured them. Machine-written flat JSON (one nesting level of
+    * `"leg":{"q":sec,…}` sections), parsed with the same regex posture as
+    * the index meta readers.
+    */
+  private case class Profile(calib: Double, legs: Map[String, Map[String, Double]])
+
+  private def loadProfile(path: String): Option[Profile] =
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists()) None
+      else {
+        val json = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        def section(name: String): Map[String, Double] = {
+          val m = java.util.regex.Pattern
+            .compile("\"" + name + "\"\\s*:\\s*\\{([^}]*)\\}")
+            .matcher(json)
+          if (!m.find()) Map.empty
+          else {
+            val p = java.util.regex.Pattern
+              .compile("\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)")
+              .matcher(m.group(1))
+            val buf = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+            while (p.find()) buf.update(p.group(1), p.group(2).toDouble)
+            buf.toMap
+          }
+        }
+        val c = java.util.regex.Pattern
+          .compile("\"calib\"\\s*:\\s*(-?[0-9.eE+]+)").matcher(json)
+        Some(Profile(
+          calib = if (c.find()) c.group(1).toDouble else 0.0,
+          legs = Seq("primary", "sf1", "sf10", "sf10f")
+            .map(l => l -> section(l)).toMap))
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"bench: could not load profile $path: $e")
+        None
+    }
+
+  /** Rebaselined quiet-box envelope (r12 verdict task 3): 0.93 s/query on
+    * the primary leg — three concurring artifacts (r11 judge 0.94, r12
+    * builder 0.93, r12 driver's arbitrated reruns) at calibration
+    * 0.41-0.50 s; the unreproduced r10 0.59 s/q is retired. The minimal
+    * artifact line reports measured s/q against this, box-normalized by
+    * the calibration ratio.
+    */
+  private val EnvelopeSpq = 0.93
+  private val EnvelopeCalib = 0.45
 
   private case class QResult(
       name: String, t: Double, raw: Seq[Double], err: Option[String], mem: String)
@@ -522,6 +584,30 @@ object Bench {
     // vs 0.2 s steady-state), which would inflate the baseline and mask
     // real contention.
     val calib0 = math.min(calibProbe(spark), calibProbe(spark))
+
+    // committed quiet-box profile: per-leg expected query times + the
+    // profiling box's calibration. Expectations scale to THIS box by
+    // calib0/profile.calib (a faster/slower box shifts every expectation
+    // together); live contention scales budget estimates by
+    // lastCalibSeen/profile.calib as the run proceeds.
+    val profile = loadProfile(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile.json"))
+    val profileCalib = profile.map(_.calib).filter(_ > 0)
+    def clamp(v: Double, lo: Double, hi: Double) = math.max(lo, math.min(hi, v))
+    // this box's quiet speed vs the profile box's — multiplies EXPECTED
+    // query times (bounded: a 10× reading is contention, not hardware)
+    val expectScale = profileCalib
+      .map(pc => clamp(calib0 / pc, 0.5, 4.0)).getOrElse(1.0)
+    def profiled(legKey: String, name: String): Option[Double] =
+      profile.flatMap(_.legs.getOrElse(legKey, Map.empty).get(name))
+    // the live budget-estimate multiplier: how much slower the box reads
+    // RIGHT NOW than the estimates' reference speed. ≥ 1 — estimates were
+    // measured quiet; a faster box just finishes early
+    def estScale: Double = {
+      val ref = profileCalib.getOrElse(if (calib0 > 0) calib0 else 1.0)
+      if (lastCalibSeen <= 0 || ref <= 0) 1.0
+      else clamp(lastCalibSeen / ref, 1.0, 8.0)
+    }
 
     /** One leg: pre-touch the parquet (cold-IO separated from plan time),
       * reset heap peaks, calibrate, time every query, calibrate again.
@@ -644,11 +730,28 @@ object Bench {
       }
     }
 
-    /** Session-pressure arbiter: the leg's `topK` slowest queries above
-      * `minSec` are re-measured in a FRESH session at leg end; any whose
-      * first rerun disagrees with the in-leg time by > 1.5× repeats in
-      * further fresh sessions (cap [[MaxAttempts]]) until two fresh runs
-      * agree within [[AgreeRatio]]. Every attempt's time and its session's
+    // eligibility cap: the first fresh pass runs every target once in ONE
+    // shared session, so its cost is the targets' true (quiet) total —
+    // bounded, but not free; 24 covers the r12 contention tier (~10
+    // inflated queries) with margin
+    val MaxRerunTargets = 24
+
+    /** Session-pressure arbiter — eligibility is EXPECTATION-BASED (r12
+      * verdict task 1), not rank-based: a query reruns when its in-leg
+      * time exceeds its committed quiet-box profile (scaled to this box)
+      * by > [[RerunFlagRatio]] AND a material absolute delta — the r12
+      * driver run had ≥ 10 contention-inflated queries but the fixed
+      * top-5 rank cap arbitrated only five, baking ~50-60 s of proven
+      * contention into the headline total. The `topK` slowest above
+      * `minSec` stay eligible as a floor (they catch unprofiled/new
+      * queries and genuine code regressions the profile can't price).
+      *
+      * Flagged queries are re-measured in a FRESH session at leg end; any
+      * whose first rerun disagrees with the in-leg time by > 1.5× repeats
+      * in further fresh sessions (cap [[MaxAttempts]]) until two fresh
+      * runs agree within [[AgreeRatio]] — extra sessions only while
+      * `canSpend` says the wall budget (net of the reserve for the scale
+      * legs) affords them. Every attempt's time and its session's
       * calibration probe land in the artifact; the reported per-query time
       * stays the min (the bench measures the code, not accumulated session
       * state) — but the verdict says what the min means.
@@ -657,11 +760,20 @@ object Bench {
         dir: String,
         rs: Iterable[QResult],
         topK: Int,
-        minSec: Double): Map[String, RerunInfo] = {
+        minSec: Double,
+        legKey: String,
+        canSpend: Double => Boolean = _ => true): Map[String, RerunInfo] = {
       val byName = rs.map(r => r.name -> r.t).toMap
-      val targets = rs
+      val byRank = rs
         .filter(r => r.err.isEmpty && r.t >= minSec)
         .toSeq.sortBy(-_.t).take(topK).map(_.name)
+      val byDeviation = rs
+        .filter(r => r.err.isEmpty && profiled(legKey, r.name).exists { p =>
+          val expected = p * expectScale
+          r.t > RerunFlagRatio * expected && r.t - expected > FreshCostFloorSec
+        })
+        .toSeq.sortBy(-_.t).map(_.name)
+      val targets = (byRank ++ byDeviation).distinct.take(MaxRerunTargets)
       if (targets.isEmpty) Map.empty
       else {
         val wide = graft.core.Tuning.wideStart(dir, cpus)
@@ -690,7 +802,10 @@ object Bench {
               attempts.head - reported > FreshCostFloorSec
           }
           while (disagreed && agreedValue(attempts).isEmpty &&
-              attempts.size < MaxAttempts) {
+              attempts.size < MaxAttempts &&
+              // one more fresh attempt costs ~the query's own time plus
+              // session setup; skip it rather than eat the scale legs
+              canSpend(attempts.head + 15.0)) {
             val s = freshRerunSession()
             val c = calibProbe(s)
             attempts :+= runOnce(s, SparkEntry.queries(n), dir)._1
@@ -804,9 +919,22 @@ object Bench {
           .map(s => "\"" + jsonEscape(s) + "\"")
           .mkString(""","skipped_steps":[""", ",", "]")
       val budgetJson =
-        s""","elapsed_s":${round3(elapsedSec)},"budget_s":$budgetSec,"complete":$complete"""
+        s""","elapsed_s":${round3(elapsedSec)},"budget_s":$budgetSec""" +
+          s""","est_scale":${round3(estScale)},"complete":$complete"""
+      // box-normalized envelope comparison (r12 verdict task 3): s/query
+      // raw, s/query per unit of this box's quiet calibration, and the
+      // ratio against the rebaselined 0.93 s/q @ 0.45 s-calib envelope —
+      // so a slower/faster box compares like for like in-artifact
+      val spq = if (results.nonEmpty) total / results.size else 0.0
+      val calibRef = if (calib0 > 0) calib0 else EnvelopeCalib
+      val normJson =
+        s""","norm":{"spq":${round3(spq)},"calib0_s":${round3(calibRef)}""" +
+          s""","spq_per_calib":${round3(spq / calibRef)}""" +
+          s""","envelope_spq":$EnvelopeSpq,"envelope_calib":$EnvelopeCalib""" +
+          s""","vs_envelope":${round3(spq / EnvelopeSpq)}""" +
+          s""","vs_envelope_norm":${round3((spq / calibRef) / (EnvelopeSpq / EnvelopeCalib))}}"""
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras${extraJson.values.mkString}$skipped$budgetJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras${extraJson.values.mkString}$normJson$skipped$budgetJson,"sf":"$sfDir"}"""
       writeFile(outPath, json)
       val compactLegsJson =
         compactLegs.map { case (k, v) => s""","$k":$v""" }.mkString
@@ -822,7 +950,7 @@ object Bench {
           .mkString(""","rerun_flags":{""", ",", "}")
       val nUnmeasured = rerunFlags.values.count(_.contains("unmeasured"))
       val minimal =
-        s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"n_unmeasured":$nUnmeasured$legTotalsJson$flagsJson$skipped$budgetJson,"sf":"$sfDir","full":"$outPath"}"""
+        s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"n_unmeasured":$nUnmeasured$normJson$legTotalsJson$flagsJson$skipped$budgetJson,"sf":"$sfDir","full":"$outPath"}"""
       writeFile(minPath, minimal)
       lastMinimal = minimal
       (compact, minimal)
@@ -839,17 +967,63 @@ object Bench {
     }))
     /** Budget gate: run `step` only when the remaining wall budget fits its
       * cost estimate; a skipped step is recorded in the artifact. Estimates
-      * are deliberately rough (r10/r11 observed wall costs) — an overrun is
-      * harmless because every completed measurement is already flushed.
+      * are rough quiet-box wall costs (r10/r11 observed) SCALED by the live
+      * calibration ratio (r12 verdict task 2: under contention every static
+      * estimate was an underestimate, the run overran 2850 s by 314 s, and
+      * the tail dropped in schedule order — costing both 100× legs).
+      * An overrun is still harmless — every completed measurement is
+      * already flushed — but scaled estimates make the SKIPS land on the
+      * cheap low-priority steps instead.
+      *
+      * `critical` marks the 100× legs: a non-critical step must leave the
+      * budget room for every still-pending critical step (at the current
+      * box speed) — the explicit "sf10/sf10f outrank the optional tail"
+      * ordering the r12 run lacked; a critical step reserves only for
+      * itself.
       */
-    def budgeted(step: String, estSec: Double)(body: => Unit): Unit =
-      if (elapsedSec + estSec <= budgetSec) body
+    val criticalPending = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def criticalReserve: Double = criticalPending.values.sum * estScale
+    def budgeted(step: String, estSec: Double, critical: Boolean = false)(
+        body: => Unit): Unit = {
+      // a fresh probe per decision: estimates scale to the box speed NOW,
+      // not the speed at bench start (contention windows move mid-run)
+      try calibProbe(spark): Unit catch { case _: Throwable => () }
+      val scaledEst = estSec * estScale
+      val reserve = if (critical) 0.0 else criticalReserve
+      criticalPending.remove(step): Unit
+      if (elapsedSec + scaledEst + reserve <= budgetSec) body
       else {
         System.err.println(
-          s"bench: skipping $step (elapsed ${round3(elapsedSec)}s + est ${estSec}s > budget ${budgetSec}s)")
+          s"bench: skipping $step (elapsed ${round3(elapsedSec)}s + est ${round3(scaledEst)}s" +
+            (if (reserve > 0) s" + critical reserve ${round3(reserve)}s" else "") +
+            s" > budget ${budgetSec}s)")
         skippedSteps += step
         flush(): Unit
       }
+    }
+
+    // SPARK_GRAFT_SKIP_LEGS=1: primary-leg-only run for local iteration —
+    // the driver's per-round invocation never sets it
+    val skipLegs = sys.env.getOrElse("SPARK_GRAFT_SKIP_LEGS", "0") == "1"
+    val scaleGen = sys.env.getOrElse("SPARK_GRAFT_SCALEGEN", "1") != "0"
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
+    // 100× spot legs: REPLICATED generator (comparable with r7/r8 numbers)
+    // and FRESH-content generator (documents token-replaced, embeddings
+    // fully re-drawn — near-dup pair volume and ANN recall reflect plans,
+    // not replication artifacts).
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
+    val sf10fDir = sys.env.getOrElse("SPARK_GRAFT_SF10F_DIR", "/root/repo/benchdata/sf10f")
+    def genEst(dir: String, est: Double): Double =
+      if (new java.io.File(dir).isDirectory || !scaleGen) 1.0 else est
+    // the 100× legs' budget reservation exists BEFORE anything optional
+    // spends a second — including the primary-leg rerun arbitration
+    if (!skipLegs) {
+      criticalPending.update("ann_recall_fresh", 240.0)
+      criticalPending.update("sf10_gen", genEst(sf10Dir, 700))
+      criticalPending.update("sf10_leg", 300.0)
+      criticalPending.update("sf10f_gen", genEst(sf10fDir, 800))
+      criticalPending.update("sf10f_leg", 400.0)
+    }
 
     val (results0, coldIo0, heapHw0, calibStart0, calibEnd0) =
       runLeg(sfDir, None, single = false, onQuery = rs => {
@@ -858,7 +1032,9 @@ object Bench {
       })
     coldIo = coldIo0; heapHw = heapHw0; calibStart = calibStart0; calibEnd = calibEnd0
     primaryResults = results0.toSeq
-    primaryRerun = rerunOutliers(sfDir, results0, topK = 5, minSec = 2.0)
+    primaryRerun = rerunOutliers(sfDir, results0, topK = 5, minSec = 2.0,
+      legKey = "primary",
+      canSpend = c => elapsedSec + c + criticalReserve <= budgetSec)
     flagSlowReruns("primary", rerunRatios(
       applyRerun(primaryResults, primaryRerun), primaryRerun), primaryRerun)
     flush(): Unit
@@ -870,7 +1046,6 @@ object Bench {
     // driver workspace and the artifact quietly lost its scale legs)
     // unless SPARK_GRAFT_SCALEGEN=0. Generation time is reported in the
     // artifact, not folded into any query time.
-    val scaleGen = sys.env.getOrElse("SPARK_GRAFT_SCALEGEN", "1") != "0"
     def ensureLeg(dir: String, reps: Int, fresh: Boolean): Option[Double] =
       if (new java.io.File(dir).isDirectory || !scaleGen) None
       else {
@@ -938,24 +1113,15 @@ object Bench {
         }
         val (rs0, cold, hw, cs, ce) = runLeg(
           dir, Some(sub), single, onQuery = rs => record(rs, None))
-        val rerun = rerunOutliers(dir, rs0, rerunTopK, rerunMinSec)
+        val rerun = rerunOutliers(dir, rs0, rerunTopK, rerunMinSec,
+          legKey = prefix,
+          canSpend = c => elapsedSec + c + criticalReserve <= budgetSec)
         val leg = Leg(applyRerun(rs0, rerun), cold, hw, cs, ce, rerun)
         record(leg.results,
           Some((leg, legJson(prefix, dir, generator, Some(leg), genSec))))
         Some(leg)
       }
 
-    // SPARK_GRAFT_SKIP_LEGS=1: primary-leg-only run for local iteration —
-    // the driver's per-round invocation never sets it
-    val skipLegs = sys.env.getOrElse("SPARK_GRAFT_SKIP_LEGS", "0") == "1"
-
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/root/repo/benchdata/sf1")
-    // 100× spot legs: REPLICATED generator (comparable with r7/r8 numbers)
-    // and FRESH-content generator (documents token-replaced, embeddings
-    // fully re-drawn — near-dup pair volume and ANN recall reflect plans,
-    // not replication artifacts).
-    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/root/repo/benchdata/sf10")
-    val sf10fDir = sys.env.getOrElse("SPARK_GRAFT_SF10F_DIR", "/root/repo/benchdata/sf10f")
     // leg-result slots (filled by the budgeted steps at the bottom of main)
     var sf1Gen: Option[Double] = None
     var sf10Gen: Option[Double] = None
@@ -1244,12 +1410,83 @@ object Bench {
     // driver clone degrades by dropping the tail steps instead of dying
     // mid-generation with an empty artifact (the r11 failure); profiles
     // and the remaining recall legs last. Estimates are observed r10/r11
-    // wall costs, deliberately rough — an overrun is harmless because
-    // every completed measurement is already flushed.
-    def genEst(dir: String, est: Double): Double =
-      if (new java.io.File(dir).isDirectory || !scaleGen) 1.0 else est
+    // quiet-box wall costs, scaled live by the calibration ratio — an
+    // overrun is harmless because every completed measurement is already
+    // flushed.
+
+    // Driver-gated fresh recall (r12 verdict stretch 8): the honest
+    // 100×-fresh ivfpq evidence in the PRIMARY budget class — an
+    // embeddings-ONLY fresh leg (cheap to generate), so the number no
+    // longer depends on the budget-fragile sf10f tail. Reuses the sf10f
+    // directory's embeddings when that leg already exists on disk.
+    def ivfpqFreshRecall(): Option[String] =
+      try {
+        val embDir =
+          if (new java.io.File(s"$sf10fDir/embeddings.parquet").exists()) sf10fDir
+          else {
+            val d = sys.env.getOrElse(
+              "SPARK_GRAFT_FRESH_EMB_DIR", "/root/repo/benchdata/fresh_emb")
+            if (!new java.io.File(s"$d/embeddings.parquet").exists()) {
+              if (!scaleGen) return None
+              graft.tools.ScaleData.scaleEmbeddingsOnly(
+                spark, sfDir, d, 100, freshEmbeddings = true)
+            }
+            d
+          }
+        val s = freshSession(embDir)
+        import org.apache.spark.sql.functions._
+        val S = graft.ops.Similarity
+        val v = s.read.parquet(s"$embDir/embeddings.parquet")
+        val n = v.count()
+        if (n < 20) return None
+        val k = 10
+        val (cents, probe) = S.ivfAutoParams(n, k)
+        val qStep = math.max(1L, n / 200L)
+        val queries = v.where(pmod(col("vec_id"), lit(qStep)) === 0)
+        val truth = graft.core.Blocks.checkpoint(
+          S.bruteForceTopK(v, queries, "vec_id", "embedding", k)
+            .select(col("query_id"), col("neighbor_id")))
+        val nTruth = truth.count().toDouble
+        def recall(approx: org.apache.spark.sql.DataFrame): Double =
+          if (nTruth == 0) 0.0
+          else truth.join(
+            approx.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi").count() / nTruth
+        val (pool, poolRecall) = graft.ops.Pq.autoPoolFactor(
+          v, "vec_id", "embedding", k, nCentroids = cents, nProbe = probe,
+          m = 8, ks = 256, recallTarget = 0.85, kmeansIters = 1, pqIters = 1,
+          corpusSize = Some(n))
+        val pqRecall = recall(graft.ops.Pq.ivfpqTopK(
+          v, queries, "vec_id", "embedding", k, nCentroids = cents,
+          nProbe = probe, m = 8, ks = 256, poolFactor = pool,
+          kmeansIters = 1, pqIters = 1, corpusSize = Some(n)))
+        // the uncompressed ceiling at the same geometry: the gap below it
+        // is what pool truncation + code quantization cost, as opposed to
+        // cell pruning
+        val ivfCeiling = recall(S.ivfTopK(
+          v, queries, "vec_id", "embedding", k, nCentroids = cents,
+          nProbe = probe, kmeansIters = 1, corpusSize = Some(n)))
+        def r3(x: Double) = math.round(x * 1000) / 1000.0
+        Some(s"""{"n":$n,"dir":"${jsonEscape(embDir)}","k":$k""" +
+          s""","ivfpq_auto_pool":$pool""" +
+          s""","ivfpq_auto_pool_probe_recall":${r3(poolRecall)}""" +
+          s""","ivfpq_recall":${r3(pqRecall)}""" +
+          s""","ivf_ceiling_recall":${r3(ivfCeiling)}}""")
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: fresh ivfpq recall failed: $e")
+          None
+      } finally {
+        graft.core.Blocks.releaseAll()
+        spark.catalog.clearCache()
+      }
 
     if (!skipLegs) {
+      budgeted("ann_recall_fresh", 240, critical = true) {
+        ivfpqFreshRecall().foreach(j =>
+          extraJson.update("ann_recall_fresh", s""","ann_recall_fresh":$j"""))
+        flush(): Unit
+      }
       budgeted("ann_recall_primary", 180) {
         annRecall(freshSession(sfDir), sfDir).foreach(j =>
           extraJson.update("ann_recall_primary", s""","ann_recall_primary":$j"""))
@@ -1262,17 +1499,17 @@ object Bench {
         sf1Leg = scaledLegStep("sf1", sf1Dir, "replicate-noise", sf1Gen,
           Sf1Subset, single = false, rerunTopK = 5, rerunMinSec = 3.0)
       }
-      budgeted("sf10_gen", genEst(sf10Dir, 700)) {
+      budgeted("sf10_gen", genEst(sf10Dir, 700), critical = true) {
         sf10Gen = ensureLeg(sf10Dir, 100, fresh = false)
       }
-      budgeted("sf10_leg", 300) {
+      budgeted("sf10_leg", 300, critical = true) {
         sf10Leg = scaledLegStep("sf10", sf10Dir, "replicate-noise", sf10Gen,
           Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
       }
-      budgeted("sf10f_gen", genEst(sf10fDir, 800)) {
+      budgeted("sf10f_gen", genEst(sf10fDir, 800), critical = true) {
         sf10fGen = ensureLeg(sf10fDir, 100, fresh = true)
       }
-      budgeted("sf10f_leg", 400) {
+      budgeted("sf10f_leg", 400, critical = true) {
         sf10fLeg = scaledLegStep("sf10f", sf10fDir, "fresh-content", sf10fGen,
           Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
       }

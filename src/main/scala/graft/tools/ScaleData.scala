@@ -115,10 +115,39 @@ object ScaleData {
       }
     }
 
-    replicate("embeddings") { (df, r) =>
-      val shifted = shift(df, r, "vec_id")
-      if (r == 0) shifted
-      else if (freshEmbeddings) {
+    replicateInto(spark, src, dst, reps, "embeddings")(
+      embeddingsReplica(freshEmbeddings))
+  }
+
+  /** Scale ONLY the embeddings table — the cheap generator behind the
+    * bench's fresh-recall mini leg (r12 verdict stretch 8): the honest
+    * 100×-fresh ANN recall number needs 100× unreplicated VECTORS, not the
+    * whole TPC-H-ish directory, so a budget-squeezed driver run can still
+    * afford the evidence.
+    */
+  def scaleEmbeddingsOnly(
+      spark: SparkSession,
+      src: String,
+      dst: String,
+      reps: Int,
+      freshEmbeddings: Boolean): Unit =
+    replicateInto(spark, src, dst, reps, "embeddings")(
+      embeddingsReplica(freshEmbeddings))
+
+  private def replicateInto(
+      spark: SparkSession, src: String, dst: String, reps: Int, name: String)(
+      perReplica: (DataFrame, Int) => DataFrame): Unit = {
+    val base = spark.read.parquet(s"$src/$name.parquet")
+    val out = (0 until reps).map(r => perReplica(base, r)).reduce(_ unionAll _)
+    out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    println(s"scaled $name -> $dst/$name.parquet")
+  }
+
+  private def embeddingsReplica(freshEmbeddings: Boolean)
+      : (DataFrame, Int) => DataFrame = { (df, r) =>
+    val shifted = df.withColumn("vec_id", col("vec_id") + lit(r * Stride))
+    if (r == 0) shifted
+    else if (freshEmbeddings) {
         // FRESH unit vectors per replica (the r3 token-replacement trick,
         // embedding flavor): every component is hash-derived, so a replica
         // row is an independent random direction — replicas are NOT
@@ -153,6 +182,5 @@ object ScaleData {
               (x.cast("double") +
                 (pmod(xxhash64(col("vec_id"), j, lit(r)), lit(1000)).cast("double") - 500.0)
                   / 50000.0).cast("float")))
-    }
   }
 }
