@@ -967,6 +967,56 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // the REBUILD (re-band) half of the dedup-index lifecycle (r12 verdict
+    // task 4's generation scheme, oracle-gated): build → append → rebuild
+    // to 32 bands (rows-per-band 2 — a superset of the 16-band discovery,
+    // so the exact-jaccard verify still reproduces the full pair set) →
+    // dedup a shard against the re-banded generation. The cap is lifted
+    // for the gate (maxBucketSize high) so banding recall is the only
+    // discovery variable and the all-pairs oracle stays exact.
+    "q_rebanded_dedup" -> { (s, dir) =>
+      val docs = s.read.parquet(pq(dir, "documents"))
+      val path = cachedIndexPath(dir, "documents", "dedup_reband_index") { p =>
+        graft.sources.DedupIndex.build(
+          docs.where(col("doc_id") % 3 === 1), "text", "doc_id", p)
+        graft.sources.DedupIndex.append(
+          docs.where(col("doc_id") % 3 === 2), "text", p): Unit
+        graft.sources.DedupIndex.rebuild(s, p, bands = 32): Unit
+      }
+      graft.sources.DedupIndex
+        .incrementalNearDups(
+          docs.where(col("doc_id") % 3 === 0), "text", path,
+          threshold = 0.6, maxBucketSize = 1000000)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // the REBUILD (quantizer refit) half of the ann-index lifecycle: build
+    // on half the corpus, append the other half (drifting the frozen
+    // 8-cell geometry), rebuild to 16 cells — a new generation, atomic
+    // meta flip — then answer with EVERY cell probed: exhaustive probing
+    // ranks over all vectors, so brute-force top-k is the exact oracle
+    // regardless of the refit geometry (the q_indexed_ann shape).
+    "q_rebuilt_ann" -> { (s, dir) =>
+      val vecs = s.read.parquet(pq(dir, "embeddings"))
+      val path = cachedIndexPath(dir, "embeddings", "ann_rebuild_index") { p =>
+        graft.sources.AnnIndex.build(
+          vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding", p,
+          nCentroids = 8, kmeansIters = 0)
+        graft.sources.AnnIndex.append(
+          vecs.where(col("vec_id") % 2 === 1), p): Unit
+        graft.sources.AnnIndex.rebuild(
+          s, p, nCentroids = Some(16), kmeansIters = Some(0)): Unit
+      }
+      val nCells = graft.sources.AnnIndex.readMeta(path).nCells
+      graft.sources.AnnIndex
+        .queryTopK(
+          vecs.where(col("vec_id") < 5), "vec_id", "embedding", path,
+          k = 3, nProbe = nCells)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+
     // the persisted-index tiers of annTopKAuto (r11 verdict task 3): with
     // an indexPath the auto dispatch must answer from the index —
     // bit-identical to AnnIndex.queryTopK at the flat-auto geometry — and
@@ -5747,6 +5797,26 @@ object SparkEntry {
     // the appended-then-compacted other two thirds)
     "q_compacted_dedup" ->
       jaccardSqlWith("a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0"),
+    // re-banded discovery is a SUPERSET of the build banding's and the cap
+    // is lifted in the gate, so the exact-jaccard verify reproduces the
+    // full pair set — same oracle as the compacted flavor
+    "q_rebanded_dedup" ->
+      jaccardSqlWith("a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0"),
+    // exhaustive probing ranks over every vector, so brute-force top-k is
+    // exact whatever geometry the rebuild refit — same oracle as
+    // q_indexed_ann
+    "q_rebuilt_ann" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+              scored AS (SELECT qid AS query_id, v.vec_id AS neighbor_id,
+                           list_cosine_similarity(qe, e) AS c
+                         FROM v, q WHERE v.vec_id <> qid),
+              ranked AS (SELECT query_id, neighbor_id, c,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY c DESC, neighbor_id) AS r
+                         FROM scored)
+         SELECT query_id, neighbor_id, round(c, 6) AS cosine, r AS rank
+         FROM ranked WHERE r <= 3""",
     // deterministic self-comparison gate (the q_streaming_sessions
     // pattern): dispatch identity, PQ carriage, and compressed-tier recall
     // are computed in-engine; the oracle is the constant all-green row

@@ -21,7 +21,11 @@ import graft.streaming.IndexIngest
   *   5. HEALTH-CHECK both indexes — declaratively, as constraints in the
   *      same requirement DSL as every data-quality gate
   *   6. MAINTAIN as advised: compact (merge append layers, shuffle-free)
-  *      or rebuild (refit geometry / re-band from the payload)
+  *      or rebuild (refit geometry / re-band from the payload). Both
+  *      write a NEW GENERATION and flip the meta pointer atomically —
+  *      concurrent readers keep their file-set, and a crash mid-rewrite
+  *      leaves the old index readable; `vacuum(path)` drops retired
+  *      generations once no long-running reader holds them
   *
   * Run: `sbt "runMain graft.examples.IndexLifecycle [sfDir]"`
   */
@@ -103,13 +107,15 @@ object IndexLifecycle {
       .test(spark)
     health.foreach(r => println(r.message))
 
-    // 6. maintenance as advised
+    // 6. maintenance as advised — generation-safe: a reader holding a
+    // pre-maintenance plan keeps its file-set; vacuum when it is gone
     val report = AnnIndex.healthReport(spark, annPath, k = 5, nProbe = 16)
     report.recommendation match {
       case "rebuild" => AnnIndex.rebuild(spark, annPath): Unit
       case "compact" => AnnIndex.compact(spark, annPath): Unit
       case _ => ()
     }
+    AnnIndex.vacuum(annPath)
     println(s"ann index health: $report")
     println(s"dedup index health: ${DedupIndex.healthReport(spark, dedupPath)}")
 

@@ -227,6 +227,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(AnnIndex.open(spark, path).postings.count() === nOld)
   }
 
+  test("AnnIndex: destructive build over an existing generational index resets to gen 0") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val path = freshPath("gen_ann_rebuild0")
+    AnnIndex.build(vecs.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      path, nCentroids = 4, kmeansIters = 0, nBuckets = 2)
+    AnnIndex.compact(spark, path) // now at generation 1
+    assert(AnnIndex.readMeta(path).genPostings == 1)
+    // a second full build on the same path (the overwrite contract):
+    // lands at generation 0, retires every stale generation dir, and
+    // answers for the NEW corpus only
+    AnnIndex.build(vecs, "vec_id", "embedding",
+      path, nCentroids = 4, kmeansIters = 0, nBuckets = 2)
+    val m = AnnIndex.readMeta(path)
+    assert(m.genPostings == 0 && m.genQuant == 0)
+    assert(!new java.io.File(path, "postings_g1").exists(),
+      "stale generation survived a destructive rebuild")
+    assert(AnnIndex.open(spark, path).postings.count() === vecs.count())
+  }
+
   test("AnnIndex: compact(maxRowsPerFile) splits hot buckets; PQ read path unchanged") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val path = freshPath("gen_ann_cap")

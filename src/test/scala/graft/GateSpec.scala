@@ -15,7 +15,10 @@ class GateSpec extends AnyFunSuite {
 
   // r12: +q_compacted_dedup (index lifecycle under the exact oracle),
   // +q_indexed_auto (persisted annTopKAuto tiers self-check)
-  private val ExpectedGateSize = 176
+  // r13: +q_rebanded_dedup (generation-safe re-band rebuild under the
+  // all-pairs oracle), +q_rebuilt_ann (quantizer-refit rebuild under the
+  // exhaustive-probe brute-force oracle)
+  private val ExpectedGateSize = 178
 
   test("queries and oracleSql cover exactly the pinned gate") {
     assert(SparkEntry.queries.size === ExpectedGateSize,

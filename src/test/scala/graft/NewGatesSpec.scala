@@ -39,10 +39,44 @@ class NewGatesSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is deliberately rows-only") {
-    // the two new gates must be present in BOTH maps
-    Seq("q_compacted_dedup", "q_indexed_auto").foreach { q =>
+    // the new lifecycle gates must be present in BOTH maps
+    Seq("q_compacted_dedup", "q_indexed_auto",
+      "q_rebanded_dedup", "q_rebuilt_ann").foreach { q =>
       assert(SparkEntry.queries.contains(q), s"$q missing from queries")
       assert(SparkEntry.oracleSql.contains(q), s"$q missing from oracleSql")
     }
+  }
+
+  // ---- round-13 gates ----
+
+  test("q_rebanded_dedup == batch crossNearDups (re-banding is result-invisible at lifted cap)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gate = rows(SparkEntry.queries("q_rebanded_dedup")(spark, dir))
+    val batch = rows(
+      graft.ops.Dedup.crossNearDups(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", threshold = 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")))
+    graft.core.Blocks.releaseAll()
+    assert(batch.nonEmpty, "fixture should produce at least one cross pair")
+    assert(gate === batch)
+  }
+
+  test("q_rebuilt_ann == brute force at exhaustive probes (refit is result-invisible)") {
+    val dir = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gate = rows(SparkEntry.queries("q_rebuilt_ann")(spark, dir))
+    val brute = rows(
+      graft.ops.Similarity.bruteForceTopK(
+        vecs, vecs.where(col("vec_id") < 5), "vec_id", "embedding", 3))
+    graft.core.Blocks.releaseAll()
+    assert(gate === brute)
   }
 }
