@@ -424,16 +424,44 @@ object Bench {
       .select(xxhash64(col("id")).as("h"))
       .agg(call_function("bit_xor", col("h"))).head(): Unit
     val t = (System.nanoTime() - t0) / 1e9
-    lastCalibSeen = t
+    recentCalibs.synchronized {
+      recentCalibs += t
+      if (recentCalibs.size > 5) recentCalibs.remove(0): Unit
+    }
     t
   }
 
-  /** The most recent calibration probe's wall time — the live "how
-    * contended is this box RIGHT NOW" reading every budget decision scales
-    * by (r12 verdict task 2: static estimates under contention overran the
-    * budget and the tail legs were the casualty).
+  /** The last few calibration probes — budget decisions read their MEDIAN
+    * ([[smoothedCalib]]), not the single latest value: one contended probe
+    * landing right at a decision point otherwise triples a big step's
+    * estimate and skips it spuriously (cost this exact failure on an r13
+    * builder run: a transient 3× probe at the sf1_leg decision dropped the
+    * whole 10× leg on an otherwise-quiet box).
     */
-  @volatile private var lastCalibSeen: Double = 0.0
+  private val recentCalibs = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+  private def smoothedCalib: Double = recentCalibs.synchronized {
+    if (recentCalibs.isEmpty) 0.0
+    else {
+      val last = recentCalibs.takeRight(3).sorted
+      last(last.size / 2)
+    }
+  }
+
+  /** Non-fatal probe: the calibration reading is AUXILIARY — it must never
+    * kill a measurement leg. Observed in-round: a probe NPE'd inside
+    * Spark's AQE metrics reset under heavy session churn (plan captured a
+    * null active session on a planning thread) and, unguarded, took the
+    * whole sf10f leg and the rest of the schedule with it. On failure the
+    * last known median stands in.
+    */
+  private def calibProbeSafe(s: SparkSession): Double =
+    try calibProbe(s)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"bench: calibration probe failed (non-fatal): $e")
+        smoothedCalib
+    }
 
   /** Committed quiet-box per-query profile (r12 verdict task 1): expected
     * per-leg query times plus the calibration reading of the box that
@@ -601,12 +629,14 @@ object Bench {
     def profiled(legKey: String, name: String): Option[Double] =
       profile.flatMap(_.legs.getOrElse(legKey, Map.empty).get(name))
     // the live budget-estimate multiplier: how much slower the box reads
-    // RIGHT NOW than the estimates' reference speed. ≥ 1 — estimates were
-    // measured quiet; a faster box just finishes early
+    // RIGHT NOW (median of the recent probes — see smoothedCalib) than the
+    // estimates' reference speed. ≥ 1 — estimates were measured quiet; a
+    // faster box just finishes early
     def estScale: Double = {
       val ref = profileCalib.getOrElse(if (calib0 > 0) calib0 else 1.0)
-      if (lastCalibSeen <= 0 || ref <= 0) 1.0
-      else clamp(lastCalibSeen / ref, 1.0, 8.0)
+      val c = smoothedCalib
+      if (c <= 0 || ref <= 0) 1.0
+      else clamp(c / ref, 1.0, 8.0)
     }
 
     /** One leg: pre-touch the parquet (cold-IO separated from plan time),
@@ -637,7 +667,7 @@ object Bench {
       resetHeapPeaks()
       val wide = graft.core.Tuning.wideStart(dir, cpus)
       spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", wide)
-      val calibStart = calibProbe(spark)
+      val calibStart = calibProbeSafe(spark)
       val acc = scala.collection.mutable.ArrayBuffer.empty[QResult]
       val series = scala.collection.mutable.ArrayBuffer(calibStart)
       val groupOf = scala.collection.mutable.LinkedHashMap.empty[String, Int]
@@ -657,12 +687,12 @@ object Bench {
             val (t, raw, err) = timeQuery(s, fn, dir)
             QResult(name, t, raw, err, memSnapshot(s))
           })
-          if (acc.size % ProbeEvery == 0) series += calibProbe(s)
+          if (acc.size % ProbeEvery == 0) series += calibProbeSafe(s)
           // per-query incremental flush: a kill mid-leg keeps every
           // measurement taken so far on disk
           onQuery(acc.toSeq)
         }
-      val calibEnd = calibProbe(spark)
+      val calibEnd = calibProbeSafe(spark)
       if (acc.size % ProbeEvery != 0) series += calibEnd
       val ctx = groupOf.map { case (name, g) =>
         name -> math.max(
@@ -819,7 +849,7 @@ object Bench {
         }
         // first pass: one fresh session serves every target (bounded cost)
         val s1 = freshRerunSession()
-        val calib1 = calibProbe(s1)
+        val calib1 = calibProbeSafe(s1)
         val first = targets.map { n =>
           n -> (Seq(runOnce(s1, SparkEntry.queries(n), dir)._1), Seq(calib1))
         }.toMap
@@ -841,7 +871,7 @@ object Bench {
               // session setup; skip it rather than eat the scale legs
               canSpend(attempts.head + 15.0)) {
             val s = freshRerunSession()
-            val c = calibProbe(s)
+            val c = calibProbeSafe(s)
             attempts :+= runOnce(s, SparkEntry.queries(n), dir)._1
             calibs :+= c
             resolved(n) = (attempts, calibs)
@@ -1018,13 +1048,20 @@ object Bench {
       * itself.
       */
     val criticalPending = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def criticalReserve: Double = criticalPending.values.sum * estScale
+    def criticalReserve: Double = criticalPending.values.sum
     def budgeted(step: String, estSec: Double, critical: Boolean = false)(
         body: => Unit): Unit = {
       // a fresh probe per decision: estimates scale to the box speed NOW,
-      // not the speed at bench start (contention windows move mid-run)
-      try calibProbe(spark): Unit catch { case _: Throwable => () }
-      val scaledEst = estSec * estScale
+      // not the speed at bench start (contention windows move mid-run).
+      // CRITICAL steps decide on the UNSCALED estimate: an overrun is
+      // harmless by construction (every measurement flushes incrementally)
+      // while an eager skip loses the round's scale evidence outright —
+      // r13 builder runs lost the sf1 leg twice to a scaled estimate on a
+      // box whose probe noise inflated estScale ~1.5-2× at the decision
+      // point. Scaling still protects the OPTIONAL tail (the steps worth
+      // dropping under real contention).
+      calibProbeSafe(spark): Unit
+      val scaledEst = if (critical) estSec else estSec * estScale
       val reserve = if (critical) 0.0 else criticalReserve
       criticalPending.remove(step): Unit
       if (elapsedSec + scaledEst + reserve <= budgetSec) body
@@ -1059,6 +1096,8 @@ object Bench {
       criticalPending.update("sf10_leg", 300.0)
       criticalPending.update("sf10f_gen", genEst(sf10fDir, 800))
       criticalPending.update("sf10f_leg", 400.0)
+      criticalPending.update("sf1_gen", genEst(sf1Dir, 180))
+      criticalPending.update("sf1_leg", 550.0)
     }
 
     val primaryLeg =
@@ -1445,11 +1484,11 @@ object Bench {
 
     // ---- budgeted step schedule ----
     // Priority order = grading value per remaining second: the primary leg
-    // already ran unguarded (it IS the bench); then the CRITICAL 100×
-    // evidence — the fresh ivfpq recall mini-leg and both 100× legs (the
-    // only driver-unverified claims of r12, lost there to budget overrun);
-    // then the honest-primary ANN recall and the 10× leg; profiles and the
-    // replicated-leg recalls last. Generation and measurement stay guarded
+    // already ran unguarded (it IS the bench); then the CRITICAL scale
+    // evidence — the fresh ivfpq recall mini-leg, both 100× legs (the
+    // only driver-unverified claims of r12, lost there to budget overrun),
+    // and the 10× leg; then the honest-primary ANN recall; profiles and
+    // the replicated-leg recalls last. Generation and measurement stay guarded
     // SEPARATELY, so a workspace where benchdata/ survives pays ~nothing
     // for the gen steps while a fresh driver clone degrades by dropping
     // tail steps instead of dying mid-generation with an empty artifact
@@ -1549,17 +1588,17 @@ object Bench {
         sf10fLeg = scaledLegStep("sf10f", sf10fDir, "fresh-content", sf10fGen,
           Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
       }
+      budgeted("sf1_gen", genEst(sf1Dir, 180), critical = true) {
+        sf1Gen = ensureLeg(sf1Dir, 10, fresh = false)
+      }
+      budgeted("sf1_leg", 550, critical = true) {
+        sf1Leg = scaledLegStep("sf1", sf1Dir, "replicate-noise", sf1Gen,
+          Sf1Subset, single = false, rerunTopK = 5, rerunMinSec = 3.0)
+      }
       budgeted("ann_recall_primary", 180) {
         annRecall(freshSession(sfDir), sfDir).foreach(j =>
           extraJson.update("ann_recall_primary", s""","ann_recall_primary":$j"""))
         flush(): Unit
-      }
-      budgeted("sf1_gen", genEst(sf1Dir, 180)) {
-        sf1Gen = ensureLeg(sf1Dir, 10, fresh = false)
-      }
-      budgeted("sf1_leg", 550) {
-        sf1Leg = scaledLegStep("sf1", sf1Dir, "replicate-noise", sf1Gen,
-          Sf1Subset, single = false, rerunTopK = 5, rerunMinSec = 3.0)
       }
       def profileStep(key: String, est: Double, dir: String)(
           body: => Option[String]): Unit =

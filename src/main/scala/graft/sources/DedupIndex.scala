@@ -37,6 +37,13 @@ import graft.ops.Dedup
   *     only the candidate ids' rows (column-pruned, semi-join-reduced),
   *     never the corpus text.
   *
+  * Each table name above is its GENERATION-0 directory; [[compact]],
+  * [[rebuild]], and [[append]]'s sizes merge write `<table>_g<N+1>` and
+  * flip the per-table pointer in `meta.json` with one atomic rename — a
+  * reader holding an already-open plan keeps its file-set (retired
+  * generations survive one further lifecycle step, or until [[vacuum]]),
+  * and a crash mid-maintenance leaves the old generation fully readable.
+  *
   * Tables register in the session catalog as EXTERNAL (location-pinned)
   * bucketed tables on [[open]] — re-registration is idempotent DDL, so the
   * index outlives the session that built it (the in-memory catalog does
