@@ -177,6 +177,16 @@ object Bench {
     "q_minhash_dedup", "q_dedup_clusters", "q_percentile", "q_span_dedup",
     "q_embedding_neardup", "q_ngram_jaccard")
 
+  /** Degraded 100×-leg form (r13 verdict task 3): the 3 cheapest members
+    * of [[Sf10Subset]] by the profile's credible fresh-content colds
+    * (~4.7 / 9.6 / 17.9 s vs 23-35 s for the dropped three) — still one
+    * prefix-sum, one banded-ANN, and one token-explode plan, at ~1/3 the
+    * leg cost. Chosen when the scaled full-leg estimate busts the budget
+    * on a slow box; some 100× evidence beats none.
+    */
+  private val Sf10Cheap = Seq(
+    "q_percentile", "q_embedding_neardup", "q_span_dedup")
+
   /** Per-query memory snapshot appended to the full artifact: lets drift be
     * ATTRIBUTED from the artifact alone. The r6 driver bench degraded
     * monotonically within-session while a clean machine was flat — with
@@ -415,7 +425,7 @@ object Bench {
     * judge had to arbitrate by hand-timing on quiet hardware); with the
     * probe the attribution is in-artifact.
     */
-  private def calibProbe(spark: SparkSession): Double = {
+  private[graft] def calibProbe(spark: SparkSession): Double = {
     import org.apache.spark.sql.functions.{call_function, col, xxhash64}
     val t0 = System.nanoTime()
     // bit_xor, not sum: a sum of 64M full-range longs overflows under the
@@ -631,13 +641,27 @@ object Bench {
     // the live budget-estimate multiplier: how much slower the box reads
     // RIGHT NOW (median of the recent probes — see smoothedCalib) than the
     // estimates' reference speed. ≥ 1 — estimates were measured quiet; a
-    // faster box just finishes early
+    // faster box just finishes early.
+    //
+    // The reference is the calibration the STATIC step estimates were
+    // actually observed at (r10/r11 quiet boxes, ~0.45 s — the envelope
+    // box), NOT profile.calib: the committed profile box reads 0.281 s,
+    // and dividing r10-era wall costs by the faster profile box's probe
+    // inflated every estimate ~1.6× on a normally-quiet box, skipping
+    // tail steps too eagerly (r13 advice).
+    val EstimateCalibRef = EnvelopeCalib
     def estScale: Double = {
-      val ref = profileCalib.getOrElse(if (calib0 > 0) calib0 else 1.0)
       val c = smoothedCalib
-      if (c <= 0 || ref <= 0) 1.0
-      else clamp(c / ref, 1.0, 8.0)
+      if (c <= 0) 1.0 else clamp(c / EstimateCalibRef, 1.0, 8.0)
     }
+
+    // robust quiet-calibration reference for contention comparisons: the
+    // min-of-two calib0 can be fluke-fast (probes on one r13 box spanned
+    // 0.07–1.05 s), and a tiny calib0 makes CalibContendedRatio×calib0
+    // mark every window contended, flooding the rerun targets up to the
+    // MaxRerunTargets cap. The committed profile's calibration floors it.
+    val quietCalibRef: Double =
+      math.max(math.max(calib0, profileCalib.getOrElse(0.0)), 1e-9)
 
     /** One leg: pre-touch the parquet (cold-IO separated from plan time),
       * reset heap peaks, calibrate, time every query — with an INTERLEAVED
@@ -770,8 +794,12 @@ object Bench {
         case Some((i, j)) =>
           // only the sessions that PRODUCED the agreeing slow measurements
           // can excuse them: a contended stray attempt elsewhere must not
-          // reclassify a slow value two quiet sessions reproduced
-          if (Seq(i, j).exists(x => calibs(x) > CalibContendedRatio * calib0))
+          // reclassify a slow value two quiet sessions reproduced. The
+          // robust quiet reference (not raw calib0): a fluke-fast bench-
+          // start probe would otherwise make every session read
+          // "contended" and suppress the flags the posthoc probes consume
+          if (Seq(i, j).exists(x =>
+              calibs(x) > CalibContendedRatio * quietCalibRef))
             "contended"
           else "fresh_cost"
         case None =>
@@ -782,6 +810,37 @@ object Bench {
           else "unmeasured"
       }
     }
+
+    // Leg-level contention invalidation (r13 verdict task 1): when any of a
+    // leg's interleaved calibration probes reads > LegContendedRatio × the
+    // quiet reference, a same-window rerun that "agrees" proves only that
+    // the contention persisted — the r13 sf10 leg settled q_span_dedup at
+    // 285 s with verdict ratio 1.0 while the leg's own calibration read
+    // 2.34 s (~7× quiet): the rerun reproduced the inflated number inside
+    // the same window and the machinery could not see it. A slow query in
+    // such a leg keeps its verdict only when at least one rerun attempt ran
+    // in a QUIET session and corroborated the reported min; everything else
+    // becomes "leg_contended" — counted as unmeasured in the minimal line
+    // and handed to the post-schedule fresh-JVM probe arbitration.
+    val LegContendedRatio = 2.0
+    def legContentionRatio(series: Seq[Double]): Double =
+      if (series.isEmpty) 1.0 else series.max / quietCalibRef
+    def invalidateContendedLeg(
+        series: Seq[Double],
+        inLeg: Map[String, Double],
+        rerun: Map[String, RerunInfo],
+        minSec: Double): Map[String, RerunInfo] =
+      if (legContentionRatio(series) <= LegContendedRatio) rerun
+      else rerun.map { case (n, i) =>
+        val reported = math.min(
+          inLeg.getOrElse(n, i.attempts.min), i.attempts.min)
+        val quietBacked = i.attempts.indices.exists(x =>
+          i.calibs(x) <= CalibContendedRatio * quietCalibRef &&
+            i.attempts(x) <= AgreeRatio * reported + 1e-9)
+        val material = reported >= math.max(minSec, FreshCostFloorSec)
+        n -> (if (quietBacked || !material || i.verdict == "unmeasured") i
+              else i.copy(verdict = "leg_contended"))
+      }
 
     // eligibility cap: the first fresh pass runs every target once in ONE
     // shared session, so its cost is the targets' true (quiet) total —
@@ -833,8 +892,7 @@ object Bench {
       val byWindow = rs
         .filter(r => r.err.isEmpty &&
           r.t >= math.max(minSec, FreshCostFloorSec) &&
-          calibCtx.getOrElse(r.name, 0.0) >
-            CalibContendedRatio * math.max(calib0, 1e-9))
+          calibCtx.getOrElse(r.name, 0.0) > CalibContendedRatio * quietCalibRef)
         .toSeq.sortBy(-_.t).map(_.name)
       val targets =
         (byRank ++ byDeviation ++ byWindow).distinct.take(MaxRerunTargets)
@@ -917,7 +975,9 @@ object Bench {
     // the MINIMAL line carries only UNRESOLVED flags: ratio > 1.5 whose
     // verdict is not "settled"/"contended" — a settled or machine-
     // attributed number needs no reader attention, a fresh_cost or
-    // unmeasured one does
+    // unmeasured one does. "leg_contended" flags regardless of ratio: its
+    // defining failure mode is a rerun that AGREES (ratio ~1.0) inside the
+    // same contention window.
     val rerunFlags = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def flagSlowReruns(
         leg: String,
@@ -925,7 +985,8 @@ object Bench {
         rerun: Map[String, RerunInfo]): Unit =
       ratios.foreach { case (n, r) =>
         val verdict = rerun.get(n).map(_.verdict).getOrElse("settled")
-        if (r > RerunFlagRatio && verdict != "settled" && verdict != "contended")
+        if ((r > RerunFlagRatio && verdict != "settled" && verdict != "contended")
+            || verdict == "leg_contended")
           rerunFlags.update(s"$leg:$n", s"""{"ratio":$r,"verdict":"$verdict"}""")
       }
 
@@ -939,6 +1000,7 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val minPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN", "bench_min.json")
     val skippedSteps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val degradedSteps = scala.collection.mutable.ArrayBuffer.empty[String]
     // full-artifact json snippets (each ","-prefixed), insertion-ordered
     val extraJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // per-leg slots the MINIMAL/compact lines need
@@ -978,12 +1040,18 @@ object Bench {
           s""","calib0_s":$calib0""" +
           s""","calib_s":{"start":$calibStart,"end":$calibEnd}""" +
           s""","calib_series":${primaryCalibSeries.map(round3).mkString("[", ",", "]")}""" +
+          s""","calib_quiet_ref":${round3(quietCalibRef)}""" +
+          s""","contention_ratio":${round3(legContentionRatio(primaryCalibSeries))}""" +
           rerunJson("outlier_", primaryRerun) + ratioJson("outlier_", primaryRatios)
       val skipped =
-        if (skippedSteps.isEmpty) ""
-        else skippedSteps
-          .map(s => "\"" + jsonEscape(s) + "\"")
-          .mkString(""","skipped_steps":[""", ",", "]")
+        (if (skippedSteps.isEmpty) ""
+         else skippedSteps
+           .map(s => "\"" + jsonEscape(s) + "\"")
+           .mkString(""","skipped_steps":[""", ",", "]")) +
+          (if (degradedSteps.isEmpty) ""
+           else degradedSteps
+             .map(s => "\"" + jsonEscape(s) + "\"")
+             .mkString(""","degraded_steps":[""", ",", "]"))
       val budgetJson =
         s""","elapsed_s":${round3(elapsedSec)},"budget_s":$budgetSec""" +
           s""","est_scale":${round3(estScale)},"complete":$complete"""
@@ -1014,7 +1082,9 @@ object Bench {
         else rerunFlags
           .map { case (k, v) => s"\"" + k + "\":" + v }
           .mkString(""","rerun_flags":{""", ",", "}")
-      val nUnmeasured = rerunFlags.values.count(_.contains("unmeasured"))
+      val nUnmeasured = rerunFlags.values.count(v =>
+        v.contains("\"verdict\":\"unmeasured\"") ||
+          v.contains("\"verdict\":\"leg_contended\""))
       val minimal =
         s"""{"metric":"total","value":${round3(total)},"unit":"sec","n_queries":${results.size},"n_errors":$nErrors,"n_unmeasured":$nUnmeasured$normJson$legTotalsJson$flagsJson$skipped$budgetJson,"sf":"$sfDir","full":"$outPath"}"""
       writeFile(minPath, minimal)
@@ -1049,29 +1119,51 @@ object Bench {
       */
     val criticalPending = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def criticalReserve: Double = criticalPending.values.sum
-    def budgeted(step: String, estSec: Double, critical: Boolean = false)(
-        body: => Unit): Unit = {
+    /** Budget gate with a DEGRADED fallback (r13 verdict task 3): the r13
+      * run's critical steps decided on unscaled estimates and overran a
+      * 5×-slow box 711 s past budget into the driver's rc-124 kill. A
+      * critical step now picks among three forms by the SCALED estimate:
+      * full when it fits; its degraded form (sf10 leg → 3 cheapest
+      * queries, sf1 leg → single runs) when only that fits — recorded in
+      * "degraded_steps"; skip when even the degraded unscaled estimate
+      * busts the budget. A critical step WITHOUT a degraded form keeps the
+      * legacy unscaled decision (an eager skip loses the round's scale
+      * evidence outright; these are the cheap gen steps).
+      */
+    def budgeted(
+        step: String,
+        estSec: Double,
+        critical: Boolean = false,
+        degraded: Option[(Double, () => Unit)] = None)(body: => Unit): Unit = {
       // a fresh probe per decision: estimates scale to the box speed NOW,
-      // not the speed at bench start (contention windows move mid-run).
-      // CRITICAL steps decide on the UNSCALED estimate: an overrun is
-      // harmless by construction (every measurement flushes incrementally)
-      // while an eager skip loses the round's scale evidence outright —
-      // r13 builder runs lost the sf1 leg twice to a scaled estimate on a
-      // box whose probe noise inflated estScale ~1.5-2× at the decision
-      // point. Scaling still protects the OPTIONAL tail (the steps worth
-      // dropping under real contention).
+      // not the speed at bench start (contention windows move mid-run)
       calibProbeSafe(spark): Unit
-      val scaledEst = if (critical) estSec else estSec * estScale
+      val scale = estScale
       val reserve = if (critical) 0.0 else criticalReserve
       criticalPending.remove(step): Unit
-      if (elapsedSec + scaledEst + reserve <= budgetSec) body
-      else {
+      def fits(e: Double) = elapsedSec + e + reserve <= budgetSec
+      def skip(est: Double): Unit = {
         System.err.println(
-          s"bench: skipping $step (elapsed ${round3(elapsedSec)}s + est ${round3(scaledEst)}s" +
+          s"bench: skipping $step (elapsed ${round3(elapsedSec)}s + est ${round3(est)}s" +
             (if (reserve > 0) s" + critical reserve ${round3(reserve)}s" else "") +
             s" > budget ${budgetSec}s)")
         skippedSteps += step
         flush(): Unit
+      }
+      if (fits(estSec * scale)) body
+      else degraded match {
+        // the degraded form runs even on its UNSCALED estimate: it is the
+        // last defense against losing a whole scale leg, and its overrun
+        // exposure is bounded by construction (small query set / reps)
+        case Some((dEst, dBody)) if fits(dEst) =>
+          System.err.println(
+            s"bench: degrading $step (scaled est ${round3(estSec * scale)}s " +
+              s"over budget; degraded est ${round3(dEst)}s)")
+          degradedSteps += step
+          dBody()
+          flush(): Unit
+        case None if critical && fits(estSec) => body
+        case _ => skip(estSec * scale)
       }
     }
 
@@ -1109,10 +1201,14 @@ object Bench {
     calibStart = primaryLeg.calibStart; calibEnd = primaryLeg.calibEnd
     primaryCalibSeries = primaryLeg.calibSeries
     primaryResults = primaryLeg.results
-    primaryRerun = rerunOutliers(sfDir, primaryLeg.results, topK = 5, minSec = 2.0,
-      legKey = "primary",
-      calibCtx = primaryLeg.calibCtx,
-      canSpend = c => elapsedSec + c + criticalReserve <= budgetSec)
+    primaryRerun = invalidateContendedLeg(
+      primaryLeg.calibSeries,
+      primaryLeg.results.map(r => r.name -> r.t).toMap,
+      rerunOutliers(sfDir, primaryLeg.results, topK = 5, minSec = 2.0,
+        legKey = "primary",
+        calibCtx = primaryLeg.calibCtx,
+        canSpend = c => elapsedSec + c + criticalReserve <= budgetSec),
+      minSec = 2.0)
     flagSlowReruns("primary", rerunRatios(
       applyRerun(primaryResults, primaryRerun), primaryRerun), primaryRerun)
     flush(): Unit
@@ -1159,6 +1255,7 @@ object Bench {
           s""","${prefix}_cold_io_s":${leg.coldIoS},"${prefix}_heap_high_water_mb":${leg.heapHwMb}""" +
           s""","${prefix}_calib_s":{"start":${leg.calibStartS},"end":${leg.calibEndS}}""" +
           s""","${prefix}_calib_series":${leg.calibSeries.map(round3).mkString("[", ",", "]")}""" +
+          s""","${prefix}_contention_ratio":${round3(legContentionRatio(leg.calibSeries))}""" +
           rerunJson(s"${prefix}_", leg.rerun) + ratioJson(s"${prefix}_", ratios) + gen
       }.getOrElse("")
 
@@ -1193,10 +1290,14 @@ object Bench {
         }
         val run = runLeg(
           dir, Some(sub), single, onQuery = rs => record(rs, None))
-        val rerun = rerunOutliers(dir, run.results, rerunTopK, rerunMinSec,
-          legKey = prefix,
-          calibCtx = run.calibCtx,
-          canSpend = c => elapsedSec + c + criticalReserve <= budgetSec)
+        val rerun = invalidateContendedLeg(
+          run.calibSeries,
+          run.results.map(r => r.name -> r.t).toMap,
+          rerunOutliers(dir, run.results, rerunTopK, rerunMinSec,
+            legKey = prefix,
+            calibCtx = run.calibCtx,
+            canSpend = c => elapsedSec + c + criticalReserve <= budgetSec),
+          minSec = rerunMinSec)
         val leg = Leg(applyRerun(run.results, rerun), run.coldIo, run.heapHwMb,
           run.calibStart, run.calibEnd, run.calibSeries, rerun)
         record(leg.results,
@@ -1577,23 +1678,179 @@ object Bench {
       budgeted("sf10_gen", genEst(sf10Dir, 700), critical = true) {
         sf10Gen = ensureLeg(sf10Dir, 100, fresh = false)
       }
-      budgeted("sf10_leg", 300, critical = true) {
+      budgeted("sf10_leg", 300, critical = true,
+        degraded = Some((110.0, () => {
+          sf10Leg = scaledLegStep("sf10", sf10Dir, "replicate-noise", sf10Gen,
+            Sf10Cheap, single = true, rerunTopK = 3, rerunMinSec = 5.0)
+        }))) {
         sf10Leg = scaledLegStep("sf10", sf10Dir, "replicate-noise", sf10Gen,
           Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
       }
       budgeted("sf10f_gen", genEst(sf10fDir, 800), critical = true) {
         sf10fGen = ensureLeg(sf10fDir, 100, fresh = true)
       }
-      budgeted("sf10f_leg", 400, critical = true) {
+      budgeted("sf10f_leg", 400, critical = true,
+        degraded = Some((130.0, () => {
+          sf10fLeg = scaledLegStep("sf10f", sf10fDir, "fresh-content", sf10fGen,
+            Sf10Cheap, single = true, rerunTopK = 3, rerunMinSec = 5.0)
+        }))) {
         sf10fLeg = scaledLegStep("sf10f", sf10fDir, "fresh-content", sf10fGen,
           Sf10Subset, single = true, rerunTopK = 6, rerunMinSec = 5.0)
       }
       budgeted("sf1_gen", genEst(sf1Dir, 180), critical = true) {
         sf1Gen = ensureLeg(sf1Dir, 10, fresh = false)
       }
-      budgeted("sf1_leg", 550, critical = true) {
+      budgeted("sf1_leg", 550, critical = true,
+        // degraded 10× form: single runs instead of warm-up + median-of-3
+        // over the same scale-critical subset — noisier per-query numbers,
+        // but the full superlinearity coverage at ~1/4 the wall cost
+        degraded = Some((200.0, () => {
+          sf1Leg = scaledLegStep("sf1", sf1Dir, "replicate-noise", sf1Gen,
+            Sf1Subset, single = true, rerunTopK = 5, rerunMinSec = 3.0)
+        }))) {
         sf1Leg = scaledLegStep("sf1", sf1Dir, "replicate-noise", sf1Gen,
           Sf1Subset, single = false, rerunTopK = 5, rerunMinSec = 3.0)
+      }
+      // ---- post-schedule fresh-JVM arbitration (r13 verdict task 1,
+      // second half): every flag the in-schedule machinery could not
+      // settle — verdict "unmeasured" (no two fresh runs agreed) or
+      // "leg_contended" (the leg's own calibration window was blown) —
+      // gets a REAL fresh JVM: a spawned QueryProbe child process, gated
+      // on a quiet calibration probe so it cannot run inside the same
+      // contention window that produced the dispute (the r13 failure: the
+      // in-JVM "fresh-session" rerun reproduced 285 s for a ~30 s query
+      // because it ran seconds after the flagged measurement). Probe
+      // results land in "posthoc_probes"; a flag whose probe session read
+      // quiet resolves to verdict "probed" and stops counting as
+      // unmeasured. ----
+      def spawnQueryProbe(
+          queries: Seq[String], dir: String, runs: Int, timeoutSec: Long)
+          : Option[(Double, Double, Map[String, Seq[Double]])] =
+        try {
+          import scala.jdk.CollectionConverters._
+          val javaBin = new java.io.File(new java.io.File(
+            System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+          val jvmArgs = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments.asScala.toSeq
+            .filterNot(a => a.contains("jdwp") || a.startsWith("-agentlib"))
+          val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+            "-cp", System.getProperty("java.class.path"),
+            "graft.tools.QueryProbe", queries.mkString(","), dir, runs.toString)
+          val pb = new ProcessBuilder(cmd.asJava)
+          pb.redirectErrorStream(true)
+          val p = pb.start()
+          val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+          val drain = new Thread(() => {
+            val r = new java.io.BufferedReader(
+              new java.io.InputStreamReader(p.getInputStream))
+            try {
+              var l = r.readLine()
+              while (l != null) {
+                lines.synchronized { lines += l }
+                l = r.readLine()
+              }
+            } catch { case _: Throwable => }
+          })
+          drain.setDaemon(true)
+          drain.start()
+          if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+            p.destroyForcibly(): Unit
+            System.err.println(
+              s"bench: posthoc probe for $dir timed out after ${timeoutSec}s")
+            return None
+          }
+          drain.join(2000)
+          val json = lines.synchronized {
+            lines.reverse.find(_.contains("[probe-json]"))
+          }.getOrElse(return None)
+          def num(key: String): Double = {
+            val m = java.util.regex.Pattern
+              .compile("\"" + key + "\"\\s*:\\s*(-?[0-9.eE+]+)").matcher(json)
+            if (m.find()) m.group(1).toDouble else -1.0
+          }
+          val qm = java.util.regex.Pattern
+            .compile("\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*\\[([^\\]]*)\\]")
+            .matcher(json)
+          val res = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+          while (qm.find()) res.update(qm.group(1),
+            qm.group(2).split(',').toSeq.filter(_.nonEmpty).map(_.trim.toDouble))
+          Some((num("calib"), num("calib_end"), res.toMap))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"bench: posthoc probe spawn failed: $e")
+            None
+        }
+      budgeted("posthoc_probes", 240) {
+        val legDirs = Map(
+          "primary" -> sfDir, "sf1" -> sf1Dir,
+          "sf10" -> sf10Dir, "sf10f" -> sf10fDir)
+        val targets = rerunFlags.toSeq.collect {
+          case (key, v)
+              if (v.contains("\"verdict\":\"unmeasured\"") ||
+                v.contains("\"verdict\":\"leg_contended\"")) &&
+                key.contains(":") =>
+            val Array(leg, q) = key.split(":", 2)
+            (leg, q)
+        }.filter { case (leg, _) =>
+          legDirs.get(leg).exists(d => new java.io.File(d).isDirectory)
+        }
+        if (targets.nonEmpty) {
+          // one quiet gate for the whole step: contention is box-global.
+          // Bounded wait — if the box never goes quiet the probes would be
+          // just as unarbitrable as the numbers they dispute; record the
+          // gate readings and leave the flags standing.
+          var gate = calibProbeSafe(spark)
+          var waits = 0
+          while (gate > CalibContendedRatio * quietCalibRef && waits < 8 &&
+              elapsedSec + 60 < budgetSec) {
+            Thread.sleep(20000)
+            gate = calibProbeSafe(spark)
+            waits += 1
+          }
+          val probeJson = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          probeJson.update("gate",
+            s"""{"calib":${round3(gate)},"waits":$waits,"quiet_ref":${round3(quietCalibRef)}}""")
+          if (gate <= CalibContendedRatio * quietCalibRef) {
+            targets.groupBy(_._1).foreach { case (leg, group) =>
+              val dir = legDirs(leg)
+              val qs = group.map(_._2).distinct
+              // child budget: startup + calibration ~60 s, then each
+              // query's profiled expectation (or 60 s floor) × runs × 3
+              val timeout = math.min(600L, 60L + qs.map(q =>
+                math.max(60.0, profiled(leg, q).getOrElse(30.0) * expectScale * 3)
+              ).sum.toLong * 2)
+              if (elapsedSec + timeout <= budgetSec)
+                spawnQueryProbe(qs, dir, runs = 2, timeoutSec = timeout)
+                  .foreach { case (calib, calibEnd, res) =>
+                    val quiet = math.max(calib, calibEnd) <=
+                      CalibContendedRatio * quietCalibRef && calib > 0
+                    res.foreach { case (q, ts) =>
+                      if (ts.nonEmpty) {
+                        probeJson.update(s"$leg:$q",
+                          s"""{"runs":${ts.map(round3).mkString("[", ",", "]")},""" +
+                            s""""calib":${round3(calib)},"calib_end":${round3(calibEnd)},"quiet":$quiet}""")
+                        rerunFlags.get(s"$leg:$q").foreach { old =>
+                          val rm = java.util.regex.Pattern
+                            .compile("\"ratio\"\\s*:\\s*(-?[0-9.eE+]+)").matcher(old)
+                          val ratio = if (rm.find()) rm.group(1) else "0"
+                          val wm = java.util.regex.Pattern
+                            .compile("\"verdict\"\\s*:\\s*\"([a-z_]+)\"").matcher(old)
+                          val was = if (wm.find()) wm.group(1) else "?"
+                          if (quiet) rerunFlags.update(s"$leg:$q",
+                            s"""{"ratio":$ratio,"verdict":"probed","was":"$was","probe_s":${round3(ts.min)}}""")
+                        }
+                      }
+                    }
+                    flush(): Unit
+                  }
+              else skippedSteps += s"posthoc_probe_$leg"
+            }
+          }
+          extraJson.update("posthoc_probes", probeJson
+            .map { case (k, v) => s"\"" + k + "\":" + v }
+            .mkString(""","posthoc_probes":{""", ",", "}"))
+          flush(): Unit
+        }
       }
       budgeted("ann_recall_primary", 180) {
         annRecall(freshSession(sfDir), sfDir).foreach(j =>

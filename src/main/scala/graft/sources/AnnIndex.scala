@@ -637,6 +637,30 @@ object AnnIndex {
     DedupIndex.gcGenerations(path, "pq_codebooks", keep = Set(m.genQuant))
   }
 
+  /** Retired-generation byte accounting ([[DedupIndex.retiredStats]]
+    * semantics): the deferred-GC file-sets kept for concurrent readers —
+    * what [[vacuum]] would reclaim.
+    */
+  def retiredStats(path: String): Seq[DedupIndex.TableStats] = {
+    val m = readMeta(path)
+    val kids = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    Seq("postings" -> m.genPostings, "centroids" -> m.genQuant,
+      "pq_codebooks" -> m.genQuant).map { case (w, cur) =>
+      val re = ("^" + java.util.regex.Pattern.quote(w) + "_g(\\d+)$").r
+      val retired = kids.filter(f => f.isDirectory && (f.getName match {
+        case re(g) => g.toInt != cur
+        case n => n == w && cur != 0 // pre-generation layout dir, retired
+      }))
+      retired.map(DedupIndex.dirStats(_, w, m.nBuckets))
+        .foldLeft(DedupIndex.TableStats(w, 0L, 0L, 0.0)) { (a, b) =>
+          DedupIndex.TableStats(w, a.nFiles + b.nFiles, a.bytes + b.bytes,
+            (a.nFiles + b.nFiles).toDouble / math.max(1, m.nBuckets),
+            math.max(a.maxFileBytes, b.maxFileBytes))
+        }
+    }
+  }
+
   /** Recall-targeted poolFactor for THIS index's compressed read path —
     * the persisted twin of [[graft.ops.Pq.autoPoolFactor]]: probe queries
     * stride-sampled from the indexed corpus itself, exact brute-force
@@ -897,8 +921,18 @@ object AnnIndex {
     *
     * Shard ids must be DISJOINT from the index's (neighbor ids key the
     * dedup of result rows — a duplicate id would rank twice); overlap
-    * raises before anything is written. Crash-safe like [[build]]:
-    * meta.json down first, up last.
+    * raises before anything is written.
+    *
+    * `meta.json` stays IN PLACE through the append (r13 advice): the
+    * append changes no meta field — geometry is frozen at build and the
+    * postings write is purely additive — so the old delete-first/rewrite-
+    * last commit marker bought nothing and opened a window where every
+    * concurrent readMeta/open failed on each streaming micro-batch.
+    * Readers stay live throughout; a crashed append leaves orphan postings
+    * rows for a partially-visible shard (ranked normally if probed — never
+    * a wrong neighbor for the committed corpus), and the id-clash check
+    * turns a blind retry into a loud error; rebuild() restores canonical
+    * state.
     */
   def append(shard: DataFrame, path: String): Meta = {
     val spark = shard.sparkSession
@@ -922,15 +956,11 @@ object AnnIndex {
       require(clash.isEmpty,
         s"AnnIndex.append: shard id '${clash.headOption.map(_.get(0)).getOrElse("")}' " +
           s"already exists in the index at $path — ids must be disjoint")
-      // commit marker down: from here a crash leaves the index unreadable
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(metaPath(path))): Unit
       assigned.write
         .mode("append")
         .bucketBy(m.nBuckets, "cluster")
         .sortBy("cluster")
         .saveAsTable(tableName(path))
-      writeMeta(path, m) // commit marker up
       m
     }
   }

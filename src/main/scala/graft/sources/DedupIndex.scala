@@ -332,9 +332,11 @@ object DedupIndex {
     * shard's cell counts, one co-bucketed aggregate) swapped in place.
     * The corpus is never re-read beyond the old sizes table.
     *
-    * Crash-safe like [[build]]: `meta.json` (the commit marker) is
-    * deleted first and rewritten last — a crashed append leaves the index
-    * unreadable-until-rebuilt, never silently half-appended.
+    * Unlike [[build]], `meta.json` is never taken down: readers (including
+    * every concurrent streaming micro-batch) stay live through the append,
+    * and the sizes generation pointer flips atomically at commit. A
+    * crashed append leaves orphan shard rows, not a torn index — see the
+    * design note at the write sequence below.
     *
     * Shard ids must be DISJOINT from the index's (payload ids are unique
     * by contract — verification joins key on them); overlap raises before
@@ -356,9 +358,21 @@ object DedupIndex {
         s"DedupIndex.append: shard id '${clash.headOption.map(_.get(0)).getOrElse("")}' " +
           s"already exists in the index at $path — ids must be disjoint " +
           "(dedup the shard against the index first, append the survivors)")
-      // commit marker down: from here a crash leaves the index unreadable
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(metaPath(path))): Unit
+      // meta stays IN PLACE through the whole append (r13 advice): earlier
+      // rounds deleted it here as a commit marker, which opened a window
+      // where every concurrent readMeta/open failed outright on each
+      // streaming micro-batch — defeating the generation scheme's
+      // concurrent-reader story for exactly the ingestion workload that
+      // appends most. Appends are ADDITIVE to the current generation:
+      // payload lands before buckets (a bucket row always finds its
+      // verification payload), the sizes pointer flips atomically last,
+      // and readers stay consistent throughout — they see the old corpus
+      // plus at most a partially-visible uncommitted shard. A crashed
+      // append therefore leaves ORPHAN SHARD ROWS (partially discoverable,
+      // undercounted in sizes — the hot-cell cap errs toward examining
+      // more candidates, never toward wrong pairs) instead of an unreadable
+      // index; the id-clash check above turns a blind retry into a loud
+      // error, and compact()/rebuild() restore canonical state.
       payloadNew.write
         .mode("append")
         .bucketBy(m.nBuckets, m.idCol)
@@ -385,7 +399,7 @@ object DedupIndex {
       writeGenBucketed(
         spark, path, "sizes", merged, Seq("band", "bucket"), m.nBuckets,
         newMeta.genSizes, maxRowsPerFile = None)
-      writeMeta(path, newMeta) // commit marker up, sizes pointer flipped
+      writeMeta(path, newMeta) // atomic commit: sizes pointer flips here
       gcGenerations(path, "sizes", keep = Set(newMeta.genSizes, m.genSizes))
       newMeta
     }
@@ -501,6 +515,33 @@ object DedupIndex {
     val m = readMeta(path)
     Seq("buckets", "sizes", "payload")
       .foreach(w => gcGenerations(path, w, keep = Set(m.gen(w))))
+  }
+
+  /** Byte accounting for RETIRED generations — the deferred-GC file-sets
+    * [[compact]]/[[rebuild]] keep around for concurrent readers, i.e.
+    * exactly what [[vacuum]] would reclaim. [[fileStats]]' storage twin:
+    * fileStats prices the CURRENT generation's scans, retiredStats prices
+    * the generation scheme's storage debt (a rolling-ingested index
+    * otherwise carries up to ~2× bytes between compactions forever).
+    */
+  def retiredStats(path: String): Seq[TableStats] = {
+    val m = readMeta(path)
+    val kids = Option(new java.io.File(path).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    Seq("buckets", "sizes", "payload").map { w =>
+      val cur = m.gen(w)
+      val re = ("^" + java.util.regex.Pattern.quote(w) + "_g(\\d+)$").r
+      val retired = kids.filter(f => f.isDirectory && (f.getName match {
+        case re(g) => g.toInt != cur
+        case n => n == w && cur != 0 // pre-generation layout dir, retired
+      }))
+      retired.map(dirStats(_, w, m.nBuckets))
+        .foldLeft(TableStats(w, 0L, 0L, 0.0)) { (a, b) =>
+          TableStats(w, a.nFiles + b.nFiles, a.bytes + b.bytes,
+            (a.nFiles + b.nFiles).toDouble / math.max(1, m.nBuckets),
+            math.max(a.maxFileBytes, b.maxFileBytes))
+        }
+    }
   }
 
   private[sources] def withForcedBucketedScan[T](spark: SparkSession)(body: => T): T = {

@@ -65,18 +65,32 @@ object IndexIngest {
     * so a drifting ingested index heals without an operator. A "compact"
     * verdict compacts when `autoCompact` is also set. The batch counter
     * resets after a rebuild — `healthEvery` is the cooldown.
+    *
+    * `autoVacuum`: drop the retired generation right after any in-line
+    * compact/rebuild, so a long-running stream's storage stays bounded at
+    * ONE generation instead of accumulating a permanent ~2× debt
+    * ([[graft.sources.AnnIndex.retiredStats]] prices it). Opt-in because
+    * it trades away the deferred-GC grace window: a reader holding a plan
+    * opened BEFORE the maintenance loses its file-set at the vacuum
+    * instead of at the next compact — only enable when queries against
+    * the index are short-lived relative to the compaction cadence.
     */
   def annIngest(
       stream: DataFrame,
       path: String,
       autoCompact: Boolean = false,
       autoRebuild: Boolean = false,
+      autoVacuum: Boolean = false,
       healthEvery: Int = DefaultHealthEvery,
       recallTarget: Double = 0.8): DataStreamWriter[Row] = {
     require(healthEvery > 0, s"healthEvery must be positive: $healthEvery")
     // foreachBatch runs batches sequentially on the stream's single
     // maintenance thread — a plain var is the counter it needs
     var sinceHealth = 0
+    def maintained(body: => Unit): Unit = {
+      body
+      if (autoVacuum) AnnIndex.vacuum(path)
+    }
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -89,13 +103,13 @@ object IndexIngest {
               batch.sparkSession, path, recallTarget = recallTarget)
             health.recommendation match {
               case "rebuild" =>
-                AnnIndex.rebuild(batch.sparkSession, path): Unit
+                maintained(AnnIndex.rebuild(batch.sparkSession, path): Unit)
               case "compact" if autoCompact =>
-                AnnIndex.compact(batch.sparkSession, path): Unit
+                maintained(AnnIndex.compact(batch.sparkSession, path): Unit)
               case _ => ()
             }
           } else if (autoCompact && AnnIndex.compactionAdvised(path))
-            AnnIndex.compact(batch.sparkSession, path): Unit
+            maintained(AnnIndex.compact(batch.sparkSession, path): Unit)
         }
       }
   }
@@ -112,6 +126,10 @@ object IndexIngest {
     * `numHashes` (fewer bands = stricter collisions = smaller cells) via
     * [[graft.sources.DedupIndex.rebuild]]. Already at 1 band there is
     * nothing coarser — the verdict is left for the operator.
+    *
+    * `autoVacuum` as [[annIngest]]: reclaim the retired generation right
+    * after in-line maintenance — bounded storage, at the price of the
+    * deferred-GC grace window for long-lived concurrent readers.
     */
   def dedupIngest(
       stream: DataFrame,
@@ -119,9 +137,14 @@ object IndexIngest {
       path: String,
       autoCompact: Boolean = false,
       autoRebuild: Boolean = false,
+      autoVacuum: Boolean = false,
       healthEvery: Int = DefaultHealthEvery): DataStreamWriter[Row] = {
     require(healthEvery > 0, s"healthEvery must be positive: $healthEvery")
     var sinceHealth = 0
+    def maintained(body: => Unit): Unit = {
+      body
+      if (autoVacuum) DedupIndex.vacuum(path)
+    }
     stream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -135,13 +158,13 @@ object IndexIngest {
               case "rebuild" =>
                 val m = DedupIndex.readMeta(path)
                 coarserBands(m.numHashes, m.bands).foreach(b =>
-                  DedupIndex.rebuild(batch.sparkSession, path, b): Unit)
+                  maintained(DedupIndex.rebuild(batch.sparkSession, path, b): Unit))
               case "compact" if autoCompact =>
-                DedupIndex.compact(batch.sparkSession, path): Unit
+                maintained(DedupIndex.compact(batch.sparkSession, path): Unit)
               case _ => ()
             }
           } else if (autoCompact && DedupIndex.compactionAdvised(path))
-            DedupIndex.compact(batch.sparkSession, path): Unit
+            maintained(DedupIndex.compact(batch.sparkSession, path): Unit)
         }
       }
   }

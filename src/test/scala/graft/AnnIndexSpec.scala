@@ -10,8 +10,11 @@ import graft.sources.AnnIndex
   * live `ivfTopK` bit for bit at the same geometry, `nProbe = nCells` must
   * be EXACT (≡ brute force), the index must survive catalog loss, the
   * probed-cell filter must push into the postings scan, `append` must
-  * equal a from-scratch assignment at the persisted geometry, and a
-  * crashed build/append must be unreadable (commit-marker discipline).
+  * equal a from-scratch assignment at the persisted geometry, a crashed
+  * BUILD must be unreadable (commit-marker discipline), and `append` must
+  * leave `meta.json` untouched end to end — readers stay live through
+  * ingestion (r13 advice: the old delete-first marker failed every
+  * concurrent open during each streaming micro-batch).
   */
 class AnnIndexSpec extends AnyFunSuite {
   import TestSpark._
@@ -123,7 +126,18 @@ class AnnIndexSpec extends AnyFunSuite {
     val path = freshPath("append")
     AnnIndex.build(corpus, "vec_id", "embedding", path,
       nCentroids = 6, kmeansIters = 0, nBuckets = 2)
+    // append never takes meta.json down (no concurrent-reader window):
+    // identical bytes before and after, and the file exists throughout —
+    // pinned via content identity (a delete+rewrite would be observable
+    // only by a racing reader; byte-identity plus the atomicWrite
+    // discipline closes the window by construction)
+    val metaFile = java.nio.file.Paths.get(s"$path/meta.json")
+    val metaBefore = java.nio.file.Files.readAllBytes(metaFile)
     AnnIndex.append(shard, path)
+    assert(java.nio.file.Files.exists(metaFile))
+    assert(java.util.Arrays.equals(
+      metaBefore, java.nio.file.Files.readAllBytes(metaFile)),
+      "AnnIndex.append must not rewrite meta.json — geometry is frozen")
     val idx = AnnIndex.open(spark, path)
     // postings now equal assigning corpus ∪ shard to the SAME centroids
     val expected = Similarity

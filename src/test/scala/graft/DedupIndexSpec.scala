@@ -92,7 +92,15 @@ class DedupIndexSpec extends AnyFunSuite {
     val c = docs.where(col("doc_id") % 3 === 2) // the NEXT shard
     val path = freshPath("append")
     DedupIndex.build(a, "text", "doc_id", path, nBuckets = 4)
+    val genBefore = DedupIndex.readMeta(path).genSizes
     DedupIndex.append(b, "text", path)
+    // append keeps meta.json in place (readers stay live through
+    // ingestion — r13 advice) and commits by flipping the sizes
+    // generation pointer atomically at the end
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/meta.json")))
+    assert(DedupIndex.readMeta(path).genSizes === genBefore + 1,
+      "append must commit via an atomic sizes generation flip")
     def rows(df: org.apache.spark.sql.DataFrame) = df
       .select(col("id1"), col("id2"), round(col("jaccard"), 9).as("j"))
       .collect()

@@ -102,6 +102,56 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(fromIndex === brute)
   }
 
+  test("autoVacuum bounds on-disk bytes across compactions; retiredStats prices the debt") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = vecs.where(col("vec_id") % 8 === 0)
+    val arriving = vecs.where(col("vec_id") % 8 =!= 0)
+    // contrast fixture first: a plain compact retires a generation, and
+    // retiredStats must SEE those bytes (the accounting under test)
+    val plainPath = freshDir("ann_retired").getAbsolutePath
+    AnnIndex.build(base, "vec_id", "embedding", plainPath,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 1)
+    AnnIndex.append(arriving, plainPath)
+    AnnIndex.compact(spark, plainPath)
+    val retired = AnnIndex.retiredStats(plainPath).map(_.bytes).sum
+    assert(retired > 0,
+      "compact must leave a retired generation and retiredStats must price it")
+    AnnIndex.vacuum(plainPath)
+    assert(AnnIndex.retiredStats(plainPath).map(_.bytes).sum == 0,
+      "vacuum must reclaim every retired byte")
+    // the streaming opt-in: same ingestion as the autoCompact case, with
+    // autoVacuum reclaiming after each in-line compact — storage stays
+    // bounded at ONE generation across N compactions
+    val path = freshDir("ann_autovacuum").getAbsolutePath
+    AnnIndex.build(base, "vec_id", "embedding", path,
+      nCentroids = 8, kmeansIters = 0, nBuckets = 1)
+    val feed = freshDir("ann_av_feed")
+    arriving.repartition(7).write.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed.getAbsolutePath)
+    val q = IndexIngest
+      .annIngest(stream, path, autoCompact = true, autoVacuum = true)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(AnnIndex.retiredStats(path).map(_.bytes).sum == 0,
+      "autoVacuum ingestion must not accumulate retired-generation bytes")
+    // and reclaiming storage changed no answer: exhaustive == brute force
+    val queries = vecs.where(col("vec_id") < 5)
+    val fromIndex = AnnIndex
+      .queryTopK(queries, "vec_id", "embedding", path, k = 3, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val brute = graft.ops.Similarity
+      .bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    graft.core.Blocks.releaseAll()
+    assert(fromIndex === brute)
+  }
+
   test("stream-ingested DedupIndex == batch-appended DedupIndex on the same docs") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val base = docs.where(col("doc_id") % 2 === 1)
@@ -197,6 +247,63 @@ class IndexIngestSpec extends AnyFunSuite {
     graft.core.Blocks.releaseAll()
     assert(fromIndex === brute,
       "healed index lost rows or changed exhaustive answers")
+  }
+
+  test("a reader opened pre-rebuild keeps answering bit-identically across the mid-stream flip") {
+    // the end-to-end concurrent-maintenance pin the generation scheme
+    // promises (r13 verdict stretch 7): a query PLAN resolved against the
+    // pre-rebuild generation — file-set captured at analysis time, the
+    // probe side checkpointed at call time — is held open while the
+    // streaming ingester's autoRebuild refits the quantizer and flips both
+    // generation pointers mid-stream. Deferred GC keeps the retired
+    // file-set, so the held plan's second evaluation rescans the SAME
+    // files and must reproduce its pre-flip answer bit for bit.
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = vecs.where(col("vec_id") < 40)
+    val arriving = vecs.where(col("vec_id") >= 40)
+    val path = freshDir("ann_live_reader").getAbsolutePath
+    AnnIndex.build(base, "vec_id", "embedding", path,
+      nCentroids = 2, kmeansIters = 0, nBuckets = 2)
+    val queries = vecs.where(col("vec_id") < 5)
+    val preOpened = AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", path, k = 3, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    // NO releaseAll between the two evaluations: the reader is live, its
+    // query-side checkpoint is its own resource (a real long-lived reader
+    // holds exactly this state across maintenance)
+    val before = rows(preOpened)
+    val feed = freshDir("ann_live_feed")
+    arriving.repartition(3).write.parquet(feed.getAbsolutePath)
+    val stream = spark.readStream
+      .schema(arriving.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed.getAbsolutePath)
+    val q = IndexIngest.annIngest(stream, path,
+      autoRebuild = true, healthEvery = 3)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    val m = AnnIndex.readMeta(path)
+    assert(m.genQuant >= 1 && m.genPostings >= 1,
+      s"fixture did not rebuild mid-stream: $m")
+    assert(rows(preOpened) === before,
+      "pre-rebuild reader's answers changed (or its file-set was lost) " +
+        "across the generation flip")
+    graft.core.Blocks.releaseAll()
+    // and a FRESH open sees the refit, grown corpus: exhaustive probing
+    // over the new generation equals brute force over corpus ∪ ingested
+    val corpus = base.unionAll(arriving)
+    def ids(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val fresh = ids(AnnIndex.queryTopK(
+      queries, "vec_id", "embedding", path, k = 3, nProbe = m.nCells))
+    val brute = ids(graft.ops.Similarity.bruteForceTopK(
+      corpus, queries, "vec_id", "embedding", 3))
+    graft.core.Blocks.releaseAll()
+    assert(fresh === brute)
   }
 
   test("coarserBands steps to the next divisor; None below 1") {
