@@ -2277,11 +2277,12 @@ object SparkEntry {
         .select(
           col("doc_id"), col("text"),
           (col("doc_id") % 7 === 0).cast("int").as("dj_label"))
-      val model = graft.ops.Classifier.train(
-        docs, "text", "doc_id", "dj_label", nBuckets = 256, nIters = 2,
-        learningRate = 0.5, md5Flavor = true)
+      // trainAndScore: ONE shared hashed-gram feature pass for training and
+      // scoring (bit-identical to train+score, half the corpus scans — r14)
       graft.ops.Classifier
-        .score(model, docs, "text", "doc_id")
+        .trainAndScore(
+          docs, "text", "doc_id", "dj_label", nBuckets = 256, nIters = 2,
+          learningRate = 0.5, md5Flavor = true)
         .select(
           col("doc_id"), col("n_features"),
           round(col("margin"), 6).cast("double").as("margin"),

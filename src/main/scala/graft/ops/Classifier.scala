@@ -106,14 +106,33 @@ object Classifier {
       learningRate: Double = 0.5,
       l2: Double = 0.0,
       md5Flavor: Boolean = false): Model = {
-    require(nIters >= 1, s"nIters must be >= 1: $nIters")
-    val spark = df.sparkSession
     val labeled = df.where(col(labelCol).isNotNull)
     val feats = graft.core.Blocks.checkpoint(
       docFeatures(labeled, textCol, idCol, nBuckets, md5Flavor))
     try {
       val labels = labeled.select(col(idCol), col(labelCol).cast("int").as("dj_y"))
-      val n = feats.select(col(idCol)).distinct().count().toDouble
+      trainOnFeats(feats, labels, idCol, nBuckets, nIters, learningRate, l2,
+        md5Flavor)
+    } finally graft.core.Blocks.release(feats)
+  }
+
+  /** [[train]] over an already-checkpointed feature frame (the per-doc
+    * (idCol, dj_bucket, dj_cnt) rows of the labeled documents) — the shared
+    * core that lets [[trainAndScore]] reuse ONE gram-explode+hash pass for
+    * both training and scoring.
+    */
+  private def trainOnFeats(
+      feats: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      nBuckets: Int,
+      nIters: Int,
+      learningRate: Double,
+      l2: Double,
+      md5Flavor: Boolean): Model = {
+    require(nIters >= 1, s"nIters must be >= 1: $nIters")
+    val spark = feats.sparkSession
+    val n = feats.select(col(idCol)).distinct().count().toDouble
       require(n > 0, "no labeled documents with features")
       var w = new Array[Double](nBuckets)
       var bias = 0.0
@@ -153,7 +172,41 @@ object Classifier {
         bias = bias - learningRate * (biasGrad / n)
       }
       Model(w, bias, nBuckets, md5Flavor)
-    } finally graft.core.Blocks.release(feats)
+  }
+
+  /** Train on `df`'s labeled rows and score ALL of `df` with the trained
+    * model, computing the hashed-gram feature frame ONCE (checkpointed and
+    * shared — `train` + `score` separately each pay a full corpus
+    * gram-explode+hash pass; the feature rows they derive are identical,
+    * so this returns bit-identical scores for half the scan work; r14,
+    * optimization guide §1.2). Same output columns as [[score]]. EAGER
+    * contract: constructing the frame trains the model (nIters bounded
+    * jobs over the checkpointed features); the caller releases the tracked
+    * feature block with `Blocks.releaseAll()` after consuming.
+    */
+  def trainAndScore(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      labelCol: String,
+      nBuckets: Int = 4096,
+      nIters: Int = 20,
+      learningRate: Double = 0.5,
+      l2: Double = 0.0,
+      md5Flavor: Boolean = false): DataFrame = {
+    val featsAll = graft.core.Blocks.checkpoint(
+      docFeatures(df, textCol, idCol, nBuckets, md5Flavor))
+    val labels = df.where(col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("int").as("dj_y"))
+    // the labeled subset of the shared features — identical rows to
+    // docFeatures(labeled): a doc's features depend on its own text only
+    val featsLabeled = graft.core.Blocks.checkpoint(
+      featsAll.join(labels.select(col(idCol)), Seq(idCol)))
+    val model =
+      try trainOnFeats(featsLabeled, labels, idCol, nBuckets, nIters,
+        learningRate, l2, md5Flavor)
+      finally graft.core.Blocks.release(featsLabeled)
+    scoreFeats(model, featsAll, idCol)
   }
 
   /** Score documents with a trained model: (idCol, n_features BIGINT,
@@ -165,12 +218,20 @@ object Classifier {
       model: Model,
       df: DataFrame,
       textCol: String,
+      idCol: String): DataFrame =
+    scoreFeats(
+      model,
+      docFeatures(df, textCol, idCol, model.nBuckets, model.md5Flavor),
+      idCol)
+
+  private def scoreFeats(
+      model: Model,
+      feats: DataFrame,
       idCol: String): DataFrame = {
-    val feats = docFeatures(df, textCol, idCol, model.nBuckets, model.md5Flavor)
     val biasDec =
       new java.math.BigDecimal(model.bias).setScale(12, java.math.RoundingMode.HALF_UP)
     feats
-      .join(broadcast(weightTable(df.sparkSession, model.weights)), Seq("dj_bucket"))
+      .join(broadcast(weightTable(feats.sparkSession, model.weights)), Seq("dj_bucket"))
       .groupBy(col(idCol))
       .agg(
         sum(col("dj_cnt")).cast("bigint").as("n_features"),

@@ -176,6 +176,133 @@ object CumSum {
     (out.drop("dj_bucket"), grandTotals)
   }
 
+  /** [[withRunningSums]] fused with [[withNextValue]]: one bucket scheme
+    * serves both the running sums AND each row's successor order key
+    * (`nextCol`). The separate `withNextValue` pass re-estimated the same
+    * boundaries and re-collected per-bucket minima — two extra jobs per
+    * statistic that this fusion folds into the existing totals collect
+    * (min(orderCol) rides along); the per-bucket `lead` shares the window
+    * partitioning/ordering of the running sums, so no extra shuffle or
+    * sort (r14, optimization guide §2.4). Values are identical to the
+    * unfused pair by construction: the successor of a row is
+    * boundary-independent. Caller contract as [[withNextValue]]: DISTINCT
+    * order keys.
+    */
+  /** [[withRunningSumsNext]]'s result: the running frame, each value
+    * column's grand total, and the EXACT global min/max of the order
+    * column (free from the same per-bucket collect — callers that need a
+    * span guard save a dedicated min/max job).
+    */
+  final case class RunningNext(
+      frame: DataFrame,
+      totals: Seq[Long],
+      minOrder: Option[Any],
+      maxOrder: Option[Any])
+
+  def withRunningSumsNext(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[String],
+      runningCols: Seq[String],
+      nextCol: String,
+      numBuckets: Int = 256): RunningNext = {
+    require(valueCols.length == runningCols.length && valueCols.nonEmpty)
+    val dt = df.schema(orderCol).dataType
+    val key = orderProxy(df, orderCol)
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val aggs = percentile_approx(key, array(probs.map(lit): _*), lit(1000)) +:
+      count(lit(1)) +:
+      valueCols.map(c => coalesce(sum(col(c)), lit(0L)))
+    val head = df.agg(aggs.head, aggs.tail: _*).head()
+    if (head.getLong(1) == 0L) {
+      val sumTypes = df.select(valueCols.map(c => sum(col(c))): _*).schema
+      val empty = runningCols.zip(sumTypes)
+        .foldLeft(df.withColumn(nextCol, lit(null).cast(dt))) {
+          case (acc, (c, f)) => acc.withColumn(c, lit(null).cast(f.dataType))
+        }
+        .where(lit(false))
+      return RunningNext(empty, valueCols.map(_ => 0L), None, None)
+    }
+    val grandTotals =
+      valueCols.indices.map(i => head.getAs[Number](i + 2).longValue())
+    val boundaries =
+      if (head.isNullAt(0)) Seq.empty[Double]
+      else head.getSeq[Double](0).distinct.sorted
+    val bucketed = df.withColumn(
+      "dj_bucket",
+      graft.functions.BucketIndex.bucketIndex(
+        coalesce(key, lit(Double.NegativeInfinity)), boundaries))
+    val wSum = Window
+      .partitionBy("dj_bucket")
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy("dj_bucket").orderBy(col(orderCol))
+    val local = valueCols.zip(runningCols)
+      .foldLeft(bucketed) { case (acc, (v, r)) =>
+        acc.withColumn(r, sum(col(v)).over(wSum))
+      }
+      .withColumn(nextCol, lead(col(orderCol), 1).over(wLead))
+    // ONE tiny collect: per-bucket value totals, the bucket's min order
+    // key (the successor carried into the previous bucket's last row),
+    // and its max (the exact global span for callers' headroom guards)
+    val totalAggs =
+      valueCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"dj_total_$c")) ++
+        Seq(min(col(orderCol)).as("dj_min_o"), max(col(orderCol)).as("dj_max_o"))
+    val perBucket = bucketed
+      .groupBy("dj_bucket")
+      .agg(totalAggs.head, totalAggs.tail: _*)
+      .collect()
+    val totalsMap: Map[Int, Seq[Long]] = perBucket
+      .map(r =>
+        r.getInt(0) ->
+          valueCols.indices.map(i => r.getAs[Number](i + 1).longValue()))
+      .toMap
+    val minima: Map[Int, Any] = perBucket
+      .collect {
+        case r if !r.isNullAt(valueCols.length + 1) =>
+          r.getInt(0) -> r.get(valueCols.length + 1)
+      }
+      .toMap
+    def cmpMax(a: Any, b: Any): Any =
+      if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+    val maxima = perBucket
+      .collect {
+        case r if !r.isNullAt(valueCols.length + 2) =>
+          r.get(valueCols.length + 2)
+      }
+    val maxBucket = boundaries.size
+    // carry(b) = min order key over buckets > b (withNextValue's suffix scan)
+    def cmpMin(a: Any, b: Any): Any =
+      if (a.asInstanceOf[Comparable[Any]].compareTo(b) <= 0) a else b
+    val carries: Seq[Option[Any]] = (0 to maxBucket)
+      .map(minima.get)
+      .scanRight(Option.empty[Any]) { (v, acc) =>
+        (v, acc) match {
+          case (Some(x), Some(y)) => Some(cmpMin(x, y))
+          case (x, y)             => x.orElse(y)
+        }
+      }
+      .drop(1)
+    val carryArr = array(carries.map(v => lit(v.orNull).cast(dt)): _*)
+    val out = valueCols.indices.foldLeft(
+      local.withColumn(
+        nextCol,
+        coalesce(col(nextCol), element_at(carryArr, col("dj_bucket") + 1)))) {
+      (acc, vi) =>
+        val r = runningCols(vi)
+        val offsets = (0 to maxBucket).scanLeft(0L) { (s, b) =>
+          s + totalsMap.get(b).map(_(vi)).getOrElse(0L)
+        }.dropRight(1)
+        val offsetArr = array(offsets.map(lit): _*)
+        acc.withColumn(r, element_at(offsetArr, col("dj_bucket") + 1) + col(r))
+    }
+    RunningNext(
+      out.drop("dj_bucket"),
+      grandTotals,
+      minima.values.reduceOption(cmpMin),
+      maxima.reduceOption(cmpMax))
+  }
+
   /** Running max of `valueCol` over rows ordered by `orderCol` (ties broken
     * by `tieCols`, which only ever reorder WITHIN a bucket — equal order
     * keys land in one bucket by construction) — the distributed version of

@@ -121,7 +121,17 @@ object Drift {
       running: DataFrame, n: Long, m: Long, what: String): Unit = {
     if (n == 0L || m == 0L) return
     val row = running.agg(min(col("dj_v")), max(col("dj_v"))).head()
-    val span = (BigInt(row.getLong(1)) - BigInt(row.getLong(0))).max(BigInt(1))
+    requireW1SpanHeadroom(row.getLong(0), row.getLong(1), n, m, what)
+  }
+
+  /** [[requireW1Headroom]] on a span already known to the driver (the
+    * fused [[Stats.crossRunningCountsNext]] collects the exact min/max for
+    * free) — same check, no dedicated min/max job.
+    */
+  private[graft] def requireW1SpanHeadroom(
+      lo: Long, hi: Long, n: Long, m: Long, what: String): Unit = {
+    if (n == 0L || m == 0L) return
+    val span = (BigInt(hi) - BigInt(lo)).max(BigInt(1))
     require(BigInt(n) * BigInt(m) * span <= BigInt(10).pow(38),
       s"$what decimal headroom exceeded at n=$n, m=$m, scaled span=$span " +
         "(n*m*span > 1e38): a silent decimal overflow would understate the " +
@@ -133,14 +143,19 @@ object Drift {
       b: DataFrame,
       valueCol: String,
       scale: Long = 1L): DataFrame = {
-    val (running, n, m) = Stats.crossRunningCounts(a, b, valueCol, scale)
+    // fused kernel: running counts + successor + exact span in one bucket
+    // pass — the unfused spelling paid three extra jobs (successor
+    // boundaries, successor minima, headroom min/max) per call (r14)
+    val (stepped, n, m, span) =
+      Stats.crossRunningCountsNext(a, b, valueCol, scale)
     val spark = a.sparkSession
     if (n == 0L || m == 0L)
       return spark.range(1).select(
         lit(n).as("n_a"), lit(m).as("n_b"),
         lit(null).cast("double").as("w1"))
-    requireW1Headroom(running, n, m, "wasserstein1")
-    val stepped = CumSum.withNextValue(running, "dj_v", "dj_next")
+    span.foreach { case (lo, hi) =>
+      requireW1SpanHeadroom(lo, hi, n, m, "wasserstein1")
+    }
     val d = col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -
       col("dj_run2").cast("decimal(19,0)") * lit(n).cast("decimal(19,0)")
     // the global maximum has no successor → gap 0 (F₁ = F₂ = 1 beyond it)
@@ -402,7 +417,9 @@ object Drift {
     require(nums.nonEmpty || cats.nonEmpty, "no shared columns to report on")
     def nullD = lit(null).cast("double")
     val numRows = nums.map { c =>
-      val (running, n, m) = Stats.crossRunningCounts(a, b, c, scale)
+      // fused kernel (see wasserstein1): successor + span ride the running-
+      // sums pass — 3 fewer jobs per numeric column
+      val (stepped, n, m, span) = Stats.crossRunningCountsNext(a, b, c, scale)
       if (n == 0L || m == 0L)
         a.sparkSession.range(1).select(
           lit(c).as("column"), lit("numeric").as("kind"),
@@ -410,8 +427,9 @@ object Drift {
           nullD.as("ks_d"), nullD.as("w1"),
           nullD.as("chi2"), lit(null).cast("int").as("n_categories"))
       else {
-        requireW1Headroom(running, n, m, s"driftReport($c)")
-        val stepped = CumSum.withNextValue(running, "dj_v", "dj_next")
+        span.foreach { case (lo, hi) =>
+          requireW1SpanHeadroom(lo, hi, n, m, s"driftReport($c)")
+        }
         val d =
           col("dj_run1").cast("decimal(19,0)") * lit(m).cast("decimal(19,0)") -
             col("dj_run2").cast("decimal(19,0)") * lit(n).cast("decimal(19,0)")

@@ -73,10 +73,49 @@ object Dsir {
       .groupBy(col("dj_bucket"))
       .agg(count(lit(1)).as("dj_cnt"))
 
+  /** Collected bucket histogram: Map(bucket → count), ≤ `nBuckets` entries
+    * — geometry-bounded (the centroid-collect class), safe to pull to the
+    * driver at any corpus size.
+    */
+  private def countsMap(counts: DataFrame): Map[Long, Long] =
+    counts.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** The full-spine (dj_bucket, dj_ct, dj_cr) frame as a LOCAL relation
+    * from two collected histograms — exactly the rows the former
+    * range-spine double left-join produced, with zero distributed work.
+    */
+  private def localSpine(
+      spark: org.apache.spark.sql.SparkSession,
+      nBuckets: Int,
+      tgtM: Map[Long, Long],
+      rwM: Map[Long, Long]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (0L until nBuckets.toLong).map { b =>
+      org.apache.spark.sql.Row(
+        b,
+        tgtM.get(b).map(java.lang.Long.valueOf).orNull,
+        rwM.get(b).map(java.lang.Long.valueOf).orNull)
+    }.asJava
+    spark.createDataFrame(
+      rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "dj_bucket", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "dj_ct", org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          "dj_cr", org.apache.spark.sql.types.LongType, nullable = true))))
+  }
+
   /** Per-bucket importance log-ratio table over the FULL bucket spine
     * (empty buckets carry their smoothed term — additive 0.5 smoothing,
     * p(b) = (c_b + 0.5) / (N + 0.5·nBuckets)):
-    * (dj_bucket, dj_lr DECIMAL(20,12)). Exactly nBuckets rows.
+    * (dj_bucket, dj_lr DECIMAL(20,12)). Exactly nBuckets rows, built as a
+    * LOCAL relation from collected histograms: as a lazy subplan every
+    * consumer (the eager totals AND the scoring join) re-ran both sides'
+    * full gram-explode+hash scans — 3 corpus passes where 1 suffices
+    * (r14, optimization guide §1.2/§2.4). Same Spark expressions over the
+    * same values ⇒ bit-identical dj_lr.
     */
   private[graft] def logRatioTable(
       target: DataFrame,
@@ -84,17 +123,20 @@ object Dsir {
       textCol: String,
       idCol: String,
       nBuckets: Int,
-      md5Flavor: Boolean): DataFrame = {
-    val spark = raw.sparkSession
-    val tgt = bucketCounts(target, textCol, idCol, nBuckets, md5Flavor)
-    val rw = bucketCounts(raw, textCol, idCol, nBuckets, md5Flavor)
-    val nT = tgt.agg(sum(col("dj_cnt"))).head().getLong(0).toDouble
-    val nR = rw.agg(sum(col("dj_cnt"))).head().getLong(0).toDouble
-    val denomT = nT + 0.5 * nBuckets
-    val denomR = nR + 0.5 * nBuckets
-    spark.range(nBuckets).select(col("id").as("dj_bucket"))
-      .join(tgt.withColumnRenamed("dj_cnt", "dj_ct"), Seq("dj_bucket"), "left")
-      .join(rw.withColumnRenamed("dj_cnt", "dj_cr"), Seq("dj_bucket"), "left")
+      md5Flavor: Boolean): DataFrame =
+    localLogRatio(
+      raw.sparkSession, nBuckets,
+      countsMap(bucketCounts(target, textCol, idCol, nBuckets, md5Flavor)),
+      countsMap(bucketCounts(raw, textCol, idCol, nBuckets, md5Flavor)))
+
+  private def localLogRatio(
+      spark: org.apache.spark.sql.SparkSession,
+      nBuckets: Int,
+      tgtM: Map[Long, Long],
+      rwM: Map[Long, Long]): DataFrame = {
+    val denomT = tgtM.values.sum.toDouble + 0.5 * nBuckets
+    val denomR = rwM.values.sum.toDouble + 0.5 * nBuckets
+    localSpine(spark, nBuckets, tgtM, rwM)
       .select(
         col("dj_bucket"),
         // decimal(20,12), NOT (28,12): the per-doc scoring multiplies this
@@ -115,10 +157,13 @@ object Dsir {
     * the value is reproducible across engines and summation orders.
     * Documents with no features (NULL or token-free text) are absent.
     *
-    * EAGER contract: CONSTRUCTING the frame runs the two distribution
-    * aggregates (each side's total feature count sizes the smoothing
-    * denominators — two corpus scans collapsing to ≤ nBuckets rows each);
-    * the per-document scoring join stays lazy.
+    * EAGER contract: CONSTRUCTING the frame runs the distribution
+    * aggregates (the raw side's per-doc bucket counts are CHECKPOINTED —
+    * one gram-explode+hash pass serves the raw histogram AND the scoring
+    * join, where the lazy-lr spelling re-ran it three times; the target
+    * side is one scan collapsing to ≤ nBuckets rows). Only the final
+    * scoring join/aggregate stays lazy; release the tracked block with
+    * `Blocks.releaseAll()` (or a `Blocks.scoped`) after consuming.
     */
   def importanceWeights(
       raw: DataFrame,
@@ -127,13 +172,20 @@ object Dsir {
       idCol: String,
       nBuckets: Int = 4096,
       md5Flavor: Boolean = false): DataFrame = {
-    val lr = logRatioTable(target, raw, textCol, idCol, nBuckets, md5Flavor)
-    val docBuckets = gramRows(raw, textCol, idCol)
-      .select(
-        col(idCol),
-        bucketOf(col("dj_gram"), nBuckets, md5Flavor).as("dj_bucket"))
-      .groupBy(col(idCol), col("dj_bucket"))
-      .agg(count(lit(1)).as("dj_cnt"))
+    val docBuckets = graft.core.Blocks.checkpoint(
+      gramRows(raw, textCol, idCol)
+        .select(
+          col(idCol),
+          bucketOf(col("dj_gram"), nBuckets, md5Flavor).as("dj_bucket"))
+        .groupBy(col(idCol), col("dj_bucket"))
+        .agg(count(lit(1)).as("dj_cnt")))
+    // raw-side histogram derived from the checkpoint (identical totals —
+    // per-bucket counts of the same gram multiset), not a second corpus scan
+    val rwM = countsMap(
+      docBuckets.groupBy(col("dj_bucket")).agg(sum(col("dj_cnt")).as("dj_cnt")))
+    val tgtM = countsMap(
+      bucketCounts(target, textCol, idCol, nBuckets, md5Flavor))
+    val lr = localLogRatio(raw.sparkSession, nBuckets, tgtM, rwM)
     docBuckets
       .join(broadcast(lr), Seq("dj_bucket"))
       .groupBy(col(idCol))
@@ -175,21 +227,20 @@ object Dsir {
       nBuckets: Int = 4096,
       md5Flavor: Boolean = false): DataFrame = {
     val spark = raw.sparkSession
-    def counts(df: DataFrame) =
+    // ONE aggregate scan per side: collect the ≤ nBuckets histograms and
+    // evaluate the KL sum over a local spine — the lazy-frame spelling ran
+    // each side's gram scan twice (the eager total + the final aggregate).
+    // Identical expressions over identical values ⇒ bit-identical kl.
+    def counts(df: DataFrame) = countsMap(
       bucketCounts(df.withColumn("dj_kid", lit(0L)), textCol, "dj_kid",
-        nBuckets, md5Flavor)
-    val tgt = counts(target)
-    val rw = counts(raw)
-    def total(df: DataFrame): Double = df.agg(sum(col("dj_cnt"))).head().get(0) match {
-      case null => 0.0; case l: java.lang.Long => l.toDouble
-    }
-    val denomT = total(tgt) + 0.5 * nBuckets
-    val denomR = total(rw) + 0.5 * nBuckets
+        nBuckets, md5Flavor))
+    val tgtM = counts(target)
+    val rwM = counts(raw)
+    val denomT = tgtM.values.sum.toDouble + 0.5 * nBuckets
+    val denomR = rwM.values.sum.toDouble + 0.5 * nBuckets
     val pR = (coalesce(col("dj_cr"), lit(0L)) + 0.5) / lit(denomR)
     val pT = (coalesce(col("dj_ct"), lit(0L)) + 0.5) / lit(denomT)
-    spark.range(nBuckets).select(col("id").as("dj_bucket"))
-      .join(tgt.withColumnRenamed("dj_cnt", "dj_ct"), Seq("dj_bucket"), "left")
-      .join(rw.withColumnRenamed("dj_cnt", "dj_cr"), Seq("dj_bucket"), "left")
+    localSpine(spark, nBuckets, tgtM, rwM)
       .agg(sum((pR * log(pR / pT)).cast("decimal(20,12)"))
         .cast("decimal(38,12)").as("kl"))
   }

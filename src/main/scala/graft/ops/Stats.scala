@@ -208,6 +208,41 @@ object Stats {
     (running, totals(0), totals(1))
   }
 
+  /** [[crossRunningCounts]] with each row's successor value (`dj_next`)
+    * and the exact scaled-axis span fused into the same bucket pass
+    * ([[CumSum.withRunningSumsNext]]) — the area statistics (W1, drift
+    * report) consumed three extra jobs per column re-deriving them.
+    * Returns (running frame incl. dj_next, n, m, Some((minV, maxV)) when
+    * non-empty). Values identical to the unfused pair by construction.
+    */
+  private[graft] def crossRunningCountsNext(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      scale: Long): (DataFrame, Long, Long, Option[(Long, Long)]) = {
+    require(scale >= 1L, s"scale must be >= 1: $scale")
+    def side(df: DataFrame, first: Boolean) = df
+      .where(col(valueCol).isNotNull)
+      .select(
+        round(col(valueCol) * scale).cast("long").as("dj_v"),
+        lit(if (first) 1L else 0L).as("dj_w1"),
+        lit(if (first) 0L else 1L).as("dj_w2"))
+    val counts = graft.core.Blocks.checkpoint(
+      side(a, first = true)
+        .unionAll(side(b, first = false))
+        .groupBy("dj_v")
+        .agg(sum(col("dj_w1")).as("dj_cnt1"), sum(col("dj_w2")).as("dj_cnt2")))
+    val rn = CumSum.withRunningSumsNext(
+      counts, "dj_v", Seq("dj_cnt1", "dj_cnt2"), Seq("dj_run1", "dj_run2"),
+      "dj_next")
+    val span = (rn.minOrder, rn.maxOrder) match {
+      case (Some(lo: java.lang.Long), Some(hi: java.lang.Long)) =>
+        Some((lo.longValue(), hi.longValue()))
+      case _ => None
+    }
+    (rn.frame, rn.totals(0), rn.totals(1), span)
+  }
+
   /** Two-sample Cramér–von Mises statistic — the L² companion of the KS
     * D (KS sees only the single worst CDF gap; CvM integrates every gap,
     * so a distribution that drifts a little everywhere registers):
@@ -944,18 +979,28 @@ object Stats {
           xxhash64(col(idCol), lit(seed), col("dj_b")), 12).cast("double")
           + 0.5) / lit(4503599627370496.0)
     // CASE ladder lowest-threshold-first: the first matching arm wins, so
-    // folding from the highest k downward keeps each `when` outermost-last
+    // folding from the highest k downward keeps each `when` outermost-last.
+    // The ladder reads the uniform from a PROJECTED dj_u column: inlined,
+    // the hash chain sits in 8 conditional arms of two aggregate
+    // expressions, and codegen CSE does not hoist conditionally-evaluated
+    // subexpressions — the md5/xxhash chain re-ran ~5× per exploded row
+    // (guide §4; CollapseProject keeps a non-cheap multiply-referenced
+    // projection separate, so the plan pins ONE evaluation per row). The
+    // arithmetic is unchanged: identical u, identical ladder, identical
+    // sums.
     val wLadder = PoissonCdf.zipWithIndex.reverse
       .foldLeft(lit(8).cast("decimal(1,0)")) { case (acc, (t, k)) =>
-        when(u < t, lit(k).cast("decimal(1,0)")).otherwise(acc)
+        when(col("dj_u") < t, lit(k).cast("decimal(1,0)")).otherwise(acc)
       }
     val perReplicate = base
       .select(col(idCol), x.as("dj_x"),
         explode(sequence(lit(1), lit(nResamples))).as("dj_b"))
+      .select(col("dj_x"), col("dj_b"), u.as("dj_u"))
+      .select(col("dj_x"), col("dj_b"), wLadder.as("dj_w"))
       .groupBy("dj_b")
       .agg(
-        sum((wLadder * col("dj_x")).cast("decimal(38,0)")).as("dj_sx"),
-        sum(wLadder.cast("long")).as("dj_sw"))
+        sum((col("dj_w") * col("dj_x")).cast("decimal(38,0)")).as("dj_sx"),
+        sum(col("dj_w").cast("long")).as("dj_sw"))
       .where(col("dj_sw") > 0)
       .select(
         col("dj_b"),
