@@ -402,14 +402,8 @@ object Dedup {
     // the threshold keeps true pairs with ~4σ headroom while discarding the
     // low-similarity bulk BEFORE the exact set intersection.
     val estCutoff = math.max(0.0, threshold - 0.25)
-    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
-    Dedup
-      .verifyPairs(candidates, nCand, sides, sides, idCol,
-        Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
-      .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
-      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyMinhashPairs(candidates, nCand, sides, sides, idCol,
+      threshold, estCutoff)
   }
 
   /** Join candidate pairs (id1, id2) back to per-id payload columns for
@@ -495,6 +489,64 @@ object Dedup {
     }
   }
 
+  /** Exact-Jaccard verification of MinHash candidate pairs, shared by
+    * minhashNearDups / crossNearDups / DedupIndex.incrementalNearDups:
+    * the signature-agreement prefilter (matching fraction ≥ `estCutoff`)
+    * followed by the exact shingle-set Jaccard ≥ `threshold`. Both sides
+    * carry (idCol, shingle_hashes, signature).
+    *
+    * Broadcast-small candidate sets verify in ONE pass (pair set
+    * broadcast, payloads pruned by semi-join — the arrays stream through
+    * a single codegen stage, nothing exchanges them).
+    *
+    * Past the broadcast cap the single-pass spelling is the r14-measured
+    * wall: the first sort-merge join's output — every candidate pair ×
+    * its full shingle array (~8 B per distinct shingle ≈ the text
+    * itself) — crosses the id2 exchange BEFORE either filter can run
+    * (q_rebanded_dedup at sf0.1: 3.84 M candidates × ~16 KB arrays,
+    * 23.3 s). Staged verification moves heavy bytes only for decided
+    * survivors (guide §8): stage 1 joins ONLY the 8·numHashes-byte
+    * signatures and applies the prefilter (3.84 M pairs → 40.8 k, 1.3 s);
+    * stage 2 attaches shingle arrays to the survivors alone (usually back
+    * under the broadcast cap). Identical output — same predicates over
+    * the same values, evaluation order of two independent conjuncts.
+    */
+  private[graft] def verifyMinhashPairs(
+      candidates: DataFrame,
+      nCand: Long,
+      sidesA: DataFrame,
+      sidesB: DataFrame,
+      idCol: String,
+      threshold: Double,
+      estCutoff: Double): DataFrame = {
+    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
+    val cap = pairBroadcastCap(candidates.sparkSession)
+    if (nCand <= cap)
+      verifyPairs(candidates, nCand, sidesA, sidesB, idCol,
+        Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
+        .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
+        .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    else {
+      val survivors = graft.core.Blocks.checkpoint(
+        verifyPairs(candidates, nCand,
+          sidesA.select(col(idCol), col("signature")),
+          sidesB.select(col(idCol), col("signature")),
+          idCol, Seq("signature" -> "sig"))
+          .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
+          .select(col("id1"), col("id2")))
+      val nSurv = survivors.count()
+      verifyPairs(survivors, nSurv,
+        sidesA.select(col(idCol), col("shingle_hashes")),
+        sidesB.select(col(idCol), col("shingle_hashes")),
+        idCol, Seq("shingle_hashes" -> "sh"))
+        .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id1"), col("id2"), col("jaccard"))
+    }
+  }
+
   /** Cross-corpus near-duplicate pairs: (id1 ∈ dfA, id2 ∈ dfB, jaccard ≥
     * threshold) — the train-vs-eval / corpus-vs-corpus containment check
     * (e.g. "which training documents are near-dups of benchmark
@@ -563,13 +615,8 @@ object Dedup {
     val sidesA = sideFor(dfA, "id1")
     val sidesB = sideFor(dfB, "id2")
     val estCutoff = math.max(0.0, threshold - 0.25)
-    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
-    verifyPairs(candidates, nCand, sidesA, sidesB, idCol,
-      Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
-      .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
-      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyMinhashPairs(candidates, nCand, sidesA, sidesB, idCol,
+      threshold, estCutoff)
   }
 
   /** n-gram Jaccard near-dup pairs: candidate pairs share at least one

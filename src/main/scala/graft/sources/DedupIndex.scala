@@ -274,7 +274,16 @@ object DedupIndex {
       val payload = Dedup
         .minhashed(df, textCol, idCol, shingleK, numHashes)
         .select(col(idCol), col("shingle_hashes"), col("signature"))
-      payload.write
+      // repartition to the BUCKET HASH before every bucketed write (r14,
+      // guide §6): Spark's bucketed writer emits one file per (task,
+      // bucket), so a corpus-parallel input wrote tasks×nBuckets shards —
+      // the sf0.1 reband index carried 5,431 files for 50 MB, and every
+      // query paid the footer merge. repartition(nBuckets, bucketCols)
+      // uses the SAME murmur3-pmod placement as the writer, so each task
+      // holds exactly one bucket → one file per bucket. (Write parallelism
+      // collapses to nBuckets — at larger corpora size nBuckets up, which
+      // the bucket-count parameter exists for.)
+      payload.repartition(nBuckets, col(idCol)).write
         .mode("overwrite")
         .bucketBy(nBuckets, idCol)
         .sortBy(idCol)
@@ -290,7 +299,7 @@ object DedupIndex {
         .select(col(idCol), col("signature"))
       val buckets = Dedup.lshBuckets(signed, idCol, bands)
         .where(col(idCol).isNotNull)
-      buckets.write
+      buckets.repartition(nBuckets, col("band"), col("bucket")).write
         .mode("overwrite")
         .bucketBy(nBuckets, "band", "bucket")
         .sortBy("band", "bucket")
@@ -373,7 +382,7 @@ object DedupIndex {
       // more candidates, never toward wrong pairs) instead of an unreadable
       // index; the id-clash check above turns a blind retry into a loud
       // error, and compact()/rebuild() restore canonical state.
-      payloadNew.write
+      payloadNew.repartition(m.nBuckets, col(m.idCol)).write
         .mode("append")
         .bucketBy(m.nBuckets, m.idCol)
         .sortBy(m.idCol)
@@ -382,7 +391,7 @@ object DedupIndex {
         Dedup.lshBuckets(
           payloadNew.select(col(m.idCol), col("signature")), m.idCol, m.bands)
           .where(col(m.idCol).isNotNull))
-      bucketsNew.write
+      bucketsNew.repartition(m.nBuckets, col("band"), col("bucket")).write
         .mode("append")
         .bucketBy(m.nBuckets, "band", "bucket")
         .sortBy("band", "bucket")
@@ -398,7 +407,7 @@ object DedupIndex {
       val newMeta = m.copy(genSizes = m.genSizes + 1)
       writeGenBucketed(
         spark, path, "sizes", merged, Seq("band", "bucket"), m.nBuckets,
-        newMeta.genSizes, maxRowsPerFile = None)
+        newMeta.genSizes, maxRowsPerFile = None, repartitionFirst = true)
       writeMeta(path, newMeta) // atomic commit: sizes pointer flips here
       gcGenerations(path, "sizes", keep = Set(newMeta.genSizes, m.genSizes))
       newMeta
@@ -571,11 +580,19 @@ object DedupIndex {
       clusterCols: Seq[String],
       nBuckets: Int,
       gen: Int,
-      maxRowsPerFile: Option[Long]): Unit = {
+      maxRowsPerFile: Option[Long],
+      // align write tasks with the bucket hash (one file per bucket — see
+      // the build() comment; r14): true for rebuild/append-sizes whose
+      // inputs arrive shuffled arbitrarily; FALSE for compact, whose
+      // forced-bucketed-scan input already holds one bucket per task and
+      // must stay exchange-free
+      repartitionFirst: Boolean = false): Unit = {
     val tmpName = tableName(path, s"${which}_gw")
     val loc = dataDir(path, which, gen)
     spark.sql(s"DROP TABLE IF EXISTS $tmpName")
-    val writer = df
+    val writer = (if (repartitionFirst)
+      df.repartition(nBuckets, clusterCols.map(col): _*)
+    else df)
       // under [[withForcedBucketedScan]] each task holds exactly one
       // bucket's rows (all its layered files in one partition), so the
       // rewrite emits one file-set per bucket with no exchange
@@ -658,12 +675,14 @@ object DedupIndex {
       idx.payload.select(col(m.idCol), col("signature")), m.idCol, bands)
       .where(col(m.idCol).isNotNull)
     writeGenBucketed(spark, path, "buckets", buckets,
-      Seq("band", "bucket"), m.nBuckets, meta.genBuckets, None)
+      Seq("band", "bucket"), m.nBuckets, meta.genBuckets, None,
+      repartitionFirst = true)
     val sizes = openGenBuckets(spark, path, meta, meta.genBuckets)
       .groupBy("band", "bucket")
       .agg(count(lit(1)).as("dj_bn"))
     writeGenBucketed(spark, path, "sizes", sizes,
-      Seq("band", "bucket"), m.nBuckets, meta.genSizes, None)
+      Seq("band", "bucket"), m.nBuckets, meta.genSizes, None,
+      repartitionFirst = true)
     // atomic pointer flip: bands and the buckets/sizes generations change
     // together or not at all — a crash anywhere above leaves the OLD
     // banding fully intact and readable
@@ -794,13 +813,8 @@ object DedupIndex {
           Seq(idCol), "left_semi")
       else idx.payload
     val estCutoff = math.max(0.0, threshold - 0.25)
-    import graft.functions.LongArraySim.{jaccardSorted, matchingFraction}
-    Dedup.verifyPairs(candidates, nCand, sidesA, sidesB, idCol,
-      Seq("shingle_hashes" -> "sh", "signature" -> "sig"))
-      .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
-      .withColumn("jaccard", jaccardSorted(col("sh1"), col("sh2")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    Dedup.verifyMinhashPairs(candidates, nCand, sidesA, sidesB, idCol,
+      threshold, estCutoff)
   }
 
   /** Persist a fitted coarse quantizer (the [[graft.ops.Similarity]]
