@@ -1522,25 +1522,39 @@ object Dedup {
       df.where(col(textCol).isNotNull && col(idCol).isNotNull)
         .select(col(idCol).as("dj_id"), col(textCol).as("dj_t"))
         .withColumn("dj_len", length(col("dj_t"))))
+    // variants WITHOUT the title payload (r14, guide §2.3): the self-join
+    // below used to shuffle every row's title string twice and drag both
+    // titles through the join and the pair distinct — keys/lengths decide
+    // everything, titles re-attach to the distinct survivors only
     val exploded = graft.core.Blocks.checkpoint(
-      base.select(col("dj_id"), col("dj_t"), col("dj_len"),
+      base.select(col("dj_id"), col("dj_len"),
         explode(deletionVariants(col("dj_t"), maxDist)).as("dj_var")))
+    // the hot-variant cap counts TRUE string variants (a hashed-key count
+    // could collision-merge two buckets across the cap boundary and drop
+    // pairs the all-pairs oracle keeps)
     val capped = exploded.join(
       exploded.groupBy("dj_var").agg(count(lit(1)).as("dj_vn"))
         .where(col("dj_vn") <= maxBucketSize)
         .select("dj_var"),
       Seq("dj_var"))
-    val candidates = capped.select(col("dj_var"), col("dj_id").as("id1"),
-        col("dj_t").as("dj_t1"), col("dj_len").as("dj_l1"))
+      // the JOIN key is the variant's 8-byte hash, not the string: a
+      // collision can only ADD a candidate pair, which the exact
+      // levenshtein verify below discards — identical output, ~4× fewer
+      // shuffle bytes per exploded row
+      .select(xxhash64(col("dj_var")).as("dj_vh"), col("dj_id"), col("dj_len"))
+    val candidates = capped.select(col("dj_vh"), col("dj_id").as("id1"),
+        col("dj_len").as("dj_l1"))
       .join(
-        capped.select(col("dj_var"), col("dj_id").as("id2"),
-          col("dj_t").as("dj_t2"), col("dj_len").as("dj_l2")),
-        Seq("dj_var"))
+        capped.select(col("dj_vh"), col("dj_id").as("id2"),
+          col("dj_len").as("dj_l2")),
+        Seq("dj_vh"))
       .where(col("id1") < col("id2") &&
         abs(col("dj_l1") - col("dj_l2")) <= maxDist)
-      .select("id1", "id2", "dj_t1", "dj_t2")
+      .select("id1", "id2")
       .distinct()
     candidates
+      .join(base.select(col("dj_id").as("id1"), col("dj_t").as("dj_t1")), Seq("id1"))
+      .join(base.select(col("dj_id").as("id2"), col("dj_t").as("dj_t2")), Seq("id2"))
       .withColumn("dist", levenshtein(col("dj_t1"), col("dj_t2")))
       .where(col("dist") <= maxDist)
       .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -374,46 +374,112 @@ object Stats {
     require(columns.size >= 2, "need at least two columns")
     require(columns.map(_._1).distinct.size == columns.size,
       s"duplicate columns: ${columns.map(_._1)}")
-    val scaled = columns.map { case (c, sc) =>
-      round(col(c) * sc).cast("decimal(38,0)").as(s"dj_$c")
-    }
-    val base = df.select(scaled: _*)
     val pairs = for {
       i <- columns.indices
       j <- columns.indices if j > i
     } yield (columns(i)._1, columns(j)._1)
-    val aggs = pairs.zipWithIndex.flatMap { case ((cx, cy), p) =>
-      val x = col(s"dj_$cx"); val y = col(s"dj_$cy")
-      val both = x.isNotNull && y.isNotNull
-      Seq(
-        count(when(both, 1)).as(s"dj_n_$p"),
-        sum(when(both, x)).as(s"dj_sx_$p"),
-        sum(when(both, y)).as(s"dj_sy_$p"),
-        sum(when(both, x * x)).as(s"dj_sxx_$p"),
-        sum(when(both, y * y)).as(s"dj_syy_$p"),
-        sum(when(both, x * y)).as(s"dj_sxy_$p"))
-    }
-    val row = base.agg(aggs.head, aggs.tail: _*).head()
     val spark = df.sparkSession
-    val out = pairs.zipWithIndex.map { case ((cx, cy), p) =>
-      val n = row.getAs[Long](s"dj_n_$p")
-      val r: java.lang.Double =
-        if (n < 2) null
-        else {
-          def dec(name: String) =
-            BigDecimal(row.getAs[java.math.BigDecimal](name))
-          val nd = BigDecimal(n)
-          val (sx, sy) = (dec(s"dj_sx_$p"), dec(s"dj_sy_$p"))
-          // exact decimal products cast to double LAST — the same shape
-          // as pearsonExact's in-plan expression and the SQL oracle
-          val num = (nd * dec(s"dj_sxy_$p") - sx * sy).toDouble
-          val dx = (nd * dec(s"dj_sxx_$p") - sx * sx).toDouble
-          val dy = (nd * dec(s"dj_syy_$p") - sy * sy).toDouble
-          if (dx <= 0.0 || dy <= 0.0) null
-          else java.lang.Double.valueOf(num / (math.sqrt(dx) * math.sqrt(dy)))
+    // strategy pre-pass (r14, guide §1.2/§4): the decimal(38,0) power sums
+    // ran every row through non-compact BigDecimal aggregation buffers
+    // (38-digit sums never fit Spark's compact-long decimal). When the
+    // scaled values fit |v| ≤ 3e9 — so every pairwise product fits a LONG
+    // — and n ≤ 1e12, the sums run as pure codegen long arithmetic
+    // instead: each product splits into three 21-bit tiers
+    // (t = (t>>42)<<42 + ((t>>21)&M)<<21 + (t&M), exact two's-complement
+    // identity), each tier sums without overflow (≤ n·2²¹ ≤ 2⁶² at 1e12
+    // rows), and the driver reassembles the exact integers. Identical
+    // output by construction — the same exact power sums enter the same
+    // closed-form double shape; out-of-range data falls back to the
+    // decimal path unchanged.
+    val boundsAggs = count(lit(1)) +:
+      columns.map { case (c, sc) => max(abs(col(c).cast("double") * sc)) }
+    val boundsRow = df.agg(boundsAggs.head, boundsAggs.tail: _*).head()
+    val nTotal = boundsRow.getLong(0)
+    val longSafe = nTotal <= 1000000000000L &&
+      columns.indices.forall { i =>
+        boundsRow.isNullAt(i + 1) || boundsRow.getDouble(i + 1) <= 3.0e9
+      }
+    val out =
+      if (longSafe) {
+        val scaled = columns.map { case (c, sc) =>
+          round(col(c) * sc).cast("long").as(s"dj_$c")
         }
-      org.apache.spark.sql.Row(cx, cy, n, r)
-    }
+        val base = df.select(scaled: _*)
+        val M = lit((1L << 21) - 1)
+        def tiers(t: Column, tag: String, both: Column) = Seq(
+          sum(when(both, shiftright(t, 42))).as(s"${tag}_hi"),
+          sum(when(both, shiftright(t, 21).bitwiseAND(M))).as(s"${tag}_mid"),
+          sum(when(both, t.bitwiseAND(M))).as(s"${tag}_lo"))
+        val aggs = pairs.zipWithIndex.flatMap { case ((cx, cy), p) =>
+          val x = col(s"dj_$cx"); val y = col(s"dj_$cy")
+          val both = x.isNotNull && y.isNotNull
+          count(when(both, 1)).as(s"dj_n_$p") +:
+            (tiers(x, s"dj_sx_$p", both) ++ tiers(y, s"dj_sy_$p", both) ++
+              tiers(x * x, s"dj_sxx_$p", both) ++
+              tiers(y * y, s"dj_syy_$p", both) ++
+              tiers(x * y, s"dj_sxy_$p", both))
+        }
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        def dec(tag: String): BigDecimal = {
+          val hi = BigDecimal(row.getAs[Long](s"${tag}_hi"))
+          val mid = BigDecimal(row.getAs[Long](s"${tag}_mid"))
+          val lo = BigDecimal(row.getAs[Long](s"${tag}_lo"))
+          hi * BigDecimal(1L << 42) + mid * BigDecimal(1L << 21) + lo
+        }
+        pairs.zipWithIndex.map { case ((cx, cy), p) =>
+          val n = row.getAs[Long](s"dj_n_$p")
+          val r: java.lang.Double =
+            if (n < 2) null
+            else {
+              val nd = BigDecimal(n)
+              val (sx, sy) = (dec(s"dj_sx_$p"), dec(s"dj_sy_$p"))
+              // exact integer power sums into the IDENTICAL double shape
+              // as the decimal path / the SQL oracle
+              val num = (nd * dec(s"dj_sxy_$p") - sx * sy).toDouble
+              val dx = (nd * dec(s"dj_sxx_$p") - sx * sx).toDouble
+              val dy = (nd * dec(s"dj_syy_$p") - sy * sy).toDouble
+              if (dx <= 0.0 || dy <= 0.0) null
+              else java.lang.Double.valueOf(num / (math.sqrt(dx) * math.sqrt(dy)))
+            }
+          org.apache.spark.sql.Row(cx, cy, n, r)
+        }
+      } else {
+        val scaled = columns.map { case (c, sc) =>
+          round(col(c) * sc).cast("decimal(38,0)").as(s"dj_$c")
+        }
+        val base = df.select(scaled: _*)
+        val aggs = pairs.zipWithIndex.flatMap { case ((cx, cy), p) =>
+          val x = col(s"dj_$cx"); val y = col(s"dj_$cy")
+          val both = x.isNotNull && y.isNotNull
+          Seq(
+            count(when(both, 1)).as(s"dj_n_$p"),
+            sum(when(both, x)).as(s"dj_sx_$p"),
+            sum(when(both, y)).as(s"dj_sy_$p"),
+            sum(when(both, x * x)).as(s"dj_sxx_$p"),
+            sum(when(both, y * y)).as(s"dj_syy_$p"),
+            sum(when(both, x * y)).as(s"dj_sxy_$p"))
+        }
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        pairs.zipWithIndex.map { case ((cx, cy), p) =>
+          val n = row.getAs[Long](s"dj_n_$p")
+          val r: java.lang.Double =
+            if (n < 2) null
+            else {
+              def dec(name: String) =
+                BigDecimal(row.getAs[java.math.BigDecimal](name))
+              val nd = BigDecimal(n)
+              val (sx, sy) = (dec(s"dj_sx_$p"), dec(s"dj_sy_$p"))
+              // exact decimal products cast to double LAST — the same shape
+              // as pearsonExact's in-plan expression and the SQL oracle
+              val num = (nd * dec(s"dj_sxy_$p") - sx * sy).toDouble
+              val dx = (nd * dec(s"dj_sxx_$p") - sx * sx).toDouble
+              val dy = (nd * dec(s"dj_syy_$p") - sy * sy).toDouble
+              if (dx <= 0.0 || dy <= 0.0) null
+              else java.lang.Double.valueOf(num / (math.sqrt(dx) * math.sqrt(dy)))
+            }
+          org.apache.spark.sql.Row(cx, cy, n, r)
+        }
+      }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),
       org.apache.spark.sql.types.StructType(Seq(
