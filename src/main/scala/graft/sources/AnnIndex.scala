@@ -362,7 +362,10 @@ object AnnIndex {
       // open() re-registers the canonical name at the flipped pointer
       val writeName = if (gen == 0) tableName(path) else s"${tableName(path)}_gw"
       spark.sql(s"DROP TABLE IF EXISTS $writeName")
-      postings.write
+      // one file per bucket: repartition to the writer's own murmur3-pmod
+      // placement (the DedupIndex.build discipline, r14) — a scan-parallel
+      // input otherwise writes tasks×nBuckets shards per build/rebuild
+      postings.repartition(nBuckets, col("cluster")).write
         .mode("overwrite")
         .bucketBy(nBuckets, "cluster")
         .sortBy("cluster")
@@ -956,7 +959,7 @@ object AnnIndex {
       require(clash.isEmpty,
         s"AnnIndex.append: shard id '${clash.headOption.map(_.get(0)).getOrElse("")}' " +
           s"already exists in the index at $path — ids must be disjoint")
-      assigned.write
+      assigned.repartition(m.nBuckets, col("cluster")).write
         .mode("append")
         .bucketBy(m.nBuckets, "cluster")
         .sortBy("cluster")
