@@ -999,6 +999,29 @@ object Bench {
     // artifact is always the best current truth.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val minPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN", "bench_min.json")
+    // r14 verdict task 2: `bench_out.json` is overwritten by every run, so
+    // one lost driver artifact (r13's rc-124 kill) erases the per-query map
+    // forever and PERF degenerates to totals-only (PERF_r14: n_common 0).
+    // Mirror the full artifact under a ROUND-STAMPED name that accumulates
+    // across rounds like BENCH_r*.json: tag from SPARK_GRAFT_ROUND when the
+    // driver passes one, else 1 + the highest committed BENCH_r<N>.json in
+    // the working directory. Only the default artifact path is mirrored —
+    // custom SPARK_GRAFT_BENCH_OUT runs are local iteration and name
+    // themselves.
+    val stampedOutPath: Option[String] =
+      if (outPath != "bench_out.json") None
+      else {
+        val tag = sys.env.get("SPARK_GRAFT_ROUND").map(_.trim).filter(_.nonEmpty)
+          .getOrElse {
+            val re = "BENCH_r(\\d+)\\.json".r
+            val ns = Option(new java.io.File(".").listFiles)
+              .getOrElse(Array.empty[java.io.File])
+              .map(_.getName)
+              .collect { case re(n) => n.toInt }
+            (if (ns.isEmpty) 0 else ns.max + 1).toString
+          }
+        Some(s"bench_out_r$tag.json")
+      }
     val skippedSteps = scala.collection.mutable.ArrayBuffer.empty[String]
     val degradedSteps = scala.collection.mutable.ArrayBuffer.empty[String]
     // full-artifact json snippets (each ","-prefixed), insertion-ordered
@@ -1070,6 +1093,7 @@ object Bench {
       val json =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"raw":$raw,"errors":$errs,"mem":$mem$primaryExtras${extraJson.values.mkString}$normJson$skipped$budgetJson,"sf":"$sfDir"}"""
       writeFile(outPath, json)
+      stampedOutPath.foreach(writeFile(_, json))
       val compactLegsJson =
         compactLegs.map { case (k, v) => s""","$k":$v""" }.mkString
       val compact =
@@ -1780,10 +1804,20 @@ object Bench {
             System.err.println(s"bench: posthoc probe spawn failed: $e")
             None
         }
-      budgeted("posthoc_probes", 240) {
+      // r14 verdict task 4: the full 2-run posthoc step was skipped on
+      // budget in the r14 driver run, leaving the 100×-leg "unmeasured"
+      // flags (the round's most interesting disputes) standing while
+      // cheaper optional steps had already run. The step now has a
+      // DEGRADED single-run form, processes legs scale-first (sf10f/sf10
+      // carry the scale evidence; primary flags are the cheapest to
+      // re-measure any other way), and falls back per leg from 2 runs to
+      // 1 before skipping that leg.
+      def posthocProbeStep(maxRuns: Int): Unit = {
         val legDirs = Map(
           "primary" -> sfDir, "sf1" -> sf1Dir,
           "sf10" -> sf10Dir, "sf10f" -> sf10fDir)
+        val legPriority =
+          Map("sf10f" -> 0, "sf10" -> 1, "sf1" -> 2, "primary" -> 3)
         val targets = rerunFlags.toSeq.collect {
           case (key, v)
               if (v.contains("\"verdict\":\"unmeasured\"") ||
@@ -1811,16 +1845,27 @@ object Bench {
           probeJson.update("gate",
             s"""{"calib":${round3(gate)},"waits":$waits,"quiet_ref":${round3(quietCalibRef)}}""")
           if (gate <= CalibContendedRatio * quietCalibRef) {
-            targets.groupBy(_._1).foreach { case (leg, group) =>
+            targets.groupBy(_._1).toSeq
+              .sortBy { case (leg, _) => legPriority.getOrElse(leg, 9) }
+              .foreach { case (leg, group) =>
               val dir = legDirs(leg)
               val qs = group.map(_._2).distinct
               // child budget: startup + calibration ~60 s, then each
               // query's profiled expectation (or 60 s floor) × runs × 3
-              val timeout = math.min(600L, 60L + qs.map(q =>
+              def timeoutFor(r: Int) = math.min(600L, 60L + qs.map(q =>
                 math.max(60.0, profiled(leg, q).getOrElse(30.0) * expectScale * 3)
-              ).sum.toLong * 2)
-              if (elapsedSec + timeout <= budgetSec)
-                spawnQueryProbe(qs, dir, runs = 2, timeoutSec = timeout)
+              ).sum.toLong * r)
+              // per-leg fallback: a single-run probe that fits the budget
+              // beats leaving a 100×-leg dispute unarbitrated
+              val runs =
+                if (elapsedSec + timeoutFor(maxRuns) <= budgetSec) maxRuns
+                else if (maxRuns > 1 && elapsedSec + timeoutFor(1) <= budgetSec) {
+                  degradedSteps += s"posthoc_probe_$leg"
+                  1
+                } else 0
+              if (runs > 0)
+                spawnQueryProbe(qs, dir, runs = runs,
+                  timeoutSec = timeoutFor(runs))
                   .foreach { case (calib, calibEnd, res) =>
                     val quiet = math.max(calib, calibEnd) <=
                       CalibContendedRatio * quietCalibRef && calib > 0
@@ -1851,6 +1896,10 @@ object Bench {
             .mkString(""","posthoc_probes":{""", ",", "}"))
           flush(): Unit
         }
+      }
+      budgeted("posthoc_probes", 240,
+        degraded = Some((100.0, () => posthocProbeStep(1)))) {
+        posthocProbeStep(2)
       }
       budgeted("ann_recall_primary", 180) {
         annRecall(freshSession(sfDir), sfDir).foreach(j =>
