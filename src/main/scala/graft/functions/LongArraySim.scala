@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Native codegen'd set/sequence similarity over `array<long>` columns —
   * the verification kernels of MinHash dedup:
@@ -89,10 +89,34 @@ case class JaccardSortedLong(left: Expression, right: Expression)
       newRight: Expression): JaccardSortedLong = copy(left = newLeft, right = newRight)
 }
 
+/** Positionwise agreement fraction of two equal-length integral arrays.
+  * Accepts array<smallint|int|bigint> (both sides the same element type):
+  * the staged MinHash verification narrows its stage-1 prefilter
+  * signatures to 16-bit values so the pair joins exchange 4× fewer bytes
+  * — the narrowed comparison needs the matching accessor, not getLong.
+  */
 case class MatchingFractionLong(left: Expression, right: Expression)
     extends LongArrayBinary {
 
   override def prettyName: String = "matching_fraction_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def elem(dt: DataType): Option[DataType] = dt match {
+      case ArrayType(e @ (ShortType | IntegerType | LongType), _) => Some(e)
+      case _                                                      => None
+    }
+    (elem(left.dataType), elem(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two arrays of the same integral element " +
+            s"type, got ${left.dataType.simpleString} and " +
+            s"${right.dataType.simpleString}")
+    }
+  }
+
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -100,15 +124,24 @@ case class MatchingFractionLong(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     var eq = 0
-    while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) eq += 1
-      i += 1
+    elemType match {
+      case LongType =>
+        while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+      case IntegerType =>
+        while (i < n) { if (x.getInt(i) == y.getInt(i)) eq += 1; i += 1 }
+      case ShortType =>
+        while (i < n) { if (x.getShort(i) == y.getShort(i)) eq += 1; i += 1 }
     }
     if (n == 0) 0.0 else eq.toDouble / n
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val acc = elemType match {
+        case LongType    => "getLong"
+        case IntegerType => "getInt"
+        case ShortType   => "getShort"
+      }
       val n  = ctx.freshName("n")
       val i  = ctx.freshName("i")
       val eq = ctx.freshName("eq")
@@ -116,7 +149,7 @@ case class MatchingFractionLong(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |int $eq = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.getLong($i) == $y.getLong($i)) $eq++;
+         |  if ($x.$acc($i) == $y.$acc($i)) $eq++;
          |}
          |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
        """.stripMargin

@@ -529,10 +529,26 @@ object Dedup {
         .where(col("jaccard") >= threshold)
         .select(col("id1"), col("id2"), col("jaccard"))
     else {
+      // Stage-1 signatures are narrowed to their LOW 16 bits
+      // (array<smallint>, 2 B/position vs 8): the id2 exchange carries
+      // sig1 on EVERY candidate pair, so the pair joins move ~4× fewer
+      // bytes (q_rebanded_dedup at sf0.1: 3.84 M pairs × 528 B → 144 B).
+      // Low bits stay uniform under min-selection (the minhash minimum
+      // concentrates in the HIGH bits — those would read near-constant),
+      // and a truncation collision can only turn a mismatched position
+      // into a match, so the narrowed prefilter passes a SUPERSET of the
+      // full-width survivors (E[extra matches] = 64·2⁻¹⁶ ≈ 0.001 of one
+      // position) — stage 2's exact Jaccard discards the strays and the
+      // output is identical.
+      def narrowed(sides: DataFrame) = sides.select(
+        col(idCol),
+        transform(col("signature"),
+          x => (x.bitwiseAND(lit(0xFFFFL)) - lit(32768L)).cast("smallint"))
+          .as("signature"))
       val survivors = graft.core.Blocks.checkpoint(
         verifyPairs(candidates, nCand,
-          sidesA.select(col(idCol), col("signature")),
-          sidesB.select(col(idCol), col("signature")),
+          narrowed(sidesA),
+          narrowed(sidesB),
           idCol, Seq("signature" -> "sig"))
           .where(matchingFraction(col("sig1"), col("sig2")) >= estCutoff)
           .select(col("id1"), col("id2")))

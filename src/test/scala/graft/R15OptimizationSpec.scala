@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Equality pins for the r15 optimization-round internals. */
+class R15OptimizationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("matchingFraction agrees across long/int/smallint element types") {
+    import spark.implicits._
+    import graft.functions.LongArraySim.matchingFraction
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)),  // 2/4 match
+      (Seq(5L, 5L), Seq(5L, 5L)),                  // 4/4
+      (Seq.empty[Long], Seq.empty[Long])           // empty → 0.0
+    ).toDF("a", "b")
+    def asType(c: String, t: String) =
+      transform(col(c), x => x.cast(t)).as(c)
+    val out = df.select(
+      matchingFraction(col("a"), col("b")).as("fl"),
+      matchingFraction(asType("a", "int"), asType("b", "int")).as("fi"),
+      matchingFraction(asType("a", "smallint"), asType("b", "smallint")).as("fs")
+    ).collect()
+    out.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) == r.getDouble(2))
+    }
+    assert(out.map(_.getDouble(0)).toSeq == Seq(0.5, 1.0, 0.0))
+  }
+
+  test("low-16-bit narrowed prefilter keeps every full-width survivor") {
+    import spark.implicits._
+    import graft.functions.LongArraySim.matchingFraction
+    // adversarial values: identical low 16 bits with different high bits
+    // (a narrowed FALSE match — must only ever ADD survivors), plus true
+    // matches and true mismatches
+    val base = 0x123456789ABCL
+    val df = Seq(
+      (Seq(base, base + 0x10000L), Seq(base, base)),          // pos0 true, pos1 low-16 collision
+      (Seq(base, base + 1L), Seq(base + 2L, base + 3L))       // no matches at all
+    ).toDF("a", "b")
+    def narrow(c: String) = transform(col(c),
+      x => (x.bitwiseAND(lit(0xFFFFL)) - lit(32768L)).cast("smallint"))
+    val rows = df.select(
+      matchingFraction(col("a"), col("b")).as("full"),
+      matchingFraction(narrow("a"), narrow("b")).as("narrowed")
+    ).collect()
+    rows.foreach(r => assert(r.getDouble(1) >= r.getDouble(0),
+      "narrowing must never LOSE a positionwise match"))
+    assert(rows(0).getDouble(0) == 0.5 && rows(0).getDouble(1) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
+  }
+}
