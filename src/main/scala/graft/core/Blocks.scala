@@ -71,6 +71,16 @@ object Blocks {
   private[graft] def checkpoint(df: DataFrame): DataFrame =
     track(df.localCheckpoint())
 
+  /** LAZY `localCheckpoint` — same pinning/lineage-truncation/release
+    * semantics, but materialization rides the FIRST job that touches the
+    * frame instead of a dedicated job here (r15, guide §1.2: the eager
+    * form costs one extra action per intermediate; use this when no
+    * driver decision needs the materialized result before the next
+    * action reads it anyway).
+    */
+  private[graft] def checkpointLazy(df: DataFrame): DataFrame =
+    track(df.localCheckpoint(eager = false))
+
   /** Register an already-checkpointed frame. Returns `df` for chaining. */
   private[graft] def track(df: DataFrame): DataFrame = {
     rootRdd(df).foreach { r =>

@@ -101,39 +101,78 @@ object CumSum {
       numBuckets: Int = 256,
       tieCols: Seq[String] = Nil): (DataFrame, Seq[Long]) = {
     require(valueCols.length == runningCols.length && valueCols.nonEmpty)
+    estimateBoundaries(df, orderCol, valueCols, numBuckets) match {
+      case None =>
+        // empty input: zero rows, but with the SAME running-column types
+        // the non-empty path produces (sum's result type per value column)
+        // — an empty partition must not flip the output schema to double
+        val sumTypes = df.select(valueCols.map(c => sum(col(c))): _*).schema
+        val empty = runningCols.zip(sumTypes)
+          .foldLeft(df) { case (acc, (c, f)) =>
+            acc.withColumn(c, lit(null).cast(f.dataType))
+          }
+          .where(lit(false))
+        (empty, valueCols.map(_ => 0L))
+      case Some((boundaries, grandTotals)) =>
+        (withRunningSumsAt(df, orderCol, valueCols, runningCols, boundaries,
+          tieCols), grandTotals)
+    }
+  }
+
+  /** Phase 1 of [[withRunningSums]] alone: ONE job computing the
+    * approximate range boundaries of `orderCol` plus each value column's
+    * grand total. `None` on empty input. Exposed so related selections
+    * over the same data can REUSE (a transform of) the boundaries —
+    * accuracy only shapes load balance, results stay exact — and so
+    * callers get grand totals without a separate count job.
+    */
+  def estimateBoundaries(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[String],
+      numBuckets: Int = 256): Option[(Seq[Double], Seq[Long])] = {
     val key = orderProxy(df, orderCol)
-    // 1. one job: approximate range boundaries + every grand total
-    //    (accuracy only shapes load balance — results stay exact — so a
-    //    cheap sketch beats the default-accuracy one)
     val probs = (1 until numBuckets).map(_.toDouble / numBuckets)
     // count(*) distinguishes "input empty" from "every order key NULL"
     // (percentile_approx returns NULL for both); coalesce guards the grand
     // totals against all-NULL value columns (sum() → NULL, not 0). Value
     // columns must be integral — totals are read back as Long.
+    // Sketch accuracy 1000: boundaries only shape load balance.
     val aggs = percentile_approx(key, array(probs.map(lit): _*), lit(1000)) +:
       count(lit(1)) +:
       valueCols.map(c => coalesce(sum(col(c)), lit(0L)))
     val head = df.agg(aggs.head, aggs.tail: _*).head()
-    if (head.getLong(1) == 0L) {
-      // empty input: zero rows, but with the SAME running-column types the
-      // non-empty path produces (sum's result type per value column) — an
-      // empty partition must not flip the output schema to double
-      val sumTypes = df.select(valueCols.map(c => sum(col(c))): _*).schema
-      val empty = runningCols.zip(sumTypes)
-        .foldLeft(df) { case (acc, (c, f)) =>
-          acc.withColumn(c, lit(null).cast(f.dataType))
-        }
-        .where(lit(false))
-      return (empty, valueCols.map(_ => 0L))
+    if (head.getLong(1) == 0L) None
+    else {
+      val grandTotals =
+        valueCols.indices.map(i => head.getAs[Number](i + 2).longValue())
+      // all order keys NULL → no boundaries; everything lands in bucket 0
+      // and the single-bucket window still produces correct running sums
+      // (rows are KEPT, consistent with the mixed case where NULL keys
+      // fill bucket 0)
+      val boundaries =
+        if (head.isNullAt(0)) Seq.empty[Double]
+        else head.getSeq[Double](0).distinct.sorted
+      Some((boundaries, grandTotals))
     }
-    val grandTotals =
-      valueCols.indices.map(i => head.getAs[Number](i + 2).longValue())
-    // all order keys NULL → no boundaries; everything lands in bucket 0 and
-    // the single-bucket window still produces correct running sums (rows are
-    // KEPT, consistent with the mixed case where NULL keys fill bucket 0)
-    val boundaries =
-      if (head.isNullAt(0)) Seq.empty[Double]
-      else head.getSeq[Double](0).distinct.sorted
+  }
+
+  /** Phases 2–4 of [[withRunningSums]] with CALLER-SUPPLIED boundaries
+    * (sorted doubles in `orderCol`'s proxy space — any values are correct,
+    * they only shape load balance). For NON-EMPTY `df`; an empty input
+    * yields an empty frame whose running columns follow sum's type but
+    * callers wanting the exact empty-schema contract should go through
+    * [[withRunningSums]].
+    */
+  def withRunningSumsAt(
+      df: DataFrame,
+      orderCol: String,
+      valueCols: Seq[String],
+      runningCols: Seq[String],
+      boundaries: Seq[Double],
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(valueCols.length == runningCols.length && valueCols.nonEmpty)
+    val key = orderProxy(df, orderCol)
     // 2. bucket assignment: number of boundaries strictly below the key.
     //    Codegen'd binary search over the boundary literals; identical keys
     //    land in identical buckets by construction.
@@ -173,7 +212,7 @@ object CumSum {
       val offsetArr = array(offsets.map(lit): _*)
       acc.withColumn(r, element_at(offsetArr, col("dj_bucket") + 1) + col(r))
     }
-    (out.drop("dj_bucket"), grandTotals)
+    out.drop("dj_bucket")
   }
 
   /** [[withRunningSums]] fused with [[withNextValue]]: one bucket scheme

@@ -142,6 +142,25 @@ object Integrity {
     } finally graft.core.Blocks.release(counts)
   }
 
+  /** Rank selection over a PRE-BUILT (dj_ov decimal, dj_cnt long)
+    * distinct-value frame with CALLER-SUPPLIED bucket boundaries (the
+    * fused q_mad_outliers path: boundaries reuse only shapes load
+    * balance, the selected values are exact). Two jobs: per-bucket
+    * totals + the min-when selection.
+    */
+  private def valuesAtRanksFromCounts(
+      counts: DataFrame,
+      boundaries: Seq[Double],
+      r1: Long,
+      r2: Long): (java.math.BigDecimal, java.math.BigDecimal) = {
+    val running = graft.ops.CumSum.withRunningSumsAt(
+      counts, "dj_ov", Seq("dj_cnt"), Seq("dj_cum"), boundaries)
+    val row = running.agg(
+      min(when(col("dj_cum") >= r1, col("dj_ov"))).as("v1"),
+      min(when(col("dj_cum") >= r2, col("dj_ov"))).as("v2")).head()
+    (row.getDecimal(0), row.getDecimal(1))
+  }
+
   /** Robust MAD outliers: flag rows with `|v − median| > k · c · MAD`
     * where `MAD = median(|v − median|)` and `c = 1.4826` (the normal
     * consistency constant, so `k` is in robust-σ units like [[zOutliers]]'
@@ -157,9 +176,16 @@ object Integrity {
     * robust-σ, everything else is exact. Degenerate spread (MAD = 0)
     * flags every v ≠ median, matching the definition's limit.
     *
-    * Scale shape: two distinct-aggregate + prefix-sum rank selections
-    * (the [[graft.ops.CumSum]] machinery — no global sort) and one final
-    * broadcast compare; nothing collects beyond four scalars.
+    * Scale shape: ONE distinct-value aggregate serves both rank
+    * selections (r15 fusion, guide §1.2/§2.4): the deviation
+    * distribution |2v − M2| is a deterministic map of v, so its
+    * per-distinct counts derive from the first selection's (value,
+    * count) frame — never a second scan or shuffle of the corpus — and
+    * its bucket boundaries are the first selection's boundaries FOLDED
+    * around the median (load balance only; each dev bucket unions ≤2
+    * half-buckets, so balance degrades ≤2×). The base count rides the
+    * boundary-estimation aggregate. 5 jobs total (was 7), one corpus
+    * exchange (was two); nothing collects beyond four scalars.
     */
   def madOutliers(
       df: DataFrame,
@@ -169,33 +195,57 @@ object Integrity {
       consistency: Double = 1.4826): DataFrame = {
     require(k > 0 && scale >= 1, s"bad MAD params: k=$k scale=$scale")
     val kQ = Math.round(k * consistency * 10000)
-    // EAGER materialization contract (as the dedup pipelines): the scaled
-    // frame is checkpointed and re-read by both rank selections AND the
-    // returned lazy frame — release the tracked block via
+    // The scaled frame stays LAZY (r15): it is read once eagerly (the
+    // distinct-value aggregate) and once by the returned frame — a
+    // checkpoint would trade one pruned two-column scan for a dedicated
+    // materialization job plus pinned memory. The distinct-value counts
+    // are a LAZY checkpoint: three jobs read them, and materialization
+    // rides the first (the boundary estimate). Release via
     // `Blocks.releaseAll()` (or a `Blocks.scoped`) after consuming.
-    val base = graft.core.Blocks.checkpoint(
-      df.where(col(valueCol).isNotNull)
-        .withColumn("dj_v", round(col(valueCol) * scale).cast("decimal(38,0)")))
-    val n = base.count()
-    if (n == 0L) {
-      base.withColumn("is_outlier", lit(false)).drop("dj_v")
-    } else {
-      val r1 = (n + 1) / 2
-      val r2 = (n + 2) / 2
-      val (m1, m2) = valuesAtRanks(base, "dj_v", r1, r2)
-      val mm2 = m1.add(m2) // 2 x median, exact
-      val devs = base.withColumn(
-        "dj_dev",
-        abs(col("dj_v") * 2 - lit(mm2).cast("decimal(38,0)")))
-      val (d1, d2) = valuesAtRanks(devs, "dj_dev", r1, r2)
-      val dd2 = d1.add(d2) // 4 x MAD, exact
-      devs
-        .withColumn(
-          "is_outlier",
-          col("dj_dev") * lit(2L) * lit(10000L) >
-            lit(kQ).cast("decimal(38,0)") * lit(dd2).cast("decimal(38,0)"))
-        .drop("dj_v", "dj_dev")
-    }
+    val base = df.where(col(valueCol).isNotNull)
+      .withColumn("dj_v", round(col(valueCol) * scale).cast("decimal(38,0)"))
+    val counts = graft.core.Blocks.checkpointLazy(
+      base.groupBy(col("dj_v").as("dj_ov")).agg(count(lit(1)).as("dj_cnt")))
+    try {
+      // one job: boundaries + n (the sum of per-value counts) — also the
+      // materialization pass for the base and counts caches
+      graft.ops.CumSum
+        .estimateBoundaries(counts, "dj_ov", Seq("dj_cnt")) match {
+        case None =>
+          base.withColumn("is_outlier", lit(false)).drop("dj_v")
+        case Some((bounds, totals)) =>
+          val n = totals.head
+          val r1 = (n + 1) / 2
+          val r2 = (n + 2) / 2
+          val (m1, m2) = valuesAtRanksFromCounts(counts, bounds, r1, r2)
+          val mm2 = m1.add(m2) // 2 x median, exact
+          // deviation distinct counts from the distinct-VALUE frame (the
+          // map v → |2v − M2| merges value pairs; summing their counts is
+          // exactly the deviation histogram)
+          val devCounts = graft.core.Blocks.checkpointLazy(
+            counts.groupBy(
+              abs(col("dj_ov") * 2 - lit(mm2).cast("decimal(38,0)"))
+                .as("dj_ov"))
+              .agg(sum(col("dj_cnt")).as("dj_cnt")))
+          try {
+            val m2d = mm2.doubleValue
+            val devBounds =
+              (bounds.map(b => math.abs(2 * b - m2d)) :+ 0.0).distinct.sorted
+            val (d1, d2) =
+              valuesAtRanksFromCounts(devCounts, devBounds, r1, r2)
+            val dd2 = d1.add(d2) // 4 x MAD, exact
+            base
+              .withColumn(
+                "dj_dev",
+                abs(col("dj_v") * 2 - lit(mm2).cast("decimal(38,0)")))
+              .withColumn(
+                "is_outlier",
+                col("dj_dev") * lit(2L) * lit(10000L) >
+                  lit(kQ).cast("decimal(38,0)") * lit(dd2).cast("decimal(38,0)"))
+              .drop("dj_v", "dj_dev")
+          } finally graft.core.Blocks.release(devCounts)
+      }
+    } finally graft.core.Blocks.release(counts)
   }
 
   /** Benford first-significant-digit profile — the classic fabricated- or
