@@ -1042,13 +1042,26 @@ object Dedup {
     * fixed point — label = component minimum — is identical to plain
     * propagation; the jump changes round count, never the result. The
     * driver sees one converged-yet count per round, never the labels.
+    *
+    * SIZE-ADAPTIVE small-graph path (r15, guide §1.2): a near-dup edge
+    * set is orders of magnitude smaller than its corpus (pairs are the
+    * OUTPUT of aggressive similarity filtering), so when the materialized
+    * edges fit `smallGraphEdgeCap` (bounded driver memory: ≤ cap
+    * (long, long) rows via an executeTake probe of the checkpoint — never
+    * an unbounded collect) the components are solved with a driver-side
+    * union-find and returned as a LOCAL relation. Identical output
+    * (min-id representative, every edge endpoint labeled), and downstream
+    * joins see a broadcastable label table instead of a stat-less
+    * checkpoint. Non-integral id types and anything past the cap take the
+    * distributed loop unchanged — the cap bounds memory, not coverage.
     */
   def connectedComponents(
       pairs: DataFrame,
       id1: String = "id1",
       id2: String = "id2",
       maxIters: Int = 25,
-      jumpAfter: Int = 2): DataFrame = {
+      jumpAfter: Int = 2,
+      smallGraphEdgeCap: Int = 1 << 20): DataFrame = {
     // EAGER localCheckpoint: pair generation upstream (LSH, inverted index)
     // is the expensive part, and round 1 reads the edge set from several
     // plan branches — a lazy cache would let those branches race and
@@ -1064,6 +1077,33 @@ object Dedup {
     // cache inside it. One checkpoint = one pair-generation pass.
     val half = graft.core.Blocks.checkpoint(
       pairs.select(col(id1).as("dj_src"), col(id2).as("dj_dst")))
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(half.schema("dj_src").dataType, half.schema("dj_dst").dataType)
+        .forall(t => t == LongType || t == IntegerType || t == ShortType ||
+          t == ByteType)
+    }
+    if (integralIds && smallGraphEdgeCap > 0) {
+      // executeTake over the materialized checkpoint: fetches partitions
+      // incrementally, stops at cap+1 rows — a huge edge set never lands
+      // on the driver
+      val probe = half.limit(smallGraphEdgeCap + 1).collect()
+      if (probe.length <= smallGraphEdgeCap &&
+          probe.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        graft.core.Blocks.release(half)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(
+            f"[cc] small-graph union-find over ${probe.length} edges: " +
+              f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+        return smallGraphComponents(
+          pairs.sparkSession,
+          probe.map(r => (r.get(0).asInstanceOf[Number].longValue(),
+            r.get(1).asInstanceOf[Number].longValue())),
+          half.schema("dj_src").dataType)
+      }
+      // over the cap (or null ids): fall through — `half` stays
+      // materialized for the loop
+    }
     val sym = graft.core.Blocks.checkpoint(half
       .unionAll(half.select(col("dj_dst").as("dj_src"), col("dj_src").as("dj_dst")))
       .distinct())
@@ -1163,6 +1203,44 @@ object Dedup {
     graft.core.Blocks.release(labels)
     graft.core.Blocks.release(sym)
     result
+  }
+
+  /** Driver-side union-find over a BOUNDED edge list (the
+    * [[connectedComponents]] small-graph path): one row per distinct
+    * endpoint, `cluster_id` = minimum id in its component — bit-identical
+    * to the distributed min-label fixed point. Returned as a local
+    * relation in the ids' original integral type, so downstream joins
+    * broadcast it.
+    */
+  private def smallGraphComponents(
+      spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)],
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // min-id representative: roots are already the component minimum
+    // (unions always link the larger root under the smaller)
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet().forEach(id => rows += ((id, find(id))))
+    import spark.implicits._
+    rows.toSeq.toDF("id", "cluster_id")
+      .select(
+        col("id").cast(idType).as("id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
   }
 
   /** Canonical-document selection after clustering (the survivorship step

@@ -51,4 +51,30 @@ class R15OptimizationSpec extends AnyFunSuite {
     assert(rows(0).getDouble(0) == 0.5 && rows(0).getDouble(1) == 1.0)
     assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
   }
+
+  test("connectedComponents: small-graph union-find ≡ distributed loop") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // chains, a clique, self-contained pairs, duplicate edges, and a
+    // reversed-order edge — the shapes near-dup graphs produce
+    val edges = Seq(
+      Row(2L, 1L), Row(2L, 3L), Row(3L, 4L),       // chain → cluster 1
+      Row(10L, 11L), Row(11L, 12L), Row(10L, 12L), // triangle → cluster 10
+      Row(20L, 21L), Row(20L, 21L),                // dup edge
+      Row(31L, 30L)                                // reversed order
+    ) ++ (100L until 164L).map(i => Row(i, i + 1)) // 64-hop chain → 100
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(edges, 4),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+    def run(cap: Int) = graft.ops.Dedup
+      .connectedComponents(pairs, smallGraphEdgeCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val small = run(1 << 20)  // driver union-find
+    graft.core.Blocks.releaseAll()
+    val loop = run(0)         // distributed min-label loop
+    graft.core.Blocks.releaseAll()
+    assert(small == loop)
+    assert(small.contains(4L -> 1L) && small.contains(12L -> 10L) &&
+      small.contains(30L -> 30L) && small.contains(164L -> 100L))
+  }
 }
