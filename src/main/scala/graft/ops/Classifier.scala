@@ -199,9 +199,12 @@ object Classifier {
     val labels = df.where(col(labelCol).isNotNull)
       .select(col(idCol), col(labelCol).cast("int").as("dj_y"))
     // the labeled subset of the shared features — identical rows to
-    // docFeatures(labeled): a doc's features depend on its own text only
+    // docFeatures(labeled): a doc's features depend on its own text only.
+    // left_semi (r15, advisor note): an inner join with duplicate label
+    // rows per id would FAN OUT feature rows, diverging from train()'s
+    // per-id grouping; semi-join membership cannot multiply
     val featsLabeled = graft.core.Blocks.checkpoint(
-      featsAll.join(labels.select(col(idCol)), Seq(idCol)))
+      featsAll.join(labels.select(col(idCol)), Seq(idCol), "left_semi"))
     val model =
       try trainOnFeats(featsLabeled, labels, idCol, nBuckets, nIters,
         learningRate, l2, md5Flavor)

@@ -254,11 +254,15 @@ object CumSum {
       valueCols.map(c => coalesce(sum(col(c)), lit(0L)))
     val head = df.agg(aggs.head, aggs.tail: _*).head()
     if (head.getLong(1) == 0L) {
+      // same column ORDER as the non-empty path (original cols, running
+      // cols, nextCol last) — a positional consumer or a union of the two
+      // shapes must not see the branches disagree (r15, advisor note)
       val sumTypes = df.select(valueCols.map(c => sum(col(c))): _*).schema
       val empty = runningCols.zip(sumTypes)
-        .foldLeft(df.withColumn(nextCol, lit(null).cast(dt))) {
-          case (acc, (c, f)) => acc.withColumn(c, lit(null).cast(f.dataType))
+        .foldLeft(df) { case (acc, (c, f)) =>
+          acc.withColumn(c, lit(null).cast(f.dataType))
         }
+        .withColumn(nextCol, lit(null).cast(dt))
         .where(lit(false))
       return RunningNext(empty, valueCols.map(_ => 0L), None, None)
     }

@@ -367,8 +367,11 @@ object Dedup {
       minhashSignatures(df, textCol, idCol, shingleK, numHashes))
     val buckets = staged("buckets_s")(graft.core.Blocks.checkpoint(
       lshBuckets(signed, idCol, bands).where(col(idCol).isNotNull)))
+    // LAZY checkpoint (r15): the count on the next line is the sole
+    // first consumer and materializes every partition — the eager form
+    // paid a dedicated pass before the (then cache-scan) count
     val candidates = staged("candidates_s")(
-      graft.core.Blocks.checkpoint(pairsFromBuckets(buckets, idCol, 1000)))
+      graft.core.Blocks.checkpointLazy(pairsFromBuckets(buckets, idCol, 1000)))
     val nCand = staged("candidates_count_s")(candidates.count())
     stageHook("n_candidates", nCand.toDouble)
     // candidates are materialized — the banded bucket AND signature blocks
@@ -545,7 +548,7 @@ object Dedup {
         transform(col("signature"),
           x => (x.bitwiseAND(lit(0xFFFFL)) - lit(32768L)).cast("smallint"))
           .as("signature"))
-      val survivors = graft.core.Blocks.checkpoint(
+      val survivors = graft.core.Blocks.checkpointLazy(
         verifyPairs(candidates, nCand,
           narrowed(sidesA),
           narrowed(sidesB),
@@ -603,7 +606,8 @@ object Dedup {
     }
     val (cappedA, bucketsA) = cappedBuckets(signedA)
     val (cappedB, bucketsB) = cappedBuckets(signedB)
-    val candidates = graft.core.Blocks.checkpoint(
+    // LAZY checkpoint (r15): the count materializes it — see minhashNearDups
+    val candidates = graft.core.Blocks.checkpointLazy(
       cappedA
         .select(col("band"), col("bucket"), col(idCol).as("id1"))
         .join(

@@ -1430,7 +1430,8 @@ object Similarity {
         Seq("band", "bucket"))
       .select("id1", "id2")
       .distinct()
-    val checkpointed = graft.core.Blocks.checkpoint(candidates)
+    // LAZY checkpoint (r15): the count materializes it in one pass
+    val checkpointed = graft.core.Blocks.checkpointLazy(candidates)
     val nCand = checkpointed.count()
     graft.core.Blocks.release(ba)
     graft.core.Blocks.release(bb)
@@ -1476,7 +1477,8 @@ object Similarity {
       .where(col("id1") < col("id2"))
       .select("id1", "id2")
       .distinct()
-    val checkpointed = graft.core.Blocks.checkpoint(candidates)
+    // LAZY checkpoint (r15): the count materializes it in one pass
+    val checkpointed = graft.core.Blocks.checkpointLazy(candidates)
     val nCand = checkpointed.count()
     // candidates are materialized — the banded bucket blocks are dead NOW,
     // not at the next driver GC
@@ -1652,7 +1654,15 @@ object Similarity {
       lloydIters: Int = 0,
       maxClusterSize: Int = 1000,
       corpusSize: Option[Long] = None,
-      maxLiteralCentroids: Int = 512,
+      // r15 default 0: the NearestCellsCos kernel path serves EVERY k —
+      // the literal transform+array_sort argmax is interpreted
+      // (ArrayTransform/ArraySort are CodegenFallback) and measured 2×
+      // slower at k = 64 on the corpus assignment job; the kernel is
+      // bit-identical (same rounded-cosine scoring and (−cos, cid) tie
+      // order — SemanticProbeSpec pins path equality, and the r15 sf0.1
+      // check matched both probes flavors exactly). The literal path
+      // stays for explicit opt-in/parity testing.
+      maxLiteralCentroids: Int = 0,
       probes: Int = 1): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive: $nClusters")
     require(maxClusterSize >= 2, s"maxClusterSize must be at least 2: $maxClusterSize")
@@ -1792,7 +1802,8 @@ object Similarity {
     val candidates =
       if (nProbes == 1) rawCandidates
       else rawCandidates.groupBy("id1", "id2").agg(min("cluster").as("cluster"))
-    val checkpointed = graft.core.Blocks.checkpoint(candidates)
+    // LAZY checkpoint (r15): the count materializes it in one pass
+    val checkpointed = graft.core.Blocks.checkpointLazy(candidates)
     val nCand = checkpointed.count()
     // probes > 1 leaves p rows per id in `assigned`; the verify side needs
     // one vector per id (values identical across probe rows, so the

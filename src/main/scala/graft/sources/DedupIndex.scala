@@ -783,7 +783,8 @@ object DedupIndex {
       idx.sizes.where(col("dj_bn") <= maxBucketSize)
         .select("band", "bucket"),
       Seq("band", "bucket"))
-    val candidates = graft.core.Blocks.checkpoint(
+    // LAZY checkpoint (r15): the count materializes it — see minhashNearDups
+    val candidates = graft.core.Blocks.checkpointLazy(
       cappedA
         .select(col("band"), col("bucket"), col(idCol).as("id1"))
         .join(
