@@ -137,31 +137,51 @@ object Classifier {
       var w = new Array[Double](nBuckets)
       var bias = 0.0
       for (_ <- 0 until nIters) {
-        // err per doc: σ(margin) − y, decimal-cast for exact bucket sums;
-        // CHECKPOINTED because two aggregates consume it (per-bucket
-        // gradient, bias gradient) — without it each round would run the
-        // corpus-wide margin join twice
-        val err = graft.core.Blocks.checkpoint(
-          margins(feats, weightTable(spark, w), bias, idCol)
-            .join(labels, Seq(idCol))
-            .select(
-              col(idCol),
-              (lit(1.0) / (lit(1.0) + exp(-col("dj_margin").cast("double"))) -
-                col("dj_y")).cast("decimal(20,12)").as("dj_err")))
-        val (grad, biasGrad) =
-          try {
-            val g = feats
-              .join(err, Seq(idCol))
-              .groupBy(col("dj_bucket"))
-              .agg(sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_err"))
-                .cast("decimal(38,12)").as("dj_g"))
-              .collect()
-              .map(r => r.getLong(0).toInt -> r.getDecimal(1).doubleValue())
-              .toMap
-            val bg = err.agg(sum(col("dj_err")).cast("decimal(38,12)"))
-              .head().getDecimal(0).doubleValue()
-            (g, bg)
-          } finally graft.core.Blocks.release(err)
+        // ONE job per round (r15, guide §1.2): the margin aggregate also
+        // emits each doc's MINIMUM bucket, so the bias gradient rides the
+        // per-bucket gradient collect as sum(when(bucket == minBucket,
+        // err)) — every doc contributes its err exactly once (its min
+        // bucket is one of its feature rows by construction). The bucket
+        // partials are summed on the driver with exact BigDecimal
+        // addition, so the total is bit-identical to the former dedicated
+        // Σ err job; with a single consumer the err frame needs no
+        // checkpoint (the r14 spelling checkpointed it for the two
+        // aggregates and paid 3 jobs per round).
+        val wt = broadcast(weightTable(spark, w))
+        val err = feats
+          .join(wt, Seq("dj_bucket"))
+          .groupBy(col(idCol))
+          .agg(
+            (sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_w"))
+              .cast("decimal(30,12)") +
+              lit(new java.math.BigDecimal(bias)
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+                .cast("decimal(20,12)"))
+              .cast("decimal(38,12)")
+              .as("dj_margin"),
+            min(col("dj_bucket")).as("dj_mb"))
+          .join(labels, Seq(idCol))
+          .select(
+            col(idCol),
+            col("dj_mb"),
+            (lit(1.0) / (lit(1.0) + exp(-col("dj_margin").cast("double"))) -
+              col("dj_y")).cast("decimal(20,12)").as("dj_err"))
+        val rows = feats
+          .join(err, Seq(idCol))
+          .groupBy(col("dj_bucket"))
+          .agg(
+            sum(col("dj_cnt").cast("decimal(17,0)") * col("dj_err"))
+              .cast("decimal(38,12)").as("dj_g"),
+            sum(when(col("dj_bucket") === col("dj_mb"), col("dj_err")))
+              .cast("decimal(38,12)").as("dj_bg"))
+          .collect()
+        val grad = rows
+          .map(r => r.getLong(0).toInt -> r.getDecimal(1).doubleValue())
+          .toMap
+        val biasGrad = rows
+          .flatMap(r => Option(r.getDecimal(2)))
+          .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+          .doubleValue()
         val w2 = new Array[Double](nBuckets)
         var b = 0
         while (b < nBuckets) {
@@ -203,7 +223,9 @@ object Classifier {
     // left_semi (r15, advisor note): an inner join with duplicate label
     // rows per id would FAN OUT feature rows, diverging from train()'s
     // per-id grouping; semi-join membership cannot multiply
-    val featsLabeled = graft.core.Blocks.checkpoint(
+    // LAZY checkpoint (r15): trainOnFeats' first job (the distinct-id
+    // count) materializes it — the eager form paid a dedicated pass
+    val featsLabeled = graft.core.Blocks.checkpointLazy(
       featsAll.join(labels.select(col(idCol)), Seq(idCol), "left_semi"))
     val model =
       try trainOnFeats(featsLabeled, labels, idCol, nBuckets, nIters,

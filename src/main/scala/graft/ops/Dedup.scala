@@ -28,7 +28,7 @@ object Dedup {
     * full-corpus exchange would dwarf the sketch cost — hence the threshold
     * rather than an unconditional `repartition`.
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val spark  = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     // partition count from the physical plan's leaves — `df.rdd` would

@@ -38,8 +38,13 @@ object Dsir {
     * empty-filtered token list), exploded to one row per occurrence.
     */
   private[graft] def gramRows(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df
-      .where(col(textCol).isNotNull)
+    // spread BEFORE the per-row tokenize/explode/hash work (r15, guide
+    // §2.5): a small parquet input arrives as 1-2 splits and the gram
+    // kernel would run nearly serial; at scale the scan has plenty of
+    // splits and this no-ops
+    val base = Dedup
+      .spread(df.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), cleanTokens(col(textCol)).as("dj_toks"))
     val nBi = greatest(size(col("dj_toks")) - 1, lit(0))
     val grams = concat(
@@ -54,8 +59,11 @@ object Dsir {
   /** Bucket of one gram: `hash(gram) mod nBuckets`, non-negative. */
   private[graft] def bucketOf(gram: Column, nBuckets: Int, md5Flavor: Boolean): Column =
     if (md5Flavor)
+      // fused md5-prefix expression (r15): bit-identical to
+      // conv(substring(md5(gram cast binary), 1, 15), 16, 10) cast long,
+      // minus the hex-string render + substring + decimal-string parse
       pmod(
-        conv(substring(md5(gram.cast("binary")), 1, 15), 16, 10).cast("long"),
+        graft.functions.Md5Lattice.md5PrefixLong(gram, 15),
         lit(nBuckets.toLong))
     else pmod(xxhash64(gram), lit(nBuckets.toLong))
 
@@ -251,9 +259,11 @@ object Dsir {
     * half a lattice step to keep u strictly inside (0, 1).
     */
   private[graft] def hashUniform(idCol: Column, seed: String): Column =
-    (conv(
-      substring(md5(concat(idCol.cast("string"), lit(":" + seed)).cast("binary")), 1, 13),
-      16, 10).cast("long") + 0.5) / lit(4503599627370496.0) // 2^52
+    // fused md5-prefix expression (r15) — same value as the former
+    // conv(substring(md5(...), 1, 13), 16, 10) cast long chain
+    (graft.functions.Md5Lattice.md5PrefixLong(
+      concat(idCol.cast("string"), lit(":" + seed)), 13) + 0.5) /
+      lit(4503599627370496.0) // 2^52
 
   /** Gumbel-top-k resampling ∝ exp(logw): per document the key is
     * `g = logw − ln(−ln(u))` with `u = hashUniform(id, seed)` — taking the

@@ -1017,11 +1017,12 @@ object Stats {
       s"nResamples must be in [4, 10000]: $nResamples")
     require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
     require(valueScale >= 1, s"valueScale must be >= 1: $valueScale")
-    val base = df.where(col(valueCol).isNotNull)
+    // spread BEFORE the ×nResamples explode + per-replicate hash (r15,
+    // guide §2.5): a small input arrives as 1-2 scan splits and the md5
+    // lattice would run nearly serial; no-ops once the scan is wide
+    val base = Dedup.spread(
+      df.where(col(valueCol).isNotNull).select(col(idCol), col(valueCol)))
     val x = round(col(valueCol) * valueScale).cast("decimal(30,0)")
-    val totals = base.agg(
-      count(lit(1)).as("dj_n"),
-      sum(x).as("dj_sx"))
     // u(id, seed, b): a 52-bit dyadic-lattice uniform per (row, replicate).
     // Default flavor: top 52 bits of xxhash64(id, seed, b) — one codegen'd
     // native hash per exploded row (the Dsir hash-flavor convention; the
@@ -1033,13 +1034,13 @@ object Stats {
     // Poisson(1) inverse CDF, capped at 8 (P ≈ 1e-5).
     val u =
       if (md5Flavor)
-        (conv(
-          substring(
-            md5(concat(
-              col(idCol).cast("string"), lit(":" + seed + ":"),
-              col("dj_b").cast("string")).cast("binary")),
-            1, 13),
-          16, 10).cast("long") + 0.5) / lit(4503599627370496.0)
+        // fused md5-prefix expression (r15) — same value as the former
+        // conv(substring(md5(...), 1, 13), 16, 10) cast long chain
+        (graft.functions.Md5Lattice.md5PrefixLong(
+          concat(
+            col(idCol).cast("string"), lit(":" + seed + ":"),
+            col("dj_b").cast("string")), 13) + 0.5) /
+          lit(4503599627370496.0)
       else
         (shiftrightunsigned(
           xxhash64(col(idCol), lit(seed), col("dj_b")), 12).cast("double")
@@ -1058,7 +1059,19 @@ object Stats {
       .foldLeft(lit(8).cast("decimal(1,0)")) { case (acc, (t, k)) =>
         when(col("dj_u") < t, lit(k).cast("decimal(1,0)")).otherwise(acc)
       }
-    val perReplicate = base
+    // ONE corpus pass (r15, guide §1.2): the per-replicate aggregate also
+    // carries the full-sample totals as riders on the b = 1 group (count
+    // of its rows = n, sum of its unweighted values = Σx — b = 1 holds
+    // exactly one exploded row per base row), so the former dedicated
+    // totals branch no longer re-scans the input. The grouped result is
+    // ≤ nResamples (≤ 10000, parameter-bounded) rows — it comes to the
+    // driver in one collect, and the rank selection / CI assembly
+    // (formerly a single-partition window + crossjoin, 3 extra stages)
+    // runs in exact driver arithmetic: the same decimal→double casts in
+    // the same order, the same (mean, b) tie order, the same NULL
+    // semantics. Output values are bit-identical; only the plan tail
+    // changed.
+    val grouped = base
       .select(col(idCol), x.as("dj_x"),
         explode(sequence(lit(1), lit(nResamples))).as("dj_b"))
       .select(col("dj_x"), col("dj_b"), u.as("dj_u"))
@@ -1066,33 +1079,49 @@ object Stats {
       .groupBy("dj_b")
       .agg(
         sum((col("dj_w") * col("dj_x")).cast("decimal(38,0)")).as("dj_sx"),
-        sum(col("dj_w").cast("long")).as("dj_sw"))
-      .where(col("dj_sw") > 0)
-      .select(
-        col("dj_b"),
-        (col("dj_sx").cast("double") / col("dj_sw").cast("double")
-          / lit(valueScale.toDouble)).as("dj_mean"))
-    // discrete percentile ranks over the (bounded) replicate means
-    val ranked = perReplicate.withColumn(
-      "dj_rk",
-      row_number().over(Window.orderBy(col("dj_mean"), col("dj_b"))))
+        sum(col("dj_w").cast("long")).as("dj_sw"),
+        count(lit(1)).as("dj_cnt"),
+        sum(col("dj_x")).as("dj_tx"))
+      .collect()
+    val scaleD = valueScale.toDouble
+    def bOf(r: org.apache.spark.sql.Row): Long =
+      r.get(0).asInstanceOf[Number].longValue() // sequence() yields ints
+    val b1 = grouped.find(bOf(_) == 1L)
+    val n: Long = b1.map(_.getLong(3)).getOrElse(0L)
+    val sxTot: Option[java.math.BigDecimal] =
+      b1.flatMap(r => Option(r.getDecimal(4)))
     val loRank = (alpha / 2 * nResamples).toInt + 1
     val hiRank = nResamples - (alpha / 2 * nResamples).toInt
-    val ci = ranked.agg(
-      min(when(col("dj_rk") === loRank, col("dj_mean"))).as("dj_lo"),
-      min(when(col("dj_rk") === hiRank, col("dj_mean"))).as("dj_hi"),
-      count(lit(1)).as("dj_nb"))
-    totals
-      .crossJoin(broadcast(ci))
-      .select(
-        col("dj_n").as("n"),
-        lit(nResamples).as("n_resamples"),
-        when(col("dj_n") > 0,
-          col("dj_sx").cast("double") / col("dj_n").cast("double")
-            / lit(valueScale.toDouble)).as("mean"),
-        // a replicate can drop out only on a degenerate tiny sample whose
-        // every weight is 0 — the rank indices then miss; NULL, not NaN
-        when(col("dj_nb") >= hiRank, col("dj_lo")).as("ci_lo"),
-        when(col("dj_nb") >= hiRank, col("dj_hi")).as("ci_hi"))
+    // replicate means, dropped-out replicates (all-zero weights) excluded,
+    // sorted by (mean, b) — the former window's exact order
+    val means: Seq[(Double, Long)] = grouped.toSeq
+      .filter(_.getLong(2) > 0L)
+      .map(r => (r.getDecimal(1).doubleValue() / r.getLong(2).toDouble /
+        scaleD, bOf(r)))
+      .sortBy(identity)
+    val nb = means.size
+    val mean: Any =
+      if (n > 0 && sxTot.isDefined)
+        sxTot.get.doubleValue() / n.toDouble / scaleD
+      else null
+    // a replicate can drop out only on a degenerate tiny sample whose
+    // every weight is 0 — the rank indices then miss; NULL, not NaN
+    val lo: Any = if (nb >= hiRank) means(loRank - 1)._1 else null
+    val hi: Any = if (nb >= hiRank) means(hiRank - 1)._1 else null
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(n, nResamples, mean, lo, hi)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_resamples",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ci_lo",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("ci_hi",
+          org.apache.spark.sql.types.DoubleType))))
   }
 }

@@ -52,6 +52,28 @@ class R15OptimizationSpec extends AnyFunSuite {
     assert(rows(1).getDouble(0) == 0.0 && rows(1).getDouble(1) == 0.0)
   }
 
+  test("md5PrefixLong ≡ conv(substring(md5(...)),16,10) SQL chain") {
+    import spark.implicits._
+    import graft.functions.Md5Lattice.md5PrefixLong
+    // ids spanning ascii, unicode, empty, long strings, and the gate's
+    // "id:seed:b" shapes
+    val df = (Seq("", "0", "42:gate:7", "abc:dsir", "日本語:seed:3",
+      "x" * 500) ++ (0 until 200).map(i => s"$i:gate:${i % 20}"))
+      .toDF("s")
+    for (k <- Seq(13, 15)) {
+      val rows = df.select(
+        md5PrefixLong(col("s"), k).as("fused"),
+        conv(substring(md5(col("s").cast("binary")), 1, k), 16, 10)
+          .cast("long").as("chain")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"k=$k mismatch: ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+    // NULL propagates
+    val nullRow = Seq[Option[String]](None).toDF("s")
+      .select(md5PrefixLong(col("s"), 13)).collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
   test("connectedComponents: small-graph union-find ≡ distributed loop") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
