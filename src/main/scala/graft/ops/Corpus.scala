@@ -58,8 +58,9 @@ object Corpus {
     * curation pipeline already runs.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df
-      .where(col(textCol).isNotNull)
+    val base = Dedup
+      .spread(df.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(
         col(idCol),
         TextAnalysis.normalize(col(textCol)).as("dj_norm"))
@@ -128,8 +129,9 @@ object Corpus {
       n: Int = 8,
       hashKeys: Boolean = true): DataFrame = {
     def grams(d: DataFrame): DataFrame = {
-      val g = d
-        .where(col(textCol).isNotNull)
+      val g = Dedup
+        .spread(d.where(col(textCol).isNotNull)
+          .select(col(idCol), col(textCol)))
         .select(
           col(idCol),
           explode(Dedup.wordNgrams(TextAnalysis.tokens(col(textCol)), n)).as("dj_gram"))
@@ -152,7 +154,7 @@ object Corpus {
     * (distributed top-k, never a global sort of the vocabulary).
     */
   def vocabularyTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.where(col(textCol).isNotNull)
+    Dedup.spread(df.where(col(textCol).isNotNull).select(col(textCol)))
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"))
@@ -388,7 +390,9 @@ object Corpus {
     * from the result (callers treat them via the length filters instead).
     */
   def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = df.where(col(textCol).isNotNull)
+    val base = Dedup
+      .spread(df.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
     val vocabSize = base
       .select(explode(col("dj_toks")).as("token"))
@@ -463,8 +467,9 @@ object Corpus {
       idCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
-    def toks(d: DataFrame): DataFrame = d
-      .where(col(textCol).isNotNull)
+    def toks(d: DataFrame): DataFrame = Dedup
+      .spread(d.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(
         col(idCol),
         filter(TextAnalysis.tokens(col(textCol)), t => t =!= "").as("dj_toks"))
@@ -554,6 +559,9 @@ object Corpus {
     require(k > 0, s"k must be positive: $k")
     val base = df.where(col(textCol).isNotNull)
     val nDocs = base.count()
+    // NOT spread (r15): measured 0.85s -> ~1.8s WITH the input exchange —
+    // the per-doc top-k window re-shuffles by id anyway, so the extra
+    // round-robin exchange of the text payload only added cost
     val tf = base
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
@@ -612,7 +620,8 @@ object Corpus {
     require(k > 0, s"k must be positive: $k")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 parameters: k1=$k1 b=$b")
     val tf = graft.core.Blocks.checkpoint(
-      docs.where(col(textCol).isNotNull)
+      Dedup.spread(docs.where(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
         .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("dj_t"))
         .where(col("dj_t") =!= "")
         .groupBy(col(idCol), col("dj_t"))
@@ -817,8 +826,8 @@ object Corpus {
       textCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    val base = df
-      .where(col(textCol).isNotNull)
+    val base = Dedup
+      .spread(df.where(col(textCol).isNotNull).select(col(textCol)))
       .select(TextAnalysis.tokens(col(textCol)).as("dj_toks"))
     // eager checkpoint: the totals row AND the entropy aggregate both
     // consume the vocabulary frame — one explode+shuffle, not two
@@ -909,8 +918,9 @@ object Corpus {
       groupCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    val base = df
-      .where(col(textCol).isNotNull)
+    val base = Dedup
+      .spread(df.where(col(textCol).isNotNull)
+        .select(col(groupCol), col(textCol)))
       .select(
         coalesce(col(groupCol).cast("string"), lit("<null>")).as("dj_grp"),
         TextAnalysis.tokens(col(textCol)).as("dj_toks"))
@@ -969,8 +979,8 @@ object Corpus {
       textCol: String,
       topK: Int = 10000): DataFrame = {
     require(topK >= 2, s"topK must be >= 2: $topK")
-    val uc = df
-      .where(col(textCol).isNotNull)
+    val uc = Dedup
+      .spread(df.where(col(textCol).isNotNull).select(col(textCol)))
       .select(explode(TextAnalysis.tokens(col(textCol))).as("dj_w"))
       .where(col("dj_w") =!= "")
       .groupBy("dj_w")
