@@ -154,7 +154,9 @@ object Corpus {
     * (distributed top-k, never a global sort of the vocabulary).
     */
   def vocabularyTopK(df: DataFrame, textCol: String, k: Int): DataFrame =
-    Dedup.spread(df.where(col(textCol).isNotNull).select(col(textCol)))
+    // NOT spread (r15): sub-0.2 s gate — the input exchange costs more
+    // than the serial tokenize it parallelizes
+    df.where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .where(col("token") =!= "")
       .groupBy(col("token"))
@@ -390,9 +392,12 @@ object Corpus {
     * from the result (callers treat them via the length filters instead).
     */
   def bigramCrossEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val base = Dedup
-      .spread(df.where(col(textCol).isNotNull)
-        .select(col(idCol), col(textCol)))
+    // NOT spread, NOT cached (r15): both were measured slower here —
+    // the spread exchange doubled the vocab-size job (q_lm_score 0.69 ->
+    // 2.07 s) and caching the token arrays cost more than the second
+    // tokenize it saves (still ~1.6 s vs the 0.84 s original on the same
+    // window); the original two-pass spelling stands
+    val base = df.where(col(textCol).isNotNull)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("dj_toks"))
     val vocabSize = base
       .select(explode(col("dj_toks")).as("token"))
@@ -979,8 +984,10 @@ object Corpus {
       textCol: String,
       topK: Int = 10000): DataFrame = {
     require(topK >= 2, s"topK must be >= 2: $topK")
-    val uc = Dedup
-      .spread(df.where(col(textCol).isNotNull).select(col(textCol)))
+    // NOT spread (r15): q_zipf read 0.23 s unspread, 0.82 s with the
+    // input exchange — map-side-combined token counts don't need it
+    val uc = df
+      .where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("dj_w"))
       .where(col("dj_w") =!= "")
       .groupBy("dj_w")

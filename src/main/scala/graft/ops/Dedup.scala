@@ -543,11 +543,14 @@ object Dedup {
       // full-width survivors (E[extra matches] = 64·2⁻¹⁶ ≈ 0.001 of one
       // position) — stage 2's exact Jaccard discards the strays and the
       // output is identical.
-      def narrowed(sides: DataFrame) = sides.select(
-        col(idCol),
-        transform(col("signature"),
-          x => (x.bitwiseAND(lit(0xFFFFL)) - lit(32768L)).cast("smallint"))
-          .as("signature"))
+      def narrowed(sides: DataFrame) =
+        if (sys.env.contains("GRAFT_NO_NARROW"))
+          sides.select(col(idCol), col("signature"))
+        else sides.select(
+          col(idCol),
+          transform(col("signature"),
+            x => (x.bitwiseAND(lit(0xFFFFL)) - lit(32768L)).cast("smallint"))
+            .as("signature"))
       val survivors = graft.core.Blocks.checkpointLazy(
         verifyPairs(candidates, nCand,
           narrowed(sidesA),

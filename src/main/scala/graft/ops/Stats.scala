@@ -32,7 +32,7 @@ object Stats {
     // releases it with its scope, a harness with releaseAll; the former
     // `.cache()` pinned one CacheManager entry per evaluation until a
     // session-wide clearCache
-    val counts = graft.core.Blocks.checkpoint(
+    val counts = graft.core.Blocks.checkpointLazy(
       ref
         .selection(spark)
         .select(col(ref.column).as(valueLabel))
@@ -88,7 +88,7 @@ object Stats {
         lit(if (first) 0L else 1L).as("dj_w2"))
     // one eager registry-tracked checkpoint (see cdfSelection) — released
     // by the constraint scope / harness instead of lingering per evaluation
-    val counts = graft.core.Blocks.checkpoint(
+    val counts = graft.core.Blocks.checkpointLazy(
       side(ref1, first = true)
         .unionAll(side(ref2, first = false))
         .groupBy(valueLabel)
@@ -198,7 +198,7 @@ object Stats {
     // bucket scheme's boundary job, per-bucket-totals collect, and the
     // caller's final aggregate would otherwise each re-run the base scans
     // + union + shuffle
-    val counts = graft.core.Blocks.checkpoint(
+    val counts = graft.core.Blocks.checkpointLazy(
       side(a, first = true)
         .unionAll(side(b, first = false))
         .groupBy("dj_v")
@@ -227,7 +227,7 @@ object Stats {
         round(col(valueCol) * scale).cast("long").as("dj_v"),
         lit(if (first) 1L else 0L).as("dj_w1"),
         lit(if (first) 0L else 1L).as("dj_w2"))
-    val counts = graft.core.Blocks.checkpoint(
+    val counts = graft.core.Blocks.checkpointLazy(
       side(a, first = true)
         .unionAll(side(b, first = false))
         .groupBy("dj_v")
@@ -518,10 +518,10 @@ object Stats {
       positive: org.apache.spark.sql.Column,
       scale: Long = 1L): DataFrame = {
     require(scale >= 1L, s"scale must be >= 1: $scale")
-    // eager checkpoint for the same reason as crossRunningCounts: three
-    // downstream jobs over the distinct-score frame must not re-scan the
-    // base table
-    val counts = graft.core.Blocks.checkpoint(
+    // LAZY checkpoint (r15): the boundary-estimation job is the sole
+    // first consumer; the later jobs read the cached blocks — same
+    // no-rescan guarantee, one fewer dedicated pass
+    val counts = graft.core.Blocks.checkpointLazy(
       df
         .where(col(scoreCol).isNotNull)
         .select(
@@ -798,7 +798,7 @@ object Stats {
       s"trimFraction must be in [0, 0.5): $trimFraction")
     require(scale >= 1, s"scale must be >= 1: $scale")
     val spark = df.sparkSession
-    val counts = graft.core.Blocks.checkpoint(
+    val counts = graft.core.Blocks.checkpointLazy(
       df.where(col(valueCol).isNotNull)
         .select(round(col(valueCol) * scale).cast("long").as("dj_v"))
         .groupBy("dj_v")
@@ -883,7 +883,7 @@ object Stats {
         s"${tooBig.headOption.map(_.getAs[Any](weightCol)).getOrElse("")}) — " +
         s"past decimal(19,0) a silent overflow would drop mass; reduce " +
         s"weightScale (current: $weightScale) or rescale the column")
-    val perKey = graft.core.Blocks.checkpoint(
+    val perKey = graft.core.Blocks.checkpointLazy(
       df.where(col(weightCol).isNotNull)
         .groupBy(col(keyCol).as("dj_k"))
         .agg(sum(round(col(weightCol) * weightScale, 0).cast("decimal(19,0)"))

@@ -286,20 +286,32 @@ object Web {
     require(iterations >= 1 && iterations <= 100, s"bad iterations: $iterations")
     require(damping > 0 && damping < 1, s"damping must lie in (0,1): $damping")
     val dec = "decimal(28,18)"
+    // DISTINCT edges with multiplicity (r15): k duplicate (src, dst) rows
+    // contribute k identical decimal terms, and a k-fold decimal sum is
+    // exactly term × k — so the per-iteration joins run over distinct
+    // edges only. (28,18) × (9,0) stays at precision 38 — exact, no
+    // precision-loss clamp (multiplicities ≥ 1e9 would overflow the cast
+    // loudly under ANSI, far past any real graph's duplicate-edge count).
     val e = graft.core.Blocks.checkpoint(
       edges
         .where(col(srcCol).isNotNull && col(dstCol).isNotNull)
-        .select(col(srcCol).as("dj_src"), col(dstCol).as("dj_dst")))
-    val nodes = graft.core.Blocks.checkpoint(
+        .select(col(srcCol).as("dj_src"), col(dstCol).as("dj_dst"))
+        .groupBy(col("dj_src"), col("dj_dst"))
+        .agg(count(lit(1)).as("dj_w")))
+    // lazy checkpoints (r15): the node count materializes `nodes`; the
+    // first iteration's job materializes outdeg/pr — the eager form paid
+    // a dedicated job per frame
+    val nodes = graft.core.Blocks.checkpointLazy(
       e.select(col("dj_src").as("node"))
         .union(e.select(col("dj_dst")))
         .distinct())
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("pagerank", lit(null).cast(dec))
-    val outdeg = graft.core.Blocks.checkpoint(
-      e.groupBy(col("dj_src")).agg(count(lit(1)).as("dj_deg")))
+    // out-degree counts edge ROWS (duplicates included) = Σ multiplicity
+    val outdeg = graft.core.Blocks.checkpointLazy(
+      e.groupBy(col("dj_src")).agg(sum(col("dj_w")).as("dj_deg")))
     val base = (1.0 - damping) / n
-    var pr = graft.core.Blocks.checkpoint(
+    var pr = graft.core.Blocks.checkpointLazy(
       nodes.withColumn("pagerank", lit(1.0 / n).cast(dec)))
     for (_ <- 1 to iterations) {
       val contrib = e
@@ -307,8 +319,9 @@ object Web {
         .join(outdeg, Seq("dj_src"))
         .select(
           col("dj_dst").as("node"),
-          ((col("pagerank").cast("double") * damping) /
-            col("dj_deg").cast("double")).cast(dec).as("dj_term"))
+          (((col("pagerank").cast("double") * damping) /
+            col("dj_deg").cast("double")).cast(dec) *
+            col("dj_w").cast("decimal(9,0)")).as("dj_term"))
         .groupBy(col("node"))
         .agg(sum(col("dj_term")).cast(dec).as("dj_contrib"))
       val next = graft.core.Blocks.checkpoint(

@@ -783,8 +783,7 @@ object DedupIndex {
       idx.sizes.where(col("dj_bn") <= maxBucketSize)
         .select("band", "bucket"),
       Seq("band", "bucket"))
-    // LAZY checkpoint (r15): the count materializes it — see minhashNearDups
-    val candidates = graft.core.Blocks.checkpointLazy(
+    val candidates = graft.core.Blocks.checkpoint(
       cappedA
         .select(col("band"), col("bucket"), col(idCol).as("id1"))
         .join(
