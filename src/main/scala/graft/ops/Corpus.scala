@@ -472,9 +472,11 @@ object Corpus {
       idCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
-    def toks(d: DataFrame): DataFrame = Dedup
-      .spread(d.where(col(textCol).isNotNull)
-        .select(col(idCol), col(textCol)))
+    // NOT spread (r15): both sides pay the exchange and the bench read
+    // 0.70 -> 0.87 s with it — reverted (the tfidf/zipf lesson: small
+    // gates whose downstream aggregates re-shuffle anyway)
+    def toks(d: DataFrame): DataFrame = d
+      .where(col(textCol).isNotNull)
       .select(
         col(idCol),
         filter(TextAnalysis.tokens(col(textCol)), t => t =!= "").as("dj_toks"))
